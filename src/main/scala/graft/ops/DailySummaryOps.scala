@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** "Typical day" time-of-day summaries (reference:
+  * `app/services/get_aggregations.py:310-430` + upstream
+  * `DailyNoiseAnalysis`, semantics `upstream-notes.md:11-13`).
+  *
+  * The upstream bundle is four pandas frames `{mean,min,max,count}` keyed by
+  * `HH:MM:SS` string. A single grouped aggregate over
+  * `(second_of_day, band)` expresses all four at once (SURVEY §1.1 row 6) —
+  * one shuffle, bounded output (86 400 × bands rows max).
+  */
+object DailySummaryOps {
+
+  /** A4 — group N days of PSD rows by time-of-day and band; four stats in
+    * one pass. `tod` is the `HH:mm:ss` label the reference serves
+    * (ref `app/services/get_aggregations.py:99`). */
+  def timeOfDaySummary(df: DataFrame, tsCol: String, bandCol: String, valueCol: String): DataFrame = {
+    val v = ResampleOps.nanToNull(col(valueCol))
+    df.groupBy(date_format(col(tsCol), "HH:mm:ss").as("tod"), col(bandCol).as("band"))
+      .agg(avg(v).as("mean_value"), min(v).as("min_value"),
+           max(v).as("max_value"), count(v).as("point_count"))
+  }
+
+  /** A5 — re-anchored resample of a typical-day series: bucket the
+    * second-of-day axis itself (the reference re-anchors `HH:MM:SS` onto
+    * 2000-01-01, resamples, and strftime's back —
+    * `_aggregate_daily_summary_series`, `:88-100`). Buckets are
+    * midnight-anchored by construction, matching `origin='start_day'`. */
+  def todBucketMean(df: DataFrame, tsCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
+    val sod = hour(col(tsCol)) * 3600L + minute(col(tsCol)) * 60L + second(col(tsCol))
+    val bucketSod = floor(sod / bucketSeconds) * bucketSeconds
+    val label = date_format(
+      timestamp_seconds(bucketSod), "HH:mm:ss") // re-anchor onto epoch day for the label round-trip
+    df.groupBy(label.as("tod_bucket"))
+      .agg(avg(ResampleOps.nanToNull(col(valueCol))).as("mean_value"))
+      .filter(col("mean_value").isNotNull)
+  }
+
+  /** A6 — one broadband mean per calendar day (upstream
+    * `create_broadband_daily_noise`, ref `README.md:156-160`). */
+  def dailyMean(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(avg(ResampleOps.nanToNull(col(valueCol))).as("mean_value"),
+           count(ResampleOps.nanToNull(col(valueCol))).as("point_count"))
+      .filter(col("point_count") > 0)
+}

@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chunk-merge semantics (reference: `_merge_broadband_points` /
+  * `_merge_psd_chunks`, `app/services/get_aggregations.py:240-288`).
+  *
+  * The reference aggregates month/day chunks independently and merges the
+  * per-chunk points into one dict keyed by timestamp — later chunks
+  * overwrite earlier on collision ("last wins"), emitted key-sorted.
+  *
+  * In our engine the chunk loop itself is gone (one partitioned scan,
+  * SURVEY §4.2.1), but the merge operator is kept as a first-class op: it is
+  * exactly the incremental-reprocessing primitive a 100 TB pipeline needs
+  * when a late partition is recomputed and must override the previous
+  * result. Implemented as union + per-key max-priority select — one shuffle
+  * on the key.
+  */
+object MergeOps {
+
+  /** J3/U1 — union `chunks` (schema-aligned by name) and keep, per key, the
+    * row from the *latest* chunk (highest index = last wins). Deterministic:
+    * the chunk index is an explicit priority column, not row order. */
+  def lastWinsMerge(chunks: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
+    require(chunks.nonEmpty, "lastWinsMerge needs at least one chunk")
+    val tagged = chunks.zipWithIndex.map { case (df, i) =>
+      df.withColumn("__chunk", lit(i))
+    }
+    val unioned = tagged.reduce(_.unionByName(_))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__chunk").desc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__chunk")
+  }
+
+  /** U3 — schema-consistency guard: all chunks must share one schema
+    * (reference 502s on frequency-column mismatch, ref `:277-281`). */
+  def requireSameSchema(chunks: Seq[DataFrame]): Unit = {
+    val schemas = chunks.map(_.schema).distinct
+    if (schemas.size > 1)
+      throw graft.planner.Errors.AggregationError(
+        s"inconsistent chunk schemas: ${schemas.mkString(" vs ")}")
+  }
+}

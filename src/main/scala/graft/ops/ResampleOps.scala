@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-bucket resampling (reference: `app/services/get_aggregations.py:24-39,166-264`).
+  *
+  * The reference buckets a time-indexed series with pandas
+  * `resample(rule).mean()` (left-closed, left-labeled, day-anchored origin) —
+  * ref `app/services/get_aggregations.py:187,255`. Spark's `window()` is
+  * epoch-aligned; for the six supported rules (all exact divisors of a day)
+  * epoch alignment and day-start alignment coincide, so
+  * `groupBy(window(ts, dur))` reproduces the reference bucketing exactly
+  * (asserted in ResampleSpec, per SURVEY §7.5.1).
+  *
+  * Scale notes: the bucket key is derived from `ts` only, so the aggregation
+  * is a single hash-aggregate with map-side partial combine — no pre-shuffle
+  * needed, and the bucket cardinality (≤ the 2000-point cap) means the final
+  * aggregate is tiny regardless of input size. The reference's month/day
+  * chunk loop (`_iter_monthly_chunks`) exists only to bound single-node
+  * memory and is deliberately NOT reproduced (SURVEY §4.2.1).
+  */
+object ResampleOps {
+
+  /** interval label → Spark window duration (ref `app/services/get_aggregations.py:24-31`). */
+  val IntervalDurations: Map[String, String] = Map(
+    "10s" -> "10 seconds",
+    "1m"  -> "1 minute",
+    "5m"  -> "5 minutes",
+    "15m" -> "15 minutes",
+    "1h"  -> "1 hour",
+    "1d"  -> "1 day",
+  )
+
+  /** interval label → seconds (ref `app/services/get_aggregations.py:33-39`). */
+  val IntervalSeconds: Map[String, Long] = Map(
+    "10s" -> 10L, "1m" -> 60L, "5m" -> 300L, "15m" -> 900L, "1h" -> 3600L, "1d" -> 86400L)
+
+  /** Intervals in fineness order, used by auto-resolution (ref `:138-163`). */
+  val IntervalOrder: Seq[String] = Seq("10s", "1m", "5m", "15m", "1h", "1d")
+
+  /** Epoch-aligned bucket start for `ts` at the given interval label. */
+  def bucket(ts: Column, interval: String): Column =
+    window(ts, IntervalDurations(interval))("start")
+
+  /** Normalize NaN to NULL so Spark `avg` matches pandas `mean(skipna=True)`
+    * — Spark's avg ignores NULL but propagates NaN (SURVEY §7.5.2). */
+  def nanToNull(v: Column): Column = when(isnan(v), lit(null)).otherwise(v)
+
+  /** A1 — broadband resample: bucketed arithmetic mean of the value column.
+    * One shuffle on the bucket key; partial aggregation map-side. */
+  def resampleMean(df: DataFrame, tsCol: String, valueCol: String, interval: String): DataFrame =
+    df.groupBy(bucket(col(tsCol), interval).as("bucket_start"))
+      .agg(avg(nanToNull(col(valueCol))).as("mean_value"),
+           count(nanToNull(col(valueCol))).as("point_count"))
+      .filter(col("point_count") > 0) // P5: drop all-null buckets (ref `:98,:255`)
+
+  /** A2 — PSD resample over the long form `(ts, band, value)`: bucketed mean
+    * per (bucket, band). Band-set agnostic (SURVEY §1.2); pivot to the wide
+    * matrix only at the serving edge. */
+  def resampleBandsMean(df: DataFrame, tsCol: String, bandCol: String, valueCol: String,
+                        interval: String): DataFrame =
+    df.groupBy(bucket(col(tsCol), interval).as("bucket_start"), col(bandCol).as("band"))
+      .agg(avg(nanToNull(col(valueCol))).as("mean_value"),
+           count(nanToNull(col(valueCol))).as("point_count"))
+      .filter(col("point_count") > 0)
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Join/aggregation demonstration surface over the star schema
+  * (SURVEY §2.3: the reference's J1 validation lookup and J2 coverage
+  * overlap generalized to real relational joins, plus classic analytics).
+  *
+  * Scale decisions (explicit, per query):
+  *  - dimensions (`nation`, `customer`, `supplier`, coverage catalogs) are
+  *    broadcast — they stay small even at 100 TB fact scale;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key and rely
+  *    on AQE for skew handling;
+  *  - top-k uses a rank-over-partition window, never a global sort.
+  */
+object JoinQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-shaped pricing summary: the canonical partial-agg pipeline.
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Fact ⋈ fact (shuffle) ⋈ broadcast dims: revenue by nation.
+    "q_revenue_by_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // Left-semi join (EXISTS): order priorities with any heavy line.
+    "q_semi_join" -> ((s, dir) => {
+      val o  = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir).filter(col("l_quantity") > 45)
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no urgent orders.
+    "q_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J1/J2 as a real join — coverage catalog (broadcast) ⋈ probe windows with
+    // a range-overlap predicate. Probe windows are derived deterministically
+    // from orders keys, landed inside the events month.
+    "q_coverage_overlap" -> ((s, dir) => {
+      val coverage = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(min("ts").as("cov_start"), max("ts").as("cov_end"))
+      val probe = Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          (col("o_custkey") % 150).as("probe_user"),
+          to_timestamp(
+            concat(lit("2024-01-"),
+              lpad((col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+              lit(" 00:00:00"))).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 3 DAYS"))
+      probe.join(broadcast(coverage),
+          probe("probe_user") === coverage("user_id") &&
+          probe("w_start") <= coverage("cov_end") &&
+          probe("w_end") >= coverage("cov_start"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_overlapping"))
+        .orderBy("user_id")
+    }),
+
+    // Top-k per group via rank window (deterministic: rounded revenue, then key).
+    "q_top_suppliers_per_nation" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n  = Tables.nation(s, dir)
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+               .as("revenue"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+      rev.join(broadcast(su), rev("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("n_name", "rank", "s_suppkey", "s_name", "revenue")
+        .orderBy("n_name", "rank")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_revenue_by_nation" ->
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_coverage_overlap" ->
+      """WITH coverage AS (
+        |  SELECT user_id, min(ts) AS cov_start, max(ts) AS cov_end
+        |  FROM events GROUP BY 1),
+        |probe AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS probe_user,
+        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        |              || ' 00:00:00' AS TIMESTAMP) AS w_start
+        |  FROM orders)
+        |SELECT user_id, count(*) AS n_overlapping
+        |FROM probe JOIN coverage
+        |  ON probe_user = user_id
+        | AND w_start <= cov_end
+        | AND w_start + INTERVAL 3 DAY >= cov_start
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_suppliers_per_nation" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT n_name, s_suppkey, s_name, revenue,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY revenue DESC, s_suppkey) AS rank
+        |  FROM rev
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey)
+        |SELECT n_name, rank, s_suppkey, s_name, revenue
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY n_name, rank""".stripMargin,
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+import graft.text.TextOps
+
+/** Text-analysis query surface over `documents` (north-star extensions).
+  * All map-only — no shuffles; each has an exact DuckDB oracle.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens + BPE-ish pre-tokenization.
+    "q_token_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(TextOps.wsTokens(col("text"))).as("n_ws_tokens"),
+        size(TextOps.bpeTokens(col("text"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/punct/stopword signals + composite score.
+    "q_text_quality" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextOps.qualityScore(col("text")), 6).as("quality_score"))
+        .orderBy("doc_id")),
+
+    // Heuristic language ID vs. the labeled lang column.
+    "q_langid" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    // Document fingerprinting (full md5 + min-shingle hash).
+    "q_doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+  )
+
+  private val WsTokensSql = """regexp_extract_all(%s, '\S+')"""
+  private def toks(col: String) = WsTokensSql.format(col)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |       len(${toks("text")}) AS n_ws_tokens,
+         |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, ${toks("lower(text)")} AS toks,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |           / greatest(length(text), 1) AS praw,
+         |         CAST(len(list_filter(${toks("lower(text)")},
+         |              x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS nstop
+         |  FROM documents)
+         |SELECT doc_id,
+         |       round(praw, 6) AS punct_ratio,
+         |       round(nstop / greatest(len(toks), 1), 6) AS stopword_ratio,
+         |       round(least(CAST(len(toks) AS DOUBLE) / 256.0, 1.0)
+         |             * (1.0 - praw)
+         |             * least(nstop / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0),
+         |             6) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, ${toks("lower(text)")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+         |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein'))) AS de,
+         |    len(list_filter(toks, x -> x IN ('el','la','los','que','y','es','un'))) AS es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |       CASE WHEN zh > 0 THEN 'zh'
+         |            WHEN en + de + es + fr = 0 THEN 'und'
+         |            WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |            WHEN de >= es AND de >= fr THEN 'de'
+         |            WHEN es >= fr THEN 'es'
+         |            ELSE 'fr' END AS predicted_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, md5(text) AS fp_full, ${toks("lower(text)")} AS tk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, fp_full,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |              ELSE [] END AS gs
+         |  FROM t)
+         |SELECT doc_id, fp_full,
+         |       list_min(list_transform(gs, g -> substr(md5(g), 1, 16))) AS fp_shingle_min
+         |FROM sh ORDER BY doc_id""".stripMargin,
+  )
+}

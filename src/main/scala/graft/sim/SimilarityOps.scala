@@ -1,0 +1,101 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k — the exact baseline: broadcast the (small)
+  *    query set against the full corpus; one pass, no corpus shuffle;
+  *  - LSH-bucketed ANN — the scale path: deterministic random-hyperplane
+  *    signatures bucket the corpus so each query only scans its bucket
+  *    (plus multi-probe neighbors would extend recall; single-probe here).
+  *
+  * All vector math is `aggregate`/`zip_with` higher-order expressions over
+  * `ARRAY<DOUBLE>` — no UDFs, stays inside codegen.
+  */
+object SimilarityOps {
+
+  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> (all math in double so the
+    * DuckDB oracle's arithmetic matches bit-for-bit). */
+  def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Sequential left-to-right dot product — deterministic FP order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k: for each query vector (`idCol % querySelector == 0`), the
+    * k nearest corpus vectors by cosine. Ranking uses the ROUNDED similarity
+    * with the neighbor id as tie-break, so order is engine-independent. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     querySelector: Long, k: Int): DataFrame = {
+    val corpus = emb.select(col(idCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("v"))
+    val queries = emb.filter(col(idCol) % querySelector === 0)
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** All near-pairs above a cosine threshold (id_a < id_b). Quadratic —
+    * correctness baseline; the LSH path is the scale variant. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 → uniform in [-1, 1). Stable across runs and engines. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (xxhash64(plane, dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
+    * BIGINT. Vectors in the same bucket are likely cosine-similar. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int): Column = {
+    require(nPlanes <= 63, "signature packs into one BIGINT")
+    val bits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(lit(p), i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** ANN via LSH buckets: corpus and queries hash to sign-buckets; each
+    * query joins only its bucket (equi-join on the signature → shuffle on
+    * bucket key, never all-pairs), then exact cosine ranks within bucket. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              querySelector: Long, k: Int, nPlanes: Int): DataFrame = {
+    val sig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneSignature(col("v"), nPlanes))
+    val queries = sig.filter(col("id") % querySelector === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val corpus = sig.select(col("id").as("neighbor_id"), col("v"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos", "bucket")
+  }
+}

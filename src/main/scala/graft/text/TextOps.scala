@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All expressions are native `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no UDFs anywhere in the hot path. Every op is a
+  * narrow map over the documents table: zero shuffles, scales linearly with
+  * input splits.
+  */
+object TextOps {
+
+  /** Whitespace-delimited tokens (regex `\S+` — robust to leading/trailing
+    * whitespace, unlike split-on-`\s+`). */
+  def wsTokens(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** BPE-ish subword pre-tokenization: runs of alphanumerics, or single
+    * non-space symbols (the usual byte-pair pre-split shape). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  /** Distinct word n-gram shingles over lowercased whitespace tokens;
+    * documents shorter than `n` tokens yield an empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = wsTokens(lower(text))
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Punctuation-character ratio (sentence punctuation over total chars). */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  private val EnStop = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val DeStop = Seq("der", "die", "und", "das", "ist", "nicht", "ein")
+  private val EsStop = Seq("el", "la", "los", "que", "y", "es", "un")
+  private val FrStop = Seq("le", "la", "les", "et", "est", "un", "une")
+
+  private def stopCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops.map(_.asInstanceOf[Any]): _*)))
+
+  /** English stopword-token ratio (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    stopCount(toks, EnStop).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length saturation × punctuation
+    * cleanliness × stopword naturalness. Deterministic closed-form —
+    * the same arithmetic is expressible in ANSI SQL for the oracle. */
+  def qualityScore(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val nTok = size(toks).cast("double")
+    val lenSat = least(nTok / 256.0, lit(1.0))
+    val punctClean = lit(1.0) - punctRatio(text)
+    val stopNat = least(stopCount(toks, EnStop).cast("double") /
+      greatest(nTok, lit(1.0)) * 5.0, lit(1.0))
+    lenSat * punctClean * stopNat
+  }
+
+  /** CJK character count (Basic Multilingual Plane unified ideographs). */
+  def cjkCount(text: Column): Column =
+    length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+
+  /** Heuristic language ID via per-language stopword hits; CJK presence
+    * short-circuits to `zh`. Tie-break order en > de > es > fr; no hits →
+    * `und`. A pure expression tree — the identical CASE chain runs in the
+    * DuckDB oracle. */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val (en, de, es, fr) = (stopCount(toks, EnStop), stopCount(toks, DeStop),
+      stopCount(toks, EsStop), stopCount(toks, FrStop))
+    when(cjkCount(text) > 0, "zh")
+      .when(en + de + es + fr === 0, "und")
+      .when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** Content-defined document fingerprint: full-text md5 plus the minimum
+    * 64-bit (16-hex-char) hash over 3-token shingles — a 1-permutation
+    * MinHash, stable under small reorderings (winnowing-style). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      md5(col(textCol).cast("binary")).as("fp_full"),
+      array_min(transform(shingles(col(textCol), 3),
+        g => substring(md5(g.cast("binary")), 1, 16))).as("fp_shingle_min"))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.DedupOps
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+  private lazy val docs = Seq(
+    (0L, base),                       // original
+    (1L, base),                       // exact copy of 0
+    (2L, base + " extra"),            // near-dup of 0 (one appended token)
+    (3L, "totally different words entirely unrelated content here now"),
+    (4L, base.replace("alpha", "ALPHA-CHANGED") + " more tokens appended here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeper = min id") {
+    val got = DedupOps.exactDedup(docs, "doc_id", "text")
+      .orderBy("keep_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.length == 4) // 0+1 merged
+    assert(got.head == ((0L, 2L))) // keeper 0, two copies
+  }
+
+  test("ngram jaccard finds exact and near dup pairs, not unrelated docs") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical → jaccard 1.0
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
+  }
+
+  test("minhash+LSH output matches exact jaccard on the planted pairs") {
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashDedupPairs(docs, "doc_id", "text", 3, 128, 32, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // verification stage makes precision exact; recall 100% here
+  }
+
+  test("minhash+LSH on real documents table: subset of exact, full recall at 0.8") {
+    val real = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val exact = DedupOps.ngramJaccardPairs(real, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashDedupPairs(real, "doc_id", "text", 3, 128, 32, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact) // 128 hashes / 32 bands: P(miss @0.8) ≈ (1-0.8⁴)¹⁶ ≈ 2e-4
+  }
+
+  test("simhash: identical docs share fingerprints; near-dups within hamming 3") {
+    val fps = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fps(0L) == fps(1L))
+    val pairs = DedupOps.simhashPairs(DedupOps.simhash(docs, "doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke: driver contract — entry() non-empty, every query runs at
+  * sf0.001, every oracle key refers to a real query. */
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracleSql keys ⊆ queries keys") {
+    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(extra.isEmpty, s"oracle entries without queries: $extra")
+  }
+
+  test("every query executes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, TestSpark.Sf0001).count()
+      withClue(name) { assert(n >= 0) }
+    }
+  }
+
+  test("rows-only queries are the documented probabilistic set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh"))
+  }
+}
