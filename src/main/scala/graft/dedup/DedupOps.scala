@@ -38,11 +38,14 @@ object DedupOps {
     * One shuffle to co-locate shingles, one aggregate per pair. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    // join/shuffle on the 64-bit shingle hash, not the string — ~8 bytes vs
+    // arbitrary-length keys; collision odds over a 100 TB corpus are ~n²/2⁶⁴
     val ex = shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val a = ex.as("a"); val b = ex.as("b")
     val shared = a.join(b,
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -66,20 +69,28 @@ object DedupOps {
   }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
-    * murmur3 shingle hashes. Computed as k `min` aggregates in ONE pass over
-    * the exploded shingles (map-side partial min, then a single shuffle
-    * on doc_id). Output: (doc_id, sig ARRAY<BIGINT> length k). */
+    * xxhash64 shingle hashes, computed by the single-buffer
+    * [[graft.functions.MinHashSigAgg]] imperative aggregate (k separate
+    * `min` columns would exceed the aggregate-codegen field limit and fall
+    * back to interpreted aggregation — measured 25 s vs ~2 s at sf0.1).
+    * One shuffle on doc_id with map-side partial min.
+    * Output: (doc_id, sig ARRAY<BIGINT> length k). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, seed: Long = 42L): DataFrame = {
-    val coeffs = hashCoeffs(k, seed)
-    val ex = shingleSets(df, idCol, textCol, n)
-      .withColumn("h", pmod(hash(col("shingle")).cast("long"), lit(MinhashPrime)))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * a + b, lit(MinhashPrime))).as(s"m$i")
-    }
-    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    raiseObjectAggThreshold(df)
+    shingleSets(df, idCol, textCol, n)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSigAgg.minhash_sig(col("h"), k, seed).as("sig"))
   }
+
+  /** `ObjectHashAggregate` (the exec for TypedImperativeAggregate) falls
+    * back to SORT-based aggregation after only 128 distinct keys per
+    * partition by default — ruinous for per-document aggregates. Raise it;
+    * buffers here are ≤1 KB so even 128k in-flight groups is ~128 MB. */
+  private def raiseObjectAggThreshold(df: DataFrame): Unit =
+    df.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
 
   /** LSH candidate pairs: slice the k-row signature into `bands` bands of
     * `k/bands` rows; docs sharing a (band, band-hash) bucket are candidates.
@@ -111,12 +122,13 @@ object DedupOps {
     val sigs = minhashSignatures(df, idCol, textCol, n, k)
     val cands = lshCandidates(sigs, k, bands)
     val ex = shingleSets(df, idCol, textCol, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     // verify: recompute |A∩B| for candidate pairs only
     val shared = cands
       .join(ex.as("ea"), col("id_a") === col("ea.doc_id"))
       .join(ex.as("eb"), col("id_b") === col("eb.doc_id") &&
-        col("ea.shingle") === col("eb.shingle"))
+        col("ea.gh") === col("eb.gh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
       .join(broadcast(counts).as("ca"), col("id_a") === col("ca.doc_id"))
@@ -130,21 +142,17 @@ object DedupOps {
 
   // ---- SimHash ----------------------------------------------------------
 
-  /** 64-bit SimHash fingerprint per document, built entirely from codegen'd
-    * expressions: xxhash64 per token, per-bit ±1 vote summed across tokens,
-    * sign → bit. One shuffle (the per-doc aggregate). */
+  /** 64-bit SimHash fingerprint per document: xxhash64 per token, bit votes
+    * folded by the single-buffer [[graft.functions.SimHashAgg]] imperative
+    * aggregate (a 64-sum-column formulation shuffles 64-field rows and
+    * measured ~2× slower at sf0.1). One shuffle on doc_id. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("doc_id"),
+    raiseObjectAggThreshold(df)
+    df.select(col(idCol).as("doc_id"),
         explode(TextOps.wsTokens(lower(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
-    }
-    val fp = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-    ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+      .groupBy("doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 for full

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass word-shingle kernel (see /root/repo/SURVEY.md §7.6).
+  *
+  * The composable formulation — `regexp_extract_all` tokens, then a
+  * `transform(sequence(...), i -> concat_ws(' ', slice(toks, i, n)))`
+  * lambda — runs the lambda interpreter per position and copies a slice per
+  * shingle; it dominated the dedup/fingerprint queries (~10 s each at
+  * sf0.1). This expression lowercases, tokenizes (ASCII whitespace, same
+  * class as regex `\s`) and emits DISTINCT n-gram shingles in one JVM pass,
+  * and stays codegen-compatible via a static kernel call.
+  *
+  * Token/shingle semantics are identical to the lambda version (and the
+  * DuckDB oracles): tokens are `\S+` runs of `lower(text)`, shingles are
+  * space-joined n-grams, de-duplicated preserving nothing (set semantics).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles needs STRING input, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShingles$$.MODULE$$.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Matches the ASCII character class of regex `\s` (Java and RE2 agree). */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ''
+
+  /** Static kernel referenced from generated code. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+    // tokenize: \S+ runs
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var p = 0
+    while (p <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(p + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def word_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+}

@@ -18,31 +18,35 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE> (all math in double so the
-    * DuckDB oracle's arithmetic matches bit-for-bit). */
+  /** Cast an ARRAY<FLOAT> column to ARRAY<DOUBLE>. Only needed where a
+    * higher-order lambda follows; [[graft.functions.VectorFunctions.vec_dot]]
+    * accepts FLOAT arrays directly and accumulates in double. */
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** Sequential left-to-right dot product — deterministic FP order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Fused native dot product (codegen'd loop — see VectorExpressions). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = graft.functions.VectorFunctions.vec_norm(a)
 
+  /** Cosine from a fresh pair of vectors. Hot paths below instead join on
+    * PRE-COMPUTED norms — never recompute a norm per candidate pair. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k: for each query vector (`idCol % querySelector == 0`), the
     * k nearest corpus vectors by cosine. Ranking uses the ROUNDED similarity
-    * with the neighbor id as tie-break, so order is engine-independent. */
+    * with the neighbor id as tie-break, so order is engine-independent.
+    * Norms are computed once per side before the pair join. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      querySelector: Long, k: Int): DataFrame = {
-    val corpus = emb.select(col(idCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("v"))
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nv"))
     val queries = emb.filter(col(idCol) % querySelector === 0)
-      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("nq"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -52,10 +56,12 @@ object SimilarityOps {
     * correctness baseline; the LSH path is the scale variant. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), toDouble(col(vecCol)).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), toDouble(col(vecCol)).as("vb"))
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      l2norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      l2norm(col(vecCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
@@ -84,16 +90,18 @@ object SimilarityOps {
     * bucket key, never all-pairs), then exact cosine ranks within bucket. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               querySelector: Long, k: Int, nPlanes: Int): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .withColumn("bucket", hyperplaneSignature(col("v"), nPlanes))
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("nv"))
+      .withColumn("bucket", hyperplaneSignature(toDouble(col("v")), nPlanes))
     val queries = sig.filter(col("id") % querySelector === 0)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("bucket"))
-    val corpus = sig.select(col("id").as("neighbor_id"), col("v"), col("bucket"))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nq"), col("bucket"))
+    val corpus = sig.select(col("id").as("neighbor_id"), col("v"), col("nv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos", "bucket")

@@ -23,15 +23,12 @@ object TextOps {
     regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
   /** Distinct word n-gram shingles over lowercased whitespace tokens;
-    * documents shorter than `n` tokens yield an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = wsTokens(lower(text))
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    when(size(toks) >= n, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+    * documents shorter than `n` tokens yield an empty array. Delegates to
+    * the native single-pass [[graft.functions.WordShingles]] kernel (the
+    * equivalent `transform`/`slice` lambda formulation runs interpreted —
+    * ~5× slower end-to-end on the dedup queries). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.WordShingles.word_shingles(text, n)
 
   /** Punctuation-character ratio (sentence punctuation over total chars). */
   def punctRatio(text: Column): Column =
@@ -88,11 +85,21 @@ object TextOps {
 
   /** Content-defined document fingerprint: full-text md5 plus the minimum
     * 64-bit (16-hex-char) hash over 3-token shingles — a 1-permutation
-    * MinHash, stable under small reorderings (winnowing-style). */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
+    * MinHash, stable under small reorderings (winnowing-style).
+    *
+    * Implemented as explode → codegen'd md5 → min-aggregate (an md5 inside
+    * an array `transform` lambda runs interpreted per element — measured
+    * 17 s vs ~2 s at sf0.1). Docs with <3 tokens get a NULL shingle hash
+    * via the left join. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
       md5(col(textCol).cast("binary")).as("fp_full"),
-      array_min(transform(shingles(col(textCol), 3),
-        g => substring(md5(g.cast("binary")), 1, 16))).as("fp_shingle_min"))
+      shingles(col(textCol), 3).as("gs"))
+    val minShingle = base
+      .select(col(idCol), explode(col("gs")).as("g"))
+      .groupBy(idCol)
+      .agg(min(substring(md5(col("g").cast("binary")), 1, 16)).as("fp_shingle_min"))
+    base.select(col(idCol), col("fp_full"))
+      .join(minShingle, Seq(idCol), "left")
+  }
 }

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev profiling entry: time named pipeline stages at a given sf dir.
+  * `runMain graft.tools.Profile <sfDir> <what>` */
+object Profile {
+  def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+  }
+
+  def force(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save(); 0L
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "simhash"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/documents.parquet").count() // warmup
+
+    what match {
+      case "simhash" =>
+        val docs = graft.tables.Tables.documents(spark, sfDir)
+        import org.apache.spark.sql.functions._
+        val toks = docs.select(col("doc_id"),
+          explode(graft.text.TextOps.wsTokens(lower(col("text")))).as("tok"))
+        time("explode tokens")(toks.count())
+        val fps = graft.dedup.DedupOps.simhash(docs, "doc_id", "text")
+        time("simhash fingerprints")(fps.count())
+        time("simhash fingerprints (2nd)")(fps.count())
+        val pairs = graft.dedup.DedupOps.simhashPairs(fps, 3)
+        time("simhash pairs (recompute fps)")(pairs.count())
+      case "explain" =>
+        graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+      case q =>
+        time(q)(force(graft.SparkEntry.queries(q)(spark, sfDir)))
+        time(q + " (2nd)")(force(graft.SparkEntry.queries(q)(spark, sfDir)))
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column↔Expression converters. Spark 4 made
+  * `Column` implementation-agnostic; libraries that define native Catalyst
+  * expressions need this one hop (placed under the sql package namespace
+  * for access — the standard pattern for Spark extension libraries). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
