@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ JoinQueries.queries ++
-      DedupQueries.queries ++ SimQueries.queries ++ TextQueries.queries
+      DedupQueries.queries ++ SimQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ JoinQueries.oracleSql ++
-      DedupQueries.oracleSql ++ SimQueries.oracleSql ++ TextQueries.oracleSql
+      DedupQueries.oracleSql ++ SimQueries.oracleSql ++ TextQueries.oracleSql ++
+      MultimodalQueries.oracleSql
 }

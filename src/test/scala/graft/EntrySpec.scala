@@ -25,6 +25,7 @@ class EntrySpec extends AnyFunSuite {
 
   test("rows-only queries are the documented probabilistic set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh"))
+    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
+      "q_multimodal_features"))
   }
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.multimodal.MultimodalOps
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val payloads = MultimodalOps.withSyntheticPayload(
+    Seq((0L, "abcd"), (1L, ""), (2L, "a" * 5000)).toDF("doc_id", "text"),
+    "doc_id", "text")
+
+  test("payload schema: binary blob + typed metadata struct") {
+    val sch = payloads.schema
+    assert(sch("payload").dataType.typeName == "binary")
+    val metaFields = sch("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => (f.name, f.dataType)).toSeq
+    assert(metaFields == MultimodalOps.MetadataSchema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val meta = payloads.filter($"doc_id" === 0L).select("meta.n_bytes")
+      .head().getLong(0)
+    assert(meta == 4L)
+  }
+
+  test("feature extraction: hand-computed stats for a known payload") {
+    val f = MultimodalOps.extractFeatures(payloads, "doc_id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("nBytes"), r.getAs[Double]("meanByte"),
+         r.getAs[Double]("byteEntropy"), r.getAs[Int]("nFrames"))).toMap
+    // "abcd" = bytes 97,98,99,100 → mean 98.5, entropy log2(4)=2, 1 frame
+    assert(f(0L) == ((4L, 98.5, 2.0, 1)))
+    // empty payload degrades to zeros, 0 frames
+    assert(f(1L) == ((0L, 0.0, 0.0, 0)))
+    // 5000 identical bytes → entropy 0, 2 frames at 4096
+    assert(f(2L)._3 == 0.0 && f(2L)._4 == 2)
+  }
+
+  test("frame sampling: stride-2 frames with correct lengths") {
+    val frames = MultimodalOps.sampleFrames(payloads, "doc_id",
+        frameSize = 1024, stride = 2)
+      .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 2: 5000 bytes → frames 0..4; kept 0,2,4 with lens 1024,1024,904
+    val d2 = frames.filter(_._1 == 2L).sortBy(_._2)
+    assert(d2.map(_._2).toSeq == Seq(0, 2, 4))
+    assert(d2.map(_._3).toSeq == Seq(1024, 1024, 904))
+    // doc 0: 4 bytes → frame 0 only
+    assert(frames.filter(_._1 == 0L).map(_._3).toSeq == Seq(4))
+  }
+
+  test("extraction is distributed: no single-partition collapse") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val feats = MultimodalOps.extractFeatures(
+      MultimodalOps.withSyntheticPayload(docs, "doc_id", "text").repartition(4),
+      "doc_id")
+    assert(feats.rdd.getNumPartitions >= 4)
+    assert(feats.count() == docs.count())
+  }
+}
