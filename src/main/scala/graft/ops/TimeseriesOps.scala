@@ -18,10 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object TimeseriesOps {
 
-  /** P1 — `start <= ts < end`, pushed down to the scan. */
-  def windowFilter(df: DataFrame, tsCol: String, start: Instant, end: Instant): DataFrame =
-    df.filter(col(tsCol) >= lit(java.sql.Timestamp.from(start)) &&
-              col(tsCol) <  lit(java.sql.Timestamp.from(end)))
+  /** P1 — `start <= ts < end`, pushed down to the scan.
+    *
+    * When the frame carries a raw-nanos shadow column (events: `ts` is
+    * DERIVED from TIMESTAMP(NANOS), so a predicate on it cannot reach the
+    * parquet reader), a slightly-relaxed equivalent predicate is ALSO
+    * applied to the raw column — that one pushes down and restores
+    * row-group/partition skipping; the exact µs-space predicate still
+    * defines the semantics. */
+  def windowFilter(df: DataFrame, tsCol: String, start: Instant, end: Instant): DataFrame = {
+    val exact = col(tsCol) >= lit(java.sql.Timestamp.from(start)) &&
+                col(tsCol) <  lit(java.sql.Timestamp.from(end))
+    val nsCol = graft.tables.Tables.EventsTsNanosCol
+    if (tsCol == "ts" && df.columns.contains(nsCol)) {
+      // relaxed bounds (floor start / ceil end to µs) keep this a superset
+      // of the exact predicate even for sub-µs instants
+      val startNs = start.getEpochSecond * 1000000000L + (start.getNano / 1000L) * 1000L
+      val endNano = end.getNano.toLong
+      val endNs = end.getEpochSecond * 1000000000L +
+        ((endNano + 999L) / 1000L) * 1000L
+      df.filter(col(nsCol) >= lit(startNs) && col(nsCol) < lit(endNs) && exact)
+    } else df.filter(exact)
+  }
 
   /** P4 — keep only finite values (drops NULL, NaN, ±Inf), matching the
     * reference's `math.isfinite` filters (`app/services/get_aggregations.py:78-85`). */

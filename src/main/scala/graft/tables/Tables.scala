@@ -21,12 +21,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = read(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "lineitem")
+  /** Raw-nanos shadow of the events `ts` column, kept so time predicates
+    * can be pushed into the parquet scan (see TimeseriesOps.windowFilter). */
+  val EventsTsNanosCol = "__ts_ns"
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
     * for — read it as raw nanos and truncate to microseconds (same
-    * conversion DuckDB applies, so oracles agree). */
+    * conversion DuckDB applies, so oracles agree).
+    *
+    * The derived timestamp is NOT a scan column, so a filter on it cannot
+    * reach the parquet reader — at archive scale that is a full scan. The
+    * raw long is therefore kept as [[EventsTsNanosCol]]; windowFilter adds a
+    * redundant nanos-space predicate on it, restoring row-group skipping. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")
+      .withColumn(EventsTsNanosCol, org.apache.spark.sql.functions.col("ts"))
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")

@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions — the scale contract (SURVEY §4).
+  * A passing result set with a broken plan (no pushdown, no broadcast,
+  * accidental cartesian) is a failure at 100 TB even though small-SF
+  * correctness is green; pin the plans. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("time-window predicate reaches the events parquet scan (P1 pushdown)") {
+    val p = plan("q_ts_points")
+    // the raw-nanos shadow predicate must be in PushedFilters, not only in
+    // a post-scan Filter (ts is derived from TIMESTAMP(NANOS))
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,")
+      || p.contains("GreaterThanOrEqual(ts,1704"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("dimension joins broadcast; no cartesian products (q_revenue_by_nation)") {
+    val p = plan("q_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("coverage overlap joins broadcast (tiny catalog side)") {
+    val p = plan("q_coverage_overlap")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("resample aggregations are partial→final hash aggregates") {
+    val p = plan("q_resample_broadband")
+    assert(p.contains("HashAggregate"))
+    // partial + final pair → exactly one shuffle for the agg
+    assert("Exchange".r.findAllIn(p).size <= 2) // agg + final sort
+  }
+
+  test("column pruning: token stats reads only doc_id and text") {
+    val p = plan("q_token_stats")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") && !read.contains("source"))
+  }
+
+  test("brute-force top-k broadcasts the query side, not the corpus") {
+    val p = plan("q_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
