@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ JoinQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ JoinQueries.oracleSql ++
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ TextQueries.oracleSql ++
-      MultimodalQueries.oracleSql
+      MultimodalQueries.oracleSql ++ StatsQueries.oracleSql
 }

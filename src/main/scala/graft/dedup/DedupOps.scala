@@ -140,6 +140,41 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair graph via iterative min-label propagation. Output one row per
+    * node: `(doc_id, cluster_id)` where cluster_id = min doc_id in the
+    * component (the canonical keeper).
+    *
+    * Scale design: label propagation converges in O(component diameter)
+    * rounds (near-dup clusters are tiny, so 2-3 in practice); each round is
+    * one join + one min-aggregate, and `localCheckpoint` truncates the
+    * lineage so the plan does not grow exponentially across iterations.
+    * This is the standard large-graph CC formulation — no driver-side
+    * union-find over collected edges. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+        .select(edges("src").as("doc_id"), col("cluster_id"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = prop.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = prop
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash fingerprint per document: xxhash64 per token, bit votes

@@ -51,6 +51,16 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // 128 hashes / 32 bands: P(miss @0.8) ≈ (1-0.8⁴)¹⁶ ≈ 2e-4
   }
 
+  test("duplicate clusters: transitive closure with min-id labels") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // chain 0-1-2-3 collapses to cluster 0 (transitive), 5-6 and 8-9 separate
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("simhash: identical docs share fingerprints; near-dups within hamming 3") {
     val fps = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

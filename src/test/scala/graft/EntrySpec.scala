@@ -16,6 +16,11 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
+  test("35-query contract: oracle coverage stays complete as queries grow") {
+    assert(SparkEntry.queries.size >= 35)
+    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 4)
+  }
+
   test("every query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, TestSpark.Sf0001).count()
