@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The canonical partitioned archive layout (SURVEY §4.2.2).
+  *
+  * The reference encodes product metadata in S3 filenames
+  * (`{start}_{end}_{secs}s_{freq}.parquet`, `docs/upstream-notes.md:23`) and
+  * re-derives it by listing+parsing on every options scan; monthly 2.6 M-row
+  * files make interactive reads hostile (`docs/upstream-notes.md:62-74`) and
+  * shared prefixes caused cross-hydrophone reads (`:43-58`). Directory
+  * partitioning fixes all three by construction:
+  *
+  *   broadband/hydrophone=X/delta_t=1/part-*.parquet
+  *   psd/hydrophone=X/freq_type=octave_bands/delta_f=3/delta_t=1/part-*.parquet
+  *
+  * Partition-column predicates prune directories (never open a file);
+  * row-group stats on `ts` prune within files. Writes go through
+  * `partitionBy` so ingest at any scale lays data out correctly.
+  */
+object PartitionedArchive {
+
+  val BroadbandPartitions: Seq[String] = Seq("hydrophone", "delta_t")
+  val PsdPartitions: Seq[String] = Seq("hydrophone", "freq_type", "delta_f", "delta_t")
+
+  /** Ingest a broadband frame `(hydrophone, delta_t, ts, value)`. */
+  def writeBroadband(df: DataFrame, root: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(BroadbandPartitions: _*)
+      .parquet(s"$root/broadband")
+
+  /** Ingest a PSD long frame
+    * `(hydrophone, freq_type, delta_f, delta_t, ts, band, value)`. */
+  def writePsd(df: DataFrame, root: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(PsdPartitions: _*)
+      .parquet(s"$root/psd")
+
+  def readBroadband(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/broadband")
+
+  def readPsd(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/psd")
+
+  /** S1 — real filesystem listing → `(hydrophone, path)` DataFrame for
+    * [[graft.catalog.ArchiveCatalog]]. Driver-side Hadoop FS walk: listing
+    * is metadata-only (one row per FILE); even a 100 TB archive is ~1e5
+    * keys, so no distributed listing job is warranted. */
+  def listing(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val path = new Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    if (fs.exists(path)) {
+      val it = fs.listFiles(path, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toString
+        val hydro = "hydrophone=([^/]+)".r.findFirstMatchIn(p).map(_.group(1))
+        rows += ((hydro.getOrElse(""), p))
+      }
+    }
+    rows.toSeq.toDF("hydrophone", "path")
+  }
+
+  /** S5 — metadata-only matching-file count (the reference's integrity
+    * probe, `get_timeseries.py:71-81`): how many data files does the
+    * partition for this product hold? Never opens a file. */
+  def matchingFileCount(spark: SparkSession, root: String, product: String,
+      partitionValues: Map[String, Any]): Long = {
+    val dir = partitionValues.foldLeft(s"$root/$product") {
+      case (acc, (k, v)) => s"$acc/$k=$v"
+    }
+    listing(spark, dir).filter(col("path").endsWith(".parquet")).count()
+  }
+}

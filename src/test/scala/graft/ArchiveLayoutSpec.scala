@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PartitionedArchive
+import graft.ops.TimeseriesOps
+
+/** Round-trips the canonical partitioned layout and pins the pruning
+  * behavior that replaces the reference's filename-based file selection. */
+class ArchiveLayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft_archive").toString
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val written: Unit = {
+    val bb = Seq(
+      ("ORCASOUND_LAB", 1, ts("2024-01-01 00:00:00"), 100.0),
+      ("ORCASOUND_LAB", 1, ts("2024-01-01 00:00:01"), 101.0),
+      ("ORCASOUND_LAB", 60, ts("2024-01-01 00:01:00"), 102.0),
+      ("PORT_TOWNSEND", 1, ts("2024-01-01 00:00:00"), 90.0)
+    ).toDF("hydrophone", "delta_t", "ts", "value")
+    PartitionedArchive.writeBroadband(bb, root)
+    val psd = Seq(
+      ("ORCASOUND_LAB", "octave_bands", 3, 1, ts("2024-01-01 00:00:00"), 63.0, 95.0),
+      ("ORCASOUND_LAB", "octave_bands", 3, 1, ts("2024-01-01 00:00:00"), 125.0, 96.0)
+    ).toDF("hydrophone", "freq_type", "delta_f", "delta_t", "ts", "band", "value")
+    PartitionedArchive.writePsd(psd, root)
+  }
+
+  test("partition-column filters become PartitionFilters (pruning, not scanning)") {
+    written
+    val df = PartitionedArchive.readBroadband(spark, root)
+      .filter(col("hydrophone") === "ORCASOUND_LAB" && col("delta_t") === 1)
+    assert(df.count() == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(hydrophone"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("window filter on archive data pushes into the scan") {
+    written
+    val df = TimeseriesOps.windowFilter(
+      PartitionedArchive.readBroadband(spark, root),
+      "ts", java.time.Instant.parse("2024-01-01T00:00:01Z"),
+      java.time.Instant.parse("2024-01-02T00:00:00Z"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
+  }
+
+  test("S1/S3/A7: filesystem listing feeds the catalog with partition metadata") {
+    written
+    val listing = PartitionedArchive.listing(spark, s"$root/broadband")
+    val parquetOnly = listing.filter(col("path").endsWith(".parquet"))
+    assert(parquetOnly.count() >= 3)
+    // _SUCCESS markers carry no hydrophone= segment and are filtered by the
+    // catalog's P7 predicate before parsing
+    assert(parquetOnly.select("hydrophone").distinct().count() == 2)
+  }
+
+  test("S5: metadata-only matching-file count never opens data") {
+    written
+    val n = PartitionedArchive.matchingFileCount(spark, root, "broadband",
+      Map("hydrophone" -> "ORCASOUND_LAB", "delta_t" -> 1))
+    assert(n >= 1)
+    val none = PartitionedArchive.matchingFileCount(spark, root, "broadband",
+      Map("hydrophone" -> "NOPE", "delta_t" -> 1))
+    assert(none == 0)
+  }
+
+  test("service runs end-to-end over the partitioned archive") {
+    written
+    val svc = graft.serve.AmbientService.fromFrames(
+      PartitionedArchive.readBroadband(spark, root),
+      PartitionedArchive.readPsd(spark, root))
+    val r = svc.getBroadbandTimeseries("ORCASOUND_LAB",
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-01-01T01:00:00Z"), 1)
+    assert(r.pointCount == 2)
+  }
+}

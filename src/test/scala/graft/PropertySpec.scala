@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+
+/** Property-based invariants the reference encodes implicitly (SURVEY §5.2).
+  * Generators are driven directly (scalatestplus bridge unavailable in the
+  * offline dependency set): each property checks 10 generated cases. */
+class PropertySpec extends AnyFunSuite {
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit = {
+    val rng = new scala.util.Random(42)
+    (0 until 10).foreach { _ =>
+      val a = Iterator.continually(ga.sample).flatten.next()
+      val b = Iterator.continually(gb.sample).flatten.next()
+      f(a, b)
+    }
+    rng.nextInt() // keep rng referenced
+  }
+
+  private def forAll[A](ga: Gen[A])(f: A => Unit): Unit =
+    forAll(ga, Gen.const(0))((a, _) => f(a))
+
+  private def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    forAll(Gen.zip(ga, gb), gc)((ab, c) => f(ab._1, ab._2, c))
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val baseEpoch = Timestamp.valueOf("2024-03-01 00:00:00").getTime
+
+  private val seriesGen: Gen[List[(Long, Double)]] = Gen.nonEmptyListOf(for {
+    offset <- Gen.choose(0L, 3L * 86400 * 1000)     // 3 days
+    value <- Gen.oneOf(Gen.choose(-200.0, 200.0), Gen.const(Double.NaN))
+  } yield (baseEpoch + offset, value))
+
+  test("bucket starts are interval-aligned and every emitted mean is finite") {
+    forAll(seriesGen, Gen.oneOf("10s", "1m", "5m", "15m", "1h", "1d")) {
+      (rows, interval) =>
+        val df = rows.map { case (ms, v) => (new Timestamp(ms), v) }.toDF("ts", "value")
+        val out = ResampleOps.resampleMean(df, "ts", "value", interval).collect()
+        val secs = ResampleOps.IntervalSeconds(interval)
+        out.foreach { r =>
+          assert(r.getTimestamp(0).getTime / 1000 % secs == 0)   // epoch-aligned
+          assert(java.lang.Double.isFinite(r.getDouble(1)))      // NaN skipped
+          assert(r.getLong(2) > 0)                               // P5: no empty buckets
+        }
+        // point counts sum to the number of non-NaN inputs
+        assert(out.map(_.getLong(2)).sum == rows.count(r => !r._2.isNaN))
+    }
+  }
+
+  test("union-of-chunks ≡ single scan for resample (the chunk loop is safe to kill)") {
+    forAll(seriesGen, Gen.choose(baseEpoch, baseEpoch + 3L * 86400 * 1000)) {
+      (rows, splitMs) =>
+        val df = rows.map { case (ms, v) => (new Timestamp(ms), v) }.toDF("ts", "value")
+        val whole = ResampleOps.resampleMean(df, "ts", "value", "1d")
+          .collect().map(r => r.getTimestamp(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        // split at a DAY boundary (the reference chunks on day/month
+        // boundaries precisely so buckets never straddle chunks)
+        val dayMs = 86400 * 1000L
+        val alignedSplit = splitMs / dayMs * dayMs
+        val c1 = df.filter(col("ts") < lit(new Timestamp(alignedSplit)))
+        val c2 = df.filter(col("ts") >= lit(new Timestamp(alignedSplit)))
+        val chunked = ResampleOps.resampleMean(c1, "ts", "value", "1d")
+          .unionByName(ResampleOps.resampleMean(c2, "ts", "value", "1d"))
+          .collect().map(r => r.getTimestamp(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+        assert(chunked.keySet == whole.keySet)
+        chunked.foreach { case (k, (mean, n)) =>
+          val (wMean, wN) = whole(k)
+          assert(n == wN)
+          // equal modulo FP summation-order noise
+          assert(math.abs(mean - wMean) <= 1e-9 * math.max(1.0, math.abs(wMean)))
+        }
+    }
+  }
+
+  test("band filter keeps exactly the labels in [low, high]") {
+    val bandGen = Gen.listOf(Gen.oneOf(
+      Gen.choose(10.0, 10000.0).map(_.toString), Gen.const("not_a_band")))
+    forAll(bandGen, Gen.choose(10.0, 5000.0), Gen.choose(0.0, 5000.0)) {
+      (labels: List[String], lo: Double, span: Double) =>
+        val hi = lo + span
+        val df = labels.zipWithIndex.map { case (b, i) => (i, b) }.toDF("id", "band")
+        val kept = BandOps.bandRange(df, "band", lo, hi).collect().map(_.getString(1))
+        kept.foreach { b =>
+          val d = b.toDouble // never "not_a_band"
+          assert(d >= lo && d <= hi)
+        }
+        val expected = labels.count(b =>
+          scala.util.Try(b.toDouble).toOption.exists(d => d >= lo && d <= hi))
+        assert(kept.length == expected)
+    }
+  }
+
+  test("expected_point_count ≥ emitted points for any window (A9 bound)") {
+    forAll(seriesGen) { rows =>
+      val start = java.time.Instant.ofEpochMilli(baseEpoch)
+      val end = java.time.Instant.ofEpochMilli(baseEpoch + 86400 * 1000L)
+      val df = rows.map { case (ms, v) => (new Timestamp(ms), v) }.toDF("ts", "value")
+      // delta_t = 1s data ⇒ at most one row per second can fall in-window
+      val pts = TimeseriesOps.windowFilter(df, "ts", start, end)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("s"))
+        .distinct().count()
+      assert(pts <= TimeseriesOps.expectedPointCount(start, end, 1L))
+    }
+  }
+}
