@@ -45,6 +45,49 @@ object StatsQueries {
         .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       df.orderBy(col("df").desc, col("shingle")).limit(20)
     }),
+
+    // dB-energy daily mean (SURVEY §7.6): 10·log10(mean(10^(v/10))) — the
+    // physically-correct power mean the reference's upstream keeps internal.
+    // Values are rescaled (v/50) so 10^x stays in double range.
+    "q_db_energy_mean" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("p", pow(lit(10.0), col("value") / 500.0))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(lit(10.0) * log(10.0, avg(col("p"))), 6).as("db_energy"),
+             count(lit(1)).as("n"))
+        .orderBy("day")),
+
+    // Gap detection (SURVEY §2.5 extension): per-user inter-event gaps > 1h.
+    "q_gap_report" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("gap_usecs",
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+        .filter(col("gap_usecs") > 3600L * 1000000L)
+        .select(col("user_id"), col("prev_ts").as("gap_start"),
+          col("ts").as("gap_end"), col("gap_usecs"))
+        .orderBy("user_id", "gap_start")
+    }),
+
+    // Sessionization: 30-minute-inactivity sessions per user via running
+    // sum over gap markers; one shuffle on user_id.
+    "q_sessionize" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val marked = Tables.events(s, dir)
+        .withColumn("gap", when(
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(byUser)) > 1800L * 1000000L, 1)
+          .otherwise(0))
+        .withColumn("session_id", sum(col("gap")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      marked.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy("user_id", "session_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -99,5 +142,39 @@ object StatsQueries {
         |  FROM toks WHERE len(t) >= 3)
         |SELECT shingle, count(*) AS df FROM sh
         |GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_db_energy_mean" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       round(10.0 * log10(avg(pow(10.0, value / 500.0))), 6) AS db_energy,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_gap_report" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, prev_ts AS gap_start, ts AS gap_end,
+        |       epoch_us(ts) - epoch_us(prev_ts) AS gap_usecs
+        |FROM g
+        |WHERE epoch_us(ts) - epoch_us(prev_ts) > 3600000000
+        |ORDER BY user_id, gap_start""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) -
+        |                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id)) > 1800000000
+        |              THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
