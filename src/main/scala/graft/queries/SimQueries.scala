@@ -32,6 +32,12 @@ object SimQueries {
       SimilarityOps.lshTopK(emb(s, dir), "vec_id", "embedding",
           querySelector = 10, k = 5, nPlanes = 6)
         .orderBy("query_id", "rank")),
+
+    // ANN: IVF cells (16 centroids, 2 probes), exact rank within cells.
+    "q_ann_ivf" -> ((s, dir) =>
+      SimilarityOps.ivfTopK(emb(s, dir), "vec_id", "embedding",
+          querySelector = 10, k = 5, nCells = 16, nProbe = 2)
+        .orderBy("query_id", "rank")),
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -88,6 +88,45 @@ object SimilarityOps {
   /** ANN via LSH buckets: corpus and queries hash to sign-buckets; each
     * query joins only its bucket (equi-join on the signature → shuffle on
     * bucket key, never all-pairs), then exact cosine ranks within bucket. */
+  /** ANN via IVF (inverted-file) cells: a deterministic coarse quantizer
+    * (the `nCells` lowest-id vectors serve as centroids) assigns every
+    * corpus vector to its nearest cell; each query probes its `nProbe`
+    * nearest cells and ranks exactly within them. At scale the assignment
+    * is one broadcast pass over the corpus and the search join touches
+    * `nProbe/nCells` of the data; a trained k-means quantizer slots in by
+    * replacing the centroid frame. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              querySelector: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nv"))
+    val centroids = base.orderBy("id").limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nv").as("cn"))
+    val simToCell = dot(col("v"), col("cv")) / (col("nv") * col("cn"))
+    def assign(perRow: Int): DataFrame = {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cell_sim").desc, col("cell"))
+      base.crossJoin(broadcast(centroids))
+        .withColumn("cell_sim", simToCell)
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= perRow)
+        .select(col("id"), col("v"), col("nv"), col("cell"))
+    }
+    val corpus = assign(1)
+      .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
+    val queries = assign(nProbe).filter(col("id") % querySelector === 0)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nv").as("nq"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos", "cell")
+      // no dedup needed: each corpus vector lives in exactly one cell, so a
+      // (query, neighbor) pair can match at most one probed cell
+  }
+
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               querySelector: Long, k: Int, nPlanes: Int): DataFrame = {
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

@@ -16,9 +16,9 @@ class EntrySpec extends AnyFunSuite {
     assert(extra.isEmpty, s"oracle entries without queries: $extra")
   }
 
-  test("35-query contract: oracle coverage stays complete as queries grow") {
-    assert(SparkEntry.queries.size >= 35)
-    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 4)
+  test("query contract: oracle coverage stays complete as queries grow") {
+    assert(SparkEntry.queries.size >= 39)
+    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 5)
   }
 
   test("every query executes at sf0.001") {
@@ -31,6 +31,6 @@ class EntrySpec extends AnyFunSuite {
   test("rows-only queries are the documented probabilistic set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
-      "q_multimodal_features"))
+      "q_ann_ivf", "q_multimodal_features"))
   }
 }

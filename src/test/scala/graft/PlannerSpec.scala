@@ -59,4 +59,26 @@ class PlannerSpec extends AnyFunSuite {
   test("unknown interval label rejected") {
     assertThrows[Errors.ValidationError] { P.resolveInterval("2h", t0, plus(24)) }
   }
+
+  test("F6 monthly chunks cover the window with month-aligned boundaries") {
+    import graft.ops.TimeChunks
+    val s = Instant.parse("2024-01-15T06:00:00Z")
+    val e = Instant.parse("2024-03-10T00:00:00Z")
+    val chunks = TimeChunks.monthlyChunks(s, e)
+    assert(chunks == Seq(
+      (s, Instant.parse("2024-02-01T00:00:00Z")),
+      (Instant.parse("2024-02-01T00:00:00Z"), Instant.parse("2024-03-01T00:00:00Z")),
+      (Instant.parse("2024-03-01T00:00:00Z"), e)))
+    // seamless + ordered
+    chunks.sliding(2).foreach { case Seq(a, b) => assert(a._2 == b._1); case _ => }
+  }
+
+  test("F7 fixed chunks: day steps, ragged tail") {
+    import graft.ops.TimeChunks
+    val s = Instant.parse("2024-01-01T00:00:00Z")
+    val e = Instant.parse("2024-01-03T12:00:00Z")
+    val chunks = TimeChunks.fixedChunks(s, e, 86400)
+    assert(chunks.length == 3)
+    assert(chunks.last == ((Instant.parse("2024-01-03T00:00:00Z"), e)))
+  }
 }

@@ -45,6 +45,36 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: cos values agree with brute force; recall is meaningful") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val bruteTop5 = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb, "vec_id", "embedding", 50, 5, 16, 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+    // nProbe=2/16 cells scans ~1/8 of the corpus; demand nontrivial recall
+    val hit = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hit.intersect(bruteTop5).size.toDouble >= bruteTop5.size * 0.1)
+  }
+
+  test("salted equi-join result equals the plain join on skewed keys") {
+    import graft.ops.JoinOps
+    val large = (0 until 2000).map(i =>
+      (if (i % 10 == 0) 7L else i.toLong % 100, s"payload$i")).toDF("k", "payload")
+    val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"))
+      .select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = JoinOps.saltedEquiJoin(large, small, "k", 8)
+      .select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001).limit(50)
     val sig = emb.select(col("vec_id"),
