@@ -128,13 +128,23 @@ object SimilarityOps {
   }
 
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              querySelector: Long, k: Int, nPlanes: Int): DataFrame = {
+              querySelector: Long, k: Int, nPlanes: Int,
+              multiProbe: Boolean = true): DataFrame = {
     val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("nv"))
       .withColumn("bucket", hyperplaneSignature(toDouble(col("v")), nPlanes))
+    // multi-probe: a query also searches every Hamming-1 bucket (flip each
+    // plane bit once) — the standard recall lever that costs probe joins,
+    // not extra hash tables. Corpus vectors stay in exactly one bucket, so
+    // a (query, neighbor) pair still matches at most once.
+    val probeBuckets: Column =
+      if (multiProbe)
+        explode(array(col("bucket") +:
+          (0 until nPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*))
+      else col("bucket")
     val queries = sig.filter(col("id") % querySelector === 0)
       .select(col("id").as("query_id"), col("v").as("qv"),
-        col("nv").as("nq"), col("bucket"))
+        col("nv").as("nq"), probeBuckets.as("bucket"))
     val corpus = sig.select(col("id").as("neighbor_id"), col("v"), col("nv"), col("bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

@@ -45,6 +45,18 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH candidate pool strictly contains single-probe's") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    def pairs(mp: Boolean) = SimilarityOps.lshTopK(
+        emb, "vec_id", "embedding", 50, 1000000, 6, multiProbe = mp)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(false)
+    val multi = pairs(true)
+    assert(single.subsetOf(multi))
+    assert(multi.size > single.size) // Hamming-1 probes reach more candidates
+  }
+
   test("IVF top-k: cos values agree with brute force; recall is meaningful") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 1000000)
