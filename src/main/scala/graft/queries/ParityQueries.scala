@@ -85,6 +85,15 @@ object ParityQueries {
     "q_distinct_sorted" -> ((s, dir) =>
       events(s, dir).select("event_type").distinct().orderBy("event_type")),
 
+    // A2+pivot — the serving-edge wide matrix (`/aggregations/psd` shape):
+    // long per-band means pivoted to one column per band label.
+    "q_psd_matrix" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(ResampleOps.bucket(col("ts"), "1d").as("bucket_start"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(avg(ResampleOps.nanToNull(col("value"))), 6))
+        .orderBy("bucket_start")),
+
     // P4 — non-finite drop: synthesize NaN/Inf, then keep only finite values.
     "q_finite_filter" -> ((s, dir) => {
       val withBad = events(s, dir).withColumn("v",
@@ -167,6 +176,15 @@ object ParityQueries {
 
     "q_distinct_sorted" ->
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+
+    "q_psd_matrix" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+        |       round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
+        |       round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
+        |       round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
+        |       round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
+        |       round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_finite_filter" ->
       """WITH bad AS (

@@ -41,6 +41,28 @@ object TextQueries {
     // Document fingerprinting (full md5 + min-shingle hash).
     "q_doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    // The full training-data cleaning pipeline, end to end: exact dedup →
+    // near-dup cluster resolution (losers dropped) → length + language
+    // gates. Composes five operator families in one job.
+    "q_corpus_clean" -> ((s, dir) => {
+      import graft.dedup.DedupOps
+      val d = docs(s, dir)
+      val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+      val clusters = DedupOps.duplicateClusters(
+        DedupOps.ngramJaccardPairs(exactKept, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b")))
+      val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      exactKept.join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(TextOps.wsTokens(col("text"))))
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und")
+        .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val WsTokensSql = """regexp_extract_all(%s, '\S+')"""
@@ -104,5 +126,62 @@ object TextQueries {
          |SELECT doc_id, fp_full,
          |       list_min(list_transform(gs, g -> substr(md5(g), 1, 16))) AS fp_shingle_min
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_clean" ->
+      s"""WITH RECURSIVE exact_keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |d AS (
+         |  SELECT * FROM documents WHERE doc_id IN (SELECT doc_id FROM exact_keep)),
+         |tk AS (SELECT doc_id, ${toks("lower(text)")} AS t FROM d),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tk WHERE len(t) >= 3),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT id_a, id_b FROM prs
+         |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+         |bidir AS (
+         |  SELECT id_a AS src, id_b AS dst FROM edges
+         |  UNION ALL SELECT id_b, id_a FROM edges),
+         |reach AS (
+         |  SELECT src, dst FROM bidir
+         |  UNION
+         |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+         |  WHERE r.src <> b.dst),
+         |members AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |losers AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id),
+         |kept AS (
+         |  SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |feat AS (
+         |  SELECT doc_id, text, ${toks("text")} AS wtoks, ${toks("lower(text)")} AS ltoks
+         |  FROM kept),
+         |c AS (
+         |  SELECT doc_id, len(wtoks) AS n_tokens,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh,
+         |    len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+         |    len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist','nicht','ein'))) AS de,
+         |    len(list_filter(ltoks, x -> x IN ('el','la','los','que','y','es','un'))) AS es,
+         |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr
+         |  FROM feat),
+         |lp AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN zh > 0 THEN 'zh'
+         |              WHEN en + de + es + fr = 0 THEN 'und'
+         |              WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |              WHEN de >= es AND de >= fr THEN 'de'
+         |              WHEN es >= fr THEN 'es'
+         |              ELSE 'fr' END AS lang_pred
+         |  FROM c)
+         |SELECT doc_id, n_tokens, lang_pred FROM lp
+         |WHERE n_tokens >= 50 AND lang_pred <> 'und'
+         |ORDER BY doc_id""".stripMargin,
   )
 }
