@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+
+/** The native kernels are usable from plain SQL once registered
+  * (`GraftFunctions.register` — same builders the SparkSessionExtensions
+  * path injects at session build). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("vector_dot from SQL") {
+    val dot = spark.sql(
+      "SELECT vector_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+  }
+
+  test("word_shingles from SQL") {
+    val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+  }
+
+  test("minhash_sig and simhash64 aggregates from SQL") {
+    val r = spark.sql(
+      """SELECT minhash_sig(h, 16) AS sig, simhash64(h) AS fp FROM
+        |(SELECT xxhash64(x) AS h FROM VALUES ('a'), ('b'), ('c') AS t(x))
+        |""".stripMargin).head()
+    assert(r.getSeq[Long](0).length == 16)
+    // deterministic across invocations
+    val again = spark.sql(
+      """SELECT simhash64(h) AS fp FROM
+        |(SELECT xxhash64(x) AS h FROM VALUES ('a'), ('b'), ('c') AS t(x))
+        |""".stripMargin).head().getLong(0)
+    assert(again == r.getLong(1))
+  }
+}
