@@ -57,6 +57,16 @@ object StatsQueries {
              count(lit(1)).as("n"))
         .orderBy("day")),
 
+    // Semi-structured extraction: JSON props column → typed bucket agg
+    // (codegen'd get_json_object; at scale prefer from_json once per row
+    // into a struct column at ingest).
+    "q_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
+        .orderBy("k_bucket")),
+
     // Gap detection (SURVEY §2.5 extension): per-user inter-event gaps > 1h.
     "q_gap_report" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -147,6 +157,11 @@ object StatsQueries {
       """SELECT CAST(ts AS DATE) AS day,
         |       round(10.0 * log10(avg(pow(10.0, value / 500.0))), 6) AS db_energy,
         |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |       count(*) AS n, round(avg(value), 6) AS mean_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_gap_report" ->
