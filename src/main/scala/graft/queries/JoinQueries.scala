@@ -26,9 +26,13 @@ object JoinQueries {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
+          // money sums in exact integer cents: double sums rounded to 2dp
+          // sit within FP summation-order noise of the rounding boundary,
+          // which would make the oracle hash-compare probabilistic
+          (sum(round(col("l_extendedprice") * 100).cast("long")) / 100.0)
+            .as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")) / 100.0).as("sum_disc_price"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -44,8 +48,8 @@ object JoinQueries {
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-               .as("revenue"),
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+               .cast("long")) / 100.0).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy("n_name")
     }),
@@ -99,10 +103,11 @@ object JoinQueries {
       val su = Tables.supplier(s, dir)
       val n  = Tables.nation(s, dir)
       val rev = li.groupBy(col("l_suppkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-               .as("revenue"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+               .cast("long")).as("revenue_cents"))
+        .withColumn("revenue", col("revenue_cents") / 100.0)
       val w = Window.partitionBy(col("n_name"))
-        .orderBy(col("revenue").desc, col("s_suppkey"))
+        .orderBy(col("revenue_cents").desc, col("s_suppkey"))
       rev.join(broadcast(su), rev("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .withColumn("rank", row_number().over(w))
@@ -116,8 +121,8 @@ object JoinQueries {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS count_order
@@ -127,7 +132,7 @@ object JoinQueries {
 
     "q_revenue_by_nation" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -169,12 +174,13 @@ object JoinQueries {
     "q_top_suppliers_per_nation" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |           AS revenue_cents
         |  FROM lineitem GROUP BY 1),
         |ranked AS (
-        |  SELECT n_name, s_suppkey, s_name, revenue,
+        |  SELECT n_name, s_suppkey, s_name, revenue_cents / 100.0 AS revenue,
         |         row_number() OVER (PARTITION BY n_name
-        |                            ORDER BY revenue DESC, s_suppkey) AS rank
+        |                            ORDER BY revenue_cents DESC, s_suppkey) AS rank
         |  FROM rev
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation   ON s_nationkey = n_nationkey)
