@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracles): tokens are `\S+` runs of `lower(text)`, shingles are
   * space-joined n-grams, de-duplicated preserving nothing (set semantics).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -35,11 +35,11 @@ case class WordShingles(child: Expression, n: Int)
         s"word_shingles needs STRING input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordShingles$$.MODULE$$.compute($c, $n)")
+      s"graft.functions.WordShingles$$.MODULE$$.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -50,8 +50,9 @@ object WordShingles {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ''
 
-  /** Static kernel referenced from generated code. */
-  def compute(input: UTF8String, n: Int): ArrayData = {
+  /** Static kernel referenced from generated code. `distinct=false` keeps
+    * every positional shingle in order (winnowing needs positions). */
+  def compute(input: UTF8String, n: Int, distinct: Boolean = true): ArrayData = {
     val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     // tokenize: \S+ runs
     val toks = new scala.collection.mutable.ArrayBuffer[String](64)
@@ -64,7 +65,9 @@ object WordShingles {
       if (i > start) toks += s.substring(start, i)
     }
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](toks.length * 2)
+      else new java.util.ArrayList[String](toks.length)
     val sb = new java.lang.StringBuilder(64)
     var p = 0
     while (p <= toks.length - n) {
@@ -85,6 +88,6 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
-  def word_shingles(text: Column, n: Int): Column =
-    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+  def word_shingles(text: Column, n: Int, distinct: Boolean = true): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct))
 }

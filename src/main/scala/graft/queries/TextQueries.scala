@@ -42,6 +42,32 @@ object TextQueries {
     "q_doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // Winnowing fingerprints: sliding-window minima over positional k-gram
+    // hashes (plagiarism/near-dup localization primitive).
+    "q_winnow_fingerprints" -> ((s, dir) =>
+      TextOps.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 3, w = 4)
+        .orderBy("doc_id", "fingerprint")),
+
+    // TF-IDF keyword extraction: top-3 terms per document, ranked by the
+    // ROUNDED score (+ term tie-break) so ordering is engine-independent.
+    "q_tfidf_keywords" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tokens = d.select(col("doc_id"),
+        explode(TextOps.wsTokens(lower(col("text")))).as("term"))
+      val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(dfreq), Seq("term"))
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+        .orderBy("doc_id", "rank")
+    }),
+
     // The full training-data cleaning pipeline, end to end: exact dedup →
     // near-dup cluster resolution (losers dropped) → length + language
     // gates. Composes five operator families in one job.
@@ -126,6 +152,44 @@ object TextQueries {
          |SELECT doc_id, fp_full,
          |       list_min(list_transform(gs, g -> substr(md5(g), 1, 16))) AS fp_shingle_min
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_winnow_fingerprints" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS pos,
+         |         t AS toks
+         |  FROM tk WHERE len(t) >= 3),
+         |hashed AS (
+         |  SELECT doc_id, pos,
+         |         substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 16) AS h
+         |  FROM grams),
+         |sel AS (
+         |  SELECT doc_id,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+         |  FROM hashed)
+         |SELECT DISTINCT doc_id, fingerprint FROM sel
+         |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2),
+         |dfreq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, tf.term AS term, tf,
+         |         round(tf * ln((SELECT count(*) FROM documents) / df), 4) AS tfidf
+         |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+         |ranked AS (
+         |  SELECT doc_id, term, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tfidf DESC, term) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "q_corpus_clean" ->
       s"""WITH RECURSIVE exact_keep AS (

@@ -83,6 +83,28 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * positional k-gram, take the minimum hash in each sliding window of `w`
+    * consecutive grams, emit the distinct selected hashes. Guarantees any
+    * shared run of ≥ w+k-1 tokens between two documents shares a
+    * fingerprint. Hashes are 16-hex-char md5 prefixes so the lexicographic
+    * window-min is identical in the SQL oracle; the sliding min is a
+    * rows-window aggregate (one shuffle on doc id). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = df.select(col(idCol),
+      posexplode(graft.functions.WordShingles.word_shingles(
+        col(textCol), k, distinct = false)).as(Seq("pos", "g")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    grams
+      .withColumn("h", substring(md5(col("g").cast("binary")), 1, 16))
+      .withColumn("sel", min(col("h")).over(win))
+      .select(col(idCol), col("sel").as("fingerprint"))
+      .distinct()
+  }
+
   /** Content-defined document fingerprint: full-text md5 plus the minimum
     * 64-bit (16-hex-char) hash over 3-token shingles — a 1-permutation
     * MinHash, stable under small reorderings (winnowing-style).
