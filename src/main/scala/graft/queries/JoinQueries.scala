@@ -97,6 +97,30 @@ object JoinQueries {
         .orderBy("user_id")
     }),
 
+    // Multi-level aggregation: ROLLUP over (returnflag, linestatus) with
+    // grouping_id disambiguating subtotal rows. NULL ordering pinned
+    // explicitly (Spark sorts NULLS FIRST by default, DuckDB NULLS LAST).
+    "q_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Set operations: purchasers who never raised an error (EXCEPT) and
+    // users doing both (INTERSECT).
+    "q_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def users(t: String) =
+        ev.filter(col("event_type") === t).select(col("user_id"))
+      val both = users("purchase").intersect(users("error"))
+        .withColumn("relation", lit("both"))
+      val pureBuyers = users("purchase").except(users("error"))
+        .withColumn("relation", lit("purchase_only"))
+      both.unionByName(pureBuyers).orderBy("relation", "user_id")
+    }),
+
     // Top-k per group via rank window (deterministic: rounded revenue, then key).
     "q_top_suppliers_per_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -170,6 +194,24 @@ object JoinQueries {
         | AND w_start <= cov_end
         | AND w_start + INTERVAL 3 DAY >= cov_start
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH p AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT user_id FROM events WHERE event_type = 'error'),
+        |both_rel AS (
+        |  SELECT user_id, 'both' AS relation FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM e)),
+        |pure_rel AS (
+        |  SELECT user_id, 'purchase_only' AS relation FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM e))
+        |SELECT user_id, relation FROM both_rel
+        |UNION ALL SELECT user_id, relation FROM pure_rel
+        |ORDER BY relation, user_id""".stripMargin,
 
     "q_top_suppliers_per_nation" ->
       """WITH rev AS (
