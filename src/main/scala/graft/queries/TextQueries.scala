@@ -76,7 +76,10 @@ object TextQueries {
       val d = docs(s, dir)
       val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
+      // reused by the pair join (twice via self-join) and the final gates —
+      // persist once instead of recomputing the md5 semi-join three times
       val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val clusters = DedupOps.duplicateClusters(
         DedupOps.ngramJaccardPairs(exactKept, "doc_id", "text", 3, 0.8)
           .select(col("id_a"), col("id_b")))
