@@ -30,9 +30,19 @@ object DedupOps {
     * frequency cap (shingles present in more than `dfCap` docs are dropped
     * from BOTH sides — the standard stop-shingle guard; pass
     * `Int.MaxValue` to disable for exact semantics). */
-  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"),
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  dfCap: Int = Int.MaxValue): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
               explode(TextOps.shingles(col(textCol), n)).as("shingle"))
+    if (dfCap == Int.MaxValue) ex
+    else {
+      // drop stop shingles present in more than dfCap docs — bounds the
+      // posting-list self-join at sublinear cost (one extra aggregate)
+      val keep = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("shingle")
+      ex.join(keep, Seq("shingle"), "left_semi")
+    }
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: J(a,b) = |A∩B| / |A∪B| ≥ `threshold`.
     * One shuffle to co-locate shingles, one aggregate per pair. */
@@ -49,8 +59,10 @@ object DedupOps {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.doc_id"))
+      // per-document frame: shuffle join (AQE broadcasts at small SFs; a
+      // billion-doc broadcast cannot ship at corpus scale)
+      .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
       .withColumn("jaccard", round(
         col("shared").cast("double") /
           (col("ca.n_shingles") + col("cb.n_shingles") - col("shared")), 6))
@@ -131,8 +143,11 @@ object DedupOps {
         col("ea.gh") === col("eb.gh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
-      .join(broadcast(counts).as("ca"), col("id_a") === col("ca.doc_id"))
-      .join(broadcast(counts).as("cb"), col("id_b") === col("cb.doc_id"))
+      // counts joins on doc_id: per-document frame, so NOT broadcast —
+      // AQE still picks broadcast at small SFs, but at corpus scale this
+      // must stay a shuffle join (a billion-row broadcast cannot ship)
+      .join(counts.as("ca"), col("id_a") === col("ca.doc_id"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc_id"))
       .withColumn("jaccard", round(
         col("shared").cast("double") /
           (col("ca.n_shingles") + col("cb.n_shingles") - col("shared")), 6))
@@ -141,17 +156,16 @@ object DedupOps {
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
-    * pair graph via iterative min-label propagation. Output one row per
-    * node: `(doc_id, cluster_id)` where cluster_id = min doc_id in the
-    * component (the canonical keeper).
+    * pair graph via min-label propagation with pointer jumping. Output one
+    * row per node: `(doc_id, cluster_id)` where cluster_id = min doc_id in
+    * the component (the canonical keeper).
     *
-    * Scale design: label propagation converges in O(component diameter)
-    * rounds (near-dup clusters are tiny, so 2-3 in practice); each round is
-    * one join + one min-aggregate, and `localCheckpoint` truncates the
-    * lineage so the plan does not grow exponentially across iterations.
-    * This is the standard large-graph CC formulation — no driver-side
-    * union-find over collected edges. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * Scale design: each round propagates labels over edges AND compresses
+    * label chains (`label := label(label)`), so convergence needs
+    * O(log diameter) rounds, not O(diameter) — a 1000-doc template chain
+    * resolves in ~10 rounds. `localCheckpoint` truncates lineage per round.
+    * Non-convergence within `maxIter` throws (never returns wrong labels). */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -165,13 +179,23 @@ object DedupOps {
         .select(edges("src").as("doc_id"), col("cluster_id"))
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // pointer jumping: follow the current label one more hop so label
+      // chains halve every round (log-diameter convergence)
+      val parent = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster"))
+      val jumped = prop
+        .join(parent, prop("cluster_id") === parent("p_id"), "left")
+        .select(prop("doc_id").as("doc_id"),
+          coalesce(col("p_cluster"), prop("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
-      val changed = prop.as("n").join(labels.as("o"), Seq("doc_id"))
+      val changed = jumped.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels = prop
+      labels = jumped
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw graft.planner.Errors.AggregationError(
+        s"connected components did not converge in $maxIter rounds")
     labels
   }
 

@@ -37,7 +37,11 @@ object BandOps {
     * collected distinct values stays a single shuffle. */
   def toWide(df: DataFrame, tsCol: String, bandCol: String, valueCol: String): DataFrame = {
     val bands = df.select(bandCol).distinct()
-      .collect().map(_.get(0)).sortBy(_.toString)
+      .collect().map(_.get(0))
+      // numeric column order where labels parse as numbers (63 < 125 even
+      // though "125" < "63" lexicographically); non-numeric labels last
+      .sortBy(v => (scala.util.Try(v.toString.toDouble).getOrElse(Double.MaxValue),
+        v.toString))
     df.groupBy(col(tsCol))
       .pivot(bandCol, bands.toIndexedSeq)
       .agg(first(col(valueCol)))

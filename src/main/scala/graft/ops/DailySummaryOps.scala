@@ -31,13 +31,20 @@ object DailySummaryOps {
     * midnight-anchored by construction, matching `origin='start_day'`. */
   def todBucketMean(df: DataFrame, tsCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
     val sod = hour(col(tsCol)) * 3600L + minute(col(tsCol)) * 60L + second(col(tsCol))
-    val bucketSod = floor(sod / bucketSeconds) * bucketSeconds
-    val label = date_format(
-      timestamp_seconds(bucketSod), "HH:mm:ss") // re-anchor onto epoch day for the label round-trip
-    df.groupBy(label.as("tod_bucket"))
+    val bucketSod = (floor(sod / bucketSeconds) * bucketSeconds).cast("long")
+    df.groupBy(todLabel(bucketSod).as("tod_bucket"))
       .agg(avg(ResampleOps.nanToNull(col(valueCol))).as("mean_value"))
       .filter(col("mean_value").isNotNull)
   }
+
+  /** `HH:mm:ss` label from a second-of-day value via pure arithmetic — a
+    * `timestamp_seconds` + `date_format` round-trip would re-apply the
+    * session timezone offset and shift labels/anchors on non-UTC sessions. */
+  def todLabel(secondOfDay: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    format_string("%02d:%02d:%02d",
+      (secondOfDay / 3600).cast("int"),
+      ((secondOfDay % 3600) / 60).cast("int"),
+      (secondOfDay % 60).cast("int"))
 
   /** A6 — one broadband mean per calendar day (upstream
     * `create_broadband_daily_noise`, ref `README.md:156-160`). */

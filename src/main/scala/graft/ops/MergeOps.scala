@@ -22,14 +22,21 @@ object MergeOps {
 
   /** J3/U1 — union `chunks` (schema-aligned by name) and keep, per key, the
     * row from the *latest* chunk (highest index = last wins). Deterministic:
-    * the chunk index is an explicit priority column, not row order. */
+    * the chunk index is an explicit priority column, and ties WITHIN a
+    * chunk (duplicate keys in one recomputed partition) break on the
+    * remaining columns rather than physical row order — task retries and
+    * shuffle reordering cannot flip the winner. */
   def lastWinsMerge(chunks: Seq[DataFrame], keyCols: Seq[String]): DataFrame = {
     require(chunks.nonEmpty, "lastWinsMerge needs at least one chunk")
     val tagged = chunks.zipWithIndex.map { case (df, i) =>
       df.withColumn("__chunk", lit(i))
     }
     val unioned = tagged.reduce(_.unionByName(_))
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__chunk").desc)
+    val tieBreak = unioned.columns
+      .filterNot(c => keyCols.contains(c) || c == "__chunk")
+      .map(col(_).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__chunk").desc +: tieBreak.toIndexedSeq: _*)
     unioned
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

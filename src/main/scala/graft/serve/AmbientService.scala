@@ -26,7 +26,14 @@ import Responses._
 class AmbientService(
     val broadband: DataFrame,
     val psd: DataFrame,
-    catalogEntries: Seq[CatalogEntry]) {
+    catalogEntries: Seq[CatalogEntry],
+    /** S5 — metadata-only matching-file probe for the integrity check (ref
+      * `_matching_file_count`, get_timeseries.py:71-81): returns how many
+      * archive FILES cover the requested (hydrophone, delta_t) window. The
+      * reference 502s only when files matched but no rows were read; with
+      * no probe (data-derived catalogs) empty windows are plain success. */
+    integrityFileCount: (String, Int, Instant, Instant) => Long =
+      (_, _, _, _) => 0L) {
 
   import AmbientService._
 
@@ -87,11 +94,13 @@ class AmbientService(
         .orderBy("t")
       val pts = df.collect().map(r => TimeseriesPoint(r.getString(0), r.getDouble(1)))
       val expected = TimeseriesOps.expectedPointCount(start, end, deltaT.toLong)
-      // integrity check (ref get_timeseries.py:223-229): catalog coverage
-      // says data exists but the scan produced nothing → 502, not empty-ok
-      if (doValidate && pts.isEmpty && expected > 0)
+      // integrity check (ref get_timeseries.py:223-229): archive FILES match
+      // the window but the scan produced nothing → 502; an empty window with
+      // no matching files is SUCCESS with point_count=0 (SURVEY §7.5.7)
+      if (doValidate && pts.isEmpty &&
+          integrityFileCount(h, deltaT, start, end) > 0)
         throw Errors.DataIntegrityError(
-          s"coverage matched [$start,$end) for $h but no rows were read")
+          s"files matched [$start,$end) for $h but no rows were read")
       BroadbandTimeseriesResponse(h, isoT(start), isoT(end), deltaT,
         pts.length.toLong, expected, pts.toIndexedSeq)
     }.asInstanceOf[BroadbandTimeseriesResponse]
@@ -126,6 +135,7 @@ class AmbientService(
       interval: String, deltaT: Int = 1): BroadbandAggregationResponse =
     aggCache.memo(("bbagg", hydrophone, start, end, interval, deltaT)) {
       val h = RequestPlanner.normalizeName(hydrophone)
+      validate(h, "broadband", None, deltaT, start, end)
       val iv = RequestPlanner.resolveInterval(interval, start, end)
       RequestPlanner.enforcePointCap(RequestPlanner.estimatedPoints(start, end, iv))
       val agg = ResampleOps.resampleMean(
@@ -142,6 +152,7 @@ class AmbientService(
     aggCache.memo(("psdagg", hydrophone, start, end, interval, deltaFSel, deltaT)) {
       val h = RequestPlanner.normalizeName(hydrophone)
       val (freqType, deltaF) = RequestPlanner.parseDeltaF(deltaFSel)
+      validate(h, freqType, Some(deltaF), deltaT, start, end)
       val iv = RequestPlanner.resolveInterval(interval, start, end)
       RequestPlanner.enforcePointCap(RequestPlanner.estimatedPoints(start, end, iv))
       val agg = ResampleOps.resampleBandsMean(
@@ -160,6 +171,7 @@ class AmbientService(
       val (freqType, deltaF) = RequestPlanner.parseDeltaF(deltaFSel)
       val start = startDate.atStartOfDay(ZoneOffset.UTC).toInstant
       val end = startDate.plusDays(numDays.toLong).atStartOfDay(ZoneOffset.UTC).toInstant
+      validate(h, freqType, Some(deltaF), deltaT, start, end)
       val iv = RequestPlanner.resolveInterval(interval,
         Instant.EPOCH, Instant.EPOCH.plusSeconds(86400)) // bucket the 24h typical day
       val bucketSecs = ResampleOps.IntervalSeconds(iv)
@@ -169,10 +181,14 @@ class AmbientService(
       val stats = DailySummaryOps.timeOfDaySummary(
         BandOps.bandRange(loadPsd(h, freqType, deltaF, deltaT, start, end),
           "band", bandLow, bandHigh), "ts", "band", "value")
-      val sod = unix_timestamp(to_timestamp(col("tod"), "HH:mm:ss"))
+      // second-of-day from the label by arithmetic (a to_timestamp/
+      // date_format round-trip would shift on non-UTC sessions)
+      val parts = split(col("tod"), ":")
+      val sod = parts.getItem(0).cast("long") * 3600L +
+        parts.getItem(1).cast("long") * 60L + parts.getItem(2).cast("long")
       val bucketed = stats
-        .withColumn("tod_bucket", date_format(
-          timestamp_seconds(floor(sod / bucketSecs) * bucketSecs), "HH:mm:ss"))
+        .withColumn("tod_bucket", DailySummaryOps.todLabel(
+          (floor(sod / bucketSecs) * bucketSecs).cast("long")))
         .groupBy("tod_bucket")
         .agg(avg("mean_value").as("mean"), avg("min_value").as("min"),
              avg("max_value").as("max"),
@@ -195,6 +211,7 @@ class AmbientService(
       val h = RequestPlanner.normalizeName(hydrophone)
       val start = startDate.atStartOfDay(ZoneOffset.UTC).toInstant
       val end = startDate.plusDays(numDays.toLong).atStartOfDay(ZoneOffset.UTC).toInstant
+      validate(h, "broadband", None, deltaT, start, end)
       val rows = DailySummaryOps.dailyMean(
           loadBroadband(h, deltaT, start, end), "ts", "value")
         .orderBy("day").collect()
@@ -212,10 +229,19 @@ object AmbientService {
       override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
         size() > capacity
     }
-    def memo(k: K)(f: => V): V = m.synchronized {
-      val hit = m.get(k)
-      if (hit != null.asInstanceOf[V] && m.containsKey(k)) hit
-      else { val v = f; m.put(k, v); v }
+    /** The loader runs OUTSIDE the lock (a Spark job can take minutes —
+      * holding the monitor would serialize every request behind it); two
+      * concurrent misses on the same key may both compute, last write wins
+      * — the same soft guarantee python's lru_cache gives under threads. */
+    def memo(k: K)(f: => V): V = {
+      val hit = m.synchronized {
+        if (m.containsKey(k)) Some(m.get(k)) else None
+      }
+      hit.getOrElse {
+        val v = f
+        m.synchronized { m.put(k, v) }
+        v
+      }
     }
   }
 

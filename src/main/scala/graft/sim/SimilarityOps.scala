@@ -102,18 +102,21 @@ object SimilarityOps {
     val centroids = base.orderBy("id").limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nv").as("cn"))
     val simToCell = dot(col("v"), col("cv")) / (col("nv") * col("cn"))
-    def assign(perRow: Int): DataFrame = {
+    def assign(input: DataFrame, perRow: Int): DataFrame = {
       val w = Window.partitionBy(col("id"))
         .orderBy(col("cell_sim").desc, col("cell"))
-      base.crossJoin(broadcast(centroids))
+      input.crossJoin(broadcast(centroids))
         .withColumn("cell_sim", simToCell)
         .withColumn("cell_rank", row_number().over(w))
         .filter(col("cell_rank") <= perRow)
         .select(col("id"), col("v"), col("nv"), col("cell"))
     }
-    val corpus = assign(1)
+    val corpus = assign(base, 1)
       .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
-    val queries = assign(nProbe).filter(col("id") % querySelector === 0)
+    // probe-assign only the QUERY subset — assigning the full corpus at
+    // nProbe and filtering after would waste (querySelector-1)/querySelector
+    // of a second full-corpus pass
+    val queries = assign(base.filter(col("id") % querySelector === 0), nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nv").as("nq"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

@@ -128,6 +128,46 @@ class ServiceSpec extends AnyFunSuite {
     assert(warm < cold / 10)
   }
 
+  test("aggregation endpoints validate combination + coverage (400 on unknown)") {
+    assertThrows[Errors.ValidationError] {
+      service.getBroadbandAggregation("NO_SUCH_PHONE",
+        inst("2024-01-01T00:00:00Z"), inst("2024-01-02T00:00:00Z"), "1h")
+    }
+    assertThrows[Errors.ValidationError] { // out of coverage
+      service.getPsdAggregation("ORCASOUND_LAB",
+        inst("2030-01-01T00:00:00Z"), inst("2030-01-02T00:00:00Z"), "1h", "3oct")
+    }
+  }
+
+  test("empty window inside coverage is SUCCESS without a file probe") {
+    // the fixture has per-minute points; a sub-minute slice between points
+    // is empty but valid — must NOT raise DataIntegrityError
+    val r = service.getBroadbandTimeseries("ORCASOUND_LAB",
+      inst("2024-01-01T00:00:05Z"), inst("2024-01-01T00:00:30Z"), 1)
+    assert(r.pointCount == 0 && r.expectedPointCount == 25)
+  }
+
+  test("integrity error fires only when the file probe says files matched") {
+    import graft.serve.AmbientService
+    val probed = new AmbientService(service.broadband, service.psd,
+      graft.catalog.ArchiveCatalog.collectEntries(
+        service.broadband.groupBy("hydrophone", "delta_t")
+          .agg(org.apache.spark.sql.functions.min("ts").as("first_start"),
+            org.apache.spark.sql.functions.max("ts").as("last_end"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("file_count"))
+          .withColumn("freq_type", org.apache.spark.sql.functions.lit("broadband"))
+          .withColumn("delta_f",
+            org.apache.spark.sql.functions.lit(null).cast("int"))
+          .select("hydrophone", "freq_type", "delta_f", "delta_t",
+            "first_start", "last_end", "file_count")),
+      integrityFileCount = (_, _, _, _) => 1L)
+    assertThrows[Errors.DataIntegrityError] {
+      probed.getBroadbandTimeseries("ORCASOUND_LAB",
+        inst("2024-01-01T00:00:05Z"), inst("2024-01-01T00:00:30Z"), 1)
+    }
+  }
+
   test("raw window > 31 days rejected") {
     assertThrows[Errors.ValidationError] {
       service.getBroadbandTimeseries("ORCASOUND_LAB",
