@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
@@ -71,14 +71,6 @@ object DedupOps {
   }
 
   // ---- MinHash + LSH ----------------------------------------------------
-
-  /** Deterministic universal-hash coefficients (seeded — fixed across runs). */
-  private val MinhashPrime = 2147483647L // 2^31 - 1
-  private[dedup] def hashCoeffs(k: Int, seed: Long): Array[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(k)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
-                   rng.nextInt(Int.MaxValue).toLong))
-  }
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
     * xxhash64 shingle hashes, computed by the single-buffer

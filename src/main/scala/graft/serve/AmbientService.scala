@@ -1,7 +1,7 @@
 package graft.serve
 
 import java.time.{Instant, LocalDate, ZoneOffset}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.catalog.ArchiveCatalog
 import graft.catalog.ArchiveCatalog.CatalogEntry
