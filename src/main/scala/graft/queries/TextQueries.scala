@@ -42,6 +42,29 @@ object TextQueries {
     "q_doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // Repetition filter (Gopher-style): within-document duplicate-shingle
+    // ratio; heavily repetitive docs are low-quality training data.
+    "q_repetition_filter" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(graft.functions.WordShingles.word_shingles(
+          col("text"), 3, distinct = false)).as("n_grams"),
+        size(TextOps.shingles(col("text"), 3)).as("n_distinct"))
+        .filter(col("n_grams") >= 3)
+        .withColumn("rep_ratio",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+        .withColumn("flagged", (col("rep_ratio") > 0.2).cast("int"))
+        .orderBy("doc_id")),
+
+    // Deterministic content-hash train/val split (md5 first hex nibble:
+    // 'f' → val ≈ 1/16); reproducible across engines and runs, no rand().
+    "q_train_split" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "f",
+          "val").otherwise("train").as("split"))
+        .orderBy("doc_id")),
+
     // Winnowing fingerprints: sliding-window minima over positional k-gram
     // hashes (plagiarism/near-dup localization primitive).
     "q_winnow_fingerprints" -> ((s, dir) =>
@@ -155,6 +178,29 @@ object TextQueries {
          |SELECT doc_id, fp_full,
          |       list_min(list_transform(gs, g -> substr(md5(g), 1, 16))) AS fp_shingle_min
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS tk FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(tk) - 2),
+         |           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS grams
+         |  FROM t WHERE len(tk) >= 3)
+         |SELECT doc_id, len(grams) AS n_grams,
+         |       len(list_distinct(grams)) AS n_distinct,
+         |       round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+         |         AS rep_ratio,
+         |       CAST(round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6) > 0.2
+         |            AS INT) AS flagged
+         |FROM g WHERE len(grams) >= 3
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+        |            THEN 'val' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_winnow_fingerprints" ->
       s"""WITH tk AS (
