@@ -168,6 +168,23 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent requests with distinct keys do not serialize behind the cache") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 4).map { i =>
+        Future(service.getBroadbandAggregation("ORCASOUND_LAB",
+          inst("2024-01-01T00:00:00Z"), inst("2024-01-01T00:00:00Z").plusSeconds(3600L * (i + 6)),
+          "1h"))
+      }
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      assert(results.map(_.pointCount).toSet.size == 4) // distinct windows, distinct answers
+    } finally pool.shutdown()
+  }
+
   test("raw window > 31 days rejected") {
     assertThrows[Errors.ValidationError] {
       service.getBroadbandTimeseries("ORCASOUND_LAB",
