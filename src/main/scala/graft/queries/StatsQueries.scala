@@ -46,6 +46,38 @@ object StatsQueries {
       df.orderBy(col("df").desc, col("shingle")).limit(20)
     }),
 
+    // ANALYZE-style table statistics in one pass (CBO inputs / data-quality
+    // profile): min/max/nulls/ndv per key column.
+    "q_table_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        countDistinct(col("l_orderkey")).as("ndv_orderkey"),
+        countDistinct(col("l_partkey")).as("ndv_partkey"),
+        sum(col("l_tax").isNull.cast("long")).as("nulls_tax"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate"))
+    }),
+
+    // Referential-integrity audit: FK violations + coverage ratios across
+    // the star schema (anti-join counts, metadata for pipeline gating).
+    "q_fk_integrity" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val li = Tables.lineitem(s, dir)
+      val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
+      val orphanLines = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
+      val s2 = s
+      import s2.implicits._
+      Seq(
+        ("orders_without_customer", orphanOrders),
+        ("lineitems_without_order", orphanLines)
+      ).toDF("check", "violations").orderBy("check")
+    }),
+
     // dB-energy daily mean (SURVEY §7.6): 10·log10(mean(10^(v/10))) — the
     // physically-correct power mean the reference's upstream keeps internal.
     // Values are rescaled (v/50) so 10^x stays in double range.
@@ -152,6 +184,26 @@ object StatsQueries {
         |  FROM toks WHERE len(t) >= 3)
         |SELECT shingle, count(*) AS df FROM sh
         |GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "q_table_stats" ->
+      """SELECT count(*) AS n_rows,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       count(DISTINCT l_orderkey) AS ndv_orderkey,
+        |       count(DISTINCT l_partkey) AS ndv_partkey,
+        |       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_tax,
+        |       min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q_fk_integrity" ->
+      """SELECT 'lineitems_without_order' AS check, CAST(count(*) AS BIGINT) AS violations
+        |FROM lineitem WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_without_customer', CAST(count(*) AS BIGINT)
+        |FROM orders WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |ORDER BY "check"""".stripMargin,
 
     "q_db_energy_mean" ->
       """SELECT CAST(ts AS DATE) AS day,
