@@ -29,7 +29,8 @@ object GraftFunctions {
         args.lift(2).map(intArg(_, "seed").toLong).getOrElse(42L))
         .toAggregateExpression()),
     "simhash64" -> ((args: Seq[Expression]) =>
-      SimHashAgg(args(0)).toAggregateExpression()))
+      SimHashAgg(args(0)).toAggregateExpression()),
+    "z_order" -> ((args: Seq[Expression]) => ZOrder2(args(0), args(1))))
 
   /** Register on an already-running session (temp-function scope). */
   def register(spark: SparkSession): Unit = {

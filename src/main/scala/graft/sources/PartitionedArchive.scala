@@ -74,6 +74,55 @@ object PartitionedArchive {
     rows.toSeq.toDF("hydrophone", "path")
   }
 
+  /** Compact one product partition: rewrite its files into
+    * `ceil(bytes / targetFileBytes)` sorted files. Streaming ingest and
+    * per-batch writes accumulate small files that poison scan planning at
+    * archive scale (one task per tiny file); periodic compaction restores
+    * row-group-sized files AND re-sorts by ts for tight min/max stats.
+    * Writes to a temp sibling then swaps, so readers never see a partial
+    * partition. */
+  def compactPartition(spark: SparkSession, root: String, product: String,
+      partitionValues: Seq[(String, Any)], targetFileBytes: Long = 128L << 20): Unit = {
+    val dir = partitionValues.foldLeft(s"$root/$product") {
+      case (acc, (k, v)) => s"$acc/$k=$v"
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return
+    val bytes = fs.getContentSummary(new Path(dir)).getLength
+    val nFiles = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = s"$dir.__compacting"
+    spark.read.parquet(dir)
+      .repartition(nFiles)
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+    fs.delete(new Path(dir), true)
+    fs.rename(new Path(tmp), new Path(dir))
+  }
+
+  /** Retention: drop whole product partitions whose directory matches the
+    * predicate (e.g. a hydrophone decommission) — pure metadata deletes,
+    * never a rewrite. Time-based retention inside a partition is a
+    * compaction-style rewrite with a `ts >= cutoff` filter instead. */
+  def dropPartitions(spark: SparkSession, root: String, product: String,
+      predicate: Map[String, String] => Boolean): Seq[String] = {
+    val base = new Path(s"$root/$product")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    def partValues(p: Path): Map[String, String] =
+      p.toString.split("/").filter(_.contains("="))
+        .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+    val leaves = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def walk(dir: Path): Unit = {
+      val kids = fs.listStatus(dir).filter(_.isDirectory)
+      if (kids.isEmpty) leaves += dir
+      else kids.foreach(k => walk(k.getPath))
+    }
+    walk(base)
+    val dropped = leaves.filter(l => predicate(partValues(l)))
+    dropped.foreach(l => fs.delete(l, true))
+    dropped.map(_.toString).toSeq
+  }
+
   /** S5 — metadata-only matching-file count (the reference's integrity
     * probe, `get_timeseries.py:71-81`): how many data files does the
     * partition for this product hold? Never opens a file. */

@@ -72,6 +72,40 @@ class ArchiveLayoutSpec extends AnyFunSuite {
     assert(none == 0)
   }
 
+  test("compaction rewrites a partition into fewer sorted files, same rows") {
+    written
+    val part = Seq("hydrophone" -> "ORCASOUND_LAB", "delta_t" -> 1)
+    val dir = s"$root/broadband/hydrophone=ORCASOUND_LAB/delta_t=1"
+    // fragment: write the partition as many single-row files first
+    val before = spark.read.parquet(dir)
+    before.repartition(4).write.mode("overwrite").parquet(dir + "_frag")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(dir + "_frag"),
+      new org.apache.hadoop.fs.Path(dir))
+    val fragFiles = PartitionedArchive.matchingFileCount(spark, root, "broadband",
+      Map("hydrophone" -> "ORCASOUND_LAB", "delta_t" -> 1))
+    assert(fragFiles >= 2) // 2 rows → at most 2 non-empty fragment files
+    val rowsBefore = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+
+    PartitionedArchive.compactPartition(spark, root, "broadband", part)
+    val filesAfter = PartitionedArchive.matchingFileCount(spark, root, "broadband",
+      Map("hydrophone" -> "ORCASOUND_LAB", "delta_t" -> 1))
+    assert(filesAfter == 1)
+    assert(spark.read.parquet(dir).collect().map(_.toSeq).toSet == rowsBefore)
+  }
+
+  test("retention drops matching partitions, leaves the rest") {
+    written
+    val dropped = PartitionedArchive.dropPartitions(spark, root, "broadband",
+      pv => pv.get("hydrophone").contains("PORT_TOWNSEND"))
+    assert(dropped.length == 1)
+    val left = PartitionedArchive.readBroadband(spark, root)
+      .select("hydrophone").distinct().collect().map(_.getString(0)).toSet
+    assert(left == Set("ORCASOUND_LAB"))
+  }
+
   test("service runs end-to-end over the partitioned archive") {
     written
     val svc = graft.serve.AmbientService.fromFrames(
