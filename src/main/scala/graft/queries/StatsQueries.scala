@@ -113,6 +113,27 @@ object StatsQueries {
         .orderBy("user_id", "gap_start")
     }),
 
+    // Rolling aggregation with a RANGE frame: trailing-6h mean per user at
+    // every event (event-time range, not row count). Partitioned by user —
+    // never a global single-partition window.
+    "q_moving_avg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-6L * 3600 * 1000000, 0)
+      Tables.events(s, dir)
+        .withColumn("trailing_6h_avg", round(avg(col("value")).over(w), 6))
+        .withColumn("trailing_6h_n", count(col("value")).over(w))
+        .select("event_id", "user_id", "ts", "trailing_6h_avg", "trailing_6h_n")
+        .orderBy("event_id")
+    }),
+
+    // Fixed-width histogram of the value distribution (20 × 25-unit bins).
+    "q_histogram" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(floor(col("value") / 25).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("bin_mean"))
+        .orderBy("bin")),
+
     // Sessionization: 30-minute-inactivity sessions per user via running
     // sum over gap markers; one shuffle on user_id.
     "q_sessionize" -> ((s, dir) => {
@@ -226,6 +247,21 @@ object StatsQueries {
         |FROM g
         |WHERE epoch_us(ts) - epoch_us(prev_ts) > 3600000000
         |ORDER BY user_id, gap_start""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT event_id, user_id, ts,
+        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW), 6)
+        |         AS trailing_6h_avg,
+        |       count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+        |         AS trailing_6h_n
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
+        |       round(avg(value), 6) AS bin_mean
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessionize" ->
       """WITH m AS (
