@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   * single-column sort only helps its own column. The classic remedy for
   * "time-sorted archive, but half the queries filter on device/user".
   *
-  * Accepts INT/BIGINT; the low 32 bits of each input (sign-flipped so
-  * signed order is preserved) are interleaved into one BIGINT sort key.
+  * Accepts INT inputs only (a BIGINT would silently truncate to 32 bits
+  * and wrap — scale/rank wide dimensions down to ints first); sign bits are
+  * flipped so signed order per dimension is preserved, and the final key is
+  * flipped back so it sorts correctly as a signed BIGINT.
   *
   * IMPORTANT: interleaving is positional, so dimensions must first be
   * scaled to comparable bit widths (e.g. rank or min-max scale each to
@@ -27,22 +29,18 @@ case class ZOrder2(left: Expression, right: Expression) extends BinaryExpression
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt == IntegerType || dt == LongType
+    def ok(dt: DataType) = dt == IntegerType
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"z_order needs INT/BIGINT inputs, got " +
+        s"z_order needs INT inputs (scale wider types down first — silent " +
+          s"32-bit truncation would destroy locality), got " +
           s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
   }
 
-  private def toLong(v: Any): Long = v match {
-    case i: Int => i.toLong
-    case l: Long => l
-  }
-
   override def nullSafeEval(a: Any, b: Any): Any =
-    ZOrder2.interleave(toLong(a), toLong(b))
+    ZOrder2.interleave(a.asInstanceOf[Int].toLong, b.asInstanceOf[Int].toLong)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
@@ -67,12 +65,14 @@ object ZOrder2 {
   }
 
   /** Morton interleave of the low 32 bits of a and b (a in even bits).
-    * The sign bit of each 32-bit dimension is flipped so that signed
-    * numeric order maps to unsigned bit order. */
+    * Each dimension's sign bit is flipped so signed numeric order maps to
+    * unsigned bit order; the final key's top bit is flipped BACK so the
+    * interleaved value also sorts correctly as a signed BIGINT (b's flipped
+    * sign bit lands in bit 63). */
   def interleave(a: Long, b: Long): Long = {
     val ua = (a & 0xFFFFFFFFL) ^ 0x80000000L
     val ub = (b & 0xFFFFFFFFL) ^ 0x80000000L
-    spread(ua) | (spread(ub) << 1)
+    (spread(ua) | (spread(ub) << 1)) ^ 0x8000000000000000L
   }
 
   def z_order(a: Column, b: Column): Column =

@@ -62,20 +62,21 @@ object StatsQueries {
         max(col("l_shipdate")).as("max_shipdate"))
     }),
 
-    // Referential-integrity audit: FK violations + coverage ratios across
-    // the star schema (anti-join counts, metadata for pipeline gating).
+    // Referential-integrity audit: FK violations across the star schema
+    // (anti-join counts). Built LAZILY — a union of aggregated anti-joins,
+    // no driver-side count() at plan-construction time.
     "q_fk_integrity" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val li = Tables.lineitem(s, dir)
-      val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti").count()
-      val orphanLines = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti").count()
-      val s2 = s
-      import s2.implicits._
-      Seq(
-        ("orders_without_customer", orphanOrders),
-        ("lineitems_without_order", orphanLines)
-      ).toDF("check", "violations").orderBy("check")
+      val orphanLines = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .withColumn("check", lit("lineitems_without_order"))
+      val orphanOrders = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .withColumn("check", lit("orders_without_customer"))
+      orphanLines.unionByName(orphanOrders)
+        .select("check", "violations").orderBy("check")
     }),
 
     // dB-energy daily mean (SURVEY §7.6): 10·log10(mean(10^(v/10))) — the

@@ -47,9 +47,11 @@ object TextQueries {
     "q_repetition_filter" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
-        size(graft.functions.WordShingles.word_shingles(
-          col("text"), 3, distinct = false)).as("n_grams"),
-        size(TextOps.shingles(col("text"), 3)).as("n_distinct"))
+        graft.functions.WordShingles.word_shingles(
+          col("text"), 3, distinct = false).as("grams"))
+        // one kernel pass; distinct count via array_distinct on its output
+        .select(col("doc_id"), size(col("grams")).as("n_grams"),
+          size(array_distinct(col("grams"))).as("n_distinct"))
         .filter(col("n_grams") >= 3)
         .withColumn("rep_ratio",
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))

@@ -75,28 +75,37 @@ object PartitionedArchive {
   }
 
   /** Compact one product partition: rewrite its files into
-    * `ceil(bytes / targetFileBytes)` sorted files. Streaming ingest and
-    * per-batch writes accumulate small files that poison scan planning at
-    * archive scale (one task per tiny file); periodic compaction restores
-    * row-group-sized files AND re-sorts by ts for tight min/max stats.
-    * Writes to a temp sibling then swaps, so readers never see a partial
-    * partition. */
+    * `ceil(bytes / targetFileBytes)` ts-RANGE-partitioned sorted files
+    * (range, not round-robin: each output file must cover a disjoint time
+    * slice or min/max stats match every file and pruning is lost).
+    * Streaming ingest and per-batch writes accumulate small files that
+    * poison scan planning at archive scale; periodic compaction restores
+    * row-group-sized files with tight stats.
+    *
+    * The rewrite lands in an underscore-prefixed sibling (invisible to
+    * Spark partition discovery, so readers never see mixed old+new data),
+    * then swaps via delete+rename. A reader in the swap instant can see
+    * the partition briefly absent — full isolation needs a transactional
+    * table layer; a crash mid-swap leaves the data recoverable in the
+    * `_compacting_*` dir. */
   def compactPartition(spark: SparkSession, root: String, product: String,
       partitionValues: Seq[(String, Any)], targetFileBytes: Long = 128L << 20): Unit = {
     val dir = partitionValues.foldLeft(s"$root/$product") {
       case (acc, (k, v)) => s"$acc/$k=$v"
     }
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(dir))) return
-    val bytes = fs.getContentSummary(new Path(dir)).getLength
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = s"$dir.__compacting"
-    spark.read.parquet(dir)
-      .repartition(nFiles)
-      .sortWithinPartitions("ts")
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
-    fs.delete(new Path(dir), true)
-    fs.rename(new Path(tmp), new Path(dir))
+    val tmp = new Path(path.getParent, s"_compacting_${path.getName}")
+    val df = spark.read.parquet(dir)
+    val ranged = if (nFiles == 1) df.repartition(1)
+      else df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
+    ranged.sortWithinPartitions("ts")
+      .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
   }
 
   /** Retention: drop whole product partitions whose directory matches the
@@ -108,9 +117,14 @@ object PartitionedArchive {
     val base = new Path(s"$root/$product")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
-    def partValues(p: Path): Map[String, String] =
-      p.toString.split("/").filter(_.contains("="))
+    // parse k=v only BELOW the product root — an '=' in the root path (e.g.
+    // /data/env=prod/...) must not leak keys into the predicate's map
+    val basePrefix = base.toUri.getPath.stripSuffix("/") + "/"
+    def partValues(p: Path): Map[String, String] = {
+      val rel = p.toUri.getPath.stripPrefix(basePrefix)
+      rel.split("/").filter(_.contains("="))
         .map { seg => val Array(k, v) = seg.split("=", 2); k -> v }.toMap
+    }
     val leaves = scala.collection.mutable.ArrayBuffer.empty[Path]
     def walk(dir: Path): Unit = {
       val kids = fs.listStatus(dir).filter(_.isDirectory)
@@ -118,7 +132,9 @@ object PartitionedArchive {
       else kids.foreach(k => walk(k.getPath))
     }
     walk(base)
-    val dropped = leaves.filter(l => predicate(partValues(l)))
+    // never match the product root itself (no partition segments parsed)
+    val dropped = leaves.filter(l => l != base && partValues(l).nonEmpty &&
+      predicate(partValues(l)))
     dropped.foreach(l => fs.delete(l, true))
     dropped.map(_.toString).toSeq
   }

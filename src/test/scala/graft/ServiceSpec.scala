@@ -168,20 +168,37 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
-  test("concurrent requests with distinct keys do not serialize behind the cache") {
-    import java.util.concurrent.Executors
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    val pool = Executors.newFixedThreadPool(4)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+  test("cache loaders for distinct keys genuinely overlap (no monitor held)") {
+    // Two loaders rendezvous on a latch INSIDE the cache's memo: if memo
+    // held its monitor around the loader, neither could reach the latch
+    // while the other waits and this would time out.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val cache = new graft.serve.AmbientService.LruCache[String, String](8)
+    val bothInFlight = new CountDownLatch(2)
+    val pool = Executors.newFixedThreadPool(2)
     try {
-      val futures = (0 until 4).map { i =>
-        Future(service.getBroadbandAggregation("ORCASOUND_LAB",
-          inst("2024-01-01T00:00:00Z"), inst("2024-01-01T00:00:00Z").plusSeconds(3600L * (i + 6)),
-          "1h"))
-      }
-      val results = Await.result(Future.sequence(futures), 120.seconds)
-      assert(results.map(_.pointCount).toSet.size == 4) // distinct windows, distinct answers
+      val fa = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.memo("a") {
+          bothInFlight.countDown()
+          assert(bothInFlight.await(30, TimeUnit.SECONDS),
+            "second loader never started — cache serialized the loaders")
+          "va"
+        }
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = cache.memo("b") {
+          bothInFlight.countDown()
+          assert(bothInFlight.await(30, TimeUnit.SECONDS),
+            "second loader never started — cache serialized the loaders")
+          "vb"
+        }
+      })
+      assert(fa.get(60, TimeUnit.SECONDS) == "va")
+      assert(fb.get(60, TimeUnit.SECONDS) == "vb")
+      // and the memo actually caches
+      var computed = false
+      assert(cache.memo("a") { computed = true; "other" } == "va")
+      assert(!computed)
     } finally pool.shutdown()
   }
 

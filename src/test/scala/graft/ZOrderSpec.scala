@@ -17,7 +17,7 @@ class ZOrderSpec extends AnyFunSuite {
         out |= ((ua >> i) & 1L) << (2 * i)
         out |= ((ub >> i) & 1L) << (2 * i + 1)
       }
-      out
+      out ^ 0x8000000000000000L
     }
     val cases = Seq((0, 0), (1, 0), (0, 1), (5, 3), (12345, 67890),
       (-1, 7), (Int.MaxValue, Int.MinValue))
@@ -32,6 +32,13 @@ class ZOrderSpec extends AnyFunSuite {
     val z = df.orderBy("a", "b").collect().map(_.getLong(2))
     assert(z.distinct.length == z.length)       // injective on distinct inputs
     assert(z.head == ZOrder2.interleave(0L, 0L))
+  }
+
+  test("signed-long key order: negatives sort below positives on either dim") {
+    assert(ZOrder2.interleave(0L, -1L) < ZOrder2.interleave(0L, 0L))
+    assert(ZOrder2.interleave(-1L, 0L) < ZOrder2.interleave(0L, 0L))
+    assert(ZOrder2.interleave(0L, 0L) < ZOrder2.interleave(0L, 1L))
+    assert(ZOrder2.interleave(0L, 0L) < ZOrder2.interleave(1L, 0L))
   }
 
   test("z-order clustering yields tighter 2-D chunk bounding boxes than 1-D sort") {
