@@ -29,4 +29,55 @@ object JoinOps {
     * pre-bucket both on coarse time buckets first. */
   def overlaps(aStart: Column, aEnd: Column, bStart: Column, bEnd: Column): Column =
     aStart <= bEnd && bStart <= aEnd
+
+  /** As-of join: for every probe row, the latest event row with
+    * `event.ts <= probe.ts` within the same key — THE timeseries join Spark
+    * lacks natively (SURVEY §7.6 names it the canonical custom-operator
+    * candidate).
+    *
+    * Implemented by composition, not a custom SparkPlan: union the two
+    * sides tagged, sort within key, and carry the last non-null event
+    * payload forward with an `ignoreNulls` running `last` — one shuffle on
+    * the key + one sort, identical asymptotics to a purpose-built
+    * sort-merge as-of. Ties (event.ts == probe.ts) match, like DuckDB's
+    * `ASOF JOIN ... >=`; among events sharing one timestamp the
+    * highest-`tieBreak` row wins deterministically.
+    *
+    * @param probes   (key, ts, …probe cols)
+    * @param events   (key, ts, payload cols)
+    * @param key      equi-join column present on both sides
+    * @param tsCol    event-time column name on both sides
+    * @param payload  event columns to carry onto each probe (NULL when no
+    *                 event precedes the probe)
+    * @param tieBreak extra event ordering column for same-timestamp events
+    */
+  def asofJoin(probes: DataFrame, events: DataFrame, key: String, tsCol: String,
+      payload: Seq[String], tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probeCols = probes.columns
+    val payloadStruct = struct(payload.map(col): _*)
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(c => org.apache.spark.sql.types.StructField(c, events.schema(c).dataType)))
+    // events first at equal ts (side=0 < 1) so a same-ts event is visible
+    // to the probe's running `last`; payload rides as ONE struct so all
+    // fields always come from the same (latest) event
+    val evTagged = events.select(
+      (col(key) +: col(tsCol) +: lit(0).as("__side") +: col(tieBreak).as("__tb") +:
+        payloadStruct.as("__p") +:
+        probeCols.filterNot(c => c == key || c == tsCol)
+          .map(c => lit(null).cast(probes.schema(c).dataType).as(c))): _*)
+    val prTagged = probes.select(
+      (col(key) +: col(tsCol) +: lit(1).as("__side") +:
+        lit(null).cast(events.schema(tieBreak).dataType).as("__tb") +:
+        lit(null).cast(payloadType).as("__p") +:
+        probeCols.filterNot(c => c == key || c == tsCol).map(col)): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(tsCol), col("__side"), col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    evTagged.unionByName(prTagged)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((probeCols.map(col) ++
+        payload.map(c => col(s"__p.$c").as(c))).toIndexedSeq: _*)
+  }
 }

@@ -97,6 +97,43 @@ object JoinQueries {
         .orderBy("user_id")
     }),
 
+    // As-of join: latest event at-or-before each probe time per user —
+    // composed from union + running last (JoinOps.asofJoin), checked
+    // against DuckDB's native ASOF JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      val probes = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 150).as("user_id"),
+        to_timestamp(concat(lit("2024-01-"),
+          lpad((col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+          lit(" 00:00:00"))).as("ts"))
+      val ev = Tables.events(s, dir).select("user_id", "ts", "value", "event_id")
+      graft.ops.JoinOps.asofJoin(probes, ev, "user_id", "ts",
+          payload = Seq("value", "event_id"), tieBreak = "event_id")
+        .orderBy("o_orderkey")
+    }),
+
+    // Gap filling: full hourly grid over a week for one sparse series,
+    // forward-filling missing buckets (serving-side interpolation; grid is
+    // capped at the 2000-point serving limit, so the single window is fine).
+    "q_gap_fill" -> ((s, dir) => {
+      val grid = Tables.region(s, dir).sparkSession.range(1)
+        .select(explode(sequence(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-12 00:00:00").cast("timestamp"),
+          expr("INTERVAL 1 HOUR"))).as("bucket_start"))
+      val agg = graft.ops.ResampleOps.resampleMean(
+          Tables.events(s, dir).filter(col("user_id") === 7), "ts", "value", "1h")
+        .withColumn("mean_value", round(col("mean_value"), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket_start")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(agg, Seq("bucket_start"), "left")
+        .withColumn("filled_value", last(col("mean_value"), ignoreNulls = true).over(w))
+        .select("bucket_start", "mean_value", "filled_value")
+        .orderBy("bucket_start")
+    }),
+
     // Multi-level aggregation: ROLLUP over (returnflag, linestatus) with
     // grouping_id disambiguating subtotal rows. NULL ordering pinned
     // explicitly (Spark sorts NULLS FIRST by default, DuckDB NULLS LAST).
@@ -194,6 +231,34 @@ object JoinQueries {
         | AND w_start <= cov_end
         | AND w_start + INTERVAL 3 DAY >= cov_start
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH probe AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
+        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        |              || ' 00:00:00' AS TIMESTAMP) AS ts
+        |  FROM orders),
+        |ev AS (SELECT user_id, ts, value, event_id FROM events)
+        |SELECT p.o_orderkey, p.user_id, p.ts, e.value, e.event_id
+        |FROM probe p ASOF LEFT JOIN ev e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.o_orderkey""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH grid AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |                TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR))
+        |    AS bucket_start),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |         round(avg(value), 6) AS mean_value
+        |  FROM events WHERE user_id = 7 GROUP BY 1)
+        |SELECT g.bucket_start, a.mean_value,
+        |       last_value(a.mean_value IGNORE NULLS)
+        |         OVER (ORDER BY g.bucket_start ROWS UNBOUNDED PRECEDING)
+        |         AS filled_value
+        |FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start
+        |ORDER BY g.bucket_start""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -73,6 +73,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hit.intersect(bruteTop5).size.toDouble >= bruteTop5.size * 0.1)
   }
 
+  test("as-of join: equal-ts matches, no-predecessor nulls, key isolation") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0, 100L),
+      (1L, ts("2024-01-01 12:00:00"), 12.0, 101L),
+      (2L, ts("2024-01-01 11:00:00"), 99.0, 102L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val probes = Seq(
+      (1L, ts("2024-01-01 11:00:00"), "p1"), // between events → 10:00 event
+      (1L, ts("2024-01-01 12:00:00"), "p2"), // equal ts → matches (>= semantics)
+      (1L, ts("2024-01-01 09:00:00"), "p3"), // before all → null
+      (2L, ts("2024-01-01 23:00:00"), "p4")  // other key → its own event only
+    ).toDF("user_id", "ts", "tag")
+    val got = graft.ops.JoinOps.asofJoin(probes, events, "user_id", "ts",
+        Seq("value", "event_id"), "event_id")
+      .collect().map(r => r.getString(2) ->
+        (if (r.isNullAt(3)) None else Some((r.getDouble(3), r.getLong(4))))).toMap
+    assert(got("p1").contains((10.0, 100L)))
+    assert(got("p2").contains((12.0, 101L)))
+    assert(got("p3").isEmpty)
+    assert(got("p4").contains((99.0, 102L)))
+  }
+
   test("salted equi-join result equals the plain join on skewed keys") {
     import graft.ops.JoinOps
     val large = (0 until 2000).map(i =>
