@@ -42,11 +42,14 @@ object GraftFunctions {
   }
 }
 
-/** Session-extension wrapper over [[GraftFunctions.builders]]. */
+/** Session-extension wrapper: SQL functions + the nanos-pushdown
+  * optimizer rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       ext.injectFunction((new FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), b))
     }
+    ext.injectOptimizerRule(_ => graft.plans.NanosPredicatePushdown)
+  }
 }
