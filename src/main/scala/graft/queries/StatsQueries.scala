@@ -135,6 +135,17 @@ object StatsQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("bin_mean"))
         .orderBy("bin")),
 
+    // Native session windows (batch mode): same 30-min-gap semantics as
+    // q_sessionize but via Spark's session_window operator; the oracle
+    // reconstructs the windows from the gap formulation.
+    "q_session_window" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     // Sessionization: 30-minute-inactivity sessions per user via running
     // sum over gap markers; one shuffle on user_id.
     "q_sessionize" -> ((s, dir) => {
@@ -263,6 +274,25 @@ object StatsQueries {
       """SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
         |       round(avg(value), 6) AS bin_mean
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_session_window" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) -
+        |                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_sessionize" ->
       """WITH m AS (
