@@ -66,7 +66,34 @@ object SimQueries {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    // q_ann_lsh: intentionally no oracle (hash-bucketed ANN; rows-only check
-    // + SimilaritySpec recall-vs-bruteforce assertion).
+    // q_ann_lsh: intentionally no oracle (xxhash64-derived hyperplanes are
+    // not reproducible in DuckDB; rows-only + SimilaritySpec).
+    // q_ann_ivf IS deterministic math end-to-end, so it gets a full oracle:
+    "q_ann_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
+        |asg AS (
+        |  SELECT b.id, b.v, c.cell,
+        |         row_number() OVER (PARTITION BY b.id
+        |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+        |  FROM base b CROSS JOIN cent c),
+        |corpus AS (SELECT id AS neighbor_id, v, cell FROM asg WHERE r = 1),
+        |qs AS (SELECT id AS query_id, v AS qv, cell FROM asg
+        |       WHERE r <= 2 AND id % 10 = 0),
+        |pairs AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
+        |  FROM qs q JOIN corpus c
+        |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos, cell,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, cos, cell
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }

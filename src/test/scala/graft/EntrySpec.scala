@@ -18,7 +18,7 @@ class EntrySpec extends AnyFunSuite {
 
   test("query contract: oracle coverage stays complete as queries grow") {
     assert(SparkEntry.queries.size >= 39)
-    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 5)
+    assert(SparkEntry.oracleSql.size >= SparkEntry.queries.size - 4)
   }
 
   test("every query executes at sf0.001") {
@@ -31,6 +31,6 @@ class EntrySpec extends AnyFunSuite {
   test("rows-only queries are the documented probabilistic set") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
-      "q_ann_ivf", "q_multimodal_features"))
+      "q_multimodal_features"))
   }
 }
