@@ -118,17 +118,19 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup pipeline: signature → banded buckets → candidate
-    * pairs → EXACT Jaccard verification of candidates only. At 100 TB the
-    * verification join touches only the candidate set (≪ all pairs). */
-  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
-    val cands = lshCandidates(sigs, k, bands)
-    val ex = shingleSets(df, idCol, textCol, n)
+  /** Per-doc distinct shingle HASHES `(doc_id, gh)` — the deterministic
+    * seam between the text kernels and the relational verification stage
+    * (written as an oracle fixture by the driver queries). */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleSets(df, idCol, textCol, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("gh"))
+
+  /** EXACT Jaccard verification of candidate pairs over a shingle-hash
+    * frame `(doc_id, gh)`: recompute |A∩B| for candidates only.
+    * Output `(id_a, id_b, jaccard)` filtered at `threshold`. */
+  def verifyJaccardPairs(cands: DataFrame, ex: DataFrame,
+                         threshold: Double): DataFrame = {
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    // verify: recompute |A∩B| for candidate pairs only
     val shared = cands
       .join(ex.as("ea"), col("id_a") === col("ea.doc_id"))
       .join(ex.as("eb"), col("id_b") === col("eb.doc_id") &&
@@ -146,6 +148,15 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** MinHash+LSH near-dup pipeline: signature → banded buckets → candidate
+    * pairs → EXACT Jaccard verification of candidates only. At 100 TB the
+    * verification join touches only the candidate set (≪ all pairs). */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int, threshold: Double): DataFrame =
+    verifyJaccardPairs(
+      lshCandidates(minhashSignatures(df, idCol, textCol, n, k), k, bands),
+      shingleHashes(df, idCol, textCol, n), threshold)
 
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair graph via min-label propagation with pointer jumping. Output one

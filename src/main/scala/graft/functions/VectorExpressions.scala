@@ -83,6 +83,99 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Banded random-hyperplane signatures for cosine-LSH candidate
+  * generation: `nBands` buckets per vector, band `b` packing the sign bits
+  * of `rowsPerBand` hyperplane projections (planes `b*r .. b*r+r-1`) into a
+  * BIGINT. Vectors sharing any (band, bucket) are candidate near-pairs —
+  * the OR-of-ANDs construction (Indyk–Motwani LSH; MMDS ch.3 applied to
+  * random hyperplanes per Charikar '02).
+  *
+  * Plane components are a deterministic splitmix64 of (plane, dim) mapped
+  * to [-1, 1) — stable across JVMs/runs with no stored model. The plane
+  * matrix is cached per (nPlanes, dims), so per-row cost is one fused
+  * multiply-add loop; the expression stays inside whole-stage codegen.
+  */
+case class HyperplaneBands(child: Expression, rowsPerBand: Int, nBands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(rowsPerBand >= 1 && rowsPerBand <= 63, "rowsPerBand packs into one BIGINT")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_bands needs ARRAY<FLOAT|DOUBLE> input, got ${dt.catalogString}")
+    }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneBands.compute(input.asInstanceOf[ArrayData], isFloat, rowsPerBand, nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneBands$$.MODULE$$.compute($c, $isFloat, $rowsPerBand, $nBands)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
+object HyperplaneBands {
+  /** splitmix64 of (plane, dim) → uniform double in [-1, 1). */
+  private def component(plane: Int, dim: Int): Double = {
+    var z = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xBF58476D1CE4E5B9L +
+      0x94D049BB133111EBL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  private val matrices =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  /** Row-major (plane, dim) component matrix, cached per shape. */
+  private def planeMatrix(nPlanes: Int, dims: Int): Array[Double] =
+    matrices.computeIfAbsent((nPlanes, dims), { key =>
+      val (p, d) = key
+      val m = new Array[Double](p * d)
+      var i = 0
+      while (i < m.length) { m(i) = component(i / d, i % d); i += 1 }
+      m
+    })
+
+  /** Static kernel referenced from generated code. */
+  def compute(a: ArrayData, isFloat: Boolean, r: Int, nBands: Int): ArrayData = {
+    val d = a.numElements()
+    val mat = planeMatrix(r * nBands, d)
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bucket = 0L
+      var j = 0
+      while (j < r) {
+        val row = (b * r + j) * d
+        var acc = 0.0
+        var i = 0
+        while (i < d) {
+          val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          acc += x * mat(row + i)
+          i += 1
+        }
+        if (acc > 0) bucket |= 1L << j
+        j += 1
+      }
+      out(b) = bucket
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Column-level wrappers for the native vector expressions. */
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
@@ -92,4 +185,9 @@ object VectorFunctions {
   /** L2 norm via the fused dot kernel. */
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))
+
+  /** ARRAY<BIGINT> of `nBands` LSH band buckets (see [[HyperplaneBands]]). */
+  def hyperplane_bands(vec: Column, rowsPerBand: Int, nBands: Int): Column =
+    ColumnBridge.column(HyperplaneBands(
+      ColumnBridge.expression(vec), rowsPerBand, nBands))
 }

@@ -3,18 +3,27 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.tables.Tables
 import graft.dedup.DedupOps
+import OracleFixtures.{seam, sqlPath}
 
 /** Deduplication query surface over `documents` (north-star extensions).
   *
   * Exact methods (`q_dedup_exact`, `q_dedup_ngram`) carry full DuckDB
-  * oracles. The probabilistic methods (MinHash+LSH, SimHash) are not
-  * SQL-expressible bit-for-bit, so they get rows-only driver checks — their
-  * correctness is pinned by ScalaTest specs instead (DedupSpec): LSH output
-  * ⊆ exact-Jaccard output, and recall = 100% on the planted near-dup pairs.
+  * oracles over the source table. The probabilistic-hash methods
+  * (MinHash+LSH, SimHash) split at their deterministic seam: the
+  * Spark-computed signature/fingerprint/shingle-hash frames are parquet
+  * fixtures, and the oracle replays the ENTIRE downstream stage (band
+  * bucketing → candidate join → exact Jaccard verify; Hamming pigeonhole
+  * join) in DuckDB over those fixtures — so the driver hash-checks
+  * everything after the hash family. DedupSpec additionally pins the hash
+  * stage itself (candidates ⊆ exact pairs, 100% planted recall).
   */
 object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+
+  /** MinHash/LSH parameters: k=128 hashes in 32 bands × 4 rows. */
+  private val K = 128
+  private val Bands = 32
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content dedup (hash-groupBy on md5).
@@ -28,16 +37,25 @@ object DedupQueries {
         .orderBy("id_a", "id_b")),
 
     // MinHash(128)+LSH(32 bands × 4 rows) with exact verification at 0.8.
-    "q_dedup_minhash" -> ((s, dir) =>
-      DedupOps.minhashDedupPairs(docs(s, dir), "doc_id", "text",
-          n = 3, k = 128, bands = 32, threshold = 0.8)
-        .orderBy("id_a", "id_b")),
+    // Fixture seams: the signature frame and the shingle-hash frame.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = seam(DedupOps.minhashSignatures(d, "doc_id", "text", n = 3, k = K),
+        dir, "minhash_sigs")
+      val ex = seam(DedupOps.shingleHashes(d, "doc_id", "text", n = 3),
+        dir, "minhash_shingles")
+      DedupOps.verifyJaccardPairs(
+          DedupOps.lshCandidates(sigs, K, Bands), ex, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
 
-    // SimHash fingerprints + Hamming≤3 near-dup pairs.
-    "q_dedup_simhash" -> ((s, dir) =>
-      DedupOps.simhashPairs(
-          DedupOps.simhash(docs(s, dir), "doc_id", "text"), 3)
-        .orderBy("id_a", "id_b")),
+    // SimHash fingerprints + Hamming≤3 near-dup pairs. Fixture seam: the
+    // 64-bit fingerprint frame.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val fps = seam(DedupOps.simhash(docs(s, dir), "doc_id", "text"),
+        dir, "simhash_fps")
+      DedupOps.simhashPairs(fps, 3).orderBy("id_a", "id_b")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -66,7 +84,60 @@ object DedupQueries {
         |JOIN cnt cb ON id_b = cb.doc_id
         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
-    // q_dedup_minhash / q_dedup_simhash: intentionally no oracle (probabilistic
-    // hash families; rows-only check + ScalaTest containment/recall specs).
+
+    // Downstream-stage replay over the Spark-written fixtures. Band-bucket
+    // equality here compares the BAND CONTENT (the 4-signature slice) —
+    // equivalent to the engine's xxhash64 bucket modulo hash collisions.
+    "q_dedup_minhash" ->
+      s"""WITH sigs AS (SELECT * FROM read_parquet('${sqlPath("minhash_sigs")}')),
+         |ex AS (SELECT * FROM read_parquet('${sqlPath("minhash_shingles")}')),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sigs),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |         array_to_string(list_slice(sig, CAST(band AS INT) * 4 + 1,
+         |                                    CAST(band AS INT) * 4 + 4), ',') AS bucket
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |shared AS (
+         |  SELECT id_a, id_b, count(*) AS shared
+         |  FROM cand
+         |  JOIN ex ea ON ea.doc_id = id_a
+         |  JOIN ex eb ON eb.doc_id = id_b AND ea.gh = eb.gh
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+         |FROM shared
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Hamming pigeonhole over the fingerprint fixture: 4 × 16-bit blocks;
+    // arithmetic >> plus the & 65535 mask equals a logical shift's low 16
+    // bits for every block, so negative fingerprints are handled exactly.
+    "q_dedup_simhash" ->
+      s"""WITH fps AS (SELECT * FROM read_parquet('${sqlPath("simhash_fps")}')),
+         |blk AS (
+         |  SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS block_idx FROM fps),
+         |b2 AS (
+         |  SELECT doc_id, simhash, block_idx,
+         |         (simhash >> (block_idx * 16)) & 65535 AS block_val
+         |  FROM blk),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sa, b.simhash AS sb
+         |  FROM b2 a JOIN b2 b
+         |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         |       AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sa, sb)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

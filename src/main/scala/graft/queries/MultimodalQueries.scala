@@ -46,8 +46,35 @@ object MultimodalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // q_multimodal_features: rows-only (decode stub; blob byte math is not
-    // reasonably expressible in DuckDB SQL) — MultimodalSpec pins values.
+    // Byte-level replay of the decode stub in SQL: the payload is the
+    // UTF-8 encoding of `text`, so hex() + a 256-row printf lookup table
+    // recovers every byte value; the histogram then yields mean byte and
+    // Shannon entropy (ln/ln(2), mirroring the kernel's formula). The
+    // integer byte-sum is exact on both sides; only the entropy sum order
+    // differs, absorbed by round(...,6).
+    "q_multimodal_features" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |idx AS (SELECT id, n, h, unnest(range(0, n)) AS i FROM p),
+        |lut AS (SELECT printf('%02X', v) AS pair, v FROM range(0, 256) t(v)),
+        |vals AS (
+        |  SELECT idx.id, idx.n, lut.v
+        |  FROM idx JOIN lut ON substr(idx.h, CAST(2 * idx.i + 1 AS INT), 2) = lut.pair),
+        |hist AS (SELECT id, n, v, count(*) AS c FROM vals GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT id,
+        |         CAST(sum(v * c) AS DOUBLE) / n AS mb,
+        |         -sum((CAST(c AS DOUBLE) / n) * (ln(CAST(c AS DOUBLE) / n) / ln(2))) AS ent
+        |  FROM hist GROUP BY id, n)
+        |SELECT p.id, CAST(p.n AS BIGINT) AS "nBytes",
+        |       round(coalesce(agg.mb, 0.0), 6) AS "meanByte",
+        |       round(coalesce(agg.ent, 0.0), 6) AS "byteEntropy",
+        |       CAST(ceil(p.n / 4096.0) AS INT) AS "nFrames"
+        |FROM p LEFT JOIN agg ON p.id = agg.id
+        |ORDER BY p.id""".stripMargin,
+
     "q_frame_sample" ->
       """WITH p AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,

@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic-seam fixtures for the probabilistic-hash queries.
+  *
+  * The driver's DuckDB oracle cannot reproduce xxhash64 / splitmix64 hash
+  * families, but everything DOWNSTREAM of the hashes (band joins, candidate
+  * verification, Hamming pigeonholes, exact ranking) is plain relational
+  * algebra. So each such query splits at its deterministic seam: Spark
+  * writes the hash-stage output (signatures / fingerprints / buckets /
+  * shingle hashes) to a parquet fixture, reads it back, and runs the
+  * downstream stage from the fixture — and the oracle SQL runs the SAME
+  * downstream stage in DuckDB over the SAME fixture files. The driver's
+  * hash compare then verifies the whole post-hash pipeline bit-for-bit.
+  *
+  * Paths embed the scale-factor directory name so a bench run at sf0.1
+  * can't clobber the sf0.01 fixtures between `Verify` and the DuckDB
+  * compare. The oracle SQL strings are static, so they pin the driver's
+  * verification scale (sf0.01, per the driver contract).
+  */
+object OracleFixtures {
+  val Root = "/tmp/graft_fixtures"
+
+  /** SF directory the driver verifies at; oracle SQL references this. */
+  val VerifySf = "sf0.01"
+
+  private def sfName(sfDir: String): String =
+    new java.io.File(sfDir.replaceAll("/+$", "")).getName
+
+  /** Write `df` as the fixture `name` for this SF and read it back, so the
+    * Spark downstream stage consumes exactly the bytes DuckDB will. */
+  def seam(df: DataFrame, sfDir: String, name: String): DataFrame = {
+    val path = s"$Root/${sfName(sfDir)}/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** The `read_parquet` glob for fixture `name` in oracle SQL. */
+  def sqlPath(name: String): String = s"$Root/$VerifySf/$name/*.parquet"
+}

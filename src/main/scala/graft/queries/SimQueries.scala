@@ -3,34 +3,65 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.tables.Tables
 import graft.sim.SimilarityOps
+import OracleFixtures.{seam, sqlPath}
 
 /** Similarity-search query surface over `embeddings` (north-star
-  * extensions). Exact paths have DuckDB oracles (cosine recomputed in
-  * double with identical rounding); the LSH ANN path is rows-only +
-  * SimilaritySpec (recall vs. the brute-force baseline).
+  * extensions). The exact paths have direct DuckDB oracles (cosine
+  * recomputed in double with identical rounding); the hash-bucketed paths
+  * (banded-LSH pairs, LSH ANN) split at their deterministic seam — the
+  * Spark-computed signature frame is a parquet fixture, and the oracle runs
+  * the whole downstream stage (band join → candidates → exact verify /
+  * probe join → exact rank) in DuckDB over that fixture. SimilaritySpec
+  * additionally pins LSH recall against the exact baselines.
   */
 object SimQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
+  /** Banded-LSH pair-scan parameters: 32 bands × 3 planes. At the 0.4
+    * threshold (hyperplane collision p ≈ 0.63) per-pair miss probability is
+    * (1 − p³)³² ≈ 1e-4; at a production near-dup threshold of 0.8
+    * (p ≈ 0.80) the same shape with 8-plane bands prunes ~255/256 of the
+    * corpus per band. Tune (rows, bands) to the threshold — see
+    * [[graft.sim.SimilarityOps.lshPairCandidates]]. */
+  private val PairRows = 3
+  private val PairBands = 32
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact brute-force cosine top-5 for every 10th vector as query.
+    // Exact brute-force cosine top-5: every 10th vector among the first 100
+    // such ids is a query — FIXED-size query set, so the broadcast side
+    // stays O(100) vectors no matter the corpus size.
     "q_cosine_topk" -> ((s, dir) =>
       SimilarityOps.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
-          querySelector = 10, k = 5)
+          querySelector = 10, k = 5, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
-    // All pairs with cosine ≥ 0.4 (embedding near-dup threshold scan).
+    // All pairs with cosine >= 0.4 — EXACT, via the distributed block-pair
+    // join (no corpus broadcast, no nested-loop node; see
+    // SimilarityOps.cosinePairsBlocked).
     "q_cosine_pairs" -> ((s, dir) =>
-      SimilarityOps.cosinePairs(emb(s, dir), "vec_id", "embedding", 0.4)
+      SimilarityOps.cosinePairsBlocked(emb(s, dir), "vec_id", "embedding", 0.4)
         .orderBy("id_a", "id_b")),
 
+    // The sub-quadratic pair scan: banded-LSH candidates -> exact verify.
+    // The signature frame is the fixture seam; the oracle replays the band
+    // join + verification in DuckDB over it.
+    "q_cosine_pairs_lsh" -> ((s, dir) => {
+      val sig = seam(SimilarityOps.bandedSignatures(
+        emb(s, dir), "vec_id", "embedding", PairRows, PairBands),
+        dir, "lshpair_sigs")
+      SimilarityOps.cosinePairsLsh(sig, 0.4).orderBy("id_a", "id_b")
+    }),
+
     // ANN: random-hyperplane LSH buckets (6 planes → 64 buckets), top-5
-    // within bucket. Plane count scales with corpus size (log n).
-    "q_ann_lsh" -> ((s, dir) =>
-      SimilarityOps.lshTopK(emb(s, dir), "vec_id", "embedding",
-          querySelector = 10, k = 5, nPlanes = 6)
-        .orderBy("query_id", "rank")),
+    // within bucket + Hamming-1 multi-probe. Plane count scales with corpus
+    // size (log n). Signature frame is the fixture seam.
+    "q_ann_lsh" -> ((s, dir) => {
+      val sig = seam(SimilarityOps.lshSignatures(
+        emb(s, dir), "vec_id", "embedding", nPlanes = 6), dir, "annlsh_sigs")
+      SimilarityOps.lshTopKFrom(sig, querySelector = 10, k = 5, nPlanes = 6)
+        .orderBy("query_id", "rank")
+    }),
 
     // ANN: IVF cells (16 centroids, 2 probes), exact rank within cells.
     "q_ann_ivf" -> ((s, dir) =>
@@ -43,7 +74,7 @@ object SimQueries {
     "q_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 1000),
         |e AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
         |      FROM embeddings),
         |pairs AS (
@@ -66,9 +97,45 @@ object SimQueries {
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    // q_ann_lsh: intentionally no oracle (xxhash64-derived hyperplanes are
-    // not reproducible in DuckDB; rows-only + SimilaritySpec).
-    // q_ann_ivf IS deterministic math end-to-end, so it gets a full oracle:
+
+    "q_cosine_pairs_lsh" ->
+      s"""WITH sig AS (SELECT * FROM read_parquet('${sqlPath("lshpair_sigs")}')),
+         |banded AS (
+         |  SELECT id, unnest(range(0, $PairBands)) AS band, bands FROM sig),
+         |bb AS (
+         |  SELECT id, band, bands[CAST(band AS INT) + 1] AS bucket FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |v AS (SELECT id, CAST(v AS DOUBLE[]) AS vv FROM sig)
+         |SELECT id_a, id_b,
+         |       round(list_cosine_similarity(va.vv, vb.vv), 6) AS cos
+         |FROM cand JOIN v va ON id_a = va.id JOIN v vb ON id_b = vb.id
+         |WHERE round(list_cosine_similarity(va.vv, vb.vv), 6) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH sig AS (
+         |  SELECT id, CAST(v AS DOUBLE[]) AS v, bucket
+         |  FROM read_parquet('${sqlPath("annlsh_sigs")}')),
+         |q AS (
+         |  SELECT id AS query_id, v AS qv,
+         |         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+         |                 xor(bucket, 8), xor(bucket, 16), xor(bucket, 32)]) AS bucket
+         |  FROM sig WHERE id % 10 = 0),
+         |pairs AS (
+         |  SELECT q.query_id, c.id AS neighbor_id,
+         |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.bucket
+         |  FROM q JOIN sig c ON q.bucket = c.bucket AND q.query_id <> c.id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, bucket,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, rank, neighbor_id, cos, bucket
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q_ann_ivf" ->
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -3,18 +3,23 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
-  * Two paths:
-  *  - brute-force cosine top-k — the exact baseline: broadcast the (small)
-  *    query set against the full corpus; one pass, no corpus shuffle;
-  *  - LSH-bucketed ANN — the scale path: deterministic random-hyperplane
-  *    signatures bucket the corpus so each query only scans its bucket
-  *    (plus multi-probe neighbors would extend recall; single-probe here).
+  * Paths, from exact to approximate:
+  *  - brute-force cosine top-k — exact: broadcast a FIXED-SIZE query set
+  *    against the full corpus; one pass, no corpus shuffle;
+  *  - blocked exact pair scan — exact all-pairs threshold join restructured
+  *    as a block-pair equi-join: the unavoidable O(n²) work distributes
+  *    across `nBlocks·(nBlocks+1)/2` reducers with bounded memory and NO
+  *    corpus broadcast / nested-loop join;
+  *  - banded-LSH pair candidates + exact verify — the sub-quadratic path
+  *    for HIGH thresholds (near-dup range, cos ≥ ~0.7);
+  *  - LSH / IVF ANN top-k — bucketed approximate search.
   *
-  * All vector math is `aggregate`/`zip_with` higher-order expressions over
-  * `ARRAY<DOUBLE>` — no UDFs, stays inside codegen.
+  * All vector math runs through the native codegen kernels in
+  * [[graft.functions.VectorFunctions]] — no UDFs, no interpreter.
   */
 object SimilarityOps {
 
@@ -24,23 +29,31 @@ object SimilarityOps {
   def toDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
   /** Fused native dot product (codegen'd loop — see VectorExpressions). */
-  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
+  def dot(a: Column, b: Column): Column = VectorFunctions.vec_dot(a, b)
 
-  def l2norm(a: Column): Column = graft.functions.VectorFunctions.vec_norm(a)
+  def l2norm(a: Column): Column = VectorFunctions.vec_norm(a)
 
   /** Cosine from a fresh pair of vectors. Hot paths below instead join on
     * PRE-COMPUTED norms — never recompute a norm per candidate pair. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  /** Exact top-k: for each query vector (`idCol % querySelector == 0`), the
-    * k nearest corpus vectors by cosine. Ranking uses the ROUNDED similarity
-    * with the neighbor id as tie-break, so order is engine-independent.
-    * Norms are computed once per side before the pair join. */
+  /** Exact top-k: for each query vector (`idCol % querySelector == 0`, capped
+    * at the first `maxQueries` multiples), the k nearest corpus vectors by
+    * cosine. Ranking uses the ROUNDED similarity with the neighbor id as
+    * tie-break, so order is engine-independent.
+    *
+    * The query set is FIXED-SIZE by construction (`maxQueries`), so the
+    * broadcast side stays O(maxQueries · dims) bytes no matter how large the
+    * corpus grows — a selector-only query set would make the broadcast a
+    * constant fraction of the corpus and flip the plan into a corpus-sized
+    * shuffle (or an OOM'ing broadcast) at scale. Norms are computed once per
+    * side before the pair join. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     querySelector: Long, k: Int): DataFrame = {
+                     querySelector: Long, k: Int, maxQueries: Long = 100L): DataFrame = {
     val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nv"))
-    val queries = emb.filter(col(idCol) % querySelector === 0)
+    val queries = emb.filter(col(idCol) % querySelector === 0 &&
+        col(idCol) < lit(querySelector * maxQueries))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("nq"))
     val w = Window.partitionBy(col("query_id"))
@@ -52,8 +65,10 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** All near-pairs above a cosine threshold (id_a < id_b). Quadratic —
-    * correctness baseline; the LSH path is the scale variant. */
+  /** All near-pairs above a cosine threshold (id_a < id_b), via broadcast
+    * nested-loop. SPEC-ONLY exact baseline for small n — the recall oracle
+    * for [[cosinePairsBlocked]] and [[lshPairCandidates]] tests. Never in
+    * the serving/bench contract: the broadcast side is the whole corpus. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"),
@@ -61,6 +76,93 @@ object SimilarityOps {
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
       l2norm(col(vecCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** EXACT all-pairs cosine threshold scan, distributed: the classic
+    * block-pair formulation. Vectors hash into `nBlocks` blocks; side A
+    * replicates each vector to every block-pair key `(blk, j≥blk)`, side B
+    * to every `(j≤blk, blk)`, and the equi-join on the key meets each
+    * unordered pair EXACTLY once (within-block pairs deduped by `id_a <
+    * id_b`). An all-pairs scan at a low threshold is inherently Ω(n²)
+    * comparisons (the output itself can be quadratic) — what matters at
+    * scale is the SHAPE of that work:
+    *  - no corpus broadcast, no nested-loop join node — every operator is a
+    *    shuffled equi-join;
+    *  - replication factor is `nBlocks+1` rows per vector, one reducer holds
+    *    2n/nBlocks vectors → memory bounded, spillable;
+    *  - parallelism is `nBlocks(nBlocks+1)/2` independent tasks; size
+    *    `nBlocks ≈ √(2·cluster cores)` so FLOPs spread evenly.
+    * For HIGH thresholds prefer [[lshPairCandidates]] + exact verify, which
+    * prunes most comparisons before they happen. */
+  def cosinePairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nBlocks: Int = 16): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("nv"))
+      .withColumn("blk", pmod(col("id"), lit(nBlocks)).cast("int"))
+    val a = base
+      .withColumn("bb", explode(filter(sequence(lit(0), lit(nBlocks - 1)),
+        j => j >= col("blk"))))
+      .select(col("blk").as("ba"), col("bb"),
+        col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val b = base
+      .withColumn("ba", explode(filter(sequence(lit(0), lit(nBlocks - 1)),
+        j => j <= col("blk"))))
+      .select(col("ba"), col("blk").as("bb"),
+        col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    a.join(b, Seq("ba", "bb"))
+      // a cross-block key (p,q), p≠q, pairs each (block-p, block-q) vector
+      // combination exactly once regardless of id order; only the p=q key
+      // produces both orders + self-pairs, deduped by id
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos"))
+  }
+
+  /** Banded-LSH candidate pairs: vectors sharing any of `nBands` hyperplane
+    * sign-buckets (`rowsPerBand` planes each — see
+    * [[graft.functions.HyperplaneBands]]). Equi-join on (band, bucket), so
+    * the shuffle key is the bucket — no all-pairs comparison materializes.
+    *
+    * Recall per pair at cosine θ-similarity `p = 1 − θ/π` is
+    * `1 − (1 − p^rows)^bands` — tune (rows, bands) to the threshold. The
+    * candidate volume scales as `bands / 2^rows · n²` on UNclustered data,
+    * so this wins big only when the threshold is high (p close to 1, few
+    * rows needed) or the data is clustered (real near-dup corpora are);
+    * for exhaustive low-threshold scans use [[cosinePairsBlocked]]. */
+  def lshPairCandidates(sig: DataFrame): DataFrame = {
+    val banded = sig.select(col("id"),
+      posexplode(col("bands")).as(Seq("band", "bucket")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Banded signatures frame `(id, v, nv, bands ARRAY<BIGINT>)` — the
+    * deterministic seam for the LSH pair pipeline (fixture-oracle'd). */
+  def bandedSignatures(emb: DataFrame, idCol: String, vecCol: String,
+                       rowsPerBand: Int, nBands: Int): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nv"),
+      VectorFunctions.hyperplane_bands(col(vecCol), rowsPerBand, nBands).as("bands"))
+
+  /** LSH-candidate → exact-verify cosine pair scan: candidates from
+    * [[lshPairCandidates]], then exact cosine on candidates only (norms
+    * joined from the signature frame, never recomputed per pair). Same
+    * output schema as the exact scans; recall is the LSH candidate recall
+    * (verification is exact, so NO false positives — only possible misses,
+    * bounded by the (rows, bands) formula above). */
+  def cosinePairsLsh(sig: DataFrame, threshold: Double): DataFrame = {
+    val cands = lshPairCandidates(sig)
+    val va = sig.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val vb = sig.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
@@ -85,9 +187,6 @@ object SimilarityOps {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** ANN via LSH buckets: corpus and queries hash to sign-buckets; each
-    * query joins only its bucket (equi-join on the signature → shuffle on
-    * bucket key, never all-pairs), then exact cosine ranks within bucket. */
   /** ANN via IVF (inverted-file) cells: a deterministic coarse quantizer
     * (the `nCells` lowest-id vectors serve as centroids) assigns every
     * corpus vector to its nearest cell; each query probes its `nProbe`
@@ -102,21 +201,31 @@ object SimilarityOps {
     val centroids = base.orderBy("id").limit(nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nv").as("cn"))
     val simToCell = dot(col("v"), col("cv")) / (col("nv") * col("cn"))
-    def assign(input: DataFrame, perRow: Int): DataFrame = {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("cell_sim").desc, col("cell"))
-      input.crossJoin(broadcast(centroids))
-        .withColumn("cell_sim", simToCell)
-        .withColumn("cell_rank", row_number().over(w))
-        .filter(col("cell_rank") <= perRow)
-        .select(col("id"), col("v"), col("nv"), col("cell"))
-    }
-    val corpus = assign(base, 1)
-      .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
-    // probe-assign only the QUERY subset — assigning the full corpus at
-    // nProbe and filtering after would waste (querySelector-1)/querySelector
-    // of a second full-corpus pass
-    val queries = assign(base.filter(col("id") % querySelector === 0), nProbe)
+    // Corpus assignment (best cell per vector): `max_by` over the broadcast
+    // cross product, NOT a row_number window — the aggregate does map-side
+    // partial `max_by`, so the nCells-times-amplified rows never leave their
+    // input partition; the only exchange carries ONE row per vector. (A
+    // window formulation shuffles the full amplified corpus first —
+    // ruinous at scale.) Tie-break mirrors the window ordering
+    // (`cell_sim` desc, `cell` asc) via the (cell_sim, -cell) max key,
+    // which is unique per (vector, cell).
+    val corpus = base.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", simToCell)
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell"), col("v"), col("nv")),
+        struct(col("cell_sim"), (-col("cell")).as("tb"))).as("best"))
+      .select(col("id").as("neighbor_id"), col("best.v").as("v"),
+        col("best.nv").as("nv"), col("best.cell").as("cell"))
+    // probe-assign only the QUERY subset (small → the window is fine here);
+    // assigning the full corpus at nProbe and filtering after would waste
+    // (querySelector-1)/querySelector of a second full-corpus pass
+    val qw = Window.partitionBy(col("id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val queries = base.filter(col("id") % querySelector === 0)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", simToCell)
+      .withColumn("cell_rank", row_number().over(qw))
+      .filter(col("cell_rank") <= nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nv").as("nq"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -130,12 +239,20 @@ object SimilarityOps {
       // (query, neighbor) pair can match at most one probed cell
   }
 
-  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
-              querySelector: Long, k: Int, nPlanes: Int,
-              multiProbe: Boolean = true): DataFrame = {
-    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+  /** Signature frame for [[lshTopKFrom]]: `(id, v, nv, bucket)` — the
+    * deterministic seam for the ANN pipeline (fixture-oracle'd). */
+  def lshSignatures(emb: DataFrame, idCol: String, vecCol: String,
+                    nPlanes: Int): DataFrame =
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         l2norm(col(vecCol)).as("nv"))
       .withColumn("bucket", hyperplaneSignature(toDouble(col("v")), nPlanes))
+
+  /** ANN via LSH buckets over a precomputed signature frame: corpus and
+    * queries hash to sign-buckets; each query joins only its bucket (equi-
+    * join on the signature → shuffle on bucket key, never all-pairs), then
+    * exact cosine ranks within bucket. */
+  def lshTopKFrom(sig: DataFrame, querySelector: Long, k: Int, nPlanes: Int,
+                  multiProbe: Boolean = true): DataFrame = {
     // multi-probe: a query also searches every Hamming-1 bucket (flip each
     // plane bit once) — the standard recall lever that costs probe joins,
     // not extra hash tables. Corpus vectors stay in exactly one bucket, so
@@ -158,4 +275,10 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos", "bucket")
   }
+
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              querySelector: Long, k: Int, nPlanes: Int,
+              multiProbe: Boolean = true): DataFrame =
+    lshTopKFrom(lshSignatures(emb, idCol, vecCol, nPlanes),
+      querySelector, k, nPlanes, multiProbe)
 }

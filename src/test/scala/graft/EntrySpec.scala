@@ -28,9 +28,9 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries are the documented probabilistic set") {
+  test("every contract query has an oracle (no rows-only checks left)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash", "q_ann_lsh",
-      "q_multimodal_features"))
+    assert(rowsOnly.isEmpty,
+      s"queries without oracle SQL: ${rowsOnly.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -51,4 +51,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("exact pair scan is a block-pair equi-join: no nested loop over n²") {
+    val p = plan("q_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "corpus-sized nested loop")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("LSH pair scan: equi-joins only, no nested loop") {
+    val p = plan("q_cosine_pairs_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("IVF corpus assignment aggregates (max_by), no corpus-side window") {
+    val p = plan("q_ann_ivf")
+    // exactly two windows remain: the (small) query-side probe assignment
+    // and the final per-query rank — the corpus side must be a partial→final
+    // aggregate, never a window over the nCells-amplified corpus
+    val windows = p.linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+    assert(windows <= 2, s"$windows Window nodes:\n$p")
+    assert(p.contains("max_by"))
+  }
 }

@@ -111,6 +111,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("blocked exact pair scan equals the brute-force scan bit-for-bit") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val blocked = toSet(SimilarityOps.cosinePairsBlocked(emb, "vec_id", "embedding", 0.4))
+    assert(exact.nonEmpty)
+    assert(blocked == exact)
+  }
+
+  test("LSH pair scan: exact-verified subset of brute force, high recall") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = toSet(SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val sig = SimilarityOps.bandedSignatures(emb, "vec_id", "embedding", 3, 32)
+    val lsh = toSet(SimilarityOps.cosinePairsLsh(sig, 0.4))
+    assert(exact.nonEmpty)
+    // verification is exact → no false positives, ever
+    assert(lsh.subsetOf(exact))
+    // (1-p³)³² miss bound at the 0.4 threshold → near-total recall
+    assert(lsh.size.toDouble >= exact.size * 0.9,
+      s"LSH recall ${lsh.size}/${exact.size}")
+  }
+
+  test("banded signatures are deterministic with the configured band count") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001).limit(50)
+    val sig = SimilarityOps.bandedSignatures(emb, "vec_id", "embedding", 3, 32)
+    val a = sig.collect().map(r => (r.getLong(0), r.getSeq[Long](3))).toMap
+    val b = sig.collect().map(r => (r.getLong(0), r.getSeq[Long](3))).toMap
+    assert(a == b)
+    assert(a.values.forall(_.length == 32))
+    // 3-plane buckets live in [0, 8)
+    assert(a.values.forall(_.forall(v => v >= 0 && v < 8)))
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001).limit(50)
     val sig = emb.select(col("vec_id"),
