@@ -91,7 +91,17 @@ object DedupOps {
   /** `ObjectHashAggregate` (the exec for TypedImperativeAggregate) falls
     * back to SORT-based aggregation after only 128 distinct keys per
     * partition by default — ruinous for per-document aggregates. Raise it;
-    * buffers here are ≤1 KB so even 128k in-flight groups is ~128 MB. */
+    * buffers here are ≤1 KB so even 128k in-flight groups is ~128 MB.
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: [[minhashSignatures]] and
+    * [[simhash]] raise this conf on the caller's SparkSession at
+    * plan-construction time and never restore it (the conf is read at
+    * EXECUTION, so a scoped set-restore around plan build would be a
+    * no-op race). The mutation is monotone (only ever raises to one fixed
+    * value) and idempotent, so concurrent callers commute; callers that
+    * need a different value must set it AFTER building these plans, or
+    * run them on a separate session (`spark.newSession()` shares the
+    * SparkContext but isolates conf). */
   private def raiseObjectAggThreshold(df: DataFrame): Unit =
     df.sparkSession.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")

@@ -46,9 +46,12 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
 }
 
 object WordShingles {
-  /** Matches the ASCII character class of regex `\s` (Java and RE2 agree). */
+  /** Matches RE2's ASCII `\s` class `[\t\n\f\r ]` — the regex engine behind
+    * the DuckDB oracles. NOTE: Java's `\s` additionally includes vertical
+    * tab (0x0B); it is deliberately EXCLUDED here so tokenization agrees
+    * with the oracle's `\S+` on any input. */
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == ''
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
 
   /** Static kernel referenced from generated code. `distinct=false` keeps
     * every positional shingle in order (winnowing needs positions). */

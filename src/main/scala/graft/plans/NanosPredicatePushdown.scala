@@ -16,9 +16,18 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * adds the raw predicate by hand; this rule does it for EVERY comparison
   * of that shape, so ad-hoc user filters get row-group skipping too.
   *
-  * For non-negative nanos (post-1970 archives), `floor(ns/1000) ⋛ T` is
-  * EXACTLY `ns ⋛ T*1000` for each of the four comparisons, but the original
-  * predicate is kept anyway — the added conjunct only enables pushdown.
+  * Correctness domain: `div` is Spark's IntegralDivide, which truncates
+  * toward ZERO — so `ts = micros(trunc(ns/1000))` floors for `ns ≥ 0` but
+  * CEILS for `ns < 0` (pre-1970 data). The added conjunct must therefore be
+  * a NECESSARY condition of the original predicate on BOTH domains (the
+  * original predicate is always kept; the conjunct only enables row-group
+  * skipping). Upper bounds already are: `trunc(ns/1000) < v` implies
+  * `ns < v*1000` for every ns. Lower bounds are not (`trunc(-500/1000) =
+  * 0 ≥ 0` but `-500 ≥ 0` fails), so each derived lower bound is RELAXED by
+  * 999 ns — `trunc(ns/1000) ≥ v` implies `ns ≥ v*1000 − 999` exactly
+  * (tight on the negative side, 999 ns slack on the positive side, which
+  * at parquet row-group granularity prunes identically). This keeps the
+  * conjunct a single comparison (an OR-guard would not push down).
   * Idempotent: skips predicates already present. Installed via
   * [[graft.functions.GraftExtensions]] (`injectOptimizerRule`) or
   * `spark.experimental.extraOptimizations`.
@@ -40,16 +49,23 @@ object NanosPredicatePushdown extends Rule[LogicalPlan] {
   private def nanosBound(micros: Long): Option[Long] =
     try Some(Math.multiplyExact(micros, 1000L)) catch { case _: ArithmeticException => None }
 
+  /** Lower bound valid on BOTH sign domains: `trunc(ns/1000) ≥ v` ⟹
+    * `ns ≥ v*1000 − 999` (see class doc). */
+  private def nanosLowerBound(micros: Long): Option[Long] =
+    try Some(Math.subtractExact(Math.multiplyExact(micros, 1000L), 999L))
+    catch { case _: ArithmeticException => None }
+
   private def derive(e: Expression): Option[Expression] = e match {
     case GreaterThanOrEqual(TsFromNanos(ns), Literal(v: Long, TimestampType)) =>
-      nanosBound(v).map(b => GreaterThanOrEqual(ns, Literal(b, LongType)))
+      nanosLowerBound(v).map(b => GreaterThanOrEqual(ns, Literal(b, LongType)))
     case GreaterThan(TsFromNanos(ns), Literal(v: Long, TimestampType)) =>
-      // floor(ns/1000) > v ⇔ ns >= (v+1)*1000
-      nanosBound(v + 1).map(b => GreaterThanOrEqual(ns, Literal(b, LongType)))
+      // trunc(ns/1000) > v ⇔ trunc(ns/1000) >= v+1 ⟹ ns >= (v+1)*1000 - 999
+      nanosLowerBound(v + 1).map(b => GreaterThanOrEqual(ns, Literal(b, LongType)))
     case LessThan(TsFromNanos(ns), Literal(v: Long, TimestampType)) =>
+      // trunc(ns/1000) < v ⟹ ns < v*1000 on both domains
       nanosBound(v).map(b => LessThan(ns, Literal(b, LongType)))
     case LessThanOrEqual(TsFromNanos(ns), Literal(v: Long, TimestampType)) =>
-      // floor(ns/1000) <= v ⇔ ns < (v+1)*1000
+      // trunc(ns/1000) <= v ⟹ ns < (v+1)*1000 on both domains
       nanosBound(v + 1).map(b => LessThan(ns, Literal(b, LongType)))
     // literal-first mirrored forms
     case GreaterThanOrEqual(l @ Literal(_, TimestampType), t @ TsFromNanos(_)) =>

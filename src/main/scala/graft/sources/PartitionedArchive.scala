@@ -84,10 +84,13 @@ object PartitionedArchive {
     *
     * The rewrite lands in an underscore-prefixed sibling (invisible to
     * Spark partition discovery, so readers never see mixed old+new data),
-    * then swaps via delete+rename. A reader in the swap instant can see
-    * the partition briefly absent — full isolation needs a transactional
-    * table layer; a crash mid-swap leaves the data recoverable in the
-    * `_compacting_*` dir. */
+    * then swaps rename-aside: live → `_old_*`, `_compacting_*` → live,
+    * delete `_old_*`. The unreadable window is ONE rename pair — never a
+    * recursive delete (which on object stores is O(files), a wide-open
+    * crash window). A crash mid-swap leaves the previous data intact in
+    * `_old_*`; the next compaction run restores it automatically before
+    * doing anything else. Full isolation still needs a transactional table
+    * layer. */
   def compactPartition(spark: SparkSession, root: String, product: String,
       partitionValues: Seq[(String, Any)], targetFileBytes: Long = 128L << 20): Unit = {
     val dir = partitionValues.foldLeft(s"$root/$product") {
@@ -95,6 +98,10 @@ object PartitionedArchive {
     }
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(path.getParent, s"_old_${path.getName}")
+    // crash recovery: a previous run renamed the live dir aside but died
+    // before promoting its rewrite — put the old data back first
+    if (!fs.exists(path) && fs.exists(old)) fs.rename(old, path)
     if (!fs.exists(path)) return
     val bytes = fs.getContentSummary(path).getLength
     val nFiles = math.max(1, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -104,8 +111,10 @@ object PartitionedArchive {
       else df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
     ranged.sortWithinPartitions("ts")
       .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
-    fs.delete(path, true)
+    if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash AFTER promote
+    fs.rename(path, old)
     fs.rename(tmp, path)
+    fs.delete(old, true)
   }
 
   /** Retention: drop whole product partitions whose directory matches the

@@ -29,6 +29,13 @@ object Tables {
     * for — read it as raw nanos and truncate to microseconds (same
     * conversion DuckDB applies, so oracles agree).
     *
+    * SESSION-WIDE SIDE EFFECT, by design: sets
+    * `spark.sql.legacy.parquet.nanosAsLong` on the caller's session and
+    * never restores it (the conf is read at scan time, after this method
+    * returns). The mutation is idempotent and value-stable, so concurrent
+    * callers commute; a session that must read OTHER nanos-timestamp
+    * parquet as timestamps should use a separate `spark.newSession()`.
+    *
     * The derived timestamp is NOT a scan column, so a filter on it cannot
     * reach the parquet reader — at archive scale that is a full scan. The
     * raw long is therefore kept as [[EventsTsNanosCol]]; windowFilter adds a

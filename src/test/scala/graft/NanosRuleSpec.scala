@@ -26,10 +26,27 @@ class NanosRuleSpec extends AnyFunSuite {
                 col("ts") < lit("2024-01-12 00:00:00"))
         .select("event_id", "value")
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("GreaterThanOrEqual(ts,1704844800000000000)"),
+      // lower bound relaxed by 999 ns: valid on the negative-nanos domain
+      // too (IntegralDivide truncates toward zero, not floor)
+      assert(plan.contains("GreaterThanOrEqual(ts,1704844799999999001)"),
         plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
       assert(plan.contains("LessThan(ts,1705017600000000000)"))
     }
+  }
+
+  test("negative (pre-1970) nanos are never dropped by derived bounds") {
+    import spark.implicits._
+    val ns = Seq(-1500L, -1000L, -500L, -1L, 0L, 1L, 500L, 1000L, 1500L)
+    def frame = ns.toDF("ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    // trunc-toward-zero: -999..-1 all map to epoch, so ts >= epoch keeps them
+    def kept(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("ts") >= lit(java.sql.Timestamp.from(java.time.Instant.EPOCH)))
+      .select("ts_ns").collect().map(_.getLong(0)).sorted.toSeq
+    val without = kept(frame)
+    val withR = withRule(kept(frame))
+    assert(without == Seq(-500L, -1L, 0L, 1L, 500L, 1000L, 1500L))
+    assert(withR == without)
   }
 
   test("rule preserves results exactly (strict vs non-strict bounds)") {
