@@ -1,0 +1,35 @@
+package graft.serve
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.PartitionedArchive
+
+/** Standalone server entry point: serve the seven reference endpoints +
+  * `/health` over a partitioned archive (see [[PartitionedArchive]] for the
+  * layout). Usage: `runMain graft.serve.ServeMain <archiveRoot> [port]`.
+  *
+  * The session is long-lived and shared across requests — exactly the
+  * deployment shape the reference runs (one FastAPI process over one
+  * upstream accessor), with Spark partition pruning standing in for the
+  * reference's filename-based file selection. On a cluster, point the
+  * master at it and the same per-request plans distribute.
+  */
+object ServeMain {
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse(
+      sys.error("usage: ServeMain <archiveRoot> [port]"))
+    val port = args.lift(1).map(_.toInt).getOrElse(8000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val service = AmbientService.fromFrames(
+      PartitionedArchive.readBroadband(spark, root),
+      PartitionedArchive.readPsd(spark, root))
+    val server = new HttpApi(service).start(port)
+    System.err.println(s"[serve] listening on :${server.getAddress.getPort} over $root")
+    Thread.currentThread().join()
+  }
+}

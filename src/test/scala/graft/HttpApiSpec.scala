@@ -1,0 +1,160 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serve.{AmbientService, HttpApi}
+
+/** End-to-end HTTP tests: a real server on an ephemeral port, a real
+  * client, asserting the reference's route surface, response shapes
+  * (`app/models/responses.py`), count headers, and status-code mapping
+  * (400/422/502/503 — `app/api/timeseries.py:33-38`). */
+class HttpApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val service: AmbientService = {
+    val bbRows = (0 until 7200 by 60).map { s =>
+      ("ORCASOUND_LAB", 1, ts("2024-01-01 00:00:00").toLocalDateTime
+        .plusSeconds(s.toLong), 100.0 + s / 100.0)
+    }
+    val bb = bbRows.map { case (h, dt, t, v) => (h, dt, Timestamp.valueOf(t), v) }
+      .toDF("hydrophone", "delta_t", "ts", "value")
+    val psd = bbRows.flatMap { case (h, dt, t, v) =>
+      Seq((h, "octave_bands", 3, dt, Timestamp.valueOf(t), 63.0, v - 1),
+          (h, "octave_bands", 3, dt, Timestamp.valueOf(t), 125.0, v + 1))
+    }.toDF("hydrophone", "freq_type", "delta_f", "delta_t", "ts", "band", "value")
+    AmbientService.fromFrames(bb, psd)
+  }
+
+  private lazy val server = new HttpApi(service).start(0)
+  private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(pathAndQuery: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"$base$pathAndQuery")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("/health returns ok") {
+    val r = get("/health")
+    assert(r.statusCode() == 200)
+    assert(r.body() == """{"status":"ok"}""")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
+  }
+
+  test("/options groups coverage by frequency type with lowercase slugs") {
+    val r = get("/options")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""hydrophone":"orcasound_lab""""))
+    assert(r.body().contains(""""broadband":[{"delta_t":1,"first_start":"2024-01-01T00:00:00""""))
+    assert(r.body().contains(""""octave_bands":[{"delta_f":3,"delta_t":1,"""))
+    assert(r.body().contains(""""delta_hz":[]"""))
+  }
+
+  test("/timeseries/broadband: envelope, points, count headers") {
+    val r = get("/timeseries/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&delta_t=1")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-Point-Count").get() == "60")
+    assert(r.headers().firstValue("X-Expected-Point-Count").get() == "3600")
+    assert(r.body().contains(""""hydrophone":"orcasound_lab""""))
+    assert(r.body().contains(""""start":"2024-01-01T00:00:00""""))
+    assert(r.body().contains(
+      """"points":[{"timestamp":"2024-01-01T00:00:00","value":100.0}"""))
+  }
+
+  test("/timeseries/psd: columns, row-major points, frequency header") {
+    val r = get("/timeseries/psd?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T00:03:00&delta_t=1&delta_f=3oct")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-Frequency-Count").get() == "2")
+    assert(r.body().contains(""""columns":["63.0","125.0"]"""))
+    assert(r.body().contains(""""delta_f":"3oct""""))
+    assert(r.body().contains(""""values":[99.0,101.0]"""))
+  }
+
+  test("/aggregations/broadband: resolved interval, purpose, header") {
+    val r = get("/aggregations/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=1h")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-Point-Count").get() == "2")
+    assert(r.body().contains(""""interval":"1h""""))
+    assert(r.body().contains("chronologically aggregated broadband series"))
+  }
+
+  test("/aggregations/psd: heatmap shape with time/frequency counts") {
+    val r = get("/aggregations/psd?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=1h&delta_f=3oct")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("X-Time-Count").get() == "2")
+    assert(r.headers().firstValue("X-Frequency-Count").get() == "2")
+    assert(r.body().contains(""""frequencies":["63.0","125.0"]"""))
+    assert(r.body().contains("time-frequency matrix"))
+  }
+
+  test("/aggregations/daily-summary: four series with lengths") {
+    val r = get("/aggregations/daily-summary?hydrophone=orcasound_lab" +
+      "&start_date=2024-01-01&num_days=1&interval=1h")
+    assert(r.statusCode() == 200)
+    val b = r.body()
+    assert(b.contains(""""band_low":63"""))
+    assert(b.contains(""""mean_length":2""")) // data spans 2h → two 1h buckets
+    assert(b.contains(""""mean":[{"time_of_day":"00:00:00","value":"""))
+    assert(b.contains(""""count":[{"time_of_day":"""))
+  }
+
+  test("/aggregations/daily-broadband-summary: one point per day") {
+    val r = get("/aggregations/daily-broadband-summary?hydrophone=orcasound_lab" +
+      "&start_date=2024-01-01&num_days=1")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""point_count":1"""))
+    assert(r.body().contains(""""points":[{"date":"2024-01-01","value":"""))
+  }
+
+  test("status mapping: 400 validation, 422 parse, 404 route, 405 method") {
+    // unknown combination → ValidationError → 400 with detail
+    val bad = get("/timeseries/psd?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&delta_t=10&delta_f=500hz")
+    assert(bad.statusCode() == 400)
+    assert(bad.body().contains("detail"))
+    // out-of-coverage window → 400 (ref test_get_timeseries :68-93)
+    val oow = get("/timeseries/broadband?hydrophone=orcasound_lab" +
+      "&start=2030-01-01T00:00:00&end=2030-01-02T00:00:00")
+    assert(oow.statusCode() == 400)
+    // unparseable datetime → 422 (FastAPI request validation)
+    val parse = get("/timeseries/broadband?hydrophone=orcasound_lab" +
+      "&start=not-a-date&end=2024-01-01T01:00:00")
+    assert(parse.statusCode() == 422)
+    // missing required param → 422
+    val missing = get("/timeseries/broadband?hydrophone=orcasound_lab")
+    assert(missing.statusCode() == 422)
+    assert(get("/nope").statusCode() == 404)
+    val post = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/health"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(post.statusCode() == 405)
+  }
+
+  test("validate=false serves an empty window as success (SURVEY §7.5.7)") {
+    val r = get("/timeseries/psd?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T00:10:00&delta_t=10" +
+      "&delta_f=500hz&validate=false")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains(""""point_count":0"""))
+  }
+
+  test("point-cap violation surfaces as 400, not truncation") {
+    val r = get("/aggregations/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=10s")
+    // 2h / 10s = 720 ≤ 2000 → fine; force the cap with a longer window
+    assert(r.statusCode() == 200)
+    val capped = get("/aggregations/psd?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-02T00:00:00&interval=10s&delta_f=3oct")
+    assert(capped.statusCode() == 400)
+    assert(capped.body().contains("cap"))
+  }
+}
