@@ -43,6 +43,11 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         -1.0
+      } finally {
+        // measurement isolation: a query that persists/checkpoints must not
+        // tax its successors' memory (blocks otherwise free only on GC)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     }
 

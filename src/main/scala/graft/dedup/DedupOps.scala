@@ -177,8 +177,12 @@ object DedupOps {
     * label chains (`label := label(label)`), so convergence needs
     * O(log diameter) rounds, not O(diameter) — a 1000-doc template chain
     * resolves in ~10 rounds. `localCheckpoint` truncates lineage per round.
+    * The convergence check is itself a job, so the first `minRounds − 1`
+    * rounds skip it (near-dup clusters are almost always ≤ 2^minRounds
+    * docs; a check that cannot come back 0 is a wasted count).
     * Non-convergence within `maxIter` throws (never returns wrong labels). */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
+                        minRounds: Int = 2): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -200,12 +204,20 @@ object DedupOps {
         .select(prop("doc_id").as("doc_id"),
           coalesce(col("p_cluster"), prop("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
-      val changed = jumped.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      // first minRounds-1 rounds: propagate without paying the check job
+      val changed = if (i + 1 >= minRounds)
+        jumped.as("n").join(labels.as("o"), Seq("doc_id"))
+          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      else -1L
+      // `jumped` is an EAGER checkpoint, so the superseded round's blocks
+      // can be freed now — without this, a long-lived session leaks one
+      // labels copy per round (localCheckpoint persists under the hood)
+      labels.unpersist(false)
       labels = jumped
       converged = changed == 0
       i += 1
     }
+    edges.unpersist(false)
     if (!converged)
       throw graft.planner.Errors.AggregationError(
         s"connected components did not converge in $maxIter rounds")

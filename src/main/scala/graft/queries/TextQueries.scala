@@ -75,16 +75,20 @@ object TextQueries {
 
     // TF-IDF keyword extraction: top-3 terms per document, ranked by the
     // ROUNDED score (+ term tie-break) so ordering is engine-independent.
+    // The corpus count is a 1-row broadcast cross join folded into the SAME
+    // job — no driver-side count() action at plan-build (which would add a
+    // full extra scan per invocation).
     "q_tfidf_keywords" -> ((s, dir) => {
       val d = docs(s, dir)
-      val nDocs = d.count()
+      val nDocs = d.agg(count(lit(1)).cast("double").as("n_docs"))
       val tokens = d.select(col("doc_id"),
         explode(TextOps.wsTokens(lower(col("text")))).as("term"))
       val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(broadcast(dfreq), Seq("term"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+          round(col("tf") * log(col("n_docs") / col("df")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rank", row_number().over(w))

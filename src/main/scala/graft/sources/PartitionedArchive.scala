@@ -25,6 +25,23 @@ object PartitionedArchive {
   val BroadbandPartitions: Seq[String] = Seq("hydrophone", "delta_t")
   val PsdPartitions: Seq[String] = Seq("hydrophone", "freq_type", "delta_f", "delta_t")
 
+  /** All archive writes force INT64 `TIMESTAMP_MICROS` parquet timestamps.
+    * Spark's default is legacy INT96, which carries NO column statistics —
+    * with it, `ts` row-group pruning silently never happens and every
+    * window query scans the whole partition (caught by the 10×-archive
+    * scan-metrics test in ArchiveLayoutSpec). The conf is scoped around
+    * the synchronous write and restored after. */
+  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
   /** Ingest a broadband frame `(hydrophone, delta_t, ts, value)`.
     * Rows are sorted by `ts` within each partition so parquet row-group
     * min/max stats are tight — time-window pushdown then skips whole row
@@ -32,20 +49,24 @@ object PartitionedArchive {
     * ranges. zstd trades a little CPU for the scan bandwidth that
     * dominates at archive scale. */
   def writeBroadband(df: DataFrame, root: String): Unit =
-    df.sortWithinPartitions("hydrophone", "delta_t", "ts")
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .partitionBy(BroadbandPartitions: _*)
-      .parquet(s"$root/broadband")
+    withMicrosTimestamps(df) {
+      df.sortWithinPartitions("hydrophone", "delta_t", "ts")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(BroadbandPartitions: _*)
+        .parquet(s"$root/broadband")
+    }
 
   /** Ingest a PSD long frame
     * `(hydrophone, freq_type, delta_f, delta_t, ts, band, value)`. */
   def writePsd(df: DataFrame, root: String): Unit =
-    df.sortWithinPartitions("hydrophone", "freq_type", "delta_f", "delta_t", "ts")
-      .write.mode("overwrite")
-      .option("compression", "zstd")
-      .partitionBy(PsdPartitions: _*)
-      .parquet(s"$root/psd")
+    withMicrosTimestamps(df) {
+      df.sortWithinPartitions("hydrophone", "freq_type", "delta_f", "delta_t", "ts")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(PsdPartitions: _*)
+        .parquet(s"$root/psd")
+    }
 
   def readBroadband(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/broadband")
@@ -109,8 +130,10 @@ object PartitionedArchive {
     val df = spark.read.parquet(dir)
     val ranged = if (nFiles == 1) df.repartition(1)
       else df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col("ts"))
-    ranged.sortWithinPartitions("ts")
-      .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    withMicrosTimestamps(df) {
+      ranged.sortWithinPartitions("ts")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
+    }
     if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash AFTER promote
     fs.rename(path, old)
     fs.rename(tmp, path)
