@@ -30,7 +30,10 @@ object GraftFunctions {
         .toAggregateExpression()),
     "simhash64" -> ((args: Seq[Expression]) =>
       SimHashAgg(args(0)).toAggregateExpression()),
-    "z_order" -> ((args: Seq[Expression]) => ZOrder2(args(0), args(1))))
+    "z_order" -> ((args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    "hyperplane_bands" -> ((args: Seq[Expression]) =>
+      HyperplaneBands(args(0), intArg(args(1), "rowsPerBand"),
+        intArg(args(2), "nBands"))))
 
   /** Register on an already-running session (temp-function scope). */
   def register(spark: SparkSession): Unit = {

@@ -43,6 +43,16 @@ object MultimodalQueries {
       r.withColumn("mean_value", round(col("mean_value"), 6))
         .orderBy("bucket_start")
     }),
+
+    // Stateful streaming dedup (dropDuplicates state store): emitted hash
+    // set == batch DISTINCT, arrival-order independent.
+    "q_stream_dedup" -> ((s, dir) =>
+      StreamingOps.runStreamDedupOnce(s, dir).orderBy("content_hash")),
+
+    // Custom streaming state (flatMapGroupsWithState): per-user running
+    // (count, sum); final emissions == the batch per-user aggregate.
+    "q_stream_user_stats" -> ((s, dir) =>
+      StreamingOps.runUserStatsOnce(s, dir).orderBy("user_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -90,6 +100,15 @@ object MultimodalQueries {
     "q_stream_resample" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
         |       round(avg(value), 6) AS mean_value, count(value) AS point_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash
+        |FROM documents ORDER BY content_hash""".stripMargin,
+
+    "q_stream_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

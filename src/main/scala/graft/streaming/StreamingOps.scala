@@ -61,4 +61,71 @@ object StreamingOps {
     try { q.processAllAvailable() } finally { q.stop() }
     spark.table(name)
   }
+
+  /** Documents schema as stored (TESTDATA.md). */
+  private val DocumentsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(DocumentsSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+
+  /** STREAMING exact dedup: `dropDuplicates` on the 16-byte content hash —
+    * Spark's stateful dedup operator, state keyed by the hash (never the
+    * text), exactly the ingest-time shape of the batch `exactDedup`.
+    * Append mode emits each content hash once, on first arrival; the set
+    * of emitted hashes is arrival-order-independent, so the batch DISTINCT
+    * oracle applies. Unbounded state is fine for a finite replay; a 100 TB
+    * continuous ingest bounds it with `dropDuplicatesWithinWatermark`
+    * (late re-crawls of the same content arrive within the watermark). */
+  def runStreamDedupOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = documentsStream(spark, dir)
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+      .dropDuplicates("content_hash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    spark.table(name)
+  }
+
+  /** Per-user running totals emitted by batch. */
+  final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** CUSTOM streaming state via `flatMapGroupsWithState` (§2.10's "novel
+    * state" row): a per-user accumulator (count, sum) updated each
+    * micro-batch — the primitive session stores, per-entity rate trackers
+    * and online feature aggregates build on. Update mode emits a group's
+    * running total whenever it changes; the memory-sink history is reduced
+    * to each group's LAST emission (`max_by` on the monotone count), which
+    * equals the batch per-user aggregate — hence oracle-checkable. */
+  def runUserStatsOnce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stream_userstats_${runId.incrementAndGet()}"
+    val ev = eventsStream(spark, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val updated = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), UserStat](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          Iterator(UserStat(user, c, s))
+      }
+    val q = updated.toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // last emission per user = the final (count, sum) — count is monotone
+    spark.table(name).groupBy("user_id")
+      .agg(max_by(struct(col("n_events"), col("sum_value")), col("n_events")).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        round(col("m.sum_value"), 4).as("sum_value"))
+  }
 }

@@ -27,6 +27,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sh == Seq("a b c", "b c d"))
   }
 
+  test("hyperplane_bands from SQL: band count, bucket range, determinism") {
+    val q = "SELECT hyperplane_bands(array(CAST(0.5 AS DOUBLE), " +
+      "CAST(-1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)), 3, 8) AS b"
+    val a = spark.sql(q).head().getSeq[Long](0)
+    val b = spark.sql(q).head().getSeq[Long](0)
+    assert(a.length == 8)
+    assert(a.forall(v => v >= 0 && v < 8))
+    assert(a == b)
+  }
+
   test("minhash_sig and simhash64 aggregates from SQL") {
     val r = spark.sql(
       """SELECT minhash_sig(h, 16) AS sig, simhash64(h) AS fp FROM
