@@ -84,6 +84,50 @@ object MultimodalOps {
     ds.toDF()
   }
 
+  /** Resize result row: output size plus exact integer checksums (byte sum
+    * and position-weighted sum) that pin both content and order — chosen
+    * over a binary hash because the oracle replays them bit-exactly from
+    * the source bytes in SQL. */
+  final case class ResizedMedia(id: Long, inBytes: Long, outBytes: Long,
+      byteSum: Long, weightedSum: Long)
+
+  /** ==== STUB ====
+    * Deterministic fake "resize/downsample" standing in for a real codec
+    * resample (image scale / audio decimation): keep every `factor`-th
+    * byte. Consumes and produces bytes exactly as a resampler would. */
+  private[multimodal] def resizeStub(id: Long, bytes: Array[Byte], factor: Int): ResizedMedia = {
+    var j = 0L
+    var sum = 0L
+    var wsum = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val u = bytes(i) & 0xFF
+      sum += u
+      wsum += u * j
+      j += 1
+      i += factor
+    }
+    ResizedMedia(id, bytes.length.toLong, j, sum, wsum)
+  }
+
+  /** Batched per-partition resize — same `mapPartitions` shape as
+    * [[extractFeatures]] (media transforms are embarrassingly parallel;
+    * no shuffle, payload bytes never leave their partition). */
+  def resizePayloads(payloads: DataFrame, idCol: String,
+      factor: Int = 4, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) => resizeStub(id, bytes, factor) }
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling: cut the payload into fixed-size "frames" and keep every
     * `stride`-th — pure expressions (no decode), so pruning/pushdown and
     * codegen all apply. Output one row per kept frame. */

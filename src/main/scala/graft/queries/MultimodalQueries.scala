@@ -27,6 +27,14 @@ object MultimodalQueries {
         .withColumn("byteEntropy", round(col("byteEntropy"), 6))
         .orderBy("id")),
 
+    // Binary payload -> batched resize/downsample (stub): keep every 4th
+    // byte; exact integer checksums pin content + order.
+    "q_multimodal_resize" -> ((s, dir) =>
+      MultimodalOps.resizePayloads(
+          MultimodalOps.withSyntheticPayload(
+            Tables.documents(s, dir), "doc_id", "text"), "doc_id", factor = 4)
+        .orderBy("id")),
+
     // Frame sampling: pure-expression payload slicing (every 2nd 512B frame).
     "q_frame_sample" -> ((s, dir) =>
       MultimodalOps.sampleFrames(
@@ -82,6 +90,29 @@ object MultimodalQueries {
         |       round(coalesce(agg.mb, 0.0), 6) AS "meanByte",
         |       round(coalesce(agg.ent, 0.0), 6) AS "byteEntropy",
         |       CAST(ceil(p.n / 4096.0) AS INT) AS "nFrames"
+        |FROM p LEFT JOIN agg ON p.id = agg.id
+        |ORDER BY p.id""".stripMargin,
+
+    // Byte-exact replay of the resize stub: hex + LUT recovers byte values,
+    // kept positions are i % 4 = 0, j = i // 4 is the output position.
+    "q_multimodal_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |idx AS (SELECT id, n, h, unnest(range(0, n)) AS i FROM p),
+        |lut AS (SELECT printf('%02X', v) AS pair, v FROM range(0, 256) t(v)),
+        |kept AS (
+        |  SELECT idx.id, idx.i // 4 AS j, lut.v
+        |  FROM idx JOIN lut ON substr(idx.h, CAST(2 * idx.i + 1 AS INT), 2) = lut.pair
+        |  WHERE idx.i % 4 = 0),
+        |agg AS (
+        |  SELECT id, count(*) AS outb, sum(v) AS bs, sum(v * j) AS ws
+        |  FROM kept GROUP BY id)
+        |SELECT p.id, CAST(p.n AS BIGINT) AS "inBytes",
+        |       CAST(coalesce(agg.outb, 0) AS BIGINT) AS "outBytes",
+        |       CAST(coalesce(agg.bs, 0) AS BIGINT) AS "byteSum",
+        |       CAST(coalesce(agg.ws, 0) AS BIGINT) AS "weightedSum"
         |FROM p LEFT JOIN agg ON p.id = agg.id
         |ORDER BY p.id""".stripMargin,
 

@@ -49,6 +49,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter(_._1 == 0L).map(_._3).toSeq == Seq(4))
   }
 
+  test("resize stub: hand-computed checksums, empty payload, factor walk") {
+    val r = MultimodalOps.resizePayloads(payloads, "doc_id", factor = 2)
+      .collect().map(row => row.getAs[Long]("id") ->
+        (row.getAs[Long]("inBytes"), row.getAs[Long]("outBytes"),
+         row.getAs[Long]("byteSum"), row.getAs[Long]("weightedSum"))).toMap
+    // "abcd" factor 2 keeps bytes [a,c] = [97,99]: sum 196, wsum 0*97+1*99
+    assert(r(0L) == ((4L, 2L, 196L, 99L)))
+    assert(r(1L) == ((0L, 0L, 0L, 0L)))
+    // 5000 × 'a'(97), factor 2 → 2500 kept, sum 2500*97, wsum 97*(0+..+2499)
+    assert(r(2L) == ((5000L, 2500L, 2500L * 97, 97L * (2499L * 2500L / 2))))
+  }
+
+  test("multimodal parquet layout: metadata predicates prune without touching payload") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    payloads.write.mode("overwrite").parquet(dir)
+    // metadata-only query: the payload column must not even be read
+    val metaOnly = spark.read.parquet(dir)
+      .filter(col("meta.n_bytes") > 100L)
+      .select(col("doc_id"), col("meta.n_bytes"))
+    assert(metaOnly.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("payload"), read)
+    // and the nested predicate reaches the scan as a pushed filter
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("n_bytes"), plan.linesIterator.take(25).mkString("\n"))
+  }
+
   test("extraction is distributed: no single-partition collapse") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
     val feats = MultimodalOps.extractFeatures(
