@@ -205,7 +205,8 @@ object DedupOps {
           coalesce(col("p_cluster"), prop("cluster_id")).as("cluster_id"))
         .localCheckpoint(true)
       // first minRounds-1 rounds: propagate without paying the check job
-      val changed = if (i + 1 >= minRounds)
+      // (clamped so a small explicit maxIter still gets its final check)
+      val changed = if (i + 1 >= math.min(minRounds, maxIter))
         jumped.as("n").join(labels.as("o"), Seq("doc_id"))
           .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
       else -1L

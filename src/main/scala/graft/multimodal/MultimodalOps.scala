@@ -64,24 +64,33 @@ object MultimodalOps {
       (bytes.length + frameSize - 1) / frameSize)
   }
 
-  /** Batched per-partition decode — the Scala analogue of `mapInPandas`:
-    * iterate the partition in fixed-size batches (the shape a vectorized
-    * codec wants), run the decode kernel per element, emit typed rows.
-    * No shuffle: feature extraction is embarrassingly parallel. */
-  def extractFeatures(payloads: DataFrame, idCol: String,
-      batchSize: Int = 64, frameSize: Int = 4096): DataFrame = {
+  /** Batched per-partition media transform — the Scala analogue of
+    * `mapInPandas`: iterate the partition in fixed-size batches (the shape
+    * a vectorized codec wants), run the kernel per element, emit typed
+    * rows. No shuffle: media transforms are embarrassingly parallel;
+    * payload bytes never leave their partition. */
+  private def mapBatched[T <: Product : org.apache.spark.sql.Encoder](
+      payloads: DataFrame, idCol: String, batchSize: Int)(
+      kernel: (Long, Array[Byte]) => T): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    val ds: Dataset[MediaFeatures] = payloads
+    val ds: Dataset[T] = payloads
       .select(col(idCol).cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // batch boundary = where a vectorized decoder would be invoked once
-          batch.iterator.map { case (id, bytes) => decodeStub(id, bytes, frameSize) }
+          // batch boundary = where a vectorized codec would be invoked once
+          batch.iterator.map { case (id, bytes) => kernel(id, bytes) }
         }
       }
     ds.toDF()
+  }
+
+  def extractFeatures(payloads: DataFrame, idCol: String,
+      batchSize: Int = 64, frameSize: Int = 4096): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    mapBatched(payloads, idCol, batchSize)(decodeStub(_, _, frameSize))
   }
 
   /** Resize result row: output size plus exact integer checksums (byte sum
@@ -110,22 +119,13 @@ object MultimodalOps {
     ResizedMedia(id, bytes.length.toLong, j, sum, wsum)
   }
 
-  /** Batched per-partition resize — same `mapPartitions` shape as
-    * [[extractFeatures]] (media transforms are embarrassingly parallel;
-    * no shuffle, payload bytes never leave their partition). */
+  /** Batched per-partition resize — same [[mapBatched]] scaffold as
+    * [[extractFeatures]], different kernel. */
   def resizePayloads(payloads: DataFrame, idCol: String,
       factor: Int = 4, batchSize: Int = 64): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads
-      .select(col(idCol).cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) => resizeStub(id, bytes, factor) }
-        }
-      }
-      .toDF()
+    mapBatched(payloads, idCol, batchSize)(resizeStub(_, _, factor))
   }
 
   /** Frame sampling: cut the payload into fixed-size "frames" and keep every

@@ -137,9 +137,12 @@ object MultimodalQueries {
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
 
+    // round(…,2): the streaming side accumulates the double sum in arrival
+    // order, DuckDB in scan order — coarse rounding absorbs the last-ulp
+    // difference (verify-skill guidance for big sums)
     "q_stream_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
-        |       round(sum(value), 4) AS sum_value
+        |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -29,12 +29,19 @@ object OracleFixtures {
     new java.io.File(sfDir.replaceAll("/+$", "")).getName
 
   /** Write `df` as the fixture `name` for this SF and read it back, so the
-    * Spark downstream stage consumes exactly the bytes DuckDB will. */
-  def seam(df: DataFrame, sfDir: String, name: String): DataFrame = {
-    val path = s"$Root/${sfName(sfDir)}/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+    * Spark downstream stage consumes exactly the bytes DuckDB will.
+    *
+    * Only the verification scale pays the write: at any other SF (bench at
+    * sf0.1, ad-hoc runs) no oracle will ever read the fixture, so the frame
+    * passes through untouched — bench numbers measure the pipeline, not a
+    * coalesce(1) disk round-trip. */
+  def seam(df: DataFrame, sfDir: String, name: String): DataFrame =
+    if (sfName(sfDir) != VerifySf) df
+    else {
+      val path = s"$Root/$VerifySf/$name"
+      df.coalesce(1).write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    }
 
   /** The `read_parquet` glob for fixture `name` in oracle SQL. */
   def sqlPath(name: String): String = s"$Root/$VerifySf/$name/*.parquet"

@@ -26,9 +26,14 @@ private[serve] object Json {
     }
     sb.append('"').toString
   }
-  /** Python-`str(float)` rendering: integral doubles keep one decimal. */
+  /** Python-`str(float)` rendering: integral doubles keep one decimal and
+    * negative zero keeps its sign. (Known divergence: magnitudes outside
+    * [1e-4, 1e15) use Java's exponent syntax `6.3E-5`, not Python's
+    * `6.3e-05` — no served band/frequency value lives there.) */
   def pyFloat(d: Double): String =
-    if (d == math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+    if (d == 0.0) { if (1.0 / d < 0) "-0.0" else "0.0" }
+    else if (d == math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0"
+    else d.toString
   def num(d: Double): String =
     if (java.lang.Double.isFinite(d)) pyFloat(d) else "null"
   def num(l: Long): String = l.toString
@@ -70,8 +75,14 @@ final class HttpApi(service: AmbientService) {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler _)
     // small pool: Spark jobs serialize on the shared session anyway; the
-    // cap bounds memory, excess connections queue in the accept backlog
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    // cap bounds memory, excess connections queue in the accept backlog.
+    // Daemon threads: HttpServer.stop() does not shut down a user-supplied
+    // executor, and a non-daemon pool would pin the JVM forever.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
     server
   }
@@ -138,7 +149,13 @@ final class HttpApi(service: AmbientService) {
     var extraHeaders: Seq[(String, String)] = Nil
     val body: String =
       try {
-        if (ex.getRequestMethod != "GET")
+        if (ex.getRequestMethod == "OPTIONS") {
+          // CORS preflight: answer permissively like the reference's
+          // CORSMiddleware (allow_methods=["*"], allow_headers=["*"])
+          ex.getResponseHeaders.set("Access-Control-Allow-Methods", "*")
+          ex.getResponseHeaders.set("Access-Control-Allow-Headers", "*")
+          "{}"
+        } else if (ex.getRequestMethod != "GET")
           { status = 405; Json.obj("detail" -> Json.str("method not allowed")) }
         else {
           val p = queryParams(ex)

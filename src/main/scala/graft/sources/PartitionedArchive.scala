@@ -135,8 +135,19 @@ object PartitionedArchive {
         .write.mode("overwrite").option("compression", "zstd").parquet(tmp.toString)
     }
     if (fs.exists(old)) fs.delete(old, true) // stale leftover from a crash AFTER promote
-    fs.rename(path, old)
-    fs.rename(tmp, path)
+    // Hadoop FileSystem.rename reports failure as `false`, not an exception
+    // (quota, transient store error, dest-exists). Every step checks: a
+    // failed aside-rename aborts before touching live data; a failed
+    // promote rolls the live dir back — the original partition is never
+    // deleted until the rewrite is in place.
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compaction aborted: rename $path -> $old failed")
+    if (!fs.rename(tmp, path)) {
+      val restored = fs.rename(old, path)
+      throw new java.io.IOException(
+        s"compaction failed promoting $tmp -> $path; original " +
+          (if (restored) s"restored from $old" else s"LEFT ASIDE at $old"))
+    }
     fs.delete(old, true)
   }
 

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -19,6 +20,18 @@ import org.apache.spark.sql.types._
 object StreamingOps {
 
   private val runId = new AtomicInteger(0)
+
+  /** Drain a finished memory-sink table into a standalone DataFrame and
+    * drop the temp view — a leaked view retains the full materialized
+    * result in the driver for the session lifetime (Bench runs every query
+    * twice; a long-lived service would grow without bound). Results here
+    * are serving-edge sized (hundreds of rows), so the local copy is fine. */
+  private def drainTable(spark: SparkSession, name: String): DataFrame = {
+    val t = spark.table(name)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](t.collect().toList.asJava)
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(rows, t.schema)
+  }
 
   /** Events schema as stored (ts is TIMESTAMP(NANOS) → read as raw nanos,
     * same as Tables.events). */
@@ -59,7 +72,7 @@ object StreamingOps {
       .format("memory").queryName(name)
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    drainTable(spark, name)
   }
 
   /** Documents schema as stored (TESTDATA.md). */
@@ -89,7 +102,7 @@ object StreamingOps {
       .format("memory").queryName(name)
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    spark.table(name)
+    drainTable(spark, name)
   }
 
   /** Per-user running totals emitted by batch. */
@@ -123,9 +136,9 @@ object StreamingOps {
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     // last emission per user = the final (count, sum) — count is monotone
-    spark.table(name).groupBy("user_id")
+    drainTable(spark, name).groupBy("user_id")
       .agg(max_by(struct(col("n_events"), col("sum_value")), col("n_events")).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),
-        round(col("m.sum_value"), 4).as("sum_value"))
+        round(col("m.sum_value"), 2).as("sum_value"))
   }
 }

@@ -3,6 +3,7 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.sql.Timestamp
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.serve.{AmbientService, HttpApi}
 
@@ -10,9 +11,11 @@ import graft.serve.{AmbientService, HttpApi}
   * client, asserting the reference's route surface, response shapes
   * (`app/models/responses.py`), count headers, and status-code mapping
   * (400/422/502/503 — `app/api/timeseries.py:33-38`). */
-class HttpApiSpec extends AnyFunSuite {
+class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  override def afterAll(): Unit = server.stop(0)
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -137,6 +140,16 @@ class HttpApiSpec extends AnyFunSuite {
         .POST(HttpRequest.BodyPublishers.noBody()).build(),
       HttpResponse.BodyHandlers.ofString())
     assert(post.statusCode() == 405)
+  }
+
+  test("CORS preflight OPTIONS answers permissively, not 405") {
+    val pre = client.send(
+      HttpRequest.newBuilder(URI.create(s"$base/timeseries/broadband"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 200)
+    assert(pre.headers().firstValue("Access-Control-Allow-Methods").get() == "*")
+    assert(pre.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
   }
 
   test("validate=false serves an empty window as success (SURVEY §7.5.7)") {

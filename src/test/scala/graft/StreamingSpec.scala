@@ -48,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     val batch = graft.tables.Tables.events(spark, TestSpark.Sf0001)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("s"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
     assert(streamed == batch)
   }
