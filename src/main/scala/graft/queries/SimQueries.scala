@@ -18,13 +18,14 @@ object SimQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
 
-  /** Banded-LSH pair-scan parameters: 32 bands × 3 planes. At the 0.4
+  /** Banded-LSH pair-scan parameters: 32 bands × 4 planes. At the 0.4
     * threshold (hyperplane collision p ≈ 0.63) per-pair miss probability is
-    * (1 − p³)³² ≈ 1e-4; at a production near-dup threshold of 0.8
-    * (p ≈ 0.80) the same shape with 8-plane bands prunes ~255/256 of the
-    * corpus per band. Tune (rows, bands) to the threshold — see
-    * [[graft.sim.SimilarityOps.lshPairCandidates]]. */
-  private val PairRows = 3
+    * (1 − p⁴)³² ≈ 4e-3 with candidate volume ~bands/2^rows = n² — half the
+    * 3-plane config's at near-equal recall; at a production near-dup
+    * threshold of 0.8 (p ≈ 0.80) the same shape with 8-plane bands prunes
+    * ~255/256 of the corpus per band. Tune (rows, bands) to the threshold —
+    * see [[graft.sim.SimilarityOps.lshPairCandidates]]. */
+  private val PairRows = 4
   private val PairBands = 32
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,6 +68,20 @@ object PartitionedArchive {
         .parquet(s"$root/psd")
     }
 
+  /** Append a broadband micro-batch into the same layout — the
+    * `foreachBatch` target for streaming ingest (see
+    * [[graft.streaming.StreamingOps.archiveIngest]]). Same sort + stats
+    * discipline as the bulk writer; periodic [[compactPartition]] folds
+    * the accumulated per-batch files back into row-group-sized ones. */
+  def appendBroadband(df: DataFrame, root: String): Unit =
+    withMicrosTimestamps(df) {
+      df.sortWithinPartitions("hydrophone", "delta_t", "ts")
+        .write.mode("append")
+        .option("compression", "zstd")
+        .partitionBy(BroadbandPartitions: _*)
+        .parquet(s"$root/broadband")
+    }
+
   def readBroadband(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/broadband")
 

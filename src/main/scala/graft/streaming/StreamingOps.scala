@@ -105,6 +105,23 @@ object StreamingOps {
     drainTable(spark, name)
   }
 
+  /** Streaming ingest into the canonical partitioned archive: each
+    * micro-batch appends through the same sorted, stats-bearing writer the
+    * bulk path uses, so data is servable the moment the batch commits and
+    * window pruning holds from the first file. `foreachBatch` (not the
+    * parquet sink) so the append shares [[graft.sources.PartitionedArchive]]
+    * layout discipline; exactly-once comes from the checkpointed batch id
+    * plus parquet append atomicity per task commit. Compaction runs out of
+    * band. */
+  def archiveIngest(stream: DataFrame, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.PartitionedArchive.appendBroadband(batch, root)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Per-user running totals emitted by batch. */
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -53,6 +53,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming ingest lands in the partitioned archive, servable + pruned") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val src = java.nio.file.Files.createTempDirectory("graft_ingest_src").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_arch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    def rows(offset: Int) = (0 until 60).map { i =>
+      ("ORCASOUND_LAB", 1, Timestamp.valueOf("2024-01-01 00:00:00").toLocalDateTime
+        .plusSeconds((offset + i).toLong), 100.0 + i)
+    }.map { case (h, dt, t, v) => (h, dt, Timestamp.valueOf(t), v) }
+      .toDF("hydrophone", "delta_t", "ts", "value")
+    rows(0).coalesce(1).write.parquet(s"$src/f1")
+    val stream = spark.readStream
+      .schema("hydrophone STRING, delta_t INT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    val q = StreamingOps.archiveIngest(stream, root, ckpt)
+    try {
+      q.processAllAvailable()
+      // a second batch arrives while the query runs
+      rows(60).coalesce(1).write.parquet(s"$src/f2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sources.PartitionedArchive.readBroadband(spark, root)
+    assert(got.count() == 120)
+    // servable through the same facade as bulk-ingested data
+    val svc = graft.serve.AmbientService.fromFrames(got,
+      Seq.empty[(String, String, Int, Int, Timestamp, Double, Double)]
+        .toDF("hydrophone", "freq_type", "delta_f", "delta_t", "ts", "band", "value"))
+    val r = svc.getBroadbandTimeseries("ORCASOUND_LAB",
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-01-01T00:01:00Z"), 1)
+    assert(r.pointCount == 60)
+    // the appended files carry usable ts stats (not INT96): the window
+    // predicate reaches the scan
+    val plan = graft.ops.TimeseriesOps.windowFilter(got, "ts",
+      java.time.Instant.parse("2024-01-01T00:00:00Z"),
+      java.time.Instant.parse("2024-01-01T00:01:00Z"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
+  }
+
   test("watermarked append-mode stream runs and emits finalized windows") {
     val stream = StreamingOps.windowedMean(
       StreamingOps.eventsStream(spark, TestSpark.Sf0001), "1 hour",
