@@ -97,6 +97,57 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // PII scrub (decontamination stage): count + redact emails/URLs. The
+    // patterns use only constructs Java regex and RE2 read identically
+    // (char classes, quantifiers — no lookaround, no \s, which differs at
+    // 0x0B); map-only, verified by the scrubbed text's md5.
+    "q_pii_scrub" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(PiiEmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PiiUrlRe), lit(0))).as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("text"), PiiEmailRe, "[EMAIL]"),
+          PiiUrlRe, "[URL]").cast("binary")).as("scrubbed_md5"))
+        .orderBy("doc_id")),
+
+    // Benchmark-contamination check: per-document 3-gram overlap against an
+    // eval set (every 100th doc stands in for a held-out benchmark). The
+    // eval shingle set is SMALL by construction → broadcast semi-join; the
+    // corpus side streams through map-side. Contaminated = ≥50% overlap.
+    "q_contamination" -> ((s, dir) => {
+      import graft.dedup.DedupOps
+      val d = docs(s, dir)
+      val evalShingles = DedupOps.shingleHashes(
+          d.filter(col("doc_id") % 100 === 0), "doc_id", "text", 3)
+        .select("gh").distinct()
+      val docShingles = DedupOps.shingleHashes(d, "doc_id", "text", 3)
+      val counts = docShingles.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val shared = docShingles.join(broadcast(evalShingles), Seq("gh"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      counts.join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated",
+          (col("n_shared") * 2 >= col("n_shingles")).cast("int"))
+        .select("doc_id", "n_shingles", "n_shared", "contaminated")
+        .orderBy("doc_id")
+    }),
+
+    // Source-mixture downsampling: per-source target rates applied by a
+    // DETERMINISTIC content-independent coin (md5(doc_id) hex prefix vs a
+    // threshold) — reproducible across engines/runs/partitionings, no
+    // rand(). Even-numbered sources keep ~75% ('c0'/256), odd ~25% ('40').
+    "q_source_mixture" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("threshold",
+          when(regexp_extract(col("source"), "\\d+", 0).cast("int") % 2 === 0,
+            lit("c0")).otherwise(lit("40")))
+        .withColumn("kept",
+          (substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+            < col("threshold")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"))
+        .orderBy("source")),
+
     // The full training-data cleaning pipeline, end to end: exact dedup →
     // near-dup cluster resolution (losers dropped) → length + language
     // gates. Composes five operator families in one job.
@@ -122,6 +173,10 @@ object TextQueries {
         .orderBy("doc_id")
     }),
   )
+
+  /** PII patterns — Java-regex/RE2-identical constructs only. */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiUrlRe = "https?://[^ \\t\\n\\f\\r]+"
 
   private val WsTokensSql = """regexp_extract_all(%s, '\S+')"""
   private def toks(col: String) = WsTokensSql.format(col)
@@ -245,6 +300,44 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, 'https?://[^ \t\n\f\r]+')) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      'https?://[^ \t\n\f\r]+', '[URL]', 'g')) AS scrubbed_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM tk WHERE len(t) >= 3),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ev AS (SELECT DISTINCT g FROM ex WHERE doc_id % 100 = 0),
+         |cnt AS (SELECT doc_id, len(s) AS n_shingles FROM sh),
+         |shr AS (
+         |  SELECT ex.doc_id, count(*) AS n_shared
+         |  FROM ex WHERE g IN (SELECT g FROM ev) GROUP BY ex.doc_id)
+         |SELECT cnt.doc_id, cnt.n_shingles,
+         |       CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+         |       CAST(coalesce(shr.n_shared, 0) * 2 >= cnt.n_shingles AS INT)
+         |         AS contaminated
+         |FROM cnt LEFT JOIN shr ON cnt.doc_id = shr.doc_id
+         |ORDER BY cnt.doc_id""".stripMargin,
+
+    "q_source_mixture" ->
+      """SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |    (CASE WHEN CAST(regexp_extract(source, '\d+') AS INT) % 2 = 0
+        |          THEN 'c0' ELSE '40' END)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_corpus_clean" ->
       s"""WITH RECURSIVE exact_keep AS (
