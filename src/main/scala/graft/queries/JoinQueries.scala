@@ -114,9 +114,15 @@ object JoinQueries {
     }),
 
     // Gap filling: full hourly grid over a week for one sparse series,
-    // forward-filling missing buckets (serving-side interpolation; grid is
-    // capped at the 2000-point serving limit, so the single window is fine).
+    // forward-filling missing buckets (serving-side interpolation). The
+    // single un-partitioned window is ONLY safe because the grid is bounded
+    // by the serving point cap — enforced here, not just commented, so a
+    // future wider grid fails loudly instead of collapsing to one task.
     "q_gap_fill" -> ((s, dir) => {
+      val gridStart = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      val gridEnd = java.time.Instant.parse("2024-01-12T00:00:00Z")
+      graft.planner.RequestPlanner.enforcePointCap(
+        graft.planner.RequestPlanner.estimatedPoints(gridStart, gridEnd, "1h"))
       val grid = Tables.region(s, dir).sparkSession.range(1)
         .select(explode(sequence(
           lit("2024-01-05 00:00:00").cast("timestamp"),
