@@ -64,6 +64,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("contamination joins broadcast the small eval side over the corpus") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // the eval-set filter is pushed into its own scan, not applied post-read
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id)") || p.contains("% 100"))
+  }
+
   test("IVF corpus assignment aggregates (max_by), no corpus-side window") {
     val p = plan("q_ann_ivf")
     // exactly two windows remain: the (small) query-side probe assignment
