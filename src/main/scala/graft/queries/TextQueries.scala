@@ -97,6 +97,25 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Unigram log-probability quality score — the cheap perplexity proxy:
+    // score = mean over tokens of -ln(corpus_freq(term) / corpus_tokens).
+    // Gibberish and boilerplate-heavy docs land at the distribution's
+    // extremes. One aggregate builds the unigram table; the corpus total
+    // folds in as a 1-row broadcast cross join (no driver-side action);
+    // the per-token score join shuffles on the term hash at scale.
+    "q_unigram_logprob" -> ((s, dir) => {
+      val tokens = docs(s, dir).select(col("doc_id"),
+        explode(TextOps.wsTokens(lower(col("text")))).as("term"))
+      val tf = tokens.groupBy("term").agg(count(lit(1)).as("n_term"))
+      val total = tf.agg(sum("n_term").cast("double").as("n_total"))
+      tokens.join(tf, Seq("term"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("n_term") / col("n_total"))), 6).as("avg_neg_logprob"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub (decontamination stage): count + redact emails/URLs. The
     // patterns use only constructs Java regex and RE2 read identically
     // (char classes, quantifiers — no lookaround, no \s, which differs at
@@ -300,6 +319,16 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_unigram_logprob" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(${toks("lower(text)")}) AS term FROM documents),
+         |tf AS (SELECT term, count(*) AS n_term FROM tokens GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_term) AS DOUBLE) AS n_total FROM tf)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(-ln(n_term / n_total)), 6) AS avg_neg_logprob
+         |FROM tokens JOIN tf USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT doc_id,
