@@ -152,6 +152,25 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pre.headers().firstValue("Access-Control-Allow-Origin").get() == "*")
   }
 
+  test("concurrent mixed requests all succeed over the shared session") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val paths = Seq(
+      "/health",
+      "/options",
+      "/timeseries/broadband?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00",
+      "/timeseries/psd?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T00:03:00&delta_f=3oct",
+      "/aggregations/broadband?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=15m",
+      "/aggregations/daily-broadband-summary?hydrophone=orcasound_lab&start_date=2024-01-01&num_days=1")
+    // two wavefronts: cold (all compute concurrently) then warm (LRU hits)
+    (0 until 2).foreach { _ =>
+      val codes = Await.result(
+        Future.sequence(paths.map(p => Future(get(p).statusCode()))), 120.seconds)
+      assert(codes.forall(_ == 200), codes.zip(paths).toString)
+    }
+  }
+
   test("validate=false serves an empty window as success (SURVEY §7.5.7)") {
     val r = get("/timeseries/psd?hydrophone=orcasound_lab" +
       "&start=2024-01-01T00:00:00&end=2024-01-01T00:10:00&delta_t=10" +
