@@ -44,8 +44,49 @@ object DedupOps {
     }
   }
 
-  /** Exact n-gram Jaccard near-dup pairs: J(a,b) = |A∩B| / |A∪B| ≥ `threshold`.
-    * One shuffle to co-locate shingles, one aggregate per pair. */
+  /** EXACT n-gram Jaccard pairs via PREFIX FILTERING (Bayardo et al.,
+    * "Scaling Up All Pairs Similarity Search", WWW'07; Chaudhuri et al.'s
+    * SSJoin): under any global total order of shingles — here the 64-bit
+    * hash order — two sets with J ≥ t MUST share an element within their
+    * first `|X| − ⌈t·|X|⌉ + 1` elements. So only that prefix is indexed
+    * for the candidate self-join (≈ (1−t) of each posting list; at t=0.8
+    * the joined volume drops ~25×), and candidates are verified with the
+    * full exact Jaccard — same output as the naive formulation,
+    * bit-for-bit (DedupSpec asserts equality; the DuckDB oracle is the
+    * naive formulation).
+    *
+    * `⌈t·n⌉` is computed in INTEGER arithmetic (t as parts-per-thousand):
+    * a double `ceil(0.8*25) = ceil(20.000000000000004) = 21` would shorten
+    * the prefix below the theorem's bound and silently drop pairs. */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, threshold: Double): DataFrame = {
+    val ex = shingleHashes(df, idCol, textCol, n)
+    val tNum = math.round(threshold * 1000).toInt
+    require(math.abs(tNum / 1000.0 - threshold) < 1e-9,
+      s"threshold $threshold must be expressible in thousandths")
+    // per-doc sorted posting list in ONE hash aggregate (a window
+    // formulation costs an extra sort-exchange of the full shingle frame);
+    // prefix length = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b
+    val prefix = ex.groupBy("doc_id")
+      .agg(sort_array(collect_list("gh")).as("ghs"))
+      .withColumn("n_sh", size(col("ghs")))
+      .withColumn("prefix_len",
+        (col("n_sh") - floor((col("n_sh").cast("long") * tNum + lit(999)) / 1000L) + 1)
+          .cast("int"))
+      .select(col("doc_id"),
+        explode(slice(col("ghs"), lit(1), greatest(col("prefix_len"), lit(1)))).as("gh"))
+    val a = prefix.as("a"); val b = prefix.as("b")
+    val cands = a.join(b, col("a.gh") === col("b.gh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    verifyJaccardPairs(cands, ex, threshold)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs, naive formulation: every shingle
+    * indexed, quadratic within each posting list. Kept as the reference
+    * implementation / spec baseline for [[ngramJaccardPairsPrefix]], which
+    * produces the same output with a fraction of the join volume. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
     // join/shuffle on the 64-bit shingle hash, not the string — ~8 bytes vs
@@ -137,7 +178,7 @@ object DedupOps {
 
   /** EXACT Jaccard verification of candidate pairs over a shingle-hash
     * frame `(doc_id, gh)`: recompute |A∩B| for candidates only.
-    * Output `(id_a, id_b, jaccard)` filtered at `threshold`. */
+    * Output `(id_a, id_b, shared, jaccard)` filtered at `threshold`. */
   def verifyJaccardPairs(cands: DataFrame, ex: DataFrame,
                          threshold: Double): DataFrame = {
     val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -156,7 +197,7 @@ object DedupOps {
         col("shared").cast("double") /
           (col("ca.n_shingles") + col("cb.n_shingles") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "shared", "jaccard")
   }
 
   /** MinHash+LSH near-dup pipeline: signature → banded buckets → candidate
@@ -167,6 +208,7 @@ object DedupOps {
     verifyJaccardPairs(
       lshCandidates(minhashSignatures(df, idCol, textCol, n, k), k, bands),
       shingleHashes(df, idCol, textCol, n), threshold)
+      .select("id_a", "id_b", "jaccard")
 
   /** Duplicate-cluster resolution: connected components over a near-dup
     * pair graph via min-label propagation with pointer jumping. Output one

@@ -33,6 +33,25 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never pairs
   }
 
+  test("prefix-filtered jaccard equals the naive formulation bit-for-bit") {
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("id_a", "id_b", "shared", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // planted fixture (near dups + unrelated)
+    assert(toSet(DedupOps.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8)) ==
+      toSet(DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)))
+    // real documents table, including at a LOW threshold where the prefix
+    // is long and boundary arithmetic (⌈t·n⌉) matters most
+    val real = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    for (t <- Seq(0.5, 0.8)) {
+      val naive = toSet(DedupOps.ngramJaccardPairs(real, "doc_id", "text", 3, t))
+      val pref = toSet(DedupOps.ngramJaccardPairsPrefix(real, "doc_id", "text", 3, t))
+      assert(naive.nonEmpty)
+      assert(pref == naive, s"threshold $t: prefix variant diverged")
+    }
+  }
+
   test("minhash+LSH output matches exact jaccard on the planted pairs") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
