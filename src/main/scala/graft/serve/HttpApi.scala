@@ -65,6 +65,10 @@ private[serve] object Json {
   * capped); this layer only parses, dispatches, shapes, and serializes —
   * it holds no DataFrames and adds no driver-side computation.
   */
+object HttpApi {
+  private[serve] final case class ParamError(msg: String) extends RuntimeException(msg)
+}
+
 final class HttpApi(service: AmbientService) {
 
   // ---- lifecycle ---------------------------------------------------------
@@ -89,8 +93,9 @@ final class HttpApi(service: AmbientService) {
 
   // ---- request plumbing --------------------------------------------------
 
-  /** FastAPI's request-validation failure (unparseable/missing params). */
-  private final case class ParamError(msg: String) extends RuntimeException(msg)
+  // FastAPI's request-validation failure (unparseable/missing params) —
+  // top-level in the companion so the catch-side type test is exact
+  import HttpApi.ParamError
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&").toSeq
