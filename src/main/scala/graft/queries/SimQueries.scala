@@ -69,6 +69,18 @@ object SimQueries {
       SimilarityOps.ivfTopK(emb(s, dir), "vec_id", "embedding",
           querySelector = 10, k = 5, nCells = 16, nProbe = 2)
         .orderBy("query_id", "rank")),
+
+    // ANN: IVF over a TRAINED spherical-k-means quantizer (3 Lloyd
+    // rounds). The trained centroid frame is the fixture seam; the oracle
+    // replays assignment + probe + exact rank from it in SQL.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val cent = seam(SimilarityOps.kmeansCentroids(
+        emb(s, dir), "vec_id", "embedding", k = 16, iters = 3),
+        dir, "ivf_centroids")
+      SimilarityOps.ivfTopKFrom(emb(s, dir), "vec_id", "embedding", cent,
+          querySelector = 10, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,6 +148,34 @@ object SimQueries {
          |  FROM pairs)
          |SELECT query_id, rank, neighbor_id, cos, bucket
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf_trained" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${sqlPath("ivf_centroids")}')),
+         |asg AS (
+         |  SELECT b.id, b.v, c.cell,
+         |         row_number() OVER (PARTITION BY b.id
+         |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+         |  FROM base b CROSS JOIN cent c),
+         |corpus AS (SELECT id AS neighbor_id, v, cell FROM asg WHERE r = 1),
+         |qs AS (SELECT id AS query_id, v AS qv, cell FROM asg
+         |       WHERE r <= 2 AND id % 10 = 0),
+         |pairs AS (
+         |  SELECT q.query_id, c.neighbor_id,
+         |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
+         |  FROM qs q JOIN corpus c
+         |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos, cell,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, rank, neighbor_id, cos, cell
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH base AS (

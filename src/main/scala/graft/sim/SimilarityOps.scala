@@ -187,19 +187,61 @@ object SimilarityOps {
     bits.reduce((x, y) => x.bitwiseOR(y))
   }
 
-  /** ANN via IVF (inverted-file) cells: a deterministic coarse quantizer
-    * (the `nCells` lowest-id vectors serve as centroids) assigns every
-    * corpus vector to its nearest cell; each query probes its `nProbe`
-    * nearest cells and ranks exactly within them. At scale the assignment
-    * is one broadcast pass over the corpus and the search join touches
-    * `nProbe/nCells` of the data; a trained k-means quantizer slots in by
-    * replacing the centroid frame. */
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              querySelector: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+  /** Spherical k-means (Lloyd iterations over cosine similarity) for the
+    * IVF coarse quantizer: init = the `k` lowest-id vectors, then
+    * `iters` rounds of (assign every vector to its most-similar centroid
+    * via the broadcast `max_by` pass) → (new centroid = element-wise mean
+    * of its members; an emptied cell keeps its previous centroid).
+    *
+    * The per-round centroid model (k × dims doubles) is collected to the
+    * driver and re-broadcast — the standard iterate-a-small-model shape; a
+    * quantizer that didn't fit the driver wouldn't fit the broadcast
+    * either. Element-wise means run as a (cell, dim) partial→final
+    * aggregate, so the exploded rows combine map-side before the exchange.
+    * Output `(cell BIGINT, cv ARRAY<DOUBLE>)`, deterministic given the
+    * data (modulo fp summation order inside `avg` — which is why the IVF
+    * query pins the TRAINED frame through a fixture seam rather than
+    * re-deriving it in the oracle). */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"),
+      l2norm(col(vecCol)).as("nv"))
+    var cent: Seq[(Long, Seq[Double])] = base.orderBy("id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 0 until iters) {
+      val centDf = cent.toDF("cell", "cv")
+        .withColumn("cn", l2norm(col("cv")))
+      val best = base.crossJoin(broadcast(centDf))
+        .withColumn("sim", dot(col("v"), col("cv")) / (col("nv") * col("cn")))
+        .groupBy("id")
+        .agg(max_by(struct(col("cell"), col("v")),
+          struct(col("sim"), (-col("cell")).as("tb"))).as("b"))
+        .select(col("b.cell").as("cell"), col("b.v").as("v"))
+      val means = best
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg("x").as("m"))
+        .groupBy("cell").agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toMap
+      cent = cent.map { case (c, old) => (c, means.getOrElse(c, old)) }
+    }
+    cent.toDF("cell", "cv")
+  }
+
+  /** IVF search over an EXPLICIT centroid frame `(cell, cv)` — the
+    * quantizer-agnostic core: corpus cell assignment is the broadcast
+    * `max_by` pass (map-side partial aggregate, one output row per vector
+    * crosses the exchange), queries probe their `nProbe` nearest cells,
+    * exact cosine ranks within the probed cells. */
+  def ivfTopKFrom(emb: DataFrame, idCol: String, vecCol: String,
+                  centroidFrame: DataFrame, querySelector: Long,
+                  k: Int, nProbe: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nv"))
-    val centroids = base.orderBy("id").limit(nCells)
-      .select(col("id").as("cell"), col("v").as("cv"), col("nv").as("cn"))
+    val centroids = centroidFrame.select(col("cell"), col("cv"),
+      l2norm(col("cv")).as("cn"))
     val simToCell = dot(col("v"), col("cv")) / (col("nv") * col("cn"))
     // Corpus assignment (best cell per vector): `max_by` over the broadcast
     // cross product, NOT a row_number window — the aggregate does map-side
@@ -237,6 +279,18 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cos", "cell")
       // no dedup needed: each corpus vector lives in exactly one cell, so a
       // (query, neighbor) pair can match at most one probed cell
+  }
+
+  /** ANN via IVF with the DETERMINISTIC coarse quantizer — the `nCells`
+    * lowest-id vectors serve as centroids (cell id = vector id), so the
+    * whole pipeline is SQL-replayable end to end (q_ann_ivf's direct
+    * oracle). For a trained quantizer pass [[kmeansCentroids]]' output to
+    * [[ivfTopKFrom]] instead. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              querySelector: Long, k: Int, nCells: Int, nProbe: Int): DataFrame = {
+    val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .orderBy("cell").limit(nCells)
+    ivfTopKFrom(emb, idCol, vecCol, cent, querySelector, k, nProbe)
   }
 
   /** Signature frame for [[lshTopKFrom]]: `(id, v, nv, bucket)` — the

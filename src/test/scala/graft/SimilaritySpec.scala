@@ -111,6 +111,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("trained k-means IVF: quantizer shape, exact in-cell ranking") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val cent = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",
+      k = 16, iters = 3)
+    val rows = cent.collect()
+    assert(rows.length == 16)
+    assert(rows.forall(_.getSeq[Double](1).length == 64))
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivf = SimilarityOps.ivfTopKFrom(emb, "vec_id", "embedding", cent,
+      querySelector = 50, k = 5, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    // ranking within probed cells is exact: cos values match brute force
+    ivf.foreach { r =>
+      assert(brute((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+  }
+
   test("blocked exact pair scan equals the brute-force scan bit-for-bit") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     def toSet(df: org.apache.spark.sql.DataFrame) =
