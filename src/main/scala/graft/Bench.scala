@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   *  - `errors`       names of failed queries; a failed query also reports
   *                   -1 in both per-query maps so automated consumers can't
   *                   mistake a partial wall time for success.
+  *
+  * TWO lines are printed: a full-precision `"metric":"detail"` line first
+  * (cold + warm maps), then a compact `"metric":"total"` line LAST. The
+  * harness that collects this output keeps only the final ~2 KB of the run
+  * log; the detail line (~4 KB for 60+ queries) overflowed that window in
+  * rounds 1-2 and the result was recorded unparsed. The compact line rounds
+  * to 2 decimals and carries only the contract fields, so it fits in the
+  * window (with sbt's trailing status line) at up to ~70 queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,15 +62,22 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = named.map { case (n, fn) => n -> run(n, fn) }
     val warm = named.map { case (n, fn) => n -> run(n, fn) }
-    def jsonMap(m: Seq[(String, Double)]) =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    def jsonMap(m: Seq[(String, Double)], fmt: Double => String) =
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errors = (cold ++ warm).collect { case (n, v) if v < 0 => n }.distinct.sorted
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jsonMap(cold)},"queries_warm":${jsonMap(warm)},""" +
+    // full precision first (may scroll out of the collector's tail window)
+    println(s"""{"metric":"detail","value":$total,"unit":"sec",""" +
+      s""""queries":${jsonMap(cold, _.toString)},""" +
+      s""""queries_warm":${jsonMap(warm, _.toString)},""" +
       s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}""")
+    // compact contract line last — MUST stay under ~1.8 KB
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries":${jsonMap(cold, r2)},"total_warm":${r2(totalWarm)},""" +
+      s""""errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

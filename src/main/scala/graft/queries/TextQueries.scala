@@ -363,7 +363,7 @@ object TextQueries {
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_total,
         |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
-        |    (CASE WHEN CAST(regexp_extract(source, '\d+') AS INT) % 2 = 0
+        |    (CASE WHEN TRY_CAST(NULLIF(regexp_extract(source, '\d+'), '') AS INT) % 2 = 0
         |          THEN 'c0' ELSE '40' END)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

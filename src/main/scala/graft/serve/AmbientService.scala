@@ -132,10 +132,11 @@ class AmbientService(
 
   // ---- /aggregations/broadband (A1 + F8/F9 + O4) ------------------------
   def getBroadbandAggregation(hydrophone: String, start: Instant, end: Instant,
-      interval: String, deltaT: Int = 1): BroadbandAggregationResponse =
-    aggCache.memo(("bbagg", hydrophone, start, end, interval, deltaT)) {
+      interval: String, deltaT: Int = 1,
+      doValidate: Boolean = true): BroadbandAggregationResponse =
+    aggCache.memo(("bbagg", hydrophone, start, end, interval, deltaT, doValidate)) {
       val h = RequestPlanner.normalizeName(hydrophone)
-      validate(h, "broadband", None, deltaT, start, end)
+      if (doValidate) validate(h, "broadband", None, deltaT, start, end)
       val iv = RequestPlanner.resolveInterval(interval, start, end)
       RequestPlanner.enforcePointCap(RequestPlanner.estimatedPoints(start, end, iv))
       val agg = ResampleOps.resampleMean(
@@ -148,11 +149,13 @@ class AmbientService(
 
   // ---- /aggregations/psd (A2; one scan replaces the day-chunk loop) -----
   def getPsdAggregation(hydrophone: String, start: Instant, end: Instant,
-      interval: String, deltaFSel: String, deltaT: Int = 1): PsdHeatmapResponse =
-    aggCache.memo(("psdagg", hydrophone, start, end, interval, deltaFSel, deltaT)) {
+      interval: String, deltaFSel: String, deltaT: Int = 1,
+      doValidate: Boolean = true): PsdHeatmapResponse =
+    aggCache.memo(("psdagg", hydrophone, start, end, interval, deltaFSel, deltaT,
+        doValidate)) {
       val h = RequestPlanner.normalizeName(hydrophone)
       val (freqType, deltaF) = RequestPlanner.parseDeltaF(deltaFSel)
-      validate(h, freqType, Some(deltaF), deltaT, start, end)
+      if (doValidate) validate(h, freqType, Some(deltaF), deltaT, start, end)
       val iv = RequestPlanner.resolveInterval(interval, start, end)
       RequestPlanner.enforcePointCap(RequestPlanner.estimatedPoints(start, end, iv))
       val agg = ResampleOps.resampleBandsMean(

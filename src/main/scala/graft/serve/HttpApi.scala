@@ -289,8 +289,9 @@ final class HttpApi(service: AmbientService) {
     val start = parseInstant("start", required(p, "start"))
     val end = parseInstant("end", required(p, "end"))
     val deltaT = p.get("delta_t").map(parseInt("delta_t", _)).getOrElse(1)
+    val validate = p.get("validate").map(parseBool("validate", _)).getOrElse(true)
     val r = service.getBroadbandAggregation(required(p, "hydrophone"), start, end,
-      required(p, "interval"), deltaT)
+      required(p, "interval"), deltaT, validate)
     val body = Json.obj(
       "hydrophone" -> Json.str(lower(r.hydrophone)),
       "start" -> Json.str(iso(start)),
@@ -312,8 +313,9 @@ final class HttpApi(service: AmbientService) {
     val end = parseInstant("end", required(p, "end"))
     val deltaT = p.get("delta_t").map(parseInt("delta_t", _)).getOrElse(1)
     val deltaF = required(p, "delta_f")
+    val validate = p.get("validate").map(parseBool("validate", _)).getOrElse(true)
     val r = service.getPsdAggregation(required(p, "hydrophone"), start, end,
-      required(p, "interval"), deltaF, deltaT)
+      required(p, "interval"), deltaF, deltaT, validate)
     val body = Json.obj(
       "hydrophone" -> Json.str(lower(r.hydrophone)),
       "start" -> Json.str(iso(start)),

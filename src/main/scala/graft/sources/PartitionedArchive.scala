@@ -68,11 +68,12 @@ object PartitionedArchive {
         .parquet(s"$root/psd")
     }
 
-  /** Append a broadband micro-batch into the same layout — the
-    * `foreachBatch` target for streaming ingest (see
-    * [[graft.streaming.StreamingOps.archiveIngest]]). Same sort + stats
-    * discipline as the bulk writer; periodic [[compactPartition]] folds
-    * the accumulated per-batch files back into row-group-sized ones. */
+  /** Append a broadband micro-batch into the same layout. Plain blind
+    * append — NOT replay-safe on its own (a re-delivered batch appends its
+    * rows twice); streaming ingest goes through [[appendBroadbandBatch]],
+    * which adds batch-scoped idempotency on top of the same writer
+    * discipline. Periodic [[compactPartition]] folds the accumulated
+    * per-batch files back into row-group-sized ones. */
   def appendBroadband(df: DataFrame, root: String): Unit =
     withMicrosTimestamps(df) {
       df.sortWithinPartitions("hydrophone", "delta_t", "ts")
@@ -81,6 +82,69 @@ object PartitionedArchive {
         .partitionBy(BroadbandPartitions: _*)
         .parquet(s"$root/broadband")
     }
+
+  /** Idempotent micro-batch append — the `foreachBatch` target for
+    * [[graft.streaming.StreamingOps.archiveIngest]]. `foreachBatch` is
+    * at-least-once: if the JVM dies after data lands but before the
+    * checkpoint records the batch id, the whole batch is re-delivered. A
+    * blind append would then duplicate rows; this writer makes the replay
+    * converge to exactly-once output instead:
+    *
+    *  1. a commit marker `_ingest_commits/<batchId>` short-circuits a
+    *     replay of a fully committed batch;
+    *  2. the batch is written to `_staging/batch=<batchId>` with
+    *     mode=overwrite (underscore dirs are invisible to partition
+    *     discovery, and overwrite makes THIS step self-cleaning);
+    *  3. staged files move into their live partition dirs under
+    *     DETERMINISTIC names `b<batchId>-<taskPart>.parquet`, after
+    *     deleting any `b<batchId>-*` leftovers from a crashed earlier
+    *     attempt (same batch id ⇒ same checkpointed source offsets ⇒ same
+    *     data ⇒ same partition set, so the pre-delete covers every file a
+    *     partial attempt can have produced);
+    *  4. the marker is created, then staging is removed.
+    *
+    * A crash between any two steps replays into the same end state.
+    * File-level `rename` is atomic on HDFS/local; on an object store the
+    * rename is copy+delete and a transactional table layer is the real
+    * answer — same caveat as [[compactPartition]]. */
+  def appendBroadbandBatch(df: DataFrame, root: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val base = new Path(s"$root/broadband")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(base, s"_ingest_commits/$batchId")
+    val staging = new Path(base, s"_staging/batch=$batchId")
+    if (fs.exists(marker)) { fs.delete(staging, true); return }
+    withMicrosTimestamps(df) {
+      df.sortWithinPartitions("hydrophone", "delta_t", "ts")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy(BroadbandPartitions: _*)
+        .parquet(staging.toString)
+    }
+    def leafDirs(dir: Path): Seq[Path] = {
+      val kids = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      if (kids.isEmpty) Seq(dir) else kids.toSeq.flatMap(leafDirs)
+    }
+    val stagingPrefix = staging.toUri.getPath.stripSuffix("/") + "/"
+    leafDirs(staging).foreach { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(stagingPrefix)
+      val live = if (rel.isEmpty || rel.startsWith("/")) base else new Path(base, rel)
+      fs.mkdirs(live)
+      // partial earlier attempt of THIS batch: drop its files before re-landing
+      Option(fs.globStatus(new Path(live, s"b$batchId-*.parquet")))
+        .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
+      fs.listStatus(leaf).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        // part-00007-<uuid>....parquet → task-partition index 00007: unique
+        // within the leaf for one write, stable across replays of the batch
+        val idx = f.getPath.getName.stripPrefix("part-").takeWhile(_ != '-')
+        val tgt = new Path(live, s"b$batchId-$idx.parquet")
+        if (!fs.rename(f.getPath, tgt))
+          throw new java.io.IOException(s"ingest batch $batchId: rename ${f.getPath} -> $tgt failed")
+      }
+    }
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+  }
 
   def readBroadband(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/broadband")

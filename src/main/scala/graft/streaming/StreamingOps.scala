@@ -106,18 +106,21 @@ object StreamingOps {
   }
 
   /** Streaming ingest into the canonical partitioned archive: each
-    * micro-batch appends through the same sorted, stats-bearing writer the
+    * micro-batch lands through the same sorted, stats-bearing writer the
     * bulk path uses, so data is servable the moment the batch commits and
     * window pruning holds from the first file. `foreachBatch` (not the
     * parquet sink) so the append shares [[graft.sources.PartitionedArchive]]
-    * layout discipline; exactly-once comes from the checkpointed batch id
-    * plus parquet append atomicity per task commit. Compaction runs out of
-    * band. */
+    * layout discipline. `foreachBatch` alone is at-least-once — a crash
+    * between the data landing and the checkpoint advancing re-delivers the
+    * batch — so the writer is [[graft.sources.PartitionedArchive.appendBroadbandBatch]],
+    * whose batch-id-scoped staging + deterministic file names + commit
+    * marker make the replay idempotent (exactly-once OUTPUT, at-least-once
+    * delivery). Compaction runs out of band. */
   def archiveIngest(stream: DataFrame, root: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sources.PartitionedArchive.appendBroadband(batch, root)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.PartitionedArchive.appendBroadbandBatch(batch, root, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -179,6 +179,22 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.body().contains(""""point_count":0"""))
   }
 
+  test("aggregations honor validate=false like the timeseries paths (ref aggregations.py:80,113)") {
+    // delta_t=10 broadband exists only as delta_t=1 in the fixture archive:
+    // with validation this combination 400s; validate=false serves best-effort
+    val checked = get("/aggregations/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=15m&delta_t=10")
+    assert(checked.statusCode() == 400)
+    val bb = get("/aggregations/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=15m&delta_t=10" +
+      "&validate=false")
+    assert(bb.statusCode() == 200, bb.body())
+    val psd = get("/aggregations/psd?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&interval=15m" +
+      "&delta_f=500hz&delta_t=10&validate=false")
+    assert(psd.statusCode() == 200, psd.body())
+  }
+
   test("point-cap violation surfaces as 400, not truncation") {
     val r = get("/aggregations/broadband?hydrophone=orcasound_lab" +
       "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=10s")

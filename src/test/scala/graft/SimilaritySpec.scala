@@ -34,7 +34,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("LSH top-k agrees with brute force on shared (query, neighbor) pairs") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
-    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 1000000)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50,
+        k = 1000000, maxQueries = 10000000L)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding", 50, 5, 6).collect()
     assert(lsh.nonEmpty)
@@ -59,7 +60,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("IVF top-k: cos values agree with brute force; recall is meaningful") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
-    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 1000000)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50,
+        k = 1000000, maxQueries = 10000000L)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     val bruteTop5 = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -118,7 +120,8 @@ class SimilaritySpec extends AnyFunSuite {
     val rows = cent.collect()
     assert(rows.length == 16)
     assert(rows.forall(_.getSeq[Double](1).length == 64))
-    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 1000000)
+    val brute = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50,
+        k = 1000000, maxQueries = 10000000L)
       .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
     val ivf = SimilarityOps.ivfTopKFrom(emb, "vec_id", "embedding", cent,
       querySelector = 50, k = 5, nProbe = 2).collect()

@@ -94,6 +94,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
   }
 
+  test("ingest batch replay is idempotent (crash before AND after commit marker)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_replay_arch").toString
+    val batch = (0 until 50).map(i =>
+      ("ORCASOUND_LAB", 1, Timestamp.valueOf("2024-02-01 00:00:00"), 90.0 + i))
+      .toDF("hydrophone", "delta_t", "ts", "value")
+    val A = graft.sources.PartitionedArchive
+    A.appendBroadbandBatch(batch, root, batchId = 7L)
+    assert(A.readBroadband(spark, root).count() == 50)
+    // replay with the marker present (crash after full commit): no-op
+    A.appendBroadbandBatch(batch, root, batchId = 7L)
+    assert(A.readBroadband(spark, root).count() == 50)
+    // replay with the marker LOST (crash after files landed, before the
+    // marker): deterministic names + pre-delete converge, still 50 rows
+    val base = new Path(s"$root/broadband")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(base, "_ingest_commits/7"), false)
+    A.appendBroadbandBatch(batch, root, batchId = 7L)
+    assert(A.readBroadband(spark, root).count() == 50)
+    // a DIFFERENT batch id appends rather than replacing
+    A.appendBroadbandBatch(batch, root, batchId = 8L)
+    assert(A.readBroadband(spark, root).count() == 100)
+  }
+
   test("watermarked append-mode stream runs and emits finalized windows") {
     val stream = StreamingOps.windowedMean(
       StreamingOps.eventsStream(spark, TestSpark.Sf0001), "1 hour",
