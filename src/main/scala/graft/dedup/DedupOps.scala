@@ -225,8 +225,16 @@ object DedupOps {
     * Non-convergence within `maxIter` throws (never returns wrong labels). */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
                         minRounds: Int = 2): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the (possibly expensive) pair computation ONCE before
+    // mirroring it: without this the union's two branches each carry the
+    // full upstream near-dup join, and dedup then depends on exchange
+    // reuse firing — which it does at sf0.1 (measured neutral there) but
+    // is plan-shape-fragile; at corpus scale a silently doubled pair join
+    // is the single most expensive stage in the pipeline
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
+    val edges = p
+      .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
@@ -261,6 +269,7 @@ object DedupOps {
       i += 1
     }
     edges.unpersist(false)
+    p.unpersist(false)
     if (!converged)
       throw graft.planner.Errors.AggregationError(
         s"connected components did not converge in $maxIter rounds")

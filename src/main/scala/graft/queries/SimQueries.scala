@@ -81,6 +81,29 @@ object SimQueries {
           querySelector = 10, k = 5, nProbe = 2)
         .orderBy("query_id", "rank")
     }),
+
+    // Embedding-cosine near-dup DEDUP: the full keep/drop resolution over
+    // the vector near-dup graph (the pair scan's downstream stage, mirroring
+    // what q_dedup_clusters is to q_dedup_ngram). Exact block-pair scan →
+    // connected components → one row per vector with its cluster id (min
+    // vec_id in the component) and the keep flag. At scale, swap the exact
+    // pair scan for the banded-LSH candidates + verify (cosinePairsLsh) —
+    // the downstream clustering is identical.
+    "q_dedup_embed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val pairs = SimilarityOps.cosinePairsBlocked(
+          emb(s, dir), "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+      val clusters = graft.dedup.DedupOps.duplicateClusters(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      emb(s, dir).select(col("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+            .cast("int").as("keep"))
+        .orderBy("vec_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -203,5 +226,28 @@ object SimQueries {
         |SELECT query_id, rank, neighbor_id, cos, cell
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH RECURSIVE prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |  WHERE r.src <> b.dst),
+        |members AS (
+        |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src)
+        |SELECT e.vec_id,
+        |       coalesce(m.cluster_id, e.vec_id) AS cluster_id,
+        |       CAST(coalesce(m.cluster_id, e.vec_id) = e.vec_id AS INT) AS keep
+        |FROM embeddings e LEFT JOIN members m ON e.vec_id = m.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
   )
 }

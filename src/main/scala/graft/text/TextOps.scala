@@ -75,7 +75,10 @@ object TextOps {
     val toks = wsTokens(lower(text))
     val (en, de, es, fr) = (stopCount(toks, EnStop), stopCount(toks, DeStop),
       stopCount(toks, EsStop), stopCount(toks, FrStop))
-    when(cjkCount(text) > 0, "zh")
+    // existence test, not a count: rlike stops at the first CJK char where
+    // cjkCount's regexp_replace rewrites the whole document (same predicate
+    // as the oracle's `zh > 0` — a char exists iff the count is positive)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
       .when(en + de + es + fr === 0, "und")
       .when(en >= de && en >= es && en >= fr, "en")
       .when(de >= es && de >= fr, "de")

@@ -41,6 +41,30 @@ object Profile {
         time("simhash fingerprints (2nd)")(fps.count())
         val pairs = graft.dedup.DedupOps.simhashPairs(fps, 3)
         time("simhash pairs (recompute fps)")(pairs.count())
+      case "corpus_clean" =>
+        import org.apache.spark.sql.functions._
+        import graft.dedup.DedupOps
+        val d = graft.tables.Tables.documents(spark, sfDir)
+        val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        time("exact dedup")(exactKeep.count())
+        val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("persist kept")(exactKept.count())
+        val pairs = DedupOps.ngramJaccardPairs(exactKept, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b"))
+        time("ngram pairs")(pairs.count())
+        time("ngram pairs (2nd)")(pairs.count())
+        var clusters: DataFrame = null
+        // duplicateClusters is EAGER (checkpointed rounds) — time the call
+        time("CC (eager rounds)") { clusters = DedupOps.duplicateClusters(pairs); 0L }
+        time("CC labels read")(clusters.count())
+        val losers = clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        val fin = exactKept.join(losers, Seq("doc_id"), "left_anti")
+          .withColumn("n_tokens", size(graft.text.TextOps.wsTokens(col("text"))))
+          .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+          .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und")
+        time("final gates")(fin.count())
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case q =>
