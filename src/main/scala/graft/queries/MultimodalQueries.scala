@@ -61,6 +61,12 @@ object MultimodalQueries {
     // (count, sum); final emissions == the batch per-user aggregate.
     "q_stream_user_stats" -> ((s, dir) =>
       StreamingOps.runUserStatsOnce(s, dir).orderBy("user_id")),
+
+    // Stream-stream interval join (watermarked state on both sides):
+    // inner append-mode emits each match once == the batch range join.
+    "q_stream_join" -> ((s, dir) =>
+      StreamingOps.runStreamJoinOnce(s, dir)
+        .orderBy("purchase_id", "click_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -144,5 +150,16 @@ object MultimodalQueries {
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both sides floor timestamps to whole seconds before differencing
+    // (Spark: unix_timestamp; DuckDB: date_diff counts second boundaries)
+    "q_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |       date_diff('second', c.ts, p.ts) AS lag_secs
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
   )
 }

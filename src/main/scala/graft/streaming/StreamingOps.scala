@@ -125,6 +125,47 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** STREAM-STREAM interval join (§2.10's remaining operator family):
+    * purchases matched to the same user's clicks in the preceding hour —
+    * the attribution-join shape. Both sides carry watermarks, and the join
+    * condition bounds event-time lag, so Spark derives a state-eviction
+    * bound for each side: buffered rows older than
+    * `watermark + interval` drop from the state store — state is
+    * O(users · events-per-hour), not O(stream length), which is what makes
+    * the operator runnable on an unbounded 100 TB/day firehose. Inner
+    * append-mode: each match emits exactly once, so the finite replay
+    * equals the batch join and the batch oracle applies. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+      maxLagSecs: Long): DataFrame =
+    purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLagSecs SECONDS") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("lag_secs"))
+
+  /** Drive the interval join over the (finite) events table: two streaming
+    * readers over the same source, self-joined — the purchase side and the
+    * click side each maintain their own keyed state. */
+  def runStreamJoinOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_join_${runId.incrementAndGet()}"
+    val purchases = eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val clicks = eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val q = intervalJoin(purchases, clicks, maxLagSecs = 3600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(spark, name)
+  }
+
   /** Per-user running totals emitted by batch. */
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -94,6 +94,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val streamed = StreamingOps.runStreamJoinOnce(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3)).toSeq
+    val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val batch = StreamingOps.intervalJoin(p, c, 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._2, t._3)).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("ingest batch replay is idempotent (crash before AND after commit marker)") {
     import spark.implicits._
     import java.sql.Timestamp
