@@ -191,6 +191,14 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
         .orderBy("doc_id")
     }),
+
+    // Sequence packing (concat-then-chunk pretraining layout): sharded
+    // running token sums assign each doc its start/end sequence and offset;
+    // no global window — see TextOps.packSequences.
+    "q_pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(docs(s, dir), "doc_id", "text",
+          capacity = 2048, nShards = 8)
+        .orderBy("doc_id")),
   )
 
   /** PII patterns — Java-regex/RE2-identical constructs only. */
@@ -424,5 +432,25 @@ object TextQueries {
          |SELECT doc_id, n_tokens, lang_pred FROM lp
          |WHERE n_tokens >= 50 AND lang_pred <> 'und'
          |ORDER BY doc_id""".stripMargin,
+
+    // identical shard/window arithmetic to TextOps.packSequences
+    // (2^40 = 1099511627776 disambiguates sequence ids across shards)
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(${toks("lower(text)")}) AS n_tokens,
+         |         doc_id % 8 AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |              AS BIGINT) AS cum_end
+         |  FROM t)
+         |SELECT doc_id, CAST(shard AS INT) AS shard, CAST(n_tokens AS INT) AS n_tokens,
+         |       shard * 1099511627776 +
+         |         CAST(floor((cum_end - n_tokens) / 2048.0) AS BIGINT) AS seq_start,
+         |       (cum_end - n_tokens) % 2048 AS seq_offset,
+         |       shard * 1099511627776 +
+         |         CAST(floor((cum_end - 1) / 2048.0) AS BIGINT) AS seq_end
+         |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -127,4 +127,35 @@ object TextOps {
     base.select(col(idCol), col("fp_full"))
       .join(minShingle, Seq(idCol), "left")
   }
+
+  /** Sequence packing (concat-then-chunk, the standard pretraining layout):
+    * documents are concatenated in doc_id order and cut into fixed
+    * `capacity`-token sequences; each doc reports the sequence it starts
+    * in, its offset there, and the sequence it ends in (a doc longer than
+    * the remaining room spans sequences — no padding, no truncation).
+    *
+    * Scale shape: a single global running sum would funnel the corpus
+    * through one partition, so packing is SHARDED — `doc_id % nShards`
+    * picks the shard, the running sum windows WITHIN the shard, and
+    * sequence ids are globally disambiguated as `shard * 2^40 + local`.
+    * Each shard is an independent packing stream (maps 1:1 onto a writer
+    * task at export time); the window costs one shuffle on the shard key.
+    * Deterministic given (corpus, capacity, nShards) — the identical
+    * window arithmetic runs in the SQL oracle. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Int, nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), size(wsTokens(lower(col(textCol)))).as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("cum_end", sum(col("n_tokens").cast("long")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("n_tokens"))
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        (col("shard").cast("long") * (1L << 40) +
+          floor(col("cum_start") / capacity)).as("seq_start"),
+        pmod(col("cum_start"), lit(capacity.toLong)).as("seq_offset"),
+        (col("shard").cast("long") * (1L << 40) +
+          floor((col("cum_end") - 1) / capacity)).as("seq_end"))
+  }
 }

@@ -11,6 +11,40 @@ class PipelineQueriesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("sequence packing: hand-computed concat-then-chunk layout") {
+    // one shard, capacity 128: docs of 100/100/60 tokens concatenate to
+    // offsets 0, 100, 200 — doc 1 spans the seq-0/seq-1 cut, doc 2 starts
+    // mid-seq-1 and fits
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, words(100)), (8L, words(100)), (16L, words(60)))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.packSequences(df, "doc_id", "text",
+        capacity = 128, nShards = 1)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getInt(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (0L, 100, 0L, 0L, 0L),     // fills [0,100) of seq 0
+      (8L, 100, 0L, 100L, 1L),   // [100,200): crosses into seq 1 at 128
+      (16L, 60, 1L, 72L, 2L)))   // starts at 200 = seq1+72, ends at 259 → seq 2
+  }
+
+  test("sequence packing invariants on the real corpus: offsets bounded, shards independent") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val r = graft.text.TextOps.packSequences(docs, "doc_id", "text", 2048, 8)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      val (shard, n, s0, off, s1) =
+        (x.getInt(1), x.getInt(2), x.getLong(3), x.getLong(4), x.getLong(5))
+      assert(off >= 0 && off < 2048)
+      assert(s0 >> 40 == shard && s1 >> 40 == shard) // ids shard-scoped
+      if (n > 0) assert(s1 >= s0)
+      // a doc that fits in the remaining room must not span
+      if (n > 0 && off + n <= 2048) assert(s0 == s1)
+    }
+  }
+
   test("PII scrub redacts planted emails and URLs, counts them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
     Seq(
