@@ -65,6 +65,22 @@ object Profile {
           .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
           .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und")
         time("final gates")(fin.count())
+      case "lsh_hi" =>
+        // sub-quadratic claim check at a PRODUCTION near-dup threshold:
+        // exact block-pair scan vs banded-LSH candidates + exact verify,
+        // 8-plane × 32-band signatures, threshold 0.8
+        import graft.sim.SimilarityOps
+        val emb = graft.tables.Tables.embeddings(spark, sfDir)
+        val n = emb.count()
+        time(s"exact block-pair scan t=0.8 (n=$n)")(
+          SimilarityOps.cosinePairsBlocked(emb, "vec_id", "embedding", 0.8).count())
+        val sig = SimilarityOps.bandedSignatures(emb, "vec_id", "embedding", 8, 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("signatures (8 planes x 32 bands)")(sig.count())
+        time("candidate pairs")(SimilarityOps.lshPairCandidates(sig).count())
+        time("lsh candidates + exact verify t=0.8")(
+          SimilarityOps.cosinePairsLsh(sig, 0.8).count())
+        sig.unpersist()
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case q =>

@@ -45,6 +45,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("training export: one sorted file per shard, shard-complete, stable order") {
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft_export").toString
+    graft.sources.TrainingExport.exportShards(docs, root, "doc_id", 4)
+    val dirs = new java.io.File(root).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.map(_.getName).sorted.toSeq ==
+      (0 until 4).map(i => s"shard=$i"))
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+    val back = spark.read.parquet(root)
+    assert(back.count() == docs.count())
+    // each shard holds exactly its residue class, sorted within the file
+    (0 until 4).foreach { k =>
+      val ids = spark.read.parquet(s"$root/shard=$k")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted)
+      assert(ids.forall(_ % 4 == k))
+    }
+    assert((0 until 4).map(k => spark.read.parquet(s"$root/shard=$k").count()).sum
+      == docs.count())
+  }
+
   test("PII scrub redacts planted emails and URLs, counts them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
     Seq(
