@@ -61,16 +61,39 @@ object StreamingOps {
       .select(col("w.start").as("bucket_start"), col("mean_value"), col("point_count"))
   }
 
+  /** Stateful-operator partition count for the one-shot drivers. A
+    * streaming query pins `spark.sql.shuffle.partitions` into its
+    * checkpoint at START and instantiates one state store per partition
+    * per stateful operator — the right number tracks key cardinality and
+    * throughput, NOT the batch engine's shuffle width. These drivers run
+    * over the test tables (≤ thousands of keys), where the batch default
+    * of 32 means 32 mostly-empty state stores per operator side paying
+    * fixed open/commit/snapshot cost every micro-batch. A production
+    * deployment of the same operators sizes this UP with load; the point
+    * is that it is sized deliberately either way. */
+  private val StatePartitions = 8
+
+  /** Scope the session's shuffle-partition conf around a streaming query
+    * start (the value is read exactly once, at start). */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run the streaming resample to completion over the (finite) events
     * table and return the full result. Complete mode + memory sink: every
     * window is emitted, so the result equals the batch aggregation and the
     * batch oracle applies. */
   def runResampleOnce(spark: SparkSession, dir: String, duration: String): DataFrame = {
     val name = s"graft_stream_resample_${runId.incrementAndGet()}"
-    val q = windowedMean(eventsStream(spark, dir), duration)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
-      .start()
+    val q = withStatePartitions(spark) {
+      windowedMean(eventsStream(spark, dir), duration)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     drainTable(spark, name)
   }
@@ -95,12 +118,14 @@ object StreamingOps {
     * (late re-crawls of the same content arrive within the watermark). */
   def runStreamDedupOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = documentsStream(spark, dir)
-      .select(md5(col("text").cast("binary")).as("content_hash"))
-      .dropDuplicates("content_hash")
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .start()
+    val q = withStatePartitions(spark) {
+      documentsStream(spark, dir)
+        .select(md5(col("text").cast("binary")).as("content_hash"))
+        .dropDuplicates("content_hash")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     drainTable(spark, name)
   }
@@ -158,10 +183,12 @@ object StreamingOps {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "2 hours")
-    val q = intervalJoin(purchases, clicks, maxLagSecs = 3600L)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name)
-      .start()
+    val q = withStatePartitions(spark) {
+      intervalJoin(purchases, clicks, maxLagSecs = 3600L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     drainTable(spark, name)
   }
@@ -191,10 +218,12 @@ object StreamingOps {
           state.update((c, s))
           Iterator(UserStat(user, c, s))
       }
-    val q = updated.toDF()
-      .writeStream.outputMode("update")
-      .format("memory").queryName(name)
-      .start()
+    val q = withStatePartitions(spark) {
+      updated.toDF()
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .start()
+    }
     try { q.processAllAvailable() } finally { q.stop() }
     // last emission per user = the final (count, sum) — count is monotone
     drainTable(spark, name).groupBy("user_id")
