@@ -107,18 +107,26 @@ object PartitionedArchive {
     * File-level `rename` is atomic on HDFS/local; on an object store the
     * rename is copy+delete and a transactional table layer is the real
     * answer — same caveat as [[compactPartition]]. */
-  def appendBroadbandBatch(df: DataFrame, root: String, batchId: Long): Unit = {
+  def appendBroadbandBatch(df: DataFrame, root: String, batchId: Long): Unit =
+    appendBatch(df, s"$root/broadband", BroadbandPartitions, batchId)
+
+  /** PSD micro-batches get the identical replay-idempotent path. */
+  def appendPsdBatch(df: DataFrame, root: String, batchId: Long): Unit =
+    appendBatch(df, s"$root/psd", PsdPartitions, batchId)
+
+  private def appendBatch(df: DataFrame, productRoot: String,
+      partitionCols: Seq[String], batchId: Long): Unit = {
     val spark = df.sparkSession
-    val base = new Path(s"$root/broadband")
+    val base = new Path(productRoot)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(base, s"_ingest_commits/$batchId")
     val staging = new Path(base, s"_staging/batch=$batchId")
     if (fs.exists(marker)) { fs.delete(staging, true); return }
     withMicrosTimestamps(df) {
-      df.sortWithinPartitions("hydrophone", "delta_t", "ts")
+      df.sortWithinPartitions((partitionCols :+ "ts").map(col): _*)
         .write.mode("overwrite")
         .option("compression", "zstd")
-        .partitionBy(BroadbandPartitions: _*)
+        .partitionBy(partitionCols: _*)
         .parquet(staging.toString)
     }
     def leafDirs(dir: Path): Seq[Path] = {

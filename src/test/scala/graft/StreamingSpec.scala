@@ -134,6 +134,14 @@ class StreamingSpec extends AnyFunSuite {
     // a DIFFERENT batch id appends rather than replacing
     A.appendBroadbandBatch(batch, root, batchId = 8L)
     assert(A.readBroadband(spark, root).count() == 100)
+    // the PSD product shares the same idempotent path
+    val psd = (0 until 30).map(i =>
+      ("ORCASOUND_LAB", "octave_bands", 3, 1,
+        Timestamp.valueOf("2024-02-01 00:00:00"), 63.0, 80.0 + i))
+      .toDF("hydrophone", "freq_type", "delta_f", "delta_t", "ts", "band", "value")
+    A.appendPsdBatch(psd, root, batchId = 3L)
+    A.appendPsdBatch(psd, root, batchId = 3L)
+    assert(A.readPsd(spark, root).count() == 30)
   }
 
   test("watermarked append-mode stream runs and emits finalized windows") {
