@@ -46,4 +46,15 @@ object BandOps {
       .pivot(bandCol, bands.toIndexedSeq)
       .agg(first(col(valueCol)))
   }
+
+  /** Inverse of [[toWide]]: wide matrix → long `(ts, band, value)` via the
+    * built-in `unpivot` — map-only, no shuffle, so the long form is free to
+    * re-derive at any scale. NULL cells (bands absent at a timestamp) drop,
+    * matching the long frame the pivot consumed. */
+  def toLong(df: DataFrame, tsCol: String, bandCol: String,
+      valueCol: String): DataFrame = {
+    val bands = df.columns.filter(_ != tsCol)
+    df.unpivot(Array(col(tsCol)), bands.map(col), bandCol, valueCol)
+      .filter(col(valueCol).isNotNull)
+  }
 }

@@ -82,6 +82,22 @@ class ResampleSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("2024-01-01", 1.0), ("2024-01-02", 99.0), ("2024-01-03", 3.0)))
   }
 
+  test("pivot/unpivot round-trip: toLong(toWide(x)) == x, numeric band order") {
+    import graft.ops.BandOps
+    val long = Seq(
+      ("t1", "63", 1.0), ("t1", "125", 2.0), ("t2", "63", 3.0))
+      .toDF("ts", "band", "value")
+    val wide = BandOps.toWide(long, "ts", "band", "value")
+    // numeric label order, not lexicographic ("125" < "63" as strings)
+    assert(wide.columns.toSeq == Seq("ts", "63", "125"))
+    val back = BandOps.toLong(wide, "ts", "band", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(back == long.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet)
+    // the t2/125 NULL cell introduced by the pivot is dropped, not emitted
+    assert(back.size == 3)
+  }
+
   test("U3 schema consistency guard raises AggregationError") {
     val c1 = Seq((1, 2.0)).toDF("a", "b")
     val c2 = Seq((1, "x")).toDF("a", "c")
