@@ -90,8 +90,9 @@ object PartitionedArchive {
     * blind append would then duplicate rows; this writer makes the replay
     * converge to exactly-once output instead:
     *
-    *  1. a commit marker `_ingest_commits/<batchId>` short-circuits a
-    *     replay of a fully committed batch;
+    *  1. a commit marker `_ingest_commits/<streamId>-<batchId>`
+    *     short-circuits a replay of a fully committed batch (the stream id
+    *     scopes batch numbers to one query's checkpoint);
     *  2. the batch is written to `_staging/batch=<batchId>` with
     *     mode=overwrite (underscore dirs are invisible to partition
     *     discovery, and overwrite makes THIS step self-cleaning);
@@ -107,20 +108,29 @@ object PartitionedArchive {
     * File-level `rename` is atomic on HDFS/local; on an object store the
     * rename is copy+delete and a transactional table layer is the real
     * answer — same caveat as [[compactPartition]]. */
-  def appendBroadbandBatch(df: DataFrame, root: String, batchId: Long): Unit =
-    appendBatch(df, s"$root/broadband", BroadbandPartitions, batchId)
+  def appendBroadbandBatch(df: DataFrame, root: String, batchId: Long,
+      streamId: String = ""): Unit =
+    appendBatch(df, s"$root/broadband", BroadbandPartitions, batchId, streamId)
 
   /** PSD micro-batches get the identical replay-idempotent path. */
-  def appendPsdBatch(df: DataFrame, root: String, batchId: Long): Unit =
-    appendBatch(df, s"$root/psd", PsdPartitions, batchId)
+  def appendPsdBatch(df: DataFrame, root: String, batchId: Long,
+      streamId: String = ""): Unit =
+    appendBatch(df, s"$root/psd", PsdPartitions, batchId, streamId)
 
   private def appendBatch(df: DataFrame, productRoot: String,
-      partitionCols: Seq[String], batchId: Long): Unit = {
+      partitionCols: Seq[String], batchId: Long, streamId: String): Unit = {
+    // batch ids are scoped to ONE streaming query's checkpoint: two
+    // queries ingesting into the same root both start at batch 0, so the
+    // marker/staging/file namespace carries the caller's stream identity
+    // (archiveIngest derives it from the checkpoint path) — without it,
+    // stream B's batch 0 would be skipped as "already committed" by
+    // stream A's marker
+    val tag = if (streamId.isEmpty) s"$batchId" else s"$streamId-$batchId"
     val spark = df.sparkSession
     val base = new Path(productRoot)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(base, s"_ingest_commits/$batchId")
-    val staging = new Path(base, s"_staging/batch=$batchId")
+    val marker = new Path(base, s"_ingest_commits/$tag")
+    val staging = new Path(base, s"_staging/batch=$tag")
     if (fs.exists(marker)) { fs.delete(staging, true); return }
     withMicrosTimestamps(df) {
       df.sortWithinPartitions((partitionCols :+ "ts").map(col): _*)
@@ -139,15 +149,15 @@ object PartitionedArchive {
       val live = if (rel.isEmpty || rel.startsWith("/")) base else new Path(base, rel)
       fs.mkdirs(live)
       // partial earlier attempt of THIS batch: drop its files before re-landing
-      Option(fs.globStatus(new Path(live, s"b$batchId-*.parquet")))
+      Option(fs.globStatus(new Path(live, s"b$tag-*.parquet")))
         .getOrElse(Array.empty).foreach(st => fs.delete(st.getPath, false))
       fs.listStatus(leaf).filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
         // part-00007-<uuid>....parquet → task-partition index 00007: unique
         // within the leaf for one write, stable across replays of the batch
         val idx = f.getPath.getName.stripPrefix("part-").takeWhile(_ != '-')
-        val tgt = new Path(live, s"b$batchId-$idx.parquet")
+        val tgt = new Path(live, s"b$tag-$idx.parquet")
         if (!fs.rename(f.getPath, tgt))
-          throw new java.io.IOException(s"ingest batch $batchId: rename ${f.getPath} -> $tgt failed")
+          throw new java.io.IOException(s"ingest batch $tag: rename ${f.getPath} -> $tgt failed")
       }
     }
     fs.create(marker, true).close()

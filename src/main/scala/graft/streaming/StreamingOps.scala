@@ -142,13 +142,23 @@ object StreamingOps {
     * marker make the replay idempotent (exactly-once OUTPUT, at-least-once
     * delivery). Compaction runs out of band. */
   def archiveIngest(stream: DataFrame, root: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // batch ids restart at 0 per checkpoint: scope this query's commit
+    // markers by its checkpoint identity so several ingest streams can
+    // share one archive root without mistaking each other's batch 0
+    val streamId = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+      d.take(4).map("%02x".format(_)).mkString
+    }
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sources.PartitionedArchive.appendBroadbandBatch(batch, root, batchId)
+        graft.sources.PartitionedArchive.appendBroadbandBatch(
+          batch, root, batchId, streamId)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 
   /** STREAM-STREAM interval join (§2.10's remaining operator family):
     * purchases matched to the same user's clicks in the preceding hour —

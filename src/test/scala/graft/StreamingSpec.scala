@@ -134,6 +134,10 @@ class StreamingSpec extends AnyFunSuite {
     // a DIFFERENT batch id appends rather than replacing
     A.appendBroadbandBatch(batch, root, batchId = 8L)
     assert(A.readBroadband(spark, root).count() == 100)
+    // a different STREAM's batch 7 must not be mistaken for the first
+    // stream's committed batch 7 (markers are stream-scoped)
+    A.appendBroadbandBatch(batch, root, batchId = 7L, streamId = "other")
+    assert(A.readBroadband(spark, root).count() == 150)
     // the PSD product shares the same idempotent path
     val psd = (0 until 30).map(i =>
       ("ORCASOUND_LAB", "octave_bands", 3, 1,
