@@ -93,12 +93,13 @@ object PartitionedArchive {
     *  1. a commit marker `_ingest_commits/<streamId>-<batchId>`
     *     short-circuits a replay of a fully committed batch (the stream id
     *     scopes batch numbers to one query's checkpoint);
-    *  2. the batch is written to `_staging/batch=<batchId>` with
+    *  2. the batch is written to `_staging/batch=<streamId>-<batchId>`
+    *     with
     *     mode=overwrite (underscore dirs are invisible to partition
     *     discovery, and overwrite makes THIS step self-cleaning);
     *  3. staged files move into their live partition dirs under
-    *     DETERMINISTIC names `b<batchId>-<taskPart>.parquet`, after
-    *     deleting any `b<batchId>-*` leftovers from a crashed earlier
+    *     DETERMINISTIC names `b<streamId>-<batchId>-<taskPart>.parquet`,
+    *     after deleting any same-tag leftovers from a crashed earlier
     *     attempt (same batch id ⇒ same checkpointed source offsets ⇒ same
     *     data ⇒ same partition set, so the pre-delete covers every file a
     *     partial attempt can have produced);
