@@ -219,12 +219,11 @@ object DedupOps {
     * label chains (`label := label(label)`), so convergence needs
     * O(log diameter) rounds, not O(diameter) — a 1000-doc template chain
     * resolves in ~10 rounds. `localCheckpoint` truncates lineage per round.
-    * The convergence check is itself a job, so the first `minRounds − 1`
-    * rounds skip it (near-dup clusters are almost always ≤ 2^minRounds
-    * docs; a check that cannot come back 0 is a wasted count).
+    * The pre-round label rides through the aggregate as `prev_cluster`, so
+    * the convergence check is a filter-count over the round's own
+    * checkpoint — no join against the previous labels, no extra shuffle.
     * Non-convergence within `maxIter` throws (never returns wrong labels). */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
-                        minRounds: Int = 2): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE before
     // mirroring it: without this the union's two branches each carry the
     // full upstream near-dup join, and dedup then depends on exchange
@@ -236,35 +235,40 @@ object DedupOps {
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var ckpt = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)
+    var labels = ckpt
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // each doc's OWN row is tagged so the pre-round label rides through
+      // the min-aggregate as `prev_cluster` — the convergence test then
+      // reads the round's checkpoint instead of paying a join job against
+      // the previous labels (at corpus scale that join was a second
+      // doc_id-keyed shuffle per round)
       val prop = edges.join(labels, edges("dst") === labels("doc_id"))
-        .select(edges("src").as("doc_id"), col("cluster_id"))
-        .unionByName(labels)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .select(edges("src").as("doc_id"), col("cluster_id"), lit(false).as("own"))
+        .unionByName(labels.withColumn("own", lit(true)))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"),
+          min(when(col("own"), col("cluster_id"))).as("prev_cluster"))
       // pointer jumping: follow the current label one more hop so label
       // chains halve every round (log-diameter convergence)
       val parent = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_cluster"))
       val jumped = prop
         .join(parent, prop("cluster_id") === parent("p_id"), "left")
         .select(prop("doc_id").as("doc_id"),
-          coalesce(col("p_cluster"), prop("cluster_id")).as("cluster_id"))
+          coalesce(col("p_cluster"), prop("cluster_id")).as("cluster_id"),
+          prop("prev_cluster"))
         .localCheckpoint(true)
-      // first minRounds-1 rounds: propagate without paying the check job
-      // (clamped so a small explicit maxIter still gets its final check)
-      val changed = if (i + 1 >= math.min(minRounds, maxIter))
-        jumped.as("n").join(labels.as("o"), Seq("doc_id"))
-          .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      else -1L
+      val changed = jumped
+        .filter(col("cluster_id") =!= col("prev_cluster")).count()
       // `jumped` is an EAGER checkpoint, so the superseded round's blocks
       // can be freed now — without this, a long-lived session leaks one
       // labels copy per round (localCheckpoint persists under the hood)
-      labels.unpersist(false)
-      labels = jumped
+      ckpt.unpersist(false)
+      ckpt = jumped
+      labels = jumped.select("doc_id", "cluster_id")
       converged = changed == 0
       i += 1
     }
