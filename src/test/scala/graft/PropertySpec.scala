@@ -107,4 +107,34 @@ class PropertySpec extends AnyFunSuite {
       assert(pts <= TimeseriesOps.expectedPointCount(start, end, 1L))
     }
   }
+
+  test("property: sharded packing equals the sequential concat-then-chunk fold") {
+    forAll(Gen.listOfN(40, Gen.choose(0, 300)), Gen.choose(16, 257)) {
+      (lens, capacity) =>
+        val docs = lens.zipWithIndex.map { case (n, i) =>
+          (i.toLong, (0 until n).map(j => s"t$j").mkString(" "))
+        }.toDF("doc_id", "text")
+        val got = graft.text.TextOps
+          .packSequences(docs, "doc_id", "text", capacity, nShards = 3)
+          .collect()
+          .map(r => r.getLong(0) -> (r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toMap
+        // reference: per shard, walk docs in id order carrying the offset
+        val byShard = lens.zipWithIndex.groupBy { case (_, i) => i % 3 }
+        byShard.foreach { case (shard, ds) =>
+          var cum = 0L
+          ds.sortBy(_._2).foreach { case (n, i) =>
+            val (start, end) = (cum, cum + n)
+            val expStart = shard * (1L << 40) + start / capacity
+            val (gn, gs, goff, ge) = got(i.toLong)
+            assert(gn == n)
+            assert(gs == expStart, s"doc $i start")
+            assert(goff == start % capacity)
+            if (n > 0)
+              assert(ge == shard * (1L << 40) + (end - 1) / capacity, s"doc $i end")
+            cum = end
+          }
+        }
+    }
+  }
 }
