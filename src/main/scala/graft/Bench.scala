@@ -15,8 +15,9 @@ import org.apache.spark.sql.SparkSession
   *                   steady-state cost, for round-over-round deltas that
   *                   aren't drowned in codegen noise;
   *  - `errors`       names of failed queries; a failed query also reports
-  *                   -1 in both per-query maps so automated consumers can't
-  *                   mistake a partial wall time for success.
+  *                   -1 in the per-query maps (cold+warm on the detail
+  *                   line, cold on the compact line) so automated consumers
+  *                   can't mistake a partial wall time for success.
   *
   * TWO lines are printed: a full-precision `"metric":"detail"` line first
   * (cold + warm maps), then a compact `"metric":"total"` line LAST. The
@@ -62,7 +63,10 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val cold = named.map { case (n, fn) => n -> run(n, fn) }
     val warm = named.map { case (n, fn) => n -> run(n, fn) }
-    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Locale.ROOT: a comma-decimal default locale would make f"%.2f" emit
+    // {"value":90,63} — invalid JSON, recreating the unparsed-result bug
+    def r2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jsonMap(m: Seq[(String, Double)], fmt: Double => String) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errors = (cold ++ warm).collect { case (n, v) if v < 0 => n }.distinct.sorted

@@ -235,6 +235,9 @@ object DedupOps {
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
+    // edges is materialized; p's blocks are never read again — release them
+    // before the rounds rather than holding the pair set twice throughout
+    p.unpersist(false)
     var ckpt = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
       .localCheckpoint(true)

@@ -449,8 +449,9 @@ object TextQueries {
          |       shard * 1099511627776 +
          |         CAST(floor((cum_end - n_tokens) / 2048.0) AS BIGINT) AS seq_start,
          |       (cum_end - n_tokens) % 2048 AS seq_offset,
-         |       shard * 1099511627776 +
-         |         CAST(floor((cum_end - 1) / 2048.0) AS BIGINT) AS seq_end
+         |       shard * 1099511627776 + greatest(
+         |         CAST(floor((cum_end - n_tokens) / 2048.0) AS BIGINT),
+         |         CAST(floor((cum_end - 1) / 2048.0) AS BIGINT)) AS seq_end
          |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -16,7 +16,15 @@ import org.apache.spark.sql.functions._
   * shards ≈ 100 GB per reader stream). The `repartition` on the shard key
   * is the single shuffle; `sortWithinPartitions` makes every file
   * deterministic given (corpus, nShards) so re-exports are byte-comparable
-  * and resumable training sees a stable order. */
+  * and resumable training sees a stable order.
+  *
+  * The shard→task mapping is HASHED, not identity: all rows of a shard land
+  * in one task (one file per dir holds), but hash collisions can give one
+  * task 2+ shards while another sits idle — balls-in-bins says the busiest
+  * task carries ~ln n/ln ln n shards at large nShards, so export wall-clock
+  * trails the ideal by that factor. If that tail matters, drop to an RDD
+  * `partitionBy` with an identity partitioner on the shard value; the
+  * DataFrame API alone cannot express one. */
 object TrainingExport {
 
   def exportShards(df: DataFrame, root: String, idCol: String,

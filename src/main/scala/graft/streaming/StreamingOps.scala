@@ -73,13 +73,17 @@ object StreamingOps {
     * is that it is sized deliberately either way. */
   private val StatePartitions = 8
 
-  /** Scope the session's shuffle-partition conf around a streaming query
-    * start (the value is read exactly once, at start). */
-  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, StatePartitions)
-    try f finally spark.conf.set(key, prev)
+  /** An isolated child session (shared SparkContext, own SQLConf) with the
+    * state-partition count applied. Mutating the CALLER's session conf
+    * around query start would race with concurrent planning on other
+    * threads — two overlapping drivers could leave the streaming override
+    * installed for every later batch query. A child session makes the
+    * override invisible outside the driver; the memory-sink temp view and
+    * its drain stay inside the same child. */
+  private def stateSizedSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", StatePartitions)
+    s
   }
 
   /** Run the streaming resample to completion over the (finite) events
@@ -88,14 +92,13 @@ object StreamingOps {
     * batch oracle applies. */
   def runResampleOnce(spark: SparkSession, dir: String, duration: String): DataFrame = {
     val name = s"graft_stream_resample_${runId.incrementAndGet()}"
-    val q = withStatePartitions(spark) {
-      windowedMean(eventsStream(spark, dir), duration)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(name)
-        .start()
-    }
+    val ses = stateSizedSession(spark)
+    val q = windowedMean(eventsStream(ses, dir), duration)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    drainTable(spark, name)
+    drainTable(ses, name)
   }
 
   /** Documents schema as stored (TESTDATA.md). */
@@ -118,16 +121,15 @@ object StreamingOps {
     * (late re-crawls of the same content arrive within the watermark). */
   def runStreamDedupOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = withStatePartitions(spark) {
-      documentsStream(spark, dir)
-        .select(md5(col("text").cast("binary")).as("content_hash"))
-        .dropDuplicates("content_hash")
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .start()
-    }
+    val ses = stateSizedSession(spark)
+    val q = documentsStream(ses, dir)
+      .select(md5(col("text").cast("binary")).as("content_hash"))
+      .dropDuplicates("content_hash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    drainTable(spark, name)
+    drainTable(ses, name)
   }
 
   /** Streaming ingest into the canonical partitioned archive: each
@@ -181,26 +183,34 @@ object StreamingOps {
 
   /** Drive the interval join over the (finite) events table: two streaming
     * readers over the same source, self-joined — the purchase side and the
-    * click side each maintain their own keyed state. */
+    * click side each maintain their own keyed state.
+    *
+    * The watermark delay (31 days) exceeds the fixture's whole event-time
+    * span, so the replay equals the batch join REGARDLESS of how the
+    * source splits into micro-batches — with a short delay, batch 1 would
+    * advance the watermark and evict click state that batch 2's purchases
+    * still need. The delay is the replay-exactness knob, not the scale
+    * knob: production picks it from actual event lateness (minutes), which
+    * bounds state; a bounded-lateness replay of ordered history gets the
+    * same exactness with that small delay. */
   def runStreamJoinOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_join_${runId.incrementAndGet()}"
-    val purchases = eventsStream(spark, dir)
+    val ses = stateSizedSession(spark)
+    val purchases = eventsStream(ses, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "2 hours")
-    val clicks = eventsStream(spark, dir)
+      .withWatermark("p_ts", "31 days")
+    val clicks = eventsStream(ses, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
-      .withWatermark("c_ts", "2 hours")
-    val q = withStatePartitions(spark) {
-      intervalJoin(purchases, clicks, maxLagSecs = 3600L)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(name)
-        .start()
-    }
+      .withWatermark("c_ts", "31 days")
+    val q = intervalJoin(purchases, clicks, maxLagSecs = 3600L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
     try { q.processAllAvailable() } finally { q.stop() }
-    drainTable(spark, name)
+    drainTable(ses, name)
   }
 
   /** Per-user running totals emitted by batch. */
@@ -214,10 +224,11 @@ object StreamingOps {
     * to each group's LAST emission (`max_by` on the monotone count), which
     * equals the batch per-user aggregate — hence oracle-checkable. */
   def runUserStatsOnce(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"graft_stream_userstats_${runId.incrementAndGet()}"
-    val ev = eventsStream(spark, dir)
+    val ev = eventsStream(ses, dir)
       .select(col("user_id"), col("value")).as[(Long, Double)]
     val updated = ev.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), UserStat](
@@ -228,15 +239,13 @@ object StreamingOps {
           state.update((c, s))
           Iterator(UserStat(user, c, s))
       }
-    val q = withStatePartitions(spark) {
-      updated.toDF()
-        .writeStream.outputMode("update")
-        .format("memory").queryName(name)
-        .start()
-    }
+    val q = updated.toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
     try { q.processAllAvailable() } finally { q.stop() }
     // last emission per user = the final (count, sum) — count is monotone
-    drainTable(spark, name).groupBy("user_id")
+    drainTable(ses, name).groupBy("user_id")
       .agg(max_by(struct(col("n_events"), col("sum_value")), col("n_events")).as("m"))
       .select(col("user_id"), col("m.n_events").as("n_events"),
         round(col("m.sum_value"), 2).as("sum_value"))

@@ -147,15 +147,18 @@ object TextOps {
     require(capacity > 0 && nShards > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
+    // seq_end clamps to seq_start for zero-token docs: floor((cum_end-1)/c)
+    // would underflow when such a doc sits exactly on a sequence boundary
+    // (first doc in a shard → -1, escaping the shard's id space)
+    val localStart = floor(col("cum_start") / capacity)
+    val localEnd = greatest(localStart, floor((col("cum_end") - 1) / capacity))
     df.select(col(idCol), size(wsTokens(lower(col(textCol)))).as("n_tokens"))
       .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
       .withColumn("cum_end", sum(col("n_tokens").cast("long")).over(w))
       .withColumn("cum_start", col("cum_end") - col("n_tokens"))
       .select(col(idCol), col("shard"), col("n_tokens"),
-        (col("shard").cast("long") * (1L << 40) +
-          floor(col("cum_start") / capacity)).as("seq_start"),
+        (col("shard").cast("long") * (1L << 40) + localStart).as("seq_start"),
         pmod(col("cum_start"), lit(capacity.toLong)).as("seq_offset"),
-        (col("shard").cast("long") * (1L << 40) +
-          floor((col("cum_end") - 1) / capacity)).as("seq_end"))
+        (col("shard").cast("long") * (1L << 40) + localEnd).as("seq_end"))
   }
 }

@@ -39,7 +39,7 @@ class PipelineQueriesSpec extends AnyFunSuite {
         (x.getInt(1), x.getInt(2), x.getLong(3), x.getLong(4), x.getLong(5))
       assert(off >= 0 && off < 2048)
       assert(s0 >> 40 == shard && s1 >> 40 == shard) // ids shard-scoped
-      if (n > 0) assert(s1 >= s0)
+      assert(s1 >= s0) // holds for zero-token docs too (seq_end clamps)
       // a doc that fits in the remaining room must not span
       if (n > 0 && off + n <= 2048) assert(s0 == s1)
     }

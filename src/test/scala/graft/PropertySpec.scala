@@ -132,6 +132,7 @@ class PropertySpec extends AnyFunSuite {
             assert(goff == start % capacity)
             if (n > 0)
               assert(ge == shard * (1L << 40) + (end - 1) / capacity, s"doc $i end")
+            else assert(ge == gs, s"doc $i: empty doc must not span")
             cum = end
           }
         }
