@@ -68,6 +68,19 @@ class PipelineQueriesSpec extends AnyFunSuite {
       == docs.count())
   }
 
+  test("end-to-end pipeline main: clean -> pack -> export, counts consistent") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val n = PipelineMain.run(spark, TestSpark.Sf0001, out, nShards = 4,
+      capacity = 1024)
+    val expected = SparkEntry.queries("q_corpus_clean")(spark, TestSpark.Sf0001).count()
+    assert(n == expected && n > 0)
+    val back = spark.read.parquet(out)
+    // every exported row carries text + packing layout, shard-complete
+    assert(Seq("doc_id", "text", "seq_start", "seq_offset", "seq_end")
+      .forall(back.columns.contains))
+    assert(back.select("doc_id").distinct().count() == n)
+  }
+
   test("PII scrub redacts planted emails and URLs, counts them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
     Seq(
