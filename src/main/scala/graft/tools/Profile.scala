@@ -81,6 +81,44 @@ object Profile {
         time("lsh candidates + exact verify t=0.8")(
           SimilarityOps.cosinePairsLsh(sig, 0.8).count())
         sig.unpersist()
+      case "scale_big" =>
+        // REAL scaling evidence: the sf0.1 corpus is small enough that job
+        // overhead swamps wall-clock, so build 10× and 100× derived corpora
+        // (every token suffixed with the replica id — replicas share no
+        // shingles, so the near-dup structure is the original's replicated,
+        // never cross-replica) and measure the linear-path pipelines.
+        import graft.dedup.DedupOps
+        import org.apache.spark.sql.functions._
+        val base = graft.tables.Tables.documents(spark, sfDir)
+        val n0 = base.count()
+        def corpus(times: Int): org.apache.spark.sql.DataFrame = {
+          val path = s"/tmp/graft_scale_${times}x"
+          if (!new java.io.File(path).exists()) {
+            (0 until times).map { i =>
+              base.select(
+                (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+                regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"))
+            }.reduce(_ unionByName _)
+              .repartition(32).write.mode("overwrite").parquet(path)
+          }
+          spark.read.parquet(path)
+        }
+        def t(f: => Long): Double = {
+          val t0 = System.nanoTime(); val r = f
+          val dt = (System.nanoTime() - t0) / 1e9; r.toString; dt
+        }
+        Seq(1, 10, 100).foreach { times =>
+          val c = corpus(times).persist()
+          c.count()
+          val exact = t(DedupOps.exactDedup(c, "doc_id", "text").count())
+          val mh = t(DedupOps.minhashDedupPairs(c, "doc_id", "text", 3, 64, 16, 0.8).count())
+          val sh = t(DedupOps.simhashPairs(DedupOps.simhash(c, "doc_id", "text"), 3).count())
+          // noop write, not count(): a count lets Catalyst drop the window
+          // (it doesn't change cardinality) and measures nothing
+          val pk = t(force(graft.text.TextOps.packSequences(c, "doc_id", "text", 2048, 64)))
+          println(f"[profile] ${times}%3d× (${n0 * times}%7d docs): exact $exact%6.1f s  minhash+lsh $mh%6.1f s  simhash $sh%6.1f s  pack $pk%6.1f s")
+          c.unpersist()
+        }
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case q =>
