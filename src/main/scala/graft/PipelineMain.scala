@@ -37,6 +37,10 @@ object PipelineMain {
   /** Returns the exported doc count. */
   def run(spark: SparkSession, sfDir: String, outDir: String,
       nShards: Int, capacity: Int): Long = {
+    // the clean stage persists intermediates internally (the exact-deduped
+    // corpus); scope EVERYTHING cached during this run so repeated calls
+    // on a long-lived session don't accumulate corpus-sized cache entries
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val cleaned = SparkEntry.queries("q_corpus_clean")(spark, sfDir)
       .select("doc_id")
     val docs = graft.tables.Tables.documents(spark, sfDir)
@@ -52,6 +56,11 @@ object PipelineMain {
       graft.sources.TrainingExport.exportShards(
         docs.join(packed, Seq("doc_id")), outDir, "doc_id", nShards)
       spark.read.parquet(outDir).count()
-    } finally docs.unpersist()
+    } finally {
+      docs.unpersist()
+      spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !cachedBefore.contains(id) }
+        .values.foreach(_.unpersist(false))
+    }
   }
 }

@@ -5,10 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Dev profiling entry: time named pipeline stages at a given sf dir.
   * `runMain graft.tools.Profile <sfDir> <what>` */
 object Profile {
+  def elapsed(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
   def time(label: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val n = f
-    println(f"[profile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    var n = 0L
+    val dt = elapsed { n = f }
+    println(f"[profile] $label%-40s $dt%8.2f s  rows=$n")
   }
 
   def force(df: DataFrame): Long = {
@@ -91,22 +95,24 @@ object Profile {
         import org.apache.spark.sql.functions._
         val base = graft.tables.Tables.documents(spark, sfDir)
         val n0 = base.count()
+        // collision-proof replica offset (a fixed constant breaks silently
+        // on corpora with larger ids); cache keyed by BASE dir + factor and
+        // gated on _SUCCESS so a different base or a killed build rebuilds
+        val idStride = base.agg(max("doc_id")).first().getLong(0) + 1
+        val baseTag = new java.io.File(sfDir).getName
         def corpus(times: Int): org.apache.spark.sql.DataFrame = {
-          val path = s"/tmp/graft_scale_${times}x"
-          if (!new java.io.File(path).exists()) {
+          val path = s"/tmp/graft_scale_${baseTag}_${times}x"
+          if (!new java.io.File(s"$path/_SUCCESS").exists()) {
             (0 until times).map { i =>
               base.select(
-                (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+                (col("doc_id") + lit(i * idStride)).as("doc_id"),
                 regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"))
             }.reduce(_ unionByName _)
               .repartition(32).write.mode("overwrite").parquet(path)
           }
           spark.read.parquet(path)
         }
-        def t(f: => Long): Double = {
-          val t0 = System.nanoTime(); val r = f
-          val dt = (System.nanoTime() - t0) / 1e9; r.toString; dt
-        }
+        def t(f: => Long): Double = elapsed { f; () }
         Seq(1, 10, 100).foreach { times =>
           val c = corpus(times).persist()
           c.count()
