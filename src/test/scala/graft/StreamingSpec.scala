@@ -94,6 +94,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
   }
 
+  test("dropDuplicatesWithinWatermark: the bounded-state dedup scale path") {
+    // the unbounded-state dedup (runStreamDedupOnce) is exact for finite
+    // replays; this pins the WatermarkedWithin variant the scaladoc names
+    // as the 100 TB continuous-ingest path: duplicates arriving inside the
+    // watermark dedup, state for expired keys is evictable
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = in.toDF().toDF("ts", "content_hash")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_wm_dedup")
+      .start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    try {
+      in.addData((ts(0), "A"), (ts(1), "A")) // dup inside one batch
+      q.processAllAvailable()
+      in.addData((ts(5), "A"))               // dup within the watermark
+      q.processAllAvailable()
+      in.addData((ts(40), "B"))              // advances watermark past A
+      q.processAllAvailable()
+      in.addData((ts(41), "A"))              // A re-arrives AFTER expiry
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("graft_wm_dedup")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1))).toSeq
+    spark.catalog.dropTempView("graft_wm_dedup")
+    // A emitted once while its state lives, B once, A again after eviction
+    assert(emitted.count(_._2 == "A") == 2, emitted.toString)
+    assert(emitted.count(_._2 == "B") == 1, emitted.toString)
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val streamed = StreamingOps.runStreamJoinOnce(spark, TestSpark.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
