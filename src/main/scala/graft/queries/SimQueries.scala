@@ -104,6 +104,27 @@ object SimQueries {
             .cast("int").as("keep"))
         .orderBy("vec_id")
     }),
+
+    // The SAME dedup with the sub-quadratic pair stage: banded-LSH
+    // candidates + exact verify feed the identical clustering. Fixture
+    // seam (signatures) + the oracle replays band join → verify → CC.
+    "q_dedup_embed_lsh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sig = seam(SimilarityOps.bandedSignatures(
+        emb(s, dir), "vec_id", "embedding", PairRows, PairBands),
+        dir, "embdedup_sigs")
+      val pairs = SimilarityOps.cosinePairsLsh(sig, 0.4)
+        .select(col("id_a"), col("id_b"))
+      val clusters = graft.dedup.DedupOps.duplicateClusters(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      sig.select(col("id").as("vec_id"))
+        .join(clusters, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+          (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+            .cast("int").as("keep"))
+        .orderBy("vec_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -249,5 +270,37 @@ object SimQueries {
         |       CAST(coalesce(m.cluster_id, e.vec_id) = e.vec_id AS INT) AS keep
         |FROM embeddings e LEFT JOIN members m ON e.vec_id = m.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    "q_dedup_embed_lsh" ->
+      s"""WITH RECURSIVE sig AS (SELECT * FROM read_parquet('${sqlPath("embdedup_sigs")}')),
+         |banded AS (
+         |  SELECT id, unnest(range(0, $PairBands)) AS band, bands FROM sig),
+         |bb AS (
+         |  SELECT id, band, bands[CAST(band AS INT) + 1] AS bucket FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |v AS (SELECT id, CAST(v AS DOUBLE[]) AS vv FROM sig),
+         |prs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN v va ON id_a = va.id JOIN v vb ON id_b = vb.id
+         |  WHERE round(list_cosine_similarity(va.vv, vb.vv), 6) >= 0.4),
+         |bidir AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src, dst FROM bidir
+         |  UNION
+         |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+         |  WHERE r.src <> b.dst),
+         |members AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT s.id AS vec_id,
+         |       coalesce(m.cluster_id, s.id) AS cluster_id,
+         |       CAST(coalesce(m.cluster_id, s.id) = s.id AS INT) AS keep
+         |FROM sig s LEFT JOIN members m ON s.id = m.vec_id
+         |ORDER BY vec_id""".stripMargin,
   )
 }
