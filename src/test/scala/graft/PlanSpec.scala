@@ -72,6 +72,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(doc_id)") || p.contains("% 100"))
   }
 
+  test("sequence packing: window partitioned by shard, never global") {
+    val p = plan("q_pack_sequences")
+    // a Window whose partition spec is empty would funnel the corpus
+    // through one task; the packing window must carry the shard key
+    val winLines = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winLines.nonEmpty)
+    assert(winLines.forall(_.contains("shard")), winLines.mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("embedding dedup: equi-join pair scans, no nested loop (both variants)") {
+    Seq("q_dedup_embed", "q_dedup_embed_lsh").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: corpus nested loop")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("IVF corpus assignment aggregates (max_by), no corpus-side window") {
     val p = plan("q_ann_ivf")
     // exactly two windows remain: the (small) query-side probe assignment
