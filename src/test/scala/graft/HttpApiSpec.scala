@@ -142,6 +142,26 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(post.statusCode() == 405)
   }
 
+  test("malformed parameters never escape as 500s") {
+    val bads = Seq(
+      "/timeseries/broadband?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&delta_t=ten",
+      "/timeseries/broadband?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&validate=maybe",
+      "/timeseries/psd?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&delta_f=",
+      "/timeseries/psd?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&delta_f=12parsecs",
+      "/timeseries/broadband?hydrophone=orcasound_lab&start=2024-01-02T00:00:00&end=2024-01-01T00:00:00", // end before start
+      "/aggregations/broadband?hydrophone=orcasound_lab&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&interval=eleventy",
+      "/aggregations/daily-summary?hydrophone=orcasound_lab&start_date=2024-13-40&num_days=1",
+      "/aggregations/daily-summary?hydrophone=orcasound_lab&start_date=2024-01-01&num_days=-3",
+      "/aggregations/daily-broadband-summary?hydrophone=orcasound_lab&start_date=2024-01-01&num_days=2147483648",
+      "/timeseries/broadband?hydrophone=%00&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00")
+    bads.foreach { p =>
+      val code = get(p).statusCode()
+      assert(code >= 400 && code < 500, s"$p -> $code")
+    }
+    // and the server is still healthy afterwards
+    assert(get("/health").statusCode() == 200)
+  }
+
   test("CORS preflight OPTIONS answers permissively, not 405") {
     val pre = client.send(
       HttpRequest.newBuilder(URI.create(s"$base/timeseries/broadband"))
