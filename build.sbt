@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses machine-readable JSON lines from this
+// build's stdout. sbt's default LoggedOutput strategy prefixes every forked
+// line with "[info] ", which breaks line-oriented JSON parsing; StdoutOutput
+// passes the child's stdout through verbatim. showSuccess drops the trailing
+// "[success] Total time" line so the bench contract line stays last.
+outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
