@@ -164,6 +164,26 @@ object JoinQueries {
       both.unionByName(pureBuyers).orderBy("relation", "user_id")
     }),
 
+    // Skew-safe fact ⋈ dimension join via explicit salting
+    // (JoinOps.saltedEquiJoin): the fact side scatters across 8 sub-keys by
+    // a deterministic row hash and the order side replicates once per salt,
+    // so one pathologically hot orderkey lands on 8 reducers instead of 1.
+    // The result set is IDENTICAL to the plain inner join — which is
+    // exactly what the oracle checks; the salting is invisible in the
+    // output, visible in the plan (join key is (l_orderkey, __salt)).
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.ops.JoinOps.saltedEquiJoin(li, o, "l_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+               .cast("long")) / 100.0).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Top-k per group via rank window (deterministic: rounded revenue, then key).
     "q_top_suppliers_per_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -283,6 +303,14 @@ object JoinQueries {
         |SELECT user_id, relation FROM both_rel
         |UNION ALL SELECT user_id, relation FROM pure_rel
         |ORDER BY relation, user_id""".stripMargin,
+
+    // the salt is pure execution strategy — the oracle is the plain join
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_top_suppliers_per_nation" ->
       """WITH rev AS (

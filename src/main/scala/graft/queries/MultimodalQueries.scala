@@ -67,6 +67,13 @@ object MultimodalQueries {
     "q_stream_join" -> ((s, dir) =>
       StreamingOps.runStreamJoinOnce(s, dir)
         .orderBy("purchase_id", "click_id")),
+
+    // Streaming sessionization (merging session_window state store,
+    // sentinel-flushed finite replay): emitted sessions == the batch
+    // session_window aggregate, so the same oracle applies.
+    "q_stream_sessions" -> ((s, dir) =>
+      StreamingOps.runStreamSessionsOnce(s, dir)
+        .orderBy("user_id", "session_start")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -161,5 +168,26 @@ object MultimodalQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // identical to the batch q_session_window oracle: the streaming
+    // operator has the same gap/merge semantics, only emission differs
+    "q_stream_sessions" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN epoch_us(ts) -
+        |                   epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id)) >= 1800000000
+        |              THEN 1 ELSE 0 END AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

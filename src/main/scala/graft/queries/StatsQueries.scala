@@ -163,6 +163,34 @@ object StatsQueries {
              min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
         .orderBy("user_id", "session_id")
     }),
+
+    // Z-order (Morton) layout audit: interleave (user, hour) with the
+    // native z_order kernel, cut the z-range into fixed-width "files", and
+    // report each file's bounding rectangle. The point of the layout —
+    // every file covers a SMALL range of BOTH dimensions, so parquet
+    // min/max stats prune scans filtered on either one — is visible in the
+    // output (tight x/y spans per file) and checked exactly by the oracle,
+    // which re-derives the interleave bit-by-bit in SQL. Dimensions are
+    // pre-scaled per the ZOrder2 contract: user_id is already narrow;
+    // hours-since-2024-01-01 stays under 2^10 for this archive (the
+    // oracle's 20-bit reconstruction bounds both dims at 2^20). For
+    // nonnegative inputs the kernel's sign-flip arithmetic reduces to
+    // pure interleave + 2^62, which the query subtracts off.
+    "q_zorder_layout" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        col("user_id").cast("int").as("x"),
+        floor((unix_micros(col("ts")) - lit(1704067200000000L)) / lit(3.6e9))
+          .cast("int").as("y"))
+      ev.withColumn("z",
+          graft.functions.ZOrder2.z_order(col("x"), col("y"))
+            - lit(4611686018427387904L))
+        .withColumn("file_id", shiftright(col("z"), 14).cast("int"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("file_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -310,5 +338,25 @@ object StatsQueries {
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts) AS session_start, max(ts) AS session_end
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bit-by-bit Morton reconstruction (20 bits/dim covers this archive);
+    // list_sum returns HUGEINT → CAST back to BIGINT before the div
+    "q_zorder_layout" ->
+      """WITH e AS (
+        |  SELECT CAST(user_id AS INT) AS x,
+        |         CAST(floor((epoch_us(ts) - 1704067200000000) / 3600000000.0)
+        |              AS INT) AS y
+        |  FROM events),
+        |z AS (
+        |  SELECT x, y,
+        |         CAST(list_sum(list_transform(range(0, 20),
+        |           i -> ((CAST(x AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i))
+        |              + ((CAST(y AS BIGINT) >> i) & 1) * (1::BIGINT << (2*i + 1))))
+        |           AS BIGINT) AS zv
+        |  FROM e)
+        |SELECT CAST(zv // 16384 AS INT) AS file_id, count(*) AS n,
+        |       min(x) AS x_min, max(x) AS x_max,
+        |       min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -192,6 +192,12 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram language-model scoring (TextOps.bigramLogprob): mean per doc
+    // of -ln(P(w2|w1)) under the corpus's own bigram LM.
+    "q_bigram_logprob" -> ((s, dir) =>
+      TextOps.bigramLogprob(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Sequence packing (concat-then-chunk pretraining layout): sharded
     // running token sums assign each doc its start/end sequence and offset;
     // no global window — see TextOps.packSequences.
@@ -432,6 +438,24 @@ object TextQueries {
          |SELECT doc_id, n_tokens, lang_pred FROM lp
          |WHERE n_tokens >= 50 AND lang_pred <> 'und'
          |ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_logprob" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM tk WHERE len(t) >= 2),
+         |bc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY 1),
+         |pc AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |              CAST(sum(n_bg) AS BIGINT) AS n_prefix
+         |       FROM bc GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(avg(-ln(CAST(n_bg AS DOUBLE) / n_prefix)), 6)
+         |         AS avg_neg_logprob
+         |FROM bg JOIN bc USING (bg)
+         |JOIN pc ON split_part(bg.bg, ' ', 1) = pc.w1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical shard/window arithmetic to TextOps.packSequences
     // (2^40 = 1099511627776 disambiguates sequence ids across shards)

@@ -213,6 +213,52 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
+  /** STREAMING sessionization via `session_window` — the merging-session
+    * state store, a different stateful operator from the tumbling-window
+    * aggregate (windows GROW and MERGE as members arrive; state is keyed by
+    * (user, open session), evicted when the watermark passes a session's
+    * close). Append mode only emits a session once the watermark proves no
+    * more members can join it, so a finite replay would strand every user's
+    * LAST session in the state store. The flush is a single far-future
+    * SENTINEL row for an out-of-band user (-1) unioned into the stream:
+    * its event time drives the global watermark past every real session's
+    * close, the post-batch no-data micro-batch flushes them, and the
+    * sentinel's own (never-closed) session is invisible to append output
+    * and filtered by user anyway. Same operator semantics as the batch
+    * `session_window` — the batch oracle applies verbatim. A production
+    * stream needs no sentinel: the next day's data IS the watermark driver;
+    * the sentinel only finalizes a bounded replay. */
+  def runStreamSessionsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    // sentinel parquet (same physical schema as the events table: ts as
+    // raw nanos LONG) written fresh under target/ per run
+    val sentinelDir = new java.io.File(s"target/stream_sentinel/$name").getAbsolutePath
+    val farFutureNanos = java.time.Instant.parse("2030-01-01T00:00:00Z")
+      .getEpochSecond * 1000000000L
+    import ses.implicits._
+    Seq((0L, farFutureNanos, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(sentinelDir)
+    def asEvents(df: DataFrame) = df
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"))
+    val real = eventsStream(ses, dir).select(col("user_id"), col("ts"))
+    val sentinel = asEvents(
+      ses.readStream.schema(EventsSchema).parquet(sentinelDir))
+    val q = real.union(sentinel)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name).filter(col("user_id") >= 0)
+  }
+
   /** Per-user running totals emitted by batch. */
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 

@@ -128,6 +128,34 @@ object TextOps {
       .join(minShingle, Seq(idCol), "left")
   }
 
+  /** Bigram language-model scoring — one step up the n-gram ladder from the
+    * unigram log-prob: per document, the mean over its bigram occurrences of
+    * -ln(P(w2|w1)), with P(w2|w1) = corpusCount(w1 w2) / corpusCount(w1 ·)
+    * estimated from the corpus itself. Gibberish has improbable transitions
+    * even when its unigrams are common.
+    *
+    * Shape: one explode builds the bigram stream; bigram counts aggregate
+    * it; prefix counts roll up the (already tiny) bigram-count table — never
+    * a second corpus scan; the scoring join shuffles on the bigram hash. At
+    * 100 TB the LM tables are heavy-tailed: broadcast the top-K head and
+    * shuffle-join only the tail. Docs under 2 tokens have no bigrams and
+    * drop out. */
+  def bigramLogprob(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bigrams = df.select(col(idCol),
+      explode(graft.functions.WordShingles.word_shingles(
+        col(textCol), 2, distinct = false)).as("bg"))
+    val bc = bigrams.groupBy("bg").agg(count(lit(1)).as("n_bg"))
+    val pc = bc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum("n_bg").as("n_prefix"))
+    bigrams.join(bc, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(pc, Seq("w1"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("n_bg").cast("double") / col("n_prefix"))), 6)
+          .as("avg_neg_logprob"))
+  }
+
   /** Sequence packing (concat-then-chunk, the standard pretraining layout):
     * documents are concatenated in doc_id order and cut into fixed
     * `capacity`-token sequences; each doc reports the sequence it starts

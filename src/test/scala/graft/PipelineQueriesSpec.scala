@@ -29,6 +29,20 @@ class PipelineQueriesSpec extends AnyFunSuite {
       (16L, 60, 1L, 72L, 2L)))   // starts at 200 = seq1+72, ends at 259 → seq 2
   }
 
+  test("bigram log-prob: hand-computed conditional probabilities") {
+    // corpus bigrams: "a b" (doc 0), "b c" (doc 0), "a c" (doc 1)
+    // prefix counts: a·=2, b·=1 → P(b|a)=1/2, P(c|b)=1, P(c|a)=1/2
+    val df = Seq((0L, "a b c"), (1L, "a c"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.bigramLogprob(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    assert(r.toSeq == Seq(
+      (0L, 2L, r6(math.log(2) / 2)),  // avg(-ln(1/2), -ln(1)) = ln(2)/2
+      (1L, 1L, r6(math.log(2)))))     // single-token doc 2: no bigrams → absent
+  }
+
   test("sequence packing invariants on the real corpus: offsets bounded, shards independent") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
     val r = graft.text.TextOps.packSequences(docs, "doc_id", "text", 2048, 8)

@@ -99,4 +99,13 @@ class PlanSpec extends AnyFunSuite {
     assert(windows <= 2, s"$windows Window nodes:\n$p")
     assert(p.contains("max_by"))
   }
+
+  test("salted join scatters the fact side across salt sub-keys") {
+    val p = plan("q_salted_join")
+    // the join key must include the synthetic salt (hot-key rows split
+    // across salts reducers) and replication must not degrade to a
+    // cartesian product
+    assert(p.contains("__salt"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -196,4 +196,19 @@ class StreamingSpec extends AnyFunSuite {
       graft.tables.Tables.events(spark, TestSpark.Sf0001), "ts", "value", "1h").count()
     assert(n >= batchBuckets - 3 && n <= batchBuckets)
   }
+
+  test("streaming sessionization (sentinel-flushed) equals batch session_window") {
+    val streamed = StreamingOps.runStreamSessionsOnce(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2.getTime)).toSeq
+    val batch = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2.getTime)).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }

@@ -70,4 +70,21 @@ class ZOrderSpec extends AnyFunSuite {
     // ~15-20% here; wider dims prune far harder.)
     assert(byZ < byTime, s"z=$byZ time=$byTime")
   }
+
+  test("q_zorder_layout files are bounded 128x128 tiles covering all rows") {
+    // a 14-bit z-range cut = a 2^7 x 2^7 tile: every "file" must bound BOTH
+    // dimensions within 128 — the property that makes min/max stats prune
+    // scans filtered on either dimension
+    val rows = SparkEntry.queries("q_zorder_layout")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xMin, xMax, yMin, yMax) =
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))
+      assert(xMax - xMin < 128 && yMax - yMin < 128, r)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == spark.read
+      .parquet(s"${TestSpark.Sf0001}/events.parquet").count())
+  }
 }
