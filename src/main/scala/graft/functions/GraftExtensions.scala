@@ -31,6 +31,9 @@ object GraftFunctions {
     "simhash64" -> ((args: Seq[Expression]) =>
       SimHashAgg(args(0)).toAggregateExpression()),
     "z_order" -> ((args: Seq[Expression]) => ZOrder2(args(0), args(1))),
+    "topk_by" -> ((args: Seq[Expression]) =>
+      TopKByAgg(args(0), args(1), intArg(args(2), "k"))
+        .toAggregateExpression()),
     "hyperplane_bands" -> ((args: Seq[Expression]) =>
       HyperplaneBands(args(0), intArg(args(1), "rowsPerBand"),
         intArg(args(2), "nBands"))))

@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Exact top-k per group as a PARTIAL aggregate — the scale replacement for
+  * the `row_number().over(partitionBy(g).orderBy(m desc))  WHERE rank <= k`
+  * pattern. The window formulation shuffles and SORTS every input row; this
+  * aggregate keeps a bounded k-entry heap per group, so map-side combine
+  * reduces each partition to at most k entries per group BEFORE the
+  * exchange, and nothing is ever fully sorted. The asymptotic win is
+  * `input_rows → k·groups` rows shuffled: decisive when groups are hot
+  * (many rows per group) at 100 TB; irrelevant when input ≈ k·groups.
+  *
+  * Semantics: keeps the k largest `ord` values (ties broken toward the
+  * SMALLER `id` — a total order, so the result is deterministic under any
+  * partitioning or merge order). Emits `ARRAY<STRUCT<ord:BIGINT,
+  * id:BIGINT>>` sorted by (ord DESC, id ASC) — `posexplode` downstream
+  * recovers dense ranks. Payload stays narrow by design: carry the metric
+  * and the row's key through the aggregate, join wide payload columns
+  * AFTER, on the k·groups-sized result (shuffling wide rows through an agg
+  * buffer is the anti-pattern this operator exists to avoid).
+  *
+  * Buffer is a binary min-heap on the KEPT set ordered worst-first, so a
+  * full buffer replaces its root in O(log k); serialization is 16 bytes per
+  * entry. `merge` folds the smaller heap into the larger.
+  */
+case class TopKByAgg(
+    ord: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"topk_by needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null) {
+      buf.insert(o.asInstanceOf[Long], i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    from.foreach(into.insert)
+    into
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = buf.sortedDesc.map { case (o, i) =>
+      InternalRow(o, i): Any
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 2 * buf.size)
+    buf.foreach { (o, i) => bb.putLong(o); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(k)
+    var n = bytes.length / 16
+    while (n > 0) { buf.insert(bb.getLong(), bb.getLong()); n -= 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByAgg =
+    copy(ord = newChildren(0), id = newChildren(1))
+}
+
+/** Bounded worst-first binary heap over (ord, id) pairs.
+  * "Worse" = smaller ord, then larger id — so the root is the entry the
+  * next better candidate evicts. */
+final class TopKBuffer(k: Int) {
+  private val ords = new Array[Long](k)
+  private val ids = new Array[Long](k)
+  var size: Int = 0
+
+  // (a) worse than (b)?
+  private def worse(oa: Long, ia: Long, ob: Long, ib: Long): Boolean =
+    oa < ob || (oa == ob && ia > ib)
+
+  def insert(o: Long, i: Long): Unit = {
+    if (size < k) {
+      // sift up from the new leaf
+      var c = size
+      ords(c) = o; ids(c) = i
+      size += 1
+      while (c > 0 && worse(ords(c), ids(c), ords((c - 1) / 2), ids((c - 1) / 2))) {
+        val p = (c - 1) / 2
+        swap(c, p); c = p
+      }
+    } else if (worse(ords(0), ids(0), o, i)) {
+      // replace the worst kept entry, sift down
+      ords(0) = o; ids(0) = i
+      var c = 0
+      var continue = true
+      while (continue) {
+        val l = 2 * c + 1; val r = l + 1
+        var w = c
+        if (l < size && worse(ords(l), ids(l), ords(w), ids(w))) w = l
+        if (r < size && worse(ords(r), ids(r), ords(w), ids(w))) w = r
+        if (w == c) continue = false
+        else { swap(c, w); c = w }
+      }
+    }
+  }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val to = ords(a); ords(a) = ords(b); ords(b) = to
+    val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+  }
+
+  def foreach(f: (Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < size) { f(ords(i), ids(i)); i += 1 }
+  }
+
+  /** Kept entries, best first: (ord DESC, id ASC). */
+  def sortedDesc: Seq[(Long, Long)] =
+    (0 until size).map(i => (ords(i), ids(i)))
+      .sortBy { case (o, i) => (-o, i) }
+}
+
+object TopKByAgg {
+  /** Aggregate Column: the k largest (ord, id) pairs per group, best
+    * first. Join wide payload AFTER, on the k·groups result. */
+  def topk_by(ord: Column, id: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKByAgg(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+}

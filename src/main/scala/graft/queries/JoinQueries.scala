@@ -184,6 +184,37 @@ object JoinQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // The SAME top-3-suppliers-per-nation result as
+    // q_top_suppliers_per_nation, but through the native partial top-k
+    // aggregate (functions.TopKByAgg) instead of a rank window: per-nation
+    // k-entry heaps reduce map-side, so the exchange carries ≤ k·groups
+    // entries and nothing is ever fully sorted — the shape that survives a
+    // hot group with 10^9 rows. Wide payload (names) joins AFTER the
+    // aggregate, on the 75-row result. Oracle: the window formulation.
+    "q_topk_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n  = Tables.nation(s, dir)
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+               .cast("long")).as("revenue_cents"))
+      val perNation = rev
+        .join(broadcast(su.select("s_suppkey", "s_nationkey")),
+          rev("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(graft.functions.TopKByAgg.topk_by(
+          col("revenue_cents"), col("s_suppkey"), 3).as("tk"))
+      perNation
+        .select(col("s_nationkey"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("s_nationkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("s_suppkey"), (col("e.ord") / 100.0).as("revenue"))
+        .join(broadcast(su.select(col("s_suppkey").as("sk"), col("s_name"))),
+          col("s_suppkey") === col("sk"))
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .select("n_name", "rank", "s_suppkey", "s_name", "revenue")
+        .orderBy("n_name", "rank")
+    }),
+
     // Top-k per group via rank window (deterministic: rounded revenue, then key).
     "q_top_suppliers_per_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -311,6 +342,25 @@ object JoinQueries {
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the aggregate replaces only the execution strategy — the window
+    // formulation IS the oracle for the top-k aggregate
+    "q_topk_agg" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        |           AS revenue_cents
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT n_name, s_suppkey, s_name, revenue_cents / 100.0 AS revenue,
+        |         row_number() OVER (PARTITION BY n_name
+        |                            ORDER BY revenue_cents DESC, s_suppkey) AS rank
+        |  FROM rev
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey)
+        |SELECT n_name, rank, s_suppkey, s_name, revenue
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY n_name, rank""".stripMargin,
 
     "q_top_suppliers_per_nation" ->
       """WITH rev AS (

@@ -71,4 +71,45 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(again == sigs)
   }
+
+  test("topk_by: hand case with ties, eviction, and a group smaller than k") {
+    import graft.functions.TopKByAgg.topk_by
+    val df = Seq(
+      // group 0: 5 entries, tie at ord=50 broken toward smaller id
+      (0L, 50L, 7L), (0L, 50L, 3L), (0L, 90L, 9L), (0L, 10L, 1L), (0L, 70L, 2L),
+      // group 1: fewer entries than k
+      (1L, 5L, 11L), (1L, 6L, 12L)
+    ).toDF("g", "m", "id")
+    val got = df.groupBy("g").agg(topk_by(col("m"), col("id"), 3).as("tk"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getLong(0), e.getLong(1))))
+      .toSeq
+    assert(got == Seq(
+      0L -> Seq((90L, 9L), (70L, 2L), (50L, 3L)),
+      1L -> Seq((6L, 12L), (5L, 11L))))
+  }
+
+  test("topk_by equals the rank-window formulation per event user (many merges)") {
+    import graft.functions.TopKByAgg.topk_by
+    // repartition(7) forces partial buffers + merges across partitions
+    val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("m"))
+      .repartition(7)
+    val agg = ev.groupBy("user_id")
+      .agg(topk_by(col("m"), col("event_id"), 4).as("tk"))
+      .select(col("user_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("user_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("event_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("m").desc, col("event_id"))
+    val win = ev.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select("user_id", "rank", "event_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(agg.nonEmpty && agg == win)
+  }
 }

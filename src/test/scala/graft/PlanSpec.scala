@@ -100,6 +100,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("max_by"))
   }
 
+  test("topk_agg: partial object-hash aggregate, no Window, no full sort") {
+    val p = plan("q_topk_agg")
+    // the top-k heap runs as a TypedImperativeAggregate (ObjectHashAggregate
+    // exec) with a partial stage before the exchange; the rank-window
+    // formulation this replaces would show a Window over a sorted exchange
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), "unexpected Window")
+  }
+
   test("salted join scatters the fact side across salt sub-keys") {
     val p = plan("q_salted_join")
     // the join key must include the synthetic salt (hot-key rows split
