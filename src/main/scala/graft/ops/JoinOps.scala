@@ -80,4 +80,33 @@ object JoinOps {
       .select((probeCols.map(col) ++
         payload.map(c => col(s"__p.$c").as(c))).toIndexedSeq: _*)
   }
+
+  /** Bloom-prefiltered semi-join: EXACT `fact ⋉ dim` result, with a bloom
+    * filter doing the heavy pruning before the real join ever shuffles.
+    *
+    * Shape at 100 TB: the dim side aggregates to ONE binary blob (map-side
+    * partial bloom merge — only sketches cross the exchange), the blob is
+    * collected and embedded as a literal, and the fact scan drops every
+    * non-matching row AT THE SCAN (codegen'd `might_contain`, no shuffle).
+    * Only the tiny surviving fraction pays the exact semi-join that removes
+    * the bloom's false positives — so the final shuffle carries
+    * `|matches| · (1 + fpp·amplification)` rows instead of the whole fact.
+    * False negatives are impossible, so the verify join sees every true
+    * match: result ≡ plain semi-join, bit for bit. This is the scale path
+    * for membership tests like benchmark-contamination screens, where the
+    * dim (the benchmark id set) is ~10⁶ keys and the fact is the corpus.
+    *
+    * `numBits` defaults to ~10 bits/key (≈1% fpp). */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, numBits: Long = 0L): DataFrame = {
+    import graft.functions.BloomFunctions._
+    val bits = if (numBits > 0) numBits else math.max(64L, expectedItems * 10L)
+    val blob = dim.agg(bloom_agg(col(dimKey), expectedItems, bits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty dim → no blob → empty semi-join (don't probe a null sketch)
+    val pre = if (blob == null) fact.filter(lit(false))
+      else fact.filter(might_contain(blob, col(factKey)))
+    pre.join(dim.select(col(dimKey).as(factKey)).distinct(),
+      Seq(factKey), "left_semi")
+  }
 }

@@ -43,6 +43,30 @@ object MergeOps {
       .drop("__rn", "__chunk")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval builder: turn a
+    * change log — one row per (entity, change event) — into validity
+    * intervals `[valid_from, valid_to)` per version, with the open current
+    * version closed at `endOfTime` (the standard high-date sentinel; NULL
+    * would poison downstream range predicates and engine compares).
+    *
+    * One window over (entity) ordered by (event time, tieBreak): each
+    * version's `valid_to` is the NEXT version's `valid_from` (`lead`).
+    * Single shuffle on the entity key, map-side everything else — the
+    * shape survives a 10⁹-entity dimension because state per group is one
+    * row of lookahead, not the whole history. `tieBreak` makes same-instant
+    * changes deterministic (later tieBreak = later version). */
+  def scd2Intervals(changes: DataFrame, entityCol: String, tsCol: String,
+      tieBreak: String, endOfTime: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to",
+        coalesce(lead(col(tsCol), 1).over(w), lit(endOfTime).cast(changes.schema(tsCol).dataType)))
+      .withColumn("is_current",
+        (lead(col(tsCol), 1).over(w).isNull).cast("int"))
+  }
+
   /** U3 — schema-consistency guard: all chunks must share one schema
     * (reference 502s on frequency-column mismatch, ref `:277-281`). */
   def requireSameSchema(chunks: Seq[DataFrame]): Unit = {

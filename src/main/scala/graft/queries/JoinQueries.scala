@@ -184,6 +184,49 @@ object JoinQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Bloom-prefiltered semi-join (JoinOps.bloomSemiJoin): the membership-
+    // test scale path (benchmark-contamination screens, id-set lookups).
+    // The urgent-order key set aggregates into ONE bloom blob, the lineitem
+    // scan drops non-members at row speed via the codegen'd might_contain
+    // literal, and the exact semi-join only pays for survivors. The bloom
+    // is pure execution strategy (no false negatives + exact verify), so
+    // the oracle is the plain semi-join.
+    "q_bloom_semi" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount"))
+      val urgent = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.ops.JoinOps.bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1L << 20)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")) / 100.0).as("net_value"))
+        .orderBy("l_returnflag")
+    }),
+
+    // SCD2 dimension build (MergeOps.scd2Intervals): the order history per
+    // customer becomes validity intervals — each order version holds
+    // [its orderdate, next orderdate), the latest version closes at the
+    // 9999-12-31 sentinel (never NULL: open-ended NULLs poison range
+    // predicates). One shuffle on the entity key; intervals emit as ISO
+    // date strings so the sentinel survives every engine's date range.
+    "q_scd2" -> ((s, dir) => {
+      val ch = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      graft.ops.MergeOps.scd2Intervals(ch, "o_custkey", "o_orderdate",
+          tieBreak = "o_orderkey", endOfTime = "9999-12-31 00:00:00")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // The SAME top-3-suppliers-per-nation result as
     // q_top_suppliers_per_nation, but through the native partial top-k
     // aggregate (functions.TopKByAgg) instead of a rank window: per-nation
@@ -334,6 +377,31 @@ object JoinQueries {
         |SELECT user_id, relation FROM both_rel
         |UNION ALL SELECT user_id, relation FROM pure_rel
         |ORDER BY relation, user_id""".stripMargin,
+
+    // the bloom prefilter is pure execution strategy — the oracle is the
+    // plain semi-join
+    "q_bloom_semi" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n_items,
+        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+        |         AS net_value
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         o_orderdate AS vf,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate, o_orderkey) AS vt
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice AS price,
+        |       strftime(vf, '%Y-%m-%d') AS valid_from,
+        |       coalesce(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+        |       CAST(vt IS NULL AS INT) AS is_current
+        |FROM v ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     // the salt is pure execution strategy — the oracle is the plain join
     "q_salted_join" ->

@@ -105,6 +105,13 @@ object SimQueries {
         .orderBy("vec_id")
     }),
 
+    // Symmetric int8 quantization of the embedding store (4× compression):
+    // per-vector scale + quantized-L1 + max reconstruction error. Map-only;
+    // integer outputs are engine-exact, the doubles round at 6.
+    "q_embed_quant" -> ((s, dir) =>
+      SimilarityOps.int8Quantize(emb(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // The SAME dedup with the sub-quadratic pair stage: banded-LSH
     // candidates + exact verify feed the identical clustering. Fixture
     // seam (signatures) + the oracle replays band join → verify → CC.
@@ -247,6 +254,26 @@ object SimQueries {
         |SELECT query_id, rank, neighbor_id, cos, cell
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM b),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |         CASE WHEN scale > 0
+        |              THEN list_transform(v, x -> CAST(greatest(-127,
+        |                     least(127, floor(x/scale + 0.5))) AS INT))
+        |              ELSE list_transform(v, x -> 0) END AS qv
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_q,
+        |       round(list_max(list_transform(list_zip(qv, v),
+        |             p -> abs(CAST(p[1] AS DOUBLE) * scale - p[2]))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_dedup_embed" ->
       """WITH RECURSIVE prs AS (

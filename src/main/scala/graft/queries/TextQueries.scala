@@ -205,6 +205,53 @@ object TextQueries {
       TextOps.packSequences(docs(s, dir), "doc_id", "text",
           capacity = 2048, nShards = 8)
         .orderBy("doc_id")),
+
+    // Mixture-targeted deterministic downsampling: each source keeps a
+    // target fraction of its documents (here 16/16, 8/16 or 4/16 by source
+    // number mod 3 — the "rebalance the web/books/code mix" knob). The
+    // keep decision is a pure function of the doc id's md5 nibble — no
+    // rand(), so retries, engines and incremental re-runs agree row for
+    // row, and a doc's fate never depends on which partition it landed in.
+    // Map-only: the filter runs at the scan at any scale.
+    "q_mix_sample" -> ((s, dir) => {
+      val srcnum = coalesce(
+        regexp_extract(col("source"), "\\d+", 0).cast("int"), lit(-1))
+      val rate16 = when(pmod(srcnum, lit(3)) === 0, lit(16))
+        .when(pmod(srcnum, lit(3)) === 1, lit(8))
+        .otherwise(lit(4))
+      val nibble = conv(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+        16, 10).cast("int")
+      docs(s, dir).select(col("doc_id"), col("source"),
+          (nibble < rate16).cast("int").as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // Vocabulary coverage / OOV-rate audit: build the corpus top-200
+    // unigram vocabulary (count desc, term asc — deterministic), then per
+    // source report token volume and the share falling outside the vocab.
+    // The vocab pick is orderBy+limit — Spark plans TakeOrderedAndProject
+    // (distributed per-partition top-k, merged at the driver), NOT a
+    // single-reducer global sort, so a garbage-token long tail with
+    // billions of distinct terms can't pin one task. The ≤200-row vocab
+    // then broadcasts back onto the token stream: the second pass is a
+    // map-side hash lookup, not a shuffle join.
+    "q_vocab_oov" -> ((s, dir) => {
+      val tokens = docs(s, dir).select(col("source"),
+        explode(TextOps.wsTokens(lower(col("text")))).as("term"))
+      val vocab = tokens.groupBy("term")
+        .agg(count(lit(1)).as("n_term"))
+        .orderBy(col("n_term").desc, col("term"))
+        .limit(200)
+        .select(col("term"), lit(1).as("in_vocab"))
+      tokens.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"),
+          round(avg(when(col("in_vocab").isNull, 1.0).otherwise(0.0)), 6)
+            .as("oov_rate"))
+        .orderBy("source")
+    }),
   )
 
   /** PII patterns — Java-regex/RE2-identical constructs only. */
@@ -477,5 +524,35 @@ object TextQueries {
          |         CAST(floor((cum_end - n_tokens) / 2048.0) AS BIGINT),
          |         CAST(floor((cum_end - 1) / 2048.0) AS BIGINT)) AS seq_end
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    // ((x % 3) + 3) % 3 mirrors Spark's pmod for the null→-1 sentinel;
+    // TRY_CAST so a digit-less source follows the same ELSE branch
+    "q_mix_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         instr('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib,
+        |         coalesce(TRY_CAST(regexp_extract(source, '\d+') AS INT), -1)
+        |           AS srcnum
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |       CAST(nib < (CASE ((srcnum % 3) + 3) % 3
+        |                   WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END) AS INT)
+        |         AS kept
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_oov" ->
+      s"""WITH tokens AS (
+         |  SELECT source, unnest(${toks("lower(text)")}) AS term FROM documents),
+         |vocab AS (
+         |  SELECT term FROM tokens GROUP BY term
+         |  ORDER BY count(*) DESC, term LIMIT 200)
+         |SELECT source, count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_oov,
+         |       round(avg(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END), 6)
+         |         AS oov_rate
+         |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
+         |GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -335,4 +335,33 @@ object SimilarityOps {
               multiProbe: Boolean = true): DataFrame =
     lshTopKFrom(lshSignatures(emb, idCol, vecCol, nPlanes),
       querySelector, k, nPlanes, multiProbe)
+
+  /** Symmetric per-vector int8 quantization + reconstruction audit — the
+    * 4× embedding-store compression every large ANN/recall corpus runs
+    * before serving. Per vector: `scale = max|x| / 127`, `q_i =
+    * clamp(round(x_i/scale), ±127)`, reporting the scale, the quantized L1
+    * mass (an integer — engine-exact), and the max reconstruction error
+    * `max|q_i·scale − x_i|`.
+    *
+    * Map-only (one pass, no shuffle, no state). Rounding is
+    * `floor(x/scale + 0.5)` — floor on doubles is IEEE-exact in every
+    * engine, unlike banker's-vs-half-up `round` variance on ties. An
+    * all-zero vector quantizes to zeros with scale 0 (no division). */
+  def int8Quantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // internal name "__sc" ≠ output alias "scale": the output select also
+    // emits round(__sc, 6) AS scale, and Spark's lateral-alias resolution
+    // would otherwise bind the lambda's `scale` to the ROUNDED alias —
+    // silently quantizing the error math at 1e-6
+    val clamp: Column => Column =
+      x => greatest(lit(-127L), least(lit(127L), floor(x / col("__sc") + 0.5))).cast("int")
+    emb.select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("__sc",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("q", when(col("__sc") > 0, transform(col("v"), clamp))
+        .otherwise(transform(col("v"), _ => lit(0))))
+      .select(col("vec_id"), round(col("__sc"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("l1_q"),
+        round(array_max(zip_with(col("q"), col("v"),
+          (qi, xi) => abs(qi * col("__sc") - xi))), 6).as("max_err"))
+  }
 }
