@@ -222,8 +222,19 @@ object DedupOps {
     * The pre-round label rides through the aggregate as `prev_cluster`, so
     * the convergence check is a filter-count over the round's own
     * checkpoint — no join against the previous labels, no extra shuffle.
-    * Non-convergence within `maxIter` throws (never returns wrong labels). */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    * Non-convergence within `maxIter` throws (never returns wrong labels).
+    *
+    * Small-graph fast path: a near-dup pair graph is orders of magnitude
+    * smaller than its corpus (it holds only the duplicates), so after the
+    * one unavoidable materialization of the pair set, graphs under
+    * `driverEdgeCap` edges resolve by union-find on the driver — the same
+    * iterate-a-small-model shape as the k-means quantizer, replacing
+    * O(log d) shuffle rounds (each a checkpoint + count job) with
+    * milliseconds of local work. Above the cap — the genuine 100 TB case —
+    * the distributed log-diameter loop runs unchanged. Both paths emit the
+    * identical min-label-per-component result. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
+      driverEdgeCap: Long = 2000000L): DataFrame = {
     // materialize the (possibly expensive) pair computation ONCE before
     // mirroring it: without this the union's two branches each carry the
     // full upstream near-dup join, and dedup then depends on exchange
@@ -232,6 +243,30 @@ object DedupOps {
     // is the single most expensive stage in the pipeline
     val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    // p is materialized: the count is a block-store scan, not a recompute
+    if (p.count() <= driverEdgeCap) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = p.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins → cluster_id = min id in component
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      p.unpersist(false)
+      return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+    }
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)

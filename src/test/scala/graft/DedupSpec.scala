@@ -80,6 +80,20 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("duplicate clusters: driver union-find ≡ distributed label propagation") {
+    // a long chain (pointer-jumping stress), a star, a 2-cycle-ish pair set
+    val es = (0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L), (201L, 200L))
+    val pairs = es.toDF("id_a", "id_b")
+    val viaDriver = DedupOps.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaRounds = DedupOps.duplicateClusters(pairs, driverEdgeCap = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaDriver == viaRounds)
+    assert((0L to 40L).forall(viaDriver(_) == 0L))
+    assert(viaDriver(103L) == 100L && viaDriver(201L) == 200L)
+  }
+
   test("simhash: identical docs share fingerprints; near-dups within hamming 3") {
     val fps = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
