@@ -227,6 +227,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-corpus decontamination dedup: drop incoming docs whose exact
+    // content already exists in the reference corpus (train-vs-eval
+    // screening; sources 0-9 = reference, 10+ = incoming). Both sides
+    // collapse to 16-byte content digests before the anti-join, so the
+    // exchange carries hashes, never text; the reference side dedups to
+    // one row per distinct digest first. Near-dup cross-screening is the
+    // same shape with minhashDedupPairs feeding the anti-join.
+    "q_cross_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("sn",
+        regexp_extract(col("source"), "\\d+", 0).cast("int"))
+      val ref = d.filter(col("sn") < 10)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      d.filter(col("sn") >= 10)
+        .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("h"))
+        .join(ref, Seq("h"), "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Stratified deterministic sampling: the k hash-ranked docs per source
+    // (eval-set construction). Ranking key = first 60 bits of md5(doc_id)
+    // — reproducible across engines/runs. Runs through the bounded-heap
+    // partial top-k aggregate (TopKByAgg, smallest-first via negated key),
+    // NOT a row_number window: map-side combine caps the exchange at
+    // k rows per (source, partition), so a billion-doc stratum never
+    // sorts or shuffles beyond k·strata rows.
+    "q_strat_sample" -> ((s, dir) => {
+      val hv = conv(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("long")
+      docs(s, dir).select(col("source"), col("doc_id"), hv.as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.TopKByAgg.topk_by(-col("hv"), col("doc_id"), 5).as("tk"))
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"), (-col("col.ord")).as("hv"))
+        .orderBy("source", "rank")
+    }),
+
     // Vocabulary coverage / OOV-rate audit: build the corpus top-200
     // unigram vocabulary (count desc, term asc — deterministic), then per
     // source report token volume and the share falling outside the vocab.
@@ -540,6 +579,35 @@ object TextQueries {
         |                   WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END) AS INT)
         |         AS kept
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // NOT EXISTS (not NOT IN) mirrors left_anti's null-key semantics
+    "q_cross_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |         coalesce(TRY_CAST(regexp_extract(source, '\d+') AS INT), -1)
+        |           AS sn
+        |  FROM documents),
+        |a AS (SELECT DISTINCT md5(text) AS h FROM d WHERE sn >= 0 AND sn < 10),
+        |b AS (SELECT doc_id, source, md5(text) AS h FROM d WHERE sn >= 10)
+        |SELECT doc_id, source FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.h = b.h)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the bounded-heap aggregate replaces only the execution strategy —
+    // the window formulation IS the oracle
+    "q_strat_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, hv,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY hv, doc_id) AS rank
+        |  FROM d)
+        |SELECT source, CAST(rank AS INT) AS rank, doc_id, hv
+        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     "q_vocab_oov" ->
       s"""WITH tokens AS (

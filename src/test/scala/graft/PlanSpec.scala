@@ -117,4 +117,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("__salt"), p.linesIterator.take(40).mkString("\n"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("bloom semi-join: might_contain literal filters the fact scan") {
+    val p = plan("q_bloom_semi")
+    // the bloom probe must sit in a scan-side Filter (a literal blob, no
+    // join, no exchange to evaluate it); the exact verify join follows
+    assert(p.contains("might_contain"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("vocab pick is a distributed TakeOrdered, not a single-reducer sort") {
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(40).mkString("\n"))
+    // the ≤200-row vocab side then broadcasts onto the token stream
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("stratified sample: bounded-heap aggregate, no per-stratum window") {
+    val p = plan("q_strat_sample")
+    assert(p.contains("ObjectHashAggregate"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), "unexpected Window")
+  }
+
+  test("mixture sample and quantization stay map-only before the output sort") {
+    for (q <- Seq("q_mix_sample", "q_embed_quant")) {
+      val p = plan(q)
+      // one Exchange at most (the rangepartitioning for orderBy)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$q:\n$p")
+    }
+  }
 }
