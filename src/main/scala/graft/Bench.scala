@@ -60,13 +60,24 @@ object Bench {
       }
     }
 
+    // dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset while
+    // iterating; the driver never sets it, so contract runs time everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val cold = named.map { case (n, fn) => n -> run(n, fn) }
     val warm = named.map { case (n, fn) => n -> run(n, fn) }
     // Locale.ROOT: a comma-decimal default locale would make f"%.2f" emit
     // {"value":90,63} — invalid JSON, recreating the unparsed-result bug
+    // trailing zeros stripped ("0.50"→"0.5", "2.00"→"2"): at 80+ queries
+    // the compact line crowds the collector's 2000-char tail window, and
+    // ~1 byte per query is the difference between parsed and truncated
     def r2(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (v < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+      }
     def jsonMap(m: Seq[(String, Double)], fmt: Double => String) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errors = (cold ++ warm).collect { case (n, v) if v < 0 => n }.distinct.sorted

@@ -61,27 +61,101 @@ object DedupOps {
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double): DataFrame = {
     val ex = shingleHashes(df, idCol, textCol, n)
+    // one aggregation builds the per-doc rarity-ordered posting list, then
+    // BOTH stages read it: the prefix index is a slice of it, and
+    // verification intersects candidate pairs' lists directly
+    // (array_intersect of two distinct-element lists ≡ the exploded
+    // equi-join count, without re-running the shingle kernel + a 3-way
+    // shuffle join). Checkpointed because it's read three times (prefix +
+    // both join sides); blocks are freed by the ContextCleaner when the
+    // result frame is dropped, and bench/serving edges clearCache.
+    val ghs = rarityPostings(ex).localCheckpoint(true)
+    val cands = explodePrefix(ghs, threshold)
+    val a = cands.as("a"); val b = cands.as("b")
+    val tNum = math.round(threshold * 1000).toInt
+    // ppjoin candidate filters (Xiao et al., "Efficient Similarity Joins
+    // for Near Duplicate Detection", WWW'08), both lossless for J ≥ t and
+    // both pure join predicates (no extra shuffle):
+    //  - LENGTH: J ≥ t ⟹ t·max(|A|,|B|) ≤ |A∩B| ≤ min(|A|,|B|);
+    //  - POSITIONAL: the globally-first shared element e sits within both
+    //    prefixes (pos ≤ n − ⌈t·n⌉ + 1 follows from I ≥ ⌈t·n⌉), and all
+    //    shared elements follow it in both rarity-ordered lists, so
+    //    1 + min(|A|−posA, |B|−posB) ≥ I ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉ holds
+    //    on e's join row — a true pair always survives via that row, while
+    //    boilerplate-sharing non-pairs die here instead of in verification.
+    // Integer-exact forms (t in thousandths): ubound ≥ ⌈x/y⌉ ⟺ y·ubound ≥ x.
+    val lengthOk =
+      least(col("a.n_sh"), col("b.n_sh")) * 1000 >=
+        greatest(col("a.n_sh"), col("b.n_sh")) * tNum
+    val positionOk =
+      (least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) + 1) *
+        (1000 + tNum) >= (col("a.n_sh") + col("b.n_sh")) * tNum
+    val pairIds = a.join(b, col("a.gh") === col("b.gh") &&
+        col("a.doc_id") < col("b.doc_id") && lengthOk && positionOk)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    pairIds
+      // per-document frame joins: shuffle on candidate ids (candidates ≪
+      // corpus; a billion-doc broadcast cannot ship at scale)
+      .join(ghs.select(col("doc_id").as("id_a"), col("ghs").as("ghs_a")), Seq("id_a"))
+      .join(ghs.select(col("doc_id").as("id_b"), col("ghs").as("ghs_b")), Seq("id_b"))
+      .withColumn("shared",
+        size(array_intersect(col("ghs_a"), col("ghs_b"))).cast("long"))
+      .withColumn("jaccard", round(
+        col("shared").cast("double") /
+          (size(col("ghs_a")) + size(col("ghs_b")) - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** Per-doc posting lists ordered by ASCENDING corpus document frequency
+    * (ties on gh) — the canonical prefix-filter order (Bayardo et al.,
+    * Xiao et al.'s ppjoin): a doc's prefix then holds its RAREST shingles,
+    * so prefix posting lists are short by construction and the candidate
+    * join degenerates toward the true pair set. A random (hash) order is
+    * equally CORRECT but measured ~300× more candidates on the test
+    * corpus (223k vs <1k for 256 true pairs). Costs one extra aggregate +
+    * one co-partitioned join of the shingle frame — both on the `gh` key
+    * it is already shuffled on. Output: `(doc_id, ghs ARRAY<BIGINT>)`. */
+  def rarityPostings(ex: DataFrame): DataFrame = {
+    val dfreq = ex.groupBy("gh").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gh")))).as("sdg"))
+      .select(col("doc_id"), transform(col("sdg"), x => x("gh")).as("ghs"))
+  }
+
+  /** Explode each doc's first `|X| − ⌈t·|X|⌉ + 1` postings — the provably
+    * sufficient candidate index for Jaccard ≥ t under the list's global
+    * order (see [[ngramJaccardPairsPrefix]]). Output
+    * `(doc_id, n_sh, pos, gh)` with `pos` 1-based, feeding the ppjoin
+    * length/positional candidate filters. */
+  def explodePrefix(ghs: DataFrame, threshold: Double): DataFrame = {
     val tNum = math.round(threshold * 1000).toInt
     require(math.abs(tNum / 1000.0 - threshold) < 1e-9,
       s"threshold $threshold must be expressible in thousandths")
-    // per-doc sorted posting list in ONE hash aggregate (a window
-    // formulation costs an extra sort-exchange of the full shingle frame);
-    // prefix length = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b
-    val prefix = ex.groupBy("doc_id")
-      .agg(sort_array(collect_list("gh")).as("ghs"))
+    // prefix length = n − ⌈t·n⌉ + 1, with ⌈a/b⌉ = (a + b − 1) div b —
+    // INTEGER arithmetic (see class doc: double ceil silently drops pairs)
+    ghs
       .withColumn("n_sh", size(col("ghs")))
       .withColumn("prefix_len",
         (col("n_sh") - floor((col("n_sh").cast("long") * tNum + lit(999)) / 1000L) + 1)
           .cast("int"))
-      .select(col("doc_id"),
-        explode(slice(col("ghs"), lit(1), greatest(col("prefix_len"), lit(1)))).as("gh"))
-    val a = prefix.as("a"); val b = prefix.as("b")
-    val cands = a.join(b, col("a.gh") === col("b.gh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    verifyJaccardPairs(cands, ex, threshold)
+      .select(col("doc_id"), col("n_sh"),
+        posexplode(slice(col("ghs"), lit(1), greatest(col("prefix_len"), lit(1)))))
+      .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("pos"),
+        col("col").as("gh"))
   }
+
+  /** The prefix-filter posting index over a shingle-hash frame
+    * `(doc_id, gh)`: rarity-ordered postings ([[rarityPostings]]) sliced to
+    * the sufficient prefix ([[explodePrefix]]). Exposed so specs can pin
+    * the fan-out bound: at t=0.8 the index holds ≈20% of the full posting
+    * frame, which is what keeps a hot stop-shingle's posting list — the
+    * quadratic-reducer scale-killer of the naive self-join — off the
+    * join key. */
+  def prefixIndex(ex: DataFrame, threshold: Double): DataFrame =
+    explodePrefix(rarityPostings(ex), threshold)
 
   /** Exact n-gram Jaccard near-dup pairs, naive formulation: every shingle
     * indexed, quadratic within each posting list. Kept as the reference
@@ -232,40 +306,72 @@ object DedupOps {
     * O(log d) shuffle rounds (each a checkpoint + count job) with
     * milliseconds of local work. Above the cap — the genuine 100 TB case —
     * the distributed log-diameter loop runs unchanged. Both paths emit the
-    * identical min-label-per-component result. */
+    * identical min-label-per-component result with the identical schema:
+    * ids must be integral and are cast to BIGINT up front, so output shape
+    * never depends on which path ran. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 30,
       driverEdgeCap: Long = 2000000L): DataFrame = {
+    // ids are cast to BIGINT up front so BOTH paths emit the same schema
+    // (doc_id, cluster_id: LongType) regardless of graph size — and the
+    // cast is guarded: a non-integral id column (string/decimal) would
+    // otherwise cast to NULL/garbage silently under non-ANSI mode
+    Seq("id_a", "id_b").foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = pairs.schema(c).dataType
+      require(Set[DataType](ByteType, ShortType, IntegerType, LongType)(dt),
+        s"duplicateClusters needs integral ids; $c is $dt")
+    }
     // materialize the (possibly expensive) pair computation ONCE before
     // mirroring it: without this the union's two branches each carry the
     // full upstream near-dup join, and dedup then depends on exchange
     // reuse firing — which it does at sf0.1 (measured neutral there) but
     // is plan-shape-fragile; at corpus scale a silently doubled pair join
     // is the single most expensive stage in the pipeline
-    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val p = pairs.select(col("id_a").cast("long").as("src"),
+        col("id_b").cast("long").as("dst"))
       .localCheckpoint(true)
     // p is materialized: the count is a block-store scan, not a recompute
     if (p.count() <= driverEdgeCap) {
       val spark = pairs.sparkSession
       import spark.implicits._
+      // primitive arrays end to end (no boxed maps): at the 2M-edge cap
+      // this is 2×16 MB edge arrays + 32 MB sorted node ids + 16 MB parent
+      // indices — ~80 MB peak, safe on a default-sized driver
       val es = p.as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      val m = es.length
+      val srcs = new Array[Long](m); val dsts = new Array[Long](m)
+      var i = 0
+      while (i < m) { srcs(i) = es(i)._1; dsts(i) = es(i)._2; i += 1 }
+      // dense node index: sort + in-place dedupe; ascending order means
+      // smaller index == smaller id, so min-root union = min-label semantics
+      val all = new Array[Long](2 * m)
+      System.arraycopy(srcs, 0, all, 0, m); System.arraycopy(dsts, 0, all, m, m)
+      java.util.Arrays.sort(all)
+      var n = 0; i = 0
+      while (i < all.length) {
+        if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+        i += 1
+      }
+      val nodes = java.util.Arrays.copyOf(all, n)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        while (parent(r) != r) r = parent(r)
         var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
         r
       }
-      es.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min root wins → cluster_id = min id in component
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        }
-        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      i = 0
+      while (i < m) {
+        val ra = find(java.util.Arrays.binarySearch(nodes, srcs(i)))
+        val rb = find(java.util.Arrays.binarySearch(nodes, dsts(i)))
+        // min root wins → cluster_id = min id in component
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        i += 1
       }
-      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
       p.unpersist(false)
-      return nodes.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster_id")
+      return (0 until n).map(j => (nodes(j), nodes(find(j))))
+        .toDF("doc_id", "cluster_id")
     }
     val edges = p
       .unionByName(p.select(col("dst").as("src"), col("src").as("dst")))

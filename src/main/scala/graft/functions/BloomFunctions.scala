@@ -23,7 +23,16 @@ import org.apache.spark.sql.types.BinaryType
 object BloomFunctions {
 
   /** Aggregate column building a bloom filter over `key` sized for
-    * `expectedItems` distinct keys at `numBits` bits. Result type BINARY. */
+    * `expectedItems` distinct keys at `numBits` bits. Result type BINARY.
+    *
+    * SIZING CAP: `BloomFilterAggregate` silently clamps both parameters to
+    * the runtime-filter conf maxima —
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default 4M) and
+    * `...maxNumBits` (default 67108864 ≈ 8 MB) — read from the active
+    * session conf at execution. Beyond ~6.7M keys the advertised fpp
+    * degrades silently (no failure: false positives just rise, eroding
+    * pruning). Callers sizing above the defaults must raise those confs;
+    * [[graft.ops.JoinOps.bloomSemiJoin]] does so automatically. */
   def bloom_agg(key: Column, expectedItems: Long, numBits: Long): Column =
     ColumnBridge.column(
       new BloomFilterAggregate(

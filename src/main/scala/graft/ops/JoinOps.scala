@@ -100,7 +100,26 @@ object JoinOps {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, numBits: Long = 0L): DataFrame = {
     import graft.functions.BloomFunctions._
+    // XxHash64 hashes the RAW key bytes: an INT build key and a BIGINT
+    // probe key holding the same value hash DIFFERENTLY, and a bloom false
+    // negative is silent row loss the verify join cannot recover (it only
+    // removes false POSITIVES). A plain semi-join would coerce the keys;
+    // the sketch cannot — so demand identical types up front.
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloomSemiJoin keys must have identical types (got " +
+        s"$factKey: ${fact.schema(factKey).dataType} vs " +
+        s"$dimKey: ${dim.schema(dimKey).dataType}); cast one side first — " +
+        "XxHash64 hashes raw bytes, so INT 5 and BIGINT 5 probe different bits")
     val bits = if (numBits > 0) numBits else math.max(64L, expectedItems * 10L)
+    // Spark caps BloomFilterAggregate's sizing at the runtime-filter conf
+    // maxima (defaults 4M items / 67M bits) — above that the ~1% fpp would
+    // degrade SILENTLY (correctness survives via the verify join; pruning
+    // doesn't). Raise the caps monotonically to honor the caller's sizing.
+    val conf = dim.sparkSession.conf
+    def raiseTo(key: String, atLeast: Long): Unit =
+      if (conf.get(key).toLong < atLeast) conf.set(key, atLeast.toString)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     val blob = dim.agg(bloom_agg(col(dimKey), expectedItems, bits).as("bf"))
       .head().getAs[Array[Byte]](0)
     // empty dim → no blob → empty semi-join (don't probe a null sketch)

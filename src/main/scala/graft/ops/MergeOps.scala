@@ -57,12 +57,24 @@ object MergeOps {
     * changes deterministic (later tieBreak = later version). */
   def scd2Intervals(changes: DataFrame, entityCol: String, tsCol: String,
       tieBreak: String, endOfTime: String): DataFrame = {
+    val tsType = changes.schema(tsCol).dataType
+    val sentinel = lit(endOfTime).cast(tsType)
+    // eager sentinel validation: under non-ANSI mode an unparseable
+    // endOfTime casts to NULL at runtime, silently reintroducing exactly
+    // the open-ended NULL valid_to this operator exists to prevent (ANSI
+    // mode would instead fail mid-job). One 1-row local job at plan time
+    // catches it at the call site in both modes, with one error contract.
+    val sentinelOk =
+      try changes.sparkSession.range(1).select(sentinel).head.get(0) != null
+      catch { case _: Exception => false }
+    require(sentinelOk,
+      s"endOfTime sentinel '$endOfTime' does not cast to $tsType")
     val w = Window.partitionBy(col(entityCol))
       .orderBy(col(tsCol), col(tieBreak))
     changes
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to",
-        coalesce(lead(col(tsCol), 1).over(w), lit(endOfTime).cast(changes.schema(tsCol).dataType)))
+        coalesce(lead(col(tsCol), 1).over(w), sentinel))
       .withColumn("is_current",
         (lead(col(tsCol), 1).over(w).isNull).cast("int"))
   }

@@ -30,9 +30,11 @@ object StatsQueries {
         .orderBy("event_type")),
 
     // Duplicate-cluster resolution: connected components over the exact
-    // near-dup pair graph; keeper = min doc_id per component.
+    // near-dup pair graph; keeper = min doc_id per component. Pair graph
+    // via the prefix-filtered join (bit-identical to naive, DedupSpec pins
+    // it) — the contract runs the skew-safe formulation everywhere.
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = DedupOps.ngramJaccardPairs(
+      val pairs = DedupOps.ngramJaccardPairsPrefix(
         Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
         .select(col("id_a"), col("id_b"))
       DedupOps.duplicateClusters(pairs).orderBy("doc_id")

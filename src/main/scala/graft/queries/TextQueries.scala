@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.text.TextOps
+import OracleFixtures.{seam, sqlPath}
 
 /** Text-analysis query surface over `documents` (north-star extensions).
   * All map-only — no shuffles; each has an exact DuckDB oracle.
@@ -179,10 +180,46 @@ object TextQueries {
       // persist once instead of recomputing the md5 semi-join three times
       val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // prefix-filtered exact pair join (bit-identical to naive; DedupSpec
+      // pins it) — the naive posting-list self-join is quadratic in a hot
+      // shingle's posting list, the one scale-killer this pipeline had
       val clusters = DedupOps.duplicateClusters(
-        DedupOps.ngramJaccardPairs(exactKept, "doc_id", "text", 3, 0.8)
+        DedupOps.ngramJaccardPairsPrefix(exactKept, "doc_id", "text", 3, 0.8)
           .select(col("id_a"), col("id_b")))
       val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select("doc_id")
+      exactKept.join(losers, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", size(TextOps.wsTokens(col("text"))))
+        .withColumn("lang_pred", TextOps.langId(col("text")))
+        .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und")
+        .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    // The cleaning pipeline's 100 TB near-dup path: identical to
+    // q_corpus_clean except the pair graph comes from MinHash(128) +
+    // LSH(32×4) with exact verification instead of the exact-Jaccard join —
+    // candidate generation is a band-bucket equi-join, so cost scales with
+    // the near-dup density, not with posting-list shapes. Shadows
+    // q_corpus_clean the way q_dedup_embed_lsh shadows q_dedup_embed.
+    // Oracle: fixture seams at the signature and shingle-hash frames; DuckDB
+    // replays band bucketing → verify → clustering → gates bit-for-bit.
+    "q_corpus_clean_lsh" -> ((s, dir) => {
+      import graft.dedup.DedupOps
+      val d = docs(s, dir)
+      val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sigs = seam(DedupOps.minhashSignatures(exactKept, "doc_id", "text",
+        n = 3, k = 128), dir, "clean_minhash_sigs")
+      val ex = seam(DedupOps.shingleHashes(exactKept, "doc_id", "text", n = 3),
+        dir, "clean_minhash_shingles")
+      val pairs = DedupOps.verifyJaccardPairs(
+          DedupOps.lshCandidates(sigs, k = 128, bands = 32), ex, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      val losers = DedupOps.duplicateClusters(pairs)
+        .filter(col("doc_id") =!= col("cluster_id"))
         .select("doc_id")
       exactKept.join(losers, Seq("doc_id"), "left_anti")
         .withColumn("n_tokens", size(TextOps.wsTokens(col("text"))))
@@ -501,6 +538,78 @@ object TextQueries {
          |losers AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id),
          |kept AS (
          |  SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |feat AS (
+         |  SELECT doc_id, text, ${toks("text")} AS wtoks, ${toks("lower(text)")} AS ltoks
+         |  FROM kept),
+         |c AS (
+         |  SELECT doc_id, len(wtoks) AS n_tokens,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh,
+         |    len(list_filter(ltoks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+         |    len(list_filter(ltoks, x -> x IN ('der','die','und','das','ist','nicht','ein'))) AS de,
+         |    len(list_filter(ltoks, x -> x IN ('el','la','los','que','y','es','un'))) AS es,
+         |    len(list_filter(ltoks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr
+         |  FROM feat),
+         |lp AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN zh > 0 THEN 'zh'
+         |              WHEN en + de + es + fr = 0 THEN 'und'
+         |              WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |              WHEN de >= es AND de >= fr THEN 'de'
+         |              WHEN es >= fr THEN 'es'
+         |              ELSE 'fr' END AS lang_pred
+         |  FROM c)
+         |SELECT doc_id, n_tokens, lang_pred FROM lp
+         |WHERE n_tokens >= 50 AND lang_pred <> 'und'
+         |ORDER BY doc_id""".stripMargin,
+
+    // Replays the ENTIRE post-hash pipeline over the Spark-written fixtures:
+    // band bucketing (band content compared, ≡ the engine's xxhash64 bucket
+    // modulo collisions) → candidate join → exact Jaccard verify →
+    // connected components → exact-keeper + near-dup-loser gates.
+    "q_corpus_clean_lsh" ->
+      s"""WITH RECURSIVE
+         |sigs AS (SELECT * FROM read_parquet('${sqlPath("clean_minhash_sigs")}')),
+         |ex AS (SELECT * FROM read_parquet('${sqlPath("clean_minhash_shingles")}')),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, 32)) AS band, sig FROM sigs),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |         array_to_string(list_slice(sig, CAST(band AS INT) * 4 + 1,
+         |                                    CAST(band AS INT) * 4 + 4), ',') AS bucket
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |shr AS (
+         |  SELECT id_a, id_b, count(*) AS shared
+         |  FROM cand
+         |  JOIN ex ea ON ea.doc_id = id_a
+         |  JOIN ex eb ON eb.doc_id = id_b AND ea.gh = eb.gh
+         |  GROUP BY 1, 2),
+         |edges AS (
+         |  SELECT id_a, id_b FROM shr
+         |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+         |bidir AS (
+         |  SELECT id_a AS src, id_b AS dst FROM edges
+         |  UNION ALL SELECT id_b, id_a FROM edges),
+         |reach AS (
+         |  SELECT src, dst FROM bidir
+         |  UNION
+         |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+         |  WHERE r.src <> b.dst),
+         |members AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |losers AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id),
+         |exact_keep AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |kept AS (
+         |  SELECT * FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+         |    AND doc_id NOT IN (SELECT doc_id FROM losers)),
          |feat AS (
          |  SELECT doc_id, text, ${toks("text")} AS wtoks, ${toks("lower(text)")} AS ltoks
          |  FROM kept),

@@ -69,6 +69,43 @@ object Profile {
           .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
           .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und")
         time("final gates")(fin.count())
+      case "ngram_prefix" =>
+        // stage dissection of the prefix-filtered exact pair join
+        import org.apache.spark.sql.functions._
+        import graft.dedup.DedupOps
+        val d = graft.tables.Tables.documents(spark, sfDir)
+        val ex = DedupOps.shingleHashes(d, "doc_id", "text", 3)
+        time("shingle hashes")(ex.count())
+        val ghs = ex.groupBy("doc_id")
+          .agg(sort_array(collect_list("gh")).as("ghs"))
+        time("ghs aggregate")(ghs.count())
+        val ghsC = ghs.localCheckpoint(true)
+        val prefix = DedupOps.prefixIndex(ex, 0.8)
+        time("prefix index rows")(prefix.count())
+        val a = prefix.as("a"); val b = prefix.as("b")
+        val bare = a.join(b, col("a.gh") === col("b.gh") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        time("candidates (no ppjoin filters)")(bare.count())
+        val lengthOk = least(col("a.n_sh"), col("b.n_sh")) * 1000 >=
+          greatest(col("a.n_sh"), col("b.n_sh")) * 800
+        val positionOk =
+          (least(col("a.n_sh") - col("a.pos"), col("b.n_sh") - col("b.pos")) + 1) *
+            1800 >= (col("a.n_sh") + col("b.n_sh")) * 800
+        val filtered = a.join(b, col("a.gh") === col("b.gh") &&
+            col("a.doc_id") < col("b.doc_id") && lengthOk && positionOk)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        time("candidates (length+positional)")(filtered.count())
+        val naiveJoinVol = ex.as("a").join(ex.as("b"),
+          col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
+        time("naive join volume")(naiveJoinVol.count())
+        time("full prefix pair join")(
+          DedupOps.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8).count())
+        time("full naive pair join")(
+          DedupOps.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8).count())
+        ghsC.unpersist()
       case "lsh_hi" =>
         // sub-quadratic claim check at a PRODUCTION near-dup threshold:
         // exact block-pair scan vs banded-LSH candidates + exact verify,

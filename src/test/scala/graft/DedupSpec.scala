@@ -52,6 +52,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contract pair-join path bounds posting-list fan-out (prefix index)") {
+    // the contract queries (q_dedup_ngram, q_corpus_clean) run the prefix-
+    // filtered formulation; this pins the property that makes it the scale
+    // path: the candidate index keeps at most n − ⌈t·n⌉ + 1 hashes per doc
+    val real = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val ex = DedupOps.shingleHashes(real, "doc_id", "text", 3)
+    val full = ex.groupBy("doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pref = DedupOps.prefixIndex(ex, 0.8).groupBy("doc_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pref.keySet == full.keySet)
+    pref.foreach { case (id, p) =>
+      val n = full(id)
+      val bound = n - (n * 800 + 999) / 1000 + 1 // n − ⌈0.8n⌉ + 1, integer-exact
+      assert(p == math.max(bound, 1L), s"doc $id: prefix $p, expected $bound of $n")
+    }
+    // aggregate: at t=0.8 the index is ≈20% of the full posting frame, so a
+    // stop shingle shared by every doc joins ~25× fewer rows (≈625× fewer
+    // candidate pairs) than the naive self-join would
+    assert(pref.values.sum <= full.values.sum / 4 + pref.size)
+  }
+
   test("minhash+LSH output matches exact jaccard on the planted pairs") {
     val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -92,6 +114,25 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver == viaRounds)
     assert((0L to 40L).forall(viaDriver(_) == 0L))
     assert(viaDriver(103L) == 100L && viaDriver(201L) == 200L)
+  }
+
+  test("duplicate clusters: schema is (long, long) on BOTH paths; non-integral ids rejected") {
+    // INT ids: both the driver fast path and the distributed rounds must
+    // emit LongType (the output schema can't depend on graph size)
+    val intPairs = Seq((1, 2), (3, 4)).toDF("id_a", "id_b")
+    for (cap <- Seq(2000000L, 0L)) {
+      val out = DedupOps.duplicateClusters(intPairs, driverEdgeCap = cap)
+      assert(out.schema.fields.map(_.dataType).toSeq ==
+        Seq(org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.LongType),
+        s"cap=$cap")
+      assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    }
+    // string ids would cast to NULL silently — the guard must fire
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.duplicateClusters(Seq(("a", "b")).toDF("id_a", "id_b"))
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("simhash: identical docs share fingerprints; near-dups within hamming 3") {

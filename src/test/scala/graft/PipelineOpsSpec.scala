@@ -49,6 +49,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(JoinOps.bloomSemiJoin(li, none, "l_orderkey", "o_orderkey", 16).isEmpty)
   }
 
+  test("bloomSemiJoin rejects mismatched key types (raw-byte hash ≠ coercion)") {
+    // INT build key vs BIGINT probe key: XxHash64 over raw bytes would
+    // produce silent false negatives — the guard must fire instead
+    val fact = spark.range(0, 10).select(col("id").as("k"))
+    val dim = spark.range(0, 5).select(col("id").cast("int").as("k2"))
+    val e = intercept[IllegalArgumentException] {
+      JoinOps.bloomSemiJoin(fact, dim, "k", "k2", 16)
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+
+  test("bloomSemiJoin raises the runtime bloom-filter conf caps to its sizing") {
+    // Spark clamps BloomFilterAggregate at the conf maxima (4M items /
+    // 67M bits by default); sizing above them must raise the caps so the
+    // advertised fpp holds instead of degrading silently
+    val fact = spark.range(0, 100).select(col("id").as("k"))
+    val dim = spark.range(0, 10).select(col("id").as("k"))
+    JoinOps.bloomSemiJoin(fact, dim, "k", "k", expectedItems = 8000000L).count()
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong >= 8000000L)
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong >= 80000000L)
+  }
+
   // ---- scd2Intervals -------------------------------------------------
 
   test("scd2Intervals: per-entity intervals tile the history, one current row") {
@@ -87,6 +111,15 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   // ---- int8Quantize --------------------------------------------------
+
+  test("scd2Intervals rejects an unparseable endOfTime sentinel eagerly") {
+    val ch = Seq((1L, 10L, "2024-01-01 00:00:00", 5.0)).toDF("ent", "ver", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.scd2Intervals(ch, "ent", "ts", "ver", "not-a-timestamp")
+    }
+    assert(e.getMessage.contains("does not cast"))
+  }
 
   test("int8Quantize: q within ±127, reconstruction error ≤ scale/2 + eps") {
     val emb = Tables.embeddings(spark, TestSpark.Sf0001)
