@@ -306,26 +306,39 @@ object TextQueries {
     // Vocabulary coverage / OOV-rate audit: build the corpus top-200
     // unigram vocabulary (count desc, term asc — deterministic), then per
     // source report token volume and the share falling outside the vocab.
-    // The vocab pick is orderBy+limit — Spark plans TakeOrderedAndProject
+    // The corpus is TOKENIZED ONCE: the token stream collapses immediately
+    // to per-(source, term) counts — map-side combine, so the exchange
+    // carries distinct terms per source, not token instances — and that
+    // compact frame (checkpointed; it's read by both stages) serves both
+    // the vocab pick and the scoring. At 100 TB the alternative of
+    // re-tokenizing per stage is a second full corpus scan + kernel pass,
+    // and persisting the raw token STREAM (~1.5× corpus bytes) is worse
+    // than either; the (source, term) rollup is the only frame small
+    // enough to hold and rich enough to answer both questions. The vocab
+    // pick is orderBy+limit — Spark plans TakeOrderedAndProject
     // (distributed per-partition top-k, merged at the driver), NOT a
     // single-reducer global sort, so a garbage-token long tail with
     // billions of distinct terms can't pin one task. The ≤200-row vocab
-    // then broadcasts back onto the token stream: the second pass is a
-    // map-side hash lookup, not a shuffle join.
+    // then broadcasts onto the rollup: a map-side hash lookup, no shuffle.
+    // Weighted sums over the rollup ≡ the per-token avg bit-for-bit:
+    // n_oov and n_tokens are exact integers < 2^53, so sum/sum is the
+    // same double division avg() performs.
     "q_vocab_oov" -> ((s, dir) => {
-      val tokens = docs(s, dir).select(col("source"),
-        explode(TextOps.wsTokens(lower(col("text")))).as("term"))
-      val vocab = tokens.groupBy("term")
-        .agg(count(lit(1)).as("n_term"))
+      val termCounts = docs(s, dir).select(col("source"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val vocab = termCounts.groupBy("term")
+        .agg(sum("n").as("n_term"))
         .orderBy(col("n_term").desc, col("term"))
         .limit(200)
         .select(col("term"), lit(1).as("in_vocab"))
-      tokens.join(broadcast(vocab), Seq("term"), "left")
+      termCounts.join(broadcast(vocab), Seq("term"), "left")
         .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"),
-          round(avg(when(col("in_vocab").isNull, 1.0).otherwise(0.0)), 6)
-            .as("oov_rate"))
+        .agg(sum("n").as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
         .orderBy("source")
     }),
   )

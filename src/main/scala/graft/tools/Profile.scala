@@ -162,6 +162,87 @@ object Profile {
           println(f"[profile] ${times}%3d× (${n0 * times}%7d docs): exact $exact%6.1f s  minhash+lsh $mh%6.1f s  simhash $sh%6.1f s  pack $pk%6.1f s")
           c.unpersist()
         }
+      case "scale_r6" =>
+        // 10× scale evidence for the round-5/6 operators: strat-sample,
+        // vocab/OOV, the rarity-ordered prefix pair join, bloom semi-join,
+        // SCD2 — plus the duplicate-clustering driver-cap boundary (time
+        // the distributed CC path on the same real pair graph).
+        import org.apache.spark.sql.functions._
+        import graft.dedup.DedupOps
+        import graft.ops.{JoinOps, MergeOps}
+        val base = graft.tables.Tables.documents(spark, sfDir)
+        val n0 = base.count()
+        val idStride = base.agg(max("doc_id")).first().getLong(0) + 1
+        val baseTag = new java.io.File(sfDir).getName
+        def corpus(times: Int): DataFrame = {
+          // distinct cache path from scale_big's: this corpus carries the
+          // source column too (strat/vocab group on it)
+          val path = s"/tmp/graft_scale6_${baseTag}_${times}x"
+          if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+            (0 until times).map { i =>
+              base.select(
+                (col("doc_id") + lit(i * idStride)).as("doc_id"),
+                col("source"),
+                regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"))
+            }.reduce(_ unionByName _)
+              .repartition(32).write.mode("overwrite").parquet(path)
+          }
+          spark.read.parquet(path)
+        }
+        def t(f: => Unit): Double = elapsed(f)
+        def vocabOov(c: DataFrame): DataFrame = {
+          val termCounts = c.select(col("source"),
+              explode(graft.text.TextOps.wsTokens(lower(col("text")))).as("term"))
+            .groupBy("source", "term").agg(count(lit(1)).as("n"))
+            .localCheckpoint(true)
+          val vocab = termCounts.groupBy("term").agg(sum("n").as("n_term"))
+            .orderBy(col("n_term").desc, col("term")).limit(200)
+            .select(col("term"), lit(1).as("in_vocab"))
+          termCounts.join(broadcast(vocab), Seq("term"), "left")
+            .groupBy("source")
+            .agg(sum("n").as("n_tokens"),
+              sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+        }
+        // first 1× is an untimed-in-spirit warmup (codegen + readers);
+        // compare the SECOND 1× line against the 10× line
+        Seq(1, 1, 10).foreach { times =>
+          val c = corpus(times).persist(); c.count()
+          val hv = conv(substring(
+            md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+            .cast("long")
+          val strat = t(c.select(col("source"), col("doc_id"), hv.as("hv"))
+            .groupBy("source")
+            .agg(graft.functions.TopKByAgg.topk_by(-col("hv"), col("doc_id"), 5))
+            .count())
+          val voc = t(force(vocabOov(c)))
+          val pref = t(DedupOps.ngramJaccardPairsPrefix(c, "doc_id", "text", 3, 0.8).count())
+          println(f"[profile] ${times}%3d× (${n0 * times}%7d docs): strat $strat%6.1f s  vocab_oov $voc%6.1f s  prefix_pairs $pref%6.1f s")
+          c.unpersist()
+        }
+        Seq(1L, 1L, 10L, 100L).foreach { times =>
+          val nFact = 600000L * times
+          val fact = spark.range(nFact)
+            .select((col("id") % 1000000L).as("k"), col("id").as("v"))
+          val dim = spark.range(1000)
+            .select((col("id") * 997L % 1000000L).as("k"))
+          val bloom = t(JoinOps.bloomSemiJoin(fact, dim, "k", "k", 1000).count())
+          val nCh = 600000L * times
+          val changes = spark.range(nCh).select(
+            (col("id") % (nCh / 10)).as("ent"), col("id").as("ver"),
+            timestamp_seconds(col("id")).as("ts"), col("id").as("v"))
+          val scd = t(force(MergeOps.scd2Intervals(changes, "ent", "ts", "ver",
+            "9999-12-31 00:00:00")))
+          println(f"[profile] ${times}%3d× rows=${nFact}%8d: bloom_semi $bloom%6.1f s  scd2 $scd%6.1f s")
+        }
+        // CC cap boundary: same real near-dup pair graph, both paths
+        val c10 = corpus(10).persist(); c10.count()
+        val pairs = DedupOps.minhashDedupPairs(c10, "doc_id", "text", 3, 64, 16, 0.8)
+          .select("id_a", "id_b").persist()
+        val ne = pairs.count()
+        val viaDriver = t(DedupOps.duplicateClusters(pairs).count())
+        val viaRounds = t(DedupOps.duplicateClusters(pairs, driverEdgeCap = 0L).count())
+        println(f"[profile] CC on $ne edges (10× corpus): driver union-find $viaDriver%6.1f s  distributed rounds $viaRounds%6.1f s")
+        pairs.unpersist(); c10.unpersist()
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case q =>
