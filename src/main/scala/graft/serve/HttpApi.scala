@@ -69,13 +69,19 @@ object HttpApi {
   private[serve] final case class ParamError(msg: String) extends RuntimeException(msg)
 }
 
-final class HttpApi(service: AmbientService) {
+/** @param logDir directory for the timing log (ref writes
+  *   `logs/api-timing.log` relative to the process cwd via a
+  *   `logging.FileHandler`, `app/main.py:40-45`); created on first start. */
+final class HttpApi(
+    service: AmbientService,
+    logDir: java.nio.file.Path = java.nio.file.Paths.get("logs")) {
 
   // ---- lifecycle ---------------------------------------------------------
 
   /** Start on `port` (0 → ephemeral). Returns the live server; callers stop
     * it with `.stop(0)`. */
   def start(port: Int): HttpServer = {
+    java.nio.file.Files.createDirectories(logDir) // ref: log_dir.mkdir(exist_ok=True)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler _)
     // small pool: Spark jobs serialize on the shared session anyway; the
@@ -152,6 +158,7 @@ final class HttpApi(service: AmbientService) {
     }
     var status = 200
     var extraHeaders: Seq[(String, String)] = Nil
+    var contentType = "application/json"
     val body: String =
       try {
         if (ex.getRequestMethod == "OPTIONS") {
@@ -166,6 +173,8 @@ final class HttpApi(service: AmbientService) {
           val p = queryParams(ex)
           path match {
             case "/health" => Json.obj("status" -> Json.str("ok"))
+            case "/openapi.json" => OpenApi.json
+            case "/docs" => contentType = "text/html; charset=utf-8"; OpenApi.docsHtml
             case "/options" => options(p)
             case "/timeseries/broadband" =>
               val (b, h) = broadbandTimeseries(p); extraHeaders = h; b
@@ -196,17 +205,52 @@ final class HttpApi(service: AmbientService) {
       }
     val bytes = body.getBytes(UTF_8)
     val hs = ex.getResponseHeaders
-    hs.set("Content-Type", "application/json")
+    hs.set("Content-Type", contentType)
     hs.set("Access-Control-Allow-Origin", "*") // ref CORS middleware
     extraHeaders.foreach { case (k, v) => hs.set(k, v) }
     ex.sendResponseHeaders(status, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
-    // timing log line (ref app/main.py:48-81)
-    val ms = (System.nanoTime() - t0) / 1e6
-    val q = Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).getOrElse("-")
-    System.err.println(
-      f"GET $path query=$q -> $status in $ms%.1fms size=${bytes.length}")
+    // timing middleware (ref app/main.py:48-81): skip /.well-known/, then
+    // one line per request to stderr AND logs/api-timing.log, same format
+    // as the reference's `%(asctime)s %(levelname)s %(name)s %(message)s`
+    // with the X-header data summary.
+    if (!path.startsWith("/.well-known/")) {
+      val ms = (System.nanoTime() - t0) / 1e6
+      val q = Option(ex.getRequestURI.getRawQuery).filter(_.nonEmpty).getOrElse("-")
+      val eh = extraHeaders.toMap
+      val data = Seq(
+        eh.get("X-Point-Count").map(v => s"points=$v"),
+        eh.get("X-Expected-Point-Count").map(v => s"expected_points=$v"),
+        eh.get("X-Time-Count").map(v => s"time_count=$v"),
+        eh.get("X-Frequency-Count").map(v => s"frequency_count=$v")
+      ).flatten match { case Nil => "-"; case parts => parts.mkString(" ") }
+      val method = ex.getRequestMethod
+      logLine(
+        f"$method $path query=$q -> $status in $ms%.1fms size=${bytes.length} data=$data")
+    }
+  }
+
+  // ---- timing log ----------------------------------------------------------
+
+  private val logTsFormat =
+    // Python logging's default asctime: "2026-08-12 20:00:00,123" (local time)
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
+
+  // One append-mode writer for the process lifetime, like the reference's
+  // FileHandler; writes are line-buffered and synchronized across the pool.
+  private lazy val timingLog: java.io.PrintWriter = {
+    java.nio.file.Files.createDirectories(logDir)
+    new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(
+      logDir.resolve("api-timing.log"), UTF_8,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND))
+  }
+
+  private def logLine(msg: String): Unit = {
+    val line = s"${logTsFormat.format(java.time.LocalDateTime.now())} INFO ambient_sound_api $msg"
+    System.err.println(line)
+    timingLog.synchronized { timingLog.println(line); timingLog.flush() }
   }
 
   // ---- endpoint bodies ---------------------------------------------------

@@ -3,6 +3,7 @@ package graft
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import graft.serve.{AmbientService, HttpApi}
@@ -33,7 +34,9 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     AmbientService.fromFrames(bb, psd)
   }
 
-  private lazy val server = new HttpApi(service).start(0)
+  private lazy val logDir =
+    java.nio.file.Files.createTempDirectory("graft-http-logs")
+  private lazy val server = new HttpApi(service, logDir).start(0)
   private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
   private lazy val client = HttpClient.newHttpClient()
 
@@ -213,6 +216,59 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
       "&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&interval=15m" +
       "&delta_f=500hz&delta_t=10&validate=false")
     assert(psd.statusCode() == 200, psd.body())
+  }
+
+  test("timing log file mirrors the reference's api-timing.log line (ref app/main.py:40-81)") {
+    val r = get("/timeseries/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T01:00:00&delta_t=1")
+    assert(r.statusCode() == 200)
+    val logFile = logDir.resolve("api-timing.log")
+    assert(java.nio.file.Files.exists(logFile))
+    val lines = java.nio.file.Files.readAllLines(logFile)
+    // `%(asctime)s %(levelname)s %(name)s GET <path> query=<q> -> <status>
+    //  in <ms>ms size=<bytes> data=<X-header summary>`
+    val pat = ("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2},\d{3} INFO ambient_sound_api """ +
+      """GET /timeseries/broadband query=hydrophone=orcasound_lab\S* -> 200 """ +
+      """in \d+\.\dms size=\d+ data=points=60 expected_points=3600""").r
+    assert(lines.asScala.exists(l => pat.findFirstIn(l).isDefined),
+      s"no matching line in:\n${lines.asScala.mkString("\n")}")
+    // requests without count headers log data=-
+    get("/health")
+    val healthLines = java.nio.file.Files.readAllLines(logFile).asScala
+    assert(healthLines.exists(_.matches(
+      """.* INFO ambient_sound_api GET /health query=- -> 200 in \d+\.\dms size=\d+ data=-""")))
+  }
+
+  test("/openapi.json describes every route; /docs links it (ref FastAPI auto-docs)") {
+    val r = get("/openapi.json")
+    assert(r.statusCode() == 200)
+    assert(r.headers().firstValue("Content-Type").get().startsWith("application/json"))
+    // round-trip through a real JSON parser (Jackson ships with Spark)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(r.body())
+    assert(root.get("openapi").asText() == "3.1.0")
+    val paths = root.get("paths")
+    Seq("/health", "/options", "/timeseries/broadband", "/timeseries/psd",
+        "/aggregations/broadband", "/aggregations/psd",
+        "/aggregations/daily-summary", "/aggregations/daily-broadband-summary")
+      .foreach(p => assert(paths.has(p), s"missing path $p"))
+    // parameter parity spot-checks against the reference route declarations
+    val psdParams = paths.get("/timeseries/psd").get("get").get("parameters")
+    val names = (0 until psdParams.size()).map(psdParams.get(_).get("name").asText())
+    assert(names == Seq("hydrophone", "start", "end", "delta_t", "delta_f", "validate"))
+    val deltaT = psdParams.get(3)
+    assert(!deltaT.get("required").asBoolean())
+    assert(deltaT.get("schema").get("default").asInt() == 1)
+    val ds = paths.get("/aggregations/daily-summary").get("get").get("parameters")
+    val dsDefaults = (0 until ds.size()).map(ds.get(_)).map { p =>
+      p.get("name").asText() -> Option(p.get("schema").get("default")).map(_.asText())
+    }.toMap
+    assert(dsDefaults("band_low").contains("63"))
+    assert(dsDefaults("band_high").contains("8000"))
+    assert(dsDefaults("interval").contains("auto"))
+    val docs = get("/docs")
+    assert(docs.statusCode() == 200)
+    assert(docs.headers().firstValue("Content-Type").get().startsWith("text/html"))
+    assert(docs.body().contains("/openapi.json"))
   }
 
   test("point-cap violation surfaces as 400, not truncation") {
