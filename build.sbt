@@ -34,5 +34,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: at local[32] the dedup pipelines (text kernels +
+  // checkpoint blocks + persisted corpus) GC-thrash an 8g heap — measured
+  // ~30% on q_corpus_clean cold; the box has 128 GiB. Cluster deployments
+  // size executor memory separately; this only affects forked local runs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

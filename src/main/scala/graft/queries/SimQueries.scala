@@ -112,6 +112,29 @@ object SimQueries {
       SimilarityOps.int8Quantize(emb(s, dir), "vec_id", "embedding")
         .orderBy("vec_id")),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup that only pair-scans
+    // WITHIN a trained coarse cluster — comparisons cost Σ|cell|², not n².
+    // The trained centroid frame is the fixture seam (same recipe as
+    // q_ann_ivf_trained); the oracle replays assignment → within-cell pair
+    // scan → connected components → keep flags in SQL.
+    "q_semdedup" -> ((s, dir) => {
+      val cent = seam(SimilarityOps.kmeansCentroids(
+        emb(s, dir), "vec_id", "embedding", k = 16, iters = 3),
+        dir, "semdedup_centroids")
+      SimilarityOps.semDedup(emb(s, dir), "vec_id", "embedding", cent, 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // ANN via product quantization (Jégou et al. 2011): corpus stored as
+    // m=4 one-byte-ish codes, queries rank by summed distance-table
+    // lookups. The deterministic codebook (16 lowest-id vectors per
+    // subspace) makes the whole pipeline SQL-replayable — direct oracle,
+    // no fixture.
+    "q_ann_pq" -> ((s, dir) =>
+      SimilarityOps.pqTopK(emb(s, dir), "vec_id", "embedding",
+          querySelector = 10, k = 5, m = 4, ksub = 16, maxQueries = 100)
+        .orderBy("query_id", "rank")),
+
     // The SAME dedup with the sub-quadratic pair stage: banded-LSH
     // candidates + exact verify feed the identical clustering. Fixture
     // seam (signatures) + the oracle replays band join → verify → CC.
@@ -297,6 +320,81 @@ object SimQueries {
         |       CAST(coalesce(m.cluster_id, e.vec_id) = e.vec_id AS INT) AS keep
         |FROM embeddings e LEFT JOIN members m ON e.vec_id = m.vec_id
         |ORDER BY e.vec_id""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${sqlPath("semdedup_centroids")}')),
+         |asg AS (
+         |  SELECT b.id, b.v, c.cell,
+         |         row_number() OVER (PARTITION BY b.id
+         |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+         |  FROM base b CROSS JOIN cent c),
+         |m AS (SELECT id, v, cell FROM asg WHERE r = 1),
+         |prs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM m a JOIN m b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+         |bidir AS (
+         |  SELECT id_a AS src, id_b AS dst FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT src, dst FROM bidir
+         |  UNION
+         |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+         |  WHERE r.src <> b.dst),
+         |members AS (
+         |  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT m.id AS vec_id, m.cell,
+         |       coalesce(mb.cluster_id, m.id) AS cluster_id,
+         |       CAST(coalesce(mb.cluster_id, m.id) = m.id AS INT) AS keep
+         |FROM m LEFT JOIN members mb ON m.id = mb.vec_id
+         |ORDER BY vec_id""".stripMargin,
+
+    "q_ann_pq" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |books AS (
+        |  SELECT s.sub, b.id AS code,
+        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS cv
+        |  FROM (SELECT id, v FROM base ORDER BY id LIMIT 16) b CROSS JOIN subs s),
+        |corpus_subs AS (
+        |  SELECT b.id, s.sub,
+        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS sv
+        |  FROM base b CROSS JOIN subs s),
+        |enc_ranked AS (
+        |  SELECT cs.id, cs.sub, bk.code,
+        |         row_number() OVER (PARTITION BY cs.id, cs.sub
+        |           ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cv),
+        |                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), bk.code) AS r
+        |  FROM corpus_subs cs JOIN books bk ON cs.sub = bk.sub),
+        |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
+        |qtab AS (
+        |  SELECT q.id AS query_id, s.sub, bk.code,
+        |         list_sum(list_transform(list_zip(
+        |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
+        |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd
+        |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
+        |  WHERE q.id % 10 = 0 AND q.id < 1000),
+        |dists AS (
+        |  SELECT qt.query_id, e.id AS neighbor_id, round(sum(qt.pd), 6) AS d2
+        |  FROM enc e JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
+        |  WHERE qt.query_id <> e.id
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, d2,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY d2, neighbor_id) AS rank
+        |  FROM dists)
+        |SELECT query_id, rank, neighbor_id, d2
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_dedup_embed_lsh" ->
       s"""WITH RECURSIVE sig AS (SELECT * FROM read_parquet('${sqlPath("embdedup_sigs")}')),

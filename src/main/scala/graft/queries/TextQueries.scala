@@ -341,6 +341,67 @@ object TextQueries {
           round(col("n_oov").cast("double") / col("n_tokens"), 6))
         .orderBy("source")
     }),
+
+    // Deterministic epoch shuffle (the pre-training "global shuffle"
+    // materialized as a layout): each doc's position in epoch e is given
+    // by the md5 of (epoch, doc_id) — reproducible across runs/engines,
+    // uncorrelated with ingest order. The permutation is SHARDED exactly
+    // like packSequences: the hash picks 1 of 8 shards, and the rank is
+    // computed WITHIN the shard (one hash exchange + per-shard sort,
+    // never a global sort). Each shard maps 1:1 onto an epoch-file
+    // writer; readers interleave shards. At 100 TB nShards scales to
+    // O(cluster cores) — 8 here keeps the oracle's output small/stable.
+    //
+    // Shard key and sort key are the first 15 hex digits as a BIGINT
+    // (the q_strat_sample recipe, engine-exact): sorting 8-byte longs
+    // instead of 32-char hex strings measured 2.5× at 50M rows/shardful
+    // (Profile scale_new), and a 60-bit prefix + doc_id tie-break is
+    // still a deterministic total order.
+    "q_epoch_shuffle" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, dir)
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+        .withColumn("shard", pmod(col("hv"), lit(8)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
+    // Perplexity bucketing (the CCNet recipe, Wenzek et al. 2020): score
+    // every doc under the corpus's own bigram LM, then split each source
+    // at its 33rd/67th score percentiles into head/middle/tail quality
+    // buckets. The percentile aggregate is Spark's EXACT `percentile`
+    // (per-source sorted aggregation — per-group state is the source's
+    // score list; sources are few and scores one double per doc, so the
+    // aggregate state is corpus/|sources| doubles per reducer; at 100 TB
+    // switch to approx_percentile and re-pin the oracle, or bucket against
+    // externally-fixed LM thresholds). Boundaries are rounded to 6 before
+    // comparison so both engines bucket identically.
+    "q_ppl_buckets" -> ((s, dir) => {
+      val scored = TextOps.bigramLogprob(docs(s, dir), "doc_id", "text")
+      val withSrc = docs(s, dir).select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"))
+      val bounds = withSrc.groupBy("source").agg(
+        round(percentile(col("avg_neg_logprob"), lit(0.33)), 6).as("b33"),
+        round(percentile(col("avg_neg_logprob"), lit(0.67)), 6).as("b67"))
+      withSrc.join(broadcast(bounds), Seq("source"))
+        .withColumn("bucket",
+          when(col("avg_neg_logprob") <= col("b33"), lit("head"))
+            .when(col("avg_neg_logprob") <= col("b67"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("source", "bucket")
+        // mean over integer micro-units, not avg(): scores are exact at 6
+        // decimals, so summing them as BIGINT micro-units is associative —
+        // a double avg() differs across engines in its summation order and
+        // flipped the 6th decimal once at sf0.01
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round(col("avg_neg_logprob") * 1e6, 0).cast("long"))
+            .cast("double") / count(lit(1)) / 1e6, 6).as("mean_nlp"))
+        .orderBy("source", "bucket")
+    }),
   )
 
   /** PII patterns — Java-regex/RE2-identical constructs only. */
@@ -744,5 +805,59 @@ object TextQueries {
          |         AS oov_rate
          |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical key/shard/rank arithmetic to the Spark side: md5 of the
+    // same UTF-8 bytes, first 15 hex digits as BIGINT, % 8 shard, rank
+    // within shard
+    "q_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |         CAST(concat('0x', substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)),
+        |              1, 15)) AS BIGINT) AS hv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hv, CAST(hv % 8 AS INT) AS shard FROM k)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |                               ORDER BY hv, doc_id) AS INT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // bigram-LM CTE identical to q_bigram_logprob's oracle, then
+    // quantile_cont boundaries (rounded at 6 like the Spark side) + buckets
+    "q_ppl_buckets" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM tk WHERE len(t) >= 2),
+         |bc AS (SELECT bg, count(*) AS n_bg FROM bg GROUP BY 1),
+         |pc AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |              CAST(sum(n_bg) AS BIGINT) AS n_prefix
+         |       FROM bc GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id,
+         |         round(avg(-ln(CAST(n_bg AS DOUBLE) / n_prefix)), 6)
+         |           AS avg_neg_logprob
+         |  FROM bg JOIN bc USING (bg)
+         |  JOIN pc ON split_part(bg.bg, ' ', 1) = pc.w1
+         |  GROUP BY doc_id),
+         |ws AS (
+         |  SELECT d.source, s.doc_id, s.avg_neg_logprob
+         |  FROM scored s JOIN documents d USING (doc_id)),
+         |b AS (
+         |  SELECT source,
+         |         round(quantile_cont(avg_neg_logprob, 0.33), 6) AS b33,
+         |         round(quantile_cont(avg_neg_logprob, 0.67), 6) AS b67
+         |  FROM ws GROUP BY source)
+         |SELECT ws.source,
+         |       CASE WHEN avg_neg_logprob <= b33 THEN 'head'
+         |            WHEN avg_neg_logprob <= b67 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |       count(*) AS n_docs,
+         |       round(CAST(sum(CAST(round(avg_neg_logprob * 1e6, 0) AS BIGINT))
+         |                  AS DOUBLE) / count(*) / 1e6, 6) AS mean_nlp
+         |FROM ws JOIN b USING (source)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -250,14 +250,9 @@ object SimilarityOps {
     // window formulation shuffles the full amplified corpus first —
     // ruinous at scale.) Tie-break mirrors the window ordering
     // (`cell_sim` desc, `cell` asc) via the (cell_sim, -cell) max key,
-    // which is unique per (vector, cell).
-    val corpus = base.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", simToCell)
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("cell"), col("v"), col("nv")),
-        struct(col("cell_sim"), (-col("cell")).as("tb"))).as("best"))
-      .select(col("id").as("neighbor_id"), col("best.v").as("v"),
-        col("best.nv").as("nv"), col("best.cell").as("cell"))
+    // which is unique per (vector, cell). Shared with SemDeDup.
+    val corpus = assignCells(emb, idCol, vecCol, centroidFrame)
+      .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
     // probe-assign only the QUERY subset (small → the window is fine here);
     // assigning the full corpus at nProbe and filtering after would waste
     // (querySelector-1)/querySelector of a second full-corpus pass
@@ -335,6 +330,165 @@ object SimilarityOps {
               multiProbe: Boolean = true): DataFrame =
     lshTopKFrom(lshSignatures(emb, idCol, vecCol, nPlanes),
       querySelector, k, nPlanes, multiProbe)
+
+  /** Corpus cell assignment against an explicit centroid frame — the
+    * broadcast `max_by` pass shared by IVF search and SemDeDup: one output
+    * row per vector crosses the exchange (see [[ivfTopKFrom]] for why this
+    * beats a window over the centroid-amplified rows). Output
+    * `(id, v, nv, cell)`. */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  centroidFrame: DataFrame): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nv"))
+    val centroids = centroidFrame.select(col("cell"), col("cv"),
+      l2norm(col("cv")).as("cn"))
+    base.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", dot(col("v"), col("cv")) / (col("nv") * col("cn")))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell"), col("v"), col("nv")),
+        struct(col("cell_sim"), (-col("cell")).as("tb"))).as("best"))
+      .select(col("id"), col("best.v").as("v"), col("best.nv").as("nv"),
+        col("best.cell").as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic near-dup
+    * removal that only compares vectors WITHIN a coarse cluster — the
+    * approximation that makes embedding dedup tractable when the exact
+    * all-pairs scan (even blocked) can't be afforded. Pipeline: assign
+    * every vector to its most-similar centroid ([[assignCells]] — one
+    * broadcast pass, one row per vector shuffles); pair-scan within each
+    * cell (equi-join on the cell id, so comparisons cost Σ|cell|² instead
+    * of n²); resolve duplicate groups by connected components; keeper =
+    * min id per component (the paper keeps one representative per group —
+    * min id is the deterministic choice).
+    *
+    * Scale: the cell equi-join's reducer memory is bounded by the largest
+    * cell — k should grow with the corpus (the paper runs k ≈ √n·c); a
+    * pathologically hot cell is handled the same way as any skewed join
+    * key (salt the cell's pair scan into block-pairs, the
+    * [[cosinePairsBlocked]] shape, within that cell).
+    *
+    * Output one row per vector: `(vec_id, cell, cluster_id, keep)`.
+    * Vectors with no near-dup in their cell keep themselves. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               centroidFrame: DataFrame, threshold: Double): DataFrame = {
+    val asg = assignCells(emb, idCol, vecCol, centroidFrame)
+    val a = asg.as("a"); val b = asg.as("b")
+    val pairs = a.join(b, col("a.cell") === col("b.cell") &&
+        col("a.id") < col("b.id"))
+      .withColumn("cos", round(
+        dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val clusters = graft.dedup.DedupOps.duplicateClusters(pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+    asg.select(col("id").as("vec_id"), col("cell"))
+      .join(clusters, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .cast("int").as("keep"))
+  }
+
+  // ---- Product quantization (IVF-PQ's compression half) -----------------
+
+  /** Subspace `sub` (0-based) of vector `v` split into `m` equal slices.
+    * Column `/` is DOUBLE division — cast back to int (dims must divide m
+    * evenly; `pqCodebooks` callers assert that upstream). */
+  private def subSlice(v: Column, sub: Column, m: Int): Column =
+    slice(v, (sub * (size(v) / m)).cast("int") + 1, (size(v) / m).cast("int"))
+
+  /** Deterministic PQ codebooks: the `ksub` lowest-id vectors, sliced into
+    * `m` equal subspaces, serve as the codewords of each subspace (code =
+    * source vector id — the same SQL-replayable convention as
+    * [[ivfTopK]]'s deterministic quantizer; a trained variant would run
+    * [[kmeansCentroids]] per subspace and pin through a fixture seam).
+    * Output `(sub, code, cv)` — m·ksub rows, broadcast-sized by
+    * construction. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(ksub)
+      .select(col(idCol).as("code"), toDouble(col(vecCol)).as("v"))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("v"))
+      .select(col("sub"), col("code"),
+        subSlice(col("v"), col("sub"), m).as("cv"))
+
+  /** Squared L2 distance between two equal-length DOUBLE arrays, expressed
+    * ELEMENTWISE (`Σ (x_i − y_i)²`, sequential) so the DuckDB oracle's
+    * `list_sum(list_transform(list_zip(..)))` replays the identical fp
+    * operation order. Higher-order fns run interpreted — fine here because
+    * every call site is codebook-sized (m·ksub per vector / per query),
+    * never corpus × corpus; a corpus-scale hot loop would move to a native
+    * kernel like [[graft.functions.VectorFunctions.vec_dot]]. */
+  private def l2sq(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** PQ-encode the corpus: each vector's `m` subvectors map to their
+    * nearest codeword (squared L2, ties to the lower code). Map-side only
+    * until the per-(id, sub) `min` aggregate — the codebook is broadcast,
+    * and the aggregate's exchange carries m rows per vector of
+    * `(id, sub, code)`: the 4×-to-64× compressed representation that is
+    * the point of PQ. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int): DataFrame = {
+    val subs = emb
+      .select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("id"), col("sub"),
+        subSlice(col("v"), col("sub"), m).as("sv"))
+    subs.join(broadcast(codebooks), Seq("sub"))
+      // ROUNDED distance with the code as tie-break: sub-1e-6 distance ties
+      // resolve to the lower code identically in any engine (an unrounded
+      // argmin would let a 1-ulp summation difference flip the code)
+      .withColumn("d2", round(l2sq(col("sv"), col("cv")), 6))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("id"), col("sub"), col("best.code").as("code"))
+  }
+
+  /** ANN via asymmetric-distance PQ (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): corpus vectors are stored
+    * only as `m` codes; a query computes its distance table to every
+    * codeword (m·ksub entries — broadcast-sized), and a neighbor's
+    * approximate distance is the SUM of table lookups, never a full-vector
+    * scan. Rank ascending by the rounded distance, neighbor id as the
+    * engine-independent tie-break.
+    *
+    * Scale shape: the corpus-side frame is the exploded code table
+    * (`m` SMALL rows per vector — this is what a 100 TB embedding store
+    * shrinks to); the query table is fixed-size (`maxQueries·m·ksub`) and
+    * broadcast; the only exchange is the (query, neighbor) partial-sum
+    * aggregate, which map-side-combines the m rows of each pair before
+    * shuffling — the same queries×corpus exchange volume as
+    * [[bruteForceTopK]]'s ranking window, at 1/dims the row width. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             querySelector: Long, k: Int, m: Int, ksub: Int,
+             maxQueries: Long = 100L): DataFrame = {
+    val books = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val codes = pqEncode(emb, idCol, vecCol, books, m)
+    val qtab = emb.filter(col(idCol) % querySelector === 0 &&
+        col(idCol) < lit(querySelector * maxQueries))
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("qv"))
+      .select(col("query_id"), col("sub"),
+        subSlice(col("qv"), col("sub"), m).as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("qsv"), col("cv")).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    codes.join(broadcast(qtab), Seq("sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"))
+      .agg(round(sum("pd"), 6).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "d2")
+  }
 
   /** Symmetric per-vector int8 quantization + reconstruction audit — the
     * 4× embedding-store compression every large ANN/recall corpus runs

@@ -55,10 +55,14 @@ object Profile {
         val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         time("persist kept")(exactKept.count())
-        val pairs = DedupOps.ngramJaccardPairs(exactKept, "doc_id", "text", 3, 0.8)
+        // the contract path (prefix-filtered); the naive line stays for
+        // comparison
+        val pairs = DedupOps.ngramJaccardPairsPrefix(exactKept, "doc_id", "text", 3, 0.8)
           .select(col("id_a"), col("id_b"))
-        time("ngram pairs")(pairs.count())
-        time("ngram pairs (2nd)")(pairs.count())
+        time("ngram pairs (prefix)")(pairs.count())
+        time("ngram pairs (prefix, 2nd)")(pairs.count())
+        time("ngram pairs (naive, comparison)")(
+          DedupOps.ngramJaccardPairs(exactKept, "doc_id", "text", 3, 0.8).count())
         var clusters: DataFrame = null
         // duplicateClusters is EAGER (checkpointed rounds) — time the call
         time("CC (eager rounds)") { clusters = DedupOps.duplicateClusters(pairs); 0L }
@@ -69,6 +73,54 @@ object Profile {
           .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
           .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und")
         time("final gates")(fin.count())
+      case "clean_split" =>
+        // bench-identical force of q_corpus_clean, split into the eager
+        // part (pair join + clustering run inside the query function) and
+        // the noop-sink execution of the returned frame
+        var fin: DataFrame = null
+        time("query fn (eager pair join + CC)") {
+          fin = graft.SparkEntry.queries("q_corpus_clean")(spark, sfDir); 0L
+        }
+        // count(): EliminateSorts strips the final orderBy, so this times
+        // the anti-join + kernels WITHOUT the range exchange
+        time("fin.count (no sort, kernels via filter)")(fin.count())
+        time("noop write (gates + sort)") {
+          fin.write.format("noop").mode("overwrite").save(); 0L
+        }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        time("query fn (2nd)") {
+          fin = graft.SparkEntry.queries("q_corpus_clean")(spark, sfDir); 0L
+        }
+        time("noop write (2nd)") {
+          fin.write.format("noop").mode("overwrite").save(); 0L
+        }
+      case "gates" =>
+        // dissect q_corpus_clean's final-gates stage: anti-join + kernels
+        import org.apache.spark.sql.functions._
+        val d = graft.tables.Tables.documents(spark, sfDir)
+        val kept = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        time("persist docs")(kept.count())
+        time("n_tokens kernel only")(kept
+          .withColumn("n_tokens", size(graft.text.TextOps.wsTokens(col("text"))))
+          .filter(col("n_tokens") >= 50).count())
+        time("langId kernel only")(kept
+          .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+          .filter(col("lang_pred") =!= "und").count())
+        time("both kernels")(kept
+          .withColumn("n_tokens", size(graft.text.TextOps.wsTokens(col("text"))))
+          .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+          .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und").count())
+        val losers = spark.range(100).select(col("id").as("doc_id"))
+        time("anti-join + both kernels")(kept
+          .join(losers, Seq("doc_id"), "left_anti")
+          .withColumn("n_tokens", size(graft.text.TextOps.wsTokens(col("text"))))
+          .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+          .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und").count())
+        time("both kernels (2nd)")(kept
+          .withColumn("n_tokens", size(graft.text.TextOps.wsTokens(col("text"))))
+          .withColumn("lang_pred", graft.text.TextOps.langId(col("text")))
+          .filter(col("n_tokens") >= 50 && col("lang_pred") =!= "und").count())
       case "ngram_prefix" =>
         // stage dissection of the prefix-filtered exact pair join
         import org.apache.spark.sql.functions._
@@ -243,6 +295,82 @@ object Profile {
         val viaRounds = t(DedupOps.duplicateClusters(pairs, driverEdgeCap = 0L).count())
         println(f"[profile] CC on $ne edges (10× corpus): driver union-find $viaDriver%6.1f s  distributed rounds $viaRounds%6.1f s")
         pairs.unpersist(); c10.unpersist()
+      case "scale_new" =>
+        // 10×/100× scale evidence for the round-6 additions: SemDeDup,
+        // PQ ANN, epoch shuffle, perplexity buckets. Embedding ops scale on
+        // replicated-vector corpora (ids offset per replica; replicas are
+        // exact duplicates of the originals, so near-dup structure is the
+        // original's replicated `times`-fold — a worst-ish case for dedup:
+        // every original gains times-1 more duplicates). Text/shuffle ops
+        // reuse the scale_r6 replica corpus.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        import graft.sim.SimilarityOps
+        val emb0 = graft.tables.Tables.embeddings(spark, sfDir)
+        val nv0 = emb0.count()
+        val vStride = emb0.agg(max("vec_id")).first().getLong(0) + 1
+        def embX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            emb0.select((col("vec_id") + lit(i * vStride)).as("vec_id"),
+              col("embedding"))
+          }.reduce(_ unionByName _)
+        def t(f: => Unit): Double = elapsed(f)
+        Seq(1, 1, 10).foreach { times =>
+          val e = embX(times).repartition(32).persist(); e.count()
+          val cent = SimilarityOps.kmeansCentroids(e, "vec_id", "embedding", 16, 3)
+          val sem = t(
+            SimilarityOps.semDedup(e, "vec_id", "embedding", cent, 0.4).count())
+          val pq = t(SimilarityOps.pqTopK(e, "vec_id", "embedding",
+            querySelector = 10, k = 5, m = 4, ksub = 16).count())
+          println(f"[profile] ${times}%3d× (${nv0 * times}%7d vecs): semdedup(+train) $sem%6.1f s  pq_topk $pq%6.1f s")
+          e.unpersist()
+        }
+        Seq(1L, 1L, 10L, 100L).foreach { times =>
+          val n = 500000L * times
+          val d = spark.range(n).select(col("id").as("doc_id"),
+            conv(substring(md5(concat(lit("epoch1:"), col("id").cast("string"))
+              .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+          // `shuffle_diag` breaks the 100× cost down: map-side md5+conv is
+          // 6 s, the full-row exchange + per-shard sort is the rest — a
+          // single-box shuffle-I/O bound (2 GB through one local disk),
+          // not a plan artifact; the hash-exchange + bounded-shard-sort
+          // shape is what distributes.
+          val shuf = t(d.withColumn("shard", pmod(col("hv"), lit(32)).cast("int"))
+            .withColumn("pos", row_number().over(
+              Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
+            .select(sum(col("pos").cast("long"))).collect())
+          // the ppl-bucket boundary aggregate: EXACT percentile state is the
+          // per-source score list — time it alone at scale (the LM scoring
+          // upstream is covered by the text-op rows above / scale_big)
+          val scores = spark.range(n).select(
+            (col("id") % 5).cast("string").as("source"),
+            (col("id") % 9973L).cast("double").as("s"))
+          val ppl = t(scores.groupBy("source")
+            .agg(percentile(col("s"), lit(0.33)), percentile(col("s"), lit(0.67)))
+            .collect())
+          println(f"[profile] ${times}%3d× rows=${n}%9d: epoch_shuffle(32 shards) $shuf%6.1f s  exact_percentile $ppl%6.1f s")
+        }
+      case "shuffle_diag" =>
+        // component breakdown of the epoch shuffle at 50M rows
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val n = 50000000L
+        val d = spark.range(n).select(col("id").as("doc_id"),
+          conv(substring(md5(concat(lit("epoch1:"), col("id").cast("string"))
+            .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+          .withColumn("shard", pmod(col("hv"), lit(32)).cast("int"))
+        time("A: map-only (md5+conv+sum)") {
+          d.select(sum(pmod(col("hv"), lit(1000000L)))).collect(); n }
+        time("B: A + exchange (groupBy shard)") {
+          d.groupBy("shard").count().collect(); n }
+        time("C: A + exchange + per-shard sort+rank") {
+          d.withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
+            .select(sum(col("pos").cast("long"))).collect(); n }
+        time("C again") {
+          d.withColumn("pos", row_number().over(
+            Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
+            .select(sum(col("pos").cast("long"))).collect(); n }
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case q =>

@@ -152,4 +152,47 @@ class PipelineQueriesSpec extends AnyFunSuite {
       else assert(kept.toDouble / total < 0.6, s"$src kept $kept/$total")
     }
   }
+
+  test("epoch shuffle: a deterministic sharded permutation of the corpus") {
+    val dir = TestSpark.Sf0001
+    val rows = SparkEntry.queries("q_epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val n = graft.tables.Tables.documents(spark, dir).count()
+    assert(rows.length == n)                      // every doc placed once
+    assert(rows.map(_._1).distinct.length == n)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < 8)
+      // positions within a shard are exactly 1..count — a permutation
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq, s"shard $shard")
+    }
+    // deterministic: identical rerun, and position uncorrelated with id
+    // order (the corpus is id-sorted on disk; a shuffle that preserved id
+    // order within a shard would be broken)
+    val again = SparkEntry.queries("q_epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+    val biggestShard = rows.groupBy(_._2).values.maxBy(_.length)
+    val inIdOrder = biggestShard.sortBy(_._1).map(_._3).toSeq
+    assert(inIdOrder != inIdOrder.sorted, "shuffle preserved ingest order")
+  }
+
+  test("perplexity buckets: per-source thirds with ordered means") {
+    val dir = TestSpark.Sf0001
+    val rows = SparkEntry.queries("q_ppl_buckets")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val scored = SparkEntry.queries("q_bigram_logprob")(spark, dir).count()
+    assert(rows.map(_._3).sum == scored) // every scored doc lands in a bucket
+    rows.groupBy(_._1).foreach { case (src, bs) =>
+      val byBucket = bs.map(b => b._2 -> b).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$src")
+      // head ≤ b33 < middle ≤ b67 < tail by construction
+      assert(byBucket("head")._4 <= byBucket("middle")._4, s"$src")
+      assert(byBucket("middle")._4 <= byBucket("tail")._4, s"$src")
+      // percentile split: no bucket can dominate (loose thirds)
+      val total = bs.map(_._3).sum.toDouble
+      bs.foreach(b => assert(b._3 / total < 0.6, s"$src ${b._2} ${b._3}/$total"))
+    }
+  }
 }

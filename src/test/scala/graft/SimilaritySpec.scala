@@ -177,4 +177,77 @@ class SimilaritySpec extends AnyFunSuite {
     val b = sig.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(a == b)
   }
+
+  test("semDedup with one cell reproduces the exact embedding dedup") {
+    // a single centroid puts every vector in the same cell → the within-
+    // cell pair scan IS the exact all-pairs scan, so keep flags must match
+    // the exact pipeline's (cosinePairs → duplicateClusters)
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val oneCell = emb.orderBy("vec_id").limit(1)
+      .select(lit(0L).as("cell"),
+        SimilarityOps.toDouble(col("embedding")).as("cv"))
+    val sem = SimilarityOps.semDedup(emb, "vec_id", "embedding", oneCell, 0.4)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getInt(3)))).toMap
+    val exactPairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+    val exact = graft.dedup.DedupOps.duplicateClusters(exactPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    emb.select("vec_id").collect().map(_.getLong(0)).foreach { id =>
+      val cid = exact.getOrElse(id, id)
+      assert(sem(id) == ((cid, if (cid == id) 1 else 0)), s"vec $id")
+    }
+  }
+
+  test("semDedup drops are a subset of the exact dedup's drops (refinement)") {
+    // within-cell pairs ⊆ all pairs → semdedup components refine exact
+    // components → anything semdedup drops, the exact pipeline drops too
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val cent = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+    val semDrops = SimilarityOps.semDedup(emb, "vec_id", "embedding", cent, 0.4)
+      .filter(col("keep") === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val exactPairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("id_a"), col("id_b"))
+    val exactDrops = graft.dedup.DedupOps.duplicateClusters(exactPairs)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(semDrops.subsetOf(exactDrops))
+    assert(exactDrops.nonEmpty) // the corpus plants near-dups; test has teeth
+  }
+
+  test("PQ: codebook members' ADC distance equals their exact distance") {
+    // a codebook vector encodes to itself (distance 0 per subspace), so its
+    // PQ distance to any query is the EXACT squared L2 distance — the
+    // asymmetric-distance property that makes PQ lossless on codewords
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val vecs = emb.orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).toMap
+    val bookIds = vecs.keys.toSeq.sorted.take(16).toSet
+    val topk = SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+      querySelector = 10, k = 1000000, m = 4, ksub = 16).collect()
+    val onBook = topk.filter(r => bookIds.contains(r.getLong(2)))
+    assert(onBook.nonEmpty)
+    onBook.foreach { r =>
+      val q = vecs(r.getLong(0)); val x = vecs(r.getLong(2))
+      val exact = q.zip(x).map { case (a, b) => (a - b) * (a - b) }.sum
+      // encode rounds per-subspace at 1e-6; four subspace roundings bound
+      // the reassembled distance within 4e-6 of the exact value
+      assert(math.abs(r.getDouble(3) - exact) < 4e-6,
+        s"query ${r.getLong(0)} neighbor ${r.getLong(2)}")
+    }
+  }
+
+  test("pqEncode: m codes per vector, all drawn from the codebook") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 4, 16)
+    val bookCodes = books.select("code").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(bookCodes.size == 16)
+    val enc = SimilarityOps.pqEncode(emb, "vec_id", "embedding", books, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val n = emb.count()
+    assert(enc.length == n * 4)
+    assert(enc.map(e => (e._1, e._2)).distinct.length == enc.length)
+    assert(enc.forall(e => bookCodes.contains(e._3)))
+  }
 }
