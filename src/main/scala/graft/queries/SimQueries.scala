@@ -135,6 +135,15 @@ object SimQueries {
           querySelector = 10, k = 5, m = 4, ksub = 16, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
+    // ANN via IVF-PQ (FAISS's production composition): IVF cells prune the
+    // search to 2 probed cells per query, PQ codes rank within them. Both
+    // quantizers deterministic (lowest-id) → direct oracle.
+    "q_ann_ivfpq" -> ((s, dir) =>
+      SimilarityOps.ivfPqTopK(emb(s, dir), "vec_id", "embedding",
+          querySelector = 10, k = 5, nCells = 16, nProbe = 2,
+          m = 4, ksub = 16, maxQueries = 100)
+        .orderBy("query_id", "rank")),
+
     // The SAME dedup with the sub-quadratic pair stage: banded-LSH
     // candidates + exact verify feed the identical clustering. Fixture
     // seam (signatures) + the oracle replays band join → verify → CC.
@@ -394,6 +403,62 @@ object SimQueries {
         |                            ORDER BY d2, neighbor_id) AS rank
         |  FROM dists)
         |SELECT query_id, rank, neighbor_id, d2
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
+        |cellasg AS (
+        |  SELECT b.id, c.cell,
+        |         row_number() OVER (PARTITION BY b.id
+        |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+        |  FROM base b CROSS JOIN cent c),
+        |asg AS (SELECT id, cell FROM cellasg WHERE r = 1),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |books AS (
+        |  SELECT s.sub, b.id AS code,
+        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS cv
+        |  FROM (SELECT id, v FROM base ORDER BY id LIMIT 16) b CROSS JOIN subs s),
+        |corpus_subs AS (
+        |  SELECT b.id, s.sub,
+        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS sv
+        |  FROM base b CROSS JOIN subs s),
+        |enc_ranked AS (
+        |  SELECT cs.id, cs.sub, bk.code,
+        |         row_number() OVER (PARTITION BY cs.id, cs.sub
+        |           ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cv),
+        |                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), bk.code) AS r
+        |  FROM corpus_subs cs JOIN books bk ON cs.sub = bk.sub),
+        |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
+        |probes AS (
+        |  SELECT id AS query_id, cell FROM cellasg
+        |  WHERE r <= 2 AND id % 10 = 0 AND id < 1000),
+        |qtab AS (
+        |  SELECT q.id AS query_id, s.sub, bk.code,
+        |         list_sum(list_transform(list_zip(
+        |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
+        |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd
+        |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
+        |  WHERE q.id % 10 = 0 AND q.id < 1000),
+        |dists AS (
+        |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
+        |  FROM enc e JOIN asg a ON e.id = a.id
+        |  JOIN probes p ON a.cell = p.cell
+        |  JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
+        |    AND qt.query_id = p.query_id
+        |  WHERE qt.query_id <> e.id
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, d2, cell,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY d2, neighbor_id) AS rank
+        |  FROM dists)
+        |SELECT query_id, rank, neighbor_id, d2, cell
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_dedup_embed_lsh" ->

@@ -370,6 +370,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-source vocabulary drift audit: top terms by contribution to
+    // KL(source-unigram ‖ corpus-unigram) — see TextOps.driftTerms for
+    // the engine-exact integer-count formulation and scale shape.
+    "q_drift_terms" -> ((s, dir) =>
+      TextOps.driftTerms(docs(s, dir), "source", "text", minCount = 5, k = 5)
+        .orderBy("source", "rank")),
+
     // Perplexity bucketing (the CCNet recipe, Wenzek et al. 2020): score
     // every doc under the corpus's own bigram LM, then split each source
     // at its 33rd/67th score percentiles into head/middle/tail quality
@@ -821,6 +828,29 @@ object TextQueries {
         |       CAST(row_number() OVER (PARTITION BY shard
         |                               ORDER BY hv, doc_id) AS INT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // identical integer-count → double formula per row; no float sums
+    "q_drift_terms" ->
+      s"""WITH tokens AS (
+         |  SELECT source, unnest(${toks("lower(text)")}) AS term FROM documents),
+         |tc AS (SELECT source, term, count(*) AS n_st FROM tokens GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM tc GROUP BY 1),
+         |tt AS (SELECT term, CAST(sum(n_st) AS BIGINT) AS n_t FROM tc GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM tc),
+         |scored AS (
+         |  SELECT tc.source, tc.term, tc.n_st,
+         |         round((CAST(tc.n_st AS DOUBLE) / n_s) *
+         |               ln((CAST(tc.n_st AS DOUBLE) / n_s) /
+         |                  (CAST(n_t AS DOUBLE) / n)), 6) AS contrib
+         |  FROM tc JOIN st USING (source) JOIN tt USING (term) CROSS JOIN tot
+         |  WHERE tc.n_st >= 5),
+         |r AS (
+         |  SELECT source, term, n_st, contrib,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY contrib DESC, term) AS rank
+         |  FROM scored)
+         |SELECT source, CAST(rank AS INT) AS rank, term, n_st, contrib
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
     // bigram-LM CTE identical to q_bigram_logprob's oracle, then
     // quantile_cont boundaries (rounded at 6 like the Spark side) + buckets

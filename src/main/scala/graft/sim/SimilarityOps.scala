@@ -490,6 +490,69 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "d2")
   }
 
+  /** ANN via IVF-PQ — the production composition (FAISS's IndexIVFPQ
+    * shape): the IVF coarse quantizer prunes the search to `nProbe` cells,
+    * and within the probed cells neighbors are ranked by PQ
+    * asymmetric-distance lookups instead of full-vector scans. Both
+    * quantizers here are the DETERMINISTIC lowest-id variants, so the
+    * whole pipeline replays in SQL (direct oracle, like [[ivfTopK]] and
+    * [[pqTopK]]); production swaps in [[kmeansCentroids]] per quantizer
+    * behind a fixture seam. One deliberate divergence from FAISS: codes
+    * are computed over RAW vectors, not per-cell residuals — residual
+    * codebooks can't be deterministic-by-id, and the raw variant keeps
+    * the oracle exact (documented tradeoff: ~worse recall per byte).
+    *
+    * Scale shape: the corpus-side state is `(cell, m codes)` per vector;
+    * the probe join hits only `nProbe/nCells` of it, and the ADC
+    * aggregate's exchange carries candidate partial sums (map-side
+    * combined) — strictly less volume than [[pqTopK]]'s full-corpus scan
+    * at equal query count. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                querySelector: Long, k: Int, nCells: Int, nProbe: Int,
+                m: Int, ksub: Int, maxQueries: Long = 100L): DataFrame = {
+    val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .orderBy("cell").limit(nCells)
+    val centroids = cent.select(col("cell"), col("cv"), l2norm(col("cv")).as("cn"))
+    // corpus: cell assignment (one max_by pass) + PQ codes, joined on id —
+    // both frames are one-or-m small rows per vector, co-keyed on id
+    val asg = assignCells(emb, idCol, vecCol, cent)
+      .select(col("id"), col("cell"))
+    val books = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val codes = pqEncode(emb, idCol, vecCol, books, m)
+      .join(asg, Seq("id"))
+    // queries: probe the nProbe most-similar cells + the ADC table —
+    // both fixed-size (maxQueries · {nProbe, m·ksub}) and broadcast
+    val qbase = emb.filter(col(idCol) % querySelector === 0 &&
+        col(idCol) < lit(querySelector * maxQueries))
+      .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),
+        l2norm(col(vecCol)).as("nq"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probes = qbase.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", dot(col("qv"), col("cv")) / (col("nq") * col("cn")))
+      .withColumn("cell_rank", row_number().over(qw))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val qtab = qbase
+      .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("qv"))
+      .select(col("query_id"), col("sub"),
+        subSlice(col("qv"), col("sub"), m).as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        l2sq(col("qsv"), col("cv")).as("pd"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    codes.join(broadcast(probes), Seq("cell"))
+      .join(broadcast(qtab), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"), col("cell"))
+      .agg(round(sum("pd"), 6).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "d2", "cell")
+  }
+
   /** Symmetric per-vector int8 quantization + reconstruction audit — the
     * 4× embedding-store compression every large ANN/recall corpus runs
     * before serving. Per vector: `scale = max|x| / 127`, `q_i =

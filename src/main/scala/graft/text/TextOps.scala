@@ -189,4 +189,40 @@ object TextOps {
         pmod(col("cum_start"), lit(capacity.toLong)).as("seq_offset"),
         (col("shard").cast("long") * (1L << 40) + localEnd).as("seq_end"))
   }
+
+  /** Per-source vocabulary drift audit: for each source, the top `k`
+    * terms by contribution to KL(source-unigram ‖ corpus-unigram) —
+    * "which terms make this source distributionally unlike the corpus".
+    * `contrib = p_s·ln(p_s/p_corpus)` with both probabilities formed from
+    * integer counts per row, so the doubles are engine-exact (no
+    * cross-row float summation anywhere).
+    *
+    * Scale shape: one tokenize pass collapses to the (source, term)
+    * rollup with map-side combine (checkpointed — three aggregates and
+    * the scoring join read it); `minCount` is the hapax noise floor that
+    * also bounds the ranked frame; the final top-k window parallelizes
+    * across sources. Output `(source, rank, term, n_st, contrib)`. */
+  def driftTerms(df: DataFrame, sourceCol: String, textCol: String,
+                 minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = df.select(col(sourceCol).as("source"),
+        explode(wsTokens(lower(col(textCol)))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+      .localCheckpoint(true)
+    val srcTot = tc.groupBy("source").agg(sum("n_st").as("n_s"))
+    val termTot = tc.groupBy("term").agg(sum("n_st").as("n_t"))
+    val tot = tc.agg(sum("n_st").as("n"))
+    val scored = tc.filter(col("n_st") >= minCount)
+      .join(broadcast(srcTot), Seq("source"))
+      .join(termTot, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p_s", col("n_st").cast("double") / col("n_s"))
+      .withColumn("contrib", round(
+        col("p_s") * log(col("p_s") / (col("n_t").cast("double") / col("n"))), 6))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("contrib").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("term"), col("n_st"), col("contrib"))
+  }
 }

@@ -176,6 +176,37 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(inIdOrder != inIdOrder.sorted, "shuffle preserved ingest order")
   }
 
+  test("drift terms: hand-computed KL contributions on a planted corpus") {
+    // source A: 10× "apple", 10× "the"; source B: 10× "banana", 10× "the".
+    // "the" is distribution-neutral (p_s = p_corpus → contrib 0); the
+    // source-exclusive terms carry the drift: p_s = 1/2, p_corpus = 1/4 →
+    // contrib = 0.5·ln(2)
+    def rep(w: String) = Seq.fill(10)(w).mkString(" ")
+    val df = Seq(("A", s"${rep("apple")} ${rep("the")}"),
+                 ("B", s"${rep("banana")} ${rep("the")}"))
+      .toDF("source", "text")
+    val r = graft.text.TextOps.driftTerms(df, "source", "text", 5, 5)
+      .orderBy("source", "rank")
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2),
+        x.getLong(3), x.getDouble(4)))
+    def r6(v: Double) = math.round(v * 1e6) / 1e6
+    val drift = r6(0.5 * math.log(2.0))
+    assert(r.toSeq == Seq(
+      ("A", 1, "apple", 10L, drift), ("A", 2, "the", 10L, 0.0),
+      ("B", 1, "banana", 10L, drift), ("B", 2, "the", 10L, 0.0)))
+  }
+
+  test("drift terms on the real corpus: noise floor holds, top term positive") {
+    val r = SparkEntry.queries("q_drift_terms")(spark, TestSpark.Sf0001)
+      .collect().map(x => (x.getString(0), x.getInt(1), x.getLong(3), x.getDouble(4)))
+    assert(r.nonEmpty)
+    assert(r.forall(_._3 >= 5)) // minCount floor
+    r.groupBy(_._1).foreach { case (src, rows) =>
+      // an overrepresented term always exists → rank-1 contribution > 0
+      assert(rows.minBy(_._2)._4 > 0, s"$src")
+    }
+  }
+
   test("perplexity buckets: per-source thirds with ordered means") {
     val dir = TestSpark.Sf0001
     val rows = SparkEntry.queries("q_ppl_buckets")(spark, dir)

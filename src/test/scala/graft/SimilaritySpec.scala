@@ -237,6 +237,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: results are PQ distances restricted to probed cells") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    // full PQ ranking (no cell pruning) as the reference distances
+    val pqAll = SimilarityOps.pqTopK(emb, "vec_id", "embedding",
+        querySelector = 10, k = 1000000, m = 4, ksub = 16)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val ivfpq = SimilarityOps.ivfPqTopK(emb, "vec_id", "embedding",
+      querySelector = 10, k = 5, nCells = 16, nProbe = 2, m = 4, ksub = 16)
+      .collect()
+    assert(ivfpq.nonEmpty)
+    // identical codes + books → identical ADC distance for every shared pair
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(pqAll.contains(key))
+      assert(pqAll(key) == r.getDouble(3), s"pair $key")
+    }
+    // the neighbor's cell is one the query probed: every result row's cell
+    // must be the neighbor's (unique) IVF assignment
+    val cent = emb.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy("cell").limit(16)
+    val asg = SimilarityOps.assignCells(emb, "vec_id", "embedding", cent)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    ivfpq.foreach(r => assert(r.getLong(4) == asg(r.getLong(2))))
+  }
+
   test("pqEncode: m codes per vector, all drawn from the codebook") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     val books = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 4, 16)
