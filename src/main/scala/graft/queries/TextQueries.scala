@@ -291,9 +291,7 @@ object TextQueries {
     // k rows per (source, partition), so a billion-doc stratum never
     // sorts or shuffles beyond k·strata rows.
     "q_strat_sample" -> ((s, dir) => {
-      val hv = conv(
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
-        16, 10).cast("long")
+      val hv = TextOps.md5Key64(col("doc_id"))
       docs(s, dir).select(col("source"), col("doc_id"), hv.as("hv"))
         .groupBy("source")
         .agg(graft.functions.TopKByAgg.topk_by(-col("hv"), col("doc_id"), 5).as("tk"))
@@ -352,17 +350,16 @@ object TextQueries {
     // writer; readers interleave shards. At 100 TB nShards scales to
     // O(cluster cores) — 8 here keeps the oracle's output small/stable.
     //
-    // Shard key and sort key are the first 15 hex digits as a BIGINT
-    // (the q_strat_sample recipe, engine-exact): sorting 8-byte longs
-    // instead of 32-char hex strings measured 2.5× at 50M rows/shardful
-    // (Profile scale_new), and a 60-bit prefix + doc_id tie-break is
-    // still a deterministic total order.
+    // Shard key and sort key are TextOps.md5Key64 (engine-exact 60-bit
+    // BIGINT): sorting 8-byte longs instead of 32-char hex strings
+    // measured ~1.9× at 50M rows (Profile scale_new, 80.7 → 42.8 s), and
+    // a 60-bit prefix + doc_id tie-break is still a deterministic total
+    // order.
     "q_epoch_shuffle" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       docs(s, dir)
         .select(col("doc_id"),
-          conv(substring(md5(concat(lit("epoch1:"), col("doc_id").cast("string"))
-            .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+          TextOps.md5Key64(col("doc_id"), "epoch1:").as("hv"))
         .withColumn("shard", pmod(col("hv"), lit(8)).cast("int"))
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))

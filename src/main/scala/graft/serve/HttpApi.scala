@@ -81,7 +81,6 @@ final class HttpApi(
   /** Start on `port` (0 → ephemeral). Returns the live server; callers stop
     * it with `.stop(0)`. */
   def start(port: Int): HttpServer = {
-    java.nio.file.Files.createDirectories(logDir) // ref: log_dir.mkdir(exist_ok=True)
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler _)
     // small pool: Spark jobs serialize on the shared session anyway; the
@@ -237,15 +236,24 @@ final class HttpApi(
     // Python logging's default asctime: "2026-08-12 20:00:00,123" (local time)
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
 
-  // One append-mode writer for the process lifetime, like the reference's
-  // FileHandler; writes are line-buffered and synchronized across the pool.
+  // One append-mode writer per instance, like the reference's FileHandler;
+  // writes are line-buffered and synchronized across the pool. Opened on
+  // the first logged request (ref: log_dir.mkdir(exist_ok=True) at init),
+  // released by close().
+  @volatile private var timingLogOpened = false
   private lazy val timingLog: java.io.PrintWriter = {
     java.nio.file.Files.createDirectories(logDir)
+    timingLogOpened = true
     new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(
       logDir.resolve("api-timing.log"), UTF_8,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND))
   }
+
+  /** Release the timing-log file handle. Call after `server.stop(...)` —
+    * HttpServer.stop does not know about this instance's resources. */
+  def close(): Unit =
+    if (timingLogOpened) timingLog.synchronized { timingLog.close() }
 
   private def logLine(msg: String): Unit = {
     val line = s"${logTsFormat.format(java.time.LocalDateTime.now())} INFO ambient_sound_api $msg"

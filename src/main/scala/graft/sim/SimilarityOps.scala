@@ -240,9 +240,6 @@ object SimilarityOps {
                   k: Int, nProbe: Int): DataFrame = {
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nv"))
-    val centroids = centroidFrame.select(col("cell"), col("cv"),
-      l2norm(col("cv")).as("cn"))
-    val simToCell = dot(col("v"), col("cv")) / (col("nv") * col("cn"))
     // Corpus assignment (best cell per vector): `max_by` over the broadcast
     // cross product, NOT a row_number window — the aggregate does map-side
     // partial `max_by`, so the nCells-times-amplified rows never leave their
@@ -253,16 +250,8 @@ object SimilarityOps {
     // which is unique per (vector, cell). Shared with SemDeDup.
     val corpus = assignCells(emb, idCol, vecCol, centroidFrame)
       .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
-    // probe-assign only the QUERY subset (small → the window is fine here);
-    // assigning the full corpus at nProbe and filtering after would waste
-    // (querySelector-1)/querySelector of a second full-corpus pass
-    val qw = Window.partitionBy(col("id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val queries = base.filter(col("id") % querySelector === 0)
-      .crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", simToCell)
-      .withColumn("cell_rank", row_number().over(qw))
-      .filter(col("cell_rank") <= nProbe)
+    val queries = probeCells(base.filter(col("id") % querySelector === 0),
+        centroidFrame, nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nv").as("nq"), col("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -351,6 +340,25 @@ object SimilarityOps {
         col("best.cell").as("cell"))
   }
 
+  /** Probe assignment for a (small, fixed-size) QUERY frame `(id, v, nv)`:
+    * each row explodes to its `nProbe` most-similar cells. A row_number
+    * window is fine here because the input is the bounded query subset —
+    * assigning the full corpus at nProbe and filtering after would waste a
+    * second full-corpus pass (see [[assignCells]] for the corpus-side
+    * shape). Shared by [[ivfTopKFrom]] and [[ivfPqTopK]]. */
+  def probeCells(queries: DataFrame, centroidFrame: DataFrame,
+                 nProbe: Int): DataFrame = {
+    val centroids = centroidFrame.select(col("cell"), col("cv"),
+      l2norm(col("cv")).as("cn"))
+    val qw = Window.partitionBy(col("id"))
+      .orderBy(col("cell_sim").desc, col("cell"))
+    queries.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", dot(col("v"), col("cv")) / (col("nv") * col("cn")))
+      .withColumn("cell_rank", row_number().over(qw))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("id"), col("v"), col("nv"), col("cell"))
+  }
+
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): semantic near-dup
     * removal that only compares vectors WITHIN a coarse cluster — the
@@ -373,7 +381,12 @@ object SimilarityOps {
     * Vectors with no near-dup in their cell keep themselves. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                centroidFrame: DataFrame, threshold: Double): DataFrame = {
+    // materialized once: the assignment pass (a full-corpus broadcast
+    // cross + max_by) is read three times — both pair-scan sides and the
+    // output join — and duplicateClusters' eager materialization would
+    // otherwise recompute it per read
     val asg = assignCells(emb, idCol, vecCol, centroidFrame)
+      .localCheckpoint(true)
     val a = asg.as("a"); val b = asg.as("b")
     val pairs = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.id") < col("b.id"))
@@ -394,8 +407,10 @@ object SimilarityOps {
   // ---- Product quantization (IVF-PQ's compression half) -----------------
 
   /** Subspace `sub` (0-based) of vector `v` split into `m` equal slices.
-    * Column `/` is DOUBLE division — cast back to int (dims must divide m
-    * evenly; `pqCodebooks` callers assert that upstream). */
+    * Column `/` is DOUBLE division — cast back to int. Requires m | dims
+    * ([[pqCodebooks]] enforces it): with a remainder, the int-cast start
+    * positions silently skip elements AND diverge from the oracle's
+    * integer-division slicing. */
   private def subSlice(v: Column, sub: Column, m: Int): Column =
     slice(v, (sub * (size(v) / m)).cast("int") + 1, (size(v) / m).cast("int"))
 
@@ -407,13 +422,22 @@ object SimilarityOps {
     * Output `(sub, code, cv)` — m·ksub rows, broadcast-sized by
     * construction. */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-                  m: Int, ksub: Int): DataFrame =
+                  m: Int, ksub: Int): DataFrame = {
+    // guard the m | dims precondition every PQ path shares (one first()
+    // over the pruned vector column): a remainder would make subSlice
+    // silently drop trailing dims and diverge from the oracle's slicing
+    emb.select(size(col(vecCol)).as("d")).limit(1).collect().headOption
+      .foreach { r =>
+        require(r.getInt(0) % m == 0,
+          s"PQ needs dims divisible by m: dims=${r.getInt(0)}, m=$m")
+      }
     emb.orderBy(col(idCol)).limit(ksub)
       .select(col(idCol).as("code"), toDouble(col(vecCol)).as("v"))
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("v"))
       .select(col("sub"), col("code"),
         subSlice(col("v"), col("sub"), m).as("cv"))
+  }
 
   /** Squared L2 distance between two equal-length DOUBLE arrays, expressed
     * ELEMENTWISE (`Σ (x_i − y_i)²`, sequential) so the DuckDB oracle's
@@ -512,7 +536,6 @@ object SimilarityOps {
                 m: Int, ksub: Int, maxQueries: Long = 100L): DataFrame = {
     val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
       .orderBy("cell").limit(nCells)
-    val centroids = cent.select(col("cell"), col("cv"), l2norm(col("cv")).as("cn"))
     // corpus: cell assignment (one max_by pass) + PQ codes, joined on id —
     // both frames are one-or-m small rows per vector, co-keyed on id
     val asg = assignCells(emb, idCol, vecCol, cent)
@@ -526,13 +549,9 @@ object SimilarityOps {
         col(idCol) < lit(querySelector * maxQueries))
       .select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qv"),
         l2norm(col(vecCol)).as("nq"))
-    val qw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cell_sim").desc, col("cell"))
-    val probes = qbase.crossJoin(broadcast(centroids))
-      .withColumn("cell_sim", dot(col("qv"), col("cv")) / (col("nq") * col("cn")))
-      .withColumn("cell_rank", row_number().over(qw))
-      .filter(col("cell_rank") <= nProbe)
-      .select(col("query_id"), col("cell"))
+    val probes = probeCells(qbase.select(col("query_id").as("id"),
+        col("qv").as("v"), col("nq").as("nv")), cent, nProbe)
+      .select(col("id").as("query_id"), col("cell"))
     val qtab = qbase
       .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("qv"))

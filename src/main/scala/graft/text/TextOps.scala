@@ -190,6 +190,18 @@ object TextOps {
         (col("shard").cast("long") * (1L << 40) + localEnd).as("seq_end"))
   }
 
+  /** Engine-exact 60-bit hash key: the first 15 hex digits of
+    * `md5(prefix ‖ id)` as a BIGINT — the shared recipe behind
+    * deterministic sampling (q_strat_sample) and the epoch shuffle.
+    * DuckDB replays it as `CAST(concat('0x', substr(md5(...), 1, 15)) AS
+    * BIGINT)`. 15 digits (60 bits) is the widest prefix that cannot
+    * overflow a signed BIGINT — do NOT widen to 16. */
+  def md5Key64(id: Column, prefix: String = ""): Column = {
+    val s = if (prefix.isEmpty) id.cast("string")
+            else concat(lit(prefix), id.cast("string"))
+    conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+  }
+
   /** Per-source vocabulary drift audit: for each source, the top `k`
     * terms by contribution to KL(source-unigram ‖ corpus-unigram) —
     * "which terms make this source distributionally unlike the corpus".

@@ -259,9 +259,7 @@ object Profile {
         // compare the SECOND 1× line against the 10× line
         Seq(1, 1, 10).foreach { times =>
           val c = corpus(times).persist(); c.count()
-          val hv = conv(substring(
-            md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-            .cast("long")
+          val hv = graft.text.TextOps.md5Key64(col("doc_id"))
           val strat = t(c.select(col("source"), col("doc_id"), hv.as("hv"))
             .groupBy("source")
             .agg(graft.functions.TopKByAgg.topk_by(-col("hv"), col("doc_id"), 5))
@@ -317,19 +315,23 @@ object Profile {
         def t(f: => Unit): Double = elapsed(f)
         Seq(1, 1, 10).foreach { times =>
           val e = embX(times).repartition(32).persist(); e.count()
-          val cent = SimilarityOps.kmeansCentroids(e, "vec_id", "embedding", 16, 3)
+          // kmeansCentroids is EAGER (a collect per Lloyd round), so it is
+          // timed as its own line — the earlier "+train" label measured an
+          // interval that never contained training
+          var cent: DataFrame = null
+          val train = t { cent =
+            SimilarityOps.kmeansCentroids(e, "vec_id", "embedding", 16, 3) }
           val sem = t(
             SimilarityOps.semDedup(e, "vec_id", "embedding", cent, 0.4).count())
           val pq = t(SimilarityOps.pqTopK(e, "vec_id", "embedding",
             querySelector = 10, k = 5, m = 4, ksub = 16).count())
-          println(f"[profile] ${times}%3d× (${nv0 * times}%7d vecs): semdedup(+train) $sem%6.1f s  pq_topk $pq%6.1f s")
+          println(f"[profile] ${times}%3d× (${nv0 * times}%7d vecs): kmeans_train $train%6.1f s  semdedup $sem%6.1f s  pq_topk $pq%6.1f s")
           e.unpersist()
         }
         Seq(1L, 1L, 10L, 100L).foreach { times =>
           val n = 500000L * times
           val d = spark.range(n).select(col("id").as("doc_id"),
-            conv(substring(md5(concat(lit("epoch1:"), col("id").cast("string"))
-              .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+            graft.text.TextOps.md5Key64(col("id"), "epoch1:").as("hv"))
           // `shuffle_diag` breaks the 100× cost down: map-side md5+conv is
           // 6 s, the full-row exchange + per-shard sort is the rest — a
           // single-box shuffle-I/O bound (2 GB through one local disk),
@@ -356,8 +358,7 @@ object Profile {
         import org.apache.spark.sql.expressions.Window
         val n = 50000000L
         val d = spark.range(n).select(col("id").as("doc_id"),
-          conv(substring(md5(concat(lit("epoch1:"), col("id").cast("string"))
-            .cast("binary")), 1, 15), 16, 10).cast("long").as("hv"))
+          graft.text.TextOps.md5Key64(col("id"), "epoch1:").as("hv"))
           .withColumn("shard", pmod(col("hv"), lit(32)).cast("int"))
         time("A: map-only (md5+conv+sum)") {
           d.select(sum(pmod(col("hv"), lit(1000000L)))).collect(); n }

@@ -16,7 +16,7 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  override def afterAll(): Unit = server.stop(0)
+  override def afterAll(): Unit = { server.stop(0); api.close() }
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
@@ -36,7 +36,8 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val logDir =
     java.nio.file.Files.createTempDirectory("graft-http-logs")
-  private lazy val server = new HttpApi(service, logDir).start(0)
+  private lazy val api = new HttpApi(service, logDir)
+  private lazy val server = api.start(0)
   private lazy val base = s"http://127.0.0.1:${server.getAddress.getPort}"
   private lazy val client = HttpClient.newHttpClient()
 
