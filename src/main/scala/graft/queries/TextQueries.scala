@@ -367,6 +367,41 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Overlapping token-window chunking (RAG / long-context prep):
+    // 32-token windows every 24 tokens — sized to the synthetic corpus's
+    // 10-99-token docs so multi-chunk splits actually occur (production
+    // would run 256/192 or larger); see TextOps.chunkWindows for the
+    // map-only shape and exact integer arithmetic.
+    "q_chunk_windows" -> ((s, dir) =>
+      TextOps.chunkWindows(docs(s, dir), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic negative sampling for contrastive training: every
+    // 50th doc is an anchor; its k=5 "random" negatives are the corpus
+    // docs with the smallest md5Key64(anchor ‖ ':' ‖ candidate) — a fresh
+    // uniform draw per anchor, reproducible across runs and engines.
+    // Shape: the anchor set is FIXED-SIZE (≤ 40 via the cap) and
+    // broadcast; the corpus streams through the join once and the only
+    // exchange carries the top-k aggregate's partial heaps — the
+    // bruteForceTopK scan shape with a hash in place of cosine.
+    "q_neg_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val anchors = docs(s, dir)
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000)
+        .select(col("doc_id").as("anchor_id"))
+      val pairs = docs(s, dir).select(col("doc_id").as("neg_id"))
+        .join(broadcast(anchors), col("anchor_id") =!= col("neg_id"))
+        .withColumn("hv", TextOps.md5Key64(
+          concat(col("anchor_id").cast("string"), lit(":"),
+            col("neg_id").cast("string"))))
+      val w = Window.partitionBy(col("anchor_id")).orderBy(col("hv"), col("neg_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("anchor_id"), col("rank"), col("neg_id"), col("hv"))
+        .orderBy("anchor_id", "rank")
+    }),
+
     // Per-source vocabulary drift audit: top terms by contribution to
     // KL(source-unigram ‖ corpus-unigram) — see TextOps.driftTerms for
     // the engine-exact integer-count formulation and scale shape.
@@ -825,6 +860,41 @@ object TextQueries {
         |       CAST(row_number() OVER (PARTITION BY shard
         |                               ORDER BY hv, doc_id) AS INT) AS pos
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // identical floor-of-double chunk-count arithmetic; all-integer output
+    "q_chunk_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(${toks("lower(text)")}) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, n,
+         |         CAST(floor((greatest(n - 32, 0) + 23) / 24.0) + 1 AS INT)
+         |           AS n_chunks
+         |  FROM t),
+         |e AS (
+         |  SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         |       CAST(chunk_idx * 24 AS INT) AS start_tok,
+         |       CAST(least(32, n - chunk_idx * 24) AS INT) AS n_tok
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // same md5Key64 recipe (15 hex digits → BIGINT) over the pair string
+    "q_neg_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id AS anchor_id FROM documents
+        |  WHERE doc_id % 50 = 0 AND doc_id < 2000),
+        |p AS (
+        |  SELECT a.anchor_id, d.doc_id AS neg_id,
+        |         CAST(concat('0x', substr(md5(
+        |           CAST(a.anchor_id AS VARCHAR) || ':' ||
+        |           CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+        |  FROM a JOIN documents d ON a.anchor_id <> d.doc_id),
+        |r AS (
+        |  SELECT anchor_id, neg_id, hv,
+        |         row_number() OVER (PARTITION BY anchor_id
+        |                            ORDER BY hv, neg_id) AS rank
+        |  FROM p)
+        |SELECT anchor_id, CAST(rank AS INT) AS rank, neg_id, hv
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
 
     // identical integer-count → double formula per row; no float sums
     "q_drift_terms" ->

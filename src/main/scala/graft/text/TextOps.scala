@@ -202,6 +202,31 @@ object TextOps {
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
   }
 
+  /** Overlapping token-window chunking (the RAG / long-context prep
+    * layout): each document yields windows of `window` tokens starting
+    * every `stride` tokens; the last window is truncated, a short doc
+    * yields one window. Chunk count per doc is
+    * `1 + ⌈max(0, n − window) / stride⌉`, computed with the same
+    * floor-of-double arithmetic the SQL oracle uses (exact for n < 2⁵³).
+    *
+    * Map-only — one tokenize kernel pass, an explode, no exchange at all
+    * until a downstream sink; output is pure integers `(doc_id,
+    * chunk_idx, start_tok, n_tok)`, so the oracle compare is exact. */
+  def chunkWindows(df: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), size(wsTokens(lower(col(textCol)))).as("n"))
+      .withColumn("n_chunks",
+        (floor((greatest(col("n") - window, lit(0)) + (stride - 1)) / stride)
+          + 1).cast("int"))
+      .select(col(idCol), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(window), col("n") - col("chunk_idx") * stride).as("n_tok"))
+  }
+
   /** Per-source vocabulary drift audit: for each source, the top `k`
     * terms by contribution to KL(source-unigram ‖ corpus-unigram) —
     * "which terms make this source distributionally unlike the corpus".

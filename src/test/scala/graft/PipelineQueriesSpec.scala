@@ -176,6 +176,46 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(inIdOrder != inIdOrder.sorted, "shuffle preserved ingest order")
   }
 
+  test("chunk windows: hand-computed overlapping layout") {
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, words(10)), (1L, words(33)), (2L, words(99)))
+      .toDF("doc_id", "text")
+    val r = graft.text.TextOps.chunkWindows(df, "doc_id", "text", 32, 24)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    assert(r.toSeq == Seq(
+      (0L, 0, 0, 10),                                    // short doc: 1 chunk
+      (1L, 0, 0, 32), (1L, 1, 24, 9),                    // 33 tokens: 2 chunks
+      (2L, 0, 0, 32), (2L, 1, 24, 32), (2L, 2, 48, 32), (2L, 3, 72, 27)))
+    // coverage invariant: the last chunk ends exactly at n, earlier chunks
+    // are full windows
+    r.groupBy(_._1).foreach { case (_, cs) =>
+      val last = cs.maxBy(_._2)
+      cs.filter(_ != last).foreach(c => assert(c._4 == 32))
+      assert(last._3 + last._4 == cs.map(c => c._3 + c._4).max)
+    }
+  }
+
+  test("negative sampling: deterministic, excludes the anchor, dense ranks") {
+    val dir = TestSpark.Sf0001
+    val r = SparkEntry.queries("q_neg_sample")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(r.nonEmpty)
+    val again = SparkEntry.queries("q_neg_sample")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == again.toSeq)
+    r.groupBy(_._1).foreach { case (anchor, ns) =>
+      assert(ns.map(_._2).sorted.toSeq == (1 to ns.length), s"anchor $anchor")
+      assert(ns.forall(_._3 != anchor))
+      // negatives are hv-ordered (the "random draw" is the hash order)
+      assert(ns.sortBy(_._2).map(_._4).sliding(2).forall(s =>
+        s.length < 2 || s.head <= s.last))
+    }
+    // different anchors draw different negatives (independent permutations)
+    val negSets = r.groupBy(_._1).values.map(_.map(_._3).toSet).toSeq
+    assert(negSets.distinct.size > 1)
+  }
+
   test("drift terms: hand-computed KL contributions on a planted corpus") {
     // source A: 10× "apple", 10× "the"; source B: 10× "banana", 10× "the".
     // "the" is distribution-neutral (p_s = p_corpus → contrib 0); the
