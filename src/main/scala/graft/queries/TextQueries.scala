@@ -382,23 +382,27 @@ object TextQueries {
     // docs with the smallest md5Key64(anchor ‖ ':' ‖ candidate) — a fresh
     // uniform draw per anchor, reproducible across runs and engines.
     // Shape: the anchor set is FIXED-SIZE (≤ 40 via the cap) and
-    // broadcast; the corpus streams through the join once and the only
-    // exchange carries the top-k aggregate's partial heaps — the
-    // bruteForceTopK scan shape with a hash in place of cosine.
+    // broadcast; the corpus streams through the join once, and the top-k
+    // runs as the bounded-heap aggregate (q_strat_sample's shape) so the
+    // exchange carries ≤ k rows per (anchor, partition) — NOT a
+    // row_number window, which would shuffle the full anchor-amplified
+    // pair frame into |anchors| sort tasks. The window formulation IS the
+    // oracle. hv ties are impossible (md5 of distinct strings within an
+    // anchor), so heap tie-breaking never engages.
     "q_neg_sample" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val anchors = docs(s, dir)
         .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000)
         .select(col("doc_id").as("anchor_id"))
-      val pairs = docs(s, dir).select(col("doc_id").as("neg_id"))
+      docs(s, dir).select(col("doc_id").as("neg_id"))
         .join(broadcast(anchors), col("anchor_id") =!= col("neg_id"))
         .withColumn("hv", TextOps.md5Key64(
           concat(col("anchor_id").cast("string"), lit(":"),
             col("neg_id").cast("string"))))
-      val w = Window.partitionBy(col("anchor_id")).orderBy(col("hv"), col("neg_id"))
-      pairs.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("anchor_id"), col("rank"), col("neg_id"), col("hv"))
+        .groupBy("anchor_id")
+        .agg(graft.functions.TopKByAgg.topk_by(-col("hv"), col("neg_id"), 5).as("tk"))
+        .select(col("anchor_id"), posexplode(col("tk")))
+        .select(col("anchor_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("neg_id"), (-col("col.ord")).as("hv"))
         .orderBy("anchor_id", "rank")
     }),
 
@@ -869,7 +873,7 @@ object TextQueries {
          |  SELECT doc_id, n,
          |         CAST(floor((greatest(n - 32, 0) + 23) / 24.0) + 1 AS INT)
          |           AS n_chunks
-         |  FROM t),
+         |  FROM t WHERE n > 0),
          |e AS (
          |  SELECT doc_id, n, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
          |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,

@@ -81,6 +81,9 @@ final class HttpApi(
   /** Start on `port` (0 → ephemeral). Returns the live server; callers stop
     * it with `.stop(0)`. */
   def start(port: Int): HttpServer = {
+    // the reference opens logs/api-timing.log at init (mkdir + FileHandler,
+    // app/main.py:40-45) — mirror that so tailers see the file pre-traffic
+    logLock.synchronized { openTimingLog() }
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler _)
     // small pool: Spark jobs serialize on the shared session anyway; the
@@ -237,28 +240,37 @@ final class HttpApi(
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss,SSS")
 
   // One append-mode writer per instance, like the reference's FileHandler;
-  // writes are line-buffered and synchronized across the pool. Opened on
-  // the first logged request (ref: log_dir.mkdir(exist_ok=True) at init),
-  // released by close().
-  @volatile private var timingLogOpened = false
-  private lazy val timingLog: java.io.PrintWriter = {
-    java.nio.file.Files.createDirectories(logDir)
-    timingLogOpened = true
-    new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(
-      logDir.resolve("api-timing.log"), UTF_8,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND))
-  }
+  // writes are line-buffered. Open/write/close all synchronize on logLock
+  // and respect `closed`, so a handler still draining after stop() can't
+  // re-open the file close() just released.
+  private val logLock = new Object
+  private var timingLog: java.io.PrintWriter = null // guarded by logLock
+  private var closed = false                        // guarded by logLock
+
+  private def openTimingLog(): Unit = // caller holds logLock
+    if (timingLog == null && !closed) {
+      java.nio.file.Files.createDirectories(logDir)
+      timingLog = new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(
+        logDir.resolve("api-timing.log"), UTF_8,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND))
+    }
 
   /** Release the timing-log file handle. Call after `server.stop(...)` —
-    * HttpServer.stop does not know about this instance's resources. */
-  def close(): Unit =
-    if (timingLogOpened) timingLog.synchronized { timingLog.close() }
+    * HttpServer.stop does not know about this instance's resources.
+    * Idempotent; later requests still log to stderr, never the file. */
+  def close(): Unit = logLock.synchronized {
+    closed = true
+    if (timingLog != null) { timingLog.close(); timingLog = null }
+  }
 
   private def logLine(msg: String): Unit = {
     val line = s"${logTsFormat.format(java.time.LocalDateTime.now())} INFO ambient_sound_api $msg"
     System.err.println(line)
-    timingLog.synchronized { timingLog.println(line); timingLog.flush() }
+    logLock.synchronized {
+      openTimingLog()
+      if (timingLog != null) { timingLog.println(line); timingLog.flush() }
+    }
   }
 
   // ---- endpoint bodies ---------------------------------------------------

@@ -384,7 +384,11 @@ object SimilarityOps {
     // materialized once: the assignment pass (a full-corpus broadcast
     // cross + max_by) is read three times — both pair-scan sides and the
     // output join — and duplicateClusters' eager materialization would
-    // otherwise recompute it per read
+    // otherwise recompute it per read. Construction of this frame is
+    // therefore EAGER (duplicateClusters counts the pair set anyway);
+    // blocks are freed by the ContextCleaner when the result frame is
+    // dropped, and bench/serving edges clearCache — same lifecycle as the
+    // prefix pair join's posting frame (DedupOps.ngramJaccardPairsPrefix).
     val asg = assignCells(emb, idCol, vecCol, centroidFrame)
       .localCheckpoint(true)
     val a = asg.as("a"); val b = asg.as("b")
@@ -423,10 +427,13 @@ object SimilarityOps {
     * construction. */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, ksub: Int): DataFrame = {
-    // guard the m | dims precondition every PQ path shares (one first()
-    // over the pruned vector column): a remainder would make subSlice
-    // silently drop trailing dims and diverge from the oracle's slicing
-    emb.select(size(col(vecCol)).as("d")).limit(1).collect().headOption
+    // guard the m | dims precondition every PQ path shares (a best-effort
+    // one-row sample over the pruned vector column — ragged/null vectors
+    // beyond the sampled row are the data's problem, not this guard's):
+    // a remainder would make subSlice silently drop trailing dims and
+    // diverge from the oracle's slicing
+    emb.select(size(col(vecCol)).as("d")).filter(col("d") >= 0)
+      .limit(1).collect().headOption
       .foreach { r =>
         require(r.getInt(0) % m == 0,
           s"PQ needs dims divisible by m: dims=${r.getInt(0)}, m=$m")

@@ -205,9 +205,10 @@ object TextOps {
   /** Overlapping token-window chunking (the RAG / long-context prep
     * layout): each document yields windows of `window` tokens starting
     * every `stride` tokens; the last window is truncated, a short doc
-    * yields one window. Chunk count per doc is
-    * `1 + ⌈max(0, n − window) / stride⌉`, computed with the same
-    * floor-of-double arithmetic the SQL oracle uses (exact for n < 2⁵³).
+    * yields one window, an EMPTY (zero-token) doc yields none. Chunk
+    * count per non-empty doc is `1 + ⌈max(0, n − window) / stride⌉`,
+    * computed with the same floor-of-double arithmetic the SQL oracle
+    * uses (exact for n < 2⁵³).
     *
     * Map-only — one tokenize kernel pass, an explode, no exchange at all
     * until a downstream sink; output is pure integers `(doc_id,
@@ -217,6 +218,7 @@ object TextOps {
     require(stride > 0 && window >= stride,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     df.select(col(idCol), size(wsTokens(lower(col(textCol)))).as("n"))
+      .filter(col("n") > 0) // no degenerate (0,0,0) chunk for empty docs
       .withColumn("n_chunks",
         (floor((greatest(col("n") - window, lit(0)) + (stride - 1)) / stride)
           + 1).cast("int"))

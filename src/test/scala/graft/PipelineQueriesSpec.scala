@@ -178,7 +178,8 @@ class PipelineQueriesSpec extends AnyFunSuite {
 
   test("chunk windows: hand-computed overlapping layout") {
     def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
-    val df = Seq((0L, words(10)), (1L, words(33)), (2L, words(99)))
+    val df = Seq((0L, words(10)), (1L, words(33)), (2L, words(99)),
+        (3L, ""), (4L, "   ")) // empty/whitespace docs yield NO chunks
       .toDF("doc_id", "text")
     val r = graft.text.TextOps.chunkWindows(df, "doc_id", "text", 32, 24)
       .orderBy("doc_id", "chunk_idx")
