@@ -138,4 +138,54 @@ class PropertySpec extends AnyFunSuite {
         }
     }
   }
+
+  test("chunk windows tile every document: stride-spaced starts, full cover, truncated tail") {
+    val lens = Gen.listOfN(8, Gen.choose(0, 400))
+    val params = for {
+      stride <- Gen.choose(1, 64)
+      extra <- Gen.choose(0, 64)
+    } yield (stride + extra, stride) // window >= stride > 0
+    forAll(lens, params) { case (ns, (window, stride)) =>
+      val df = ns.zipWithIndex
+        .map { case (n, i) => (i.toLong, (0 until n).map(j => s"w$j").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.text.TextOps.chunkWindows(df, "doc_id", "text", window, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .groupBy(_._1)
+      ns.zipWithIndex.foreach { case (n, i) =>
+        val chunks = got.getOrElse(i.toLong, Array.empty).sortBy(_._2)
+        if (n == 0) assert(chunks.isEmpty, s"doc $i: empty doc yields no chunks")
+        else {
+          // starts are exactly 0, stride, 2·stride, …; all non-empty
+          assert(chunks.map(_._3).toSeq == chunks.indices.map(_ * stride))
+          assert(chunks.forall(_._4 > 0))
+          // every chunk fits in the doc; all but the last are full windows
+          chunks.dropRight(1).foreach(c => assert(c._4 == window, s"doc $i"))
+          val last = chunks.last
+          assert(last._3 + last._4 == n, s"doc $i: last chunk must end at n")
+          // minimality: one fewer chunk would leave a tail uncovered
+          if (chunks.length > 1)
+            assert(chunks(chunks.length - 2)._3 + window < n, s"doc $i over-chunks")
+        }
+      }
+    }
+  }
+
+  test("md5Key64 is a total, stable, non-negative 60-bit key; prefix changes the draw") {
+    forAll(Gen.listOfN(30, Gen.choose(0L, 1000000L))) { idsRaw =>
+      val ids = idsRaw.distinct
+      val df = ids.toDF("id")
+      def keys(prefix: String) = df
+        .select(col("id"), graft.text.TextOps.md5Key64(col("id"), prefix).as("hv"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val a = keys("")
+      assert(a.values.forall(v => v >= 0 && v < (1L << 60)))
+      assert(keys("") == a) // stable across evaluations
+      val b = keys("epoch2:")
+      // a different salt re-draws (distinct ids hashing identically under
+      // BOTH salts would need a 2⁻¹²⁰ coincidence)
+      if (ids.size > 1) assert(ids.exists(i => a(i) != b(i)))
+    }
+  }
 }
