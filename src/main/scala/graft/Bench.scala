@@ -72,27 +72,49 @@ object Bench {
     // trailing zeros stripped ("0.50"→"0.5", "2.00"→"2"): at 80+ queries
     // the compact line crowds the collector's 2000-char tail window, and
     // ~1 byte per query is the difference between parsed and truncated
-    def r2(v: Double): String =
+    def rp(v: Double, p: Int): String =
       if (v < 0) "-1"
       else {
-        val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val s = String.format(java.util.Locale.ROOT, s"%.${p}f", Double.box(v))
         if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
       }
+    def r2(v: Double): String = rp(v, 2)
     def jsonMap(m: Seq[(String, Double)], fmt: Double => String) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errors = (cold ++ warm).collect { case (n, v) if v < 0 => n }.distinct.sorted
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = cold.map(_._2).filter(_ >= 0).sum
     val totalWarm = warm.map(_._2).filter(_ >= 0).sum
-    // full precision first (may scroll out of the collector's tail window)
-    println(s"""{"metric":"detail","value":$total,"unit":"sec",""" +
+    val detail = s"""{"metric":"detail","value":$total,"unit":"sec",""" +
       s""""queries":${jsonMap(cold, _.toString)},""" +
       s""""queries_warm":${jsonMap(warm, _.toString)},""" +
-      s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}""")
-    // compact contract line last — MUST stay under ~1.8 KB
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries":${jsonMap(cold, r2)},"total_warm":${r2(totalWarm)},""" +
-      s""""errors":$errJson,"sf":"$sfDir"}""")
+      s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}"""
+    // full precision first (scrolls out of the collector's tail window) —
+    // and as a file, so full per-query numbers survive regardless of the
+    // collector's window (the driver commits leftover work each round)
+    println(detail)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] detail file write failed: ${e.getMessage}") }
+    // compact contract line LAST: the collector keeps the final 2000 chars
+    // of output and parses the last JSON line inside them, so this whole
+    // line + its newline must fit (≤ 1999; nothing prints after — sbt's
+    // success line is suppressed). Precision ladder: per-query decimals
+    // drop 2 → 1 → 0 until the line fits a 1990-char budget (totals keep
+    // 2 decimals). At 89 queries 2-decimal values measured 2077 chars —
+    // a torn, unparseable line; 1-decimal is 1985.
+    val compact = (2 to 0 by -1).iterator.map { p =>
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+        s""""queries":${jsonMap(cold, rp(_, p))},"total_warm":${r2(totalWarm)},""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
+    }.find(_.length <= 1990).getOrElse {
+      // >0 decimals never fit: ship totals + errors only, never a torn line
+      s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+        s""""queries":{},"total_warm":${r2(totalWarm)},""" +
+        s""""errors":$errJson,"sf":"$sfDir"}"""
+    }
+    println(compact)
     spark.stop()
   }
 }
