@@ -94,31 +94,109 @@ case class TopKByAgg(
     copy(ord = newChildren(0), id = newChildren(1))
 }
 
-/** Bounded worst-first binary heap over (ord, id) pairs.
-  * "Worse" = smaller ord, then larger id — so the root is the entry the
-  * next better candidate evicts. */
+/** Like [[TopKByAgg]] but each entry carries one extra BIGINT `pay`load
+  * that rides along without participating in the ordering — for rank
+  * stages whose output must keep a per-candidate attribute (an LSH
+  * bucket, an IVF cell) that a (ord, id)-only heap would lose and a
+  * post-rank join would have to RECOMPUTE from a corpus-sized frame.
+  * Heap semantics are identical ((ord DESC, id ASC) total order);
+  * serialization is 24 bytes per entry. */
+case class TopKPayByAgg(
+    ord: Expression,
+    id: Expression,
+    pay: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, s"topk_by_pay needs k > 0, got $k")
+
+  override def children: Seq[Expression] = Seq(ord, id, pay)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("ord", LongType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("pay", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    val p = pay.eval(input)
+    if (o != null && i != null && p != null) {
+      buf.insert(o.asInstanceOf[Long], i.asInstanceOf[Long], p.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(a: TopKBuffer, b: TopKBuffer): TopKBuffer = {
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    from.foreach3(into.insert)
+    into
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = buf.sortedDesc3.map { case (o, i, p) =>
+      InternalRow(o, i, p): Any
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 3 * buf.size)
+    buf.foreach3 { (o, i, p) => bb.putLong(o); bb.putLong(i); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(k)
+    var n = bytes.length / 24
+    while (n > 0) { buf.insert(bb.getLong(), bb.getLong(), bb.getLong()); n -= 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPayByAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPayByAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKPayByAgg =
+    copy(ord = newChildren(0), id = newChildren(1), pay = newChildren(2))
+}
+
+/** Bounded worst-first binary heap over (ord, id) pairs, each optionally
+  * carrying an inert payload long. "Worse" = smaller ord, then larger
+  * id — so the root is the entry the next better candidate evicts. The
+  * payload never participates in ordering (it is an attribute of the id,
+  * not a rank key). */
 final class TopKBuffer(k: Int) {
   private val ords = new Array[Long](k)
   private val ids = new Array[Long](k)
+  private val pays = new Array[Long](k)
   var size: Int = 0
 
   // (a) worse than (b)?
   private def worse(oa: Long, ia: Long, ob: Long, ib: Long): Boolean =
     oa < ob || (oa == ob && ia > ib)
 
-  def insert(o: Long, i: Long): Unit = {
+  def insert(o: Long, i: Long): Unit = insert(o, i, 0L)
+
+  def insert(o: Long, i: Long, p: Long): Unit = {
     if (size < k) {
       // sift up from the new leaf
       var c = size
-      ords(c) = o; ids(c) = i
+      ords(c) = o; ids(c) = i; pays(c) = p
       size += 1
       while (c > 0 && worse(ords(c), ids(c), ords((c - 1) / 2), ids((c - 1) / 2))) {
-        val p = (c - 1) / 2
-        swap(c, p); c = p
+        val par = (c - 1) / 2
+        swap(c, par); c = par
       }
     } else if (worse(ords(0), ids(0), o, i)) {
       // replace the worst kept entry, sift down
-      ords(0) = o; ids(0) = i
+      ords(0) = o; ids(0) = i; pays(0) = p
       var c = 0
       var continue = true
       while (continue) {
@@ -135,6 +213,7 @@ final class TopKBuffer(k: Int) {
   private def swap(a: Int, b: Int): Unit = {
     val to = ords(a); ords(a) = ords(b); ords(b) = to
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    val tp = pays(a); pays(a) = pays(b); pays(b) = tp
   }
 
   def foreach(f: (Long, Long) => Unit): Unit = {
@@ -142,10 +221,20 @@ final class TopKBuffer(k: Int) {
     while (i < size) { f(ords(i), ids(i)); i += 1 }
   }
 
+  def foreach3(f: (Long, Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < size) { f(ords(i), ids(i), pays(i)); i += 1 }
+  }
+
   /** Kept entries, best first: (ord DESC, id ASC). */
   def sortedDesc: Seq[(Long, Long)] =
     (0 until size).map(i => (ords(i), ids(i)))
       .sortBy { case (o, i) => (-o, i) }
+
+  /** Kept (ord, id, pay) entries, best first: (ord DESC, id ASC). */
+  def sortedDesc3: Seq[(Long, Long, Long)] =
+    (0 until size).map(i => (ords(i), ids(i), pays(i)))
+      .sortBy { case (o, i, _) => (-o, i) }
 }
 
 object TopKByAgg {
@@ -154,5 +243,13 @@ object TopKByAgg {
   def topk_by(ord: Column, id: Column, k: Int): Column =
     ColumnBridge.column(
       TopKByAgg(ColumnBridge.expression(ord), ColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
+  /** Aggregate Column: the k largest (ord, id) pairs per group, best
+    * first, each carrying an inert BIGINT `pay` attribute. */
+  def topk_by_pay(ord: Column, id: Column, pay: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKPayByAgg(ColumnBridge.expression(ord), ColumnBridge.expression(id),
+        ColumnBridge.expression(pay), k)
         .toAggregateExpression())
 }

@@ -386,10 +386,10 @@ object SimQueries {
         |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
         |qtab AS (
         |  SELECT q.id AS query_id, s.sub, bk.code,
-        |         list_sum(list_transform(list_zip(
+        |         round(list_sum(list_transform(list_zip(
         |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
         |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
-        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
         |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
         |  WHERE q.id % 10 = 0 AND q.id < 1000),
         |dists AS (
@@ -439,10 +439,10 @@ object SimQueries {
         |  WHERE r <= 2 AND id % 10 = 0 AND id < 1000),
         |qtab AS (
         |  SELECT q.id AS query_id, s.sub, bk.code,
-        |         list_sum(list_transform(list_zip(
+        |         round(list_sum(list_transform(list_zip(
         |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
         |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
-        |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS pd
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
         |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
         |  WHERE q.id % 10 = 0 AND q.id < 1000),
         |dists AS (

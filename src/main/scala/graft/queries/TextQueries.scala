@@ -387,8 +387,10 @@ object TextQueries {
     // exchange carries ≤ k rows per (anchor, partition) — NOT a
     // row_number window, which would shuffle the full anchor-amplified
     // pair frame into |anchors| sort tasks. The window formulation IS the
-    // oracle. hv ties are impossible (md5 of distinct strings within an
-    // anchor), so heap tie-breaking never engages.
+    // oracle. hv ties (unlikely at this scale, expected at billions of
+    // candidates per anchor — 60-bit birthday bound) resolve IDENTICALLY
+    // on both engines: the heap breaks toward the smaller neg_id, which
+    // is exactly the oracle's ORDER BY hv, neg_id.
     "q_neg_sample" -> ((s, dir) => {
       val anchors = docs(s, dir)
         .filter(col("doc_id") % 50 === 0 && col("doc_id") < 2000)

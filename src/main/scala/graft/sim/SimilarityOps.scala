@@ -3,7 +3,7 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{TopKByAgg, VectorFunctions}
 
 /** Similarity search over an embedding column (`ARRAY<FLOAT>`).
   *
@@ -37,6 +37,62 @@ object SimilarityOps {
     * PRE-COMPUTED norms — never recompute a norm per candidate pair. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  // ---- Shared rank stage (bounded-heap, never a corpus-sized window) ----
+
+  /** A 6-decimal-rounded score encoded into exact integer micro-units.
+    * `round(s, 6)` yields the double nearest to a 6-decimal value d;
+    * `s·1e6` is then within ε of the integer d·1e6 (exact in a long for
+    * |d| ≤ 2^53/1e6 ≈ 9e9 — cosines are ≤ 1 and ADC distances bounded by
+    * vector magnitude), so the final round recovers it exactly. The
+    * inverse `long / 1e6` is a correctly-rounded IEEE division whose
+    * result is again the double nearest to d — i.e. BIT-IDENTICAL to what
+    * `round(s, 6)` produced on either engine, so the decoded score
+    * hash-matches the oracle's rounded double. */
+  private def scoreMicros(rounded6: Column): Column =
+    round(rounded6 * 1e6, 0).cast("long")
+
+  /** Per-query top-k over a candidate frame `(query_id, neighbor_id,
+    * <score>[, <tag>])` — the rank stage every ANN path shares. Runs as
+    * the bounded-heap [[graft.functions.TopKByAgg]] aggregate (map-side
+    * combine reduces each partition to ≤ k entries per query BEFORE the
+    * exchange), NOT as a `row_number()` window — the window formulation
+    * shuffles the full candidate frame into |queries| partitions and
+    * sorts each in ONE task: at 10⁹ corpus vectors that is 100 tasks
+    * each sorting ~10⁹ rows, a skew scale-killer by construction. The
+    * window formulation remains the ORACLE (rank ties broken toward the
+    * smaller neighbor_id — exactly the heap's (ord DESC, id ASC) total
+    * order, so output is identical row-for-row).
+    *
+    * `ascending=true` ranks by the score ascending (distances);
+    * `tag` carries one BIGINT attribute (LSH bucket / IVF cell) through
+    * the heap as an inert payload — recomputing it post-rank would need
+    * another pass over a corpus-sized frame. */
+  private def rankTopK(pairs: DataFrame, scoreCol: String, k: Int,
+                       ascending: Boolean = false,
+                       tag: Option[String] = None): DataFrame = {
+    val enc = scoreMicros(col(scoreCol))
+    val ord = if (ascending) -enc else enc
+    def dec(o: Column): Column =
+      (if (ascending) -o else o).cast("double") / 1e6
+    val base = tag match {
+      case None =>
+        pairs.groupBy("query_id")
+          .agg(TopKByAgg.topk_by(ord, col("neighbor_id"), k).as("tk"))
+      case Some(t) =>
+        pairs.groupBy("query_id")
+          .agg(TopKByAgg.topk_by_pay(ord, col("neighbor_id"), col(t), k).as("tk"))
+    }
+    val exploded = base
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), dec(col("e.ord")).as(scoreCol),
+        col("e"))
+    tag match {
+      case None => exploded.drop("e")
+      case Some(t) => exploded.withColumn(t, col("e.pay")).drop("e")
+    }
+  }
+
   /** Exact top-k: for each query vector (`idCol % querySelector == 0`, capped
     * at the first `maxQueries` multiples), the k nearest corpus vectors by
     * cosine. Ranking uses the ROUNDED similarity with the neighbor id as
@@ -47,7 +103,9 @@ object SimilarityOps {
     * corpus grows — a selector-only query set would make the broadcast a
     * constant fraction of the corpus and flip the plan into a corpus-sized
     * shuffle (or an OOM'ing broadcast) at scale. Norms are computed once per
-    * side before the pair join. */
+    * side before the pair join; the rank is the bounded-heap [[rankTopK]]
+    * stage, so the queries×corpus score frame never crosses an exchange —
+    * only ≤ k rows per (query, partition) do. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      querySelector: Long, k: Int, maxQueries: Long = 100L): DataFrame = {
     val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
@@ -56,12 +114,9 @@ object SimilarityOps {
         col(idCol) < lit(querySelector * maxQueries))
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         l2norm(col(vecCol)).as("nq"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, "cos", k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
@@ -253,16 +308,16 @@ object SimilarityOps {
     val queries = probeCells(base.filter(col("id") % querySelector === 0),
         centroidFrame, nProbe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("nv").as("nq"), col("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), Seq("cell"))
+    val scored = corpus.join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded-heap rank over the probed-cell candidates; the cell rides the
+    // heap as an inert payload (each corpus vector lives in exactly one
+    // cell, so a (query, neighbor) pair matches at most one probed cell and
+    // the payload is well-defined — recomputing it post-rank would cost a
+    // second full-corpus assignment pass)
+    rankTopK(scored, "cos", k, tag = Some("cell"))
       .select("query_id", "rank", "neighbor_id", "cos", "cell")
-      // no dedup needed: each corpus vector lives in exactly one cell, so a
-      // (query, neighbor) pair can match at most one probed cell
   }
 
   /** ANN via IVF with the DETERMINISTIC coarse quantizer — the `nCells`
@@ -304,13 +359,12 @@ object SimilarityOps {
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nv").as("nq"), probeBuckets.as("bucket"))
     val corpus = sig.select(col("id").as("neighbor_id"), col("v"), col("nv"), col("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.join(broadcast(queries), Seq("bucket"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded-heap rank over the bucket candidates; the (unique per
+    // neighbor) bucket rides the heap as an inert payload
+    rankTopK(scored, "cos", k, tag = Some("bucket"))
       .select("query_id", "rank", "neighbor_id", "cos", "bucket")
   }
 
@@ -427,16 +481,19 @@ object SimilarityOps {
     * construction. */
   def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                   m: Int, ksub: Int): DataFrame = {
-    // guard the m | dims precondition every PQ path shares (a best-effort
-    // one-row sample over the pruned vector column — ragged/null vectors
-    // beyond the sampled row are the data's problem, not this guard's):
-    // a remainder would make subSlice silently drop trailing dims and
-    // diverge from the oracle's slicing
-    emb.select(size(col(vecCol)).as("d")).filter(col("d") >= 0)
-      .limit(1).collect().headOption
+    // guard the m | dims precondition every PQ path shares: a remainder
+    // would make subSlice silently drop trailing dims and diverge from the
+    // oracle's slicing. The sample is the LOWEST-id row (deterministic
+    // under any partition pruning — an unordered limit(1) could sample a
+    // different row per run); a fully-ragged corpus would need a min/max
+    // size aggregate, but that is a full-corpus pass for a guard, and the
+    // codebook rows (lowest ksub ids) are the ones whose dims the slicing
+    // actually keys off
+    emb.select(col(idCol), size(col(vecCol)).as("d")).filter(col("d") >= 0)
+      .orderBy(col(idCol)).limit(1).collect().headOption
       .foreach { r =>
-        require(r.getInt(0) % m == 0,
-          s"PQ needs dims divisible by m: dims=${r.getInt(0)}, m=$m")
+        require(r.getInt(1) % m == 0,
+          s"PQ needs dims divisible by m: dims=${r.getInt(1)}, m=$m")
       }
     emb.orderBy(col(idCol)).limit(ksub)
       .select(col(idCol).as("code"), toDouble(col(vecCol)).as("v"))
@@ -508,16 +565,22 @@ object SimilarityOps {
       .select(col("query_id"), col("sub"),
         subSlice(col("qv"), col("sub"), m).as("qsv"))
       .join(broadcast(books), Seq("sub"))
+      // pd rounds per subspace at 9 decimals BEFORE the sum: the m-term
+      // accumulation order inside sum() is engine-dependent, and a raw
+      // partial landing within 1 ulp of a 0.5e-6 boundary could round the
+      // FINAL d2 differently in Spark vs the oracle; 9-decimal partials
+      // make every summand a short exact decimal on both engines (same
+      // pinning idea as pqEncode's per-subspace rounding)
       .select(col("query_id"), col("sub"), col("code"),
-        l2sq(col("qsv"), col("cv")).as("pd"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("neighbor_id"))
-    codes.join(broadcast(qtab), Seq("sub", "code"))
+        round(l2sq(col("qsv"), col("cv")), 9).as("pd"))
+    val scored = codes.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
       .agg(round(sum("pd"), 6).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // ascending bounded-heap rank: the queries×corpus ADC frame reduces to
+    // ≤ k rows per (query, partition) before any exchange — never a
+    // per-query corpus-sized window sort
+    rankTopK(scored, "d2", k, ascending = true)
       .select("query_id", "rank", "neighbor_id", "d2")
   }
 
@@ -565,17 +628,17 @@ object SimilarityOps {
       .select(col("query_id"), col("sub"),
         subSlice(col("qv"), col("sub"), m).as("qsv"))
       .join(broadcast(books), Seq("sub"))
+      // per-subspace 9-decimal rounding before the sum — see [[pqTopK]]
       .select(col("query_id"), col("sub"), col("code"),
-        l2sq(col("qsv"), col("cv")).as("pd"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2"), col("neighbor_id"))
-    codes.join(broadcast(probes), Seq("cell"))
+        round(l2sq(col("qsv"), col("cv")), 9).as("pd"))
+    val scored = codes.join(broadcast(probes), Seq("cell"))
       .join(broadcast(qtab), Seq("query_id", "sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"), col("cell"))
       .agg(round(sum("pd"), 6).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // ascending bounded-heap rank over the probed-cell ADC candidates; the
+    // cell (unique per neighbor) rides the heap as an inert payload
+    rankTopK(scored, "d2", k, ascending = true, tag = Some("cell"))
       .select("query_id", "rank", "neighbor_id", "d2", "cell")
   }
 

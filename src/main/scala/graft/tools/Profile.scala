@@ -374,6 +374,20 @@ object Profile {
             .select(sum(col("pos").cast("long"))).collect(); n }
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+      case "repeat" =>
+        // run one contract query N times under Bench's exact isolation
+        // (clearCache + unpersist-all after each pass) and print each
+        // pass — the trend separates intrinsic steady-state cost from
+        // accumulation effects (block-store pressure, codegen eviction,
+        // GC) that a single cold/warm pair can't
+        val q = args(2)
+        val n = if (args.length > 3) args(3).toInt else 4
+        (1 to n).foreach { i =>
+          val dt = elapsed(force(graft.SparkEntry.queries(q)(spark, sfDir)))
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          println(f"[profile] $q pass $i: $dt%8.2f s")
+        }
       case q =>
         time(q)(force(graft.SparkEntry.queries(q)(spark, sfDir)))
         time(q + " (2nd)")(force(graft.SparkEntry.queries(q)(spark, sfDir)))

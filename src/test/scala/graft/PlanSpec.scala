@@ -52,6 +52,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("ANN rank stages: bounded-heap aggregate, never a corpus-sized window") {
+    // the row_number() formulation would shuffle the full queries×corpus
+    // candidate frame into |queries| partitions and sort each in ONE task —
+    // the ranks must run as the TopKByAgg partial aggregate instead. The
+    // only Window allowed in any ANN plan is the probe-cell assignment over
+    // the bounded QUERY frame (ivf/ivfpq); the brute-force/LSH/PQ plans
+    // must be window-free.
+    for (q <- Seq("q_cosine_topk", "q_ann_pq", "q_ann_lsh")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q: no heap aggregate\n$p")
+      assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")),
+        s"$q: unexpected Window node")
+    }
+    for (q <- Seq("q_ann_ivf", "q_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q: no heap aggregate\n$p")
+      val windows = p.linesIterator.count(_.matches(".*\\bWindow \\[.*"))
+      assert(windows <= 1, s"$q: $windows Window nodes (probe-only allowed)")
+    }
+  }
+
   test("exact pair scan is a block-pair equi-join: no nested loop over n²") {
     val p = plan("q_cosine_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"), "corpus-sized nested loop")
@@ -92,11 +113,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("IVF corpus assignment aggregates (max_by), no corpus-side window") {
     val p = plan("q_ann_ivf")
-    // exactly two windows remain: the (small) query-side probe assignment
-    // and the final per-query rank — the corpus side must be a partial→final
-    // aggregate, never a window over the nCells-amplified corpus
+    // exactly one window remains: the (small) query-side probe assignment —
+    // corpus cell assignment is a partial→final max_by aggregate and the
+    // per-query rank is the bounded-heap aggregate
     val windows = p.linesIterator.count(_.matches(".*\\bWindow \\[.*"))
-    assert(windows <= 2, s"$windows Window nodes:\n$p")
+    assert(windows <= 1, s"$windows Window nodes:\n$p")
     assert(p.contains("max_by"))
   }
 
