@@ -135,6 +135,20 @@ object SimQueries {
           querySelector = 10, k = 5, m = 4, ksub = 16, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
+    // ANN via PQ with TRAINED per-subspace codebooks: spherical k-means
+    // per subvector slice (3 Lloyd rounds, deterministic lowest-id init —
+    // the q_ann_ivf_trained recipe applied per subspace). The trained
+    // codebook frame is the fixture seam; the oracle replays encode →
+    // ADC → rank from it in SQL.
+    "q_ann_pq_trained" -> ((s, dir) => {
+      val books = seam(SimilarityOps.pqCodebooksTrained(
+        emb(s, dir), "vec_id", "embedding", m = 4, ksub = 16, iters = 3),
+        dir, "pq_codebooks")
+      SimilarityOps.pqTopKFrom(emb(s, dir), "vec_id", "embedding", books,
+          querySelector = 10, k = 5, m = 4, maxQueries = 100)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN via IVF-PQ (FAISS's production composition): IVF cells prune the
     // search to 2 probed cells per query, PQ codes rank within them. Both
     // quantizers deterministic (lowest-id) → direct oracle.
@@ -404,6 +418,46 @@ object SimQueries {
         |  FROM dists)
         |SELECT query_id, rank, neighbor_id, d2
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_pq_trained" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (SELECT unnest(range(0, 4)) AS sub),
+         |books AS (
+         |  SELECT sub, code, CAST(cv AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${sqlPath("pq_codebooks")}')),
+         |corpus_subs AS (
+         |  SELECT b.id, s.sub,
+         |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+         |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS sv
+         |  FROM base b CROSS JOIN subs s),
+         |enc_ranked AS (
+         |  SELECT cs.id, cs.sub, bk.code,
+         |         row_number() OVER (PARTITION BY cs.id, cs.sub
+         |           ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cv),
+         |                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), bk.code) AS r
+         |  FROM corpus_subs cs JOIN books bk ON cs.sub = bk.sub),
+         |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
+         |qtab AS (
+         |  SELECT q.id AS query_id, s.sub, bk.code,
+         |         round(list_sum(list_transform(list_zip(
+         |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
+         |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
+         |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
+         |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
+         |  WHERE q.id % 10 = 0 AND q.id < 1000),
+         |dists AS (
+         |  SELECT qt.query_id, e.id AS neighbor_id, round(sum(qt.pd), 6) AS d2
+         |  FROM enc e JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
+         |  WHERE qt.query_id <> e.id
+         |  GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, d2,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY d2, neighbor_id) AS rank
+         |  FROM dists)
+         |SELECT query_id, rank, neighbor_id, d2
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivfpq" ->
       """WITH base AS (

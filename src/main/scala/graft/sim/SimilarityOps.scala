@@ -472,35 +472,66 @@ object SimilarityOps {
   private def subSlice(v: Column, sub: Column, m: Int): Column =
     slice(v, (sub * (size(v) / m)).cast("int") + 1, (size(v) / m).cast("int"))
 
-  /** Deterministic PQ codebooks: the `ksub` lowest-id vectors, sliced into
-    * `m` equal subspaces, serve as the codewords of each subspace (code =
-    * source vector id — the same SQL-replayable convention as
-    * [[ivfTopK]]'s deterministic quantizer; a trained variant would run
-    * [[kmeansCentroids]] per subspace and pin through a fixture seam).
-    * Output `(sub, code, cv)` — m·ksub rows, broadcast-sized by
-    * construction. */
-  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-                  m: Int, ksub: Int): DataFrame = {
-    // guard the m | dims precondition every PQ path shares: a remainder
-    // would make subSlice silently drop trailing dims and diverge from the
-    // oracle's slicing. The sample is the LOWEST-id row (deterministic
-    // under any partition pruning — an unordered limit(1) could sample a
-    // different row per run); a fully-ragged corpus would need a min/max
-    // size aggregate, but that is a full-corpus pass for a guard, and the
-    // codebook rows (lowest ksub ids) are the ones whose dims the slicing
-    // actually keys off
+  /** Guard the m | dims precondition every PQ path shares: a remainder
+    * would make [[subSlice]] silently drop trailing dims and diverge from
+    * the oracle's slicing. The sample is the LOWEST-id row (deterministic
+    * under any partition pruning — an unordered limit(1) could sample a
+    * different row per run); a fully-ragged corpus would need a min/max
+    * size aggregate, but that is a full-corpus pass for a guard, and the
+    * codebook rows (lowest ids) are the ones whose dims the slicing
+    * actually keys off. */
+  private def requireDimsDivisible(emb: DataFrame, idCol: String,
+                                   vecCol: String, m: Int): Unit =
     emb.select(col(idCol), size(col(vecCol)).as("d")).filter(col("d") >= 0)
       .orderBy(col(idCol)).limit(1).collect().headOption
       .foreach { r =>
         require(r.getInt(1) % m == 0,
           s"PQ needs dims divisible by m: dims=${r.getInt(1)}, m=$m")
       }
+
+  /** Deterministic PQ codebooks: the `ksub` lowest-id vectors, sliced into
+    * `m` equal subspaces, serve as the codewords of each subspace (code =
+    * source vector id — the same SQL-replayable convention as
+    * [[ivfTopK]]'s deterministic quantizer; [[pqCodebooksTrained]] is the
+    * trained variant, pinned through a fixture seam).
+    * Output `(sub, code, cv)` — m·ksub rows, broadcast-sized by
+    * construction. */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int): DataFrame = {
+    requireDimsDivisible(emb, idCol, vecCol, m)
     emb.orderBy(col(idCol)).limit(ksub)
       .select(col(idCol).as("code"), toDouble(col(vecCol)).as("v"))
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
         col("v"))
       .select(col("sub"), col("code"),
         subSlice(col("v"), col("sub"), m).as("cv"))
+  }
+
+  /** TRAINED per-subspace PQ codebooks — the FAISS-faithful training shape:
+    * [[kmeansCentroids]] runs independently on each of the `m` subvector
+    * slices (`iters` Lloyd rounds each, init = the `ksub` lowest-id
+    * subvectors, so training is deterministic given the data), and a
+    * subspace's cell ids become its codes (0..ksub-1). The per-round model
+    * is m·ksub·(dims/m) = ksub·dims doubles — the iterate-a-small-model
+    * shape, broadcast-sized regardless of corpus size.
+    *
+    * Centroid means depend on fp summation order inside `avg`, so query
+    * pipelines pin the OUTPUT frame through `OracleFixtures.seam` (exactly
+    * like `q_ann_ivf_trained`'s centroid frame) and the oracle replays
+    * encode → ADC → rank from the fixture. One deliberate divergence from
+    * FAISS: the within-subspace metric is the spherical (cosine) k-means
+    * this repo already oracle-pins, not L2 k-means — assignment in
+    * [[pqEncode]] stays squared-L2 ADC either way.
+    * Output `(sub, code, cv)`, m·ksub rows. */
+  def pqCodebooksTrained(emb: DataFrame, idCol: String, vecCol: String,
+                         m: Int, ksub: Int, iters: Int): DataFrame = {
+    requireDimsDivisible(emb, idCol, vecCol, m)
+    (0 until m).map { s =>
+      val sub = emb.select(col(idCol).as("id"),
+        subSlice(toDouble(col(vecCol)), lit(s), m).as("v"))
+      kmeansCentroids(sub, "id", "v", ksub, iters)
+        .select(lit(s).as("sub"), col("cell").as("code"), col("cv"))
+    }.reduce(_ unionByName _)
   }
 
   /** Squared L2 distance between two equal-length DOUBLE arrays, expressed
@@ -554,8 +585,16 @@ object SimilarityOps {
     * [[bruteForceTopK]]'s ranking window, at 1/dims the row width. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
              querySelector: Long, k: Int, m: Int, ksub: Int,
-             maxQueries: Long = 100L): DataFrame = {
-    val books = pqCodebooks(emb, idCol, vecCol, m, ksub)
+             maxQueries: Long = 100L): DataFrame =
+    pqTopKFrom(emb, idCol, vecCol, pqCodebooks(emb, idCol, vecCol, m, ksub),
+      querySelector, k, m, maxQueries)
+
+  /** [[pqTopK]] over an EXPLICIT codebook frame `(sub, code, cv)` — the
+    * codebook-agnostic core, shared by the deterministic path and the
+    * [[pqCodebooksTrained]] fixture-seam path. */
+  def pqTopKFrom(emb: DataFrame, idCol: String, vecCol: String,
+                 books: DataFrame, querySelector: Long, k: Int, m: Int,
+                 maxQueries: Long = 100L): DataFrame = {
     val codes = pqEncode(emb, idCol, vecCol, books, m)
     val qtab = emb.filter(col(idCol) % querySelector === 0 &&
         col(idCol) < lit(querySelector * maxQueries))

@@ -237,6 +237,46 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("trained PQ codebooks: well-formed, and recall holds up vs deterministic") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val books = SimilarityOps.pqCodebooksTrained(
+      emb, "vec_id", "embedding", m = 4, ksub = 16, iters = 3)
+    val rows = books.collect()
+    // shape: ksub codes per subspace, codes are the k-means cell ids
+    assert(rows.length == 4 * 16)
+    val bySub = rows.groupBy(_.getInt(0))
+    assert(bySub.keySet == Set(0, 1, 2, 3))
+    bySub.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 16L))
+      // every codeword spans one quarter of the vector dims
+      assert(rs.map(_.getSeq[Double](2).length).distinct.length == 1)
+    }
+    // training must actually move the centroids off the lowest-id init
+    // (i.e. differ from the deterministic codebook's raw slices)
+    val det = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 4, 16)
+      .collect().map(r => r.getSeq[Double](2)).toSet
+    assert(rows.map(_.getSeq[Double](2)).count(det.contains) < rows.length)
+
+    // recall@5 against exact brute-force ground truth, trained vs
+    // deterministic: trained codebooks quantize to data centroids rather
+    // than arbitrary corpus rows, so recall must not collapse (both values
+    // are deterministic on this data — no seed, no randomness)
+    val truth = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val rDet = recall(SimilarityOps.pqTopK(
+      emb, "vec_id", "embedding", 10, 5, 4, 16))
+    val rTrn = recall(SimilarityOps.pqTopKFrom(
+      emb, "vec_id", "embedding", books, 10, 5, 4))
+    info(f"PQ recall@5 vs brute force: deterministic $rDet%.3f, trained $rTrn%.3f")
+    assert(rTrn > 0.0)
+    assert(rTrn >= rDet - 0.2,
+      f"trained recall $rTrn%.3f collapsed vs deterministic $rDet%.3f")
+  }
+
   test("IVF-PQ: results are PQ distances restricted to probed cells") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     // full PQ ranking (no cell pruning) as the reference distances
