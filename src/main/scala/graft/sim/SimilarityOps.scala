@@ -427,31 +427,64 @@ object SimilarityOps {
     *
     * Scale: the cell equi-join's reducer memory is bounded by the largest
     * cell — k should grow with the corpus (the paper runs k ≈ √n·c); a
-    * pathologically hot cell is handled the same way as any skewed join
-    * key (salt the cell's pair scan into block-pairs, the
-    * [[cosinePairsBlocked]] shape, within that cell).
+    * pathologically hot cell (size > `hotCellThreshold`) is handled the
+    * same way as any skewed join key: its pair scan is salted into the
+    * [[cosinePairsBlocked]] block-pair shape WITHIN the cell, so one hot
+    * cell's Σ|cell|² comparisons spread over `nBlocks(nBlocks+1)/2`
+    * reducers with 2|cell|/nBlocks vectors each instead of landing on a
+    * single (cell)-keyed reducer. Pair semantics are identical either
+    * route (SimilaritySpec pins salted ≡ plain on a deliberately hot
+    * cell), so the split is purely a physical-shape decision.
     *
     * Output one row per vector: `(vec_id, cell, cluster_id, keep)`.
     * Vectors with no near-dup in their cell keep themselves. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               centroidFrame: DataFrame, threshold: Double): DataFrame = {
+               centroidFrame: DataFrame, threshold: Double,
+               hotCellThreshold: Int = 1000000, nBlocks: Int = 16): DataFrame = {
     // materialized once: the assignment pass (a full-corpus broadcast
-    // cross + max_by) is read three times — both pair-scan sides and the
-    // output join — and duplicateClusters' eager materialization would
-    // otherwise recompute it per read. Construction of this frame is
-    // therefore EAGER (duplicateClusters counts the pair set anyway);
-    // blocks are freed by the ContextCleaner when the result frame is
-    // dropped, and bench/serving edges clearCache — same lifecycle as the
-    // prefix pair join's posting frame (DedupOps.ngramJaccardPairsPrefix).
+    // cross + max_by) is read four times — both pair-scan sides, the
+    // cell-size rollup, and the output join — and duplicateClusters' eager
+    // materialization would otherwise recompute it per read. Construction
+    // of this frame is therefore EAGER (duplicateClusters counts the pair
+    // set anyway); blocks are freed by the ContextCleaner when the result
+    // frame is dropped, and bench/serving edges clearCache — same
+    // lifecycle as the prefix pair join's posting frame
+    // (DedupOps.ngramJaccardPairsPrefix).
     val asg = assignCells(emb, idCol, vecCol, centroidFrame)
       .localCheckpoint(true)
-    val a = asg.as("a"); val b = asg.as("b")
-    val pairs = a.join(b, col("a.cell") === col("b.cell") &&
+    // cell sizes: one row per cell (k ≈ √n·c rows — broadcast-sized), so
+    // the hot/cold split is a broadcast join, not a second corpus shuffle
+    val sizes = asg.groupBy("cell").agg(count(lit(1)).as("__cn"))
+    val sized = asg.join(broadcast(sizes), Seq("cell"))
+    val cold = sized.filter(col("__cn") <= hotCellThreshold).drop("__cn")
+    val hot = sized.filter(col("__cn") > hotCellThreshold).drop("__cn")
+    val a = cold.as("a"); val b = cold.as("b")
+    val coldPairs = a.join(b, col("a.cell") === col("b.cell") &&
         col("a.id") < col("b.id"))
       .withColumn("cos", round(
         dot(col("a.v"), col("b.v")) / (col("a.nv") * col("b.nv")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // hot cells: the cosinePairsBlocked replication keyed by (cell, ba,
+    // bb) — each unordered within-cell pair meets exactly once
+    val blocked = hot.withColumn("blk", pmod(col("id"), lit(nBlocks)).cast("int"))
+    val ha = blocked
+      .withColumn("bb", explode(filter(sequence(lit(0), lit(nBlocks - 1)),
+        j => j >= col("blk"))))
+      .select(col("cell"), col("blk").as("ba"), col("bb"),
+        col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val hb = blocked
+      .withColumn("ba", explode(filter(sequence(lit(0), lit(nBlocks - 1)),
+        j => j <= col("blk"))))
+      .select(col("cell"), col("ba"), col("blk").as("bb"),
+        col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    val hotPairs = ha.join(hb, Seq("cell", "ba", "bb"))
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val pairs = coldPairs.unionByName(hotPairs)
     val clusters = graft.dedup.DedupOps.duplicateClusters(pairs)
       .withColumnRenamed("doc_id", "vec_id")
     asg.select(col("id").as("vec_id"), col("cell"))

@@ -198,6 +198,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semDedup hot-cell salting: blocked route equals the plain pair scan") {
+    // one centroid funnels EVERY vector into a single deliberately hot
+    // cell; hotCellThreshold=1 forces that cell through the block-pair
+    // (salted) route, while the default threshold keeps it on the plain
+    // cell self-join. The two physical shapes must produce identical
+    // (cluster_id, keep) output row-for-row.
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val oneCell = emb.orderBy("vec_id").limit(1)
+      .select(lit(0L).as("cell"),
+        SimilarityOps.toDouble(col("embedding")).as("cv"))
+    def run(hotThreshold: Int) =
+      SimilarityOps.semDedup(emb, "vec_id", "embedding", oneCell, 0.4,
+          hotCellThreshold = hotThreshold, nBlocks = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).sortBy(_._1).toSeq
+    val plain = run(Int.MaxValue)
+    val salted = run(1)
+    assert(salted == plain)
+    // the case has teeth only if something is actually dropped
+    assert(plain.exists(_._4 == 0))
+  }
+
   test("semDedup drops are a subset of the exact dedup's drops (refinement)") {
     // within-cell pairs ⊆ all pairs → semdedup components refine exact
     // components → anything semdedup drops, the exact pipeline drops too
