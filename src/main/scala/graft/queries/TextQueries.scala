@@ -117,6 +117,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram importance
+    // resampling against a target domain (here sources src0/src1 stand in
+    // for "high-quality target"). Per-doc log weight = Σ tokens of the
+    // smoothed target/raw bucket log-ratio; resample raw data by these
+    // weights to skew a pretraining mix toward the target. See
+    // TextOps.dsirLogWeights for the engine-exact integer-micro
+    // accumulation and the broadcast-everything scale shape.
+    "q_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirLogWeights(docs(s, dir), "doc_id", "text",
+          col("source").isin("src0", "src1"), buckets = 256)
+        .orderBy("doc_id")),
+
     // PII scrub (decontamination stage): count + redact emails/URLs. The
     // patterns use only constructs Java regex and RE2 read identically
     // (char classes, quantifiers — no lookaround, no \s, which differs at
@@ -584,6 +596,34 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens,
          |       round(avg(-ln(n_term / n_total)), 6) AS avg_neg_logprob
          |FROM tokens JOIN tf USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // identical hashing to the Spark side (md5 of the same UTF-8 bytes,
+    // first 15 hex digits as BIGINT, mod 256) and identical integer-micro
+    // accumulation of the 6-decimal-rounded log-ratio
+    "q_dsir_weights" ->
+      s"""WITH tokens AS (
+         |  SELECT doc_id,
+         |         CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END AS is_target,
+         |         unnest(${toks("lower(text)")}) AS term
+         |  FROM documents),
+         |bk AS (
+         |  SELECT doc_id, is_target,
+         |         CAST(concat('0x', substr(md5('dsir:' || term), 1, 15)) AS BIGINT)
+         |           % 256 AS b
+         |  FROM tokens),
+         |counts AS (
+         |  SELECT b, count(*) AS rc, sum(is_target) AS tc FROM bk GROUP BY b),
+         |tot AS (SELECT sum(rc) AS r_tot, sum(tc) AS t_tot FROM counts),
+         |lam AS (
+         |  SELECT b, CAST(round(round(
+         |      ln(CAST(tc + 1 AS DOUBLE) / CAST(t_tot + 256 AS DOUBLE)) -
+         |      ln(CAST(rc + 1 AS DOUBLE) / CAST(r_tot + 256 AS DOUBLE)),
+         |      6) * 1e6) AS BIGINT) AS lam_micro
+         |  FROM counts CROSS JOIN tot)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(lam_micro) AS DOUBLE) / 1e6 AS log_weight
+         |FROM bk JOIN lam USING (b)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->

@@ -264,4 +264,49 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("source"), col("rank"), col("term"), col("n_st"), col("contrib"))
   }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how target-like it looks under hashed bag-of-ngrams
+    * language models. Tokens hash into `buckets` feature buckets
+    * ([[md5Key64]] mod buckets — engine-exact); the target rows
+    * (`targetPred`) and the full raw corpus each fit an add-1-smoothed
+    * bucket distribution, and a document's log importance weight is
+    * `Σ_tokens (ln p_target(b) − ln p_raw(b))` — resampling by these
+    * weights skews a pretraining mix toward the target domain.
+    *
+    * Engine-exactness: the per-bucket log-ratio λ_b rounds at 6 decimals
+    * and converts to exact integer micro-units; per-document accumulation
+    * is then an INTEGER sum (any summation order agrees), decoded by one
+    * exact division — the q_ppl_buckets house rule for oracle-compared
+    * sums of rounded doubles.
+    *
+    * Scale shape: one tokenize pass → (bucket) rollup with map-side
+    * combine (`buckets` rows — broadcast-sized by construction, the point
+    * of hashing); totals fold in as a 1-row broadcast cross join; the
+    * λ table broadcast-joins back onto the token stream and the per-doc
+    * integer sum is a partial→final hash aggregate. No corpus-sized
+    * shuffle anywhere except the per-doc rollup itself.
+    * Output `(doc_id, n_tokens, log_weight)`. */
+  def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
+                     targetPred: Column, buckets: Int): DataFrame = {
+    val tokens = df.select(col(idCol).as("doc_id"),
+        targetPred.cast("long").as("is_target"),
+        explode(wsTokens(lower(col(textCol)))).as("term"))
+      .withColumn("b", pmod(md5Key64(col("term"), "dsir:"), lit(buckets)))
+    val counts = tokens.groupBy("b").agg(
+      count(lit(1)).as("rc"), sum("is_target").as("tc"))
+    val totals = counts.agg(sum("rc").as("r_tot"), sum("tc").as("t_tot"))
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(round(
+          log((col("tc") + 1).cast("double") / (col("t_tot") + buckets).cast("double")) -
+          log((col("rc") + 1).cast("double") / (col("r_tot") + buckets).cast("double")),
+          6) * 1e6, 0).cast("long").as("lam_micro"))
+    tokens.join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lam_micro").as("s_micro"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("s_micro").cast("double") / 1e6).as("log_weight"))
+  }
 }

@@ -323,9 +323,18 @@ object Profile {
             SimilarityOps.kmeansCentroids(e, "vec_id", "embedding", 16, 3) }
           val sem = t(
             SimilarityOps.semDedup(e, "vec_id", "embedding", cent, 0.4).count())
+          // forced-salted variant: a threshold below the mean cell size
+          // routes (nearly) every cell through the within-cell block-pair
+          // shape — times the salting overhead/benefit on the same data
+          val semSalt = t(SimilarityOps.semDedup(e, "vec_id", "embedding",
+            cent, 0.4, hotCellThreshold = (nv0 * times / 32).toInt.max(1),
+            nBlocks = 8).count())
           val pq = t(SimilarityOps.pqTopK(e, "vec_id", "embedding",
             querySelector = 10, k = 5, m = 4, ksub = 16).count())
-          println(f"[profile] ${times}%3d× (${nv0 * times}%7d vecs): kmeans_train $train%6.1f s  semdedup $sem%6.1f s  pq_topk $pq%6.1f s")
+          val ivfpq = t(SimilarityOps.ivfPqTopK(e, "vec_id", "embedding",
+            querySelector = 10, k = 5, nCells = 16, nProbe = 2,
+            m = 4, ksub = 16).count())
+          println(f"[profile] ${times}%3d× (${nv0 * times}%7d vecs): kmeans_train $train%6.1f s  semdedup $sem%6.1f s  semdedup_salted $semSalt%6.1f s  pq_topk $pq%6.1f s  ivfpq_topk $ivfpq%6.1f s")
           e.unpersist()
         }
         Seq(1L, 1L, 10L, 100L).foreach { times =>

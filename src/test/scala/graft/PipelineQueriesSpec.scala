@@ -248,6 +248,39 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR weights: planted target vocabulary separates, neutral terms don't") {
+    // target docs (src0) speak "apple", raw-only docs speak "zebra", and
+    // "the" is common to both. A target-vocab doc must outscore a
+    // raw-vocab doc; the shared-vocab doc sits between them.
+    def rep(w: String) = Seq.fill(20)(w).mkString(" ")
+    val df = Seq(
+      (0L, "src0", s"${rep("apple")} ${rep("the")}"),
+      (1L, "src0", s"${rep("apple")} ${rep("the")}"),
+      (2L, "srcX", s"${rep("zebra")} ${rep("the")}"),
+      (3L, "srcX", s"${rep("zebra")} ${rep("the")}"),
+      (4L, "srcX", rep("the"))).toDF("doc_id", "source", "text")
+    val w = graft.text.TextOps.dsirLogWeights(df, "doc_id", "text",
+        col("source") === "src0", buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(w(0L) == w(1L)) // identical docs, identical weight
+    assert(w(0L) > w(4L), s"target-vocab ${w(0L)} vs shared-vocab ${w(4L)}")
+    assert(w(4L) > w(2L), s"shared-vocab ${w(4L)} vs raw-vocab ${w(2L)}")
+    assert(w(2L) == w(3L))
+  }
+
+  test("DSIR weights on the real corpus: target sources average higher") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val scored = SparkEntry.queries("q_dsir_weights")(spark, TestSpark.Sf0001)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Double]("log_weight")))
+    val (target, rest) = scored.partition(s => s._1 == "src0" || s._1 == "src1")
+    assert(target.nonEmpty && rest.nonEmpty)
+    val tAvg = target.map(_._2).sum / target.length
+    val rAvg = rest.map(_._2).sum / rest.length
+    assert(tAvg > rAvg, f"target avg $tAvg%.4f should exceed raw-rest avg $rAvg%.4f")
+  }
+
   test("perplexity buckets: per-source thirds with ordered means") {
     val dir = TestSpark.Sf0001
     val rows = SparkEntry.queries("q_ppl_buckets")(spark, dir)
