@@ -665,8 +665,9 @@ object SimilarityOps {
     * [[pqTopK]]); production swaps in [[kmeansCentroids]] per quantizer
     * behind a fixture seam. One deliberate divergence from FAISS: codes
     * are computed over RAW vectors, not per-cell residuals — residual
-    * codebooks can't be deterministic-by-id, and the raw variant keeps
-    * the oracle exact (documented tradeoff: ~worse recall per byte).
+    * codebooks can't be deterministic-by-id. [[ivfPqResidualTopK]] is the
+    * residual-coded, FAISS-faithful variant (trained codebooks via the
+    * fixture seam).
     *
     * Scale shape: the corpus-side state is `(cell, m codes)` per vector;
     * the probe join hits only `nProbe/nCells` of it, and the ADC
@@ -710,6 +711,88 @@ object SimilarityOps {
       .agg(round(sum("pd"), 6).as("d2"))
     // ascending bounded-heap rank over the probed-cell ADC candidates; the
     // cell (unique per neighbor) rides the heap as an inert payload
+    rankTopK(scored, "d2", k, ascending = true, tag = Some("cell"))
+      .select("query_id", "rank", "neighbor_id", "d2", "cell")
+  }
+
+  /** Residual frame for IVF-PQ: each vector's elementwise offset from its
+    * assigned cell's centroid, `rv = v − cv(cell)`. The subtraction is an
+    * interpreted `zip_with` — one dims-length pass per vector, ~1/ksub of
+    * the interpreted FLOPs [[pqEncode]]'s codebook scan already spends per
+    * vector, so a native kernel would not move the needle here. EAGERLY
+    * checkpointed by callers that read it more than once (encode + cell
+    * map + k-means rounds). */
+  private def residualFrame(emb: DataFrame, idCol: String, vecCol: String,
+                            cent: DataFrame): DataFrame =
+    assignCells(emb, idCol, vecCol, cent)
+      .join(broadcast(cent.select(col("cell"),
+        toDouble(col("cv")).as("__cv"))), Seq("cell"))
+      .select(col("id"), col("cell"),
+        zip_with(toDouble(col("v")), col("__cv"), (a, b) => a - b).as("rv"))
+
+  /** Trained RESIDUAL PQ codebooks — the missing half of FAISS's
+    * IndexIVFPQ that the raw-vector [[ivfPqTopK]] documents as its
+    * oracle-exactness tradeoff: codewords quantize the residual
+    * `v − centroid(cell)` rather than the raw vector, so code precision
+    * concentrates around each cell instead of spanning the whole space.
+    * The coarse quantizer stays the DETERMINISTIC lowest-id one (directly
+    * SQL-replayable); the codebooks train with [[pqCodebooksTrained]] on
+    * the residuals and are pinned through the fixture seam by callers.
+    * Zero residuals (the centroid rows themselves) are excluded from
+    * TRAINING — they carry no direction for the spherical trainer and
+    * would put NaN cosines into the assignment pass; they still ENCODE
+    * fine (squared-L2 argmin over finite codewords). */
+  def ivfPqResidualBooks(emb: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .orderBy("cell").limit(nCells)
+    val resid = residualFrame(emb, idCol, vecCol, cent).localCheckpoint(true)
+    pqCodebooksTrained(resid.filter(l2norm(col("rv")) > 0), "id", "rv",
+      m, ksub, iters)
+  }
+
+  /** ANN via residual IVF-PQ — FAISS's IndexIVFPQ composition, faithfully:
+    * neighbors rank by the ADC distance `‖(q − cv(cell)) − PQ(v − cv(cell))‖²`,
+    * i.e. both sides of the lookup live in the probed cell's residual
+    * space, and the query builds ONE distance table per probed cell
+    * (maxQueries·nProbe·m·ksub entries — broadcast-sized). Corpus-side
+    * state is `(cell, m codes)` per vector exactly as [[ivfPqTopK]]; the
+    * only exchanges are the encode argmin and the candidate partial-sum
+    * aggregate, and the rank is the bounded-heap [[rankTopK]] stage.
+    * `books` comes from [[ivfPqResidualBooks]] via the fixture seam. */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        books: DataFrame, querySelector: Long, k: Int,
+                        nCells: Int, nProbe: Int, m: Int,
+                        maxQueries: Long = 100L): DataFrame = {
+    val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
+      .orderBy("cell").limit(nCells)
+    // read twice (encode + cell map) — checkpoint instead of recomputing
+    // the assignment max_by pass per read
+    val resid = residualFrame(emb, idCol, vecCol, cent).localCheckpoint(true)
+    val codes = pqEncode(resid, "id", "rv", books, m)
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
+    val qbase = emb.filter(col(idCol) % querySelector === 0 &&
+        col(idCol) < lit(querySelector * maxQueries))
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("nv"))
+    val qres = probeCells(qbase, cent, nProbe)
+      .join(broadcast(cent.select(col("cell"),
+        toDouble(col("cv")).as("__cv"))), Seq("cell"))
+      .select(col("id").as("query_id"), col("cell"),
+        zip_with(toDouble(col("v")), col("__cv"), (a, b) => a - b).as("qrv"))
+    val qtab = qres
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qrv"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        subSlice(col("qrv"), col("sub"), m).as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      // per-subspace 9-decimal rounding before the sum — see [[pqTopK]]
+      .select(col("query_id"), col("cell"), col("sub"), col("code"),
+        round(l2sq(col("qsv"), col("cv")), 9).as("pd"))
+    val scored = codes.join(broadcast(qtab), Seq("cell", "sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"), col("cell"))
+      .agg(round(sum("pd"), 6).as("d2"))
     rankTopK(scored, "d2", k, ascending = true, tag = Some("cell"))
       .select("query_id", "rank", "neighbor_id", "d2", "cell")
   }
