@@ -65,12 +65,23 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")),
         s"$q: unexpected Window node")
     }
-    for (q <- Seq("q_ann_ivf", "q_ann_ivfpq")) {
+    for (q <- Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_pq_trained",
+        "q_ann_ivfpq_res")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"), s"$q: no heap aggregate\n$p")
       val windows = p.linesIterator.count(_.matches(".*\\bWindow \\[.*"))
       assert(windows <= 1, s"$q: $windows Window nodes (probe-only allowed)")
     }
+  }
+
+  test("DSIR weights: broadcast lambda table, no corpus-sized window") {
+    val p = plan("q_dsir_weights")
+    // bucket counts and the λ table are buckets-sized → broadcast joins
+    // back onto the token stream; per-doc accumulation is a partial→final
+    // hash aggregate, never a window or a cartesian
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(40).mkString("\n"))
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), "unexpected Window")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("exact pair scan is a block-pair equi-join: no nested loop over n²") {
