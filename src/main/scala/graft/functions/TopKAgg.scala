@@ -119,7 +119,8 @@ case class TopKPayByAgg(
       StructField("id", LongType, nullable = false),
       StructField("pay", LongType, nullable = false))), containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(k, withPay = true)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val o = ord.eval(input)
@@ -152,7 +153,7 @@ case class TopKPayByAgg(
 
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
-    val buf = new TopKBuffer(k)
+    val buf = new TopKBuffer(k, withPay = true)
     var n = bytes.length / 24
     while (n > 0) { buf.insert(bb.getLong(), bb.getLong(), bb.getLong()); n -= 1 }
     buf
@@ -172,10 +173,13 @@ case class TopKPayByAgg(
   * id — so the root is the entry the next better candidate evicts. The
   * payload never participates in ordering (it is an attribute of the id,
   * not a rank key). */
-final class TopKBuffer(k: Int) {
+final class TopKBuffer(k: Int, withPay: Boolean = false) {
   private val ords = new Array[Long](k)
   private val ids = new Array[Long](k)
-  private val pays = new Array[Long](k)
+  // allocated only for the payload-carrying aggregate: the plain TopKByAgg
+  // keeps many live group buffers in ObjectHashAggregate, and a third
+  // always-on k-long array would be a 50% buffer-memory tax it never reads
+  private val pays: Array[Long] = if (withPay) new Array[Long](k) else null
   var size: Int = 0
 
   // (a) worse than (b)?
@@ -188,7 +192,8 @@ final class TopKBuffer(k: Int) {
     if (size < k) {
       // sift up from the new leaf
       var c = size
-      ords(c) = o; ids(c) = i; pays(c) = p
+      ords(c) = o; ids(c) = i
+      if (pays != null) pays(c) = p
       size += 1
       while (c > 0 && worse(ords(c), ids(c), ords((c - 1) / 2), ids((c - 1) / 2))) {
         val par = (c - 1) / 2
@@ -196,7 +201,8 @@ final class TopKBuffer(k: Int) {
       }
     } else if (worse(ords(0), ids(0), o, i)) {
       // replace the worst kept entry, sift down
-      ords(0) = o; ids(0) = i; pays(0) = p
+      ords(0) = o; ids(0) = i
+      if (pays != null) pays(0) = p
       var c = 0
       var continue = true
       while (continue) {
@@ -213,7 +219,7 @@ final class TopKBuffer(k: Int) {
   private def swap(a: Int, b: Int): Unit = {
     val to = ords(a); ords(a) = ords(b); ords(b) = to
     val ti = ids(a); ids(a) = ids(b); ids(b) = ti
-    val tp = pays(a); pays(a) = pays(b); pays(b) = tp
+    if (pays != null) { val tp = pays(a); pays(a) = pays(b); pays(b) = tp }
   }
 
   def foreach(f: (Long, Long) => Unit): Unit = {

@@ -71,9 +71,21 @@ object SimilarityOps {
                        ascending: Boolean = false,
                        tag: Option[String] = None): DataFrame = {
     val enc = scoreMicros(col(scoreCol))
-    val ord = if (ascending) -enc else enc
+    // NaN scores (a zero-norm vector's 0/0 cosine): both engines order NaN
+    // GREATEST — first under DESC, last under ASC — but a non-ANSI
+    // double→long cast would silently turn NaN into 0 and rank it
+    // mid-pack. Encode NaN as the matching extreme sentinel and decode it
+    // back, so both rank position and emitted value agree with the
+    // window/oracle formulation (legit micro values are bounded orders of
+    // magnitude below the sentinels; NaN ties resolve by neighbor_id on
+    // both engines). NULL scores stay dropped by the aggregate — a null
+    // cosine requires a null vector/id, which the pair builders exclude.
+    val nanOrd = if (ascending) Long.MinValue else Long.MaxValue
+    val ord = when(isnan(col(scoreCol)), lit(nanOrd))
+      .otherwise(if (ascending) -enc else enc)
     def dec(o: Column): Column =
-      (if (ascending) -o else o).cast("double") / 1e6
+      when(o === nanOrd, lit(Double.NaN))
+        .otherwise((if (ascending) -o else o).cast("double") / 1e6)
     val base = tag match {
       case None =>
         pairs.groupBy("query_id")
@@ -507,12 +519,14 @@ object SimilarityOps {
 
   /** Guard the m | dims precondition every PQ path shares: a remainder
     * would make [[subSlice]] silently drop trailing dims and diverge from
-    * the oracle's slicing. The sample is the LOWEST-id row (deterministic
-    * under any partition pruning — an unordered limit(1) could sample a
-    * different row per run); a fully-ragged corpus would need a min/max
-    * size aggregate, but that is a full-corpus pass for a guard, and the
-    * codebook rows (lowest ids) are the ones whose dims the slicing
-    * actually keys off. */
+    * the oracle's slicing. The sample is the LOWEST-id row — an unordered
+    * limit(1) could sample a different row per run under partition
+    * pruning. Cost honesty: TakeOrdered over the pruned (id, size(vec))
+    * columns IS a light full scan, paid once per codebook build and dwarfed
+    * by the build itself; a min(size)=max(size) aggregate over the same
+    * columns would cost the same scan and catch ragged corpora beyond the
+    * codebook rows (whose dims are what the slicing actually keys off) —
+    * the guard stays best-effort by that reasoning. */
   private def requireDimsDivisible(emb: DataFrame, idCol: String,
                                    vecCol: String, m: Int): Unit =
     emb.select(col(idCol), size(col(vecCol)).as("d")).filter(col("d") >= 0)
@@ -560,8 +574,15 @@ object SimilarityOps {
                          m: Int, ksub: Int, iters: Int): DataFrame = {
     requireDimsDivisible(emb, idCol, vecCol, m)
     (0 until m).map { s =>
+      // drop all-zero SLICES from training: a zero-norm row is directionless
+      // for the spherical trainer, and a zero-norm INIT codeword would be
+      // worse — its NaN similarity (greatest under Spark's ordering) would
+      // capture every row of the subspace each Lloyd round and collapse the
+      // codebook to its init. Zero slices still ENCODE fine downstream
+      // (squared-L2 argmin over finite codewords).
       val sub = emb.select(col(idCol).as("id"),
-        subSlice(toDouble(col(vecCol)), lit(s), m).as("v"))
+          subSlice(toDouble(col(vecCol)), lit(s), m).as("v"))
+        .filter(l2norm(col("v")) > 0)
       kmeansCentroids(sub, "id", "v", ksub, iters)
         .select(lit(s).as("sub"), col("cell").as("code"), col("cv"))
     }.reduce(_ unionByName _)
@@ -741,7 +762,10 @@ object SimilarityOps {
     * Zero residuals (the centroid rows themselves) are excluded from
     * TRAINING — they carry no direction for the spherical trainer and
     * would put NaN cosines into the assignment pass; they still ENCODE
-    * fine (squared-L2 argmin over finite codewords). */
+    * fine (squared-L2 argmin over finite codewords). A nonzero residual
+    * with an all-zero SUBSPACE slice is likewise dropped from that
+    * subspace's training by [[pqCodebooksTrained]] — see the zero-slice
+    * note there. */
   def ivfPqResidualBooks(emb: DataFrame, idCol: String, vecCol: String,
                          nCells: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))

@@ -281,21 +281,25 @@ object TextOps {
     * exact division — the q_ppl_buckets house rule for oracle-compared
     * sums of rounded doubles.
     *
-    * Scale shape: one tokenize pass → (bucket) rollup with map-side
-    * combine (`buckets` rows — broadcast-sized by construction, the point
-    * of hashing); totals fold in as a 1-row broadcast cross join; the
-    * λ table broadcast-joins back onto the token stream and the per-doc
-    * integer sum is a partial→final hash aggregate. No corpus-sized
-    * shuffle anywhere except the per-doc rollup itself.
-    * Output `(doc_id, n_tokens, log_weight)`. */
+    * Scale shape: ONE tokenize pass collapses immediately into the
+    * per-(doc, bucket) count rollup (map-side combine; ≤ `buckets` rows
+    * per document) which is eagerly checkpointed — both the bucket
+    * distributions and the final scoring read the rollup, never the token
+    * stream again. The λ table is `buckets` rows (broadcast-sized by
+    * construction, the point of hashing); totals fold in as a 1-row
+    * broadcast cross join; per-doc scores weight the rollup's counts
+    * (`Σ n·λ_micro`, still an integer sum) in a partial→final hash
+    * aggregate. Output `(doc_id, n_tokens, log_weight)`. */
   def dsirLogWeights(df: DataFrame, idCol: String, textCol: String,
                      targetPred: Column, buckets: Int): DataFrame = {
-    val tokens = df.select(col(idCol).as("doc_id"),
+    val docBuckets = df.select(col(idCol).as("doc_id"),
         targetPred.cast("long").as("is_target"),
         explode(wsTokens(lower(col(textCol)))).as("term"))
       .withColumn("b", pmod(md5Key64(col("term"), "dsir:"), lit(buckets)))
-    val counts = tokens.groupBy("b").agg(
-      count(lit(1)).as("rc"), sum("is_target").as("tc"))
+      .groupBy("doc_id", "is_target", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val counts = docBuckets.groupBy("b").agg(
+      sum("n").as("rc"), sum(col("is_target") * col("n")).as("tc"))
     val totals = counts.agg(sum("rc").as("r_tot"), sum("tc").as("t_tot"))
     val lam = counts.crossJoin(broadcast(totals))
       .select(col("b"),
@@ -303,9 +307,9 @@ object TextOps {
           log((col("tc") + 1).cast("double") / (col("t_tot") + buckets).cast("double")) -
           log((col("rc") + 1).cast("double") / (col("r_tot") + buckets).cast("double")),
           6) * 1e6, 0).cast("long").as("lam_micro"))
-    tokens.join(broadcast(lam), Seq("b"))
+    docBuckets.join(broadcast(lam), Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("lam_micro").as("s_micro"))
+      .agg(sum("n").as("n_tokens"), sum(col("n") * col("lam_micro")).as("s_micro"))
       .select(col("doc_id"), col("n_tokens"),
         (col("s_micro").cast("double") / 1e6).as("log_weight"))
   }
