@@ -91,6 +91,27 @@ class FunctionsSpec extends AnyFunSuite {
       1L -> Seq((6L, 12L), (5L, 11L))))
   }
 
+  test("topk_by_pay: payload rides eviction/merges untouched and never orders") {
+    import graft.functions.TopKByAgg.topk_by_pay
+    // payload = id * 100 (checkable); adversarial payload values on the
+    // ord tie must NOT influence which entry wins (tie → smaller id)
+    val df = Seq(
+      (0L, 50L, 7L, 700L), (0L, 50L, 3L, 300L), (0L, 90L, 9L, 900L),
+      (0L, 10L, 1L, 100L), (0L, 70L, 2L, 200L),
+      (1L, 5L, 11L, 1100L), (1L, 6L, 12L, 1200L)
+    ).toDF("g", "m", "id", "p")
+    val got = df.repartition(5).groupBy("g")
+      .agg(topk_by_pay(col("m"), col("id"), col("p"), 3).as("tk"))
+      .orderBy("g")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getLong(0), e.getLong(1), e.getLong(2))))
+      .toSeq
+    assert(got == Seq(
+      0L -> Seq((90L, 9L, 900L), (70L, 2L, 200L), (50L, 3L, 300L)),
+      1L -> Seq((6L, 12L, 1200L), (5L, 11L, 1100L))))
+  }
+
   test("topk_by equals the rank-window formulation per event user (many merges)") {
     import graft.functions.TopKByAgg.topk_by
     // repartition(7) forces partial buffers + merges across partitions

@@ -18,6 +18,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs((0L, 2L)) - math.sqrt(0.5)) < 1e-6)
   }
 
+  test("NaN cosine ranks greatest-first and is emitted as NaN (window parity)") {
+    // a NaN vector component yields cos = NaN (a ZERO vector, by contrast,
+    // fails loudly under ANSI division — it cannot reach the rank stage);
+    // both engines' window formulation orders NaN greatest (first under
+    // DESC) — the heap rank must reproduce that, not remap NaN via a
+    // silent double→long cast
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),        // the query (id % 10 == 0)
+      (1L, Array(Float.NaN, 1.0f)),   // NaN component → NaN cosine
+      (2L, Array(1.0f, 1.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val rows = SimilarityOps.bruteForceTopK(df, "vec_id", "embedding",
+        querySelector = 10, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 3)
+    assert(rows(0)._2 == 1L && rows(0)._3.isNaN, s"NaN row must rank first: ${rows.toSeq}")
+    assert(rows(1) == ((2, 2L, 0.707107)))
+    assert(rows(2) == ((3, 3L, 0.0)))
+  }
+
   test("brute-force top-k: ranks descend, self excluded, k respected") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     val topk = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding", 50, 5)
