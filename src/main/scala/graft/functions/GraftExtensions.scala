@@ -34,6 +34,9 @@ object GraftFunctions {
     "topk_by" -> ((args: Seq[Expression]) =>
       TopKByAgg(args(0), args(1), intArg(args(2), "k"))
         .toAggregateExpression()),
+    "topk_by_pay" -> ((args: Seq[Expression]) =>
+      TopKPayByAgg(args(0), args(1), args(2), intArg(args(3), "k"))
+        .toAggregateExpression()),
     "hyperplane_bands" -> ((args: Seq[Expression]) =>
       HyperplaneBands(args(0), intArg(args(1), "rowsPerBand"),
         intArg(args(2), "nBands"))))

@@ -50,4 +50,18 @@ class ExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).head().getLong(0)
     assert(again == r.getLong(1))
   }
+
+  test("topk_by and topk_by_pay aggregates from SQL") {
+    val r = spark.sql(
+      """SELECT g, topk_by(m, id, 2) AS tk, topk_by_pay(m, id, p, 2) AS tkp
+        |FROM VALUES (0, 50L, 7L, 700L), (0, 90L, 9L, 900L), (0, 70L, 2L, 200L)
+        |  AS t(g, m, id, p)
+        |GROUP BY g""".stripMargin).head()
+    val tk = r.getSeq[org.apache.spark.sql.Row](1)
+      .map(e => (e.getLong(0), e.getLong(1)))
+    val tkp = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(e => (e.getLong(0), e.getLong(1), e.getLong(2)))
+    assert(tk == Seq((90L, 9L), (70L, 2L)))
+    assert(tkp == Seq((90L, 9L, 900L), (70L, 2L, 200L)))
+  }
 }
