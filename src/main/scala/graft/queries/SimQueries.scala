@@ -105,6 +105,24 @@ object SimQueries {
         .orderBy("vec_id")
     }),
 
+    // Global Gram matrix over the embedding store in ONE corpus pass —
+    // the PCA/whitening/covariance precursor. The native GramMicroAgg
+    // keeps one d(d+1)/2 long buffer per partition (map-side combined;
+    // 16 KB at d=64, independent of row count); per-term micro-unit
+    // rounding makes the integer sums engine-exact under any
+    // accumulation order. Output stays integer (s_micro) — covariance
+    // derives as (s/1e6 − n·mean_i·mean_j)/n downstream.
+    "q_embed_gram" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      emb(s, dir)
+        .agg(graft.functions.GramMicroAgg.gram_micro(col("embedding"), 64).as("g"),
+          count(lit(1)).as("n"))
+        .select(col("n"), explode(col("g")).as("e"))
+        .select(col("e.i").as("i"), col("e.j").as("j"),
+          col("e.s").as("s_micro"), col("n"))
+        .orderBy("i", "j")
+    }),
+
     // Symmetric int8 quantization of the embedding store (4× compression):
     // per-vector scale + quantized-L1 + max reconstruction error. Map-only;
     // integer outputs are engine-exact, the doubles round at 6.
@@ -315,6 +333,25 @@ object SimQueries {
         |SELECT query_id, rank, neighbor_id, cos, cell
         |FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    // identical per-term arithmetic: double product, micro-round, integer
+    // sum (order-free) — the join explodes d² per row, which is fine for
+    // an oracle but is exactly the amplification the one-buffer aggregate
+    // exists to avoid
+    "q_embed_gram" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |xi AS (
+        |  SELECT vec_id, unnest(generate_series(1, len(v))) AS i, v FROM e),
+        |x AS (SELECT vec_id, CAST(i AS INT) AS i, v[CAST(i AS INT)] AS x FROM xi),
+        |tot AS (SELECT count(*) AS n FROM e)
+        |SELECT a.i, b.i AS j,
+        |       CAST(sum(CAST(round(a.x * b.x * 1e6) AS BIGINT)) AS BIGINT)
+        |         AS s_micro, n
+        |FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |CROSS JOIN tot
+        |GROUP BY a.i, b.i, n
+        |ORDER BY a.i, j""".stripMargin,
 
     "q_embed_quant" ->
       """WITH b AS (

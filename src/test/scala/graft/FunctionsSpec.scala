@@ -91,6 +91,23 @@ class FunctionsSpec extends AnyFunSuite {
       1L -> Seq((6L, 12L), (5L, 11L))))
   }
 
+  test("gram_micro: hand case, merge across partitions, dims contract") {
+    import graft.functions.GramMicroAgg.gram_micro
+    // rows (1,2) and (3,4): sums x1x1=1+9=10, x1x2=2+12=14, x2x2=4+16=20
+    val df = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDF("v")
+    val got = df.repartition(2)
+      .agg(gram_micro(col("v"), 2).as("g"))
+      .select(explode(col("g")).as("e"))
+      .select("e.i", "e.j", "e.s")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1, 1, 10000000L), (1, 2, 14000000L), (2, 2, 20000000L)))
+    // a ragged row violates the dims contract loudly, never silently
+    val ragged = Seq(Array(1.0f, 2.0f), Array(1.0f)).toDF("v")
+    intercept[Exception] {
+      ragged.agg(gram_micro(col("v"), 2)).collect()
+    }
+  }
+
   test("topk_by_pay: payload rides eviction/merges untouched and never orders") {
     import graft.functions.TopKByAgg.topk_by_pay
     // payload = id * 100 (checkable); adversarial payload values on the
