@@ -39,7 +39,10 @@ object GraftFunctions {
         .toAggregateExpression()),
     "hyperplane_bands" -> ((args: Seq[Expression]) =>
       HyperplaneBands(args(0), intArg(args(1), "rowsPerBand"),
-        intArg(args(2), "nBands"))))
+        intArg(args(2), "nBands"))),
+    "gram_micro" -> ((args: Seq[Expression]) =>
+      GramMicroAgg(args(0), intArg(args(1), "dims"))
+        .toAggregateExpression()))
 
   /** Register on an already-running session (temp-function scope). */
   def register(spark: SparkSession): Unit = {

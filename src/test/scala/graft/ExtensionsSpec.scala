@@ -64,4 +64,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(tk == Seq((90L, 9L), (70L, 2L)))
     assert(tkp == Seq((90L, 9L, 900L), (70L, 2L, 200L)))
   }
+
+  test("gram_micro aggregate from SQL") {
+    val g = spark.sql(
+      """SELECT gram_micro(v, 2) AS g FROM VALUES
+        |(array(1.0D, 2.0D)), (array(3.0D, 4.0D)) AS t(v)""".stripMargin)
+      .selectExpr("explode(g) AS e")
+      .select("e.i", "e.j", "e.s")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(g == Seq((1, 1, 10000000L), (1, 2, 14000000L), (2, 2, 20000000L)))
+  }
 }
