@@ -383,6 +383,24 @@ object Profile {
             .select(sum(col("pos").cast("long"))).collect(); n }
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
+      case "gram" =>
+        // GramMicroAgg scaling: synthetic d=64 vectors (hash-derived,
+        // materialized before timing so only the aggregate pass is timed)
+        import org.apache.spark.sql.functions._
+        Seq(1L, 1L, 10L, 100L).foreach { times =>
+          val n = 2000L * times
+          val d = spark.range(n).select(col("id"),
+            transform(sequence(lit(1), lit(64)),
+              i => (pmod(xxhash64(col("id"), i), lit(2000L)).cast("double")
+                - 1000.0) / 1000.0).as("v"))
+            .persist()
+          d.count()
+          val t = elapsed {
+            d.agg(graft.functions.GramMicroAgg.gram_micro(col("v"), 64)).collect()
+          }
+          println(f"[profile] ${times}%3d× (${n}%7d vecs, d=64): gram_micro $t%6.2f s")
+          d.unpersist()
+        }
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each
