@@ -74,6 +74,15 @@ object TextQueries {
       TextOps.winnowFingerprints(docs(s, dir), "doc_id", "text", k = 3, w = 4)
         .orderBy("doc_id", "fingerprint")),
 
+    // MOSS-style overlap localization: document pairs sharing >= 3 kept
+    // winnow fingerprints (ubiquitous fingerprints dropped at df > 20 —
+    // the noise threshold that also bounds the pair join's posting
+    // lists). See TextOps.winnowOverlap for the scale shape.
+    "q_winnow_overlap" -> ((s, dir) =>
+      TextOps.winnowOverlap(docs(s, dir), "doc_id", "text",
+          k = 3, w = 4, maxDf = 20, minShared = 3L)
+        .orderBy("doc_a", "doc_b")),
+
     // TF-IDF keyword extraction: top-3 terms per document, ranked by the
     // ROUNDED score (+ term tie-break) so ordering is engine-independent.
     // The corpus count is a 1-row broadcast cross join folded into the SAME
@@ -568,6 +577,35 @@ object TextQueries {
          |  FROM hashed)
          |SELECT DISTINCT doc_id, fingerprint FROM sel
          |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    // same fingerprint pipeline as q_winnow_fingerprints, then df-capped
+    // posting self-join and the shared-count filter
+    "q_winnow_overlap" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+         |grams AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(t) - 2)) AS pos,
+         |         t AS toks
+         |  FROM tk WHERE len(t) >= 3),
+         |hashed AS (
+         |  SELECT doc_id, pos,
+         |         substr(md5(toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2]), 1, 16) AS h
+         |  FROM grams),
+         |sel AS (
+         |  SELECT doc_id,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+         |  FROM hashed),
+         |fps AS (SELECT DISTINCT doc_id, fingerprint FROM sel),
+         |dfreq AS (
+         |  SELECT fingerprint FROM fps GROUP BY fingerprint
+         |  HAVING count(*) <= 20),
+         |kept AS (SELECT f.doc_id, f.fingerprint FROM fps f JOIN dfreq USING (fingerprint))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM kept a JOIN kept b
+         |  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_tfidf_keywords" ->
       s"""WITH tokens AS (

@@ -248,6 +248,25 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow overlap: planted shared run pairs up; ubiquitous boilerplate doesn't") {
+    // docs 0 and 1 share a long verbatim run (> w+k-1 tokens → multiple
+    // shared fingerprints); every doc carries the same boilerplate tail,
+    // whose fingerprints exceed the df cap and must not create pairs
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val boiler = "terms of service apply to all content here"
+    val docs = Seq(
+      (0L, s"$run unique0 $boiler"),
+      (1L, s"$run unique1 $boiler")) ++
+      (2L to 9L).map(i => (i, s"doc$i body text number $i $boiler"))
+    val df = docs.toDF("doc_id", "text")
+    val pairs = graft.text.TextOps.winnowOverlap(df, "doc_id", "text",
+        k = 3, w = 4, maxDf = 5, minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"only the planted pair should survive: ${pairs.toSeq}")
+    assert(pairs.head._3 >= 3)
+  }
+
   test("DSIR weights: planted target vocabulary separates, neutral terms don't") {
     // target docs (src0) speak "apple", raw-only docs speak "zebra", and
     // "the" is common to both. A target-vocab doc must outscore a
