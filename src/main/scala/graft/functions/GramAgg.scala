@@ -25,10 +25,12 @@ import org.apache.spark.sql.types._
   * Engine-exactness: each product rounds to integer MICRO-units
   * (`round(x_i·x_j·1e6)`) before entering the integer sum, so any
   * accumulation order agrees bit-for-bit with the oracle's
-  * `sum(CAST(round(xi*xj*1e6) AS BIGINT))`. A rounding tie cannot occur:
-  * float/double products are dyadic rationals, and a dyadic times 1e6
-  * can never land exactly on .5 (the .5 cases have a 5⁶ factor in the
-  * denominator), so half-up vs half-away never diverges. Overflow bound:
+  * `sum(CAST(round(xi*xj*1e6) AS BIGINT))`. Rounding is half-AWAY-FROM-
+  * ZERO to match DuckDB's `round()`: exact .5 ties DO occur — a dyadic
+  * product times 1e6 is `m·5⁶·2^(e+6)`, so products that are odd
+  * multiples of 1/128 (e.g. 0.0625·0.125 = 7812.5 micro) land exactly on
+  * .5 — and plain `floor(p+0.5)` would round negative ties toward +∞
+  * where the oracle rounds away from zero. Overflow bound:
   * |Σ| ≤ rows · max|x|² · 1e6 — at unit-scale embeddings the long range
   * runs out near 10¹³ rows; shard the aggregate (e.g. by id ranges) and
   * sum the shards beyond that.
@@ -78,9 +80,10 @@ case class GramMicroAgg(
       while (i < dims) {
         var j = i
         while (j < dims) {
-          // ties impossible (dyadic product · 1e6 — see scaladoc), so
-          // floor(p+0.5) agrees with the oracle's half-away-from-zero
-          buf(idx) += Math.floor(x(i) * x(j) * 1e6 + 0.5).toLong
+          // half away from zero, matching the oracle's round(): exact .5
+          // ties happen (odd multiples of 1/128 micro — see scaladoc)
+          val p = x(i) * x(j) * 1e6
+          buf(idx) += (if (p >= 0) Math.floor(p + 0.5) else Math.ceil(p - 0.5)).toLong
           idx += 1; j += 1
         }
         i += 1

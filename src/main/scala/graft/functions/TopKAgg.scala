@@ -232,15 +232,17 @@ final class TopKBuffer(k: Int, withPay: Boolean = false) {
     while (i < size) { f(ords(i), ids(i), pays(i)); i += 1 }
   }
 
-  /** Kept entries, best first: (ord DESC, id ASC). */
+  /** Kept entries, best first: (ord DESC, id ASC). Overflow-safe: no
+    * negation (−Long.MinValue == Long.MinValue, which would float the
+    * ascending-path NaN sentinel to rank 1 instead of last). */
   def sortedDesc: Seq[(Long, Long)] =
     (0 until size).map(i => (ords(i), ids(i)))
-      .sortBy { case (o, i) => (-o, i) }
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
 
   /** Kept (ord, id, pay) entries, best first: (ord DESC, id ASC). */
   def sortedDesc3: Seq[(Long, Long, Long)] =
     (0 until size).map(i => (ords(i), ids(i), pays(i)))
-      .sortBy { case (o, i, _) => (-o, i) }
+      .sortWith((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
 }
 
 object TopKByAgg {

@@ -124,7 +124,10 @@ object TextOps {
     * one partial→final aggregate over the postings. */
   def winnowOverlap(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4, maxDf: Int = 20, minShared: Long = 3L): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+    // materialize once: the fingerprint frame feeds the df-cap aggregate
+    // AND both self-join sides — three reads of the tokenize/md5/window
+    // pipeline without it
+    val fps = winnowFingerprints(df, idCol, textCol, k, w).localCheckpoint(true)
     val dfreq = fps.groupBy("fingerprint")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)

@@ -91,6 +91,31 @@ class FunctionsSpec extends AnyFunSuite {
       1L -> Seq((6L, 12L), (5L, 11L))))
   }
 
+  test("topk_by: Long.MinValue ord (the ascending-NaN sentinel) sorts last") {
+    import graft.functions.TopKByAgg.topk_by
+    // rankTopK's ascending path encodes NaN as ord = Long.MinValue so it
+    // ranks LAST; a negation-based sort (-Long.MinValue overflows back to
+    // Long.MinValue) would emit it at rank 1 instead
+    val df = Seq(
+      (0L, Long.MinValue, 99L), (0L, 5L, 1L), (0L, 7L, 2L)
+    ).toDF("g", "m", "id")
+    val got = df.groupBy("g").agg(topk_by(col("m"), col("id"), 3).as("tk"))
+      .select(explode(col("tk")).as("e")).select("e.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 1L, 99L))
+  }
+
+  test("gram_micro: negative half-micro tie rounds away from zero") {
+    import graft.functions.GramMicroAgg.gram_micro
+    // 0.0625·(−0.125)·1e6 = −7812.5 EXACTLY (odd multiple of 1/128):
+    // DuckDB round() gives −7813 (away from zero); floor(p+0.5) gives −7812
+    val df = Seq(Array(0.0625, -0.125)).toDF("v")
+    val got = df.agg(gram_micro(col("v"), 2).as("g"))
+      .select(explode(col("g")).as("e")).select("e.i", "e.j", "e.s")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((1, 1, 3906L), (1, 2, -7813L), (2, 2, 15625L)))
+  }
+
   test("gram_micro: hand case, merge across partitions, dims contract") {
     import graft.functions.GramMicroAgg.gram_micro
     // rows (1,2) and (3,4): sums x1x1=1+9=10, x1x2=2+12=14, x2x2=4+16=20
