@@ -554,38 +554,128 @@ object SimilarityOps {
         subSlice(col("v"), col("sub"), m).as("cv"))
   }
 
-  /** TRAINED per-subspace PQ codebooks — the FAISS-faithful training shape:
-    * [[kmeansCentroids]] runs independently on each of the `m` subvector
-    * slices (`iters` Lloyd rounds each, init = the `ksub` lowest-id
-    * subvectors, so training is deterministic given the data), and a
-    * subspace's cell ids become its codes (0..ksub-1). The per-round model
-    * is m·ksub·(dims/m) = ksub·dims doubles — the iterate-a-small-model
-    * shape, broadcast-sized regardless of corpus size.
+  /** Deterministic BOUNDED training sample — FAISS's
+    * `max_points_per_centroid` discipline (its Clustering subsamples the
+    * training set to ~256 points per centroid before running Lloyd; a
+    * quantizer trained on more gains nothing). Ordering by
+    * `xxhash64(id)` gives a uniform pseudo-random draw that is
+    * deterministic given the data (no seed state, ties broken by id), and
+    * the orderBy+limit plans as TakeOrderedAndProject — a per-partition
+    * bounded heap and ONE k-row merge at the driver, never a full
+    * corpus sort/shuffle — so extracting the sample is one cheap pass no
+    * matter how large the corpus grows. */
+  private def trainingSample(emb: DataFrame, idCol: String, vecCol: String,
+                             maxTrain: Int): DataFrame =
+    emb.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(maxTrain)
+
+  /** Driver-local spherical Lloyd over an in-memory point set — the
+    * terminal stage of sampled quantizer training. Same semantics as the
+    * distributed [[kmeansCentroids]]: init = the `k` lowest-id points,
+    * assignment by cosine (ties toward the lower cell, NaN greatest —
+    * mirroring Spark's `max_by` ordering), update = element-wise member
+    * mean, an emptied cell keeps its previous centroid. Points are
+    * pre-sorted by id so summation order (hence the fp result) is
+    * deterministic regardless of collect order. O(n·k·d·iters) driver
+    * flops on a BOUNDED n — microseconds, vs a Spark job per round. */
+  private def lloydLocal(points: Array[(Long, Array[Double])],
+                         k: Int, iters: Int): Array[Array[Double]] = {
+    val pts = points.sortBy(_._1)
+    require(pts.nonEmpty, "lloydLocal needs a non-empty training set")
+    val d = pts.head._2.length
+    def norm(x: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += x(i) * x(i); i += 1 }
+      math.sqrt(s)
+    }
+    var cents = pts.take(k).map(_._2.clone)
+    val pn = pts.map(p => norm(p._2))
+    for (_ <- 0 until iters) {
+      val cn = cents.map(norm)
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val counts = new Array[Long](cents.length)
+      var pi = 0
+      while (pi < pts.length) {
+        val v = pts(pi)._2
+        var best = 0; var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var dp = 0.0; var i = 0
+          val cv = cents(c)
+          while (i < d) { dp += v(i) * cv(i); i += 1 }
+          val sim = dp / (pn(pi) * cn(c))
+          // Double.compare ranks NaN greatest, as Spark's max_by does;
+          // strict > keeps the lower cell on ties
+          if (java.lang.Double.compare(sim, bestSim) > 0) { best = c; bestSim = sim }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < d) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+        pi += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else { val s = sums(c); val mean = new Array[Double](d)
+          var i = 0
+          while (i < d) { mean(i) = s(i) / counts(c); i += 1 }
+          mean }
+      }
+    }
+    cents
+  }
+
+  /** Train per-subspace codebooks from a BOUNDED `(id, v)` frame: ONE
+    * collect pulls every (sub, slice) pair of the sample to the driver —
+    * the joint pass replacing m separate per-subspace jobs — then
+    * [[lloydLocal]] runs all m subspaces in memory. Zero-norm slices are
+    * dropped from a subspace's training (directionless for the spherical
+    * trainer; a zero INIT codeword would NaN-capture the whole subspace);
+    * they still ENCODE fine downstream. */
+  private def trainCodebooksLocal(sample: DataFrame, m: Int, ksub: Int,
+                                  iters: Int): DataFrame = {
+    val spark = sample.sparkSession
+    import spark.implicits._
+    val slices = sample
+      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .select(col("sub"), col("id"), subSlice(col("v"), col("sub"), m).as("sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .filter(t => t._3.exists(_ != 0.0))
+    (0 until m).flatMap { s =>
+      val pts = slices.collect { case (`s`, id, sv) => (id, sv) }
+      lloydLocal(pts, ksub, iters).zipWithIndex.map { case (cv, code) =>
+        (s, code.toLong, cv.toSeq)
+      }
+    }.toDF("sub", "code", "cv")
+  }
+
+  /** TRAINED per-subspace PQ codebooks — the FAISS-faithful training
+    * shape: Lloyd on a BOUNDED deterministic sample ([[trainingSample]],
+    * default 4096 = FAISS's 256·k at ksub=16), all `m` subspaces trained
+    * from one collected pass ([[trainCodebooksLocal]]) instead of m
+    * separate per-slice [[kmeansCentroids]] runs. The distributed work is
+    * ONE TakeOrderedAndProject pass over the corpus; training itself is
+    * O(maxTrain·ksub·dims·iters) driver flops on a model that was always
+    * driver-resident anyway — where the previous full-corpus formulation
+    * ran m·iters corpus-wide assign+mean jobs (the two slowest warm
+    * queries in the r7 bench, 6.8/7.8 s, were exactly these loops).
     *
-    * Centroid means depend on fp summation order inside `avg`, so query
-    * pipelines pin the OUTPUT frame through `OracleFixtures.seam` (exactly
-    * like `q_ann_ivf_trained`'s centroid frame) and the oracle replays
+    * Centroid means depend on fp arithmetic, so query pipelines pin the
+    * OUTPUT frame through `OracleFixtures.seam` (exactly like
+    * `q_ann_ivf_trained`'s centroid frame) and the oracle replays
     * encode → ADC → rank from the fixture. One deliberate divergence from
     * FAISS: the within-subspace metric is the spherical (cosine) k-means
     * this repo already oracle-pins, not L2 k-means — assignment in
     * [[pqEncode]] stays squared-L2 ADC either way.
     * Output `(sub, code, cv)`, m·ksub rows. */
   def pqCodebooksTrained(emb: DataFrame, idCol: String, vecCol: String,
-                         m: Int, ksub: Int, iters: Int): DataFrame = {
+                         m: Int, ksub: Int, iters: Int,
+                         maxTrain: Int = 4096): DataFrame = {
     requireDimsDivisible(emb, idCol, vecCol, m)
-    (0 until m).map { s =>
-      // drop all-zero SLICES from training: a zero-norm row is directionless
-      // for the spherical trainer, and a zero-norm INIT codeword would be
-      // worse — its NaN similarity (greatest under Spark's ordering) would
-      // capture every row of the subspace each Lloyd round and collapse the
-      // codebook to its init. Zero slices still ENCODE fine downstream
-      // (squared-L2 argmin over finite codewords).
-      val sub = emb.select(col(idCol).as("id"),
-          subSlice(toDouble(col(vecCol)), lit(s), m).as("v"))
-        .filter(l2norm(col("v")) > 0)
-      kmeansCentroids(sub, "id", "v", ksub, iters)
-        .select(lit(s).as("sub"), col("cell").as("code"), col("cv"))
-    }.reduce(_ unionByName _)
+    trainCodebooksLocal(trainingSample(emb, idCol, vecCol, maxTrain),
+      m, ksub, iters)
   }
 
   /** Squared L2 distance between two equal-length DOUBLE arrays, expressed
@@ -757,22 +847,31 @@ object SimilarityOps {
     * `v − centroid(cell)` rather than the raw vector, so code precision
     * concentrates around each cell instead of spanning the whole space.
     * The coarse quantizer stays the DETERMINISTIC lowest-id one (directly
-    * SQL-replayable); the codebooks train with [[pqCodebooksTrained]] on
-    * the residuals and are pinned through the fixture seam by callers.
+    * SQL-replayable); the codebooks train on the SAMPLED residuals
+    * ([[trainingSample]] → [[trainCodebooksLocal]], the same bounded
+    * FAISS-style shape as [[pqCodebooksTrained]]) and are pinned through
+    * the fixture seam by callers.
     * Zero residuals (the centroid rows themselves) are excluded from
     * TRAINING — they carry no direction for the spherical trainer and
     * would put NaN cosines into the assignment pass; they still ENCODE
     * fine (squared-L2 argmin over finite codewords). A nonzero residual
     * with an all-zero SUBSPACE slice is likewise dropped from that
-    * subspace's training by [[pqCodebooksTrained]] — see the zero-slice
+    * subspace's training by [[trainCodebooksLocal]] — see the zero-slice
     * note there. */
   def ivfPqResidualBooks(emb: DataFrame, idCol: String, vecCol: String,
-                         nCells: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+                         nCells: Int, m: Int, ksub: Int, iters: Int,
+                         maxTrain: Int = 4096): DataFrame = {
     val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
       .orderBy("cell").limit(nCells)
-    val resid = residualFrame(emb, idCol, vecCol, cent).localCheckpoint(true)
-    pqCodebooksTrained(resid.filter(l2norm(col("rv")) > 0), "id", "rv",
-      m, ksub, iters)
+    // sample BEFORE the residual subtraction: training needs residuals for
+    // the bounded sample only, so cell assignment + subtraction run over
+    // maxTrain rows, not the corpus (the full residual frame is still
+    // computed once, unavoidably, by [[ivfPqResidualTopK]]'s encode pass)
+    val resid = residualFrame(trainingSample(emb, idCol, vecCol, maxTrain),
+        "id", "v", cent)
+      .filter(l2norm(col("rv")) > 0)
+      .select(col("id"), col("rv").as("v"))
+    trainCodebooksLocal(resid, m, ksub, iters)
   }
 
   /** ANN via residual IVF-PQ — FAISS's IndexIVFPQ composition, faithfully:
