@@ -439,20 +439,27 @@ object TextQueries {
     // Perplexity bucketing (the CCNet recipe, Wenzek et al. 2020): score
     // every doc under the corpus's own bigram LM, then split each source
     // at its 33rd/67th score percentiles into head/middle/tail quality
-    // buckets. The percentile aggregate is Spark's EXACT `percentile`
-    // (per-source sorted aggregation — per-group state is the source's
-    // score list; sources are few and scores one double per doc, so the
-    // aggregate state is corpus/|sources| doubles per reducer; at 100 TB
-    // switch to approx_percentile and re-pin the oracle, or bucket against
-    // externally-fixed LM thresholds). Boundaries are rounded to 6 before
-    // comparison so both engines bucket identically.
+    // buckets. Boundaries come from `percentile_approx` (Greenwald-Khanna
+    // sketch, state bounded by the accuracy parameter per group — NOT one
+    // double per doc like the exact `percentile`, whose per-source score
+    // list made the old default memory-unbounded at 100 TB). GK is a
+    // rank-error sketch: with accuracy a, the returned value's rank is
+    // within n/a of the target, so bucket POPULATIONS shift by at most
+    // that many docs vs exact — the CCNet recipe only needs stable
+    // head/middle/tail thirds, not exact order statistics. DuckDB has no
+    // GK replay, so the tiny per-source bounds frame is the fixture seam;
+    // the oracle replays scoring + bucketing + aggregation around it.
+    // Boundaries are rounded to 6 before comparison so both engines
+    // bucket identically.
     "q_ppl_buckets" -> ((s, dir) => {
       val scored = TextOps.bigramLogprob(docs(s, dir), "doc_id", "text")
       val withSrc = docs(s, dir).select(col("doc_id"), col("source"))
         .join(scored, Seq("doc_id"))
-      val bounds = withSrc.groupBy("source").agg(
-        round(percentile(col("avg_neg_logprob"), lit(0.33)), 6).as("b33"),
-        round(percentile(col("avg_neg_logprob"), lit(0.67)), 6).as("b67"))
+      val bounds = seam(withSrc.groupBy("source").agg(
+        round(percentile_approx(col("avg_neg_logprob"), lit(0.33),
+          lit(10000)), 6).as("b33"),
+        round(percentile_approx(col("avg_neg_logprob"), lit(0.67),
+          lit(10000)), 6).as("b67")), dir, "ppl_bounds")
       withSrc.join(broadcast(bounds), Seq("source"))
         .withColumn("bucket",
           when(col("avg_neg_logprob") <= col("b33"), lit("head"))
@@ -1003,8 +1010,10 @@ object TextQueries {
          |SELECT source, CAST(rank AS INT) AS rank, term, n_st, contrib
          |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
 
-    // bigram-LM CTE identical to q_bigram_logprob's oracle, then
-    // quantile_cont boundaries (rounded at 6 like the Spark side) + buckets
+    // bigram-LM CTE identical to q_bigram_logprob's oracle; the per-source
+    // GK-sketch boundaries are the fixture seam (DuckDB cannot replay
+    // Spark's Greenwald-Khanna percentile_approx), and everything around
+    // them — scoring, bucketing, per-bucket aggregation — replays exactly
     "q_ppl_buckets" ->
       s"""WITH tk AS (
          |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
@@ -1026,11 +1035,8 @@ object TextQueries {
          |ws AS (
          |  SELECT d.source, s.doc_id, s.avg_neg_logprob
          |  FROM scored s JOIN documents d USING (doc_id)),
-         |b AS (
-         |  SELECT source,
-         |         round(quantile_cont(avg_neg_logprob, 0.33), 6) AS b33,
-         |         round(quantile_cont(avg_neg_logprob, 0.67), 6) AS b67
-         |  FROM ws GROUP BY source)
+         |b AS (SELECT source, b33, b67
+         |      FROM read_parquet('${sqlPath("ppl_bounds")}'))
          |SELECT ws.source,
          |       CASE WHEN avg_neg_logprob <= b33 THEN 'head'
          |            WHEN avg_neg_logprob <= b67 THEN 'middle'
