@@ -429,6 +429,17 @@ object TextQueries {
         .orderBy("anchor_id", "rank")
     }),
 
+    // Substring-level exact dedup (Lee et al. 2022 ExactSubstr): every
+    // verbatim ≥20-token run occurring ≥2× anywhere in the corpus becomes
+    // a drop span in EVERY document carrying it; keep spans are the
+    // complement. Token-indexed spans, inclusive ends. See
+    // TextOps.substrDedupSpans for the L-gram/interval-merge formulation
+    // and the 100 TB shape. minRun=20 suits the contract corpus (docs are
+    // 10-99 tokens); the paper's 50 is the pretraining-scale default.
+    "q_substr_dedup" -> ((s, dir) =>
+      TextOps.substrDedupSpans(docs(s, dir), "doc_id", "text", minRun = 20)
+        .orderBy("doc_id", "span_start", "action")),
+
     // Per-source vocabulary drift audit: top terms by contribution to
     // KL(source-unigram ‖ corpus-unigram) — see TextOps.driftTerms for
     // the engine-exact integer-count formulation and scale shape.
@@ -1009,6 +1020,49 @@ object TextQueries {
          |  FROM scored)
          |SELECT source, CAST(rank AS INT) AS rank, term, n_st, contrib
          |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    // full replay of the ExactSubstr pipeline: L-gram md5s, global
+    // occurrence count, interval merge, complement spans — md5 and list
+    // slicing replay exactly, no fixture needed
+    "q_substr_dedup" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+         |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 19)) AS i
+         |      FROM tk WHERE len(t) >= 20),
+         |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         |             md5(array_to_string(t[i : i + 19], ' ')) AS h
+         |      FROM p),
+         |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+         |hit AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+         |r AS (SELECT doc_id, pos,
+         |        CASE WHEN lag(pos) OVER w IS NULL
+         |               OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+         |      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |runs AS (SELECT doc_id, pos,
+         |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |         FROM r),
+         |drops AS (SELECT doc_id, min(pos) AS drop_start,
+         |                 max(pos) + 19 AS drop_end
+         |          FROM runs GROUP BY doc_id, run_id),
+         |gaps AS (SELECT doc_id, drop_start,
+         |           coalesce(lag(drop_end) OVER (PARTITION BY doc_id
+         |                      ORDER BY drop_start) + 1, 0) AS k_start
+         |         FROM drops),
+         |n AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok FROM tk),
+         |le AS (SELECT doc_id, max(drop_end) AS last_end FROM drops GROUP BY 1),
+         |spans AS (
+         |  SELECT doc_id, drop_start AS span_start, drop_end AS span_end,
+         |         'drop' AS action FROM drops
+         |  UNION ALL
+         |  SELECT doc_id, k_start, drop_start - 1, 'keep'
+         |  FROM gaps WHERE k_start < drop_start
+         |  UNION ALL
+         |  SELECT n.doc_id, coalesce(last_end + 1, 0), n_tok - 1, 'keep'
+         |  FROM n LEFT JOIN le USING (doc_id)
+         |  WHERE coalesce(last_end + 1, 0) <= n_tok - 1)
+         |SELECT doc_id, CAST(span_start AS INT) AS span_start,
+         |       CAST(span_end AS INT) AS span_end, action
+         |FROM spans ORDER BY doc_id, span_start, action""".stripMargin,
 
     // bigram-LM CTE identical to q_bigram_logprob's oracle; the per-source
     // GK-sketch boundaries are the fixture seam (DuckDB cannot replay

@@ -142,6 +142,95 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Substring-level EXACT deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * operator): find every verbatim token run of length ≥ `minRun` that
+    * occurs at least `minOcc` times anywhere in the corpus (within OR
+    * across documents), and emit per-document span-removal output — one
+    * row per maximal span with `action` ∈ {drop, keep}, token-indexed
+    * [span_start, span_end] inclusive over the document's whitespace
+    * tokens.
+    *
+    * Where the paper builds a corpus-wide suffix array, the relational
+    * formulation uses the L-gram identity: a token is inside a duplicated
+    * run of length ≥ L iff some length-L window covering it is duplicated,
+    * so (1) hash every positional L-token window, (2) windows whose hash
+    * occurs ≥ minOcc times globally are duplicated, (3) the per-document
+    * union of duplicated window extents [pos, pos+L−1] — an interval merge
+    * — recovers each maximal duplicated run EXACTLY (a shared run of
+    * T ≥ L tokens yields T−L+1 consecutive duplicated windows whose union
+    * is the full run). Like the paper's released tool, ALL occurrences of
+    * a duplicated run are dropped, not all-but-one — deterministic and
+    * order-free, where keep-one needs a canonical-copy tiebreak that can
+    * disagree across overlapping runs.
+    *
+    * Windows are keyed by their full 128-bit md5 (not the 15-hex-digit
+    * BIGINT recipe): at 100 TB there are ~10¹³ windows, where a 60-bit key
+    * is past its birthday bound but 128 bits keep the collision odds
+    * ~10⁻¹³ — and the 16-byte key still shuffles an order of magnitude
+    * less than the ~L·6-byte gram text. Scale shape: one explode pass
+    * (corpus tokens × 1 rows), a partial→final hash aggregate for the
+    * occurrence counts, an equi-join back on the hash (one row out per
+    * gram occurrence — no blow-up on hot boilerplate windows, the dup side
+    * is 1 row per hash), then per-document windows over ONLY the
+    * duplicated positions (bounded by the doc's own token count). Tokens
+    * are lowercased-whitespace per [[graft.functions.WordShingles]],
+    * matching every other shingle operator and its oracle. */
+  def substrDedupSpans(df: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 50, minOcc: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minRun
+    val nTok = df.select(col(idCol),
+      size(wsTokens(lower(col(textCol)))).as("n_tok"))
+    // one row per positional L-window: (id, pos, h); feeds the occurrence
+    // count AND the hit join — materialize once (repo convention)
+    val grams = df.select(col(idCol),
+        posexplode(graft.functions.WordShingles.word_shingles(
+          col(textCol), L, distinct = false)).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos"),
+        md5(col("g").cast("binary")).as("h"))
+      .localCheckpoint(true)
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select("h")
+    val hits = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+    // interval merge of [pos, pos+L-1]: a window starting within or
+    // adjacent to the running extent (pos ≤ prev_pos + L) continues it
+    val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val drops = hits
+      .withColumn("brk",
+        when(lag(col("pos"), 1).over(byPos).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byPos) + L, 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk")).over(byPos))
+      .groupBy(col(idCol), col("run_id"))
+      .agg(min(col("pos")).as("drop_start"),
+        (max(col("pos")) + L - 1).as("drop_end"))
+      .select(col(idCol), col("drop_start"), col("drop_end"))
+      .localCheckpoint(true)
+    val byStart = Window.partitionBy(col(idCol)).orderBy(col("drop_start"))
+    // keep spans between/before drops: [prev_end+1 (or 0), drop_start-1]
+    val keepGaps = drops
+      .withColumn("k_start",
+        coalesce(lag(col("drop_end"), 1).over(byStart) + 1, lit(0)))
+      .filter(col("k_start") < col("drop_start"))
+      .select(col(idCol), col("k_start").as("span_start"),
+        (col("drop_start") - 1).as("span_end"), lit("keep").as("action"))
+    // trailing keep span — and the whole document for dup-free docs
+    // (last_end is null there, so the span is [0, n_tok-1])
+    val keepTails = nTok
+      .join(drops.groupBy(idCol).agg(max("drop_end").as("last_end")),
+        Seq(idCol), "left")
+      .withColumn("k_start", coalesce(col("last_end") + 1, lit(0)))
+      .filter(col("k_start") <= col("n_tok") - 1)
+      .select(col(idCol), col("k_start").as("span_start"),
+        (col("n_tok") - 1).as("span_end"), lit("keep").as("action"))
+    drops
+      .select(col(idCol), col("drop_start").as("span_start"),
+        col("drop_end").as("span_end"), lit("drop").as("action"))
+      .unionByName(keepGaps)
+      .unionByName(keepTails)
+  }
+
   /** Content-defined document fingerprint: full-text md5 plus the minimum
     * 64-bit (16-hex-char) hash over 3-token shingles — a 1-permutation
     * MinHash, stable under small reorderings (winnowing-style).

@@ -267,6 +267,30 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(pairs.head._3 >= 3)
   }
 
+  test("substring dedup: planted verbatim run recovered to exact token extents") {
+    // docs 0 and 1 share a verbatim 12-token run (> minRun=10) at
+    // different offsets — BOTH copies must become drop spans covering
+    // exactly the run's token extent; doc 2 is unique (one full keep
+    // span); doc 3 repeats a 10-token run within itself back-to-back —
+    // the adjacent extents merge into one whole-document drop span
+    val run = (1 to 12).map(i => s"r$i").mkString(" ")
+    val run2 = (1 to 10).map(i => s"a$i").mkString(" ")
+    val df = Seq(
+      (0L, s"u1 u2 u3 u4 u5 $run s1 s2 s3 s4 s5"),
+      (1L, s"$run t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, (1 to 15).map(i => s"c$i").mkString(" ")),
+      (3L, s"$run2 $run2")).toDF("doc_id", "text")
+    val r = graft.text.TextOps.substrDedupSpans(df, "doc_id", "text",
+        minRun = 10)
+      .orderBy("doc_id", "span_start")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(r.toSeq == Seq(
+      (0L, 0, 4, "keep"), (0L, 5, 16, "drop"), (0L, 17, 21, "keep"),
+      (1L, 0, 11, "drop"), (1L, 12, 19, "keep"),
+      (2L, 0, 14, "keep"),
+      (3L, 0, 19, "drop")))
+  }
+
   test("DSIR weights: planted target vocabulary separates, neutral terms don't") {
     // target docs (src0) speak "apple", raw-only docs speak "zebra", and
     // "the" is common to both. A target-vocab doc must outscore a
