@@ -258,7 +258,14 @@ object JoinQueries {
         .orderBy("n_name", "rank")
     }),
 
-    // Top-k per group via rank window (deterministic: rounded revenue, then key).
+    // Top-k per group via rank window (deterministic: rounded revenue, then
+    // key). DELIBERATELY window-ranked: this is the SURVEY §2.5 rank-window
+    // demonstration, and q_topk_agg above is the SAME query through the
+    // bounded-heap TopKByAgg — the pair pins heap ≡ window against one
+    // oracle. The window input here is the per-supplier pre-aggregate (one
+    // row per supplier, 25 nation partitions), so each partition sort is
+    // bounded by suppliers/nation; at 10^8 suppliers the heap twin is the
+    // plan to ship, and its existence is the point of keeping both.
     "q_top_suppliers_per_nation" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val su = Tables.supplier(s, dir)
