@@ -370,6 +370,11 @@ object TextQueries {
     // never a global sort). Each shard maps 1:1 onto an epoch-file
     // writer; readers interleave shards. At 100 TB nShards scales to
     // O(cluster cores) — 8 here keeps the oracle's output small/stable.
+    // NOTE the actual per-task sort size is n/spark.sql.shuffle.partitions
+    // (the window exchange hashes shard INTO the configured partition
+    // count), so the scale lever is shuffle partitions, not nShards:
+    // PERF.md round 8 measured the 50M-row point at 32 partitions vs 512
+    // as 32-52 s vs 20 s, with zero spill either way.
     //
     // Shard key and sort key are TextOps.md5Key64 (engine-exact 60-bit
     // BIGINT): sorting 8-byte longs instead of 32-char hex strings

@@ -381,6 +381,52 @@ object Profile {
           d.withColumn("pos", row_number().over(
             Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
             .select(sum(col("pos").cast("long"))).collect(); n }
+      case "shuffle_diag2" =>
+        // VERDICT r7 #5: attribute the epoch-shuffle 100x point — shuffle
+        // vs sort vs SPILL — and test the real scale lever. The window's
+        // exchange is hashpartitioning(shard, spark.sql.shuffle.partitions)
+        // so the per-task sort is n/PARTITIONS rows no matter how many
+        // shards the query names; raising shard count alone changes
+        // nothing, raising shuffle partitions with the data is the lever.
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val spillMem = new java.util.concurrent.atomic.AtomicLong
+        val spillDisk = new java.util.concurrent.atomic.AtomicLong
+        val shufW = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new SparkListener {
+          override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              spillMem.addAndGet(m.memoryBytesSpilled)
+              spillDisk.addAndGet(m.diskBytesSpilled)
+              shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            }
+          }
+        })
+        val n = 50000000L
+        val d = spark.range(n).select(col("id").as("doc_id"),
+          graft.text.TextOps.md5Key64(col("id"), "epoch1:").as("hv"))
+        // first 32-partition run repeats last so codegen warmup doesn't
+        // pollute the comparison; shards track partitions (shards >=
+        // partitions keeps every task busy)
+        Seq(32, 32, 128, 512, 32).foreach { parts =>
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          spillMem.set(0); spillDisk.set(0); shufW.set(0)
+          val t = elapsed {
+            d.withColumn("shard", pmod(col("hv"), lit(parts)).cast("int"))
+              .withColumn("pos", row_number().over(
+                Window.partitionBy(col("shard"))
+                  .orderBy(col("hv"), col("doc_id"))))
+              .select(sum(col("pos").cast("long"))).collect()
+          }
+          Thread.sleep(1000) // listener bus drains async
+          println(f"[profile] epoch_shuffle n=50M parts=$parts%4d: $t%6.1f s" +
+            f"  spillMem=${spillMem.get / 1e9}%7.2f GB" +
+            f"  spillDisk=${spillDisk.get / 1e9}%6.2f GB" +
+            f"  shuffleWrite=${shufW.get / 1e9}%5.2f GB")
+        }
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case "gram" =>
