@@ -381,6 +381,48 @@ object Profile {
           d.withColumn("pos", row_number().over(
             Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
             .select(sum(col("pos").cast("long"))).collect(); n }
+      case "recall10x" =>
+        // VERDICT r7 #7: does the trained-quantizer cost buy recall?
+        // recall@5 vs exact brute-force ground truth for the PQ family at
+        // 1× and 10× (replica corpus, ids offset per replica). Replicas
+        // make exact duplicates of every vector, so the id-exact recall
+        // measure penalizes replica-id ties EQUALLY across variants — the
+        // comparison isolates code fidelity, not tie luck.
+        import org.apache.spark.sql.functions._
+        import graft.sim.SimilarityOps
+        val emb0 = graft.tables.Tables.embeddings(spark, sfDir)
+        val vStride = emb0.agg(max("vec_id")).first().getLong(0) + 1
+        def embX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            emb0.select((col("vec_id") + lit(i * vStride)).as("vec_id"),
+              col("embedding"))
+          }.reduce(_ unionByName _)
+        Seq(1, 10).foreach { times =>
+          val e = embX(times).repartition(32).persist(); e.count()
+          val truth = SimilarityOps.bruteForceTopK(
+              e, "vec_id", "embedding", 10, 5)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          def recall(df: DataFrame): Double = {
+            val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+            got.intersect(truth).size.toDouble / truth.size
+          }
+          val rDet = recall(SimilarityOps.pqTopK(
+            e, "vec_id", "embedding", 10, 5, 4, 16))
+          val books = SimilarityOps.pqCodebooksTrained(
+            e, "vec_id", "embedding", 4, 16, 3)
+          val rTrn = recall(SimilarityOps.pqTopKFrom(
+            e, "vec_id", "embedding", books, 10, 5, 4))
+          val rIvfPq = recall(SimilarityOps.ivfPqTopK(
+            e, "vec_id", "embedding", 10, 5, 16, 2, 4, 16))
+          val rbooks = SimilarityOps.ivfPqResidualBooks(
+            e, "vec_id", "embedding", 16, 4, 16, 2)
+          val rRes = recall(SimilarityOps.ivfPqResidualTopK(
+            e, "vec_id", "embedding", rbooks, 10, 5, 16, 2, 4))
+          println(f"[profile] ${times}%3d× recall@5 vs brute force: " +
+            f"pq_det $rDet%.3f  pq_trained $rTrn%.3f  " +
+            f"ivfpq_raw $rIvfPq%.3f  ivfpq_residual $rRes%.3f")
+          e.unpersist()
+        }
       case "shuffle_diag2" =>
         // VERDICT r7 #5: attribute the epoch-shuffle 100x point — shuffle
         // vs sort vs SPILL — and test the real scale lever. The window's
