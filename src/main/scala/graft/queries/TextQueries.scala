@@ -445,6 +445,20 @@ object TextQueries {
       TextOps.substrDedupSpans(docs(s, dir), "doc_id", "text", minRun = 20)
         .orderBy("doc_id", "span_start", "action")),
 
+    // the paper's stated suggestion (remove all but one copy): each
+    // duplicated window's canonical first occurrence — min packed
+    // (doc, pos) key — survives; the earliest document keeps its text
+    "q_substr_keep1" -> ((s, dir) =>
+      TextOps.substrDedupSpans(docs(s, dir), "doc_id", "text", minRun = 20,
+          keepFirst = true)
+        .orderBy("doc_id", "span_start", "action")),
+
+    // spans APPLIED: the cleaned corpus itself (drop-span tokens removed,
+    // single-space re-joined; fully-duplicated docs become empty strings)
+    "q_substr_clean" -> ((s, dir) =>
+      TextOps.substrDedupApply(docs(s, dir), "doc_id", "text", minRun = 20)
+        .orderBy("doc_id")),
+
     // Per-source vocabulary drift audit: top terms by contribution to
     // KL(source-unigram ‖ corpus-unigram) — see TextOps.driftTerms for
     // the engine-exact integer-count formulation and scale shape.
@@ -499,6 +513,52 @@ object TextQueries {
 
   private val WsTokensSql = """regexp_extract_all(%s, '\S+')"""
   private def toks(col: String) = WsTokensSql.format(col)
+
+  /** Shared oracle CTE chain for the ExactSubstr queries (minRun=20):
+    * L-gram md5s with packed (doc,pos) keys, duplicated-window hits —
+    * optionally exempting each window's canonical first occurrence —
+    * interval merge into drop spans, complement keep spans. Ends at the
+    * `spans` CTE; callers append their SELECT (or further CTEs). */
+  private def substrSpansCte(keepFirst: Boolean): String = {
+    val canon = if (keepFirst) " WHERE pk <> canon" else ""
+    s"""WITH tk AS (
+       |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
+       |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 19)) AS i
+       |      FROM tk WHERE len(t) >= 20),
+       |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+       |             doc_id * 1048576 + (i - 1) AS pk,
+       |             md5(array_to_string(t[i : i + 19], ' ')) AS h
+       |      FROM p),
+       |d AS (SELECT h, min(pk) AS canon FROM g
+       |      GROUP BY h HAVING count(*) >= 2),
+       |hit AS (SELECT doc_id, pos FROM g JOIN d USING (h)$canon),
+       |r AS (SELECT doc_id, pos,
+       |        CASE WHEN lag(pos) OVER w IS NULL
+       |               OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
+       |      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |runs AS (SELECT doc_id, pos,
+       |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+       |         FROM r),
+       |drops AS (SELECT doc_id, min(pos) AS drop_start,
+       |                 max(pos) + 19 AS drop_end
+       |          FROM runs GROUP BY doc_id, run_id),
+       |gaps AS (SELECT doc_id, drop_start,
+       |           coalesce(lag(drop_end) OVER (PARTITION BY doc_id
+       |                      ORDER BY drop_start) + 1, 0) AS k_start
+       |         FROM drops),
+       |n AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok FROM tk),
+       |le AS (SELECT doc_id, max(drop_end) AS last_end FROM drops GROUP BY 1),
+       |spans AS (
+       |  SELECT doc_id, drop_start AS span_start, drop_end AS span_end,
+       |         'drop' AS action FROM drops
+       |  UNION ALL
+       |  SELECT doc_id, k_start, drop_start - 1, 'keep'
+       |  FROM gaps WHERE k_start < drop_start
+       |  UNION ALL
+       |  SELECT n.doc_id, coalesce(last_end + 1, 0), n_tok - 1, 'keep'
+       |  FROM n LEFT JOIN le USING (doc_id)
+       |  WHERE coalesce(last_end + 1, 0) <= n_tok - 1)""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_token_stats" ->
@@ -1028,46 +1088,35 @@ object TextQueries {
 
     // full replay of the ExactSubstr pipeline: L-gram md5s, global
     // occurrence count, interval merge, complement spans — md5 and list
-    // slicing replay exactly, no fixture needed
+    // slicing replay exactly, no fixture needed (shared CTE chain below)
     "q_substr_dedup" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, ${toks("lower(text)")} AS t FROM documents),
-         |p AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 19)) AS i
-         |      FROM tk WHERE len(t) >= 20),
-         |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-         |             md5(array_to_string(t[i : i + 19], ' ')) AS h
-         |      FROM p),
-         |d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
-         |hit AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
-         |r AS (SELECT doc_id, pos,
-         |        CASE WHEN lag(pos) OVER w IS NULL
-         |               OR pos > lag(pos) OVER w + 20 THEN 1 ELSE 0 END AS brk
-         |      FROM hit WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |runs AS (SELECT doc_id, pos,
-         |           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
-         |         FROM r),
-         |drops AS (SELECT doc_id, min(pos) AS drop_start,
-         |                 max(pos) + 19 AS drop_end
-         |          FROM runs GROUP BY doc_id, run_id),
-         |gaps AS (SELECT doc_id, drop_start,
-         |           coalesce(lag(drop_end) OVER (PARTITION BY doc_id
-         |                      ORDER BY drop_start) + 1, 0) AS k_start
-         |         FROM drops),
-         |n AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tok FROM tk),
-         |le AS (SELECT doc_id, max(drop_end) AS last_end FROM drops GROUP BY 1),
-         |spans AS (
-         |  SELECT doc_id, drop_start AS span_start, drop_end AS span_end,
-         |         'drop' AS action FROM drops
-         |  UNION ALL
-         |  SELECT doc_id, k_start, drop_start - 1, 'keep'
-         |  FROM gaps WHERE k_start < drop_start
-         |  UNION ALL
-         |  SELECT n.doc_id, coalesce(last_end + 1, 0), n_tok - 1, 'keep'
-         |  FROM n LEFT JOIN le USING (doc_id)
-         |  WHERE coalesce(last_end + 1, 0) <= n_tok - 1)
+      s"""${substrSpansCte(keepFirst = false)}
          |SELECT doc_id, CAST(span_start AS INT) AS span_start,
          |       CAST(span_end AS INT) AS span_end, action
          |FROM spans ORDER BY doc_id, span_start, action""".stripMargin,
+
+    "q_substr_keep1" ->
+      s"""${substrSpansCte(keepFirst = true)}
+         |SELECT doc_id, CAST(span_start AS INT) AS span_start,
+         |       CAST(span_end AS INT) AS span_end, action
+         |FROM spans ORDER BY doc_id, span_start, action""".stripMargin,
+
+    // spans applied: keep-span tokens re-joined in position order; the
+    // LEFT JOIN + coalesce keeps fully-dropped docs as empty strings
+    "q_substr_clean" ->
+      s"""${substrSpansCte(keepFirst = false)},
+         |tokp AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+         |         FROM tk),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS w
+         |        FROM tokp),
+         |kept AS (SELECT tok.doc_id, pos, w FROM tok
+         |         JOIN spans ON tok.doc_id = spans.doc_id
+         |          AND spans.action = 'keep'
+         |          AND pos BETWEEN spans.span_start AND spans.span_end)
+         |SELECT d.doc_id,
+         |       coalesce(string_agg(w, ' ' ORDER BY pos), '') AS clean_text
+         |FROM documents d LEFT JOIN kept ON d.doc_id = kept.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // bigram-LM CTE identical to q_bigram_logprob's oracle; the per-source
     // GK-sketch boundaries are the fixture seam (DuckDB cannot replay

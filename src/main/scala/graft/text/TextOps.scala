@@ -159,10 +159,19 @@ object TextOps {
     * union of duplicated window extents [pos, pos+L−1] — an interval merge
     * — recovers each maximal duplicated run EXACTLY (a shared run of
     * T ≥ L tokens yields T−L+1 consecutive duplicated windows whose union
-    * is the full run). Like the paper's released tool, ALL occurrences of
-    * a duplicated run are dropped, not all-but-one — deterministic and
-    * order-free, where keep-one needs a canonical-copy tiebreak that can
-    * disagree across overlapping runs.
+    * is the full run). With `keepFirst = false` (the default, matching
+    * the paper's released tool) ALL occurrences of a duplicated run are
+    * dropped; `keepFirst = true` implements the paper's stated suggestion
+    * — remove all but one copy — by exempting each duplicated window's
+    * canonical occurrence, the minimum (doc, pos) packed key, so the
+    * earliest copy survives intact. The canonical tiebreak is per-window:
+    * when overlapping runs have canonicals in DIFFERENT documents (a
+    * sub-window of a long run also appearing in some earlier short
+    * context), the first document can still lose that sub-extent —
+    * deterministic and order-free, but not always a contiguous "first
+    * copy" (the paper's suffix-array formulation has the same ambiguity).
+    * The packed key is doc_id·2²⁰ + pos, bounding docs at 2²⁰ tokens —
+    * 8× the paper's own 100k-token truncation.
     *
     * Windows are keyed by their full 128-bit md5 (not the 15-hex-digit
     * BIGINT recipe): at 100 TB there are ~10¹³ windows, where a 60-bit key
@@ -177,7 +186,8 @@ object TextOps {
     * are lowercased-whitespace per [[graft.functions.WordShingles]],
     * matching every other shingle operator and its oracle. */
   def substrDedupSpans(df: DataFrame, idCol: String, textCol: String,
-      minRun: Int = 50, minOcc: Int = 2): DataFrame = {
+      minRun: Int = 50, minOcc: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = minRun
     val nTok = df.select(col(idCol),
@@ -188,12 +198,16 @@ object TextOps {
         posexplode(graft.functions.WordShingles.word_shingles(
           col(textCol), L, distinct = false)).as(Seq("pos", "g")))
       .select(col(idCol), col("pos"),
+        (col(idCol) * lit(1048576L) + col("pos")).as("pk"),
         md5(col("g").cast("binary")).as("h"))
       .localCheckpoint(true)
-    val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"),
+        min(col("pk")).as("canon"))
       .filter(col("n_occ") >= minOcc)
-      .select("h")
-    val hits = grams.join(dup, Seq("h")).select(col(idCol), col("pos"))
+      .select("h", "canon")
+    val hits = grams.join(dup, Seq("h"))
+      .filter(if (keepFirst) col("pk") =!= col("canon") else lit(true))
+      .select(col(idCol), col("pos"))
     // interval merge of [pos, pos+L-1]: a window starting within or
     // adjacent to the running extent (pos ≤ prev_pos + L) continues it
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -229,6 +243,32 @@ object TextOps {
         col("drop_end").as("span_end"), lit("drop").as("action"))
       .unionByName(keepGaps)
       .unionByName(keepTails)
+  }
+
+  /** Apply [[substrDedupSpans]] — the paper's actual deliverable, the
+    * CLEANED corpus: per document, the lowercased whitespace tokens with
+    * every drop-span token removed, re-joined with single spaces (one row
+    * per input document; fully-duplicated documents come back as the
+    * empty string). The span frame collapses to one keep-span array per
+    * document (bounded by the doc's own token count), and the removal
+    * itself is a codegen'd higher-order `filter` over the positional
+    * token array — map-only, no second corpus shuffle beyond what the
+    * span computation already did. */
+  def substrDedupApply(df: DataFrame, idCol: String, textCol: String,
+      minRun: Int = 50, minOcc: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
+    val keeps = substrDedupSpans(df, idCol, textCol, minRun, minOcc, keepFirst)
+      .filter(col("action") === "keep")
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("ks"))
+    df.join(keeps, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(wsTokens(lower(col(textCol))),
+            (t, i) => exists(coalesce(col("ks"),
+              array().cast("array<struct<span_start:int,span_end:int>>")),
+              s => i >= s("span_start") && i <= s("span_end"))),
+          " ").as("clean_text"))
   }
 
   /** Content-defined document fingerprint: full-text md5 plus the minimum

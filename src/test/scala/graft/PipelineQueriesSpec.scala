@@ -289,6 +289,31 @@ class PipelineQueriesSpec extends AnyFunSuite {
       (1L, 0, 11, "drop"), (1L, 12, 19, "keep"),
       (2L, 0, 14, "keep"),
       (3L, 0, 19, "drop")))
+
+    // keep-one-copy variant: the canonical (earliest packed doc,pos)
+    // occurrence survives — doc 0 keeps its run untouched, doc 1 still
+    // drops; doc 3's first within-doc copy survives, the repeat drops
+    val k1 = graft.text.TextOps.substrDedupSpans(df, "doc_id", "text",
+        minRun = 10, keepFirst = true)
+      .orderBy("doc_id", "span_start")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    assert(k1.toSeq == Seq(
+      (0L, 0, 21, "keep"),
+      (1L, 0, 11, "drop"), (1L, 12, 19, "keep"),
+      (2L, 0, 14, "keep"),
+      (3L, 0, 9, "keep"), (3L, 10, 19, "drop")))
+
+    // spans applied: drop-span tokens removed, keep tokens re-joined;
+    // the fully-duplicated doc 3 comes back empty
+    val clean = graft.text.TextOps.substrDedupApply(df, "doc_id", "text",
+        minRun = 10)
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(clean.toSeq == Seq(
+      (0L, "u1 u2 u3 u4 u5 s1 s2 s3 s4 s5"),
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8"),
+      (2L, (1 to 15).map(i => s"c$i").mkString(" ")),
+      (3L, "")))
   }
 
   test("DSIR weights: planted target vocabulary separates, neutral terms don't") {
