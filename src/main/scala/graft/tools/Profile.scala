@@ -381,6 +381,35 @@ object Profile {
           d.withColumn("pos", row_number().over(
             Window.partitionBy(col("shard")).orderBy(col("hv"), col("doc_id"))))
             .select(sum(col("pos").cast("long"))).collect(); n }
+      case "scale_substr" =>
+        // ExactSubstr family at 1x/10x on the replica corpus — the WORST
+        // case for this operator: replication makes every window of every
+        // document duplicated, so the hit join returns the full gram
+        // frame and the interval merge covers every document end to end.
+        import org.apache.spark.sql.functions._
+        val d0 = graft.tables.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val stride = d0.agg(max("doc_id")).first().getLong(0) + 1
+        def docsX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            d0.select((col("doc_id") + lit(i * stride)).as("doc_id"),
+              col("text"))
+          }.reduce(_ unionByName _)
+        def t(f: => Unit): Double = elapsed(f)
+        Seq(1, 1, 10).foreach { times =>
+          val d = docsX(times).repartition(32).persist(); d.count()
+          val nd = d.count()
+          val spans = t(graft.text.TextOps.substrDedupSpans(
+            d, "doc_id", "text", 20).count())
+          val keep1 = t(graft.text.TextOps.substrDedupSpans(
+            d, "doc_id", "text", 20, keepFirst = true).count())
+          val clean = t(graft.text.TextOps.substrDedupApply(
+            d, "doc_id", "text", 20).count())
+          println(f"[profile] ${times}%3dx ($nd%6d docs, all-duplicated): " +
+            f"substr_spans $spans%6.1f s  keep1 $keep1%6.1f s  " +
+            f"apply $clean%6.1f s")
+          d.unpersist()
+        }
       case "recall10x" =>
         // VERDICT r7 #7: does the trained-quantizer cost buy recall?
         // recall@5 vs exact brute-force ground truth for the PQ family at
