@@ -23,16 +23,18 @@ import org.apache.spark.sql.SparkSession
   *                   co-load inflates wall times up to ~2.5× (PERF.md
   *                   round 7 measured the mechanism), and the load column
   *                   lets a reader attribute an outlier without rerunning;
-  *  - `contended`    queries whose cold pass exceeded 3× their warm pass
-  *                   (and 1 s absolute) — the co-load signature, e.g. the
-  *                   round-7 driver artifact recorded a 46.6 s cold
-  *                   reading for a 2.5 s query. Each is re-run once after
-  *                   the warm pass and the cold cell keeps the MINIMUM of
-  *                   the two readings, so one contended window can no
-  *                   longer masquerade as a 18× regression. The re-run
-  *                   executes with hot caches, so the repaired number is a
-  *                   floor for true cold cost — hence the entry stays
-  *                   flagged rather than silently repaired.
+  *  - `contended`    queries where one pass exceeded 3× the other (and 1 s
+  *                   absolute) — the co-load signature, e.g. the round-7
+  *                   driver artifact recorded a 46.6 s cold reading for a
+  *                   2.5 s query, and r6 shipped an 11.1 s warm reading
+  *                   for a 5 s one. Each is re-run once after both passes
+  *                   and the inflated cell keeps the MINIMUM of the two
+  *                   readings, so one contended scheduling window can no
+  *                   longer masquerade as an 18× regression or a warm >
+  *                   cold inversion. A cold re-run executes with hot
+  *                   caches, so its repaired number is a floor for true
+  *                   cold cost — hence entries stay flagged rather than
+  *                   silently repaired.
   *
   * TWO lines are printed: a full-precision `"metric":"detail"` line first
   * (cold + warm maps), then a compact `"metric":"total"` line LAST. The
@@ -86,21 +88,34 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val coldRaw = named.map { case (n, fn) => (n, run(n, fn), loadNow()) }
     val warmAll = named.map { case (n, fn) => (n, run(n, fn), loadNow()) }
-    val warm = warmAll.map { case (n, v, _) => n -> v }
-    val warmByName = warm.toMap
-    // contended-cold repair: a cold reading >3x its own warm pass (and >1 s
-    // absolute) is the co-load signature, not a property of the plan —
-    // re-run once and keep the minimum; the name stays in `contended`
-    val contended = coldRaw.collect {
+    val warmRaw = warmAll.map { case (n, v, _) => n -> v }
+    val warmByName = warmRaw.toMap
+    // contended repair, both directions: a reading >3x its counterpart
+    // pass (and >1 s absolute) is the co-load signature, not a property of
+    // the plan — re-run once and keep the minimum; the name stays in
+    // `contended`. Cold outliers first (r7's 46.6 s cold for a 2.5 s
+    // query), then warm outliers against the repaired cold (r6's 11.1 s
+    // warm for a 5 s query).
+    def rerun(names: Seq[String]): Map[String, Double] =
+      names.map { n => n -> run(n, named.find(_._1 == n).get._2) }.toMap
+    val contendedCold = coldRaw.collect {
       case (n, c, _) if c > 0 && warmByName.get(n).exists(w => w > 0 &&
         c > 3 * w) && c > 1.0 => n
     }
-    val rerunByName = contended.map { n =>
-      n -> run(n, named.find(_._1 == n).get._2)
-    }.toMap
+    val rerunCold = rerun(contendedCold)
     val cold = coldRaw.map { case (n, c, _) =>
-      n -> rerunByName.get(n).filter(r => r > 0 && r < c).getOrElse(c)
+      n -> rerunCold.get(n).filter(r => r > 0 && r < c).getOrElse(c)
     }
+    val coldByName = cold.toMap
+    val contendedWarm = warmRaw.collect {
+      case (n, w) if w > 0 && coldByName.get(n).exists(c => c > 0 &&
+        w > 3 * c) && w > 1.0 => n
+    }
+    val rerunWarm = rerun(contendedWarm)
+    val warm = warmRaw.map { case (n, w) =>
+      n -> rerunWarm.get(n).filter(r => r > 0 && r < w).getOrElse(w)
+    }
+    val contended = (contendedCold ++ contendedWarm).distinct
     val loadCold = coldRaw.map { case (n, _, l) => n -> l }
     val loadWarm = warmAll.map { case (n, _, l) => n -> l }
     // Locale.ROOT: a comma-decimal default locale would make f"%.2f" emit
