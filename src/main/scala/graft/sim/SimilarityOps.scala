@@ -846,8 +846,15 @@ object SimilarityOps {
     * oracle-exactness tradeoff: codewords quantize the residual
     * `v − centroid(cell)` rather than the raw vector, so code precision
     * concentrates around each cell instead of spanning the whole space.
-    * The coarse quantizer stays the DETERMINISTIC lowest-id one (directly
-    * SQL-replayable); the codebooks train on the SAMPLED residuals
+    * The coarse quantizer defaults to the DETERMINISTIC lowest-id one
+    * (directly SQL-replayable); pass `cents` (e.g. [[kmeansCentroids]])
+    * for FAISS's actual composition — a TRAINED coarse quantizer — which
+    * is what makes residual coding pay on clustered corpora: residuals
+    * are only small (and the per-cell precision argument only holds) when
+    * cells track the data's real cluster structure (measured in PERF.md
+    * round 8: recall@5 0.036 → 0.166 at 5k vectors and 0.002 → 0.064 at
+    * 50k on a 32-cluster corpus, same scan fraction, just by training
+    * the coarse stage). The codebooks train on the SAMPLED residuals
     * ([[trainingSample]] → [[trainCodebooksLocal]], the same bounded
     * FAISS-style shape as [[pqCodebooksTrained]]) and are pinned through
     * the fixture seam by callers.
@@ -860,9 +867,11 @@ object SimilarityOps {
     * note there. */
   def ivfPqResidualBooks(emb: DataFrame, idCol: String, vecCol: String,
                          nCells: Int, m: Int, ksub: Int, iters: Int,
-                         maxTrain: Int = 4096): DataFrame = {
-    val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
-      .orderBy("cell").limit(nCells)
+                         maxTrain: Int = 4096,
+                         cents: Option[DataFrame] = None): DataFrame = {
+    val cent = cents.getOrElse(
+      emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
+        .orderBy("cell").limit(nCells))
     // sample BEFORE the residual subtraction: training needs residuals for
     // the bounded sample only, so cell assignment + subtraction run over
     // maxTrain rows, not the corpus (the full residual frame is still
@@ -882,13 +891,17 @@ object SimilarityOps {
     * state is `(cell, m codes)` per vector exactly as [[ivfPqTopK]]; the
     * only exchanges are the encode argmin and the candidate partial-sum
     * aggregate, and the rank is the bounded-heap [[rankTopK]] stage.
-    * `books` comes from [[ivfPqResidualBooks]] via the fixture seam. */
+    * `books` comes from [[ivfPqResidualBooks]] via the fixture seam;
+    * `cents` must be the SAME coarse quantizer the books were trained
+    * against (both default to the deterministic lowest-id one). */
   def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
                         books: DataFrame, querySelector: Long, k: Int,
                         nCells: Int, nProbe: Int, m: Int,
-                        maxQueries: Long = 100L): DataFrame = {
-    val cent = emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
-      .orderBy("cell").limit(nCells)
+                        maxQueries: Long = 100L,
+                        cents: Option[DataFrame] = None): DataFrame = {
+    val cent = cents.getOrElse(
+      emb.select(col(idCol).as("cell"), col(vecCol).as("cv"))
+        .orderBy("cell").limit(nCells))
     // read twice (encode + cell map) — checkpoint instead of recomputing
     // the assignment max_by pass per read
     val resid = residualFrame(emb, idCol, vecCol, cent).localCheckpoint(true)

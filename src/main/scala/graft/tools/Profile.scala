@@ -410,6 +410,58 @@ object Profile {
             f"apply $clean%6.1f s")
           d.unpersist()
         }
+      case "recall_clustered" =>
+        // Counterpart to recall10x: SYNTHETIC CLUSTERED embeddings (32
+        // hash-derived centers, small per-vector noise) — the corpus shape
+        // FAISS's residual coding presumes. recall10x showed residual
+        // IVF-PQ losing on uniform-random vectors; this case measures
+        // whether the residual path's advantage materializes once the
+        // data has cluster structure (cell-local residuals are then
+        // small and the per-cell codebooks concentrate precision).
+        import org.apache.spark.sql.functions._
+        import graft.sim.SimilarityOps
+        def h01(seed: org.apache.spark.sql.Column,
+            i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (pmod(xxhash64(seed, i), lit(2000L)).cast("double") - 1000.0) / 1000.0
+        Seq(5000L, 50000L).foreach { n =>
+          // vector = center(id % 32) + 0.15 * noise(id); noise seeds are
+          // offset by 1e6 so they never collide with the 32 center seeds
+          val e = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(1), lit(64)), i =>
+              h01(pmod(col("id"), lit(32L)), i) +
+                h01(col("id") + lit(1000000L), i) * lit(0.15)).as("embedding"))
+            .repartition(32).persist()
+          e.count()
+          val truth = SimilarityOps.bruteForceTopK(
+              e, "vec_id", "embedding", 10, 5)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          def recall(df: DataFrame): Double = {
+            val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+            got.intersect(truth).size.toDouble / truth.size
+          }
+          val rTrn = recall(SimilarityOps.pqTopKFrom(
+            e, "vec_id", "embedding", SimilarityOps.pqCodebooksTrained(
+              e, "vec_id", "embedding", 4, 16, 3), 10, 5, 4))
+          val rIvfPq = recall(SimilarityOps.ivfPqTopK(
+            e, "vec_id", "embedding", 10, 5, 16, 2, 4, 16))
+          val rRes = recall(SimilarityOps.ivfPqResidualTopK(
+            e, "vec_id", "embedding", SimilarityOps.ivfPqResidualBooks(
+              e, "vec_id", "embedding", 16, 4, 16, 2), 10, 5, 16, 2, 4))
+          // FAISS's real composition: TRAINED coarse quantizer (cells
+          // track the 32 planted clusters) + residual books trained
+          // against the SAME cells — 32 cells so the quantizer can align
+          val tc = SimilarityOps.kmeansCentroids(
+            e, "vec_id", "embedding", 32, 3).localCheckpoint(true)
+          val rResT = recall(SimilarityOps.ivfPqResidualTopK(
+            e, "vec_id", "embedding", SimilarityOps.ivfPqResidualBooks(
+              e, "vec_id", "embedding", 32, 4, 16, 2, cents = Some(tc)),
+            10, 5, 32, 4, 4, cents = Some(tc)))
+          println(f"[profile] clustered n=$n%6d recall@5: " +
+            f"pq_trained $rTrn%.3f  ivfpq_raw $rIvfPq%.3f  " +
+            f"ivfpq_residual_detcoarse $rRes%.3f  " +
+            f"ivfpq_residual_trainedcoarse $rResT%.3f")
+          e.unpersist()
+        }
       case "recall10x" =>
         // VERDICT r7 #7: does the trained-quantizer cost buy recall?
         // recall@5 vs exact brute-force ground truth for the PQ family at
