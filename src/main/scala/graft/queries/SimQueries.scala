@@ -71,10 +71,12 @@ object SimQueries {
         .orderBy("query_id", "rank")),
 
     // ANN: IVF over a TRAINED spherical-k-means quantizer (3 Lloyd
-    // rounds). The trained centroid frame is the fixture seam; the oracle
-    // replays assignment + probe + exact rank from it in SQL.
+    // rounds on a bounded sample — the r8 FAISS-discipline trainer: one
+    // corpus pass total instead of one assignment pass per round). The
+    // trained centroid frame is the fixture seam; the oracle replays
+    // assignment + probe + exact rank from it in SQL.
     "q_ann_ivf_trained" -> ((s, dir) => {
-      val cent = seam(SimilarityOps.kmeansCentroids(
+      val cent = seam(SimilarityOps.kmeansCentroidsSampled(
         emb(s, dir), "vec_id", "embedding", k = 16, iters = 3),
         dir, "ivf_centroids")
       SimilarityOps.ivfTopKFrom(emb(s, dir), "vec_id", "embedding", cent,
@@ -188,6 +190,26 @@ object SimQueries {
       SimilarityOps.ivfPqResidualTopK(emb(s, dir), "vec_id", "embedding",
           books, querySelector = 10, k = 5, nCells = 16, nProbe = 2, m = 4,
           maxQueries = 100)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Residual IVF-PQ with a TRAINED coarse quantizer — FAISS's actual
+    // IndexIVFPQ composition end to end: k-means cells (so residuals
+    // track real cluster structure; PERF.md round 8 measures recall
+    // 0.036 → 0.166 on a clustered corpus from this alone) + residual
+    // codebooks trained against the SAME cells. Both the centroid frame
+    // and the books are fixture seams; the oracle replays assignment →
+    // encode → per-cell ADC → rank from them.
+    "q_ann_ivfpq_tc" -> ((s, dir) => {
+      val cent = seam(SimilarityOps.kmeansCentroidsSampled(
+        emb(s, dir), "vec_id", "embedding", k = 16, iters = 3),
+        dir, "pqtc_centroids")
+      val books = seam(SimilarityOps.ivfPqResidualBooks(
+        emb(s, dir), "vec_id", "embedding", nCells = 16, m = 4, ksub = 16,
+        iters = 3, cents = Some(cent)), dir, "pqtc_codebooks")
+      SimilarityOps.ivfPqResidualTopK(emb(s, dir), "vec_id", "embedding",
+          books, querySelector = 10, k = 5, nCells = 16, nProbe = 2, m = 4,
+          maxQueries = 100, cents = Some(cent))
         .orderBy("query_id", "rank")
     }),
 
@@ -586,6 +608,69 @@ object SimQueries {
          |books AS (
          |  SELECT sub, code, CAST(cv AS DOUBLE[]) AS cv
          |  FROM read_parquet('${sqlPath("pqres_codebooks")}')),
+         |corpus_subs AS (
+         |  SELECT r.id, s.sub,
+         |         list_slice(r.rv, CAST(s.sub * (len(r.rv) // 4) + 1 AS INT),
+         |                    CAST((s.sub + 1) * (len(r.rv) // 4) AS INT)) AS sv
+         |  FROM resid r CROSS JOIN subs s),
+         |enc_ranked AS (
+         |  SELECT cs.id, cs.sub, bk.code,
+         |         row_number() OVER (PARTITION BY cs.id, cs.sub
+         |           ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cv),
+         |                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), bk.code) AS r
+         |  FROM corpus_subs cs JOIN books bk ON cs.sub = bk.sub),
+         |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
+         |probes AS (
+         |  SELECT id AS query_id, cell FROM cellasg
+         |  WHERE r <= 2 AND id % 10 = 0 AND id < 1000),
+         |qres AS (
+         |  SELECT p.query_id, p.cell,
+         |         list_transform(list_zip(b.v, c.cv), x -> x[1] - x[2]) AS qrv
+         |  FROM probes p JOIN base b ON p.query_id = b.id
+         |  JOIN cent c ON p.cell = c.cell),
+         |qtab AS (
+         |  SELECT q.query_id, q.cell, s.sub, bk.code,
+         |         round(list_sum(list_transform(list_zip(
+         |           list_slice(q.qrv, CAST(s.sub * (len(q.qrv) // 4) + 1 AS INT),
+         |                      CAST((s.sub + 1) * (len(q.qrv) // 4) AS INT)), bk.cv),
+         |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
+         |  FROM qres q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub),
+         |dists AS (
+         |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
+         |  FROM enc e JOIN asg a ON e.id = a.id
+         |  JOIN qtab qt ON a.cell = qt.cell AND e.sub = qt.sub AND e.code = qt.code
+         |  WHERE qt.query_id <> e.id
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, d2, cell,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY d2, neighbor_id) AS rank
+         |  FROM dists)
+         |SELECT query_id, rank, neighbor_id, d2, cell
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // identical chain to q_ann_ivfpq_res with ONE substitution: cent reads
+    // the trained-centroid fixture instead of deriving lowest-id cells
+    "q_ann_ivfpq_tc" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${sqlPath("pqtc_centroids")}')),
+         |cellasg AS (
+         |  SELECT b.id, c.cell,
+         |         row_number() OVER (PARTITION BY b.id
+         |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+         |  FROM base b CROSS JOIN cent c),
+         |asg AS (SELECT id, cell FROM cellasg WHERE r = 1),
+         |resid AS (
+         |  SELECT b.id, a.cell,
+         |         list_transform(list_zip(b.v, c.cv), p -> p[1] - p[2]) AS rv
+         |  FROM base b JOIN asg a ON b.id = a.id JOIN cent c ON a.cell = c.cell),
+         |subs AS (SELECT unnest(range(0, 4)) AS sub),
+         |books AS (
+         |  SELECT sub, code, CAST(cv AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${sqlPath("pqtc_codebooks")}')),
          |corpus_subs AS (
          |  SELECT r.id, s.sub,
          |         list_slice(r.rv, CAST(s.sub * (len(r.rv) // 4) + 1 AS INT),

@@ -297,6 +297,28 @@ object SimilarityOps {
     cent.toDF("cell", "cv")
   }
 
+  /** SAMPLED spherical-k-means coarse quantizer — FAISS's coarse-training
+    * discipline applied to the IVF stage: where [[kmeansCentroids]]
+    * assigns EVERY corpus vector each Lloyd round (iters full-corpus
+    * passes + 2 driver collects per round), this trains on a bounded
+    * deterministic sample ([[trainingSample]] — one TakeOrdered pass over
+    * the corpus, FAISS's max_points_per_centroid discipline) with the
+    * rounds as driver-local flops ([[lloydLocal]], same assignment/update
+    * semantics). The distributed cost is ONE corpus pass regardless of
+    * iters; output is the same `(cell, cv)` frame, consumed by
+    * [[ivfTopKFrom]] / the residual path's `cents` parameter. */
+  def kmeansCentroidsSampled(emb: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int,
+                             maxTrain: Int = 4096): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = trainingSample(emb, idCol, vecCol, maxTrain)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    lloydLocal(pts, k, iters).zipWithIndex
+      .map { case (cv, c) => (c.toLong, cv.toSeq) }.toSeq
+      .toDF("cell", "cv")
+  }
+
   /** IVF search over an EXPLICIT centroid frame `(cell, cv)` — the
     * quantizer-agnostic core: corpus cell assignment is the broadcast
     * `max_by` pass (map-side partial aggregate, one output row per vector

@@ -320,6 +320,47 @@ class SimilaritySpec extends AnyFunSuite {
       f"trained recall $rTrn%.3f collapsed vs deterministic $rDet%.3f")
   }
 
+  test("sampled coarse k-means: full-coverage sample matches the distributed trainer") {
+    // with maxTrain >= corpus size the sample IS the corpus and the init
+    // (k lowest ids) matches, so the only divergence is FP summation
+    // order in the mean update — centroids must agree to ~1e-9
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dist = centMap(SimilarityOps.kmeansCentroids(
+      emb, "vec_id", "embedding", 16, 3))
+    val samp = centMap(SimilarityOps.kmeansCentroidsSampled(
+      emb, "vec_id", "embedding", 16, 3, maxTrain = 1000000))
+    // cell ids differ (sampled renumbers 0..k-1 = the k lowest ids in id
+    // order; distributed numbers the same init rows 0..k-1 the same way)
+    assert(samp.keySet == dist.keySet)
+    samp.keySet.foreach { c =>
+      val (a, b) = (samp(c), dist(c))
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"cell $c diverged: $x vs $y") }
+    }
+  }
+
+  test("residual IVF-PQ: explicit deterministic cents reproduce the default path") {
+    // the cents parameter (r8, for trained coarse quantizers) must be a
+    // pure generalization: passing the deterministic lowest-id frame
+    // explicitly yields bit-identical results to passing nothing
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val det = emb.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy("cell").limit(16)
+    def rows(cents: Option[org.apache.spark.sql.DataFrame]) = {
+      val books = SimilarityOps.ivfPqResidualBooks(
+        emb, "vec_id", "embedding", 16, 4, 16, 2, cents = cents)
+      SimilarityOps.ivfPqResidualTopK(emb, "vec_id", "embedding", books,
+          10, 5, 16, 2, 4, cents = cents)
+        .orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    }
+    assert(rows(None) == rows(Some(det)))
+  }
+
   test("residual IVF-PQ: trained books well-formed, recall holds up vs raw codes") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     val books = SimilarityOps.ivfPqResidualBooks(
