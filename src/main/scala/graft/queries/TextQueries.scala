@@ -434,6 +434,14 @@ object TextQueries {
         .orderBy("anchor_id", "rank")
     }),
 
+    // Gopher quality rules (Rae et al. 2021 App. A): the named filter
+    // bundle — word-count/mean-word-length bounds, symbol ratio, alpha
+    // fraction, stop-term presence, bullet/ellipsis line rules — with the
+    // composite gate computed from 6-rounded measurements on both engines.
+    "q_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Substring-level exact dedup (Lee et al. 2022 ExactSubstr): every
     // verbatim ≥20-token run occurring ≥2× anywhere in the corpus becomes
     // a drop span in EVERY document carrying it; keep spans are the
@@ -1085,6 +1093,42 @@ object TextQueries {
          |  FROM scored)
          |SELECT source, CAST(rank AS INT) AS rank, term, n_st, contrib
          |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+
+    "q_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${toks("text")} AS tr, ${toks("lower(text)")} AS tl,
+         |         string_split(text, chr(10)) AS ls, text
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, len(tr) AS n_words,
+         |    round(CAST(list_sum(list_transform(tr, x -> length(x))) AS DOUBLE)
+         |          / greatest(len(tr), 1), 6) AS mean_word_len,
+         |    round(CAST(len(list_filter(tr, x -> regexp_matches(x, '[A-Za-z]')))
+         |          AS DOUBLE) / greatest(len(tr), 1), 6) AS alpha_frac,
+         |    round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         |          / greatest(len(tr), 1), 6) AS symbol_ratio,
+         |    (CAST(list_contains(tl, 'the') AS INT) +
+         |     CAST(list_contains(tl, 'be') AS INT) +
+         |     CAST(list_contains(tl, 'to') AS INT) +
+         |     CAST(list_contains(tl, 'of') AS INT) +
+         |     CAST(list_contains(tl, 'and') AS INT) +
+         |     CAST(list_contains(tl, 'that') AS INT) +
+         |     CAST(list_contains(tl, 'have') AS INT) +
+         |     CAST(list_contains(tl, 'with') AS INT)) AS n_stop_terms,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+         |          AS DOUBLE) / greatest(len(ls), 1), 6) AS bullet_frac,
+         |    round(CAST(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$$')))
+         |          AS DOUBLE) / greatest(len(ls), 1), 6) AS ellipsis_frac
+         |  FROM t)
+         |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+         |       alpha_frac, symbol_ratio, n_stop_terms, bullet_frac,
+         |       ellipsis_frac,
+         |       CAST(n_words BETWEEN 50 AND 100000
+         |            AND mean_word_len BETWEEN 3.0 AND 10.0
+         |            AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+         |            AND n_stop_terms >= 2 AND bullet_frac <= 0.9
+         |            AND ellipsis_frac <= 0.3 AS INT) AS pass_gopher
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     // full replay of the ExactSubstr pipeline: L-gram md5s, global
     // occurrence count, interval merge, complement spans — md5 and list

@@ -142,6 +142,58 @@ object TextOps {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", App. A)
+    * — the canonical named document-filter set large pretraining corpora
+    * run before dedup: word-count bounds [50, 100k], mean word length in
+    * [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥ 80% of words
+    * containing an alphabetic character, ≥ 2 of the 8 Gopher stop terms
+    * present, ≤ 90% of lines starting with a bullet, ≤ 30% ending with an
+    * ellipsis. Emits the per-rule measurements (rounded at 6, the shared
+    * engine-parity recipe) and the composite pass flag computed FROM the
+    * rounded values so both engines gate identically.
+    *
+    * Map-only — one projection, no shuffle, no state; every piece is a
+    * codegen'd expression (regexp token extraction, higher-order
+    * filter/aggregate over the token array), so the pass runs at scan
+    * speed and scales with input splits like the rest of this module. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toksRaw = wsTokens(text)
+    val n = size(toksRaw)
+    val safeN = greatest(n, lit(1)).cast("double")
+    val mwl = round(aggregate(transform(toksRaw, t => length(t).cast("long")),
+      lit(0L), (a, x) => a + x).cast("double") / safeN, 6)
+    val alphaFrac = round(
+      size(filter(toksRaw, t => t.rlike("[A-Za-z]"))).cast("double") / safeN, 6)
+    val symRatio = round(
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / safeN, 6)
+    val nStop = GopherStop.map(w =>
+      array_contains(wsTokens(lower(text)), w).cast("int")).reduce(_ + _)
+    val lines = split(text, "\n")
+    val safeL = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = round(
+      size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("double") / safeL, 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l => l.rlike("\\.\\.\\.$"))).cast("double") / safeL, 6)
+    df.select(col(idCol), n.as("n_words"), mwl.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), symRatio.as("symbol_ratio"),
+        nStop.as("n_stop_terms"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"))
+      .withColumn("pass_gopher",
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop_terms") >= 2 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3).cast("int"))
+  }
+
+  private val GopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Substring-level EXACT deduplication (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the ExactSubstr
     * operator): find every verbatim token run of length ≥ `minRun` that

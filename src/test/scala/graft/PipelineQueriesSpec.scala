@@ -267,6 +267,21 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(pairs.head._3 >= 3)
   }
 
+  test("Gopher rules: planted docs pass or fail the intended rule") {
+    val passText = (Seq("the", "value", "with", "data") ++
+      (1 to 56).map(i => s"word$i")).mkString(" ") // 60 words, 2 stop terms
+    val shortText = "the data with value" // fails the >= 50 word bound
+    val numText = (Seq("the", "with") ++
+      (1 to 58).map(_.toString)).mkString(" ") // alpha frac 2/60 < 0.8
+    val noStop = (1 to 60).map(i => s"word$i").mkString(" ") // 0 stop terms
+    val df = Seq((0L, passText), (1L, shortText), (2L, numText),
+      (3L, noStop)).toDF("doc_id", "text")
+    val r = graft.text.TextOps.gopherRules(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(8)))
+    assert(r.toSeq == Seq((0L, 60, 1), (1L, 4, 0), (2L, 60, 0), (3L, 60, 0)))
+  }
+
   test("substring dedup: planted verbatim run recovered to exact token extents") {
     // docs 0 and 1 share a verbatim 12-token run (> minRun=10) at
     // different offsets — BOTH copies must become drop spans covering
