@@ -178,4 +178,24 @@ class PlanSpec extends AnyFunSuite {
       assert("Exchange".r.findAllIn(p).size <= 1, s"$q:\n$p")
     }
   }
+
+  test("Gopher rules stay map-only before the output sort") {
+    val p = plan("q_gopher_rules")
+    assert("Exchange".r.findAllIn(p).size <= 1, p)
+    assert(!p.contains("HashAggregate"), "unexpected aggregate in a map-only filter pass")
+  }
+
+  test("substring dedup: equi-joins only, doc-bounded windows") {
+    // the hit join must be a hash/sort-merge equi-join on the window hash
+    // (one output row per gram occurrence) and every Window must partition
+    // by the doc id — never a corpus-global sort, never a nested loop
+    for (q <- Seq("q_substr_dedup", "q_substr_keep1", "q_substr_clean")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2000)}")
+      p.linesIterator.filter(_.matches(".*\\bWindow \\[.*")).foreach { l =>
+        assert(l.contains("doc_id"), s"$q window not doc-partitioned: $l")
+      }
+    }
+  }
 }
