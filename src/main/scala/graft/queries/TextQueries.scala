@@ -535,7 +535,7 @@ object TextQueries {
        |      FROM tk WHERE len(t) >= 20),
        |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
        |             doc_id * 1048576 + (i - 1) AS pk,
-       |             md5(array_to_string(t[i : i + 19], ' ')) AS h
+       |             unhex(md5(array_to_string(t[i : i + 19], ' '))) AS h
        |      FROM p),
        |d AS (SELECT h, min(pk) AS canon FROM g
        |      GROUP BY h HAVING count(*) >= 2),

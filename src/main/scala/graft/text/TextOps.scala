@@ -249,9 +249,11 @@ object TextOps {
     val grams = df.select(col(idCol),
         posexplode(graft.functions.WordShingles.word_shingles(
           col(textCol), L, distinct = false)).as(Seq("pos", "g")))
+      // unhex: carry the 128-bit key as 16 BYTES, not 32 hex chars — the
+      // key column dominates the checkpoint/aggregate/join width here
       .select(col(idCol), col("pos"),
         (col(idCol) * lit(1048576L) + col("pos")).as("pk"),
-        md5(col("g").cast("binary")).as("h"))
+        unhex(md5(col("g").cast("binary"))).as("h"))
       .localCheckpoint(true)
     val dup = grams.groupBy("h").agg(count(lit(1)).as("n_occ"),
         min(col("pk")).as("canon"))

@@ -410,6 +410,16 @@ object Profile {
             f"apply $clean%6.1f s")
           d.unpersist()
         }
+        // 100x spans-only point (500k docs, ~25M windows); shuffle
+        // partitions scale with the data per the epoch-shuffle lesson
+        spark.conf.set("spark.sql.shuffle.partitions", 128)
+        val d100 = docsX(100).repartition(128).persist(); d100.count()
+        val s100 = t(graft.text.TextOps.substrDedupSpans(
+          d100, "doc_id", "text", 20).count())
+        println(f"[profile] 100x (500000 docs, all-duplicated): " +
+          f"substr_spans $s100%6.1f s (128 shuffle partitions)")
+        d100.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", cpus)
       case "recall_clustered" =>
         // Counterpart to recall10x: SYNTHETIC CLUSTERED embeddings (32
         // hash-derived centers, small per-vector noise) — the corpus shape
