@@ -242,8 +242,13 @@ object TextOps {
       keepFirst: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val L = minRun
+    // token COUNT via the same kernel that produced the window positions
+    // (word_shingles n=1 = the lowercased token array): wsTokens' Java \S+
+    // additionally treats \x0B as whitespace where the kernel (and the
+    // RE2-based oracle) does not, and span indices must share one scheme
     val nTok = df.select(col(idCol),
-      size(wsTokens(lower(col(textCol)))).as("n_tok"))
+      size(graft.functions.WordShingles.word_shingles(
+        col(textCol), 1, distinct = false)).as("n_tok"))
     // one row per positional L-window: (id, pos, h); feeds the occurrence
     // count AND the hit join — materialize once (repo convention)
     val grams = df.select(col(idCol),
@@ -318,7 +323,11 @@ object TextOps {
     df.join(keeps, Seq(idCol), "left")
       .select(col(idCol),
         array_join(
-          filter(wsTokens(lower(col(textCol))),
+          // kernel tokenizer (word_shingles n=1), NOT wsTokens: the span
+          // indices came from kernel positions and must index the same
+          // token sequence (Java vs RE2 \s differ on \x0B)
+          filter(graft.functions.WordShingles.word_shingles(
+              col(textCol), 1, distinct = false),
             (t, i) => exists(coalesce(col("ks"),
               array().cast("array<struct<span_start:int,span_end:int>>")),
               s => i >= s("span_start") && i <= s("span_end"))),
