@@ -267,6 +267,24 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(pairs.head._3 >= 3)
   }
 
+  test("substring dedup: one token scheme end to end (RE2 vs Java \\x0B edge)") {
+    //  is INSIDE a token for the kernel/RE2 scheme but whitespace
+    // for Java's \S+ — count, spans, and application must all use the
+    // kernel scheme or spans mis-index on such corpora
+    val df = Seq((0L, "aabb cc dd"), (1L, "ee ff gg hh"))
+      .toDF("doc_id", "text")
+    val spans = graft.text.TextOps.substrDedupSpans(df, "doc_id", "text",
+        minRun = 2).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getString(3)))
+    // no duplicated runs: one full keep span per doc; doc 0 has THREE
+    // kernel tokens (aabb, cc, dd), so its span ends at 2, not 3
+    assert(spans.toSeq == Seq((0L, 0, 2, "keep"), (1L, 0, 3, "keep")))
+    val clean = graft.text.TextOps.substrDedupApply(df, "doc_id", "text",
+        minRun = 2).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    assert(clean.toSeq == Seq((0L, "aabb cc dd"), (1L, "ee ff gg hh")))
+  }
+
   test("Gopher rules: planted docs pass or fail the intended rule") {
     val passText = (Seq("the", "value", "with", "data") ++
       (1 to 56).map(i => s"word$i")).mkString(" ") // 60 words, 2 stop terms
