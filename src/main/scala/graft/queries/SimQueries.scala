@@ -193,6 +193,17 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining (ANCE recipe): per anchor, the top-5 most
+    // cosine-similar vectors whose DOCUMENT comes from a different source
+    // — same-source presumed positive, high-scoring out-source = the
+    // negatives with teaching signal (q_neg_sample's hash-random picks
+    // are the easy-negative baseline). Broadcast anchors + heap rank.
+    "q_hard_negatives" -> ((s, dir) =>
+      SimilarityOps.hardNegatives(emb(s, dir), "vec_id", "embedding",
+          Tables.documents(s, dir), "doc_id", "source",
+          anchorSelector = 50, k = 5, maxAnchors = 100)
+        .orderBy("anchor_id", "rank")),
+
     // Residual IVF-PQ with a TRAINED coarse quantizer — FAISS's actual
     // IndexIVFPQ composition end to end: k-means cells (so residuals
     // track real cluster structure; PERF.md round 8 measures recall
@@ -648,6 +659,25 @@ object SimQueries {
          |  FROM dists)
          |SELECT query_id, rank, neighbor_id, d2, cell
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |g AS (SELECT doc_id, source FROM documents),
+         |a AS (SELECT vec_id AS anchor_id, v AS qv, source AS qg
+         |      FROM e JOIN g ON vec_id = doc_id
+         |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+         |c AS (SELECT vec_id AS neg_id, v, source AS ng
+         |      FROM e JOIN g ON vec_id = doc_id),
+         |s AS (SELECT anchor_id, neg_id,
+         |        round(list_cosine_similarity(qv, v), 6) AS cos
+         |      FROM a JOIN c ON qg <> ng),
+         |r AS (SELECT anchor_id, neg_id, cos,
+         |        row_number() OVER (PARTITION BY anchor_id
+         |                           ORDER BY cos DESC, neg_id) AS rank
+         |      FROM s)
+         |SELECT anchor_id, CAST(rank AS INT) AS rank, neg_id, cos
+         |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
 
     // identical chain to q_ann_ivfpq_res with ONE substitution: cent reads
     // the trained-centroid fixture instead of deriving lowest-id cells

@@ -132,6 +132,43 @@ object SimilarityOps {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive training (the dense-retrieval
+    * recipe popularized as ANCE, Xiong et al. 2021): for each anchor, the
+    * top-k most-similar corpus vectors from a DIFFERENT group — same-group
+    * vectors are presumed positives/near-positives, and the high-scoring
+    * out-group rest are the negatives that actually teach the margin,
+    * where q_neg_sample's hash-random negatives teach little.
+    *
+    * Shape = [[bruteForceTopK]]'s audited skeleton with a group column
+    * riding each side: the anchor set is FIXED-SIZE and broadcast, the
+    * group attach is a co-keyed equi-join on the vector id, the exclusion
+    * is a join predicate (never a post-score filter of a materialized
+    * frame), and the rank is the bounded-heap [[rankTopK]] — the
+    * anchors×corpus score frame never crosses an exchange. At corpus
+    * scale swap the exact score pass for an ANN candidate stage (e.g.
+    * [[ivfTopKFrom]] with k' ≫ k) feeding the same exclusion + rank. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    groups: DataFrame, groupIdCol: String, groupCol: String,
+                    anchorSelector: Long, k: Int,
+                    maxAnchors: Long = 100L): DataFrame = {
+    val g = groups.select(col(groupIdCol).as("__gid"), col(groupCol).as("__grp"))
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        l2norm(col(vecCol)).as("nv"))
+      .join(g, col("neighbor_id") === col("__gid"))
+      .select(col("neighbor_id"), col("v"), col("nv"), col("__grp").as("ng"))
+    val anchors = emb.filter(col(idCol) % anchorSelector === 0 &&
+        col(idCol) < lit(anchorSelector * maxAnchors))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        l2norm(col(vecCol)).as("nq"))
+      .join(g, col("query_id") === col("__gid"))
+      .select(col("query_id"), col("qv"), col("nq"), col("__grp").as("qg"))
+    val scored = corpus.join(broadcast(anchors), col("qg") =!= col("ng"))
+      .withColumn("cos", round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
+    rankTopK(scored, "cos", k)
+      .select(col("query_id").as("anchor_id"), col("rank"),
+        col("neighbor_id").as("neg_id"), col("cos"))
+  }
+
   /** All near-pairs above a cosine threshold (id_a < id_b), via broadcast
     * nested-loop. SPEC-ONLY exact baseline for small n — the recall oracle
     * for [[cosinePairsBlocked]] and [[lshPairCandidates]] tests. Never in

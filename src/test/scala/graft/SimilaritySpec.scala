@@ -320,6 +320,24 @@ class SimilaritySpec extends AnyFunSuite {
       f"trained recall $rTrn%.3f collapsed vs deterministic $rDet%.3f")
   }
 
+  test("hard negatives: out-group only, never the anchor, dense ranks") {
+    val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val src = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
+        docs, "doc_id", "source", anchorSelector = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, _, n) =>
+      assert(a != n, s"anchor $a mined itself")
+      assert(src(a) != src(n), s"anchor $a mined same-source negative $n")
+    }
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.length), "ranks not dense")
+    }
+  }
+
   test("sampled coarse k-means: full-coverage sample matches the distributed trainer") {
     // with maxTrain >= corpus size the sample IS the corpus and the init
     // (k lowest ids) matches, so the only divergence is FP summation
