@@ -42,6 +42,9 @@ object GraftFunctions {
         intArg(args(2), "nBands"))),
     "gram_micro" -> ((args: Seq[Expression]) =>
       GramMicroAgg(args(0), intArg(args(1), "dims"))
+        .toAggregateExpression()),
+    "cms_sketch" -> ((args: Seq[Expression]) =>
+      CmsSketchAgg(args(0), intArg(args(1), "depth"), intArg(args(2), "width"))
         .toAggregateExpression()))
 
   /** Register on an already-running session (temp-function scope). */

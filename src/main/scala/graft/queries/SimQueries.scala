@@ -125,6 +125,22 @@ object SimQueries {
         .orderBy("i", "j")
     }),
 
+    // PCA projection of the embedding store (the Gram aggregate's
+    // consumer): ONE corpus pass collects exact second/first moments via
+    // GramMicroAgg with an appended constant dimension; the driver
+    // eigensolves the 64×64 covariance with deterministic cyclic Jacobi
+    // (fixed sweep order, eigenvalue-desc order, sign-fixed, rounded at
+    // 9); the rounded (μ, P) frame is the fixture seam; projection onto
+    // the top 4 components is then MAP-ONLY (literal arrays + HOF
+    // nano-unit integer terms — no shuffle, engine-exact, scales as one
+    // scan at 100 TB). See graft.sim.PcaOps.
+    "q_pca_project" -> ((s, dir) => {
+      val model = graft.sim.PcaOps.fit(emb(s, dir), "embedding", 64, 4)
+      val fx = seam(graft.sim.PcaOps.modelFrame(s, model), dir, "pca_model")
+      graft.sim.PcaOps.project(emb(s, dir), "vec_id", "embedding", fx, 4)
+        .orderBy("vec_id")
+    }),
+
     // Symmetric int8 quantization of the embedding store (4× compression):
     // per-vector scale + quantized-L1 + max reconstruction error. Map-only;
     // integer outputs are engine-exact, the doubles round at 6.
@@ -247,6 +263,30 @@ object SimQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Replays PcaOps.project from the pca_model fixture: per-(dim,
+    // component) nano-unit integer terms, summed, /1e9, rounded at 6 —
+    // the same HALF_UP-on-doubles rounding both engines share.
+    "q_pca_project" ->
+      s"""WITH mdl AS (SELECT * FROM read_parquet('${sqlPath("pca_model")}')),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |xi AS (
+         |  SELECT vec_id, CAST(unnest(generate_series(1, len(v))) AS INT) AS j, v
+         |  FROM e),
+         |x AS (SELECT vec_id, j, v[j] AS x FROM xi),
+         |terms AS (
+         |  SELECT x.vec_id, m.k,
+         |         CAST(round((x.x - m.m) * m.p * 1e9) AS BIGINT) AS t
+         |  FROM x JOIN mdl m ON x.j = m.j),
+         |p AS (
+         |  SELECT vec_id, k, round(CAST(sum(t) AS DOUBLE) / 1e9, 6) AS pc
+         |  FROM terms GROUP BY 1, 2)
+         |SELECT vec_id,
+         |       max(CASE WHEN k = 1 THEN pc END) AS pc1,
+         |       max(CASE WHEN k = 2 THEN pc END) AS pc2,
+         |       max(CASE WHEN k = 3 THEN pc END) AS pc3,
+         |       max(CASE WHEN k = 4 THEN pc END) AS pc4
+         |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -166,6 +166,34 @@ object StatsQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Count-Min-Sketch frequency audit over the corpus bigram stream: one
+    // pass builds the native depth×width counter matrix (CmsSketchAgg —
+    // fixed 16 KiB buffer, map-side combined, exact under merge), then the
+    // top estimated-frequency bigrams are reported next to their exact
+    // counts (est ≥ exact always; equality unless sketch rows collide).
+    // The row hashes use the engine's shared md5-prefix recipe so the
+    // oracle rebuilds the identical counter matrix in SQL. At 100 TB the
+    // sketch side stays a constant-size aggregate; the exact side here is
+    // the audit benchmark, not the production path.
+    "q_cms_counts" -> ((s, dir) => {
+      val depth = 4; val width = 512
+      val bgs = Tables.documents(s, dir).select(
+        explode(graft.functions.WordShingles.word_shingles(
+          col("text"), 2, distinct = false)).as("bg"))
+      def rowCol(r: Int) = pmod(
+        graft.text.TextOps.md5Key64(col("bg"), s"cms$r:"), lit(width.toLong))
+      val sketch = bgs.agg(graft.functions.CmsSketchAgg.cms_sketch(
+        array((0 until depth).map(rowCol): _*), depth, width).as("sk"))
+      val est = least((0 until depth).map(r =>
+        element_at(col("sk"),
+          (rowCol(r) + lit(r * width) + 1).cast("int"))): _*)
+      bgs.groupBy(col("bg")).agg(count(lit(1)).as("exact_count"))
+        .crossJoin(broadcast(sketch))
+        .select(col("bg"), est.as("est_count"), col("exact_count"))
+        .orderBy(col("est_count").desc, col("bg"))
+        .limit(30)
+    }),
+
     // Z-order (Morton) layout audit: interleave (user, hour) with the
     // native z_order kernel, cut the z-range into fixed-width "files", and
     // report each file's bounding rectangle. The point of the layout —
@@ -196,6 +224,30 @@ object StatsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_cms_counts" ->
+      """WITH tk AS (
+        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        |exact AS (SELECT bg, count(*) AS exact_count FROM bg GROUP BY 1),
+        |hc AS (
+        |  SELECT e.bg, r.r,
+        |         CAST(concat('0x', substr(md5('cms' || r.r || ':' || e.bg), 1, 15))
+        |              AS BIGINT) % 512 AS c
+        |  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r),
+        |counters AS (
+        |  SELECT h.r, h.c, CAST(sum(e.exact_count) AS BIGINT) AS n
+        |  FROM hc h JOIN exact e USING (bg) GROUP BY 1, 2),
+        |est AS (
+        |  SELECT h.bg, min(ct.n) AS est_count
+        |  FROM hc h JOIN counters ct ON h.r = ct.r AND h.c = ct.c
+        |  GROUP BY 1)
+        |SELECT e.bg, est_count, x.exact_count
+        |FROM est e JOIN exact x ON e.bg = x.bg
+        |ORDER BY est_count DESC, e.bg LIMIT 30""".stripMargin,
+
     "q_percentiles" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 6) AS p50,

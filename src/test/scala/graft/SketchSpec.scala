@@ -22,6 +22,54 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("cms_sketch: exact on a collision-free sketch, hand-placed counters") {
+    import spark.implicits._
+    val items = Seq("a", "a", "a", "b", "b", "c").toDF("x")
+    val depth = 2; val width = 4096
+    def rowCol(r: Int) = pmod(
+      graft.text.TextOps.md5Key64(col("x"), s"cms$r:"), lit(width.toLong))
+    val sk = items.agg(graft.functions.CmsSketchAgg.cms_sketch(
+      array((0 until depth).map(rowCol): _*), depth, width)).head.getSeq[Long](0)
+    assert(sk.length == depth * width)
+    assert(sk.sum == depth * 6) // every occurrence lands once per row
+    // point estimates: min over rows at the item's hashed columns
+    val est = Seq("a", "b", "c").toDF("x")
+      .select(col("x"), least((0 until depth).map(r =>
+        element_at(typedLit(sk), (rowCol(r) + lit(r * width) + 1).cast("int"))): _*))
+      .as[(String, Long)].collect().toMap
+    assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("cms_sketch: overestimates only, and partial-merge invariant") {
+    import spark.implicits._
+    val bgs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+    val depth = 4; val width = 32 // narrow on purpose: force collisions
+    def rowCol(r: Int) = pmod(
+      graft.text.TextOps.md5Key64(col("bg"), s"cms$r:"), lit(width.toLong))
+    val agg = graft.functions.CmsSketchAgg.cms_sketch(
+      array((0 until depth).map(rowCol): _*), depth, width)
+    val sk1 = bgs.repartition(1).agg(agg).head.getSeq[Long](0)
+    val sk8 = bgs.repartition(8).agg(agg).head.getSeq[Long](0)
+    assert(sk1 == sk8) // sketch is a linear projection: merge order irrelevant
+    val est = least((0 until depth).map(r =>
+      element_at(typedLit(sk1), (rowCol(r) + lit(r * width) + 1).cast("int"))): _*)
+    val rows = bgs.groupBy("bg").agg(count(lit(1)).as("exact"))
+      .select(est.as("est"), col("exact")).as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, x) => assert(e >= x, s"CMS must never undercount: $e < $x") }
+    assert(rows.exists { case (e, x) => e > x }, "width 32 should collide somewhere")
+  }
+
+  test("cms_sketch: SQL registration path") {
+    graft.functions.GraftFunctions.register(spark)
+    val sk = spark.sql(
+      """SELECT cms_sketch(array(CAST(id % 8 AS BIGINT), CAST(id % 8 AS BIGINT)), 2, 8)
+        |FROM range(16)""".stripMargin).head.getSeq[Long](0)
+    assert(sk.length == 16 && sk.forall(_ == 2L)) // 16 ids spread 2-per-column per row
+  }
+
   test("approx_percentile within 2% relative error of exact interpolated median") {
     val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
     val rows = ev.groupBy("event_type")
