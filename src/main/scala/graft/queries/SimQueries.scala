@@ -141,6 +141,20 @@ object SimQueries {
         .orderBy("vec_id")
     }),
 
+    // Prototypicality pruning (Sorscher et al. 2022): keep the hardest
+    // 24 examples per k-means cluster by cosine distance to the assigned
+    // centroid — the data-pruning metric that drops each cluster's
+    // easy/redundant core first. Sampled-k-means centroids are the
+    // fixture seam; assignment is one broadcast corpus pass and the rank
+    // is the shared bounded heap (no corpus-sized window).
+    "q_proto_prune" -> ((s, dir) => {
+      val cent = seam(SimilarityOps.kmeansCentroidsSampled(
+        emb(s, dir), "vec_id", "embedding", k = 16, iters = 3),
+        dir, "proto_centroids")
+      SimilarityOps.protoPrune(emb(s, dir), "vec_id", "embedding", cent, keepK = 24)
+        .orderBy("cell", "rank")
+    }),
+
     // Symmetric int8 quantization of the embedding store (4× compression):
     // per-vector scale + quantized-L1 + max reconstruction error. Map-only;
     // integer outputs are engine-exact, the doubles round at 6.
@@ -286,6 +300,26 @@ object SimQueries {
          |       max(CASE WHEN k = 3 THEN pc END) AS pc3,
          |       max(CASE WHEN k = 4 THEN pc END) AS pc4
          |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_proto_prune" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv
+         |  FROM read_parquet('${sqlPath("proto_centroids")}')),
+         |asg AS (
+         |  SELECT b.id, c.cell, list_cosine_similarity(b.v, c.cv) AS sim,
+         |         row_number() OVER (PARTITION BY b.id
+         |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+         |  FROM base b CROSS JOIN cent c),
+         |m AS (SELECT id, cell, round(1.0 - sim, 6) AS dist FROM asg WHERE r = 1),
+         |rk AS (
+         |  SELECT cell, id, dist,
+         |         row_number() OVER (PARTITION BY cell
+         |                            ORDER BY dist DESC, id) AS rank
+         |  FROM m)
+         |SELECT cell, CAST(rank AS INT) AS rank, id AS vec_id, dist
+         |FROM rk WHERE rank <= 24 ORDER BY cell, rank""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (

@@ -177,6 +177,31 @@ object TextQueries {
     // DETERMINISTIC content-independent coin (md5(doc_id) hex prefix vs a
     // threshold) — reproducible across engines/runs/partitionings, no
     // rand(). Even-numbered sources keep ~75% ('c0'/256), odd ~25% ('40').
+    // Temperature-based mixture reweighting (XLM / multilingual-BERT
+    // α=0.5 resampling; the T5/mT5 recipe at a rational temperature):
+    // per-source token mass n_s → sampling weight w_s ∝ √n_s, plus the
+    // effective-epoch multiplier w_s·N/n_s each source would see under a
+    // one-pass token budget. One tiny groupBy(source) rollup + broadcast
+    // totals. α = 1/2 exactly so the weight goes through IEEE-exact sqrt
+    // and the house integer-micro recipe (√n rounded to micros as BIGINT,
+    // summed exactly) — engine-identical without a fixture.
+    "q_mix_weights" -> ((s, dir) => {
+      val per = docs(s, dir).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextOps.wsTokens(col("text"))).cast("long")).as("n_tokens"))
+        .withColumn("s_micro",
+          round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+      val tot = per.agg(sum("n_tokens").as("tot_tokens"),
+        sum("s_micro").as("tot_micro"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot_tokens"), 6).as("p_raw"),
+          round(col("s_micro").cast("double") / col("tot_micro"), 6).as("w_temp"),
+          round(col("s_micro").cast("double") / col("tot_micro")
+            * col("tot_tokens") / col("n_tokens"), 6).as("eff_epochs"))
+        .orderBy("source")
+    }),
+
     "q_source_mixture" -> ((s, dir) =>
       docs(s, dir)
         .withColumn("threshold",
@@ -784,6 +809,26 @@ object TextQueries {
          |         AS contaminated
          |FROM cnt LEFT JOIN shr ON cnt.doc_id = shr.doc_id
          |ORDER BY cnt.doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      s"""WITH per AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(len(${toks("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+         |              AS s_micro
+         |  FROM per),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |         CAST(sum(s_micro) AS BIGINT) AS tot_micro
+         |  FROM w)
+         |SELECT source, n_docs, n_tokens,
+         |       round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS p_raw,
+         |       round(CAST(s_micro AS DOUBLE) / tot_micro, 6) AS w_temp,
+         |       round(CAST(s_micro AS DOUBLE) / tot_micro
+         |             * tot_tokens / n_tokens, 6) AS eff_epochs
+         |FROM w CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q_source_mixture" ->
       """SELECT source, count(*) AS n_total,

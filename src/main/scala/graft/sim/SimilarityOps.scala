@@ -465,6 +465,39 @@ object SimilarityOps {
         col("best.cell").as("cell"))
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws: beating power law scaling via data pruning"): score
+    * every example by its cosine DISTANCE to its assigned k-means
+    * centroid and keep the hardest (least prototypical) `keepK` per
+    * cluster — the paper's self-supervised pruning metric, which beats
+    * random pruning precisely because the easy/redundant core of each
+    * cluster is dropped first.
+    *
+    * Shape: one broadcast-assignment corpus pass (the [[assignCells]]
+    * max_by, with the winning similarity kept), then the shared
+    * bounded-heap [[rankTopK]] stage keyed by cell — ≤ keepK rows per
+    * (cell, partition) cross the exchange, never a corpus-sized window.
+    * Output `(cell, rank, vec_id, dist)`, hardest first; ties toward the
+    * smaller vec_id (the heap's total order = the oracle's rank window).
+    */
+  def protoPrune(emb: DataFrame, idCol: String, vecCol: String,
+                 centroidFrame: DataFrame, keepK: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nv"))
+    val centroids = centroidFrame.select(col("cell"), col("cv"),
+      l2norm(col("cv")).as("cn"))
+    val asg = base.crossJoin(broadcast(centroids))
+      .withColumn("cell_sim", dot(col("v"), col("cv")) / (col("nv") * col("cn")))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cell"), col("cell_sim")),
+        struct(col("cell_sim"), (-col("cell")).as("tb"))).as("best"))
+      .select(col("best.cell").as("query_id"), col("neighbor_id"),
+        round(lit(1.0) - col("best.cell_sim"), 6).as("dist"))
+    rankTopK(asg, "dist", keepK)
+      .select(col("query_id").as("cell"), col("rank"),
+        col("neighbor_id").as("vec_id"), col("dist"))
+  }
+
   /** Probe assignment for a (small, fixed-size) QUERY frame `(id, v, nv)`:
     * each row explodes to its `nProbe` most-similar cells. A row_number
     * window is fine here because the input is the bounded query subset —

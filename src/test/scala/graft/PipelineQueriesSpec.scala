@@ -29,6 +29,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
       (16L, 60, 1L, 72L, 2L)))   // starts at 200 = seq1+72, ends at 259 → seq 2
   }
 
+  test("mix weights: √-temperature flattens toward the pivot, epochs bracket 1") {
+    val r = graft.SparkEntry.queries("q_mix_weights")(spark, TestSpark.Sf0001)
+      .collect().map(x => (x.getString(0), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getDouble(5)))
+    assert(r.length >= 2)
+    // both weight columns are distributions
+    assert(math.abs(r.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(r.map(_._4).sum - 1.0) < 1e-4)
+    // eff_epochs = w/p and is ANTITONE in source size: smaller sources get
+    // replayed more under the √ temperature
+    r.foreach { case (_, _, p, w, e) =>
+      assert(math.abs(e - w / p) < 1e-3) }
+    val bySize = r.sortBy(_._2)
+    assert(bySize.map(_._5).sliding(2).forall(x => x.head >= x.last - 1e-9),
+      s"eff_epochs must not increase with n_tokens: ${bySize.toSeq}")
+    // Σ p·(w/p) = Σ w = 1 → the p-weighted mean epoch is 1, so the
+    // extremes bracket it (strictly, unless all sources are equal-sized)
+    assert(bySize.head._5 >= 1.0 - 1e-6 && bySize.last._5 <= 1.0 + 1e-6)
+  }
+
   test("bigram log-prob: hand-computed conditional probabilities") {
     // corpus bigrams: "a b" (doc 0), "b c" (doc 0), "a c" (doc 1)
     // prefix counts: a·=2, b·=1 → P(b|a)=1/2, P(c|b)=1, P(c|a)=1/2

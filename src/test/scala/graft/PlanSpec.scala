@@ -59,7 +59,8 @@ class PlanSpec extends AnyFunSuite {
     // only Window allowed in any ANN plan is the probe-cell assignment over
     // the bounded QUERY frame (ivf/ivfpq); the brute-force/LSH/PQ plans
     // must be window-free.
-    for (q <- Seq("q_cosine_topk", "q_ann_pq", "q_ann_lsh", "q_hard_negatives")) {
+    for (q <- Seq("q_cosine_topk", "q_ann_pq", "q_ann_lsh", "q_hard_negatives",
+        "q_proto_prune")) {
       val p = plan(q)
       assert(p.contains("ObjectHashAggregate"), s"$q: no heap aggregate\n$p")
       assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")),

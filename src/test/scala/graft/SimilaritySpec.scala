@@ -320,6 +320,37 @@ class SimilaritySpec extends AnyFunSuite {
       f"trained recall $rTrn%.3f collapsed vs deterministic $rDet%.3f")
   }
 
+  test("proto prune: planted easy core dropped first, dense hardest-first ranks") {
+    // cluster A: 30 copies of the prototype (dist 0) + 3 off-axis hard
+    // cases; cluster B: a tight orthogonal clump. keepK=3 must pick
+    // exactly A's hard cases — the prototypical core never ranks.
+    val a = (0L until 30L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val hard = Seq(
+      (100L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (101L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (102L, Array(0.9f, 0.1f, 0.0f, 0.0f)))
+    val b = (200L until 220L).map(i => (i, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+    val df = (a ++ hard ++ b).toDF("vec_id", "embedding")
+    val cent = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 0.0, 0.0, 1.0)))
+      .toDF("cell", "cv")
+    val r = SimilarityOps.protoPrune(df, "vec_id", "embedding", cent, keepK = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3)))
+    val cellA = r.filter(_._1 == 0L).sortBy(_._2)
+    assert(cellA.map(_._3).toSet == Set(100L, 101L, 102L),
+      s"hardest-3 must be the off-axis cases, got ${cellA.toSeq}")
+    assert(cellA.map(_._2).toSeq == Seq(1, 2, 3), "ranks not dense")
+    assert(cellA.map(_._4).sliding(2).forall(w => w.head >= w.last),
+      "dist must be non-increasing (hardest first)")
+    // 100/101 tie at dist = 1 - cos45 → smaller id first
+    assert(cellA(0)._3 == 100L && cellA(1)._3 == 101L)
+    // cluster B: all members equidistant (dist 0), ranks by id
+    val cellB = r.filter(_._1 == 1L).sortBy(_._2)
+    assert(cellB.map(_._3).toSeq == Seq(200L, 201L, 202L))
+    assert(cellB.forall(_._4 == 0.0))
+    // no vector ranks in a foreign cell
+    assert(r.map(_._3).distinct.length == r.length)
+  }
+
   test("hard negatives: out-group only, never the anchor, dense ranks") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
