@@ -171,22 +171,28 @@ object StatsQueries {
     // fixed 16 KiB buffer, map-side combined, exact under merge), then the
     // top estimated-frequency bigrams are reported next to their exact
     // counts (est ≥ exact always; equality unless sketch rows collide).
-    // The row hashes use the engine's shared md5-prefix recipe so the
-    // oracle rebuilds the identical counter matrix in SQL. At 100 TB the
-    // sketch side stays a constant-size aggregate; the exact side here is
-    // the audit benchmark, not the production path.
+    // All four row hashes are 32-bit fields of ONE md5 (TextOps.md5Fields
+    // — one hash pass per bigram, the split-one-strong-hash CMS
+    // construction), and the field array is PRE-PROJECTED in a codegen
+    // stage: an imperative aggregate evaluates its child interpreted per
+    // row, and interpreted md5s per bigram were a 15× pass cost (Profile
+    // scale_r8) — as a bound reference the hashing stays in whole-stage
+    // codegen. The oracle rebuilds the identical counter matrix in SQL.
+    // At 100 TB the sketch side stays a constant-size aggregate; the
+    // exact side here is the audit benchmark, not the production path.
     "q_cms_counts" -> ((s, dir) => {
       val depth = 4; val width = 512
       val bgs = Tables.documents(s, dir).select(
         explode(graft.functions.WordShingles.word_shingles(
           col("text"), 2, distinct = false)).as("bg"))
-      def rowCol(r: Int) = pmod(
-        graft.text.TextOps.md5Key64(col("bg"), s"cms$r:"), lit(width.toLong))
-      val sketch = bgs.agg(graft.functions.CmsSketchAgg.cms_sketch(
-        array((0 until depth).map(rowCol): _*), depth, width).as("sk"))
+      val fields = graft.text.TextOps.md5Fields(col("bg"), depth, width)
+      val sketch = bgs
+        .select(fields.as("rc"))
+        .agg(graft.functions.CmsSketchAgg.cms_sketch(
+          col("rc"), depth, width).as("sk"))
       val est = least((0 until depth).map(r =>
         element_at(col("sk"),
-          (rowCol(r) + lit(r * width) + 1).cast("int"))): _*)
+          (element_at(fields, r + 1) + lit(r * width) + 1).cast("int"))): _*)
       bgs.groupBy(col("bg")).agg(count(lit(1)).as("exact_count"))
         .crossJoin(broadcast(sketch))
         .select(col("bg"), est.as("est_count"), col("exact_count"))
@@ -234,7 +240,7 @@ object StatsQueries {
         |exact AS (SELECT bg, count(*) AS exact_count FROM bg GROUP BY 1),
         |hc AS (
         |  SELECT e.bg, r.r,
-        |         CAST(concat('0x', substr(md5('cms' || r.r || ':' || e.bg), 1, 15))
+        |         CAST(concat('0x', substr(md5(e.bg), r.r * 8 + 1, 8))
         |              AS BIGINT) % 512 AS c
         |  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r),
         |counters AS (

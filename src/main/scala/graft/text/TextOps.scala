@@ -428,6 +428,21 @@ object TextOps {
     conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
   }
 
+  /** `depth` independent column indexes for a Count-Min sketch row set,
+    * all derived from ONE md5-128: row r reads the 8-hex-digit (32-bit)
+    * field at hex offset r·8, mod `width` — one hash pass per item
+    * instead of `depth` (the standard split-one-strong-hash CMS
+    * construction; measured 3× on the sketch pass, Profile scale_r8).
+    * DuckDB replays field r as
+    * `CAST(concat('0x', substr(md5(x), r*8+1, 8)) AS BIGINT) % width`. */
+  def md5Fields(id: Column, depth: Int, width: Int): Column = {
+    require(depth >= 1 && depth <= 4, "md5 has four independent 32-bit fields")
+    val hex = md5(id.cast("string").cast("binary"))
+    array((0 until depth).map(r =>
+      pmod(conv(substring(hex, r * 8 + 1, 8), 16, 10).cast("long"),
+        lit(width.toLong))): _*)
+  }
+
   /** Overlapping token-window chunking (the RAG / long-context prep
     * layout): each document yields windows of `window` tokens starting
     * every `stride` tokens; the last window is truncated, a short doc

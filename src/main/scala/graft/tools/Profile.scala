@@ -420,6 +420,62 @@ object Profile {
           f"substr_spans $s100%6.1f s (128 shuffle partitions)")
         d100.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      case "scale_r8" =>
+        // Round-8 additions at replica scale: PCA (ONE Gram pass + fixed
+        // driver eigensolve + map-only projection — both stages should
+        // track corpus size linearly with no training-style multipliers)
+        // and the Count-Min sketch pass next to the exact groupBy counts
+        // it replaces at 100 TB (constant 16 KiB partials vs a full
+        // key-set shuffle).
+        import org.apache.spark.sql.functions._
+        val emb0 = graft.tables.Tables.embeddings(spark, sfDir)
+        val nv0 = emb0.count()
+        val vStride = emb0.agg(max("vec_id")).first().getLong(0) + 1
+        def embX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            emb0.select((col("vec_id") + lit(i * vStride)).as("vec_id"),
+              col("embedding"))
+          }.reduce(_ unionByName _)
+        def t(f: => Unit): Double = elapsed(f)
+        Seq(1, 1, 10, 100).foreach { times =>
+          val e = embX(times).repartition(32).persist(); e.count()
+          var m: graft.sim.PcaOps.PcaModel = null
+          val fit = t { m = graft.sim.PcaOps.fit(e, "embedding", 64, 4) }
+          val proj = t(force(graft.sim.PcaOps.project(e, "vec_id",
+            "embedding", graft.sim.PcaOps.modelFrame(spark, m), 4)))
+          println(f"[profile] ${times}%3d× (${nv0 * times}%8d vecs): " +
+            f"pca_fit $fit%6.1f s  pca_project $proj%6.1f s")
+          e.unpersist()
+        }
+        val d0 = graft.tables.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val nd0 = d0.count()
+        val dStride = d0.agg(max("doc_id")).first().getLong(0) + 1
+        def docsX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            d0.select((col("doc_id") + lit(i * dStride)).as("doc_id"),
+              col("text"))
+          }.reduce(_ unionByName _)
+        Seq(1, 1, 10, 100).foreach { times =>
+          val d = docsX(times).repartition(32).persist(); d.count()
+          val bgs = d.select(explode(graft.functions.WordShingles
+            .word_shingles(col("text"), 2, distinct = false)).as("bg"))
+          val cms = t(bgs
+            .select(graft.text.TextOps.md5Fields(col("bg"), 4, 512).as("rc"))
+            .agg(graft.functions.CmsSketchAgg.cms_sketch(col("rc"), 4, 512))
+            .collect())
+          val exact = t(force(bgs.groupBy("bg").agg(count(lit(1)))))
+          // the honest 100 TB comparison hashes on BOTH sides: exact
+          // distinct-key counting over the same 64-bit keys (the sketch
+          // replaces the full key-set exchange, not the hashing)
+          val exactH = t(force(bgs
+            .select(graft.text.TextOps.md5Key64(col("bg"), "cms0:").as("k"))
+            .groupBy("k").agg(count(lit(1)))))
+          println(f"[profile] ${times}%3d× (${nd0 * times}%8d docs): " +
+            f"cms_sketch $cms%6.1f s  exact_counts $exact%6.1f s  " +
+            f"exact_hashed $exactH%6.1f s")
+          d.unpersist()
+        }
       case "recall_clustered" =>
         // Counterpart to recall10x: SYNTHETIC CLUSTERED embeddings (32
         // hash-derived centers, small per-vector noise) — the corpus shape

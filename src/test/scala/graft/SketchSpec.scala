@@ -26,16 +26,16 @@ class SketchSpec extends AnyFunSuite {
     import spark.implicits._
     val items = Seq("a", "a", "a", "b", "b", "c").toDF("x")
     val depth = 2; val width = 4096
-    def rowCol(r: Int) = pmod(
-      graft.text.TextOps.md5Key64(col("x"), s"cms$r:"), lit(width.toLong))
+    def fields = graft.text.TextOps.md5Fields(col("x"), depth, width)
     val sk = items.agg(graft.functions.CmsSketchAgg.cms_sketch(
-      array((0 until depth).map(rowCol): _*), depth, width)).head.getSeq[Long](0)
+      fields, depth, width)).head.getSeq[Long](0)
     assert(sk.length == depth * width)
     assert(sk.sum == depth * 6) // every occurrence lands once per row
     // point estimates: min over rows at the item's hashed columns
     val est = Seq("a", "b", "c").toDF("x")
       .select(col("x"), least((0 until depth).map(r =>
-        element_at(typedLit(sk), (rowCol(r) + lit(r * width) + 1).cast("int"))): _*))
+        element_at(typedLit(sk),
+          (element_at(fields, r + 1) + lit(r * width) + 1).cast("int"))): _*))
       .as[(String, Long)].collect().toMap
     assert(est == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
@@ -46,15 +46,14 @@ class SketchSpec extends AnyFunSuite {
       .select(explode(graft.functions.WordShingles.word_shingles(
         col("text"), 2, distinct = false)).as("bg"))
     val depth = 4; val width = 32 // narrow on purpose: force collisions
-    def rowCol(r: Int) = pmod(
-      graft.text.TextOps.md5Key64(col("bg"), s"cms$r:"), lit(width.toLong))
-    val agg = graft.functions.CmsSketchAgg.cms_sketch(
-      array((0 until depth).map(rowCol): _*), depth, width)
+    def fields = graft.text.TextOps.md5Fields(col("bg"), depth, width)
+    val agg = graft.functions.CmsSketchAgg.cms_sketch(fields, depth, width)
     val sk1 = bgs.repartition(1).agg(agg).head.getSeq[Long](0)
     val sk8 = bgs.repartition(8).agg(agg).head.getSeq[Long](0)
     assert(sk1 == sk8) // sketch is a linear projection: merge order irrelevant
     val est = least((0 until depth).map(r =>
-      element_at(typedLit(sk1), (rowCol(r) + lit(r * width) + 1).cast("int"))): _*)
+      element_at(typedLit(sk1),
+        (element_at(fields, r + 1) + lit(r * width) + 1).cast("int"))): _*)
     val rows = bgs.groupBy("bg").agg(count(lit(1)).as("exact"))
       .select(est.as("est"), col("exact")).as[(Long, Long)].collect()
     assert(rows.nonEmpty)
