@@ -186,11 +186,15 @@ object TextQueries {
     // and the house integer-micro recipe (√n rounded to micros as BIGINT,
     // summed exactly) — engine-identical without a fixture.
     "q_mix_weights" -> ((s, dir) => {
+      // the rollup is checkpointed (sources-sized frame): deriving the
+      // totals from the lazy frame would re-run the corpus tokenize scan
+      // a second time under the crossJoin subtree
       val per = docs(s, dir).groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextOps.wsTokens(col("text"))).cast("long")).as("n_tokens"))
         .withColumn("s_micro",
           round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+        .localCheckpoint(true)
       val tot = per.agg(sum("n_tokens").as("tot_tokens"),
         sum("s_micro").as("tot_micro"))
       per.crossJoin(broadcast(tot))
