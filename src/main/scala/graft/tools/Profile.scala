@@ -476,6 +476,62 @@ object Profile {
             f"exact_hashed $exactH%6.1f s")
           d.unpersist()
         }
+      case "pca_recall" =>
+        // PCA as the ANN pre-stage (dimension reduction before search —
+        // the classic OPQ/PCA-IVF front half): project the clustered
+        // corpus (same generator as recall_clustered) to 4/8/16 dims and
+        // measure brute-force recall@5 in projected space vs the exact
+        // 64-dim truth, next to each cut's captured variance. One fit at
+        // k=64 yields the full spectrum; projections reuse its leading
+        // columns.
+        import org.apache.spark.sql.functions._
+        import graft.sim.{PcaOps, SimilarityOps}
+        def h01c(seed: org.apache.spark.sql.Column,
+            i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (pmod(xxhash64(seed, i), lit(2000L)).cast("double") - 1000.0) / 1000.0
+        // two corpora: isotropic within-cluster noise (PCA's worst case —
+        // no linear cut can rank inside a cluster) vs noise confined to
+        // the first 8 dims (intrinsic dim ≈ 8; PCA's design case)
+        for ((n, noiseDims) <- Seq((5000L, 64), (50000L, 64),
+            (5000L, 8), (50000L, 8))) {
+          val e = spark.range(n).select(col("id").as("vec_id"),
+            transform(sequence(lit(1), lit(64)), i =>
+              (h01c(pmod(col("id"), lit(32L)), i) +
+                when(i <= noiseDims,
+                  h01c(col("id") + lit(1000000L), i) * lit(0.15))
+                  .otherwise(lit(0.0))).cast("float"))
+              .as("embedding"))
+            .repartition(32).persist()
+          e.count()
+          val truth = SimilarityOps.bruteForceTopK(
+              e, "vec_id", "embedding", 10, 5)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+          val m = PcaOps.fit(e, "embedding", 64, 64)
+          val seamF = PcaOps.modelFrame(spark, m).localCheckpoint(true)
+          val totVar = m.eigenvalues.sum
+          val lines = Seq(4, 8, 16).map { k =>
+            val pv = PcaOps.project(e, "vec_id", "embedding", seamF, k)
+              .select(col("vec_id"),
+                array((1 to k).map(c => col(s"pc$c")): _*)
+                  .cast("array<float>").as("embedding"))
+            val got = SimilarityOps.bruteForceTopK(
+                pv, "vec_id", "embedding", 10, 5)
+              .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+            val rec = got.intersect(truth).size.toDouble / truth.size
+            // the production shape: k-dim PRESCREEN at 10× overfetch +
+            // exact re-rank of the candidates — recall is then the
+            // fraction of true neighbors the 50-candidate screen retains
+            val got50 = SimilarityOps.bruteForceTopK(
+                pv, "vec_id", "embedding", 10, 50)
+              .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+            val rec50 = truth.intersect(got50).size.toDouble / truth.size
+            val varexp = m.eigenvalues.take(k).sum / totVar
+            f"k=$k recall $rec%.3f prescreen50 $rec50%.3f (var $varexp%.2f)"
+          }
+          println(f"[profile] pca_recall n=$n%6d noiseDims=$noiseDims%2d @5: " +
+            lines.mkString("  "))
+          e.unpersist()
+        }
       case "recall_clustered" =>
         // Counterpart to recall10x: SYNTHETIC CLUSTERED embeddings (32
         // hash-derived centers, small per-vector noise) — the corpus shape
