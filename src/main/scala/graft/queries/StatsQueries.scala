@@ -181,23 +181,25 @@ object StatsQueries {
     // At 100 TB the sketch side stays a constant-size aggregate; the
     // exact side here is the audit benchmark, not the production path.
     "q_cms_counts" -> ((s, dir) => {
-      val depth = 4; val width = 512
-      val bgs = Tables.documents(s, dir).select(
-        explode(graft.functions.WordShingles.word_shingles(
-          col("text"), 2, distinct = false)).as("bg"))
-      val fields = graft.text.TextOps.md5Fields(col("bg"), depth, width)
+      val bgs = corpusBigrams(s, dir)
       val sketch = bgs
-        .select(fields.as("rc"))
+        .select(graft.text.TextOps.md5Fields(
+          col("bg"), CmsDepth, CmsWidth).as("rc"))
         .agg(graft.functions.CmsSketchAgg.cms_sketch(
-          col("rc"), depth, width).as("sk"))
-      val est = least((0 until depth).map(r =>
-        element_at(col("sk"),
-          (element_at(fields, r + 1) + lit(r * width) + 1).cast("int"))): _*)
-      bgs.groupBy(col("bg")).agg(count(lit(1)).as("exact_count"))
-        .crossJoin(broadcast(sketch))
-        .select(col("bg"), est.as("est_count"), col("exact_count"))
-        .orderBy(col("est_count").desc, col("bg"))
-        .limit(30)
+          col("rc"), CmsDepth, CmsWidth).as("sk"))
+      cmsAudit(bgs, sketch)
+    }),
+
+    // The SAME audit with the sketch built by STRUCTURED STREAMING: the
+    // CmsSketchAgg buffer is the aggregation state (constant 16 KiB,
+    // serialized through the state store between micro-batches), and the
+    // sketch's linearity makes the streamed counter matrix identical to
+    // the batch one — so this query shares q_cms_counts' oracle verbatim.
+    // The continuous-ingest shape of corpus frequency tracking.
+    "q_stream_cms" -> ((s, dir) => {
+      val sketch = graft.streaming.StreamingOps.runStreamCmsOnce(
+        s, dir, CmsDepth, CmsWidth)
+      cmsAudit(corpusBigrams(s, dir), sketch)
     }),
 
     // Z-order (Morton) layout audit: interleave (user, hour) with the
@@ -229,30 +231,59 @@ object StatsQueries {
     }),
   )
 
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** The corpus bigram stream both CMS queries audit. */
+  private def corpusBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+
+  /** Top-30 estimated-vs-exact frequency audit over a 1-row sketch frame
+    * (`sk` = the row-major depth×width counter matrix). */
+  private def cmsAudit(bgs: DataFrame, sketch: DataFrame): DataFrame = {
+    val fields = graft.text.TextOps.md5Fields(col("bg"), CmsDepth, CmsWidth)
+    val est = least((0 until CmsDepth).map(r =>
+      element_at(col("sk"),
+        (element_at(fields, r + 1) + lit(r * CmsWidth) + 1).cast("int"))): _*)
+    bgs.groupBy(col("bg")).agg(count(lit(1)).as("exact_count"))
+      .crossJoin(broadcast(sketch))
+      .select(col("bg"), est.as("est_count"), col("exact_count"))
+      .orderBy(col("est_count").desc, col("bg"))
+      .limit(30)
+  }
+
+  /** One SQL, two queries: the streamed sketch is bit-identical to the
+    * batch one (linear sketch), so the audits share the oracle. */
+  private val CmsCountsSql: String =
+    """WITH tk AS (
+      |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tk WHERE len(t) >= 2),
+      |exact AS (SELECT bg, count(*) AS exact_count FROM bg GROUP BY 1),
+      |hc AS (
+      |  SELECT e.bg, r.r,
+      |         CAST(concat('0x', substr(md5(e.bg), r.r * 8 + 1, 8))
+      |              AS BIGINT) % 512 AS c
+      |  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r),
+      |counters AS (
+      |  SELECT h.r, h.c, CAST(sum(e.exact_count) AS BIGINT) AS n
+      |  FROM hc h JOIN exact e USING (bg) GROUP BY 1, 2),
+      |est AS (
+      |  SELECT h.bg, min(ct.n) AS est_count
+      |  FROM hc h JOIN counters ct ON h.r = ct.r AND h.c = ct.c
+      |  GROUP BY 1)
+      |SELECT e.bg, est_count, x.exact_count
+      |FROM est e JOIN exact x ON e.bg = x.bg
+      |ORDER BY est_count DESC, e.bg LIMIT 30""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q_cms_counts" ->
-      """WITH tk AS (
-        |  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |bg AS (
-        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-        |           i -> t[i] || ' ' || t[i+1])) AS bg
-        |  FROM tk WHERE len(t) >= 2),
-        |exact AS (SELECT bg, count(*) AS exact_count FROM bg GROUP BY 1),
-        |hc AS (
-        |  SELECT e.bg, r.r,
-        |         CAST(concat('0x', substr(md5(e.bg), r.r * 8 + 1, 8))
-        |              AS BIGINT) % 512 AS c
-        |  FROM exact e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) r),
-        |counters AS (
-        |  SELECT h.r, h.c, CAST(sum(e.exact_count) AS BIGINT) AS n
-        |  FROM hc h JOIN exact e USING (bg) GROUP BY 1, 2),
-        |est AS (
-        |  SELECT h.bg, min(ct.n) AS est_count
-        |  FROM hc h JOIN counters ct ON h.r = ct.r AND h.c = ct.c
-        |  GROUP BY 1)
-        |SELECT e.bg, est_count, x.exact_count
-        |FROM est e JOIN exact x ON e.bg = x.bg
-        |ORDER BY est_count DESC, e.bg LIMIT 30""".stripMargin,
+    "q_stream_cms" -> CmsCountsSql,
+
+    "q_cms_counts" -> CmsCountsSql,
 
     "q_percentiles" ->
       """SELECT event_type,

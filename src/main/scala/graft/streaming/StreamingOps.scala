@@ -132,6 +132,35 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
+  /** STREAMING Count-Min sketch: [[graft.functions.CmsSketchAgg]] as a
+    * streaming global aggregate — the aggregation STATE is the sketch
+    * buffer itself (a constant depth·width longs regardless of stream
+    * length), serialized through the state store between micro-batches.
+    * Because the sketch is a linear projection of the count vector,
+    * incremental merge across batches/partitions yields the IDENTICAL
+    * counter matrix to one batch pass over the same rows (pinned in
+    * StreamingSpec), so the batch oracle applies unchanged. This is the
+    * continuous-ingest shape of frequency tracking at 100 TB: per-batch
+    * state update cost is O(rows in batch), state size never grows. */
+  def runStreamCmsOnce(spark: SparkSession, dir: String,
+      depth: Int, width: Int): DataFrame = {
+    val name = s"graft_stream_cms_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = documentsStream(ses, dir)
+      .select(explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+      // pre-projected fields: same interpreted-child rule as the batch
+      // query (see q_cms_counts)
+      .select(graft.text.TextOps.md5Fields(col("bg"), depth, width).as("rc"))
+      .agg(graft.functions.CmsSketchAgg.cms_sketch(
+        col("rc"), depth, width).as("sk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name)
+  }
+
   /** Streaming ingest into the canonical partitioned archive: each
     * micro-batch lands through the same sorted, stats-bearing writer the
     * bulk path uses, so data is servable the moment the batch commits and

@@ -197,6 +197,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(n >= batchBuckets - 3 && n <= batchBuckets)
   }
 
+  test("streaming CMS sketch is bit-identical to the batch counter matrix") {
+    val depth = 4; val width = 64 // narrow: collisions present, still exact
+    val streamed = StreamingOps.runStreamCmsOnce(
+      spark, TestSpark.Sf0001, depth, width).head.getSeq[Long](0)
+    val batch = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+      .select(graft.text.TextOps.md5Fields(col("bg"), depth, width).as("rc"))
+      .agg(graft.functions.CmsSketchAgg.cms_sketch(col("rc"), depth, width))
+      .head.getSeq[Long](0)
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming sessionization (sentinel-flushed) equals batch session_window") {
     val streamed = StreamingOps.runStreamSessionsOnce(spark, TestSpark.Sf0001)
       .collect()
