@@ -75,6 +75,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS audit: constant-size sketch partials, window-free") {
+    val p = plan("q_cms_counts")
+    // sketch side: partial ObjectHashAggregate per partition (16 KiB
+    // buffers) → SinglePartition merge; exact side: vocab-sized hash agg;
+    // plus the serving-edge sort. No window, no extra corpus shuffle.
+    assert(p.contains("ObjectHashAggregate"), s"no imperative sketch agg\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")))
+    assert("Exchange".r.findAllIn(p).size <= 4, s"unexpected exchanges\n$p")
+  }
+
   test("DSIR weights: broadcast lambda table, no corpus-sized window") {
     val p = plan("q_dsir_weights")
     // bucket counts and the λ table are buckets-sized → broadcast joins
