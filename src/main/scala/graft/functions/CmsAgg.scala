@@ -40,6 +40,8 @@ case class CmsSketchAgg(
   extends TypedImperativeAggregate[Array[Long]] {
 
   require(depth > 0 && width > 0, "cms_sketch: depth and width must be > 0")
+  require(depth.toLong * width <= Int.MaxValue,
+    s"cms_sketch: depth*width must index an Array (got ${depth}x$width)")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

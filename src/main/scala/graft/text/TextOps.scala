@@ -437,6 +437,8 @@ object TextOps {
     * `CAST(concat('0x', substr(md5(x), r*8+1, 8)) AS BIGINT) % width`. */
   def md5Fields(id: Column, depth: Int, width: Int): Column = {
     require(depth >= 1 && depth <= 4, "md5 has four independent 32-bit fields")
+    require(width > 0 && width <= (1 << 30),
+      s"width must fit a 32-bit field's span (got $width)")
     val hex = md5(id.cast("string").cast("binary"))
     array((0 until depth).map(r =>
       pmod(conv(substring(hex, r * 8 + 1, 8), 16, 10).cast("long"),
