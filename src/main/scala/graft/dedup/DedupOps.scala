@@ -439,6 +439,30 @@ object DedupOps {
       .agg(graft.functions.SimHashAgg.simhash_agg(col("h")).as("simhash"))
   }
 
+  /** Duplicate-cluster SIZE distribution — the dedup-QA histogram (how
+    * many clusters of each size the near-dup graph resolves to,
+    * singletons included): a fat tail means dedup is removing boilerplate
+    * families; all-2s means it is trimming noise. Every aggregate here is
+    * clusters- or histogram-sized; the only corpus-width stage is the
+    * id-only anti-join that counts singletons, so the shape holds at any
+    * corpus size. Emits `(cluster_size, n_clusters)`, size-ascending
+    * (the size-1 row is always present, 0 if no singletons). */
+  def clusterSizeHistogram(allIds: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val members = duplicateClusters(pairs)
+    val multi = members.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = allIds.select(col(idCol).cast("long").as("doc_id"))
+      .join(members, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+    multi.unionByName(singles)
+      .groupBy("cluster_size")
+      .agg(sum("n_clusters").cast("long").as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (≤ 3 for full
     * recall here): pigeonhole over 4 16-bit blocks — any pair within
     * distance 3 must agree on ≥1 block, so the block-equality join finds all

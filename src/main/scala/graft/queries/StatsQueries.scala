@@ -40,6 +40,16 @@ object StatsQueries {
       DedupOps.duplicateClusters(pairs).orderBy("doc_id")
     }),
 
+    // Dedup QA: duplicate-cluster size distribution over the same
+    // near-dup graph (FineWeb-style dedup diagnostics) — a fat tail
+    // means boilerplate families, all-2s means noise trimming.
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8)
+        .select(col("id_a"), col("id_b"))
+      DedupOps.clusterSizeHistogram(d, "doc_id", pairs)
+    }),
+
     // Heavy hitters: the most document-frequent 3-gram shingles (exact
     // count, rank-limited with deterministic tie-break).
     "q_top_shingles" -> ((s, dir) => {
@@ -326,6 +336,47 @@ object StatsQueries {
         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |  FROM reach GROUP BY src)
         |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cluster_sizes" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |  WHERE r.src <> b.dst),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |multi AS (
+        |  SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM (SELECT cluster_id, count(*) AS sz FROM members GROUP BY 1)
+        |  GROUP BY 1),
+        |single AS (
+        |  SELECT CAST(1 AS BIGINT) AS cluster_size,
+        |         CAST(count(*) AS BIGINT) AS n_clusters
+        |  FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM members))
+        |SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+        |FROM (SELECT * FROM multi UNION ALL SELECT * FROM single)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_top_shingles" ->
       """WITH toks AS (

@@ -102,6 +102,22 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("cluster size histogram: planted 4-chain, two pairs, singletons") {
+    // ids 0..9; pair graph: chain 0-1-2-3 (size 4), 5-6 and 8-9 (size 2);
+    // 4 and 7 never pair → 2 singletons
+    val all = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.clusterSizeHistogram(all, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (4L, 1L)))
+    // no singletons → the size-1 row stays, with count 0
+    val all2 = Seq(0L, 1L, 2L, 3L, 5L, 6L, 8L, 9L).toDF("doc_id")
+    val got2 = DedupOps.clusterSizeHistogram(all2, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == Seq((1L, 0L), (2L, 2L), (4L, 1L)))
+  }
+
   test("duplicate clusters: driver union-find ≡ distributed label propagation") {
     // a long chain (pointer-jumping stress), a star, a 2-cycle-ish pair set
     val es = (0L until 40L).map(i => (i, i + 1)) ++
