@@ -24,7 +24,11 @@ import org.apache.spark.sql.SparkSession
   *                   round 7 measured the mechanism), and the load column
   *                   lets a reader attribute an outlier without rerunning;
   *  - `contended`    queries where one pass exceeded 3× the other (and 1 s
-  *                   absolute) — the co-load signature, e.g. the round-7
+  *                   absolute) AND the load sample corroborates co-load
+  *                   (1-min loadavg above max(4, cpus/4) — the quiet-box
+  *                   bench sustains ~2-3 on 32 cpus, a competing 30-thread
+  *                   JVM >30, so the ratio-only false positives on genuine
+  *                   cold starts no longer repair). E.g. the round-7
   *                   driver artifact recorded a 46.6 s cold reading for a
   *                   2.5 s query, and r6 shipped an 11.1 s warm reading
   *                   for a 5 s one. Each is re-run once after both passes
@@ -33,8 +37,10 @@ import org.apache.spark.sql.SparkSession
   *                   longer masquerade as an 18× regression or a warm >
   *                   cold inversion. A cold re-run executes with hot
   *                   caches, so its repaired number is a floor for true
-  *                   cold cost — hence entries stay flagged rather than
-  *                   silently repaired.
+  *                   cold cost — hence entries stay flagged, and the
+  *                   pre-repair readings ship in `repaired_cold`/
+  *                   `repaired_warm` (detail line) so the original totals
+  *                   can always be reconstructed.
   *
   * TWO lines are printed: a full-precision `"metric":"detail"` line first
   * (cold + warm maps), then a compact `"metric":"total"` line LAST. The
@@ -98,24 +104,41 @@ object Bench {
     // warm for a 5 s query).
     def rerun(names: Seq[String]): Map[String, Double] =
       names.map { n => n -> run(n, named.find(_._1 == n).get._2) }.toMap
+    // co-load corroboration: the 3x ratio alone also fires on GENUINE
+    // cold-start cost (codegen/JIT, cold page cache — the r8 quiet-box run
+    // still flagged q1_agg), and repairing those biases the cold total
+    // down. Only repair when the load sample at measurement time shows
+    // another JVM actually competing: this bench's own steady-state
+    // 1-min loadavg measures ~2-3 on the 32-cpu box (BENCH_DETAIL r8),
+    // while a competing 30-thread JVM drives it past 30 — max(4, cpus/4)
+    // splits the two regimes with wide margin either side.
+    val loadThreshold = math.max(4.0, cpus.toDouble / 4)
     val contendedCold = coldRaw.collect {
-      case (n, c, _) if c > 0 && warmByName.get(n).exists(w => w > 0 &&
-        c > 3 * w) && c > 1.0 => n
+      case (n, c, l) if c > 0 && warmByName.get(n).exists(w => w > 0 &&
+        c > 3 * w) && c > 1.0 && l > loadThreshold => n
     }
     val rerunCold = rerun(contendedCold)
     val cold = coldRaw.map { case (n, c, _) =>
       n -> rerunCold.get(n).filter(r => r > 0 && r < c).getOrElse(c)
     }
     val coldByName = cold.toMap
+    val warmLoadByName = warmAll.map { case (n, _, l) => n -> l }.toMap
     val contendedWarm = warmRaw.collect {
       case (n, w) if w > 0 && coldByName.get(n).exists(c => c > 0 &&
-        w > 3 * c) && w > 1.0 => n
+        w > 3 * c) && w > 1.0 &&
+        warmLoadByName.getOrElse(n, 0.0) > loadThreshold => n
     }
     val rerunWarm = rerun(contendedWarm)
     val warm = warmRaw.map { case (n, w) =>
       n -> rerunWarm.get(n).filter(r => r > 0 && r < w).getOrElse(w)
     }
     val contended = (contendedCold ++ contendedWarm).distinct
+    // pre-repair readings for every repaired cell, so consumers can
+    // reconstruct the original cold/warm totals (detail line only)
+    val repairedCold = coldRaw.collect {
+      case (n, c, _) if coldByName.get(n).exists(_ < c) => n -> c }
+    val repairedWarm = warmRaw.collect {
+      case (n, w) if warm.toMap.get(n).exists(_ < w) => n -> w }
     val loadCold = coldRaw.map { case (n, _, l) => n -> l }
     val loadWarm = warmAll.map { case (n, _, l) => n -> l }
     // Locale.ROOT: a comma-decimal default locale would make f"%.2f" emit
@@ -143,6 +166,8 @@ object Bench {
       s""""load":${jsonMap(loadCold, rp(_, 2))},""" +
       s""""load_warm":${jsonMap(loadWarm, rp(_, 2))},""" +
       s""""contended":$contJson,""" +
+      s""""repaired_cold":${jsonMap(repairedCold, _.toString)},""" +
+      s""""repaired_warm":${jsonMap(repairedWarm, _.toString)},""" +
       s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}"""
     // full precision first (scrolls out of the collector's tail window) —
     // and as a file, so full per-query numbers survive regardless of the

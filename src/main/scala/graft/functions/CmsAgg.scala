@@ -54,9 +54,15 @@ case class CmsSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val cols = v.asInstanceOf[ArrayData]
+      if (cols.numElements() != depth)
+        throw new IllegalArgumentException(
+          s"cms_sketch: child must yield $depth row indexes, got ${cols.numElements()}")
       var r = 0
       while (r < depth) {
         val c = cols.getLong(r)
+        if (c < 0L || c >= width)
+          throw new IllegalArgumentException(
+            s"cms_sketch: row $r column index $c out of [0, $width) — caller must hash modulo width")
         buf(r * width + c.toInt) += 1L
         r += 1
       }

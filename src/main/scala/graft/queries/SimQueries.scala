@@ -28,6 +28,15 @@ object SimQueries {
   private val PairRows = 4
   private val PairBands = 32
 
+  /** Hard-negative mining parameters shared by the query builder AND its
+    * oracle SQL (interpolated into both, so they cannot desynchronize):
+    * every `AnchorSelector`-th vec_id is an anchor, capped to the first
+    * `MaxAnchors` such ids → the anchor predicate is
+    * `vec_id % AnchorSelector = 0 AND vec_id < AnchorSelector*MaxAnchors`. */
+  private val AnchorSelector = 50
+  private val MaxAnchors = 100
+  private val NegK = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-5: every 10th vector among the first 100
     // such ids is a query — FIXED-size query set, so the broadcast side
@@ -231,7 +240,7 @@ object SimQueries {
     "q_hard_negatives" -> ((s, dir) =>
       SimilarityOps.hardNegatives(emb(s, dir), "vec_id", "embedding",
           Tables.documents(s, dir), "doc_id", "source",
-          anchorSelector = 50, k = 5, maxAnchors = 100)
+          anchorSelector = AnchorSelector, k = NegK, maxAnchors = MaxAnchors)
         .orderBy("anchor_id", "rank")),
 
     // Residual IVF-PQ with a TRAINED coarse quantizer — FAISS's actual
@@ -740,7 +749,8 @@ object SimQueries {
          |g AS (SELECT doc_id, source FROM documents),
          |a AS (SELECT vec_id AS anchor_id, v AS qv, source AS qg
          |      FROM e JOIN g ON vec_id = doc_id
-         |      WHERE vec_id % 50 = 0 AND vec_id < 5000),
+         |      WHERE vec_id % $AnchorSelector = 0
+         |        AND vec_id < ${AnchorSelector.toLong * MaxAnchors}),
          |c AS (SELECT vec_id AS neg_id, v, source AS ng
          |      FROM e JOIN g ON vec_id = doc_id),
          |s AS (SELECT anchor_id, neg_id,
@@ -751,7 +761,7 @@ object SimQueries {
          |                           ORDER BY cos DESC, neg_id) AS rank
          |      FROM s)
          |SELECT anchor_id, CAST(rank AS INT) AS rank, neg_id, cos
-         |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+         |FROM r WHERE rank <= $NegK ORDER BY anchor_id, rank""".stripMargin,
 
     // identical chain to q_ann_ivfpq_res with ONE substitution: cent reads
     // the trained-centroid fixture instead of deriving lowest-id cells

@@ -724,7 +724,16 @@ object SimilarityOps {
     * [[lloydLocal]] runs all m subspaces in memory. Zero-norm slices are
     * dropped from a subspace's training (directionless for the spherical
     * trainer; a zero INIT codeword would NaN-capture the whole subspace);
-    * they still ENCODE fine downstream. */
+    * they still ENCODE fine downstream.
+    *
+    * Degenerate-input behavior (instead of aborting the whole build):
+    * a subspace whose sampled slices are ALL zero-norm gets one all-zero
+    * codeword — downstream [[pqEncode]]'s inner join on `sub` still finds
+    * a codebook row and everything in that subspace encodes to code 0; and
+    * a subspace with fewer than `ksub` trainable slices yields a SMALLER
+    * codebook (one codeword per distinct init point, `min(ksub, n)` rows)
+    * — valid PQ, just coarser, exactly as FAISS warns-and-proceeds when
+    * the training set is smaller than the requested centroid count. */
   private def trainCodebooksLocal(sample: DataFrame, m: Int, ksub: Int,
                                   iters: Int): DataFrame = {
     val spark = sample.sparkSession
@@ -734,12 +743,17 @@ object SimilarityOps {
       .select(col("sub"), col("id"), subSlice(col("v"), col("sub"), m).as("sv"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      .filter(t => t._3.exists(_ != 0.0))
+    val subDim = slices.headOption.map(_._3.length).getOrElse(0)
+    val trainable = slices.filter(t => t._3.exists(_ != 0.0))
     (0 until m).flatMap { s =>
-      val pts = slices.collect { case (`s`, id, sv) => (id, sv) }
-      lloydLocal(pts, ksub, iters).zipWithIndex.map { case (cv, code) =>
-        (s, code.toLong, cv.toSeq)
-      }
+      val pts = trainable.collect { case (`s`, id, sv) => (id, sv) }
+      if (pts.isEmpty)
+        if (subDim == 0) Seq.empty
+        else Seq((s, 0L, Seq.fill(subDim)(0.0)))
+      else
+        lloydLocal(pts, ksub, iters).zipWithIndex.map { case (cv, code) =>
+          (s, code.toLong, cv.toSeq)
+        }
     }.toDF("sub", "code", "cv")
   }
 

@@ -320,6 +320,33 @@ class SimilaritySpec extends AnyFunSuite {
       f"trained recall $rTrn%.3f collapsed vs deterministic $rDet%.3f")
   }
 
+  test("trained PQ codebooks: degenerate subspaces degrade, never abort") {
+    // subspace 1 (dims 2-3) is all-zero: no trainable slices — the build
+    // must emit a single zero codeword for it, not require()-abort
+    val zeroSub = Seq(
+      (1L, Seq(1.0, 2.0, 0.0, 0.0)),
+      (2L, Seq(3.0, 1.0, 0.0, 0.0)),
+      (3L, Seq(2.0, 5.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val books = SimilarityOps.pqCodebooksTrained(
+      zeroSub, "vec_id", "embedding", m = 2, ksub = 2, iters = 2)
+    val bySub = books.collect().groupBy(_.getInt(0))
+    assert(bySub.keySet == Set(0, 1))
+    assert(bySub(1).length == 1 &&
+      bySub(1).head.getSeq[Double](2) == Seq(0.0, 0.0))
+    // sub 0 trains normally alongside the degenerate one
+    assert(bySub(0).length == 2)
+    // sample smaller than ksub: a SMALLER codebook (one codeword per
+    // point), documented min(ksub, n) behavior — downstream encode still
+    // joins every sub
+    val tiny = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(5.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val small = SimilarityOps.pqCodebooksTrained(
+      tiny, "vec_id", "embedding", m = 1, ksub = 8, iters = 2)
+    assert(small.count() == 2)
+    val enc = SimilarityOps.pqEncode(tiny, "vec_id", "embedding", small, m = 1)
+    assert(enc.count() == 2) // every (id, sub) row survived the join
+  }
+
   test("proto prune: planted easy core dropped first, dense hardest-first ranks") {
     // cluster A: 30 copies of the prototype (dist 0) + 3 off-axis hard
     // cases; cluster B: a tight orthogonal clump. keepK=3 must pick

@@ -69,6 +69,25 @@ class SketchSpec extends AnyFunSuite {
     assert(sk.length == 16 && sk.forall(_ == 2L)) // 16 ids spread 2-per-column per row
   }
 
+  test("cms_sketch: malformed caller-hashed input fails fast, not cross-row") {
+    graft.functions.GraftFunctions.register(spark)
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // column index >= width: must error, not silently bump another row's counter
+    val oob = intercept[Exception] {
+      spark.sql("SELECT cms_sketch(array(CAST(9 AS BIGINT)), 1, 8) FROM range(1)")
+        .collect()
+    }
+    assert(chainMessages(oob).contains("out of [0, 8)"), chainMessages(oob))
+    // wrong arity (one index for a depth-2 sketch): descriptive, not AIOOBE
+    val arity = intercept[Exception] {
+      spark.sql("SELECT cms_sketch(array(CAST(0 AS BIGINT)), 2, 8) FROM range(1)")
+        .collect()
+    }
+    assert(chainMessages(arity).contains("2 row indexes"), chainMessages(arity))
+  }
+
   test("approx_percentile within 2% relative error of exact interpolated median") {
     val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
     val rows = ev.groupBy("event_type")
