@@ -672,6 +672,53 @@ object Profile {
             f"  shuffleWrite=${shufW.get / 1e9}%5.2f GB")
         }
         spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      case "cc_dist" =>
+        // Stress the >cap distributed log-diameter branch of
+        // duplicateClusters — the one 100 TB-critical path the sub-cap
+        // contract graphs never exercise. Planted chain graph: nodes
+        // [0, n), edge (i, i+1) unless i ends a CHAIN-block → components
+        // are exactly the CHAIN-sized blocks, so expected labels are
+        // closed-form (block start) and verification needs no second CC
+        // implementation. Chains are the WORST case for label
+        // propagation (diameter = CHAIN−1); real near-dup graphs are
+        // denser and converge faster.
+        import org.apache.spark.sql.functions._
+        import graft.dedup.DedupOps
+        val chain = 1024L
+        def chainEdges(nNodes: Long) = spark.range(nNodes)
+          .filter(pmod(col("id"), lit(chain)) =!= (chain - 1))
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        // 1) equality: driver union-find vs forced-distributed on the SAME
+        //    1M-edge graph (cap default = driver; cap 0 = distributed)
+        val eq = chainEdges(1000000L)
+        val viaDriver = DedupOps.duplicateClusters(eq).persist()
+        val viaDist = DedupOps.duplicateClusters(eq, driverEdgeCap = 0L).persist()
+        val only1 = viaDriver.exceptAll(viaDist).count()
+        val only2 = viaDist.exceptAll(viaDriver).count()
+        println(s"[profile] cc equality driver-vs-distributed @1M edges: " +
+          s"driverOnly=$only1 distOnly=$only2 " +
+          (if (only1 == 0 && only2 == 0) "IDENTICAL" else "MISMATCH"))
+        viaDriver.unpersist(); viaDist.unpersist()
+        // 2) scale: ~20M edges (10× the 2M driver cap) through the
+        //    distributed branch it naturally selects; verify every label
+        //    equals its block start, report convergence rounds vs the
+        //    log₂(diameter) bound
+        Seq(2000000L, 20000000L).foreach { nNodes =>
+          val edges = chainEdges(nNodes)
+          var labels: DataFrame = null
+          val t = elapsed {
+            labels = DedupOps.duplicateClusters(edges, driverEdgeCap = 0L)
+              .persist()
+            labels.count()
+          }
+          val bad = labels.filter(col("cluster_id") =!=
+            (col("doc_id") - pmod(col("doc_id"), lit(chain)))).count()
+          val rounds = DedupOps.lastDistributedRounds
+          println(f"[profile] cc_dist n=$nNodes%9d edges≈${nNodes - nNodes / chain}%9d " +
+            f"chain=$chain: $t%6.1f s  rounds=$rounds  wrongLabels=$bad " +
+            f"(log2 diameter=${math.ceil(math.log(chain.toDouble) / math.log(2)).toInt})")
+          labels.unpersist()
+        }
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case "gram" =>
