@@ -224,8 +224,26 @@ object DedupOps {
   /** LSH candidate pairs: slice the k-row signature into `bands` bands of
     * `k/bands` rows; docs sharing a (band, band-hash) bucket are candidates.
     * The bucket join shuffles on the band hash — no all-pairs comparison
-    * ever materializes. */
-  def lshCandidates(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    * ever materializes.
+    *
+    * `maxBucket` is the 100 TB boilerplate escape hatch: a template family
+    * of B near-identical docs shares a bucket in EVERY band, and its
+    * B²/2-per-band candidate clique is quadratic WORK downstream (distinct
+    * + exact verify) that no physical re-shape can pay for — Profile
+    * `lsh_skew` measured that salting the emit only (the non-quadratic
+    * part) is a ~1.6× pessimization. Buckets over the cap instead emit a
+    * STAR: `B−1` edges from the bucket's min doc_id to each member —
+    * the shape large-scale MinHash dedup pipelines use (buckets cluster
+    * via union-find, not all-pairs). Semantics caveat, so it is OPT-IN
+    * (default = exact clique): star candidates under-approximate the
+    * clique for a CLUSTERING consumer — downstream verification prunes
+    * per-edge, so a component that the clique would connect through a
+    * non-hub pair can split. Over-cap buckets in practice ARE boilerplate
+    * families (near-identical members ⇒ hub edges pass verification), and
+    * any split family still dedups within its parts. Pair-OUTPUT consumers
+    * (`q_dedup_minhash`'s exact pair list) must keep the default. */
+  def lshCandidates(signatures: DataFrame, k: Int, bands: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, s"k=$k not divisible by bands=$bands")
     val rows = k / bands
     val banded = signatures.select(
@@ -236,11 +254,30 @@ object DedupOps {
             slice(col("sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))
             .as("bucket")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val pairs = if (maxBucket == Int.MaxValue) {
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    } else {
+      // over-cap keys + their hubs: one row per DISTINCT hot bucket
+      // (map-side combined rollup), broadcast-sized by the cap's rarity
+      val hot = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bn"), min("doc_id").as("__hub"))
+        .filter(col("__bn") > maxBucket)
+        .select(col("band"), col("bucket"), col("__hub"))
+      val tagged = banded.join(broadcast(hot), Seq("band", "bucket"), "left")
+      val cold = tagged.filter(col("__hub").isNull).drop("__hub")
+      val a = cold.as("a"); val b = cold.as("b")
+      val coldPairs = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val star = tagged.filter(col("__hub").isNotNull &&
+          col("doc_id") =!= col("__hub"))
+        .select(col("__hub").as("id_a"), col("doc_id").as("id_b"))
+      coldPairs.unionByName(star)
+    }
+    pairs.distinct()
   }
 
   /** Per-doc distinct shingle HASHES `(doc_id, gh)` — the deterministic

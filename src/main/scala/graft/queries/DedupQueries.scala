@@ -25,6 +25,14 @@ object DedupQueries {
   private val K = 128
   private val Bands = 32
 
+  /** Bucket-size cap for the star-edge candidate variant
+    * (`q_dedup_minhash_cap`) — shared with its oracle SQL by
+    * interpolation. 2 is deliberately BELOW the sf0.01 maximum bucket
+    * size (3), so the over-cap star path executes and hash-checks at test
+    * scale; production uses caps of 10³-10⁴ (any bigger bucket is a
+    * boilerplate family whose clique is quadratic waste). */
+  private val CapBucket = 2
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content dedup (hash-groupBy on md5).
     "q_dedup_exact" -> ((s, dir) =>
@@ -55,6 +63,25 @@ object DedupQueries {
         dir, "minhash_shingles")
       DedupOps.verifyJaccardPairs(
           DedupOps.lshCandidates(sigs, K, Bands), ex, threshold = 0.8)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // The SAME MinHash pipeline with the star-edge bucket cap — the
+    // 100 TB boilerplate path (over-cap buckets contribute hub→member
+    // edges, not their quadratic clique; see DedupOps.lshCandidates).
+    // Cap 2 forces the star path onto the sf0.01 size-3 buckets so the
+    // oracle hash-checks BOTH routes. Same fixture seams as
+    // q_dedup_minhash (identical frames, written once per sf).
+    "q_dedup_minhash_cap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = seam(DedupOps.minhashSignatures(d, "doc_id", "text", n = 3, k = K),
+        dir, "minhash_sigs")
+      val ex = seam(DedupOps.shingleHashes(d, "doc_id", "text", n = 3),
+        dir, "minhash_shingles")
+      DedupOps.verifyJaccardPairs(
+          DedupOps.lshCandidates(sigs, K, Bands, maxBucket = CapBucket),
+          ex, threshold = 0.8)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     }),
@@ -112,6 +139,48 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bb a JOIN bb b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |shared AS (
+         |  SELECT id_a, id_b, count(*) AS shared
+         |  FROM cand
+         |  JOIN ex ea ON ea.doc_id = id_a
+         |  JOIN ex eb ON eb.doc_id = id_b AND ea.gh = eb.gh
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+         |FROM shared
+         |JOIN cnt ca ON id_a = ca.doc_id
+         |JOIN cnt cb ON id_b = cb.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q_dedup_minhash's replay with the bucket-size split: under-cap
+    // buckets join all-pairs, over-cap buckets emit min-doc_id star edges.
+    "q_dedup_minhash_cap" ->
+      s"""WITH sigs AS (SELECT * FROM read_parquet('${sqlPath("minhash_sigs")}')),
+         |ex AS (SELECT * FROM read_parquet('${sqlPath("minhash_shingles")}')),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sigs),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |         array_to_string(list_slice(sig, CAST(band AS INT) * 4 + 1,
+         |                                    CAST(band AS INT) * 4 + 4), ',') AS bucket
+         |  FROM banded),
+         |bsz AS (
+         |  SELECT band, bucket, count(*) AS bn, min(doc_id) AS hub
+         |  FROM bb GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM bb a
+         |    JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+         |            AND a.doc_id < b.doc_id
+         |    JOIN bsz s ON s.band = a.band AND s.bucket = a.bucket
+         |    WHERE s.bn <= $CapBucket
+         |    UNION ALL
+         |    SELECT s.hub AS id_a, m.doc_id AS id_b
+         |    FROM bb m JOIN bsz s ON s.band = m.band AND s.bucket = m.bucket
+         |    WHERE s.bn > $CapBucket AND m.doc_id <> s.hub)),
          |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
          |shared AS (
          |  SELECT id_a, id_b, count(*) AS shared

@@ -719,6 +719,52 @@ object Profile {
             f"(log2 diameter=${math.ceil(math.log(chain.toDouble) / math.log(2)).toInt})")
           labels.unpersist()
         }
+      case "lsh_skew" =>
+        // Planted hot band-bucket for the LSH candidate self-join — the
+        // boilerplate-corpus worst case (FAM identical vectors collide in
+        // EVERY band, so each band carries one bucket of FAM rows whose
+        // self-join alone emits FAM²/2 pairs). rowsPerBand=16 keeps
+        // natural buckets tiny (~n/65k rows), isolating the planted skew.
+        import org.apache.spark.sql.functions._
+        import graft.sim.SimilarityOps
+        val n = 200000L; val fam = 4000L; val d = 64
+        def vec(idc: org.apache.spark.sql.Column) =
+          transform(sequence(lit(1), lit(d)),
+            i => (pmod(xxhash64(idc, i), lit(2000L)).cast("double") - 1000.0)
+              / 1000.0)
+        def sigOf(df: DataFrame) = SimilarityOps.bandedSignatures(
+          df, "id", "v", rowsPerBand = 16, nBands = 8).localCheckpoint(true)
+        val baseSig = sigOf(spark.range(n)
+          .select(col("id"), vec(col("id")).as("v")))
+        val hotSig = sigOf(spark.range(n).select(col("id"),
+          vec(when(col("id") < fam, lit(0L)).otherwise(col("id"))).as("v")))
+        def bandedOf(sig: DataFrame) = sig.select(col("id"),
+          posexplode(col("bands")).as(Seq("band", "bucket")))
+        // production pipeline (plain candidate join), with/without AQE
+        // skew-join — neither can nor needs to split the hot key
+        Seq(("true", "skewJoin on"), ("false", "skewJoin off")).foreach {
+          case (flag, lbl) =>
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+            time(s"pipeline no-hot  ($lbl)")(
+              SimilarityOps.cosinePairsLsh(baseSig, 0.9).count())
+            time(s"pipeline hot 4k  ($lbl)")(
+              SimilarityOps.cosinePairsLsh(hotSig, 0.9).count())
+            time(s"pipeline hot 4k  ($lbl) 2nd")(
+              SimilarityOps.cosinePairsLsh(hotSig, 0.9).count())
+        }
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        // candidate stage alone: plain vs the salted (rejected) shape
+        time("cands plain")(SimilarityOps.lshPairCandidates(hotSig).count())
+        time("cands plain 2nd")(SimilarityOps.lshPairCandidates(hotSig).count())
+        time("cands salted")(
+          SimilarityOps.bucketSelfJoinPairs(bandedOf(hotSig)).count())
+        time("cands salted 2nd")(
+          SimilarityOps.bucketSelfJoinPairs(bandedOf(hotSig)).count())
+        // parity: salted and plain must produce the identical pair set
+        val sP = SimilarityOps.bucketSelfJoinPairs(bandedOf(hotSig))
+        val uP = SimilarityOps.lshPairCandidates(hotSig)
+        println(s"[profile] salted-vs-plain diff: " +
+          s"${sP.exceptAll(uP).count()} / ${uP.exceptAll(sP).count()} (want 0 / 0)")
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case "gram" =>

@@ -92,6 +92,38 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // 128 hashes / 32 bands: P(miss @0.8) ≈ (1-0.8⁴)¹⁶ ≈ 2e-4
   }
 
+  test("bucket-capped candidates: stars for hot buckets, subset of clique, same clusters on boilerplate") {
+    // boilerplate family: 6 exact copies (one bucket of 6 in EVERY band)
+    // + the regular planted docs
+    val family = (10L until 16L).map(i => (i, base + " boilerplate suffix"))
+    val corpus = docs.unionByName(family.toDF("doc_id", "text"))
+    val sigs = DedupOps.minhashSignatures(corpus, "doc_id", "text", 3, 128)
+      .localCheckpoint(true)
+    val clique = DedupOps.lshCandidates(sigs, 128, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = DedupOps.lshCandidates(sigs, 128, 32, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star candidates are a subset of the clique's...
+    assert(capped.subsetOf(clique))
+    // ...the family's clique (15 pairs) collapses to its 5 hub edges...
+    val famClique = clique.filter(p => p._1 >= 10L)
+    val famCapped = capped.filter(p => p._1 >= 10L)
+    assert(famClique.size == 15 && famCapped == (11L to 15L).map((10L, _)).toSet)
+    // ...under-cap buckets still emit their pairs (docs 0/1/2 share
+    // size-3 buckets in any band where the family's slice differs)...
+    assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(capped))
+    // ...and the CLUSTERING consumer sees identical components (hub edges
+    // of a near-identical family all pass verification)
+    def clusters(cands: Set[(Long, Long)]) = {
+      val ex = DedupOps.shingleHashes(corpus, "doc_id", "text", 3)
+      val verified = DedupOps.verifyJaccardPairs(
+        cands.toSeq.toDF("id_a", "id_b"), ex, 0.8)
+      DedupOps.duplicateClusters(verified.select("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(clusters(capped) == clusters(clique))
+  }
+
   test("duplicate clusters: transitive closure with min-id labels") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (8L, 9L), (2L, 3L))
       .toDF("id_a", "id_b")
