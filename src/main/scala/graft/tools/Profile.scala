@@ -765,6 +765,38 @@ object Profile {
         val uP = SimilarityOps.lshPairCandidates(hotSig)
         println(s"[profile] salted-vs-plain diff: " +
           s"${sP.exceptAll(uP).count()} / ${uP.exceptAll(sP).count()} (want 0 / 0)")
+      case "aqe_audit" =>
+        // AQE posture across the 5 most expensive contract queries (from
+        // BENCH_DETAIL r9): each config runs twice under Bench's exact
+        // isolation; compare the MINIMA (the box's ±15% band drowns single
+        // readings). Flags are runtime confs — fresh plans per run.
+        val top5 = Seq("q_corpus_clean", "q_corpus_clean_lsh",
+          "q_cosine_pairs", "q_cosine_pairs_lsh", "q_dedup_embed_lsh")
+        val configs = Seq(
+          ("aqe-off", Map("spark.sql.adaptive.enabled" -> "false")),
+          ("aqe-default", Map("spark.sql.adaptive.enabled" -> "true",
+            "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.enabled" -> "true")),
+          ("no-coalesce", Map("spark.sql.adaptive.enabled" -> "true",
+            "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+            "spark.sql.adaptive.skewJoin.enabled" -> "true")),
+          ("no-skewjoin", Map("spark.sql.adaptive.enabled" -> "true",
+            "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+            "spark.sql.adaptive.skewJoin.enabled" -> "false")))
+        for ((q, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
+               if top5.contains(q); (cfg, confs) <- configs) {
+          confs.foreach { case (k, v) => spark.conf.set(k, v) }
+          val ts = (1 to 2).map { _ =>
+            val t = elapsed {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            }
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+            t
+          }
+          println(f"[profile] $q%-22s $cfg%-12s min=${ts.min}%6.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
+        }
+        configs(1)._2.foreach { case (k, v) => spark.conf.set(k, v) }
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case "gram" =>

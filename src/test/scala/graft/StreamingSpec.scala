@@ -94,6 +94,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"))
   }
 
+  test("streaming ingest serves over HTTP identically to the bulk-written archive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val src = java.nio.file.Files.createTempDirectory("graft_e2e_src").toString
+    val streamRoot = java.nio.file.Files.createTempDirectory("graft_e2e_stream").toString
+    val bulkRoot = java.nio.file.Files.createTempDirectory("graft_e2e_bulk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e2e_ckpt").toString
+    def rows(offset: Int) = (0 until 60).map { i =>
+      ("ORCASOUND_LAB", 1, Timestamp.valueOf("2024-01-01 00:00:00").toLocalDateTime
+        .plusSeconds((offset + i).toLong), 100.0 + offset + i)
+    }.map { case (h, dt, t, v) => (h, dt, Timestamp.valueOf(t), v) }
+      .toDF("hydrophone", "delta_t", "ts", "value")
+    // streamed in two micro-batches...
+    rows(0).coalesce(1).write.parquet(s"$src/f1")
+    rows(60).coalesce(1).write.parquet(s"$src/f2")
+    val stream = spark.readStream
+      .schema("hydrophone STRING, delta_t INT, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    val q = StreamingOps.archiveIngest(stream, streamRoot, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // ...vs the same 120 rows bulk-written
+    graft.sources.PartitionedArchive.writeBroadband(
+      rows(0).unionByName(rows(60)), bulkRoot)
+    val emptyPsd = Seq.empty[(String, String, Int, Int, Timestamp, Double, Double)]
+      .toDF("hydrophone", "freq_type", "delta_f", "delta_t", "ts", "band", "value")
+    val client = HttpClient.newHttpClient()
+    def serveOnce(root: String, path: String): (Int, String, String) = {
+      val svc = graft.serve.AmbientService.fromFrames(
+        graft.sources.PartitionedArchive.readBroadband(spark, root), emptyPsd)
+      val api = new graft.serve.HttpApi(svc,
+        java.nio.file.Files.createTempDirectory("graft_e2e_logs"))
+      val server = api.start(0)
+      try {
+        val r = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${server.getAddress.getPort}$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body(),
+          r.headers().firstValue("X-Point-Count").orElse(""))
+      } finally { server.stop(0); api.close() }
+    }
+    // raw timeseries of the landed window, and a resampled aggregation
+    for (path <- Seq(
+        "/timeseries/broadband?hydrophone=orcasound_lab" +
+          "&start=2024-01-01T00:00:00&end=2024-01-01T00:02:00&delta_t=1",
+        "/aggregations/broadband?hydrophone=orcasound_lab" +
+          "&start=2024-01-01T00:00:00&end=2024-01-01T00:02:00&delta_t=1" +
+          "&interval=1m")) {
+      val (cs, bs, hs) = serveOnce(streamRoot, path)
+      val (cb, bb2, hb) = serveOnce(bulkRoot, path)
+      assert(cs == 200 && cb == 200, s"$path: $cs/$cb")
+      assert(bs == bb2, s"$path: streamed and bulk bodies differ")
+      assert(hs == hb)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: the bounded-state dedup scale path") {
     // the unbounded-state dedup (runStreamDedupOnce) is exact for finite
     // replays; this pins the WatermarkedWithin variant the scaladoc names
