@@ -13,6 +13,12 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
 
+  /** Subword-vocab size (`q_bpe_subword`) and quality-classifier feature
+    * dim (`q_quality_classifier`) — shared with the oracle SQL by
+    * interpolation so query and replay cannot desynchronize. */
+  private val BpeVocabSize = 256
+  private val QClfDim = 1024
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish pre-tokenization.
     "q_token_stats" -> ((s, dir) =>
@@ -21,6 +27,32 @@ object TextQueries {
         length(col("text")).as("n_chars"),
         size(TextOps.wsTokens(col("text"))).as("n_ws_tokens"),
         size(TextOps.bpeTokens(col("text"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // VOCABULARY-driven subword token counting — the BPE/WordPiece
+    // inference shape (q_token_stats' n_bpe_tokens is the regex
+    // PRE-tokenization count; this runs greedy longest-match segmentation
+    // over a frequency-derived 256-gram vocab via the native
+    // BpeTokenCount kernel). Vocab derivation is a deterministic total
+    // order on integer counts, so the oracle re-derives it — no fixture.
+    "q_bpe_subword" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val vocab = TextOps.bpeVocab(d, "text", BpeVocabSize)
+      d.select(col("doc_id"),
+          size(TextOps.wsTokens(lower(col("text")))).cast("long").as("n_pretokens"),
+          graft.functions.BpeTokens.bpe_token_count(col("text"), vocab)
+            .cast("long").as("n_subword"))
+        .withColumn("subword_ratio", round(
+          col("n_subword") / greatest(col("n_pretokens"), lit(1L)).cast("double"), 6))
+        .orderBy("doc_id")
+    }),
+
+    // Quality-classifier inference: fastText-style hashed bag-of-words
+    // linear scorer (broadcast weight table; deterministic stand-in
+    // weights — a trained table drops in with the identical plan).
+    "q_quality_classifier" -> ((s, dir) =>
+      TextOps.linearQualityScore(docs(s, dir), "doc_id", "text",
+          TextOps.hashWeights(s, QClfDim), QClfDim)
         .orderBy("doc_id")),
 
     // Quality scoring: length/punct/stopword signals + composite score.
@@ -603,6 +635,86 @@ object TextQueries {
          |       len(${toks("text")}) AS n_ws_tokens,
          |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // vocab re-derivation (total order on integer counts) + greedy
+    // longest-match replay: per distinct pretoken, `adv(tok, pos)` = the
+    // longest vocab gram matching at pos (equi-join on the extracted
+    // substring) else 1, then a recursive walk sums segments per token.
+    "q_bpe_subword" ->
+      s"""WITH RECURSIVE
+         |toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |  FROM documents),
+         |glen AS (SELECT unnest([2, 3, 4]) AS l),
+         |grams AS (
+         |  SELECT substr(t.tok, p.pos, g.l) AS gram, count(*) AS cnt
+         |  FROM toks t
+         |  CROSS JOIN glen g
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(len(t.tok) AS INT) - (g.l - 1))) AS pos) p
+         |  WHERE len(t.tok) >= g.l
+         |  GROUP BY 1),
+         |vocab AS (
+         |  SELECT gram FROM grams ORDER BY cnt DESC, gram LIMIT $BpeVocabSize),
+         |dtoks AS (SELECT DISTINCT tok FROM toks),
+         |positions AS (
+         |  SELECT tok, unnest(generate_series(1, CAST(len(tok) AS INT))) AS pos
+         |  FROM dtoks),
+         |cands AS (
+         |  SELECT p.tok, p.pos, g.l AS alen, substr(p.tok, p.pos, g.l) AS g
+         |  FROM positions p CROSS JOIN glen g
+         |  WHERE p.pos + g.l - 1 <= len(p.tok)),
+         |matched AS (
+         |  SELECT c.tok, c.pos, max(c.alen) AS alen
+         |  FROM cands c JOIN vocab v ON c.g = v.gram
+         |  GROUP BY 1, 2),
+         |adv AS (
+         |  SELECT p.tok, p.pos, coalesce(m.alen, 1) AS adv
+         |  FROM positions p
+         |  LEFT JOIN matched m ON p.tok = m.tok AND p.pos = m.pos),
+         |walk AS (
+         |  SELECT tok, 1 AS pos, 0 AS cnt FROM dtoks
+         |  UNION ALL
+         |  SELECT w.tok, w.pos + a.adv, w.cnt + 1
+         |  FROM walk w JOIN adv a ON a.tok = w.tok AND a.pos = w.pos
+         |  WHERE w.pos <= len(w.tok)),
+         |segc AS (SELECT tok, max(cnt) AS nseg FROM walk GROUP BY 1),
+         |perdoc AS (
+         |  SELECT t.doc_id, count(*) AS n_pre, sum(s.nseg) AS n_sub
+         |  FROM toks t JOIN segc s ON t.tok = s.tok GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CAST(coalesce(p.n_pre, 0) AS BIGINT) AS n_pretokens,
+         |       CAST(coalesce(p.n_sub, 0) AS BIGINT) AS n_subword,
+         |       round(CAST(coalesce(p.n_sub, 0) AS DOUBLE)
+         |             / greatest(coalesce(p.n_pre, 0), 1), 6) AS subword_ratio
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // hashed-feature linear scorer replay: identical md5-prefix buckets
+    // and integer milli-unit weights; the two divisions are exact-int →
+    // double, so round-at-6 matches bit-for-bit.
+    "q_quality_classifier" ->
+      s"""WITH w AS (
+         |  SELECT b AS bucket,
+         |         CAST(concat('0x', substr(md5('qw_w:' || b), 1, 15)) AS BIGINT)
+         |           % 2001 - 1000 AS w_milli
+         |  FROM (SELECT unnest(range(0, $QClfDim)) AS b)),
+         |toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5('qw:' || tok), 1, 15)) AS BIGINT)
+         |           % $QClfDim AS bucket
+         |  FROM toks),
+         |agg AS (
+         |  SELECT f.doc_id, count(*) AS n_tokens, sum(w.w_milli) AS s_milli
+         |  FROM feat f JOIN w ON f.bucket = w.bucket GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |       round((CAST(s_milli AS DOUBLE) / 1000.0) / n_tokens, 6) AS score,
+         |       CAST(round((CAST(s_milli AS DOUBLE) / 1000.0) / n_tokens, 6) >= 0
+         |            AS INT) AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH t AS (

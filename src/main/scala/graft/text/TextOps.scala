@@ -556,4 +556,61 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         (col("s_micro").cast("double") / 1e6).as("log_weight"))
   }
+
+  /** Frequency-derived subword vocabulary: the top `v` character n-grams
+    * (2 ≤ n ≤ 4) over all whitespace-token OCCURRENCES of `lower(text)`,
+    * ordered by `(count DESC, gram ASC)` — a deterministic TOTAL order on
+    * integer counts, so Spark and the DuckDB oracle derive the identical
+    * list and no fixture seam is needed. A stand-in for a trained BPE/
+    * WordPiece merge table: production loads the tokenizer's vocab file
+    * here, and everything downstream ([[graft.functions.BpeTokenCount]])
+    * is the unchanged inference path. The collect is `v` rows — a
+    * driver-resident model, same shape as the k-means centroid frames. */
+  def bpeVocab(docs: DataFrame, textCol: String, v: Int): Seq[String] = {
+    val toks = docs.select(explode(wsTokens(lower(col(textCol)))).as("tok"))
+    val grams = (2 to 4).map { n =>
+      toks.filter(length(col("tok")) >= n)
+        .select(explode(transform(
+          sequence(lit(1), length(col("tok")) - (n - 1)),
+          i => col("tok").substr(i, lit(n)))).as("gram"))
+    }.reduce(_ unionByName _)
+    grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(v)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** fastText-style linear quality-classifier INFERENCE (Joulin et al.
+    * 2016 — the classifier shape CCNet, Wenzek et al. 2019, uses for
+    * corpus quality filtering): hashing-trick bag-of-words features
+    * (token → md5 bucket in `[0, dim)`), a broadcast `(bucket, w_milli)`
+    * weight table, `score` = mean member weight, `keep` = sign. Weights
+    * ride in integer MILLI-units so the per-doc sum is exact and the
+    * oracle replays bit-for-bit (the integer-micro house recipe); the
+    * only fp steps are two exact int→double divisions and the shared
+    * round-at-6. One corpus scan, one doc_id-keyed exchange; the weight
+    * join broadcasts `dim` rows. [[hashWeights]] is the deterministic
+    * stand-in table — training is out of scope, and swapping in a
+    * TRAINED table leaves this plan untouched (that is the point: model
+    * inference as a broadcast join + aggregate, no UDF). Docs with zero
+    * tokens have no feature rows and are absent from the output, exactly
+    * as fastText skips empty input. */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         weights: DataFrame, dim: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(wsTokens(lower(col(textCol)))).as("tok"))
+      .withColumn("bucket", pmod(md5Key64(col("tok"), "qw:"), lit(dim.toLong)))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_milli").as("s_milli"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("s_milli") / 1000.0) / col("n_tokens"), 6).as("score"))
+      .withColumn("keep", (col("score") >= 0.0).cast("int"))
+
+  /** Deterministic hash weight table for [[linearQualityScore]]:
+    * `w_milli(b) = md5Key64("qw_w:" ‖ b) mod 2001 − 1000` ∈ [−1000, 1000]
+    * milli-units — engine-exact via the shared md5-prefix recipe. */
+  def hashWeights(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      (pmod(md5Key64(col("id"), "qw_w:"), lit(2001L)) - 1000L).as("w_milli"))
 }

@@ -175,4 +175,38 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted.toSeq
     assert(agg.nonEmpty && agg == win)
   }
+
+  test("bpe_token_count: greedy longest-match, char fallback, token boundaries") {
+    import spark.implicits._
+    val vocab = Seq("ab", "abc", "bc", "cd")
+    def counts(texts: String*): Seq[Int] =
+      texts.toDF("t").select(
+        graft.functions.BpeTokens.bpe_token_count(col("t"), vocab))
+        .collect().map(_.getInt(0)).toSeq
+    // "abcd": longest at 0 is "abc" (not "ab"), then "d" falls back → 2;
+    // greedy is NOT optimal ("ab"+"cd" would be 2 as well here, but
+    // "abce" → abc+e=2 vs ab+?? — pin the greedy choice explicitly below)
+    assert(counts("abcd") == Seq(2))
+    // greedy pins: "abce" = abc+e (2), never ab+ce
+    assert(counts("abce") == Seq(2))
+    // no vocab match → one token per char
+    assert(counts("xyz") == Seq(3))
+    // whitespace splits reset matching; case folds before matching
+    assert(counts("AB cd", "ab\tcd\n") == Seq(2, 2))
+    // a match must not span a token boundary: "a b" is 2 single chars
+    assert(counts("a b") == Seq(2))
+    // empty + whitespace-only
+    assert(counts("", "  \t ") == Seq(0, 0))
+    // empty vocab → pure char counting
+    val n = Seq("abc d").toDF("t").select(
+      graft.functions.BpeTokens.bpe_token_count(col("t"), Seq.empty))
+      .collect().head.getInt(0)
+    assert(n == 4)
+    // interpreted eval path (nullSafeEval) agrees with the codegen runs above
+    val expr = graft.functions.BpeTokenCount(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        "abcd xyz", org.apache.spark.sql.types.StringType),
+      vocab)
+    assert(expr.eval(null) == 5)
+  }
 }
