@@ -237,15 +237,42 @@ object SimilarityOps {
     * candidate volume scales as `bands / 2^rows · n²` on UNclustered data,
     * so this wins big only when the threshold is high (p close to 1, few
     * rows needed) or the data is clustered (real near-dup corpora are);
-    * for exhaustive low-threshold scans use [[cosinePairsBlocked]]. */
-  def lshPairCandidates(sig: DataFrame): DataFrame = {
+    * for exhaustive low-threshold scans use [[cosinePairsBlocked]].
+    * `maxBucket` (opt-in) applies the star-edge boilerplate cap to
+    * over-cap buckets — see the hot branch below and `Profile star_cap`. */
+  def lshPairCandidates(sig: DataFrame, maxBucket: Int = Int.MaxValue)
+      : DataFrame = {
     val banded = sig.select(col("id"),
       posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val pairs = if (maxBucket == Int.MaxValue) {
+      val a = banded.as("a"); val b = banded.as("b")
+      a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    } else {
+      // over-cap star edges — the same boilerplate escape hatch as
+      // DedupOps.lshCandidates' maxBucket (see its scaladoc for the
+      // semantics caveat and Profile star_cap for the measured tradeoff):
+      // a hot bucket's clique is quadratic WORK downstream; its members
+      // link through the bucket-min hub instead, which clustering
+      // consumers (dedupEmbedLsh) resolve identically when the bucket is
+      // a true near-dup family
+      val hot = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bn"), min("id").as("__hub"))
+        .filter(col("__bn") > maxBucket)
+        .select(col("band"), col("bucket"), col("__hub"))
+      val tagged = banded.join(broadcast(hot), Seq("band", "bucket"), "left")
+      val cold = tagged.filter(col("__hub").isNull).drop("__hub")
+      val a = cold.as("a"); val b = cold.as("b")
+      val coldPairs = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val star = tagged.filter(col("__hub").isNotNull &&
+          col("id") =!= col("__hub"))
+        .select(col("__hub").as("id_a"), col("id").as("id_b"))
+      coldPairs.unionByName(star)
+    }
+    pairs.distinct()
   }
 
   /** Block-count cutoff for [[bucketSelfJoinPairs]] (the MEASURED-AND-

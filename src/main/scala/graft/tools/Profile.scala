@@ -797,6 +797,63 @@ object Profile {
           println(f"[profile] $q%-22s $cfg%-12s min=${ts.min}%6.2f s  (${ts.map(t => f"$t%.2f").mkString(", ")})")
         }
         configs(1)._2.foreach { case (k, v) => spark.conf.set(k, v) }
+      case "star_cap" =>
+        // Quantify the star-edge bucket cap on the lsh_skew corpus: how
+        // much candidate volume the cap removes, what it costs in verified
+        // pairs, and whether the CLUSTERING result changes (it must not,
+        // for an identical-vector boilerplate family).
+        import org.apache.spark.sql.functions._
+        import graft.sim.SimilarityOps
+        val n = 200000L; val fam = 4000L; val d = 64
+        def vec(idc: org.apache.spark.sql.Column) =
+          transform(sequence(lit(1), lit(d)),
+            i => (pmod(xxhash64(idc, i), lit(2000L)).cast("double") - 1000.0)
+              / 1000.0)
+        def mkSig() = SimilarityOps.bandedSignatures(
+          spark.range(n).select(col("id"),
+            vec(when(col("id") < fam, lit(0L)).otherwise(col("id"))).as("v")),
+          "id", "v", rowsPerBand = 16, nBands = 8).localCheckpoint(true)
+        def verified(hotSig: DataFrame, cands: DataFrame) = {
+          val va = hotSig.select(col("id").as("id_a"), col("v").as("va"),
+            col("nv").as("na"))
+          val vb = hotSig.select(col("id").as("id_b"), col("v").as("vb"),
+            col("nv").as("nb"))
+          cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+            .withColumn("cos", round(
+              graft.functions.VectorFunctions.vec_dot(col("va"), col("vb"))
+                / (col("na") * col("nb")), 6))
+            .filter(col("cos") >= 0.9)
+            .select("id_a", "id_b")
+        }
+        // each variant's big intermediates are freed before the next runs
+        // (the first pass's 13M-row resident checkpoints inflated the
+        // second variant's verify 7× — block-manager contamination, not
+        // plan cost); clusters compare as small collected sets
+        def runVariant(name: String, maxBucket: Int): (Long, Set[(Long, Long)]) = {
+          val hotSig = mkSig()
+          var cands: DataFrame = null
+          var pairs: DataFrame = null
+          time(s"$name: candidates") {
+            cands = SimilarityOps.lshPairCandidates(hotSig, maxBucket)
+              .localCheckpoint(true)
+            cands.count()
+          }
+          time(s"$name: verify") {
+            pairs = verified(hotSig, cands).localCheckpoint(true)
+            pairs.count()
+          }
+          val np = pairs.count()
+          val clusters = graft.dedup.DedupOps.duplicateClusters(pairs)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+          (np, clusters)
+        }
+        val (nCap, cCap) = runVariant("capped(2048)", 2048)
+        val (nPlain, cPlain) = runVariant("plain", Int.MaxValue)
+        val diff = (cPlain diff cCap).size + (cCap diff cPlain).size
+        println(s"[profile] star_cap: verified pairs $nPlain -> $nCap " +
+          s"(${"%.1f".format(100.0 * nCap / math.max(nPlain, 1))}%), " +
+          s"cluster diff rows=$diff (want 0)")
       case "explain" =>
         graft.SparkEntry.queries(args(2))(spark, sfDir).explain("formatted")
       case "gram" =>

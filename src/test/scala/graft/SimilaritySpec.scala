@@ -200,6 +200,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(hotSizes >= 8, s"expected >=8 hot (band,bucket) keys, got $hotSizes")
   }
 
+  test("bucket-capped embedding candidates: stars for hot buckets, same clusters") {
+    // same planted corpus as the salted test: 40 identical vectors share
+    // one over-cap bucket in every band; 60 randoms stay under cap
+    val emb = spark.range(100).selectExpr("id",
+      "transform(sequence(1, 8), i -> CASE WHEN id < 40 THEN CAST(i AS DOUBLE) " +
+        "ELSE cast(hash(id, i) % 100 AS DOUBLE) END) AS v")
+    val sig = SimilarityOps.bandedSignatures(emb, "id", "v", 4, 8)
+      .localCheckpoint(true)
+    val plain = SimilarityOps.lshPairCandidates(sig)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = SimilarityOps.lshPairCandidates(sig, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // star candidates are a subset of the clique's; the family's 780-pair
+    // clique collapses to its 39 hub edges
+    assert(capped.subsetOf(plain))
+    val famPlain = plain.filter(_._2 < 40L)
+    val famCapped = capped.filter(_._2 < 40L)
+    assert(famPlain.size == 780 && famCapped == (1L to 39L).map((0L, _)).toSet)
+    // random↔random pairs from under-cap buckets survive the cap (pairs
+    // whose bucket went hot may legitimately collapse to hub edges)
+    assert(capped.filter(_._1 >= 40L).nonEmpty &&
+      capped.filter(_._1 >= 40L).subsetOf(plain))
+    // the clustering consumer sees identical components after exact verify
+    def clusters(cands: Set[(Long, Long)]) = {
+      val va = sig.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+      val vb = sig.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+      val verified = cands.toSeq.toDF("id_a", "id_b")
+        .join(va, Seq("id_a")).join(vb, Seq("id_b"))
+        .withColumn("cos", graft.functions.VectorFunctions.vec_dot(col("va"), col("vb"))
+          / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.99).select("id_a", "id_b")
+      graft.dedup.DedupOps.duplicateClusters(verified)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(clusters(capped) == clusters(plain))
+  }
+
   test("banded signatures are deterministic with the configured band count") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001).limit(50)
     val sig = SimilarityOps.bandedSignatures(emb, "vec_id", "embedding", 3, 32)
