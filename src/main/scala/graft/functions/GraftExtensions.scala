@@ -45,6 +45,9 @@ object GraftFunctions {
         .toAggregateExpression()),
     "cms_sketch" -> ((args: Seq[Expression]) =>
       CmsSketchAgg(args(0), intArg(args(1), "depth"), intArg(args(2), "width"))
+        .toAggregateExpression()),
+    "hll_registers" -> ((args: Seq[Expression]) =>
+      HllRegisterAgg(args(0), intArg(args(1), "p"))
         .toAggregateExpression()))
 
   /** Register on an already-running session (temp-function scope). */

@@ -21,8 +21,8 @@ object StatsQueries {
              round(stddev_pop(col("value")), 6).as("sd"))
         .orderBy("event_type")),
 
-    // Exact distinct cardinality per group (shuffle-dedup; the approximate
-    // HLL variant is benchmarked in spec, not oracle-checked).
+    // Exact distinct cardinality per group (shuffle-dedup; the sketch
+    // alternative that avoids the per-key shuffle is q_hll_distinct).
     "q_count_distinct" -> ((s, dir) =>
       Tables.events(s, dir).groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -200,6 +200,33 @@ object StatsQueries {
       cmsAudit(bgs, sketch)
     }),
 
+    // HyperLogLog distinct-cardinality sketch per language over corpus
+    // bigrams: native register aggregate (512 B state, element-wise-max
+    // merge) + oracle-exact register arithmetic — v_zero / integer-scaled
+    // Σ2^-M / one-divide raw estimate — audited against the exact
+    // distinct count. The 100 TB count-distinct: no per-key shuffle, and
+    // per-partition register arrays stay mergeable after the fact.
+    "q_hll_distinct" -> ((s, dir) => {
+      val bgs = langBigrams(s, dir)
+      val regs = bgs
+        .select(col("lang"),
+          graft.text.TextOps.md5Key64(col("bg"), "hll:").as("k"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.HllRegisterAgg.hll_registers(
+          col("k"), HllP).as("regs"))
+      hllAudit(bgs, regs)
+    }),
+
+    // The SAME audit with the registers built by STRUCTURED STREAMING:
+    // per-group state is the fixed 512-byte register array riding the
+    // state store, and max-merge idempotence makes the streamed registers
+    // bit-identical to batch — so this query shares q_hll_distinct's
+    // oracle verbatim. Continuous-ingest distinct tracking.
+    "q_stream_hll" -> ((s, dir) => {
+      val regs = graft.streaming.StreamingOps.runStreamHllOnce(s, dir, HllP)
+      hllAudit(langBigrams(s, dir), regs)
+    }),
+
     // The SAME audit with the sketch built by STRUCTURED STREAMING: the
     // CmsSketchAgg buffer is the aggregation state (constant 16 KiB,
     // serialized through the state store between micro-batches), and the
@@ -243,12 +270,35 @@ object StatsQueries {
 
   private val CmsDepth = 4
   private val CmsWidth = 512
+  /** 2^9 = 512 HLL registers — σ ≈ 1.04/√512 ≈ 4.6%. */
+  private val HllP = 9
 
   /** The corpus bigram stream both CMS queries audit. */
   private def corpusBigrams(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       explode(graft.functions.WordShingles.word_shingles(
         col("text"), 2, distinct = false)).as("bg"))
+
+  /** Per-language bigram stream for the HLL queries. */
+  private def langBigrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("lang"),
+      explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+
+  /** Estimate-vs-exact audit over per-lang HLL register frames: derives
+    * the oracle-exact stats columns from the registers and joins the
+    * exact distinct count (the audit column a 100 TB run would OMIT —
+    * it is the very shuffle the sketch exists to avoid). */
+  private def hllAudit(bgs: DataFrame, regs: DataFrame): DataFrame = {
+    val (vZero, sumScaled, estRaw) =
+      graft.functions.HllRegisterAgg.hllStats(col("regs"), HllP)
+    val exact = bgs.groupBy(col("lang"))
+      .agg(countDistinct(col("bg")).as("n_exact"))
+    regs.select(col("lang"), vZero.as("v_zero"),
+        sumScaled.as("sum_scaled"), estRaw.as("est_raw"))
+      .join(broadcast(exact), Seq("lang"))
+      .orderBy("lang")
+  }
 
   /** Top-30 estimated-vs-exact frequency audit over a 1-row sketch frame
     * (`sk` = the row-major depth×width counter matrix). */
@@ -290,7 +340,54 @@ object StatsQueries {
       |FROM est e JOIN exact x ON e.bg = x.bg
       |ORDER BY est_count DESC, e.bg LIMIT 30""".stripMargin
 
+  /** One SQL, two queries (stream registers ≡ batch registers). Rebuilds
+    * the register state in pure integer/string arithmetic: the 60-bit
+    * md5 key splits as `reg = key % 512`, `w = key // 512`, and the rank
+    * is `rho = 52 − length(bin(w))` (`bin` has no leading zeros; `w = 0`
+    * → `bin = '0'`, length 1 → the same expression yields 51, so the
+    * zero case is spelled out). `sum_scaled = Σ 2^(52−M_j)` is an exact
+    * BIGINT (≤ 2^61); the raw estimate is one double divide of
+    * bit-agreed inputs. All float literals are CAST to DOUBLE — DuckDB
+    * would otherwise parse them as DECIMAL and diverge. */
+  private val HllDistinctSql: String =
+    """WITH tk AS (
+      |  SELECT lang, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+      |bg AS (
+      |  SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tk WHERE len(t) >= 2),
+      |d AS (SELECT DISTINCT lang, bg FROM bg),
+      |k AS (
+      |  SELECT lang, CAST(concat('0x', substr(md5('hll:' || bg), 1, 15))
+      |               AS BIGINT) AS key
+      |  FROM d),
+      |reg AS (SELECT lang, key % 512 AS r, key // 512 AS w FROM k),
+      |rho AS (
+      |  SELECT lang, r,
+      |         CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END AS rho
+      |  FROM reg),
+      |mx AS (SELECT lang, r, max(rho) AS mrho FROM rho GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT lang, 512 - count(*) AS v_zero,
+      |         CAST(sum(1::BIGINT << (52 - mrho))
+      |           + (512 - count(*)) * (1::BIGINT << 52) AS BIGINT) AS sum_scaled
+      |  FROM mx GROUP BY 1),
+      |ex AS (SELECT lang, count(DISTINCT bg) AS n_exact FROM bg GROUP BY 1)
+      |SELECT a.lang, a.v_zero, a.sum_scaled,
+      |       round(CAST(0.7213 AS DOUBLE)
+      |               / (CAST(1.0 AS DOUBLE)
+      |                  + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+      |             * CAST(512.0 AS DOUBLE) * CAST(512.0 AS DOUBLE)
+      |             * CAST(4503599627370496.0 AS DOUBLE)
+      |             / CAST(a.sum_scaled AS DOUBLE), 6) AS est_raw,
+      |       e.n_exact
+      |FROM agg a JOIN ex e USING (lang) ORDER BY a.lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_hll_distinct" -> HllDistinctSql,
+
+    "q_stream_hll" -> HllDistinctSql,
+
     "q_stream_cms" -> CmsCountsSql,
 
     "q_cms_counts" -> CmsCountsSql,

@@ -18,6 +18,8 @@ object TextQueries {
     * interpolation so query and replay cannot desynchronize. */
   private val BpeVocabSize = 256
   private val QClfDim = 1024
+  /** Per-source doc cap for q_source_quota. */
+  private val QuotaK = 10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens + BPE-ish pre-tokenization.
@@ -54,6 +56,31 @@ object TextQueries {
       TextOps.linearQualityScore(docs(s, dir), "doc_id", "text",
           TextOps.hashWeights(s, QClfDim), QClfDim)
         .orderBy("doc_id")),
+
+    // Per-source quality quota (the FineWeb/CCNet per-domain cap): keep
+    // only the K best classifier-scored docs of each source. Ranking is
+    // the bounded-heap topk_by aggregate — map-side combine reduces every
+    // partition to ≤ K entries per source BEFORE the exchange, so a
+    // boilerplate-heavy mega-domain costs the same as a tiny one (the
+    // row_number() window formulation would shuffle the full corpus into
+    // |sources| partitions — a skew scale-killer; same argument as the
+    // ANN rank stage). Scores ride as exact round-6 micro-units so the
+    // heap's (ord DESC, id ASC) total order is the oracle's ORDER BY.
+    "q_source_quota" -> ((s, dir) => {
+      val scored = TextOps.linearQualityScore(docs(s, dir), "doc_id", "text",
+        TextOps.hashWeights(s, QClfDim), QClfDim)
+      scored.join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"),
+          round(col("score") * 1e6).cast("long").as("om"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKByAgg.topk_by(
+          col("om"), col("doc_id"), QuotaK).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("doc_id"),
+          round(col("col.ord") / 1e6, 6).as("score"))
+        .orderBy("source", "rank")
+    }),
 
     // Quality scoring: length/punct/stopword signals + composite score.
     "q_text_quality" -> ((s, dir) =>
@@ -715,6 +742,40 @@ object TextQueries {
          |       CAST(round((CAST(s_milli AS DOUBLE) / 1000.0) / n_tokens, 6) >= 0
          |            AS INT) AS keep
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // classifier replay + row_number over the heap's exact (om DESC,
+    // doc_id ASC) total order; score re-derived from the SAME micro-unit
+    // integer both engines rank on, so value agreement is by construction
+    "q_source_quota" ->
+      s"""WITH w AS (
+         |  SELECT b AS bucket,
+         |         CAST(concat('0x', substr(md5('qw_w:' || b), 1, 15)) AS BIGINT)
+         |           % 2001 - 1000 AS w_milli
+         |  FROM (SELECT unnest(range(0, $QClfDim)) AS b)),
+         |toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+         |  FROM documents),
+         |feat AS (
+         |  SELECT doc_id,
+         |         CAST(concat('0x', substr(md5('qw:' || tok), 1, 15)) AS BIGINT)
+         |           % $QClfDim AS bucket
+         |  FROM toks),
+         |agg AS (
+         |  SELECT f.doc_id, count(*) AS n_tokens, sum(w.w_milli) AS s_milli
+         |  FROM feat f JOIN w ON f.bucket = w.bucket GROUP BY 1),
+         |om AS (
+         |  SELECT a.doc_id, d.source,
+         |         CAST(round(round((CAST(a.s_milli AS DOUBLE) / 1000.0)
+         |                          / a.n_tokens, 6) * 1000000.0) AS BIGINT) AS om
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |rk AS (
+         |  SELECT source, doc_id, om,
+         |         row_number() OVER (PARTITION BY source
+         |                            ORDER BY om DESC, doc_id ASC) AS rank
+         |  FROM om)
+         |SELECT source, rank, doc_id,
+         |       round(CAST(om AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM rk WHERE rank <= $QuotaK ORDER BY source, rank""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH t AS (

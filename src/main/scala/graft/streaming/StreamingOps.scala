@@ -161,6 +161,34 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
+  /** STREAMING HyperLogLog: [[graft.functions.HllRegisterAgg]] as a
+    * streaming GROUPED aggregate — the state per group is the fixed
+    * `2^p`-byte register array, serialized through the state store
+    * between micro-batches. Register merge is element-wise MAX
+    * (idempotent + commutative), so the streamed register state is
+    * bit-identical to one batch pass regardless of how rows split into
+    * micro-batches — the batch oracle applies unchanged. The
+    * continuous-ingest shape of distinct-counting at 100 TB: exact
+    * streaming `count(distinct)` needs state per distinct key;
+    * this needs 512 bytes per group, forever. */
+  def runStreamHllOnce(spark: SparkSession, dir: String, p: Int): DataFrame = {
+    val name = s"graft_stream_hll_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = documentsStream(ses, dir)
+      .select(col("lang"), explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+      // pre-projected key: same interpreted-child rule as the batch query
+      .select(col("lang"),
+        graft.text.TextOps.md5Key64(col("bg"), "hll:").as("k"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.HllRegisterAgg.hll_registers(col("k"), p).as("regs"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name)
+  }
+
   /** Streaming ingest into the canonical partitioned archive: each
     * micro-batch lands through the same sorted, stats-bearing writer the
     * bulk path uses, so data is servable the moment the batch commits and

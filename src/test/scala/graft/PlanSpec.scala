@@ -85,6 +85,25 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 4, s"unexpected exchanges\n$p")
   }
 
+  test("HLL distinct: constant-size register partials, window-free") {
+    val p = plan("q_hll_distinct")
+    // register side: partial ObjectHashAggregate per partition (512 B
+    // buffers) → per-lang merge; the exact audit column broadcasts back.
+    assert(p.contains("ObjectHashAggregate"), s"no imperative register agg\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"exact audit side not broadcast\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")))
+  }
+
+  test("source quota: bounded-heap rank, never a per-source window") {
+    val p = plan("q_source_quota")
+    // the per-source cap must be the topk_by heap (≤ K entries per source
+    // per partition BEFORE the exchange) — a row_number window would
+    // funnel the corpus into |sources| partitions, the skew scale-killer
+    assert(p.contains("ObjectHashAggregate"), s"no heap agg\n$p")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")),
+      "unexpected Window node")
+  }
+
   test("DSIR weights: broadcast lambda table, no corpus-sized window") {
     val p = plan("q_dsir_weights")
     // bucket counts and the λ table are buckets-sized → broadcast joins

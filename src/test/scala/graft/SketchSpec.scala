@@ -88,6 +88,58 @@ class SketchSpec extends AnyFunSuite {
     assert(chainMessages(arity).contains("2 row indexes"), chainMessages(arity))
   }
 
+  test("hll_registers: corrected estimate within 5% at 50k distinct keys") {
+    import graft.functions.HllRegisterAgg._
+    val p = 9
+    val regs = spark.range(50000)
+      .select(graft.text.TextOps.md5Key64(col("id"), "hllspec:").as("k"))
+      .agg(hll_registers(col("k"), p).as("regs"))
+    val est = regs.select(hllEstimate(col("regs"), p)).head.getDouble(0)
+    assert(math.abs(est - 50000.0) / 50000.0 <= 0.05, s"est=$est")
+  }
+
+  test("hll_registers: partial-merge and input-order invariant (max-merge)") {
+    import graft.functions.HllRegisterAgg._
+    def regsOf(df: org.apache.spark.sql.Dataset[java.lang.Long]) =
+      df.select(graft.text.TextOps.md5Key64(col("id"), "hllspec:").as("k"))
+        .agg(hll_registers(col("k"), 9))
+        .head.getSeq[Int](0)
+    val one = regsOf(spark.range(20000).coalesce(1))
+    val many = regsOf(spark.range(20000).repartition(13))
+    // duplicates cannot move any register (idempotent max)
+    val dup = regsOf(spark.range(20000).unionAll(spark.range(5000)))
+    assert(one == many && one == dup)
+    assert(one.length == 512 && one.forall(r => r >= 0 && r <= 52))
+  }
+
+  test("hll_registers: SQL registration path and small-range linear counting") {
+    import graft.functions.HllRegisterAgg._
+    graft.functions.GraftFunctions.register(spark)
+    // 3 distinct tiny keys: raw estimate is useless here, the corrected
+    // estimator must take the linear-counting branch and be near-exact
+    val regs = spark.sql(
+      """SELECT hll_registers(CAST(conv(substr(md5(CAST(CAST(id % 3 AS STRING) AS BINARY)), 1, 15),
+        |       16, 10) AS BIGINT), 9) AS regs FROM range(100)""".stripMargin)
+    val est = regs.select(hllEstimate(col("regs"), 9)).head.getDouble(0)
+    assert(math.abs(est - 3.0) <= 0.05, s"est=$est")
+  }
+
+  test("hll_registers: out-of-range key fails fast") {
+    graft.functions.GraftFunctions.register(spark)
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val neg = intercept[Exception] {
+      spark.sql("SELECT hll_registers(CAST(-1 AS BIGINT), 9) FROM range(1)").collect()
+    }
+    assert(chainMessages(neg).contains("pre-hash with md5Key64"), chainMessages(neg))
+    val wide = intercept[Exception] {
+      spark.sql("SELECT hll_registers(CAST(2305843009213693952 AS BIGINT), 9) FROM range(1)")
+        .collect()
+    }
+    assert(chainMessages(wide).contains("pre-hash with md5Key64"), chainMessages(wide))
+  }
+
   test("approx_percentile within 2% relative error of exact interpolated median") {
     val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
     val rows = ev.groupBy("event_type")

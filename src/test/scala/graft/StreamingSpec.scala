@@ -267,6 +267,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming HLL registers are bit-identical to the batch register state") {
+    val p = 7 // 128 registers: dense occupancy at sf0.001, still exact
+    val streamed = StreamingOps.runStreamHllOnce(spark, TestSpark.Sf0001, p)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val batch = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang"), explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+      .select(col("lang"),
+        graft.text.TextOps.md5Key64(col("bg"), "hll:").as("k"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.HllRegisterAgg.hll_registers(col("k"), p).as("regs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming sessionization (sentinel-flushed) equals batch session_window") {
     val streamed = StreamingOps.runStreamSessionsOnce(spark, TestSpark.Sf0001)
       .collect()
