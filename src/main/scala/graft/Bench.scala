@@ -18,17 +18,28 @@ import org.apache.spark.sql.SparkSession
   *                   -1 in the per-query maps (cold+warm on the detail
   *                   line, cold on the compact line) so automated consumers
   *                   can't mistake a partial wall time for success;
-  *  - `load`/`load_warm`  1-minute system load average sampled as each
-  *                   query finishes — this box runs other JVMs whose
-  *                   co-load inflates wall times up to ~2.5× (PERF.md
-  *                   round 7 measured the mechanism), and the load column
-  *                   lets a reader attribute an outlier without rerunning;
+  *  - `load`/`load_warm`  MAX 1-minute system loadavg observed at any
+  *                   point DURING each query (a 250 ms background ticker —
+  *                   round 9's completion-time sample missed co-load that
+  *                   ended before the query did, and 37×-inflated cells
+  *                   shipped unflagged); this box runs other JVMs whose
+  *                   co-load inflates wall times (PERF.md round 7 measured
+  *                   the mechanism), and the load column lets a reader
+  *                   attribute an outlier without rerunning;
+  *  - `cpu`/`cpu_warm`  JVM process-CPU seconds per query (executors are
+  *                   in-process at local[*], so this is the work actually
+  *                   done); wall inflated while CPU is flat vs the other
+  *                   pass = starvation, including cgroup throttling that
+  *                   loadavg cannot see;
   *  - `contended`    queries where one pass exceeded 3× the other (and 1 s
-  *                   absolute) AND the load sample corroborates co-load
-  *                   (1-min loadavg above max(4, cpus/4) — the quiet-box
+  *                   absolute) AND a co-load signal corroborates: max
+  *                   in-query loadavg above max(4, cpus/4) (quiet-box
   *                   bench sustains ~2-3 on 32 cpus, a competing 30-thread
-  *                   JVM >30, so the ratio-only false positives on genuine
-  *                   cold starts no longer repair). E.g. the round-7
+  *                   JVM >30), OR process-CPU below 2× the counterpart
+  *                   pass (genuine cold-start cost — codegen/JIT — burns
+  *                   real CPU; starvation does not, so the ratio-only
+  *                   false positives on genuine cold starts no longer
+  *                   repair). E.g. the round-7
   *                   driver artifact recorded a 46.6 s cold reading for a
   *                   2.5 s query, and r6 shipped an 11.1 s warm reading
   *                   for a 5 s one. Each is re-run once after both passes
@@ -67,14 +78,58 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // ---- co-load instrumentation -------------------------------------
+    // Round 9 lesson: sampling 1-min loadavg only at query COMPLETION let
+    // a competing JVM that finished before the sample ship 37×-inflated
+    // cells unflagged. Two independent signals now:
+    //  - a background ticker records the MAX 1-min loadavg observed at any
+    //    point during the query (co-load can no longer hide by ending
+    //    early);
+    //  - per-query JVM process-CPU seconds. In local mode executors are
+    //    in-process threads, so process CPU ≈ the work actually done;
+    //    starvation (other processes, or cgroup throttling invisible to
+    //    loadavg) inflates WALL without inflating CPU, while genuine
+    //    cold-start cost (codegen/JIT/page-cache miss) burns real CPU.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val sunBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def cpuNow(): Double =
+      sunBean.map(_.getProcessCpuTime / 1e9).getOrElse(-1.0)
+    val maxLoad = new java.util.concurrent.atomic.AtomicLong(
+      java.lang.Double.doubleToLongBits(0.0))
+    def sampleLoad(): Unit = {
+      val l = osBean.getSystemLoadAverage
+      var done = false
+      while (!done) {
+        val cur = maxLoad.get()
+        done = java.lang.Double.longBitsToDouble(cur) >= l ||
+          maxLoad.compareAndSet(cur, java.lang.Double.doubleToLongBits(l))
+      }
+    }
+    def resetLoad(): Unit = {
+      maxLoad.set(java.lang.Double.doubleToLongBits(0.0)); sampleLoad()
+    }
+    def readMaxLoad(): Double = java.lang.Double.longBitsToDouble(maxLoad.get())
+    val ticker = new Thread(() => {
+      while (true) { sampleLoad(); Thread.sleep(250) }
+    }, "bench-load-ticker")
+    ticker.setDaemon(true); ticker.start()
+
+    /** One timed execution: (wall seconds, process-CPU seconds, max 1-min
+      * loadavg observed during the run); wall = -1 flags failure. */
+    final case class Timing(wall: Double, cpu: Double, load: Double)
+    def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Timing = {
+      resetLoad()
+      val c0 = cpuNow()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        Timing((System.nanoTime() - t0) / 1e9, cpuNow() - c0, readMaxLoad())
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        Timing(-1.0, -1.0, readMaxLoad())
       } finally {
         // measurement isolation: a query that persists/checkpoints must not
         // tax its successors' memory (blocks otherwise free only on GC)
@@ -83,19 +138,37 @@ object Bench {
       }
     }
 
-    // 1-min system load average, sampled as each query completes
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    def loadNow(): Double = osBean.getSystemLoadAverage
-
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset while
     // iterating; the driver never sets it, so contract runs time everything
+    /** Drop state a full pass accumulates, so the next pass starts from
+      * the same driver footprint: localCheckpoint blocks free only when
+      * the ContextCleaner GCs their RDD references (force a GC), and the
+      * streaming drivers leave sentinel parquet + spilled state under
+      * target/ (round 9's warm>cold inversions, VERDICT "What's wrong" #5). */
+    def interPassCleanup(spark: SparkSession): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File("target/stream_sentinel"))
+      Thread.sleep(2000) // let async ContextCleaner callbacks drain
+    }
+
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val coldRaw = named.map { case (n, fn) => (n, run(n, fn), loadNow()) }
-    val warmAll = named.map { case (n, fn) => (n, run(n, fn), loadNow()) }
-    val warmRaw = warmAll.map { case (n, v, _) => n -> v }
-    val warmByName = warmRaw.toMap
+    val coldRaw = named.map { case (n, fn) => n -> run(n, fn) }
+    // between passes: drop state the cold pass accumulated (streaming
+    // sentinel parquet under target/, leftover temp views) so the warm
+    // pass measures the PLAN warm, not the driver progressively laden
+    // (round 9 shipped warm>cold inversions on several queries)
+    interPassCleanup(spark)
+    val warmAll = named.map { case (n, fn) => n -> run(n, fn) }
+    val warmRaw = warmAll.map { case (n, t) => n -> t.wall }
+    val warmByName = warmAll.toMap
     // contended repair, both directions: a reading >3x its counterpart
     // pass (and >1 s absolute) is the co-load signature, not a property of
     // the plan — re-run once and keep the minimum; the name stays in
@@ -103,30 +176,35 @@ object Bench {
     // query), then warm outliers against the repaired cold (r6's 11.1 s
     // warm for a 5 s query).
     def rerun(names: Seq[String]): Map[String, Double] =
-      names.map { n => n -> run(n, named.find(_._1 == n).get._2) }.toMap
-    // co-load corroboration: the 3x ratio alone also fires on GENUINE
-    // cold-start cost (codegen/JIT, cold page cache — the r8 quiet-box run
-    // still flagged q1_agg), and repairing those biases the cold total
-    // down. Only repair when the load sample at measurement time shows
-    // another JVM actually competing: this bench's own steady-state
-    // 1-min loadavg measures ~2-3 on the 32-cpu box (BENCH_DETAIL r8),
-    // while a competing 30-thread JVM drives it past 30 — max(4, cpus/4)
-    // splits the two regimes with wide margin either side.
+      names.map { n => n -> run(n, named.find(_._1 == n).get._2).wall }.toMap
+    // co-load corroboration, either signal fires (the 3x ratio alone also
+    // fires on GENUINE cold-start cost — codegen/JIT burns real CPU — and
+    // repairing those biases the cold total down):
+    //  - max 1-min loadavg DURING the query above max(4, cpus/4): this
+    //    bench's own steady state measures ~2-3 on the 32-cpu box, a
+    //    competing 30-thread JVM drives it past 30 (the continuous max
+    //    closes round 9's ends-before-the-sample blind spot);
+    //  - wall inflated but process-CPU NOT correspondingly higher than the
+    //    counterpart pass (< 2x): the extra wall was starvation — other
+    //    processes or cgroup throttling loadavg can't see — not work.
     val loadThreshold = math.max(4.0, cpus.toDouble / 4)
+    def starved(t: Timing, counterpart: Timing): Boolean =
+      t.load > loadThreshold ||
+        (t.cpu >= 0 && counterpart.cpu >= 0 && t.cpu < 2 * counterpart.cpu)
     val contendedCold = coldRaw.collect {
-      case (n, c, l) if c > 0 && warmByName.get(n).exists(w => w > 0 &&
-        c > 3 * w) && c > 1.0 && l > loadThreshold => n
+      case (n, c) if c.wall > 1.0 && warmByName.get(n).exists(w =>
+        w.wall > 0 && c.wall > 3 * w.wall && starved(c, w)) => n
     }
     val rerunCold = rerun(contendedCold)
-    val cold = coldRaw.map { case (n, c, _) =>
-      n -> rerunCold.get(n).filter(r => r > 0 && r < c).getOrElse(c)
+    val cold = coldRaw.map { case (n, c) =>
+      n -> rerunCold.get(n).filter(r => r > 0 && r < c.wall).getOrElse(c.wall)
     }
     val coldByName = cold.toMap
-    val warmLoadByName = warmAll.map { case (n, _, l) => n -> l }.toMap
-    val contendedWarm = warmRaw.collect {
-      case (n, w) if w > 0 && coldByName.get(n).exists(c => c > 0 &&
-        w > 3 * c) && w > 1.0 &&
-        warmLoadByName.getOrElse(n, 0.0) > loadThreshold => n
+    val coldTimingByName = coldRaw.toMap
+    val contendedWarm = warmAll.collect {
+      case (n, w) if w.wall > 1.0 && coldByName.get(n).exists(c => c > 0 &&
+        w.wall > 3 * c) &&
+        coldTimingByName.get(n).exists(c => starved(w, c)) => n
     }
     val rerunWarm = rerun(contendedWarm)
     val warm = warmRaw.map { case (n, w) =>
@@ -136,11 +214,13 @@ object Bench {
     // pre-repair readings for every repaired cell, so consumers can
     // reconstruct the original cold/warm totals (detail line only)
     val repairedCold = coldRaw.collect {
-      case (n, c, _) if coldByName.get(n).exists(_ < c) => n -> c }
+      case (n, c) if coldByName.get(n).exists(_ < c.wall) => n -> c.wall }
     val repairedWarm = warmRaw.collect {
       case (n, w) if warm.toMap.get(n).exists(_ < w) => n -> w }
-    val loadCold = coldRaw.map { case (n, _, l) => n -> l }
-    val loadWarm = warmAll.map { case (n, _, l) => n -> l }
+    val loadCold = coldRaw.map { case (n, t) => n -> t.load }
+    val loadWarm = warmAll.map { case (n, t) => n -> t.load }
+    val cpuCold = coldRaw.map { case (n, t) => n -> t.cpu }
+    val cpuWarm = warmAll.map { case (n, t) => n -> t.cpu }
     // Locale.ROOT: a comma-decimal default locale would make f"%.2f" emit
     // {"value":90,63} — invalid JSON, recreating the unparsed-result bug
     // trailing zeros stripped ("0.50"→"0.5", "2.00"→"2"): at 80+ queries
@@ -165,6 +245,8 @@ object Bench {
       s""""queries_warm":${jsonMap(warm, _.toString)},""" +
       s""""load":${jsonMap(loadCold, rp(_, 2))},""" +
       s""""load_warm":${jsonMap(loadWarm, rp(_, 2))},""" +
+      s""""cpu":${jsonMap(cpuCold, rp(_, 2))},""" +
+      s""""cpu_warm":${jsonMap(cpuWarm, rp(_, 2))},""" +
       s""""contended":$contJson,""" +
       s""""repaired_cold":${jsonMap(repairedCold, _.toString)},""" +
       s""""repaired_warm":${jsonMap(repairedWarm, _.toString)},""" +

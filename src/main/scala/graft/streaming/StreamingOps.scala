@@ -33,21 +33,32 @@ object StreamingOps {
     spark.createDataFrame(rows, t.schema)
   }
 
-  /** Events schema as stored (ts is TIMESTAMP(NANOS) → read as raw nanos,
-    * same as Tables.events). */
-  private val EventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Streaming parquet source whose schema comes from the FILE FOOTER (via
+    * a one-off batch read of the same glob), never from a hand-declared
+    * StructType. `readStream.schema(...)` with a wrong user schema does not
+    * fail — it silently miscasts (round 9: a stale `ts: LongType`
+    * declaration coerced a native-micros column, the `div 1000` shrank
+    * every timestamp 1000×, and three streaming queries returned
+    * confidently wrong answers while the batch path at least died loudly).
+    * Deriving the schema from what the files actually contain makes the
+    * stream track the archive's physical layout by construction. */
+  private def footerSchemaStream(spark: SparkSession, dir: String,
+      glob: String): DataFrame = {
+    val footer = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    spark.readStream.schema(footer)
+      .option("pathGlobFilter", glob).parquet(dir)
+  }
 
-  /** Streaming source over the events parquet. */
+  /** Streaming source over the events parquet. Same dtype-adaptive `ts`
+    * handling as the batch reader ([[graft.tables.Tables.adaptTs]]): raw
+    * int64 nanos → derived µs timestamp; native parquet timestamp → used
+    * directly. Output dtype is TimestampType either way. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // the streaming parquet source wants a directory; glob-filter to the
     // events table within the multi-table sf dir
-    spark.readStream.schema(EventsSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.tables.Tables.adaptTs(footerSchemaStream(spark, dir, "events.parquet"))
   }
 
   /** Event-time tumbling-window mean over a stream (A1 as a stream). */
@@ -101,15 +112,10 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
-  /** Documents schema as stored (TESTDATA.md). */
-  private val DocumentsSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("text", StringType),
-    StructField("lang", StringType), StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
+  /** Streaming source over the documents parquet — footer-derived schema
+    * like [[eventsStream]] (no timestamp column, so no adaptation). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(DocumentsSchema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    footerSchemaStream(spark, dir, "documents.parquet")
 
   /** STREAMING exact dedup: `dropDuplicates` on the 16-byte content hash —
     * Spark's stateful dedup operator, state keyed by the hash (never the
@@ -288,21 +294,21 @@ object StreamingOps {
   def runStreamSessionsOnce(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_sessions_${runId.incrementAndGet()}"
     val ses = stateSizedSession(spark)
-    // sentinel parquet (same physical schema as the events table: ts as
-    // raw nanos LONG) written fresh under target/ per run
+    // sentinel parquet written fresh under target/ per run with a NATIVE
+    // timestamp column, then read back through the same footer-derived +
+    // adaptive path as the real stream — both sides surface ts as
+    // TimestampType whatever the events archive's physical layout is
     val sentinelDir = new java.io.File(s"target/stream_sentinel/$name").getAbsolutePath
-    val farFutureNanos = java.time.Instant.parse("2030-01-01T00:00:00Z")
-      .getEpochSecond * 1000000000L
+    val farFuture = java.sql.Timestamp.from(
+      java.time.Instant.parse("2030-01-01T00:00:00Z"))
     import ses.implicits._
-    Seq((0L, farFutureNanos, -1L, "sentinel", 0.0, "{}"))
+    Seq((0L, farFuture, -1L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(sentinelDir)
-    def asEvents(df: DataFrame) = df
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("user_id"), col("ts"))
     val real = eventsStream(ses, dir).select(col("user_id"), col("ts"))
-    val sentinel = asEvents(
-      ses.readStream.schema(EventsSchema).parquet(sentinelDir))
+    val sentinel = graft.tables.Tables.adaptTs(
+        footerSchemaStream(ses, sentinelDir, "*.parquet"))
+      .select(col("user_id"), col("ts"))
     val q = real.union(sentinel)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))

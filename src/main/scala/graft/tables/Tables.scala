@@ -25,26 +25,63 @@ object Tables {
     * can be pushed into the parquet scan (see TimeseriesOps.windowFilter). */
   val EventsTsNanosCol = "__ts_ns"
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for — read it as raw nanos and truncate to microseconds (same
-    * conversion DuckDB applies, so oracles agree).
+  /** SCHEMA-ADAPTIVE events reader. The archive's `ts` column has shipped
+    * in two physical encodings across environment generations:
     *
-    * SESSION-WIDE SIDE EFFECT, by design: sets
-    * `spark.sql.legacy.parquet.nanosAsLong` on the caller's session and
-    * never restores it (the conf is read at scan time, after this method
-    * returns). The mutation is idempotent and value-stable, so concurrent
-    * callers commute; a session that must read OTHER nanos-timestamp
-    * parquet as timestamps should use a separate `spark.newSession()`.
+    *  - parquet TIMESTAMP(NANOS) (or a raw int64 epoch-nanos column) —
+    *    Spark has no nanos timestamp type, so with
+    *    `spark.sql.legacy.parquet.nanosAsLong` it reads as LongType; we
+    *    keep the raw long as [[EventsTsNanosCol]] and derive a µs-truncated
+    *    `ts` (same conversion DuckDB applies, so oracles agree). The
+    *    derived timestamp is NOT a scan column, so a filter on it cannot
+    *    reach the parquet reader — windowFilter and
+    *    [[graft.plans.NanosPredicatePushdown]] add redundant nanos-space
+    *    predicates on the raw column, restoring row-group skipping.
+    *  - native TIMESTAMP_MICROS (what this engine's own writers and the
+    *    current testdata produce) — used directly; filters on `ts` push to
+    *    the scan natively and no shadow column exists.
     *
-    * The derived timestamp is NOT a scan column, so a filter on it cannot
-    * reach the parquet reader — at archive scale that is a full scan. The
-    * raw long is therefore kept as [[EventsTsNanosCol]]; windowFilter adds a
-    * redundant nanos-space predicate on it, restoring row-group skipping. */
+    * The branch is on the dtype Spark actually READ, never on an assumed
+    * layout — round 9's testdata regeneration (nanos → micros) broke 26
+    * queries loudly and 3 silently because this method pinned one encoding.
+    *
+    * SESSION-WIDE SIDE EFFECTS, by design: sets
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (so a nanos archive reads
+    * as long instead of failing analysis) and
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` (so a
+    * timezone-less micros archive reads as session-UTC TimestampType — the
+    * type every downstream op and oracle expects — rather than
+    * TIMESTAMP_NTZ) and never restores them (the confs are read at scan
+    * time, after this method returns). Both mutations are idempotent and
+    * value-stable, so concurrent callers commute; a session that needs
+    * different parquet timestamp semantics should use a separate
+    * `spark.newSession()`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn(EventsTsNanosCol, org.apache.spark.sql.functions.col("ts"))
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = read(spark, dir, "events")
+    adaptTs(raw)
+  }
+
+  /** Apply the nanos-vs-native branch to a frame whose `ts` column came
+    * off a parquet scan (shared by the batch reader and the streaming
+    * source, so both paths adapt identically). */
+  def adaptTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn(EventsTsNanosCol, col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case TimestampNTZType =>
+        // reachable only if the NTZ-inference conf was overridden upstream;
+        // session tz is UTC so the reinterpretation is value-preserving
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts read as unsupported type $other — expected int64 nanos " +
+          "or a parquet timestamp; regenerate the archive or extend Tables.adaptTs")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

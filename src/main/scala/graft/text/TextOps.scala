@@ -568,12 +568,18 @@ object TextOps {
     * driver-resident model, same shape as the k-means centroid frames. */
   def bpeVocab(docs: DataFrame, textCol: String, v: Int): Seq[String] = {
     val toks = docs.select(explode(wsTokens(lower(col(textCol)))).as("tok"))
-    val grams = (2 to 4).map { n =>
-      toks.filter(length(col("tok")) >= n)
-        .select(explode(transform(
-          sequence(lit(1), length(col("tok")) - (n - 1)),
-          i => col("tok").substr(i, lit(n)))).as("gram"))
-    }.reduce(_ unionByName _)
+    // single corpus pass: every token's 2/3/4-grams from ONE nested
+    // generator (the previous 3-way union re-scanned and re-exploded the
+    // token frame once per n — 3× the derivation cost and 3× the codegen,
+    // the bulk of q_bpe_subword's cold time). The `when` guard matters:
+    // sequence(1, length-(n-1)) with a sub-n token would DESCEND (Spark
+    // sequence auto-steps -1), emitting junk grams.
+    val grams = toks.select(explode(flatten(transform(
+      sequence(lit(2), lit(4)),
+      n => when(length(col("tok")) >= n,
+          transform(sequence(lit(1), length(col("tok")) - (n - lit(1))),
+            i => col("tok").substr(i, n)))
+        .otherwise(typedLit(Array.empty[String]))))).as("gram"))
     grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("gram"))
       .limit(v)

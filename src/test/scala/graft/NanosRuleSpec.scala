@@ -21,7 +21,7 @@ class NanosRuleSpec extends AnyFunSuite {
   test("ad-hoc range filter on derived ts reaches the parquet scan") {
     withRule {
       // NOT via TimeseriesOps.windowFilter — a plain user filter
-      val df = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      val df = graft.tables.Tables.events(spark, TestSpark.NanosFixtureDir)
         .filter(col("ts") >= lit("2024-01-10 00:00:00") &&
                 col("ts") < lit("2024-01-12 00:00:00"))
         .select("event_id", "value")
@@ -50,7 +50,7 @@ class NanosRuleSpec extends AnyFunSuite {
   }
 
   test("rule preserves results exactly (strict vs non-strict bounds)") {
-    val base = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+    val base = graft.tables.Tables.events(spark, TestSpark.NanosFixtureDir)
     def slice(df: org.apache.spark.sql.DataFrame) = df
       .filter(col("ts") > lit("2024-01-10 12:00:00") &&
               col("ts") <= lit("2024-01-11 12:00:00"))
@@ -60,9 +60,33 @@ class NanosRuleSpec extends AnyFunSuite {
     assert(without == withR)
   }
 
+  test("rule is a pure no-op on native-timestamp (micros) events") {
+    withRule {
+      // current driver testdata: ts is native TIMESTAMP_MICROS — no nanos
+      // shape exists for the rule to match, and no shadow column appears
+      val df = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00"))
+      assert(!df.columns.contains(graft.tables.Tables.EventsTsNanosCol))
+      val optimized = df.queryExecution.optimizedPlan
+      assert(NanosPredicatePushdown(optimized).toString == optimized.toString)
+    }
+  }
+
+  test("nanos-layout and native-micros-layout reads are value-identical") {
+    def slice(dir: String) = {
+      val d = graft.tables.Tables.events(spark, dir)
+      d.filter(col("ts") > lit("2024-01-08 00:00:00") &&
+               col("ts") <= lit("2024-01-14 00:00:00"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"),
+             max(col("ts")).as("mx"), min(col("ts")).as("mn"))
+        .collect().toSeq
+    }
+    assert(slice(TestSpark.Sf0001) == slice(TestSpark.NanosFixtureDir))
+  }
+
   test("rule is idempotent (no predicate duplication on re-run)") {
     withRule {
-      val df = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      val df = graft.tables.Tables.events(spark, TestSpark.NanosFixtureDir)
         .filter(col("ts") >= lit("2024-01-10 00:00:00"))
       val optimized = df.queryExecution.optimizedPlan
       val again = NanosPredicatePushdown(optimized)
