@@ -39,4 +39,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ~30% on q_corpus_clean cold; the box has 128 GiB. Cluster deployments
   // size executor memory separately; this only affects forked local runs.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // GC visibility for the bench: round 9/10 both saw CPU-backed warm-pass
+  // stalls on a contiguous block of queries — the GC log is how a stall
+  // gets attributed (heap pressure vs plan regression) without rerunning.
+  "-Xlog:gc:file=target/gc.log:time,uptime",
 )

@@ -476,6 +476,49 @@ object Profile {
             f"exact_hashed $exactH%6.1f s")
           d.unpersist()
         }
+      case "events_scale" =>
+        // Parity-family scale law (round 10): a FIXED 7-day window query
+        // against an archive that grows 1×/10×/50× in time span must stay
+        // flat — partition pruning (date dirs) + row-group skipping (ts
+        // min/max on sorted files) cut the scan to the window regardless
+        // of archive size — while a whole-archive aggregate grows
+        // linearly. This is the structural claim that the reference's
+        // read-amplification cliff (63 s for 7 d → 226 s for 30 d, scan
+        // grows with REQUEST span; scan also grows with ARCHIVE size)
+        // cannot reproduce here. Replication shifts timestamps by whole
+        // archive spans, so growth is along the realistic axis (more
+        // history), not duplicate keys.
+        import org.apache.spark.sql.functions._
+        val ev0 = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val n0 = ev0.count()
+        val spanDays = 31L
+        def evX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            ev0.select(col("event_id"),
+              (col("ts") + expr(s"INTERVAL ${i * spanDays} DAYS")).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+          }.reduce(_ unionByName _)
+        def t(f: => Unit): Double = elapsed(f)
+        val wS = java.time.Instant.parse("2024-01-05T00:00:00Z")
+        val wE = java.time.Instant.parse("2024-01-12T00:00:00Z")
+        Seq(1, 1, 10, 50).foreach { times =>
+          val root = s"/tmp/graft_profile_events/x$times"
+          if (!new java.io.File(root).exists()) {
+            evX(times).withColumn("d", to_date(col("ts")))
+              .repartition(col("d")).sortWithinPartitions("ts")
+              .write.mode("overwrite").partitionBy("d").parquet(root)
+          }
+          val arch = spark.read.parquet(root)
+          val win = t(force(graft.ops.ResampleOps.resampleMean(
+            graft.ops.TimeseriesOps.windowFilter(arch, "ts", wS, wE),
+            "ts", "value", "1h")))
+          val full = t(force(arch
+            .groupBy(window(col("ts"), "1 day")).agg(avg("value"))))
+          println(f"[profile] ${times}%3d× (${n0 * times}%9d rows, " +
+            f"${spanDays * times}%4d days): 7d-window resample $win%6.1f s  " +
+            f"full-archive daily $full%6.1f s")
+        }
       case "pca_recall" =>
         // PCA as the ANN pre-stage (dimension reduction before search —
         // the classic OPQ/PCA-IVF front half): project the clustered
