@@ -42,5 +42,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC visibility for the bench: round 9/10 both saw CPU-backed warm-pass
   // stalls on a contiguous block of queries — the GC log is how a stall
   // gets attributed (heap pressure vs plan regression) without rerunning.
-  "-Xlog:gc:file=target/gc.log:time,uptime",
+  // %p = pid: one log per forked JVM — a shared fixed path truncates on
+  // every fork, so the next `sbt test` would destroy the bench run's log
+  "-Xlog:gc:file=target/gc-%p.log:time,uptime",
 )

@@ -32,14 +32,16 @@ import org.apache.spark.sql.SparkSession
   *                   pass = starvation, including cgroup throttling that
   *                   loadavg cannot see;
   *  - `contended`    queries where one pass exceeded 3× the other (and 1 s
-  *                   absolute) AND a co-load signal corroborates: max
-  *                   in-query loadavg above max(4, cpus/4) (quiet-box
-  *                   bench sustains ~2-3 on 32 cpus, a competing 30-thread
-  *                   JVM >30), OR process-CPU below 2× the counterpart
-  *                   pass (genuine cold-start cost — codegen/JIT — burns
-  *                   real CPU; starvation does not, so the ratio-only
-  *                   false positives on genuine cold starts no longer
-  *                   repair). E.g. the round-7
+  *                   absolute) AND a co-load signal corroborates. Cold
+  *                   outliers: max in-query loadavg above max(4, cpus/4)
+  *                   only (cold has legitimate excess-cost modes — cold
+  *                   page-cache I/O bills no CPU and codegen on small
+  *                   queries exceeds 3× warm CPU, so cpu signals would
+  *                   false-positive there). Warm outliers additionally
+  *                   corroborate on process-CPU vs the best cold timing:
+  *                   below 2× (starvation — wall without work) or above
+  *                   3× (thrash — an identical cache-hot plan never
+  *                   legitimately burns 3× the cycles). E.g. the round-7
   *                   driver artifact recorded a 46.6 s cold reading for a
   *                   2.5 s query, and r6 shipped an 11.1 s warm reading
   *                   for a 5 s one. Each is re-run once after both passes
@@ -62,6 +64,38 @@ import org.apache.spark.sql.SparkSession
   * window (with sbt's trailing status line) at up to ~70 queries.
   */
 object Bench {
+  /** One timed execution: (wall seconds, process-CPU seconds, max 1-min
+    * loadavg observed during the run); wall = -1 flags failure. */
+  final case class Timing(wall: Double, cpu: Double, load: Double)
+
+  /** Contended-cell decisions, extracted pure so BenchGateSpec can pin
+    * the forensic scenarios (r7 visible co-load, r8 genuine cold starts,
+    * r10 warm thrash/starvation, thrashed-cold masking) without running
+    * a bench.
+    *
+    * COLD outliers repair on visible load only: a cold pass has two
+    * legitimate excess-cost modes that mimic the cpu signatures — cold
+    * page-cache I/O bills no process CPU (mimics starvation) and
+    * one-time codegen on sub-second-warm queries exceeds 3× warm CPU
+    * (mimics thrash). */
+  private[graft] def coldContended(c: Timing, warmWall: Double,
+      loadThreshold: Double): Boolean =
+    c.wall > 1.0 && warmWall > 0 && c.wall > 3 * warmWall &&
+      c.load > loadThreshold
+
+  /** WARM outliers repair on any of: visible load; starvation (wall
+    * without work: cpu < 2× the best cold timing's); thrash (an
+    * identical cache-hot plan burning > 3× the cycles — the co-tenant
+    * memory-bandwidth signature, PERF.md round 10). `coldBest` must be
+    * the REPAIRED cold timing: a thrashed cold pass's inflated cpu would
+    * otherwise let any warm reading pass the starvation test. */
+  private[graft] def warmContended(w: Timing, coldRepairedWall: Double,
+      coldBest: Timing, loadThreshold: Double): Boolean =
+    w.wall > 1.0 && coldRepairedWall > 0 && w.wall > 3 * coldRepairedWall && (
+      w.load > loadThreshold ||
+        (w.cpu >= 0 && coldBest.cpu >= 0 &&
+          (w.cpu < 2 * coldBest.cpu || w.cpu > 3 * coldBest.cpu)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -129,9 +163,6 @@ object Bench {
     }, "bench-load-ticker")
     ticker.setDaemon(true); ticker.start()
 
-    /** One timed execution: (wall seconds, process-CPU seconds, max 1-min
-      * loadavg observed during the run); wall = -1 flags failure. */
-    final case class Timing(wall: Double, cpu: Double, load: Double)
     // dev-only: per-query wall-clock trace for correlating external
     // profiler samples (top -H / jstack) with the query timeline
     val trace = sys.env.contains("SPARK_GRAFT_BENCH_TRACE")
@@ -192,8 +223,8 @@ object Bench {
     // `contended`. Cold outliers first (r7's 46.6 s cold for a 2.5 s
     // query), then warm outliers against the repaired cold (r6's 11.1 s
     // warm for a 5 s query).
-    def rerun(names: Seq[String]): Map[String, Double] =
-      names.map { n => n -> run(n, named.find(_._1 == n).get._2).wall }.toMap
+    def rerun(names: Seq[String]): Map[String, Timing] =
+      names.map { n => n -> run(n, named.find(_._1 == n).get._2) }.toMap
     // co-load corroboration, any signal fires (the 3x wall ratio alone
     // also fires on GENUINE cold-start cost — codegen/JIT burns real CPU
     // — and repairing those biases the cold total down):
@@ -201,42 +232,43 @@ object Bench {
     //    bench's own steady state measures ~2-3 on the 32-cpu box, a
     //    competing 30-thread JVM drives it past 30 (the continuous max
     //    closes round 9's ends-before-the-sample blind spot);
-    //  - STARVATION: wall inflated but process-CPU NOT correspondingly
-    //    higher than the counterpart pass (< 2x) — the extra wall was
-    //    scheduling we lost to other processes or cgroup throttling
-    //    loadavg can't see, not work;
-    //  - THRASH: process-CPU ITSELF >3x the counterpart on the same plan.
-    //    Round 10 measured warm re-executions burning 12x the cycles of
-    //    their own cold pass (q_dedup_ngram 66 s/109 cpu-s vs 4.2 s/9
-    //    cpu-s) during whole-run degradation windows with loadavg ~2:
-    //    a co-tenant outside this container's process view saturating
-    //    memory bandwidth/LLC makes every cycle stall, and stalled cycles
-    //    bill as CPU time. Genuine cold-start codegen adds a few seconds
-    //    of real CPU (ratio ~2-3x on small queries), never >3x on a
-    //    cache-hot second run of an identical plan.
+    //  - WARM-SIDE ONLY, starvation: warm wall inflated but its
+    //    process-CPU NOT correspondingly higher than cold's (< 2x) — the
+    //    extra wall was scheduling we lost to other processes or cgroup
+    //    throttling loadavg can't see, not work;
+    //  - WARM-SIDE ONLY, thrash: warm process-CPU ITSELF >3x cold's on
+    //    the same plan. Round 10 measured warm re-executions burning 12x
+    //    the cycles of their own cold pass (q_dedup_ngram 66 s/109 cpu-s
+    //    vs 4.2 s/9 cpu-s) during whole-run degradation windows with
+    //    loadavg ~2: a co-tenant outside this container's process view
+    //    saturating memory bandwidth/LLC makes every cycle stall, and
+    //    stalled cycles bill as CPU time.
+    // The decision predicates live at object level (coldContended /
+    // warmContended) with BenchGateSpec pinning the scenarios; see their
+    // scaladoc for why cold is load-gated only while warm also uses the
+    // starvation/thrash cpu signatures.
     val loadThreshold = math.max(4.0, cpus.toDouble / 4)
-    def starved(t: Timing, counterpart: Timing): Boolean =
-      t.load > loadThreshold ||
-        (t.cpu >= 0 && counterpart.cpu >= 0 &&
-          (t.cpu < 2 * counterpart.cpu || t.cpu > 3 * counterpart.cpu))
     val contendedCold = coldRaw.collect {
-      case (n, c) if c.wall > 1.0 && warmByName.get(n).exists(w =>
-        w.wall > 0 && c.wall > 3 * w.wall && starved(c, w)) => n
+      case (n, c) if warmByName.get(n).exists(w =>
+        coldContended(c, w.wall, loadThreshold)) => n
     }
     val rerunCold = rerun(contendedCold)
     val cold = coldRaw.map { case (n, c) =>
-      n -> rerunCold.get(n).filter(r => r > 0 && r < c.wall).getOrElse(c.wall)
+      n -> rerunCold.get(n).map(_.wall).filter(r => r > 0 && r < c.wall)
+        .getOrElse(c.wall)
     }
     val coldByName = cold.toMap
-    val coldTimingByName = coldRaw.toMap
+    val coldBestTiming = coldRaw.map { case (n, c) =>
+      n -> rerunCold.get(n).filter(r => r.wall > 0 && r.wall < c.wall)
+        .getOrElse(c)
+    }.toMap
     val contendedWarm = warmAll.collect {
-      case (n, w) if w.wall > 1.0 && coldByName.get(n).exists(c => c > 0 &&
-        w.wall > 3 * c) &&
-        coldTimingByName.get(n).exists(c => starved(w, c)) => n
+      case (n, w) if coldByName.get(n).zip(coldBestTiming.get(n)).exists {
+        case (cw, cb) => warmContended(w, cw, cb, loadThreshold) } => n
     }
     val rerunWarm = rerun(contendedWarm)
     val warm = warmRaw.map { case (n, w) =>
-      n -> rerunWarm.get(n).filter(r => r > 0 && r < w).getOrElse(w)
+      n -> rerunWarm.get(n).map(_.wall).filter(r => r > 0 && r < w).getOrElse(w)
     }
     val contended = (contendedCold ++ contendedWarm).distinct
     // pre-repair readings for every repaired cell, so consumers can

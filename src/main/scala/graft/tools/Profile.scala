@@ -504,14 +504,26 @@ object Profile {
         val wE = java.time.Instant.parse("2024-01-12T00:00:00Z")
         Seq(1, 1, 10, 50).foreach { times =>
           val root = s"/tmp/graft_profile_events/x$times"
-          if (!new java.io.File(root).exists()) {
+          // _SUCCESS (not dir-exists) guards the replica cache: a killed
+          // mid-write run leaves a partial dir that exists() would trust,
+          // silently shrinking the scale point forever after
+          if (!new java.io.File(root, "_SUCCESS").exists()) {
             evX(times).withColumn("d", to_date(col("ts")))
               .repartition(col("d")).sortWithinPartitions("ts")
               .write.mode("overwrite").partitionBy("d").parquet(root)
           }
           val arch = spark.read.parquet(root)
+          // the request window bounds BOTH the partition column (d — this
+          // is what actually prunes the date directories; a ts-only
+          // predicate cannot reach them) and the data column (ts — exact
+          // semantics + row-group min/max skipping within kept files)
+          val dPruned = arch.filter(
+            col("d") >= lit(java.sql.Date.valueOf(
+              java.time.LocalDate.ofInstant(wS, java.time.ZoneOffset.UTC))) &&
+            col("d") <= lit(java.sql.Date.valueOf(
+              java.time.LocalDate.ofInstant(wE, java.time.ZoneOffset.UTC))))
           val win = t(force(graft.ops.ResampleOps.resampleMean(
-            graft.ops.TimeseriesOps.windowFilter(arch, "ts", wS, wE),
+            graft.ops.TimeseriesOps.windowFilter(dPruned, "ts", wS, wE),
             "ts", "value", "1h")))
           val full = t(force(arch
             .groupBy(window(col("ts"), "1 day")).agg(avg("value"))))

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.Bench.{coldContended, warmContended, Timing}
+
+/** Pins the contended-repair decision logic against the measured
+  * scenarios from rounds 6-10 (PERF.md round 10 "warm-pass inversion
+  * forensics"). The bench box suffers co-tenant interference its own
+  * loadavg cannot always see; these predicates decide which outlier
+  * cells get a rerun-and-keep-min repair — and, as importantly, which
+  * genuine costs must NOT be repaired away. */
+class BenchGateSpec extends AnyFunSuite {
+  private val Thresh = 8.0 // max(4, 32/4) — the 32-cpu box's threshold
+
+  // ---- cold side: load-gated only -----------------------------------
+
+  test("r7 scenario: cold co-load visible in loadavg → repaired") {
+    // 46.6 s cold for a 2.5 s query while a competing 30-thread JVM
+    // drove the 1-min loadavg past 30
+    assert(coldContended(Timing(46.6, 50.0, 31.0), warmWall = 2.5, Thresh))
+  }
+
+  test("r8 scenario: genuine cold start (codegen burns real CPU, box quiet) → NOT repaired") {
+    // q1_agg-style: cold 2.5 s vs warm 0.5 s from one-time codegen/JIT;
+    // cpu 6x the warm pass would mimic thrash if cold used cpu signals
+    assert(!coldContended(Timing(2.5, 2.4, 2.0), warmWall = 0.5, Thresh))
+  }
+
+  test("cold page-cache I/O (wall without CPU, box quiet) → NOT repaired") {
+    // blocked I/O bills no process CPU — mimics the starvation
+    // signature, which is exactly why cold ignores the cpu signals
+    assert(!coldContended(Timing(6.0, 1.6, 2.0), warmWall = 1.5, Thresh))
+  }
+
+  test("cold gate needs the 3x ratio and the 1 s floor") {
+    assert(!coldContended(Timing(2.9, 3.0, 31.0), warmWall = 1.0, Thresh))
+    assert(!coldContended(Timing(0.9, 1.0, 31.0), warmWall = 0.1, Thresh))
+    assert(!coldContended(Timing(46.6, 50.0, 31.0), warmWall = -1.0, Thresh))
+  }
+
+  // ---- warm side: load OR starvation OR thrash ----------------------
+
+  test("r10 scenario: warm thrash (identical plan, 12x the cycles, loadavg quiet) → repaired") {
+    // q_dedup_ngram run 2: warm 66.2 s / 109.5 cpu-s vs cold 4.2 s /
+    // 9.0 cpu-s at loadavg ~3 — co-tenant memory-bandwidth interference
+    assert(warmContended(Timing(66.2, 109.5, 3.4), coldRepairedWall = 4.2,
+      coldBest = Timing(4.2, 9.0, 2.7), Thresh))
+  }
+
+  test("warm starvation (wall without work) → repaired") {
+    // wall 10x but cpu flat vs cold: scheduling lost to processes or
+    // cgroup throttling loadavg can't see
+    assert(warmContended(Timing(10.0, 1.5, 2.0), coldRepairedWall = 1.0,
+      coldBest = Timing(1.0, 1.4, 2.0), Thresh))
+  }
+
+  test("warm visible co-load → repaired even with ambiguous cpu") {
+    assert(warmContended(Timing(9.0, 4.0, 31.0), coldRepairedWall = 2.0,
+      coldBest = Timing(2.0, 1.8, 2.0), Thresh))
+  }
+
+  test("genuine warm regression (proportional CPU, quiet box) → NOT repaired") {
+    // 4x wall backed by ~2.5x cpu on a quiet box: real work (e.g. a
+    // state-dependent plan change) — must ship, not be repaired away
+    assert(!warmContended(Timing(8.0, 25.0, 2.0), coldRepairedWall = 2.0,
+      coldBest = Timing(2.0, 10.0, 2.0), Thresh))
+  }
+
+  test("thrashed-cold masking: corroboration must use the REPAIRED cold timing") {
+    // cold pass thrashed (66 s / 109 cpu-s), repaired to 4.2 s. A warm
+    // regression at 14 s / 25 cpu-s: against the RAW cold cpu (109) the
+    // starvation test (25 < 2×109) would fire and 'repair' a genuine
+    // regression; against the repaired timing (9 cpu-s) neither cpu
+    // signal fires (25 sits between 2×9=18 and 3×9=27) — the regression
+    // correctly ships unrepaired.
+    val warmReg = Timing(14.0, 25.0, 2.0)
+    val rawCold = Timing(66.0, 109.0, 3.0)
+    val repairedCold = Timing(4.2, 9.0, 2.5)
+    assert(warmContended(warmReg, 4.2, rawCold, Thresh),
+      "raw cold timing lets the regression masquerade as contended")
+    assert(!warmContended(warmReg, 4.2, repairedCold, Thresh),
+      "repaired cold timing correctly declines to repair a real regression")
+  }
+
+  test("failed readings (-1 wall/cpu) never flag") {
+    assert(!coldContended(Timing(-1.0, -1.0, 31.0), warmWall = 1.0, Thresh))
+    assert(!warmContended(Timing(-1.0, -1.0, 31.0), coldRepairedWall = 1.0,
+      coldBest = Timing(1.0, 1.0, 2.0), Thresh))
+    // cpu unavailable (non-Sun bean: -1) → cpu signals disabled, load
+    // still works
+    assert(!warmContended(Timing(10.0, -1.0, 2.0), coldRepairedWall = 1.0,
+      coldBest = Timing(1.0, -1.0, 2.0), Thresh))
+    assert(warmContended(Timing(10.0, -1.0, 31.0), coldRepairedWall = 1.0,
+      coldBest = Timing(1.0, -1.0, 2.0), Thresh))
+  }
+}
