@@ -244,16 +244,7 @@ object DedupOps {
     * (`q_dedup_minhash`'s exact pair list) must keep the default. */
   def lshCandidates(signatures: DataFrame, k: Int, bands: Int,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
-    val rows = k / bands
-    val banded = signatures.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(b, concat_ws(",",
-            slice(col("sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))
-            .as("bucket")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandBuckets(signatures, k, bands)
     val pairs = if (maxBucket == Int.MaxValue) {
       val a = banded.as("a"); val b = banded.as("b")
       a.join(b, col("a.band") === col("b.band") &&
@@ -278,6 +269,25 @@ object DedupOps {
       coldPairs.unionByName(star)
     }
     pairs.distinct()
+  }
+
+  /** Band-bucket projection of a signature frame `(doc_id, sig)` →
+    * `(doc_id, band, bucket)`: the k-row signature sliced into `bands`
+    * bands of `k/bands` rows, each hashed to a 64-bit bucket key. Pure
+    * map-side projection (works on streams too — the streaming near-dup
+    * ingest path builds its state keys with exactly this frame, so batch
+    * and stream bucket identically by construction). */
+  def bandBuckets(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k not divisible by bands=$bands")
+    val rows = k / bands
+    signatures.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(b, concat_ws(",",
+            slice(col("sig"), b * lit(rows) + lit(1), lit(rows)).cast("array<string>")))
+            .as("bucket")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** Per-doc distinct shingle HASHES `(doc_id, gh)` — the deterministic

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.multimodal.MultimodalOps
 import graft.streaming.StreamingOps
+import OracleFixtures.{seam, sqlPath}
 
 /** Multimodal-column and streaming query surface.
   *
@@ -74,7 +75,31 @@ object MultimodalQueries {
     "q_stream_sessions" -> ((s, dir) =>
       StreamingOps.runStreamSessionsOnce(s, dir)
         .orderBy("user_id", "session_start")),
+
+    // STREAMING MinHash-LSH near-dup at ingest (map-only signature kernel
+    // + per-bucket first-claimant state): candidate edges hub -> doc.
+    // Same (k, bands) as the batch q_dedup_minhash family. Fixture seam:
+    // the banded frame from the SAME kernel + banding projection the
+    // stream uses (DuckDB cannot replay xxhash64/minhash); the oracle
+    // replays the deterministic one-batch outcome — per-bucket star from
+    // min(doc_id), distinct-ed across bands.
+    "q_stream_neardup" -> ((s, dir) => {
+      seam(graft.dedup.DedupOps.bandBuckets(
+          Tables.documents(s, dir).select(col("doc_id"),
+            graft.functions.MinHashSig.minhash_text_sig(col("text"), 3, NdK, NdSeed)
+              .as("sig")),
+          NdK, NdBands), dir, "stream_neardup_bands")
+      StreamingOps.runStreamNearDupOnce(s, dir,
+          n = 3, kHashes = NdK, bands = NdBands, seed = NdSeed)
+        .orderBy("id_a", "id_b")
+    }),
   )
+
+  /** Streaming near-dup parameters, shared with the oracle via the
+    * fixture (same k/bands as the batch MinHash family in DedupQueries). */
+  private val NdK = 128
+  private val NdBands = 32
+  private val NdSeed = 42L
 
   val oracleSql: Map[String, String] = Map(
     // Byte-level replay of the decode stub in SQL: the payload is the
@@ -189,5 +214,17 @@ object MultimodalQueries {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    // Deterministic one-batch replay of the streaming near-dup state
+    // machine over the banded fixture: per (band, bucket) the first
+    // claimant resolves to min(doc_id) (the hub); every other member
+    // emits hub -> doc; the same pair collapses across bands.
+    "q_stream_neardup" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('${sqlPath("stream_neardup_bands")}')),
+         |h AS (SELECT band, bucket, min(doc_id) AS hub FROM b GROUP BY 1, 2),
+         |e AS (SELECT DISTINCT h.hub AS id_a, b2.doc_id AS id_b
+         |      FROM b b2 JOIN h ON b2.band = h.band AND b2.bucket = h.bucket
+         |      WHERE b2.doc_id <> h.hub)
+         |SELECT id_a, id_b FROM e ORDER BY id_a, id_b""".stripMargin,
   )
 }

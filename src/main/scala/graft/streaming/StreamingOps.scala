@@ -138,6 +138,69 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
+  /** Near-dup CANDIDATE edge emitted at ingest. */
+  final case class NearDupEdge(id_a: Long, id_b: Long)
+
+  /** STREAMING MinHash-LSH near-dup detection at ingest — the
+    * flag-at-ingest / resolve-offline shape every large-scale crawl
+    * pipeline runs: each arriving document is signed ([[graft.functions
+    * .MinHashSig]] — the MAP-ONLY signature kernel, no shuffle, which is
+    * what makes it composable with a downstream stateful operator),
+    * banded into LSH buckets ([[graft.dedup.DedupOps.bandBuckets]], the
+    * SAME projection the batch path uses, so batch and stream bucket
+    * identically by construction), and checked against per-bucket state:
+    * the first doc to claim a bucket becomes its representative (hub);
+    * every later arrival sharing the bucket emits a candidate edge
+    * `hub → doc`. State is ONE long per occupied bucket — the star-edge
+    * shape of the batch capped path ([[graft.dedup.DedupOps
+    * .lshCandidates]] `maxBucket`), which is exactly what scales: a
+    * boilerplate family of B near-identical docs costs B−1 edges and one
+    * state row per band, never a B² clique. Candidates feed the offline
+    * verify/cluster stages; a production deployment bounds state with a
+    * timeout (bucket representatives older than the dedup horizon
+    * expire) — the bounded replay here needs none.
+    *
+    * Replayed over the finite corpus in one micro-batch, per-bucket
+    * first-arrival resolves deterministically to min(doc_id), so the
+    * drained, distinct-ed edge set equals the batch star edges — the
+    * DuckDB oracle replays exactly that from the banded fixture. */
+  def runStreamNearDupOnce(spark: SparkSession, dir: String,
+      n: Int, kHashes: Int, bands: Int, seed: Long = 42L): DataFrame = {
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stream_neardup_${runId.incrementAndGet()}"
+    val sigs = documentsStream(ses, dir).select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_text_sig(col("text"), n, kHashes, seed)
+        .as("sig"))
+    val banded = graft.dedup.DedupOps.bandBuckets(sigs, kHashes, bands)
+      .select(col("band"), col("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+    val edges = banded.groupByKey { case (band, bucket, _) => (band, bucket) }
+      .flatMapGroupsWithState[Long, NearDupEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[Long]) =>
+          // within a micro-batch the group's arrival order is not defined;
+          // resolve ties by doc_id so the replay is deterministic
+          val ids = rows.map(_._3).toArray.sorted
+          if (ids.isEmpty) Iterator.empty
+          else {
+            val hub = state.getOption.fold(ids.head)(h => math.min(h, ids.head))
+            state.update(hub)
+            ids.iterator.filter(_ != hub).map(NearDupEdge(hub, _))
+          }
+      }
+    val q = edges.toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // the same pair surfaces once per shared band: collapse to the edge
+    // set (serving-edge post-processing, same as the other one-shot
+    // drivers' drains)
+    drainTable(ses, name).distinct()
+  }
+
   /** STREAMING Count-Min sketch: [[graft.functions.CmsSketchAgg]] as a
     * streaming global aggregate — the aggregation STATE is the sketch
     * buffer itself (a constant depth·width longs regardless of stream

@@ -209,4 +209,32 @@ class FunctionsSpec extends AnyFunSuite {
       vocab)
     assert(expr.eval(null) == 5)
   }
+
+  test("map-only minhash_text_sig is bit-identical to the explode+agg pipeline") {
+    // the streaming ingest path signs per row with MinHashTextSig; the
+    // batch path explodes shingles through xxhash64 into MinHashSigAgg —
+    // the two MUST produce the same signature for batch/stream bucketing
+    // to agree (StreamingOps.runStreamNearDupOnce relies on it)
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001).limit(200)
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_text_sig(col("text"), 3, 32, 7L).as("sig"))
+    val viaAgg = graft.dedup.DedupOps.minhashSignatures(
+      docs, "doc_id", "text", n = 3, k = 32, seed = 7L)
+    // full outer on doc_id, any row with differing sigs is a failure;
+    // docs with <n tokens have NO agg row (nothing to explode) — the
+    // kernel yields the empty-buffer signature there, same as the agg's
+    // createAggregationBuffer, so only compare where both exist
+    val joined = viaKernel.as("k").join(viaAgg.as("a"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("k.sig").as("ks"), col("a.sig").as("as"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+      else
+        // no shingles: kernel must emit the all-Prime empty signature
+        assert(r.getSeq[Long](1).forall(_ == graft.functions.MinHashSig.Prime),
+          s"doc ${r.getLong(0)} kernel sig not empty-buffer")
+    }
+  }
 }

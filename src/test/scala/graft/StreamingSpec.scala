@@ -296,4 +296,28 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._2.getTime)).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streaming LSH near-dup equals the batch per-bucket star edges") {
+    val (n, k, bands) = (3, 128, 32)
+    val streamed = StreamingOps.runStreamNearDupOnce(
+        spark, TestSpark.Sf0001, n, k, bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // batch derivation of the same state machine's one-batch outcome:
+    // per (band, bucket) a star from min(doc_id), distinct across bands
+    val banded = graft.dedup.DedupOps.bandBuckets(
+      graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+        .select(col("doc_id"),
+          graft.functions.MinHashSig.minhash_text_sig(col("text"), n, k, 42L)
+            .as("sig")), k, bands)
+    val hubs = banded.groupBy("band", "bucket")
+      .agg(min("doc_id").as("hub"), count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+    val batch = banded.join(hubs, Seq("band", "bucket"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("id_a"), col("doc_id").as("id_b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    assert(streamed.nonEmpty, "fixture corpus should contain near-dup candidates")
+  }
 }
