@@ -195,13 +195,20 @@ object DedupOps {
     * One shuffle on doc_id with map-side partial min.
     * Output: (doc_id, sig ARRAY<BIGINT> length k). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, seed: Long = 42L): DataFrame = {
-    raiseObjectAggThreshold(df)
-    shingleSets(df, idCol, textCol, n)
-      .withColumn("h", xxhash64(col("shingle")))
-      .groupBy("doc_id")
-      .agg(graft.functions.MinHashSigAgg.minhash_sig(col("h"), k, seed).as("sig"))
-  }
+                        n: Int, k: Int, seed: Long = 42L): DataFrame =
+    // map-only signature kernel (round 10): one fused pass per document,
+    // NO explode and NO shuffle — bit-identical to the former
+    // explode→xxhash64→MinHashSigAgg pipeline (FunctionsSpec pins the
+    // equality; the aggregate remains for callers that already hold an
+    // exploded hash frame). Docs with fewer than n tokens produce the
+    // empty-buffer signature (every position = Prime); the agg path
+    // emitted NO row for them (nothing to explode), so filter those out
+    // — any real shingle makes every position < Prime (floorMod < p),
+    // hence sig[0] < Prime iff the shingle set is non-empty.
+    df.select(col(idCol).as("doc_id"),
+        graft.functions.MinHashSig.minhash_text_sig(
+          col(textCol), n, k, seed).as("sig"))
+      .filter(col("sig").getItem(0) < graft.functions.MinHashSig.Prime)
 
   /** `ObjectHashAggregate` (the exec for TypedImperativeAggregate) falls
     * back to SORT-based aggregation after only 128 distinct keys per
