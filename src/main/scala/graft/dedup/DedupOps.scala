@@ -188,12 +188,18 @@ object DedupOps {
   // ---- MinHash + LSH ----------------------------------------------------
 
   /** MinHash signatures: k permutations h_i(x) = (a_i·x + b_i) mod p over
-    * xxhash64 shingle hashes, computed by the single-buffer
-    * [[graft.functions.MinHashSigAgg]] imperative aggregate (k separate
-    * `min` columns would exceed the aggregate-codegen field limit and fall
-    * back to interpreted aggregation — measured 25 s vs ~2 s at sf0.1).
-    * One shuffle on doc_id with map-side partial min.
-    * Output: (doc_id, sig ARRAY<BIGINT> length k). */
+    * xxhash64 shingle hashes, computed MAP-ONLY by the fused
+    * [[graft.functions.MinHashTextSig]] kernel — no explode, NO SHUFFLE
+    * (q_dedup_minhash cold 5.6 → 2.2 s at sf0.1 vs the former
+    * explode→[[graft.functions.MinHashSigAgg]] pipeline; the aggregate
+    * remains for callers already holding an exploded hash frame, and
+    * FunctionsSpec pins kernel ≡ agg bit-equality).
+    * Output: (doc_id, sig ARRAY<BIGINT> length k), one row per INPUT row
+    * with ≥n tokens. PRECONDITION vs the old agg path: rows must be
+    * unique by `idCol` — the aggregate merged duplicate ids into one
+    * signature over the unioned shingle set, this projection emits one
+    * signature per row. Every in-repo caller passes a unique-keyed
+    * table; a re-crawl union must dedup ids first. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, seed: Long = 42L): DataFrame =
     // map-only signature kernel (round 10): one fused pass per document,

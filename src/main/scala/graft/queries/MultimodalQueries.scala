@@ -84,10 +84,13 @@ object MultimodalQueries {
     // replays the deterministic one-batch outcome — per-bucket star from
     // min(doc_id), distinct-ed across bands.
     "q_stream_neardup" -> ((s, dir) => {
+      // the SAME projection the stream applies (minhashSignatures:
+      // map-only kernel + empty-signature filter), so fixture and
+      // stream bucket identically by construction
       seam(graft.dedup.DedupOps.bandBuckets(
-          Tables.documents(s, dir).select(col("doc_id"),
-            graft.functions.MinHashSig.minhash_text_sig(col("text"), 3, NdK, NdSeed)
-              .as("sig")),
+          graft.dedup.DedupOps.minhashSignatures(
+            Tables.documents(s, dir), "doc_id", "text", n = 3, k = NdK,
+            seed = NdSeed),
           NdK, NdBands), dir, "stream_neardup_bands")
       StreamingOps.runStreamNearDupOnce(s, dir,
           n = 3, kHashes = NdK, bands = NdBands, seed = NdSeed)

@@ -141,6 +141,29 @@ object StreamingOps {
   /** Near-dup CANDIDATE edge emitted at ingest. */
   final case class NearDupEdge(id_a: Long, id_b: Long)
 
+  /** Per-bucket state transition for the streaming near-dup: FIRST
+    * CLAIMANT wins — once a bucket has a representative (hub) it keeps
+    * it; every doc in the batch except the hub emits `hub → doc`.
+    * Re-minning the hub against a later batch's smaller doc_id would
+    * both orphan the already-emitted edges and SWALLOW the edge between
+    * the stored hub and the new arrival (hub := newMin makes the new doc
+    * filter itself out). Within a micro-batch the group's arrival order
+    * is not defined, so ties resolve by doc_id — a bounded one-batch
+    * replay therefore resolves every hub to min(doc_id), which is what
+    * the DuckDB oracle replays. Extracted pure over (ids, state) so
+    * StreamingSpec pins the multi-batch transitions with TestGroupState
+    * — the one-batch end-to-end run cannot reach them. */
+  private[graft] def nearDupEmit(docIds: Iterator[Long],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[NearDupEdge] = {
+    val ids = docIds.toArray.sorted
+    if (ids.isEmpty) Iterator.empty
+    else {
+      val hub = state.getOption.getOrElse(ids.head)
+      state.update(hub)
+      ids.iterator.filter(_ != hub).map(NearDupEdge(hub, _))
+    }
+  }
+
   /** STREAMING MinHash-LSH near-dup detection at ingest — the
     * flag-at-ingest / resolve-offline shape every large-scale crawl
     * pipeline runs: each arriving document is signed ([[graft.functions
@@ -170,9 +193,13 @@ object StreamingOps {
     import ses.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val name = s"graft_stream_neardup_${runId.incrementAndGet()}"
-    val sigs = documentsStream(ses, dir).select(col("doc_id"),
-      graft.functions.MinHashSig.minhash_text_sig(col("text"), n, kHashes, seed)
-        .as("sig"))
+    // minhashSignatures is a pure projection + empty-signature filter, so
+    // it applies to the stream unchanged — and keeps the stream's
+    // semantics identical to the batch family (sub-n-token docs carry the
+    // all-Prime empty signature, which would otherwise collide into one
+    // giant bucket of spurious "near-dups" in every band)
+    val sigs = graft.dedup.DedupOps.minhashSignatures(
+      documentsStream(ses, dir), "doc_id", "text", n, kHashes, seed)
     val banded = graft.dedup.DedupOps.bandBuckets(sigs, kHashes, bands)
       .select(col("band"), col("bucket"), col("doc_id"))
       .as[(Int, Long, Long)]
@@ -180,15 +207,7 @@ object StreamingOps {
       .flatMapGroupsWithState[Long, NearDupEdge](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[Long]) =>
-          // within a micro-batch the group's arrival order is not defined;
-          // resolve ties by doc_id so the replay is deterministic
-          val ids = rows.map(_._3).toArray.sorted
-          if (ids.isEmpty) Iterator.empty
-          else {
-            val hub = state.getOption.fold(ids.head)(h => math.min(h, ids.head))
-            state.update(hub)
-            ids.iterator.filter(_ != hub).map(NearDupEdge(hub, _))
-          }
+          nearDupEmit(rows.map(_._3), state)
       }
     val q = edges.toDF()
       .writeStream.outputMode("append")

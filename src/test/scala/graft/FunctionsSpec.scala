@@ -218,8 +218,15 @@ class FunctionsSpec extends AnyFunSuite {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001).limit(200)
     val viaKernel = docs.select(col("doc_id"),
       graft.functions.MinHashSig.minhash_text_sig(col("text"), 3, 32, 7L).as("sig"))
-    val viaAgg = graft.dedup.DedupOps.minhashSignatures(
-      docs, "doc_id", "text", n = 3, k = 32, seed = 7L)
+    // the aggregate pipeline built INLINE — DedupOps.minhashSignatures
+    // now routes through the kernel itself, so going via it would
+    // compare the kernel to the kernel and pin nothing
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    val viaAgg = graft.dedup.DedupOps.shingleSets(docs, "doc_id", "text", 3)
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSigAgg.minhash_sig(col("h"), 32, 7L).as("sig"))
     // full outer on doc_id, any row with differing sigs is a failure;
     // docs with <n tokens have NO agg row (nothing to explode) — the
     // kernel yields the empty-buffer signature there, same as the agg's

@@ -305,10 +305,9 @@ class StreamingSpec extends AnyFunSuite {
     // batch derivation of the same state machine's one-batch outcome:
     // per (band, bucket) a star from min(doc_id), distinct across bands
     val banded = graft.dedup.DedupOps.bandBuckets(
-      graft.tables.Tables.documents(spark, TestSpark.Sf0001)
-        .select(col("doc_id"),
-          graft.functions.MinHashSig.minhash_text_sig(col("text"), n, k, 42L)
-            .as("sig")), k, bands)
+      graft.dedup.DedupOps.minhashSignatures(
+        graft.tables.Tables.documents(spark, TestSpark.Sf0001),
+        "doc_id", "text", n, k, 42L), k, bands)
     val hubs = banded.groupBy("band", "bucket")
       .agg(min("doc_id").as("hub"), count(lit(1)).as("bn"))
       .filter(col("bn") > 1)
@@ -319,5 +318,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
     assert(streamed.nonEmpty, "fixture corpus should contain near-dup candidates")
+  }
+
+  test("near-dup bucket state is first-claimant across micro-batches") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    def st(v: Option[Long]) = TestGroupState.create[Long](
+      v.fold(Optional.empty[Long]())(Optional.of),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Object]().asInstanceOf[Optional[Long]], false)
+    // batch 1: bucket first claimed by doc 5 — no edge, state = 5
+    val s1 = st(None)
+    assert(StreamingOps.nearDupEmit(Iterator(5L), s1).toSeq.isEmpty)
+    assert(s1.get == 5L)
+    // batch 2: doc 3 (< stored hub) arrives — the stored hub MUST keep
+    // the bucket and the edge 5→3 must emit (re-minning would update
+    // state to 3 and emit nothing: a silently dropped candidate)
+    val s2 = st(Some(5L))
+    assert(StreamingOps.nearDupEmit(Iterator(3L), s2).toSeq ==
+      Seq(StreamingOps.NearDupEdge(5L, 3L)))
+    assert(s2.get == 5L)
+    // batch 3: multiple arrivals against existing state — every doc
+    // emits against the stored hub, ordered by id
+    val s3 = st(Some(5L))
+    assert(StreamingOps.nearDupEmit(Iterator(9L, 2L), s3).toSeq ==
+      Seq(StreamingOps.NearDupEdge(5L, 2L), StreamingOps.NearDupEdge(5L, 9L)))
+    // fresh bucket with several docs in one batch: min claims, rest emit
+    val s4 = st(None)
+    assert(StreamingOps.nearDupEmit(Iterator(7L, 4L, 6L), s4).toSeq ==
+      Seq(StreamingOps.NearDupEdge(4L, 6L), StreamingOps.NearDupEdge(4L, 7L)))
+    assert(s4.get == 4L)
   }
 }
