@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ JoinQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ StatsQueries.queries
+      MultimodalQueries.queries ++ StatsQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ JoinQueries.oracleSql ++
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ TextQueries.oracleSql ++
-      MultimodalQueries.oracleSql ++ StatsQueries.oracleSql
+      MultimodalQueries.oracleSql ++ StatsQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.text.RetrievalOps
+import graft.sim.SimilarityOps
+
+/** Lexical + hybrid retrieval query surface (north-star extensions; the
+  * reference has no text retrieval — see RetrievalOps scaladoc).
+  *
+  * Both queries are fully SQL-replayable — no hash seam. The only
+  * cross-engine hazards are float summation order and math-library ulps,
+  * and both are closed the same way as the PCA oracle: per-term / per-rank
+  * contributions ride as exact nano-unit integers through the sums, and
+  * every emitted double is a round-6 decode of an exact integer.
+  */
+object RetrievalQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables.documents(s, dir)
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables.embeddings(s, dir)
+
+  /** Fixed ad-hoc query set for q_bm25_topk, shared verbatim with the
+    * oracle's VALUES list (terms drawn from the synthetic corpus's
+    * working vocabulary so every query matches documents). */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "vector", 1 -> "hash", 1 -> "filter",
+    2 -> "stream", 2 -> "window", 2 -> "batch",
+    3 -> "slow", 3 -> "merge", 3 -> "sort",
+    4 -> "spark", 4 -> "table", 4 -> "scan",
+    5 -> "customer", 5 -> "order", 5 -> "part",
+    6 -> "fast", 6 -> "key", 6 -> "value")
+
+  private val Bm25K = 10
+  /** Hybrid anchors: every `AnchorStep`-th doc/vec id below `AnchorMax`
+    * (8 anchors; present at every SF). Convention: embeddings row
+    * `vec_id = i` is documents row `doc_id = i`'s embedding — ids beyond
+    * the embeddings table compete on lexical evidence only, which RRF
+    * handles by construction (missing-list entries contribute nothing). */
+  private val AnchorStep = 50L
+  private val AnchorMax = 400L
+  private val HybridPoolK = 50 // per-system candidate list depth
+  private val HybridK = 10
+  private val RrfC = 60
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-10 per query: map-only tokenize pass, broadcast query-term
+    // filter BEFORE the postings aggregate, 1-row broadcast corpus stats,
+    // bounded-heap rank. See RetrievalOps.bm25Scores for the scale shape.
+    "q_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Queries.toDF("query_id", "term")
+      RetrievalOps.bm25TopK(docs(s, dir), "doc_id", "text", q, Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of a LEXICAL rank list
+    // (BM25 query-by-document: the anchor doc's distinct tokens as the
+    // query) and a SEMANTIC rank list (exact cosine top-k from the
+    // anchor's embedding), both depth-50, fused at c=60, top-10 kept.
+    // Self-matches are excluded on both sides.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val anchorTerms = d
+        .filter(col("doc_id") % AnchorStep === 0 && col("doc_id") < AnchorMax)
+        .select(col("doc_id").as("query_id"),
+          explode(graft.text.TextOps.wsTokens(lower(col("text")))).as("term"))
+        .distinct()
+      val lex = RetrievalOps.bm25TopK(d, "doc_id", "text", anchorTerms,
+          HybridPoolK, excludeSelf = true)
+        .select("query_id", "rank", "doc_id")
+      val vec = SimilarityOps.bruteForceTopK(emb(s, dir), "vec_id", "embedding",
+          querySelector = AnchorStep, k = HybridPoolK,
+          maxQueries = AnchorMax / AnchorStep)
+        .select(col("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+      RetrievalOps.rrfFuse(Seq(lex, vec), c = RrfC, k = HybridK)
+        .orderBy("query_id", "rank")
+    }))
+
+  /** The BM25 scoring pipeline as SQL, parameterized by the query-term
+    * CTE body; mirrors RetrievalOps.bm25Scores expression-for-expression
+    * (same association order, same `(1.2 + 1)` spelled as a sum so both
+    * engines round the double identically, nano-unit contribution sums). */
+  private def bm25Sql(queryCte: String, excludeSelf: Boolean): String = {
+    val selfFilter = if (excludeSelf) "WHERE query_id <> doc_id" else ""
+    s"""q AS ($queryCte),
+       |toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+       |  FROM documents),
+       |dlen AS (
+       |  SELECT doc_id,
+       |         CAST(len(regexp_extract_all(lower(text), '\\S+')) AS DOUBLE) AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT q.query_id, t.doc_id,
+       |         CAST(round(
+       |           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+       |             * t.tf * (1.2 + 1.0)
+       |             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+       |           * 1e9) AS BIGINT) AS cn
+       |  FROM tf t
+       |  JOIN dfreq f USING (term)
+       |  JOIN q USING (term)
+       |  JOIN dlen l USING (doc_id)
+       |  CROSS JOIN stats s),
+       |bm25 AS (
+       |  SELECT query_id, doc_id,
+       |         round(CAST(sum(cn) AS DOUBLE) / 1e9, 6) AS score
+       |  FROM contrib GROUP BY 1, 2),
+       |lexrank AS (
+       |  SELECT query_id, doc_id, score,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, doc_id) AS rank
+       |  FROM bm25 $selfFilter)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25_topk" -> {
+      val values = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH ${bm25Sql(
+             s"SELECT CAST(query_id AS BIGINT) AS query_id, term " +
+               s"FROM (VALUES $values) v(query_id, term)",
+             excludeSelf = false)}
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM lexrank WHERE rank <= $Bm25K
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_hybrid_rrf" -> {
+      val anchors = s"doc_id % $AnchorStep = 0 AND doc_id < $AnchorMax"
+      s"""WITH ${bm25Sql(
+             s"SELECT DISTINCT query_id, term FROM (" +
+               s"SELECT doc_id AS query_id, " +
+               "unnest(regexp_extract_all(lower(text), '\\S+')) AS term " +
+               s"FROM documents WHERE $anchors)",
+             excludeSelf = true)},
+         |qv AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings
+         |  WHERE vec_id % $AnchorStep = 0 AND vec_id < $AnchorMax),
+         |ev AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings),
+         |vpairs AS (
+         |  SELECT query_id, doc_id,
+         |         round(list_cosine_similarity(qv.qv, ev.v), 6) AS cos
+         |  FROM qv, ev WHERE query_id <> doc_id),
+         |vecrank AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, doc_id) AS rank
+         |  FROM vpairs),
+         |contribs AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(round(1.0 / (1.0 * ($RrfC + rank)) * 1e9) AS BIGINT) AS cn
+         |  FROM lexrank WHERE rank <= $HybridPoolK
+         |  UNION ALL
+         |  SELECT query_id, doc_id,
+         |         CAST(round(1.0 / (1.0 * ($RrfC + rank)) * 1e9) AS BIGINT) AS cn
+         |  FROM vecrank WHERE rank <= $HybridPoolK),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |         round(CAST(sum(cn) AS DOUBLE) / 1e9, 6) AS rrf
+         |  FROM contribs GROUP BY 1, 2),
+         |frank AS (
+         |  SELECT query_id, doc_id, rrf,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf
+         |FROM frank WHERE rank <= $HybridK
+         |ORDER BY query_id, rank""".stripMargin
+    })
+}

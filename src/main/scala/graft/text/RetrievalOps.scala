@@ -1,0 +1,158 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKByAgg
+
+/** Lexical retrieval over a document corpus — the missing half of the
+  * similarity surface: [[graft.sim.SimilarityOps]] ranks by embedding
+  * cosine, this ranks by term statistics (BM25), and [[rrfFuse]] merges
+  * the two rank lists (hybrid retrieval, the standard recipe for
+  * training-data curation: harvest documents relevant to a probe set by
+  * EITHER lexical OR semantic evidence).
+  *
+  * Reference scope note: the reference engine (orcasound
+  * ambient-sound-analysis-api) has no text retrieval — this is part of
+  * the training-data-pipeline extension surface, built on the same
+  * tokenizer as the rest of the text family ([[TextOps.wsTokens]]).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - ONE map-only corpus pass tokenizes and explodes; the document
+  *    length rides alongside each token so no corpus-wide doc-length
+  *    join ever happens;
+  *  - the query-term set is broadcast and filters that exploded stream
+  *    BEFORE any aggregation — the shuffled postings frame is bounded by
+  *    matching tokens, not corpus tokens;
+  *  - df(term) comes from the filtered postings (dropping other terms
+  *    cannot change a per-term document count), so no second corpus agg;
+  *  - N and avgdl fold in as a 1-row broadcast cross join (no
+  *    driver-side action at plan-build);
+  *  - ranking is the bounded-heap [[graft.functions.TopKByAgg]]
+  *    aggregate, never a per-query window over the scored frame.
+  *
+  * Determinism: per-term score contributions ride as exact NANO-UNIT
+  * INTEGERS (`round(c·1e9)` as BIGINT) through the final sum, so the
+  * partial aggregation is associative — the score is bit-reproducible
+  * under any partitioning, task retry, or speculative execution, and an
+  * external SQL engine replaying the same expression gets the identical
+  * hash. (A raw double sum would depend on partition merge order.)
+  */
+object RetrievalOps {
+
+  /** BM25 scores (Robertson–Spärck Jones weighting; the Lucene-default
+    * always-positive idf `ln(1 + (N − df + ½)/(df + ½))`) of every
+    * matching document against every query.
+    *
+    * @param queryTerms SMALL frame `(query_id: long-castable, term:
+    *   string)`; duplicated terms within a query are collapsed (query
+    *   term frequency is not modeled, the common practice for short
+    *   queries). Broadcast twice — once as the corpus token filter, once
+    *   for the per-query fan-out.
+    * @return `(query_id, doc_id, score double)` — only (query, doc)
+    *   pairs sharing at least one term appear; score is the round-6
+    *   decode of the exact nano-unit contribution sum.
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // map-only: tokenize once, carry the doc length with each token
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.wsTokens(lower(col(textCol))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+    // corpus stats: a second column-pruned scan producing ONE row — at
+    // archive scale this is the cacheable "collection statistics" frame
+    val stats = docs
+      .select(size(TextOps.wsTokens(lower(col(textCol))))
+        .cast("double").as("dl0"))
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl0").as("avgdl"))
+
+    val terms = queryTerms
+      .select(col("query_id").cast("long").as("query_id"), col("term"))
+      .distinct()
+    val termSet = terms.select("term").distinct()
+
+    // broadcast-filter the exploded tokens, THEN aggregate: the shuffle
+    // carries only matching tokens
+    val tf = toks.join(broadcast(termSet), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    // per-term document frequency over the filtered postings — equal to
+    // the corpus df for these terms, and only |query terms| rows out
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+
+    val kk1 = lit(k1); val bb = lit(b)
+    val contrib = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(terms), Seq("term")) // fan out to each query using the term
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * (kk1 + lit(1.0))
+          / (col("tf") + kk1 * (lit(1.0) - bb + bb * col("dl") / col("avgdl"))))
+      // exact integer nano-units: associative partial sum, cross-engine exact
+      .withColumn("cn", round(col("c") * 1e9, 0).cast("long"))
+
+    contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("cn")).cast("double") / 1e9, 6).as("score"))
+  }
+
+  /** Top-k BM25 retrieval: `(query_id, rank, doc_id, score)`, ranked by
+    * (round-6 score DESC, doc_id ASC) via the bounded-heap aggregate. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               excludeSelf: Boolean = false): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+    val candidates =
+      if (excludeSelf) scored.filter(col("query_id") =!= col("doc_id"))
+      else scored
+    rankTopK(candidates, "query_id", "doc_id", "score", k)
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * `rrf(q, d) = Σ_systems 1 / (c + rank_s(q, d))` over the systems'
+    * per-query rank lists, missing entries contributing nothing. The
+    * n-way outer join is restructured as union + re-aggregate — one
+    * shuffle on (query_id, doc_id) regardless of system count, no outer
+    * join planning. Contributions ride as exact nano-units (rank is an
+    * integer, so `round(1e9/(c+rank))` is engine-independent).
+    *
+    * @param ranked each `(query_id, rank, doc_id)` — ranks must start
+    *   at 1 (the contract of [[rankTopK]] / SimilarityOps rank stages)
+    * @return `(query_id, rank, doc_id, rrf)` top-k fused per query
+    */
+  def rrfFuse(ranked: Seq[DataFrame], c: Int = 60, k: Int = 10): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one rank list")
+    val tagged = ranked.map(_.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      round(lit(1.0) / (lit(c) + col("rank")) * 1e9, 0).cast("long").as("cn")))
+    val fused = tagged.reduce(_.unionByName(_))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("cn")).cast("double") / 1e9, 6).as("rrf"))
+    rankTopK(fused, "query_id", "doc_id", "rrf", k)
+  }
+
+  /** Shared rank stage: per-`group` top-k of `(id, score)` by (round-6
+    * score DESC, id ASC), emitted as `(group, rank, id, score)`. Same
+    * micro-unit encoding contract as SimilarityOps.rankTopK /
+    * q_source_quota: `round(s,6)` → exact micro-units in the heap →
+    * `long/1e6` decodes to the bit-identical round-6 double. Scores are
+    * non-negative bounded reals here (BM25 ≤ idf·(k1+1)·|terms|, RRF ≤
+    * |systems|/(c+1)), so no NaN/overflow sentinels are needed. */
+  def rankTopK(scored: DataFrame, groupCol: String, idCol: String,
+               scoreCol: String, k: Int): DataFrame =
+    scored
+      .select(col(groupCol),
+        round(round(col(scoreCol), 6) * 1e6, 0).cast("long").as("om"),
+        col(idCol).cast("long").as("id"))
+      .groupBy(col(groupCol))
+      .agg(TopKByAgg.topk_by(col("om"), col("id"), k).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as(idCol),
+        round(col("col.ord").cast("double") / 1e6, 6).as(scoreCol))
+}

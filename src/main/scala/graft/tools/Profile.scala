@@ -929,6 +929,66 @@ object Profile {
           println(f"[profile] ${times}%3d× (${n}%7d vecs, d=64): gram_micro $t%6.2f s")
           d.unpersist()
         }
+      case "retrieval_scale" =>
+        // BM25's structural claim (RetrievalOps scaladoc): the broadcast
+        // query-term filter lands BEFORE the postings aggregate, so the
+        // shuffled frame is bounded by MATCHING tokens — vs the naive
+        // formulation that aggregates the full corpus postings and
+        // filters after. Both produce identical results; measure both at
+        // replica scale, plus the shipped hybrid fusion.
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val d0 = graft.tables.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val nd0 = d0.count()
+        val stride = d0.agg(max("doc_id")).first().getLong(0) + 1
+        def docsX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            d0.select((col("doc_id") + lit(i * stride)).as("doc_id"),
+              col("text"))
+          }.reduce(_ unionByName _)
+        val q = graft.queries.RetrievalQueries.Bm25Queries.toDF("query_id", "term")
+        def naiveBm25(docs: DataFrame): DataFrame = {
+          // aggregate-then-filter: the full (doc, term) postings frame
+          // crosses the exchange before the query terms prune it
+          val toks = docs
+            .select(col("doc_id"), graft.text.TextOps.wsTokens(lower(col("text"))).as("ts"))
+            .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+              explode(col("ts")).as("term"))
+          val stats = docs
+            .select(size(graft.text.TextOps.wsTokens(lower(col("text"))))
+              .cast("double").as("dl0"))
+            .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl0").as("avgdl"))
+          val terms = q.select(col("query_id").cast("long").as("query_id"),
+            col("term")).distinct()
+          val tf = toks.groupBy("doc_id", "term")
+            .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+          val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+          val matched = tf.join(broadcast(terms), Seq("term"))
+          matched.join(broadcast(dfreq.join(terms.select("term").distinct(), Seq("term"))),
+              Seq("term"))
+            .crossJoin(broadcast(stats))
+            .withColumn("cn", round(
+              log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+                * col("tf") * lit(2.2)
+                / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+              * 1e9, 0).cast("long"))
+            .groupBy("query_id", "doc_id")
+            .agg(round(sum(col("cn")).cast("double") / 1e9, 6).as("score"))
+        }
+        Seq(1, 1, 10, 50).foreach { times =>
+          val d = docsX(times).repartition(32).persist(); d.count()
+          val shipped = elapsed(force(
+            graft.text.RetrievalOps.bm25TopK(d, "doc_id", "text", q, 10)))
+          val naive = elapsed(force(
+            graft.text.RetrievalOps.rankTopK(naiveBm25(d),
+              "query_id", "doc_id", "score", 10)))
+          println(f"[profile] ${times}%3d× (${nd0 * times}%8d docs): " +
+            f"bm25_prefiltered $shipped%6.1f s  bm25_agg_then_filter $naive%6.1f s")
+          d.unpersist()
+        }
+        time("q_hybrid_rrf (shipped, 1×)")(
+          force(graft.SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)))
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each

@@ -246,4 +246,31 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("BM25: broadcast query-term filter before any exchange; heap rank; no window") {
+    // the corpus-sized exploded token stream must hit a BroadcastHashJoin
+    // on the tiny term set BEFORE the postings aggregate shuffles, the
+    // rank must be the bounded-heap aggregate (window-free plan), and the
+    // scan must prune to (doc_id, text)
+    val p = plan("q_bm25_topk")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), p.take(2000))
+    assert(p.contains("topkbyagg") || p.contains("TopKByAgg") ||
+      p.contains("ObjectHashAggregate"), p.take(2000))
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("lang") && !reads.contains("source"), reads)
+  }
+
+  test("hybrid RRF: no cartesian/nested-loop beyond the broadcast query side; window-free") {
+    // the only nested-loops allowed are the two audited FIXED-SIZE
+    // broadcast sides: the brute-force cosine stage's 8-anchor query
+    // frame (the q_cosine_topk shape) and BM25's 1-row corpus-stats fold
+    // — never a corpus-sized side; the fusion itself is union + hash
+    // aggregate + heap rank
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), p.take(2000))
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 2, s"$bnl nested-loop joins:\n${p.take(2000)}")
+  }
 }
