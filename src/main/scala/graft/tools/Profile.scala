@@ -976,16 +976,30 @@ object Profile {
             .groupBy("query_id", "doc_id")
             .agg(round(sum(col("cn")).cast("double") / 1e9, 6).as("score"))
         }
-        Seq(1, 1, 10, 50).foreach { times =>
-          val d = docsX(times).repartition(32).persist(); d.count()
-          val shipped = elapsed(force(
-            graft.text.RetrievalOps.bm25TopK(d, "doc_id", "text", q, 10)))
-          val naive = elapsed(force(
-            graft.text.RetrievalOps.rankTopK(naiveBm25(d),
-              "query_id", "doc_id", "score", 10)))
-          println(f"[profile] ${times}%3d× (${nd0 * times}%8d docs): " +
-            f"bm25_prefiltered $shipped%6.1f s  bm25_agg_then_filter $naive%6.1f s")
-          d.unpersist()
+        // two corpus shapes: the synthetic testdata re-uses a ~100-word
+        // vocabulary (map-side combine collapses the full postings frame
+        // almost for free — the formulations should tie), and a
+        // hapax-tailed variant appending 20 unique tokens per doc (the
+        // realistic long-tail term distribution: roughly half of any real
+        // corpus's postings are near-hapax). The pre-filter drops the
+        // tail BEFORE the exchange; agg-then-filter shuffles it.
+        def withTail(d: DataFrame): DataFrame = d.select(col("doc_id"),
+          concat(col("text"), lit(" "), array_join(
+            transform(sequence(lit(1), lit(20)),
+              i => concat(lit("u"), col("doc_id"), lit("x"), i)), " ")).as("text"))
+        Seq(("common-vocab", identity[DataFrame] _),
+            ("hapax-tail", withTail _)).foreach { case (shape, mk) =>
+          Seq(1, 1, 10, 50).foreach { times =>
+            val d = mk(docsX(times)).repartition(32).persist(); d.count()
+            val shipped = elapsed(force(
+              graft.text.RetrievalOps.bm25TopK(d, "doc_id", "text", q, 10)))
+            val naive = elapsed(force(
+              graft.text.RetrievalOps.rankTopK(naiveBm25(d),
+                "query_id", "doc_id", "score", 10)))
+            println(f"[profile] $shape%-12s ${times}%3d× (${nd0 * times}%8d docs): " +
+              f"bm25_prefiltered $shipped%6.1f s  bm25_agg_then_filter $naive%6.1f s")
+            d.unpersist()
+          }
         }
         time("q_hybrid_rrf (shipped, 1×)")(
           force(graft.SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)))
