@@ -33,6 +33,10 @@ object RetrievalQueries {
     6 -> "fast", 6 -> "key", 6 -> "value")
 
   private val Bm25K = 10
+  /** RM3 feedback depth (docs) and expansion width (terms), λ = 0.5. */
+  private val Rm3M = 10
+  private val Rm3E = 8
+  private val Rm3Lambda = 0.5
   /** Hybrid anchors: every `AnchorStep`-th doc/vec id below `AnchorMax`
     * (8 anchors; present at every SF). Convention: embeddings row
     * `vec_id = i` is documents row `doc_id = i`'s embedding — ids beyond
@@ -52,6 +56,29 @@ object RetrievalQueries {
       import s.implicits._
       val q = Bm25Queries.toDF("query_id", "term")
       RetrievalOps.bm25TopK(docs(s, dir), "doc_id", "text", q, Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
+    // RM3 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
+    // 2001 / Abdul-Jaleel 2004): first-pass BM25 top-m as pseudo-
+    // relevant, interpolated relevance model, top-e weighted terms.
+    "q_rm3_terms" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Queries.toDF("query_id", "term")
+      RetrievalOps.rm3ExpandTerms(docs(s, dir), "doc_id", "text", q,
+          m = Rm3M, e = Rm3E, lambda = Rm3Lambda)
+        .orderBy("query_id", "rank")
+    }),
+
+    // RM3 second pass: weighted BM25 over the expanded query terms.
+    "q_rm3_topk" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val q = Bm25Queries.toDF("query_id", "term")
+      val exp = RetrievalOps.rm3ExpandTerms(d, "doc_id", "text", q,
+          m = Rm3M, e = Rm3E, lambda = Rm3Lambda)
+        .select("query_id", "term", "w")
+      RetrievalOps.bm25TopK(d, "doc_id", "text", exp, Bm25K)
         .orderBy("query_id", "rank")
     }),
 
@@ -79,55 +106,110 @@ object RetrievalQueries {
     }))
 
   /** The BM25 scoring pipeline as SQL, parameterized by the query-term
-    * CTE body; mirrors RetrievalOps.bm25Scores expression-for-expression
-    * (same association order, same `(1.2 + 1)` spelled as a sum so both
-    * engines round the double identically, nano-unit contribution sums). */
-  private def bm25Sql(queryCte: String, excludeSelf: Boolean): String = {
+    * CTE body (must yield `(query_id BIGINT, term, w DOUBLE)` — pass
+    * `1.0 AS w` for unweighted queries; the engine multiplies a constant
+    * 1.0 there too, so the doubles stay bit-identical); mirrors
+    * RetrievalOps.bm25Scores expression-for-expression (same association
+    * order, same `(1.2 + 1.0)` spelled as a sum so both engines round
+    * the double identically, nano-unit contribution sums). `sfx` gives
+    * every CTE a distinct name so two passes can coexist in one query. */
+  private def bm25Sql(queryCte: String, excludeSelf: Boolean,
+                      sfx: String = ""): String = {
     val selfFilter = if (excludeSelf) "WHERE query_id <> doc_id" else ""
-    s"""q AS ($queryCte),
-       |toks AS (
+    s"""q$sfx AS ($queryCte),
+       |toks$sfx AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
        |  FROM documents),
-       |dlen AS (
+       |dlen$sfx AS (
        |  SELECT doc_id,
        |         CAST(len(regexp_extract_all(lower(text), '\\S+')) AS DOUBLE) AS dl
        |  FROM documents),
-       |stats AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen),
-       |tf AS (
+       |stats$sfx AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlen$sfx),
+       |tf$sfx AS (
        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-       |  FROM toks WHERE term IN (SELECT DISTINCT term FROM q)
+       |  FROM toks$sfx WHERE term IN (SELECT DISTINCT term FROM q$sfx)
        |  GROUP BY 1, 2),
-       |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-       |contrib AS (
+       |dfreq$sfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf$sfx GROUP BY 1),
+       |contrib$sfx AS (
        |  SELECT q.query_id, t.doc_id,
        |         CAST(round(
-       |           ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+       |           q.w * ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
        |             * t.tf * (1.2 + 1.0)
        |             / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
        |           * 1e9) AS BIGINT) AS cn
-       |  FROM tf t
-       |  JOIN dfreq f USING (term)
-       |  JOIN q USING (term)
-       |  JOIN dlen l USING (doc_id)
-       |  CROSS JOIN stats s),
-       |bm25 AS (
+       |  FROM tf$sfx t
+       |  JOIN dfreq$sfx f USING (term)
+       |  JOIN q$sfx q USING (term)
+       |  JOIN dlen$sfx l USING (doc_id)
+       |  CROSS JOIN stats$sfx s),
+       |bm25$sfx AS (
        |  SELECT query_id, doc_id,
        |         round(CAST(sum(cn) AS DOUBLE) / 1e9, 6) AS score
-       |  FROM contrib GROUP BY 1, 2),
-       |lexrank AS (
+       |  FROM contrib$sfx GROUP BY 1, 2),
+       |lexrank$sfx AS (
        |  SELECT query_id, doc_id, score,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY score DESC, doc_id) AS rank
-       |  FROM bm25 $selfFilter)""".stripMargin
+       |  FROM bm25$sfx $selfFilter)""".stripMargin
   }
+
+  /** The fixed query set as a weighted SQL CTE body (w = 1.0). */
+  private def bm25QueryCte: String = {
+    val values = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"SELECT CAST(query_id AS BIGINT) AS query_id, term, 1.0 AS w " +
+      s"FROM (VALUES $values) v(query_id, term)"
+  }
+
+  /** RM3 feedback chain (first-pass `lexrank` → `erank`), mirroring
+    * RetrievalOps.rm3ExpandTerms expression-for-expression: exact
+    * micro-unit doc-weight sums, nano-unit relevance-model sums,
+    * `(1.0 - 0.5)` spelled as the engine computes λ terms. */
+  private def rm3Cte: String =
+    s"""fb AS (
+       |  SELECT query_id, doc_id, CAST(round(score * 1e6) AS BIGINT) AS sm
+       |  FROM lexrank WHERE rank <= $Rm3M),
+       |tot AS (SELECT query_id, sum(sm) AS tot FROM fb GROUP BY 1),
+       |fbw AS (
+       |  SELECT f.query_id, f.doc_id,
+       |         CAST(f.sm AS DOUBLE) / CAST(t.tot AS DOUBLE) AS sprime
+       |  FROM fb f JOIN tot t USING (query_id)),
+       |ftf AS (
+       |  SELECT w.query_id, k.doc_id, k.term, w.sprime,
+       |         CAST(count(*) AS DOUBLE) AS tf
+       |  FROM toks k JOIN fbw w USING (doc_id)
+       |  GROUP BY 1, 2, 3, 4),
+       |rmc AS (
+       |  SELECT f.query_id, f.term,
+       |         CAST(round(f.sprime * (f.tf / l.dl) * 1e9) AS BIGINT) AS rmn
+       |  FROM ftf f JOIN dlen l USING (doc_id)),
+       |rmodel AS (
+       |  SELECT query_id, term, CAST(sum(rmn) AS DOUBLE) / 1e9 AS rm
+       |  FROM rmc GROUP BY 1, 2),
+       |orig AS (SELECT DISTINCT query_id, term FROM q),
+       |nqn AS (SELECT query_id, CAST(count(*) AS DOUBLE) AS nq FROM orig GROUP BY 1),
+       |origw AS (
+       |  SELECT o.query_id, o.term, $Rm3Lambda / n.nq AS po
+       |  FROM orig o JOIN nqn n USING (query_id)),
+       |pw AS (
+       |  SELECT coalesce(r.query_id, o.query_id) AS query_id,
+       |         coalesce(r.term, o.term) AS term,
+       |         round(coalesce(o.po, 0.0)
+       |               + (1.0 - $Rm3Lambda) * coalesce(r.rm, 0.0), 6) AS w
+       |  FROM rmodel r FULL OUTER JOIN origw o
+       |    ON r.query_id = o.query_id AND r.term = o.term),
+       |erank AS (
+       |  SELECT query_id, term, w,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY w DESC, term) AS rank
+       |  FROM pw)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_topk" -> {
       val values = Bm25Queries
         .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
       s"""WITH ${bm25Sql(
-             s"SELECT CAST(query_id AS BIGINT) AS query_id, term " +
+             s"SELECT CAST(query_id AS BIGINT) AS query_id, term, 1.0 AS w " +
                s"FROM (VALUES $values) v(query_id, term)",
              excludeSelf = false)}
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
@@ -135,10 +217,34 @@ object RetrievalQueries {
          |ORDER BY query_id, rank""".stripMargin
     },
 
+    // RM3 expansion terms: first-pass lexrank → normalized doc weights →
+    // relevance model → λ-interpolation → top-e pick, every float either
+    // an exact integer ratio or a nano-unit sum (see RetrievalOps).
+    "q_rm3_terms" -> {
+      s"""WITH ${bm25Sql(bm25QueryCte, excludeSelf = false)},
+         |${rm3Cte}
+         |SELECT query_id, CAST(rank AS INT) AS rank, term, w
+         |FROM erank WHERE rank <= $Rm3E
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // RM3 second pass: the full weighted BM25 chain re-instantiated with
+    // sfx=2 over the expansion terms the first chain produced.
+    "q_rm3_topk" -> {
+      s"""WITH ${bm25Sql(bm25QueryCte, excludeSelf = false)},
+         |${rm3Cte},
+         |${bm25Sql(
+             s"SELECT query_id, term, w FROM erank WHERE rank <= $Rm3E",
+             excludeSelf = false, sfx = "2")}
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM lexrank2 WHERE rank <= $Bm25K
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
     "q_hybrid_rrf" -> {
       val anchors = s"doc_id % $AnchorStep = 0 AND doc_id < $AnchorMax"
       s"""WITH ${bm25Sql(
-             s"SELECT DISTINCT query_id, term FROM (" +
+             s"SELECT DISTINCT query_id, term, 1.0 AS w FROM (" +
                s"SELECT doc_id AS query_id, " +
                "unnest(regexp_extract_all(lower(text), '\\S+')) AS term " +
                s"FROM documents WHERE $anchors)",

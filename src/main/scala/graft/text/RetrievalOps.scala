@@ -45,10 +45,12 @@ object RetrievalOps {
     * matching document against every query.
     *
     * @param queryTerms SMALL frame `(query_id: long-castable, term:
-    *   string)`; duplicated terms within a query are collapsed (query
-    *   term frequency is not modeled, the common practice for short
-    *   queries). Broadcast twice — once as the corpus token filter, once
-    *   for the per-query fan-out.
+    *   string[, w: double])`; duplicated terms within a query are
+    *   collapsed (query term frequency is not modeled, the common
+    *   practice for short queries). An optional `w` column weights each
+    *   term's contribution — the RM3 second-pass shape; absent means 1.
+    *   Broadcast twice — once as the corpus token filter, once for the
+    *   per-query fan-out.
     * @return `(query_id, doc_id, score double)` — only (query, doc)
     *   pairs sharing at least one term appear; score is the round-6
     *   decode of the exact nano-unit contribution sum.
@@ -69,9 +71,13 @@ object RetrievalOps {
         .cast("double").as("dl0"))
       .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl0").as("avgdl"))
 
-    val terms = queryTerms
-      .select(col("query_id").cast("long").as("query_id"), col("term"))
-      .distinct()
+    val weighted = queryTerms.columns.contains("w")
+    val terms = (if (weighted)
+        queryTerms.select(col("query_id").cast("long").as("query_id"),
+          col("term"), col("w").cast("double").as("w"))
+      else
+        queryTerms.select(col("query_id").cast("long").as("query_id"),
+          col("term"), lit(1.0).as("w"))).distinct()
     val termSet = terms.select("term").distinct()
 
     // broadcast-filter the exploded tokens, THEN aggregate: the shuffle
@@ -89,7 +95,8 @@ object RetrievalOps {
       .join(broadcast(terms), Seq("term")) // fan out to each query using the term
       .crossJoin(broadcast(stats))
       .withColumn("c",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        col("w")
+          * log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
           * col("tf") * (kk1 + lit(1.0))
           / (col("tf") + kk1 * (lit(1.0) - bb + bb * col("dl") / col("avgdl"))))
       // exact integer nano-units: associative partial sum, cross-engine exact
@@ -110,6 +117,77 @@ object RetrievalOps {
       if (excludeSelf) scored.filter(col("query_id") =!= col("doc_id"))
       else scored
     rankTopK(candidates, "query_id", "doc_id", "score", k)
+  }
+
+  /** RM3 pseudo-relevance-feedback query expansion (Lavrenko & Croft,
+    * SIGIR 2001 relevance model; the interpolated "RM3" variant of
+    * Abdul-Jaleel et al., TREC 2004): run a first BM25 pass, treat the
+    * top-`m` documents as pseudo-relevant, estimate the relevance model
+    * `P_RM(t) = Σ_d s'(d) · tf(t,d)/dl(d)` (doc weights `s'` = the
+    * normalized first-pass scores; Σ_t P_RM = 1 automatically since
+    * Σ_t tf(t,d) = dl(d)), interpolate with the uniform original-query
+    * model `w(t) = λ·P_orig(t) + (1−λ)·P_RM(t)`, and keep the top-`e`
+    * terms. Feed the result to [[bm25Scores]] (it carries a `w` column)
+    * for the expanded second pass.
+    *
+    * Scale shape: the first pass is [[bm25TopK]]; the feedback stage
+    * joins the corpus token stream against the BROADCAST (queries × m)
+    * feedback-doc frame — corpus-sized work stays map-side until the
+    * bounded (query, doc, term) aggregate. The final term pick is a
+    * window over a frame bounded by m document vocabularies per query —
+    * bounded by construction, the audited exception to the no-window
+    * rule. Determinism: doc weights come from exact micro-unit score
+    * sums and RM contributions ride as nano-unit integers, so expansion
+    * terms and weights are engine- and partitioning-independent.
+    *
+    * @return `(query_id, rank, term, w)` — the `e` expanded weighted
+    *   query terms per query, ranked by (round-6 w DESC, term ASC).
+    */
+  def rm3ExpandTerms(docs: DataFrame, idCol: String, textCol: String,
+                     queryTerms: DataFrame, m: Int = 10, e: Int = 8,
+                     lambda: Double = 0.5,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val firstPass = bm25TopK(docs, idCol, textCol, queryTerms, m, k1, b)
+    // normalized doc weights from exact micro-unit integer sums
+    val fb = firstPass.select(col("query_id"), col("doc_id"),
+      round(col("score") * 1e6, 0).cast("long").as("sm"))
+    val tot = fb.groupBy("query_id").agg(sum("sm").as("tot"))
+    val fbw = fb.join(broadcast(tot), Seq("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        (col("sm").cast("double") / col("tot").cast("double")).as("sprime"))
+    // corpus tokens × broadcast feedback docs → per-(query, doc, term) tf
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        TextOps.wsTokens(lower(col(textCol))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
+        explode(col("ts")).as("term"))
+    val rm = toks.join(broadcast(fbw), Seq("doc_id"))
+      .groupBy("query_id", "doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        first(col("dl")).as("dl"), first(col("sprime")).as("sprime"))
+      .withColumn("rmn",
+        round(col("sprime") * (col("tf") / col("dl")) * 1e9, 0).cast("long"))
+      .groupBy("query_id", "term")
+      .agg((sum(col("rmn")).cast("double") / 1e9).as("rm"))
+    // uniform original-query model, interpolated
+    val orig = queryTerms
+      .select(col("query_id").cast("long").as("query_id"), col("term"))
+      .distinct()
+    val nq = orig.groupBy("query_id").agg(count(lit(1)).cast("double").as("nq"))
+    val origW = orig.join(broadcast(nq), Seq("query_id"))
+      .select(col("query_id"), col("term"),
+        (lit(lambda) / col("nq")).as("po"))
+    val interpolated = rm
+      .join(origW, Seq("query_id", "term"), "full_outer")
+      .withColumn("w", round(
+        coalesce(col("po"), lit(0.0))
+          + (lit(1.0) - lit(lambda)) * coalesce(col("rm"), lit(0.0)), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("w").desc, col("term"))
+    interpolated.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= e)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("term"), col("w"))
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009):

@@ -261,6 +261,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!reads.contains("lang") && !reads.contains("source"), reads)
   }
 
+  test("RM3: no cartesian; windows only over the bounded expansion frame") {
+    // the only Window allowed is the top-e term pick over the frame
+    // bounded by m feedback-doc vocabularies per query — every Window
+    // must partition by query_id (never a global or corpus-keyed sort)
+    val p = plan("q_rm3_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    p.linesIterator.filter(_.matches(".*\\bWindow \\[.*")).foreach { l =>
+      assert(l.contains("query_id"), s"window not query-bounded: $l")
+    }
+  }
+
   test("hybrid RRF: no cartesian/nested-loop beyond the broadcast query side; window-free") {
     // the only nested-loops allowed are the two audited FIXED-SIZE
     // broadcast sides: the brute-force cosine stage's 8-anchor query

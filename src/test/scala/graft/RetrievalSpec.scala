@@ -109,6 +109,50 @@ class RetrievalSpec extends AnyFunSuite {
       (200L, rrf(Seq(2, 1))), (100L, rrf(Seq(1))), (300L, rrf(Seq(2)))))
   }
 
+  test("weighted bm25Scores scales contributions by w") {
+    val q1 = Seq((1, "vector")).toDF("query_id", "term")
+      .withColumn("w", lit(1.0))
+    val q2 = Seq((1, "vector")).toDF("query_id", "term")
+      .withColumn("w", lit(2.0))
+    val s1 = RetrievalOps.bm25Scores(corpus, "doc_id", "text", q1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val s2 = RetrievalOps.bm25Scores(corpus, "doc_id", "text", q2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(s1.keySet === s2.keySet)
+    s1.foreach { case (d, v) => assert(math.abs(s2(d) - 2.0 * v) < 1e-5) }
+  }
+
+  test("rm3: lambda=1 keeps exactly the uniform original query model") {
+    val q = Seq((1, "vector"), (1, "scan")).toDF("query_id", "term")
+    val exp = RetrievalOps.rm3ExpandTerms(corpus, "doc_id", "text", q,
+        m = 2, e = 4, lambda = 1.0)
+      .collect().map(r => (r.getString(2), r.getDouble(3)))
+    // originals at w = 1/2, everything else at 0
+    val byTerm = exp.toMap
+    assert(byTerm("vector") === 0.5 && byTerm("scan") === 0.5)
+    assert(exp.filterNot(e => Set("vector", "scan")(e._1)).forall(_._2 === 0.0))
+  }
+
+  test("rm3: lambda=0 relevance model is a probability distribution") {
+    // sum over ALL terms of P_RM = sum over fb docs of s' * (dl/dl) = 1;
+    // e large enough to capture the whole tiny vocabulary
+    val q = Seq((1, "vector")).toDF("query_id", "term")
+    val exp = RetrievalOps.rm3ExpandTerms(corpus, "doc_id", "text", q,
+        m = 2, e = 100, lambda = 0.0)
+      .agg(sum("w")).first().getDouble(0)
+    assert(math.abs(exp - 1.0) < 1e-4, s"sum w = $exp")
+  }
+
+  test("rm3 expansion surfaces feedback-doc terms beyond the original query") {
+    val q = Seq((1, "vector")).toDF("query_id", "term")
+    val terms = RetrievalOps.rm3ExpandTerms(corpus, "doc_id", "text", q,
+        m = 2, e = 6, lambda = 0.5)
+      .select("term").as[String].collect().toSet
+    // feedback docs are the two vector docs; their vocabulary must appear
+    assert(terms.contains("vector"))
+    assert((terms & Set("search", "index", "fast", "for")).nonEmpty)
+  }
+
   test("contract queries run end-to-end at sf0.001 with sane shapes") {
     val bm = SparkEntry.queries("q_bm25_topk")(spark, TestSpark.Sf0001)
     val bmRows = bm.collect()
@@ -119,6 +163,13 @@ class RetrievalSpec extends AnyFunSuite {
     byQ.values.foreach { rs =>
       assert(rs.map(_.getInt(1)).sorted.toSeq === (1 to rs.length).toSeq)
     }
+
+    val rm = SparkEntry.queries("q_rm3_topk")(spark, TestSpark.Sf0001)
+    assert(rm.columns.toSeq === Seq("query_id", "rank", "doc_id", "score"))
+    assert(rm.count() === 6 * 10)
+    val rt = SparkEntry.queries("q_rm3_terms")(spark, TestSpark.Sf0001)
+    assert(rt.columns.toSeq === Seq("query_id", "rank", "term", "w"))
+    assert(rt.count() === 6 * 8)
 
     val hy = SparkEntry.queries("q_hybrid_rrf")(spark, TestSpark.Sf0001)
     val hyRows = hy.collect()
