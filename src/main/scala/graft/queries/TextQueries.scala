@@ -17,6 +17,8 @@ object TextQueries {
     * dim (`q_quality_classifier`) — shared with the oracle SQL by
     * interpolation so query and replay cannot desynchronize. */
   private val BpeVocabSize = 256
+  /** BPE training depth for q_bpe_merges. */
+  private val BpeSteps = 10
   private val QClfDim = 1024
   /** Per-source doc cap for q_source_quota. */
   private val QuotaK = 10
@@ -48,6 +50,15 @@ object TextQueries {
           col("n_subword") / greatest(col("n_pretokens"), lit(1L)).cast("double"), 6))
         .orderBy("doc_id")
     }),
+
+    // BPE merge TRAINING (Sennrich 2016): `BpeSteps` most-frequent
+    // adjacent-pair merges learned from the word-frequency table —
+    // vocab-sized iterations, 1-row argmax collect per step (the
+    // iterate-small-model shape). Double-space symbol strings make each
+    // merge a plain leftmost `replace`, identical in both engines, so
+    // the oracle replays the whole training loop as chained CTEs.
+    "q_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(docs(s, dir), "text", BpeSteps).orderBy("step")),
 
     // Quality-classifier inference: fastText-style hashed bag-of-words
     // linear scorer (broadcast weight table; deterministic stand-in
@@ -656,7 +667,51 @@ object TextQueries {
        |  WHERE coalesce(last_end + 1, 0) <= n_tok - 1)""".stripMargin
   }
 
+  /** Full replay of TextOps.bpeMerges: the word-frequency base, then one
+    * CTE block per training step — pair counts from the split symbol
+    * string, argmax under the same (cnt DESC, lhs, rhs) total order,
+    * leftmost-replace merge. Integer counts + string ops only: no float
+    * hazard anywhere, so no fixture seam. */
+  private def bpeMergesSql(steps: Int): String = {
+    // every per-step CTE is MATERIALIZED: DuckDB inlines CTEs by
+    // default, and the step-(i) bodies reference step-(i−1) several
+    // times — inlining would expand the 10-step chain exponentially
+    // (observed as "too many open files" on the base parquet scan)
+    val base =
+      s"""wf AS MATERIALIZED (
+         |  SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS word
+         |    FROM documents)
+         |  GROUP BY 1),
+         |v0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), '  ')
+         |           || ' ' AS sym, n
+         |  FROM wf)""".stripMargin
+    val blocks = (1 to steps).map { i =>
+      val prev = s"v${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT a[p.i] AS lhs, a[p.i + 1] AS rhs,
+         |         CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(trim(sym), '  ') AS a, n FROM $prev) t
+         |  CROSS JOIN LATERAL (SELECT unnest(generate_series(1,
+         |    CAST(len(t.a) AS INT) - 1)) AS i) p
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM c$i
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$i AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |                 ' ' || m.lhs || m.rhs || ' ') AS sym, n
+         |  FROM $prev CROSS JOIN m$i m)""".stripMargin
+    }
+    val out = (1 to steps)
+      .map(i => s"SELECT $i AS step, lhs, rhs, cnt AS freq FROM m$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH $base,\n${blocks.mkString(",\n")}\n$out\nORDER BY step"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeMergesSql(BpeSteps),
+
     "q_token_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,
          |       len(${toks("text")}) AS n_ws_tokens,

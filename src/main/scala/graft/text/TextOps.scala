@@ -619,4 +619,74 @@ object TextOps {
   def hashWeights(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame =
     spark.range(dim).select(col("id").as("bucket"),
       (pmod(md5Key64(col("id"), "qw_w:"), lit(2001L)) - 1000L).as("w_milli"))
+
+  /** BPE merge TRAINING (Sennrich, Haddow & Birch, ACL 2016 — the
+    * byte-pair-encoding tokenizer learner; [[bpeVocab]] +
+    * [[graft.functions.BpeTokenCount]] are the matching inference side).
+    * Classic algorithm, distributed shape: collapse the corpus to the
+    * word-frequency table (the ONLY corpus-sized pass — at 100 TB this
+    * is one tokenize + one vocab-keyed agg), then iterate `steps` times
+    * on the VOCAB-sized frame: count adjacent symbol pairs weighted by
+    * word frequency, pick the most frequent pair (total order:
+    * `cnt DESC, lhs ASC, rhs ASC` over integer counts — deterministic),
+    * merge it everywhere, repeat. The per-step argmax is a 1-row
+    * bounded collect — the legitimate iterate-small-model shape (same
+    * as the k-means/PQ trainers); `localCheckpoint` cuts the 10-deep
+    * lineage so step N's plan doesn't replay steps 1..N−1.
+    *
+    * Symbol representation is the cross-engine trick: a word's symbol
+    * sequence is the string `" s1  s2  …  sk "` (double-space joined,
+    * single-space flanked; whitespace can't occur INSIDE a symbol —
+    * tokens come from `\S+`). Merging pair (a, b) is then the plain
+    * leftmost non-overlapping `replace(sym, " a  b ", " ab ")`, whose
+    * semantics are identical in Spark and DuckDB — so the oracle
+    * replays training exactly with `steps` chained CTE blocks, no
+    * fixture seam, no custom expression, and leftmost-greedy matches
+    * BPE's canonical tie handling (`[a,a,a] → [aa,a]`). ASCII-oriented
+    * (the `.` symbolizer splits code units, like byte-level BPE splits
+    * bytes); a production tokenizer would pre-normalize unicode.
+    *
+    * @return `(step, lhs, rhs, freq)` — the first `steps` learned
+    *   merges in order (fewer if the corpus runs out of pairs).
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, steps: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(wsTokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    var vocab = words.select(
+        concat(lit(" "),
+          array_join(regexp_extract_all(col("word"), lit("."), lit(0)), "  "),
+          lit(" ")).as("sym"),
+        col("n"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val arr = split(trim(col("sym")), "  ")
+      val top = vocab
+        .select(col("n"), arr.as("a"))
+        .filter(size(col("a")) > 1)
+        .select(col("n"), explode(zip_with(
+          slice(col("a"), lit(1), size(col("a")) - 1),
+          slice(col("a"), lit(2), size(col("a")) - 1),
+          (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, c))
+        vocab = vocab.withColumn("sym",
+            replace(col("sym"), lit(s" $l  $r "), lit(s" $l$r ")))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+  }
 }

@@ -176,6 +176,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(agg.nonEmpty && agg == win)
   }
 
+  test("bpeMerges learns the hand-computed merge sequence and stops when dry") {
+    // words: aaab ×2, ab ×1.
+    // step 1: pairs (a,a)=4 [two per aaab], (a,b)=3 [one each] → merge (a,a)
+    // step 2: aaab=[aa,a,b], ab=[a,b] → (aa,a)=2, (a,b)=3 → merge (a,b)
+    // step 3: aaab=[aa,ab], ab=[ab] → (aa,ab)=2 → merge
+    // step 4: no pairs left → training stops at 3 merges
+    val docs = Seq((1L, "aaab ab aaab")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", steps = 10)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "a", "a", 4L), (2, "a", "b", 3L), (3, "aa", "ab", 2L)))
+  }
+
+  test("bpeMerges: leftmost-greedy merge semantics ([a,a,a] -> [aa,a])") {
+    // "aaa": step-1 pair (a,a) counts 2 (overlapping adjacencies both
+    // count), but the merge application is leftmost non-overlapping, so
+    // step 2 must see [aa,a] — pair (aa,a), not (a,aa)
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, "text", steps = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
   test("bpe_token_count: greedy longest-match, char fallback, token boundaries") {
     import spark.implicits._
     val vocab = Seq("ab", "abc", "bc", "cd")
