@@ -168,7 +168,7 @@ object RetrievalQueries {
   private def rm3Cte: String =
     s"""fb AS (
        |  SELECT query_id, doc_id, CAST(round(score * 1e6) AS BIGINT) AS sm
-       |  FROM lexrank WHERE rank <= $Rm3M),
+       |  FROM lexrank WHERE rank <= $Rm3M AND round(score * 1e6) > 0),
        |tot AS (SELECT query_id, sum(sm) AS tot FROM fb GROUP BY 1),
        |fbw AS (
        |  SELECT f.query_id, f.doc_id,

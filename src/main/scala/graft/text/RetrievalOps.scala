@@ -49,6 +49,9 @@ object RetrievalOps {
     *   collapsed (query term frequency is not modeled, the common
     *   practice for short queries). An optional `w` column weights each
     *   term's contribution — the RM3 second-pass shape; absent means 1.
+    *   Callers must not supply one (query, term) with conflicting
+    *   weights — the dedup is over the full row, so conflicting rows
+    *   both survive and double-count.
     *   Broadcast twice — once as the corpus token filter, once for the
     *   per-query fan-out.
     * @return `(query_id, doc_id, score double)` — only (query, doc)
@@ -148,9 +151,15 @@ object RetrievalOps {
                      lambda: Double = 0.5,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val firstPass = bm25TopK(docs, idCol, textCol, queryTerms, m, k1, b)
-    // normalized doc weights from exact micro-unit integer sums
+    // normalized doc weights from exact micro-unit integer sums. The
+    // sm > 0 guard is a 100 TB edge: a query of pure stopwords (df ≈ N)
+    // can round every first-pass score to 0 micro-units — without the
+    // filter tot = 0 and sprime = 0/0 = NaN (an ANSI cast error three
+    // lines later); with it the feedback set is empty and the expansion
+    // degrades gracefully to the original query model.
     val fb = firstPass.select(col("query_id"), col("doc_id"),
-      round(col("score") * 1e6, 0).cast("long").as("sm"))
+        round(col("score") * 1e6, 0).cast("long").as("sm"))
+      .filter(col("sm") > 0)
     val tot = fb.groupBy("query_id").agg(sum("sm").as("tot"))
     val fbw = fb.join(broadcast(tot), Seq("query_id"))
       .select(col("query_id"), col("doc_id"),

@@ -143,6 +143,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(math.abs(exp - 1.0) < 1e-4, s"sum w = $exp")
   }
 
+  test("rm3 degrades to the original query model when feedback is empty") {
+    // no document matches the query → no feedback docs (same code path
+    // as the all-scores-round-to-zero stopword edge the sm > 0 guard
+    // covers): expansion = the uniform original model, nothing else
+    val q = Seq((1, "zzzznothing"), (1, "alsonothing")).toDF("query_id", "term")
+    val exp = RetrievalOps.rm3ExpandTerms(corpus, "doc_id", "text", q,
+        m = 3, e = 5, lambda = 0.5)
+      .collect().map(r => (r.getString(2), r.getDouble(3)))
+    assert(exp.map(_._1).toSet === Set("zzzznothing", "alsonothing"))
+    assert(exp.forall(_._2 === 0.25)) // lambda / nq = 0.5 / 2
+  }
+
   test("rm3 expansion surfaces feedback-doc terms beyond the original query") {
     val q = Seq((1, "vector")).toDF("query_id", "term")
     val terms = RetrievalOps.rm3ExpandTerms(corpus, "doc_id", "text", q,
