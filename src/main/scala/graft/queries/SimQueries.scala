@@ -79,6 +79,27 @@ object SimQueries {
           querySelector = 10, k = 5, nCells = 16, nProbe = 2)
         .orderBy("query_id", "rank")),
 
+    // PERSISTED IVF index roundtrip: build the cell-partitioned parquet
+    // index (inverted lists AS partitions), then search it from an
+    // external query frame — probing becomes parquet partition pruning
+    // (IndexSpec pins PartitionFilters and the pruned file count). Same
+    // deterministic quantizer and parameters as q_ann_ivf, so the
+    // persist→prune→scan roundtrip must reproduce q_ann_ivf's answer
+    // exactly; the oracle SQL is shared verbatim.
+    "q_ann_ivf_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        .orderBy("cell").limit(16)
+      val sfName = new java.io.File(dir.replaceAll("/+$", "")).getName
+      val idx = s"/tmp/graft_index/$sfName/ivf"
+      graft.sim.IndexOps.buildIvfIndex(e, "vec_id", "embedding", cent, idx)
+      val queries = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.sim.IndexOps.queryIvfIndex(s, idx, queries, k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN: IVF over a TRAINED spherical-k-means quantizer (3 Lloyd
     // rounds on a bounded sample — the r8 FAISS-discipline trainer: one
     // corpus pass total instead of one assignment pass per round). The
@@ -285,6 +306,37 @@ object SimQueries {
     }),
   )
 
+  /** IVF ANN with the deterministic coarse quantizer, replayed directly
+    * in SQL — shared by q_ann_ivf (recompute-per-search) and
+    * q_ann_ivf_index (persisted cell-partitioned index): identical
+    * semantics by construction. */
+  private val AnnIvfOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
+      |asg AS (
+      |  SELECT b.id, b.v, c.cell,
+      |         row_number() OVER (PARTITION BY b.id
+      |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+      |  FROM base b CROSS JOIN cent c),
+      |corpus AS (SELECT id AS neighbor_id, v, cell FROM asg WHERE r = 1),
+      |qs AS (SELECT id AS query_id, v AS qv, cell FROM asg
+      |       WHERE r <= 2 AND id % 10 = 0),
+      |pairs AS (
+      |  SELECT q.query_id, c.neighbor_id,
+      |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
+      |  FROM qs q JOIN corpus c
+      |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos, cell,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM pairs)
+      |SELECT query_id, rank, neighbor_id, cos, cell
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // Replays PcaOps.project from the pca_model fixture: per-(dim,
     // component) nano-unit integer terms, summed, /1e9, rounded at 6 —
@@ -423,32 +475,12 @@ object SimQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
-    "q_ann_ivf" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (
-        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
-        |asg AS (
-        |  SELECT b.id, b.v, c.cell,
-        |         row_number() OVER (PARTITION BY b.id
-        |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
-        |  FROM base b CROSS JOIN cent c),
-        |corpus AS (SELECT id AS neighbor_id, v, cell FROM asg WHERE r = 1),
-        |qs AS (SELECT id AS query_id, v AS qv, cell FROM asg
-        |       WHERE r <= 2 AND id % 10 = 0),
-        |pairs AS (
-        |  SELECT q.query_id, c.neighbor_id,
-        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
-        |  FROM qs q JOIN corpus c
-        |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos, cell,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY cos DESC, neighbor_id) AS rank
-        |  FROM pairs)
-        |SELECT query_id, rank, neighbor_id, cos, cell
-        |FROM ranked WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" -> AnnIvfOracle,
+
+    // the persisted-index roundtrip must reproduce q_ann_ivf bit-for-bit
+    // (same deterministic quantizer, same parameters — what changed is
+    // only WHERE the inverted lists live), so the oracle is shared
+    "q_ann_ivf_index" -> AnnIvfOracle,
 
     // identical per-term arithmetic: double product, micro-round, integer
     // sum (order-free) — the join explodes d² per row, which is fine for

@@ -1,0 +1,69 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PERSISTED ANN index: the IVF inverted lists stored as a cell-
+  * partitioned parquet layout, so that probing cells at query time is
+  * parquet PARTITION PRUNING — the scan plans only the probed cell
+  * directories and scanned bytes are proportional to the probed lists,
+  * never the corpus. This is the FAISS inverted-list design re-expressed
+  * in Spark's native storage idiom: the index layout IS the query plan
+  * (same principle the events archive uses for time pruning —
+  * PartitionedArchive — applied to vector search).
+  *
+  * Build once, query many: [[SimilarityOps.ivfTopKFrom]] re-assigns the
+  * corpus on every search (right for one-shot jobs); this pays the
+  * assignment once at build and amortizes it across every subsequent
+  * query batch. At 100 TB the build is the one corpus-sized pass and a
+  * partitioned write; each query batch then reads |probed cells| /
+  * |cells| of the index — with nProbe=2 of 16 cells, an ~8× I/O
+  * reduction before any compute, growing with the cell count.
+  */
+object IndexOps {
+
+  /** Assign every corpus vector to its coarse cell
+    * ([[SimilarityOps.assignCells]] — map-side `max_by`, one row per
+    * vector crosses the exchange) and persist:
+    * `dir/postings/cell=<c>/…` (id, v, nv per member — the norm is
+    * precomputed at build so queries never recompute it) and
+    * `dir/centroids` (the tiny routing table). */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    centroidFrame: DataFrame, dir: String): Unit = {
+    SimilarityOps.assignCells(emb, idCol, vecCol, centroidFrame)
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/postings")
+    centroidFrame.select(col("cell"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search a persisted index. `queries` is a bounded frame
+    * `(query_id, qv)` from OUTSIDE the index (the serving shape). The
+    * probe cells per query come from the broadcast centroid table; the
+    * distinct probed-cell set is a bounded collect (≤ |queries|·nProbe
+    * values) turned into an `isin` literal, so Catalyst prunes the cell
+    * partitions AT PLANNING TIME (`PartitionFilters` on the scan —
+    * pinned by IndexSpec). Exact cosine + bounded-heap rank within the
+    * probed lists, identical semantics to [[SimilarityOps.ivfTopKFrom]].
+    */
+  def queryIvfIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val qbase = queries.select(col("query_id").as("id"), col("qv").as("v"),
+      SimilarityOps.l2norm(col("qv")).as("nv"))
+    val probed = SimilarityOps.probeCells(qbase, centroids, nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nv").as("nq"), col("cell"))
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.get(0)) // bounded: ≤ queries × nProbe cells
+    val postings = spark.read.parquet(s"$dir/postings")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val scored = postings.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cos", round(
+        SimilarityOps.dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
+      .withColumn("cell", col("cell").cast("long"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("cos"), col("cell"))
+    SimilarityOps.rankTopK(scored, "cos", k, tag = Some("cell"))
+      .select("query_id", "rank", "neighbor_id", "cos", "cell")
+  }
+}

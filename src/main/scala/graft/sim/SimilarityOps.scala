@@ -67,7 +67,7 @@ object SimilarityOps {
     * `tag` carries one BIGINT attribute (LSH bucket / IVF cell) through
     * the heap as an inert payload — recomputing it post-rank would need
     * another pass over a corpus-sized frame. */
-  private def rankTopK(pairs: DataFrame, scoreCol: String, k: Int,
+  private[sim] def rankTopK(pairs: DataFrame, scoreCol: String, k: Int,
                        ascending: Boolean = false,
                        tag: Option[String] = None): DataFrame = {
     val enc = scoreMicros(col(scoreCol))
