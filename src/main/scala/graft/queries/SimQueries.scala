@@ -238,6 +238,26 @@ object SimQueries {
           m = 4, ksub = 16, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
+    // PERSISTED IVF-PQ index roundtrip: the stored representation is m=4
+    // codes + cell per vector (the compressed layout a 100 TB embedding
+    // store actually ships), cell-partitioned so the ADC search reads
+    // only the probed code partitions. Same quantizers/parameters as
+    // q_ann_ivfpq — oracle shared verbatim.
+    "q_ann_ivfpq_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        .orderBy("cell").limit(16)
+      val sfName = new java.io.File(dir.replaceAll("/+$", "")).getName
+      val idx = s"/tmp/graft_index/$sfName/ivfpq"
+      graft.sim.IndexOps.buildIvfPqIndex(e, "vec_id", "embedding", cent,
+        m = 4, ksub = 16, dir = idx)
+      val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      graft.sim.IndexOps.queryIvfPqIndex(s, idx, queries, k = 5, nProbe = 2, m = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ANN via RESIDUAL IVF-PQ — the FAISS-faithful IndexIVFPQ: codes
     // quantize v − centroid(cell) with TRAINED per-subspace codebooks
     // (fixture seam), and each query builds one ADC table per probed
@@ -336,6 +356,65 @@ object SimQueries {
       |SELECT query_id, rank, neighbor_id, cos, cell
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ with both deterministic quantizers, replayed directly in
+    * SQL — shared by q_ann_ivfpq (recompute-per-search) and
+    * q_ann_ivfpq_index (persisted cell-partitioned code layout). */
+  private val AnnIvfPqOracle: String =
+    """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
+        |cellasg AS (
+        |  SELECT b.id, c.cell,
+        |         row_number() OVER (PARTITION BY b.id
+        |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+        |  FROM base b CROSS JOIN cent c),
+        |asg AS (SELECT id, cell FROM cellasg WHERE r = 1),
+        |subs AS (SELECT unnest(range(0, 4)) AS sub),
+        |books AS (
+        |  SELECT s.sub, b.id AS code,
+        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS cv
+        |  FROM (SELECT id, v FROM base ORDER BY id LIMIT 16) b CROSS JOIN subs s),
+        |corpus_subs AS (
+        |  SELECT b.id, s.sub,
+        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
+        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS sv
+        |  FROM base b CROSS JOIN subs s),
+        |enc_ranked AS (
+        |  SELECT cs.id, cs.sub, bk.code,
+        |         row_number() OVER (PARTITION BY cs.id, cs.sub
+        |           ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cv),
+        |                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), bk.code) AS r
+        |  FROM corpus_subs cs JOIN books bk ON cs.sub = bk.sub),
+        |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
+        |probes AS (
+        |  SELECT id AS query_id, cell FROM cellasg
+        |  WHERE r <= 2 AND id % 10 = 0 AND id < 1000),
+        |qtab AS (
+        |  SELECT q.id AS query_id, s.sub, bk.code,
+        |         round(list_sum(list_transform(list_zip(
+        |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
+        |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
+        |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
+        |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
+        |  WHERE q.id % 10 = 0 AND q.id < 1000),
+        |dists AS (
+        |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
+        |  FROM enc e JOIN asg a ON e.id = a.id
+        |  JOIN probes p ON a.cell = p.cell
+        |  JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
+        |    AND qt.query_id = p.query_id
+        |  WHERE qt.query_id <> e.id
+        |  GROUP BY 1, 2, 3),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, d2, cell,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY d2, neighbor_id) AS rank
+        |  FROM dists)
+        |SELECT query_id, rank, neighbor_id, d2, cell
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     // Replays PcaOps.project from the pca_model fixture: per-(dim,
@@ -659,61 +738,12 @@ object SimQueries {
          |SELECT query_id, rank, neighbor_id, d2
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "q_ann_ivfpq" ->
-      """WITH base AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent AS (
-        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
-        |cellasg AS (
-        |  SELECT b.id, c.cell,
-        |         row_number() OVER (PARTITION BY b.id
-        |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
-        |  FROM base b CROSS JOIN cent c),
-        |asg AS (SELECT id, cell FROM cellasg WHERE r = 1),
-        |subs AS (SELECT unnest(range(0, 4)) AS sub),
-        |books AS (
-        |  SELECT s.sub, b.id AS code,
-        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
-        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS cv
-        |  FROM (SELECT id, v FROM base ORDER BY id LIMIT 16) b CROSS JOIN subs s),
-        |corpus_subs AS (
-        |  SELECT b.id, s.sub,
-        |         list_slice(b.v, CAST(s.sub * (len(b.v) // 4) + 1 AS INT),
-        |                    CAST((s.sub + 1) * (len(b.v) // 4) AS INT)) AS sv
-        |  FROM base b CROSS JOIN subs s),
-        |enc_ranked AS (
-        |  SELECT cs.id, cs.sub, bk.code,
-        |         row_number() OVER (PARTITION BY cs.id, cs.sub
-        |           ORDER BY round(list_sum(list_transform(list_zip(cs.sv, bk.cv),
-        |                     p -> (p[1] - p[2]) * (p[1] - p[2]))), 6), bk.code) AS r
-        |  FROM corpus_subs cs JOIN books bk ON cs.sub = bk.sub),
-        |enc AS (SELECT id, sub, code FROM enc_ranked WHERE r = 1),
-        |probes AS (
-        |  SELECT id AS query_id, cell FROM cellasg
-        |  WHERE r <= 2 AND id % 10 = 0 AND id < 1000),
-        |qtab AS (
-        |  SELECT q.id AS query_id, s.sub, bk.code,
-        |         round(list_sum(list_transform(list_zip(
-        |           list_slice(q.v, CAST(s.sub * (len(q.v) // 4) + 1 AS INT),
-        |                      CAST((s.sub + 1) * (len(q.v) // 4) AS INT)), bk.cv),
-        |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
-        |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
-        |  WHERE q.id % 10 = 0 AND q.id < 1000),
-        |dists AS (
-        |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
-        |  FROM enc e JOIN asg a ON e.id = a.id
-        |  JOIN probes p ON a.cell = p.cell
-        |  JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
-        |    AND qt.query_id = p.query_id
-        |  WHERE qt.query_id <> e.id
-        |  GROUP BY 1, 2, 3),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, d2, cell,
-        |         row_number() OVER (PARTITION BY query_id
-        |                            ORDER BY d2, neighbor_id) AS rank
-        |  FROM dists)
-        |SELECT query_id, rank, neighbor_id, d2, cell
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq" -> AnnIvfPqOracle,
+
+    // the persisted IVF-PQ index roundtrip shares the oracle: same
+    // deterministic quantizers, same ADC arithmetic — only the storage
+    // layout (cell-partitioned code parquet) differs
+    "q_ann_ivfpq_index" -> AnnIvfPqOracle,
 
     "q_ann_ivfpq_res" ->
       s"""WITH base AS (

@@ -66,4 +66,67 @@ object IndexOps {
     SimilarityOps.rankTopK(scored, "cos", k, tag = Some("cell"))
       .select("query_id", "rank", "neighbor_id", "cos", "cell")
   }
+
+  /** IVF-PQ variant of the persisted index: what gets stored per vector
+    * is the `m` PQ codes plus the cell — the 4×-to-64× compressed
+    * representation — laid out as cell partitions. This is the layout a
+    * 100 TB embedding store actually ships: the index (codes) is a small
+    * fraction of the corpus bytes, the raw vectors stay in cold storage,
+    * and a search reads `probed cells / cells` OF THE CODES. Codebooks
+    * and centroids persist beside the postings. */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      centroidFrame: DataFrame, m: Int, ksub: Int,
+                      dir: String): Unit = {
+    val asg = SimilarityOps.assignCells(emb, idCol, vecCol, centroidFrame)
+      .select(col("id"), col("cell"))
+    val books = SimilarityOps.pqCodebooks(emb, idCol, vecCol, m, ksub)
+    SimilarityOps.pqEncode(emb, idCol, vecCol, books, m)
+      .join(asg, Seq("id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/codes")
+    books.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    centroidFrame.select(col("cell"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Asymmetric-distance search over a persisted IVF-PQ index: probe
+    * cells from the centroid table (partition pruning, as in
+    * [[queryIvfIndex]]), build the per-query ADC table against the
+    * broadcast codebooks, and rank by summed table lookups — the probed
+    * CODE partitions are the only corpus-sized thing read, at m codes
+    * per vector instead of the full embedding. Same arithmetic as
+    * [[SimilarityOps.ivfPqTopK]] (9-decimal subspace rounding, round-6
+    * distance, ascending heap rank). */
+  def queryIvfPqIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                      k: Int, nProbe: Int, m: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val books = spark.read.parquet(s"$dir/codebooks")
+    val qbase = queries.select(col("query_id"),
+      SimilarityOps.toDouble(col("qv")).as("qv"),
+      SimilarityOps.l2norm(col("qv")).as("nq"))
+    val probed = SimilarityOps.probeCells(
+        qbase.select(col("query_id").as("id"), col("qv").as("v"),
+          col("nq").as("nv")),
+        centroids, nProbe)
+      .select(col("id").as("query_id"), col("cell"))
+    val qtab = qbase
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .select(col("query_id"), col("sub"),
+        SimilarityOps.subSlice(col("qv"), col("sub"), m).as("qsv"))
+      .join(broadcast(books), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(SimilarityOps.l2sq(col("qsv"), col("cv")), 9).as("pd"))
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.get(0)) // bounded: ≤ queries × nProbe cells
+    val codes = spark.read.parquet(s"$dir/codes")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val scored = codes.join(broadcast(probed), Seq("cell"))
+      .join(broadcast(qtab), Seq("query_id", "sub", "code"))
+      .filter(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id").as("neighbor_id"), col("cell"))
+      .agg(round(sum("pd"), 6).as("d2"))
+    SimilarityOps.rankTopK(scored, "d2", k, ascending = true, tag = Some("cell"))
+      .select("query_id", "rank", "neighbor_id", "d2", "cell")
+  }
 }

@@ -705,7 +705,7 @@ object SimilarityOps {
     * ([[pqCodebooks]] enforces it): with a remainder, the int-cast start
     * positions silently skip elements AND diverge from the oracle's
     * integer-division slicing. */
-  private def subSlice(v: Column, sub: Column, m: Int): Column =
+  private[sim] def subSlice(v: Column, sub: Column, m: Int): Column =
     slice(v, (sub * (size(v) / m)).cast("int") + 1, (size(v) / m).cast("int"))
 
   /** Guard the m | dims precondition every PQ path shares: a remainder
@@ -890,7 +890,7 @@ object SimilarityOps {
     * every call site is codebook-sized (m·ksub per vector / per query),
     * never corpus × corpus; a corpus-scale hot loop would move to a native
     * kernel like [[graft.functions.VectorFunctions.vec_dot]]. */
-  private def l2sq(x: Column, y: Column): Column =
+  private[sim] def l2sq(x: Column, y: Column): Column =
     aggregate(zip_with(x, y, (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, e) => acc + e)
 

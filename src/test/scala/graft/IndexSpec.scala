@@ -63,4 +63,36 @@ class IndexSpec extends AnyFunSuite {
     val cols = spark.read.parquet(s"$idxDir/postings").columns.toSet
     assert(cols === Set("id", "v", "nv", "cell"))
   }
+
+  private lazy val pqIdxDir = {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+    val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy("cell").limit(16)
+    val dir = new java.io.File("target/fixtures/ivfpq_index").getAbsolutePath
+    IndexOps.buildIvfPqIndex(e, "vec_id", "embedding", cent,
+      m = 4, ksub = 16, dir = dir)
+    dir
+  }
+
+  test("persisted IVF-PQ search == recompute-per-search (ivfPqTopK), row for row") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+    val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val fromIndex = IndexOps.queryIvfPqIndex(spark, pqIdxDir, queries,
+        k = 5, nProbe = 2, m = 4)
+      .orderBy("query_id", "rank").collect().toSeq
+    val recomputed = SimilarityOps.ivfPqTopK(e, "vec_id", "embedding",
+        querySelector = 10, k = 5, nCells = 16, nProbe = 2,
+        m = 4, ksub = 16, maxQueries = 100)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex === recomputed)
+  }
+
+  test("IVF-PQ index stores codes, not vectors: m small rows per vector") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+    val codes = spark.read.parquet(s"$pqIdxDir/codes")
+    assert(codes.columns.toSet === Set("id", "sub", "code", "cell"))
+    assert(codes.count() === e.count() * 4) // m = 4 codes per vector
+  }
 }
