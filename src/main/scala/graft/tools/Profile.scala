@@ -1003,6 +1003,66 @@ object Profile {
         }
         time("q_hybrid_rrf (shipped, 1×)")(
           force(graft.SparkEntry.queries("q_hybrid_rrf")(spark, sfDir)))
+      case "index_scale" =>
+        // Persisted-IVF claim (IndexOps scaladoc): the build pays the
+        // assignment once; each search then reads only the probed cell
+        // partitions, where the recompute path (ivfTopK) re-assigns the
+        // whole corpus per search. Measure build / index-search /
+        // recompute-search at replica scale, plus the pruned-vs-total
+        // file counts behind the I/O claim.
+        import org.apache.spark.sql.functions._
+        val e0 = graft.tables.Tables.embeddings(spark, sfDir)
+        val nv0 = e0.count()
+        val stride = e0.agg(max("vec_id")).first().getLong(0) + 1
+        def embX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            e0.select((col("vec_id") + lit(i * stride)).as("vec_id"),
+              col("embedding"))
+          }.reduce(_ unionByName _)
+        Seq(1, 1, 10, 50).foreach { times =>
+          val e = embX(times).repartition(32).persist(); e.count()
+          val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+            .orderBy("cell").limit(16)
+          val dir = s"/tmp/graft_index_profile/x$times/ivf"
+          val build = elapsed(
+            graft.sim.IndexOps.buildIvfIndex(e, "vec_id", "embedding", cent, dir))
+          // batch shape: 100 queries × 2 probes union-cover all 16 cells
+          // (no pruning left to exploit — the honest caveat); the pruning
+          // claim is the SERVING shape, so also measure a 1-query search,
+          // where the index reads 2 of 16 cell directories and the
+          // recompute path re-assigns the whole corpus
+          val queries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+            .localCheckpoint(true)
+          val oneQ = queries.filter(col("query_id") === 0).localCheckpoint(true)
+          val viaIndex = elapsed(force(
+            graft.sim.IndexOps.queryIvfIndex(spark, dir, queries, k = 5, nProbe = 2)))
+          val recompute = elapsed(force(
+            graft.sim.SimilarityOps.ivfTopK(e, "vec_id", "embedding",
+              querySelector = 10, k = 5, nCells = 16, nProbe = 2)
+              .filter(col("query_id") < 1000)))
+          val idx1q = elapsed(force(
+            graft.sim.IndexOps.queryIvfIndex(spark, dir, oneQ, k = 5, nProbe = 2)))
+          val rec1q = elapsed(force(
+            graft.sim.SimilarityOps.ivfTopKFrom(e, "vec_id", "embedding",
+              cent, querySelector = stride * times, k = 5, nProbe = 2)))
+          val all = spark.read.parquet(s"$dir/postings")
+          val total = all.select(input_file_name()).distinct().count()
+          // files one query's 2 probed cells actually scan, via the same
+          // pruned-read shape queryIvfIndex builds
+          val probedCells = graft.sim.SimilarityOps.probeCells(
+              oneQ.select(col("query_id").as("id"), col("qv").as("v"),
+                graft.sim.SimilarityOps.l2norm(col("qv")).as("nv")),
+              spark.read.parquet(s"$dir/centroids"), 2)
+            .select("cell").distinct().collect().map(_.get(0))
+          val probedFiles = all.filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+            .select(input_file_name()).distinct().count()
+          println(f"[profile] ${times}%3d× (${nv0 * times}%8d vecs): " +
+            f"build $build%6.1f s  search100q idx $viaIndex%5.1f s / " +
+            f"recompute $recompute%5.1f s  search1q idx $idx1q%5.1f s / " +
+            f"recompute $rec1q%5.1f s  files 1q $probedFiles/$total")
+          e.unpersist()
+        }
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each
