@@ -100,6 +100,17 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMED index ingest: the embeddings arrive as a stream, each
+    // micro-batch is assigned and appended to the cell partitions via
+    // the replay-idempotent batch appender, and the resulting index is
+    // searched with the standard query set — streamed index ≡ batch
+    // index ≡ recompute-per-search, so the q_ann_ivf oracle applies
+    // verbatim (assignment is per-row and the appender is exactly-once,
+    // so arrival batching cannot change the postings).
+    "q_ann_ivf_stream" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamIndexOnce(s, dir)
+        .orderBy("query_id", "rank")),
+
     // ANN: IVF over a TRAINED spherical-k-means quantizer (3 Lloyd
     // rounds on a bounded sample — the r8 FAISS-discipline trainer: one
     // corpus pass total instead of one assignment pass per round). The
@@ -744,6 +755,10 @@ object SimQueries {
     // deterministic quantizers, same ADC arithmetic — only the storage
     // layout (cell-partitioned code parquet) differs
     "q_ann_ivfpq_index" -> AnnIvfPqOracle,
+
+    // streamed-ingest index: per-row assignment + exactly-once append ⇒
+    // identical postings to the batch build, same oracle again
+    "q_ann_ivf_stream" -> AnnIvfOracle,
 
     "q_ann_ivfpq_res" ->
       s"""WITH base AS (

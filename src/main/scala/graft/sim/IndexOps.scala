@@ -67,6 +67,22 @@ object IndexOps {
       .select("query_id", "rank", "neighbor_id", "cos", "cell")
   }
 
+  /** Replay-idempotent micro-batch append into a persisted IVF index:
+    * assign the batch against the (static, broadcast) centroid table and
+    * land it under the cell partitions with the archive writer's
+    * marker/staging/deterministic-rename protocol
+    * ([[graft.sources.PartitionedArchive.appendBatchAt]]) — a replayed
+    * `foreachBatch` delivery converges to exactly-once postings. The
+    * coarse quantizer stays FIXED at ingest (the FAISS operating model:
+    * retraining centroids moves every assignment, so it is an offline
+    * rebuild, not an append). */
+  def appendIvfBatch(batch: DataFrame, idCol: String, vecCol: String,
+                     centroidFrame: DataFrame, dir: String,
+                     batchId: Long, streamId: String): Unit =
+    graft.sources.PartitionedArchive.appendBatchAt(
+      SimilarityOps.assignCells(batch, idCol, vecCol, centroidFrame),
+      s"$dir/postings", Seq("cell"), Seq("cell", "id"), batchId, streamId)
+
   /** IVF-PQ variant of the persisted index: what gets stored per vector
     * is the `m` PQ codes plus the cell — the 4×-to-64× compressed
     * representation — laid out as cell partitions. This is the layout a

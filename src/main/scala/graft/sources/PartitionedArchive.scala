@@ -119,7 +119,18 @@ object PartitionedArchive {
     appendBatch(df, s"$root/psd", PsdPartitions, batchId, streamId)
 
   private def appendBatch(df: DataFrame, productRoot: String,
-      partitionCols: Seq[String], batchId: Long, streamId: String): Unit = {
+      partitionCols: Seq[String], batchId: Long, streamId: String): Unit =
+    appendBatchAt(df, productRoot, partitionCols, partitionCols :+ "ts",
+      batchId, streamId)
+
+  /** The generic replay-idempotent micro-batch appender behind
+    * [[appendBroadbandBatch]]/[[appendPsdBatch]] — same
+    * marker/staging/deterministic-rename protocol, parameterized sort
+    * columns so non-timeseries layouts (e.g. the persisted ANN index's
+    * cell partitions, [[graft.sim.IndexOps.appendIvfBatch]]) share it. */
+  private[graft] def appendBatchAt(df: DataFrame, productRoot: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      batchId: Long, streamId: String): Unit = {
     // batch ids are scoped to ONE streaming query's checkpoint: two
     // queries ingesting into the same root both start at batch 0, so the
     // marker/staging/file namespace carries the caller's stream identity
@@ -134,7 +145,7 @@ object PartitionedArchive {
     val staging = new Path(base, s"_staging/batch=$tag")
     if (fs.exists(marker)) { fs.delete(staging, true); return }
     withMicrosTimestamps(df) {
-      df.sortWithinPartitions((partitionCols :+ "ts").map(col): _*)
+      df.sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy(partitionCols: _*)

@@ -117,6 +117,55 @@ object StreamingOps {
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     footerSchemaStream(spark, dir, "documents.parquet")
 
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    footerSchemaStream(spark, dir, "embeddings.parquet")
+
+  /** Streaming ingest into a persisted IVF index
+    * ([[graft.sim.IndexOps]]): each micro-batch of vectors is assigned
+    * against the FIXED centroid table and appended to the cell
+    * partitions through the replay-idempotent batch appender — the ANN
+    * index stays fresh at ingest, the same way [[archiveIngest]] keeps
+    * the timeseries archive fresh. Batch ids are scoped by a
+    * checkpoint-derived stream id so several ingest streams can share
+    * one index root. */
+  def indexIngest(stream: DataFrame, idCol: String, vecCol: String,
+      centroidFrame: DataFrame, indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+      d.take(4).map("%02x".format(_)).mkString
+    }
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sim.IndexOps.appendIvfBatch(batch, idCol, vecCol,
+          centroidFrame, indexDir, batchId, streamId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Drive a finite embeddings stream through [[indexIngest]] into a
+    * FRESH index dir, then search the streamed index with the standard
+    * q_ann_ivf query set — the streamed index must answer exactly like
+    * the batch-built one, so the batch oracle applies verbatim. The
+    * centroid frame is the deterministic lowest-16 quantizer, persisted
+    * up front (search needs it; ingest closes over it). */
+  def runStreamIndexOnce(spark: SparkSession, dir: String): DataFrame = {
+    val sfName = new java.io.File(dir.replaceAll("/+$", "")).getName
+    val idx = s"/tmp/graft_index/$sfName/ivf_stream_${runId.incrementAndGet()}"
+    val e = graft.tables.Tables.embeddings(spark, dir)
+    val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy("cell").limit(16).localCheckpoint(true)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
+    val q = indexIngest(embeddingsStream(spark, dir), "vec_id", "embedding",
+      cent, idx, s"$idx/_checkpoint")
+    try q.processAllAvailable() finally q.stop()
+    val queries = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    graft.sim.IndexOps.queryIvfIndex(spark, idx, queries, k = 5, nProbe = 2)
+  }
+
   /** STREAMING exact dedup: `dropDuplicates` on the 16-byte content hash —
     * Spark's stateful dedup operator, state keyed by the hash (never the
     * text), exactly the ingest-time shape of the batch `exactDedup`.

@@ -89,6 +89,32 @@ class IndexSpec extends AnyFunSuite {
     assert(fromIndex === recomputed)
   }
 
+  test("streamed index ingest == batch build, and batch replay is idempotent") {
+    val e = Tables.embeddings(spark, TestSpark.Sf0001)
+    val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy("cell").limit(16).localCheckpoint(true)
+    val dir = new java.io.File("target/fixtures/ivf_stream_append").getAbsolutePath
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(dir), true)
+    // two "micro-batches" through the idempotent appender
+    val (lo, hi) = (e.filter(col("vec_id") < 250), e.filter(col("vec_id") >= 250))
+    IndexOps.appendIvfBatch(lo, "vec_id", "embedding", cent, dir, 0L, "t1")
+    IndexOps.appendIvfBatch(hi, "vec_id", "embedding", cent, dir, 1L, "t1")
+    def postings = spark.read.parquet(s"$dir/postings")
+      .orderBy("id").collect().toSeq
+    val once = postings
+    assert(once.length === e.count())
+    // at-least-once redelivery of batch 1: the commit marker short-circuits
+    IndexOps.appendIvfBatch(hi, "vec_id", "embedding", cent, dir, 1L, "t1")
+    assert(postings === once)
+    // the streamed postings match a batch build's, row for row
+    val batch = spark.read.parquet(s"$idxDir/postings")
+      .select("id", "cell").orderBy("id").collect().toSeq
+    val streamed = spark.read.parquet(s"$dir/postings")
+      .select("id", "cell").orderBy("id").collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("IVF-PQ index stores codes, not vectors: m small rows per vector") {
     val e = Tables.embeddings(spark, TestSpark.Sf0001)
     val codes = spark.read.parquet(s"$pqIdxDir/codes")
