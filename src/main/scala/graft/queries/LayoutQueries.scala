@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.SkipIndex
+import graft.tables.Tables
+
+/** Storage-layout operators: file-level zone-map data skipping and
+  * small-file compaction planning ([[graft.sources.SkipIndex]]).
+  *
+  * These are the scale companions to the reference's directory-name
+  * pruning (`app/services/get_options.py:116-118` parses time ranges
+  * out of FILENAMES — a filename is a one-row zone map): at 100 TB the
+  * zone metadata must be a queryable table, not a string convention,
+  * and ingest-generated small files must be re-binned without losing
+  * the time clustering that makes the zones selective.
+  */
+object LayoutQueries {
+
+  private def sfName(dir: String): String =
+    new java.io.File(dir.replaceAll("/+$", "")).getName
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Zone-map pruned scan, end to end: write the events archive as a
+    // flat day-clustered multi-file layout (no partition directories),
+    // build the footer-only skip index, prune to the files whose
+    // [min,max] intersects a 3-day window, and aggregate ONLY those
+    // files. Must equal the plain full-scan answer (the oracle);
+    // SkipIndexSpec pins that the scan actually planned a strict file
+    // subset. The index pass reads footers, never data pages.
+    "q_skip_scan" -> ((s, dir) => {
+      val dataDir = s"/tmp/graft_index/${sfName(dir)}/events_flat"
+      SkipIndex.writeTimeClustered(
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        "ts", dataDir)
+      val idx = SkipIndex.buildFooterIndex(s, dataDir, "ts")
+      val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+      val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+      val loUs = lo.getEpochSecond * 1000000L
+      val hiUs = hi.getEpochSecond * 1000000L
+      val picked = SkipIndex.pruneFiles(idx, loUs, hiUs)
+        .unionByName(SkipIndex.unprunableFiles(idx))
+      SkipIndex.readFiles(s, picked)
+        .filter(col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+                col("ts") <  lit(java.sql.Timestamp.from(hi)))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+             round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("day")
+    }),
+
+    // Compaction planner on a deterministic manifest: segments are the
+    // per-(event_type, day) slices of the archive sized by row count,
+    // walked in cluster order and bin-packed to ~2000-row output files
+    // by the cumulative-size rule ([[SkipIndex.assignBins]] — the same
+    // code path the real file compactor uses; SkipIndexSpec runs that
+    // compactor against physical files and checks content preservation,
+    // one-file-per-bin, and post-compaction zone tightness). The oracle
+    // replays the cumsum rule as a window in SQL.
+    "q_compaction_plan" -> ((s, dir) => {
+      val manifest = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_rows"))
+      SkipIndex.assignBins(manifest, "n_rows",
+          Seq("event_type", "day"), target = 2000L)
+        .select("event_type", "day", "n_rows", "bin")
+        .orderBy("event_type", "day")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_skip_scan" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_rows
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n_rows,
+        |       CAST(FLOOR((SUM(n_rows) OVER (ORDER BY event_type, day
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            - n_rows) / 2000.0) AS BIGINT) AS bin
+        |FROM m ORDER BY event_type, day""".stripMargin,
+  )
+}

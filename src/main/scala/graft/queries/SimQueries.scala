@@ -46,6 +46,29 @@ object SimQueries {
           querySelector = 10, k = 5, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
+    // EXACT kNN self-join (the kNN graph): every vector's 5 nearest
+    // others — block-pair equi-join pair scan, both directions through
+    // the bounded-heap rank. Oracle = brute-force per-query window.
+    "q_knn_join" -> ((s, dir) =>
+      SimilarityOps.knnJoin(emb(s, dir), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")),
+
+    // Sub-quadratic kNN graph via IVF cells: deterministic 16-cell
+    // quantizer, each vector probes its 2 best cells, candidates = cell
+    // equi-join — compare work Σ|cell|·|probes| instead of n². The
+    // oracle replays assignment, probe ranking (rounded sim), and the
+    // within-cell exact rank in SQL — recall<1 vs q_knn_join is the
+    // CONTRACT, checked exactly, not hand-waved.
+    "q_knn_join_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val e = emb(s, dir)
+      val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        .orderBy("cell").limit(16)
+      SimilarityOps.knnJoinIvf(e, "vec_id", "embedding", cent,
+          k = 5, nProbe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     // All pairs with cosine >= 0.4 — EXACT, via the distributed block-pair
     // join (no corpus broadcast, no nested-loop node; see
     // SimilarityOps.cosinePairsBlocked).
@@ -488,6 +511,47 @@ object SimQueries {
         |                            ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM pairs)
         |SELECT query_id, rank, neighbor_id, cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, cos
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_knn_join_ivf" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
+        |probed AS (
+        |  SELECT b.id, b.v, c.cell,
+        |         row_number() OVER (PARTITION BY b.id
+        |           ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+        |                    c.cell) AS r
+        |  FROM base b CROSS JOIN cent c),
+        |corpus AS (SELECT id AS neighbor_id, v, cell FROM probed WHERE r = 1),
+        |qs AS (SELECT id AS query_id, v AS qv, cell FROM probed WHERE r <= 2),
+        |pairs AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
+        |  FROM qs q JOIN corpus c
+        |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos, cell,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, cos, cell
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_cosine_pairs" ->

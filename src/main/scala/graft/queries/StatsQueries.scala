@@ -266,7 +266,47 @@ object StatsQueries {
           min("y").as("y_min"), max("y").as("y_max"))
         .orderBy("file_id")
     }),
+
+    // Mergeable QUANTILE sketch (fixed-range histogram, HDR/Prometheus
+    // style): exact integer counts over 64 pre-agreed buckets of
+    // [0, 512) (w = 8, exactly representable), quantile = one in-bucket
+    // linear interpolation at the serving edge. The 100 TB percentile:
+    // q_percentiles' exact path needs a per-group sort, and Spark's
+    // approx_percentile (GK) is partition-order-dependent — this sketch
+    // is 512 B per group, exactly mergeable, and deterministic, so the
+    // oracle replays estimate arithmetic bit-for-bit in SQL. Rank error
+    // ≤ one bucket width (SketchSpec pins |est − exact| ≤ w).
+    "q_quantile_sketch" -> ((s, dir) =>
+      histQuantiles(
+        Tables.events(s, dir).groupBy(col("event_type"))
+          .agg(graft.functions.HistogramAgg.hist_sketch(
+            col("value"), HistLo, HistHi, HistBins).as("h")))),
+
+    // The SAME sketch built by STRUCTURED STREAMING: per-group state is
+    // the fixed 8·bins-byte count array in the state store, and exact
+    // element-wise-add merge makes the streamed counts bit-identical to
+    // batch — shared oracle verbatim (the CMS/HLL contract, applied to
+    // quantiles). Continuous-ingest latency percentiles.
+    "q_stream_quantiles" -> ((s, dir) =>
+      histQuantiles(graft.streaming.StreamingOps.runStreamHistOnce(
+        s, dir, HistLo, HistHi, HistBins))),
   )
+
+  private val HistLo = 0.0
+  private val HistHi = 512.0
+  private val HistBins = 64
+
+  /** Serving-edge quantile extraction shared by the batch and streaming
+    * histogram queries: total + p50/p95 interpolation over the tiny
+    * per-group count arrays. */
+  private def histQuantiles(sketches: DataFrame): DataFrame = {
+    import graft.functions.HistogramAgg.histQuantile
+    sketches.select(col("event_type"),
+        aggregate(col("h"), lit(0L), (a, c) => a + c).as("n"),
+        histQuantile(col("h"), 0.5, HistLo, HistHi, HistBins).as("p50"),
+        histQuantile(col("h"), 0.95, HistLo, HistHi, HistBins).as("p95"))
+      .orderBy("event_type")
+  }
 
   private val CmsDepth = 4
   private val CmsWidth = 512
@@ -383,7 +423,42 @@ object StatsQueries {
       |       e.n_exact
       |FROM agg a JOIN ex e USING (lang) ORDER BY a.lang""".stripMargin
 
+  /** Replays the histogram sketch + interpolation exactly: same
+    * bucketization (floor((v−lo)/w) clamped to the edge bins), integer
+    * target rank ceil(q·N), first bucket with cumulative ≥ target,
+    * same operation order in the interpolation — bit-identical doubles
+    * on both engines, then the engine-standard round(…, 6). */
+  private val HistQuantileSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 8.0) AS INT), 0), 63) AS bin,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(CEIL(0.5  * CAST(sum(c) AS DOUBLE)) AS BIGINT) AS t50,
+      |         CAST(CEIL(0.95 * CAST(sum(c) AS DOUBLE)) AS BIGINT) AS t95
+      |  FROM b GROUP BY 1),
+      |cm AS (
+      |  SELECT event_type, bin, c,
+      |         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      |  FROM b)
+      |SELECT t.event_type, t.n,
+      |  (SELECT round(min_by(0.0 + CAST(bin AS DOUBLE) * 8.0
+      |            + CAST(t.t50 - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE) * 8.0,
+      |          bin), 6)
+      |     FROM cm WHERE cm.event_type = t.event_type AND cum >= t.t50) AS p50,
+      |  (SELECT round(min_by(0.0 + CAST(bin AS DOUBLE) * 8.0
+      |            + CAST(t.t95 - (cum - c) AS DOUBLE) / CAST(c AS DOUBLE) * 8.0,
+      |          bin), 6)
+      |     FROM cm WHERE cm.event_type = t.event_type AND cum >= t.t95) AS p95
+      |FROM t ORDER BY t.event_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_quantile_sketch" -> HistQuantileSql,
+
+    "q_stream_quantiles" -> HistQuantileSql,
+
     "q_hll_distinct" -> HllDistinctSql,
 
     "q_stream_hll" -> HllDistinctSql,

@@ -169,6 +169,88 @@ object SimilarityOps {
         col("neighbor_id").as("neg_id"), col("cos"))
   }
 
+  /** EXACT k-nearest-neighbor SELF-join: every corpus vector's k most
+    * cosine-similar others — the kNN GRAPH that graph-based dedup,
+    * label propagation, and kNN classification consume (vs
+    * [[bruteForceTopK]], whose query side is a bounded external sample).
+    * Pair generation is the [[cosinePairsBlocked]] block-pair equi-join
+    * (each unordered pair met exactly once, no corpus broadcast, no
+    * nested loop); each pair then feeds BOTH directions into the shared
+    * bounded-heap [[rankTopK]] stage, so the n·(n−1) score rows collapse
+    * to ≤ k per (vector, partition) before any exchange. Exact kNN is
+    * inherently Ω(n²) compare work — this spreads it evenly; for the
+    * sub-quadratic approximation at corpus scale see [[knnJoinIvf]]. */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int, nBlocks: Int = 16): DataFrame = {
+    val pairs = cosinePairsBlocked(emb, idCol, vecCol,
+      threshold = -1.0, nBlocks = nBlocks)
+    val sym = pairs.select(col("id_a").as("query_id"),
+        col("id_b").as("neighbor_id"), col("cos"))
+      .unionByName(pairs.select(col("id_b").as("query_id"),
+        col("id_a").as("neighbor_id"), col("cos")))
+    rankTopK(sym, "cos", k)
+  }
+
+  /** Approximate kNN GRAPH via IVF cells — the FAISS-style sub-quadratic
+    * self-join: corpus vectors are assigned to their best cell (the
+    * [[assignCells]] map-side `max_by` — one row per vector shuffles),
+    * the QUERY role of each vector probes its `nProbe` best cells via
+    * [[corpusProbes]] (bounded-heap, window-free — the corpus-sized twin
+    * of [[probeCells]]), and candidates are the cell EQUI-JOIN of the
+    * two roles: compare work drops from n² to Σ_probed |cell|·|probes|.
+    * Scored pairs feed the shared [[rankTopK]] heap. Recall < 1 by
+    * construction (neighbors outside probed cells are unseen) — the
+    * deterministic quantizer + rounded probe ordering make the whole
+    * pipeline SQL-replayable, so the oracle checks THIS contract
+    * exactly. A pathologically hot cell takes the same salting remedy as
+    * [[semDedup]]'s hot-cell branch. */
+  def knnJoinIvf(emb: DataFrame, idCol: String, vecCol: String,
+                 centroidFrame: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    // ONE probe pass serves both roles: a vector LIVES in its rank-1
+    // cell (the corpus role) and SEARCHES its top-nProbe cells (the
+    // query role) — same rounded ordering, so the two roles can never
+    // disagree on ties and the oracle replays a single ranking.
+    val probes = corpusProbes(emb, idCol, vecCol, centroidFrame, nProbe)
+    val corpus = probes.filter(col("probe_rank") === 1)
+      .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
+    val qside = probes.select(col("id").as("query_id"), col("v").as("qv"),
+      col("nv").as("nq"), col("cell"))
+    val scored = corpus.join(qside, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("nq") * col("nv")), 6))
+    rankTopK(scored, "cos", k, tag = Some("cell"))
+      .select("query_id", "rank", "neighbor_id", "cos", "cell")
+  }
+
+  /** Corpus-side probe assignment: each vector's `nProbe` most-similar
+    * cells, as a bounded-heap aggregate instead of [[probeCells]]'
+    * row_number window — the window shuffles the nCells-amplified
+    * corpus, while the heap's map-side partials collapse to one row per
+    * vector before the exchange (the [[assignCells]] discipline at
+    * nProbe > 1). The probe ordering uses the 6-decimal-ROUNDED
+    * similarity (micro-encoded for the heap), which is what makes the
+    * probe set — not just the final ranks — exactly SQL-replayable.
+    * Output `(id, v, nv, cell, probe_rank)`, probe_rank 1-based. */
+  def corpusProbes(emb: DataFrame, idCol: String, vecCol: String,
+                   centroidFrame: DataFrame, nProbe: Int): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nv"))
+    val centroids = centroidFrame.select(col("cell"), col("cv"),
+      l2norm(col("cv")).as("cn"))
+    base.crossJoin(broadcast(centroids))
+      .withColumn("sim6",
+        round(dot(col("v"), col("cv")) / (col("nv") * col("cn")), 6))
+      .groupBy(col("id"))
+      .agg(first(col("v")).as("v"), first(col("nv")).as("nv"),
+        TopKByAgg.topk_by(scoreMicros(col("sim6")), col("cell"), nProbe)
+          .as("tk"))
+      .select(col("id"), col("v"), col("nv"),
+        posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("id"), col("v"), col("nv"), col("e.id").as("cell"),
+        (col("pos") + 1).cast("int").as("probe_rank"))
+  }
+
   /** All near-pairs above a cosine threshold (id_a < id_b), via broadcast
     * nested-loop. SPEC-ONLY exact baseline for small n — the recall oracle
     * for [[cosinePairsBlocked]] and [[lshPairCandidates]] tests. Never in

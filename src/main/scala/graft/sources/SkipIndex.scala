@@ -1,0 +1,208 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** File-level ZONE-MAP skip index + small-file compaction for flat
+  * (un-partitioned) parquet archives — the data-skipping layer every
+  * 100 TB lakehouse needs beyond directory partition pruning.
+  *
+  * The reference archive prunes on coarse directory keys (hydrophone +
+  * month in the filename, `docs/upstream-notes.md:23`); inside a
+  * directory it reads whole files. Two problems appear at scale that
+  * the reference never faces at its size:
+  *
+  *  1. A predicate on a clustered-but-not-partitioned column (time,
+  *     within a month directory) still plans EVERY file. Parquet
+  *     row-group stats skip pages at read time, but the scan still
+  *     opens every footer on every query. A persisted zone-map index —
+  *     one row per file carrying min/max/rows/bytes — turns file
+  *     selection into a metadata-frame filter: ~100 k rows for 100 TB
+  *     at 1 GB files, broadcastable, queryable in milliseconds.
+  *  2. Streaming/incremental ingest produces many small files; scan
+  *     cost degrades with per-file open overhead. Compaction bin-packs
+  *     neighbors (in cluster order, so zone maps STAY selective) into
+  *     target-sized files.
+  *
+  * Design rules encoded here:
+  *  - The index build reads FOOTERS ONLY (`ParquetFileReader.readFooter`
+  *    distributed over the file list) — metadata-scale I/O, never a data
+  *    scan. This is the Delta/Iceberg stats-collection discipline
+  *    re-expressed on plain parquet.
+  *  - Pruning is a filter on the index frame followed by a bounded
+  *    collect of the surviving PATHS (the same metadata-bounded shape as
+  *    [[graft.sim.IndexOps.queryIvfIndex]]'s probed-cell collect): the
+  *    data scan is then PLANNED over only those files.
+  *  - Compaction is order-preserving: files are binned by cumulative
+  *    size in cluster order, so each output file covers a contiguous
+  *    zone range and the index stays tight after rewrite.
+  */
+object SkipIndex {
+
+  /** Write `df` as a flat multi-file parquet layout clustered on
+    * `tsCol`: rows are hashed to writer tasks by calendar day, each task
+    * sorts its days by `tsCol`, so every output file covers a small,
+    * contiguous-ish time range WITHOUT any partition directories — the
+    * layout whose pruning must come from file statistics alone.
+    * Deterministic content per file for fixed input (hash partitioning
+    * and the in-file sort are both deterministic). The partition count
+    * is EXPLICIT — a bare `repartition(col)` lets AQE coalesce a small
+    * input to one file and the zone maps degenerate to a full scan.
+    * Timestamps are forced to INT64 TIMESTAMP_MICROS for the write:
+    * Spark's legacy INT96 default carries NO parquet statistics, which
+    * would leave every file unprunable (same rule as
+    * [[PartitionedArchive]]'s writer, and the reason the footer index
+    * treats stats-less files as must-read). */
+  def writeTimeClustered(df: DataFrame, tsCol: String, dir: String,
+                         numFiles: Int = 32): Unit =
+    withMicrosTimestamps(df) {
+      df.withColumn("__d", to_date(col(tsCol)))
+        .repartition(numFiles, col("__d"))
+        .sortWithinPartitions(col(tsCol))
+        .drop("__d")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** Scope a write to INT64 TIMESTAMP_MICROS (stats-bearing) parquet
+    * timestamps; restore the session conf after. */
+  private def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val conf = df.sparkSession.conf
+    val prev = conf.getOption(key)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => conf.set(key, v)
+      case None => conf.unset(key)
+    }
+  }
+
+  /** One index row per parquet file: `(file, n_rows, bytes, min_us,
+    * max_us)` for an INT64-backed column `statCol` (TIMESTAMP_MICROS or
+    * raw long — the min/max are whatever unit the file stores, callers
+    * prune in the same unit). Footer-only: the executors open each
+    * file's metadata tail, never a data page. The file list itself comes
+    * from the catalog listing (`inputFiles` — the same driver-side
+    * metadata op every table read performs). */
+  def buildFooterIndex(spark: SparkSession, dataDir: String,
+                       statCol: String): DataFrame = {
+    val files = spark.read.parquet(dataDir).inputFiles.toIndexedSeq
+    import spark.implicits._
+    val ds: Dataset[String] = spark.createDataset(files)(Encoders.STRING)
+    ds.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.map { f => footerStats(conf, f, statCol) }
+    }.toDF("file", "n_rows", "bytes", "min_us", "max_us")
+  }
+
+  /** Read one footer → (file, rows, compressedBytes, min, max) for the
+    * INT64 column `statCol`. Files with no non-null stats for the column
+    * surface as (Long.MaxValue, Long.MinValue) — they never match a
+    * range and are listed by [[unprunableFiles]] for safety audits. */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: String, statCol: String)
+      : (String, Long, Long, Long, Long) = {
+    val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, new org.apache.hadoop.fs.Path(file),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    var rows = 0L; var bytes = 0L
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    md.getBlocks.asScala.foreach { b =>
+      rows += b.getRowCount
+      bytes += b.getCompressedSize
+      b.getColumns.asScala
+        .find(_.getPath.toDotString == statCol)
+        .foreach { cc =>
+          val st = cc.getStatistics
+          if (st != null && !st.isEmpty && st.hasNonNullValue) {
+            (st.genericGetMin, st.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                mn = math.min(mn, lo); mx = math.max(mx, hi)
+              case _ => // non-INT64 column: leave unprunable
+            }
+          }
+        }
+    }
+    (file, rows, bytes, mn, mx)
+  }
+
+  /** Files whose `[min_us, max_us]` zone intersects `[loUs, hiUs)`.
+    * Unprunable files (no stats) have an empty zone and are excluded —
+    * pair with [[unprunableFiles]] when the archive may contain them. */
+  def pruneFiles(index: DataFrame, loUs: Long, hiUs: Long): DataFrame =
+    index.filter(col("max_us") >= lit(loUs) && col("min_us") < lit(hiUs))
+
+  /** Files the index cannot vouch for (footer carried no usable stats
+    * despite holding rows); a correct pruned scan must ALSO read these.
+    * Empty for any archive this engine writes — Spark's schema-carrier
+    * empty files have no stats either, but zero rows means provably
+    * prunable, not unprunable. */
+  def unprunableFiles(index: DataFrame): DataFrame =
+    index.filter(col("n_rows") > 0 && col("min_us") > col("max_us"))
+
+  /** Plan a scan over only the files in `fileFrame` (an index selection
+    * from [[pruneFiles]] + [[unprunableFiles]]). The collect is bounded
+    * by the FILE COUNT — metadata scale, the catalog-listing shape —
+    * and happens before planning so Catalyst sees a scan over exactly
+    * the surviving files (still with its own row-group skipping within
+    * them). */
+  def readFiles(spark: SparkSession, fileFrame: DataFrame): DataFrame = {
+    val paths = fileFrame.select("file").collect().map(_.getString(0))
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** In-order bin-packing as ONE window cumsum — no driver loop:
+    * walking `manifest` in `orderCols` order, segment k goes to bin
+    * `floor(cumulative_size_before_k / target)`. Bins are contiguous
+    * runs with the compaction guarantees that matter: bin ids are
+    * non-decreasing, at most `ceil(total/target)` bins exist, and no
+    * bin exceeds `target + max_single_segment` (a bin MAY close below
+    * target when one oversized segment straddles two boundaries — the
+    * price of prefix-sum parallelism over a sequential greedy reset,
+    * and harmless: the occasional small file, never an oversized one).
+    *
+    * The window is UNPARTITIONED by design: the manifest is the file
+    * index (metadata scale — ~100 k rows at 100 TB), not data. At
+    * multi-tenant scale run it per top-level partition key (hydrophone/
+    * source), which is how the caller shards compaction jobs anyway. */
+  def assignBins(manifest: DataFrame, sizeCol: String,
+                 orderCols: Seq[String], target: Long): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest.withColumn("bin",
+      floor((sum(col(sizeCol)).over(w) - col(sizeCol)) / lit(target.toDouble))
+        .cast("long"))
+  }
+
+  /** Execute a compaction plan (`(file, bin)` rows): each bin's files
+    * are read and rewritten as ONE file, sorted on `tsCol` so the new
+    * file's zone map is as tight as its inputs' union. Rows are routed
+    * by a broadcast file→bin map (metadata scale); each bin lands in
+    * exactly one task partition, so `partitionBy` emits exactly one
+    * file per bin. Content- and clustering-preserving. */
+  def compact(spark: SparkSession, plan: DataFrame, dataDir: String,
+              tsCol: String, outDir: String): Unit = {
+    // `inputFiles` and `_metadata.file_path` render the scheme
+    // differently (`file:/x` vs `file:///x`); canonicalize both sides or
+    // the join silently drops every row.
+    val canon = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^file:/+", "/")
+    val binOf = plan.select(canon(col("file")).as("file"), col("bin"))
+    val nBins = 1.max(plan.agg(max("bin")).collect()(0).getLong(0).toInt + 1)
+    val tagged = spark.read.parquet(dataDir)
+      .withColumn("file", canon(col("_metadata.file_path")))
+      .join(broadcast(binOf), Seq("file"))
+      .drop("file")
+    withMicrosTimestamps(tagged) {
+      tagged
+        .repartition(nBins, col("bin"))
+        .sortWithinPartitions(col(tsCol))
+        .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    }
+  }
+}

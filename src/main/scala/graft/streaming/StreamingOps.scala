@@ -326,6 +326,30 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
+  /** STREAMING histogram-quantile sketch
+    * ([[graft.functions.HistogramAgg]]): per-group state is the fixed
+    * 8·bins-byte count array riding the state store, and exact
+    * element-wise ADD merge makes the streamed counts bit-identical to
+    * one batch pass however rows split into micro-batches — the batch
+    * oracle applies unchanged (the CMS/HLL streaming contract, for
+    * quantiles). Continuous-ingest percentile tracking: exact streaming
+    * percentiles would need every value in state; this needs 512 bytes
+    * per group, forever. */
+  def runStreamHistOnce(spark: SparkSession, dir: String,
+                        lo: Double, hi: Double, bins: Int): DataFrame = {
+    val name = s"graft_stream_hist_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = eventsStream(ses, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HistogramAgg.hist_sketch(
+        col("value"), lo, hi, bins).as("h"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name)
+  }
+
   /** Streaming ingest into the canonical partitioned archive: each
     * micro-batch lands through the same sorted, stats-bearing writer the
     * bulk path uses, so data is servable the moment the batch commits and

@@ -284,4 +284,38 @@ class PlanSpec extends AnyFunSuite {
     val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnl <= 2, s"$bnl nested-loop joins:\n${p.take(2000)}")
   }
+
+  test("kNN graph (exact + IVF): window-free, heap ranks, no cartesian; IVF joins on cell") {
+    // exact path: block-pair equi-join + bounded heap — the n² compare
+    // work is spread, never materialized through a window or cartesian
+    val pe = plan("q_knn_join")
+    assert(!pe.contains("CartesianProduct"), pe.take(2000))
+    assert(!pe.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), pe.take(2000))
+    // IVF path: probe assignment is a bounded-heap aggregate (the
+    // corpus-sized twin of probeCells — a window here would shuffle the
+    // nCells-amplified corpus), candidates a cell equi-join; only the
+    // 16-row centroid frame may ride a broadcast nested loop
+    val pi = plan("q_knn_join_ivf")
+    assert(!pi.contains("CartesianProduct"), pi.take(2000))
+    assert(!pi.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), pi.take(2000))
+    // both heap stages surface as ObjectHashAggregate over topk*agg
+    assert(pi.toLowerCase.contains("topkbyagg") ||
+           pi.toLowerCase.contains("topkpaybyagg"), pi.take(2000))
+  }
+
+  test("skip-scan aggregates only the pruned file subset; compaction plan is metadata-scale") {
+    // q_skip_scan ends in a partial→final hash aggregate over the pruned
+    // read — no window, no join (the index probe happened at planning
+    // time, exactly like the IVF index's cell collect)
+    val p = plan("q_skip_scan")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    // the compaction planner's one unpartitioned window runs over the
+    // per-(event_type, day) MANIFEST — an aggregate output, never raw rows
+    val pc = plan("q_compaction_plan")
+    val aggBeforeWindow = pc.linesIterator
+      .dropWhile(l => !l.matches(".*\\bWindow \\[.*"))
+      .exists(_.contains("HashAggregate"))
+    assert(aggBeforeWindow, s"window not fed by the aggregated manifest:\n${pc.take(2000)}")
+  }
 }

@@ -564,4 +564,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(enc.map(e => (e._1, e._2)).distinct.length == enc.length)
     assert(enc.forall(e => bookCodes.contains(e._3)))
   }
+
+  test("kNN graph: dense ranks for every vector; IVF recall beats the probe floor, grows with nProbe") {
+    val e = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val n = e.count()
+    val exact = SimilarityOps.knnJoin(e, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id")))
+    // every vector is a query with dense ranks 1..5, never itself
+    assert(exact.length === n * 5)
+    assert(exact.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    assert(exact.forall(t => t._1 != t._3))
+
+    val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+      .orderBy("cell").limit(16)
+    val truth = exact.map(t => (t._1, t._3)).toSet
+    def recall(nProbe: Int): Double = {
+      val g = SimilarityOps.knnJoinIvf(e, "vec_id", "embedding", cent,
+          k = 5, nProbe = nProbe)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      g.count(truth.contains).toDouble / truth.size
+    }
+    val r2 = recall(2)
+    // probing 2/16 cells blindly would find ~12.5% — the quantizer must
+    // beat that floor decisively even on this unclustered synthetic
+    // corpus (measured 0.31; clustered corpora score far higher, see
+    // Profile ann_recall)
+    assert(r2 >= 0.25, s"recall@nProbe=2 = $r2")
+    val r4 = recall(4)
+    assert(r4 > r2, s"recall must grow with nProbe: $r2 -> $r4")
+  }
 }

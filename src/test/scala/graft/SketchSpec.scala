@@ -152,4 +152,61 @@ class SketchSpec extends AnyFunSuite {
         s"${r.getString(0)}: exact=$e approx=$a")
     }
   }
+
+  test("hist_sketch: counts exact, clamping to edge bins, NaN/null skipped") {
+    import spark.implicits._
+    import graft.functions.HistogramAgg
+    val vals = Seq[java.lang.Double](1.0, 7.9, 8.0, 100.0, 511.9, 512.0,
+      900.0, -3.0, Double.NaN, null).toDF("v")
+    val h = vals.agg(HistogramAgg.hist_sketch(col("v"), 0.0, 512.0, 64).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(h.length === 64)
+    assert(h.sum === 8L) // NaN + null skipped
+    assert(h(0) === 3L)  // 1.0, 7.9, and clamped -3.0
+    assert(h(1) === 1L)  // 8.0 starts bin 1
+    assert(h(12) === 1L) // 100.0
+    assert(h(63) === 3L) // 511.9 + clamped 512.0, 900.0
+  }
+
+  test("hist_sketch merge == single pass; quantile within one bin width of exact") {
+    import graft.functions.HistogramAgg
+    val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+    // split-merge vs one pass: per-half sketches summed element-wise
+    val whole = ev.agg(HistogramAgg.hist_sketch(col("value"), 0.0, 512.0, 64).as("h"))
+      .collect()(0).getSeq[Long](0)
+    val halves = ev.withColumn("half", col("event_id") % 2)
+      .groupBy("half")
+      .agg(HistogramAgg.hist_sketch(col("value"), 0.0, 512.0, 64).as("h"))
+      .collect().map(_.getSeq[Long](1))
+    val merged = halves.reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(merged === whole)
+
+    val rows = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("exact"),
+           HistogramAgg.hist_sketch(col("value"), 0.0, 512.0, 64).as("h"))
+      .select(col("event_type"), col("exact"),
+        HistogramAgg.histQuantile(col("h"), 0.5, 0.0, 512.0, 64).as("est"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(1)) <= 8.0,
+        s"${r.getString(0)}: exact=${r.getDouble(1)} est=${r.getDouble(2)}")
+    }
+  }
+
+  test("histQuantile: empty sketch → null, q=1 lands in the last occupied bin") {
+    import spark.implicits._
+    import graft.functions.HistogramAgg
+    val empty = Seq[java.lang.Double](null).toDF("v")
+      .agg(HistogramAgg.hist_sketch(col("v"), 0.0, 512.0, 64).as("h"))
+      .select(HistogramAgg.histQuantile(col("h"), 0.5, 0.0, 512.0, 64))
+      .collect()(0)
+    assert(empty.isNullAt(0))
+    val one = Seq(100.0).toDF("v")
+      .agg(HistogramAgg.hist_sketch(col("v"), 0.0, 512.0, 64).as("h"))
+      .select(HistogramAgg.histQuantile(col("h"), 1.0, 0.0, 512.0, 64))
+      .collect()(0).getDouble(0)
+    // single value in bin 12 [96,104): rank 1 of 1 → 96 + 1/1·8 = 104
+    assert(one === 104.0)
+  }
 }

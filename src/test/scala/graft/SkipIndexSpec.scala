@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SkipIndex
+import graft.tables.Tables
+
+/** Zone-map skip index + compaction (SkipIndex): the footer-only index
+  * must agree with the data, pruning must plan a strict file subset
+  * while preserving the answer, and compaction must preserve content
+  * while hitting one-file-per-bin with tight post-compaction zones. */
+class SkipIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val flatDir = {
+    val dir = new java.io.File("target/fixtures/events_flat").getAbsolutePath
+    SkipIndex.writeTimeClustered(
+      Tables.events(spark, TestSpark.Sf0001)
+        .select("event_id", "ts", "user_id", "event_type", "value"),
+      "ts", dir)
+    dir
+  }
+
+  private lazy val index = SkipIndex.buildFooterIndex(spark, flatDir, "ts").cache()
+
+  test("footer index agrees with a data scan: rows, min/max per file") {
+    val fromData = spark.read.parquet(flatDir)
+      .groupBy(regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(unix_micros(col("ts"))).as("min_us"),
+           max(unix_micros(col("ts"))).as("max_us"))
+      .orderBy("file").collect().toSeq
+    // a data scan can only see files with rows; the footer index also
+    // lists Spark's empty schema-carrier file (0 rows, no stats)
+    val fromFooter = index.filter(col("n_rows") > 0)
+      .select(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+        col("n_rows"), col("min_us"), col("max_us"))
+      .orderBy("file").collect().toSeq
+    assert(fromFooter.nonEmpty)
+    assert(fromFooter === fromData)
+    // every non-empty file this engine writes carries usable stats
+    assert(SkipIndex.unprunableFiles(index).count() === 0)
+  }
+
+  test("pruned scan: strict file subset, identical answer to full scan") {
+    val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+    val picked = SkipIndex.pruneFiles(index,
+      lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+    val total = index.count()
+    val kept = picked.count()
+    assert(kept > 0 && kept < total, s"expected strict subset, kept $kept of $total")
+
+    val winPred = (c: org.apache.spark.sql.Column) =>
+      c >= lit(java.sql.Timestamp.from(lo)) && c < lit(java.sql.Timestamp.from(hi))
+    val pruned = SkipIndex.readFiles(spark, picked).filter(winPred(col("ts")))
+    // the planned scan covers only the picked files
+    assert(pruned.inputFiles.length === kept.toInt)
+    val full = spark.read.parquet(flatDir).filter(winPred(col("ts")))
+    assert(pruned.count() === full.count())
+    assert(pruned.agg(sum(col("event_id"))).collect()(0).getLong(0) ===
+           full.agg(sum(col("event_id"))).collect()(0).getLong(0))
+  }
+
+  test("empty pruning window → empty frame, no files planned") {
+    val picked = SkipIndex.pruneFiles(index, 0L, 1L) // 1970: before the archive
+    assert(picked.count() === 0)
+    assert(SkipIndex.readFiles(spark, picked).isEmpty)
+  }
+
+  test("assignBins: monotone bins, ≤ ceil(total/target) of them, none oversized") {
+    val target = 200L
+    val plan = SkipIndex.assignBins(
+      index.filter(col("n_rows") > 0)
+        .select(col("file"), col("n_rows"), col("min_us")),
+      "n_rows", Seq("min_us"), target)
+      .orderBy("min_us").collect().toSeq
+    val bins = plan.map(_.getAs[Long]("bin"))
+    assert(bins.head === 0L)
+    bins.sliding(2).foreach { case Seq(a, b) => assert(b >= a); case _ => }
+    val sizes = plan.map(_.getAs[Long]("n_rows"))
+    val total = sizes.sum
+    assert(bins.distinct.size <= ((total + target - 1) / target).toInt)
+    // no bin exceeds target + the largest single segment
+    val perBin = plan.groupBy(_.getAs[Long]("bin")).view
+      .mapValues(_.map(_.getAs[Long]("n_rows")).sum).toMap
+    perBin.foreach { case (b, sz) =>
+      assert(sz <= target + sizes.max, s"bin $b oversized: $sz") }
+    // and compaction is worthwhile: strictly fewer bins than input files
+    assert(bins.distinct.size < plan.size)
+  }
+
+  test("compact: content preserved, exactly one file per bin, zones stay time-contiguous") {
+    val plan = SkipIndex.assignBins(
+      index.filter(col("n_rows") > 0)
+        .select(col("file"), col("n_rows"), col("min_us")),
+      "n_rows", Seq("min_us"), target = 200L).cache()
+    val outDir = new java.io.File("target/fixtures/events_compacted").getAbsolutePath
+    SkipIndex.compact(spark, plan, flatDir, "ts", outDir)
+
+    val before = spark.read.parquet(flatDir)
+    val after = spark.read.parquet(outDir)
+    assert(after.count() === before.count())
+    assert(after.agg(sum(col("event_id"))).collect()(0).getLong(0) ===
+           before.agg(sum(col("event_id"))).collect()(0).getLong(0))
+    // fewer files than before, exactly one per bin
+    val nBins = plan.select("bin").distinct().count()
+    assert(after.inputFiles.length.toLong === nBins)
+    assert(after.inputFiles.length < before.inputFiles.length)
+    // post-compaction zone maps stay ordered: binning walks files in
+    // min_us order, so bin time-minima are non-decreasing. (Full
+    // disjointness is not guaranteed — the day-hash writer may colocate
+    // non-adjacent days in one input file, and compaction preserves,
+    // never worsens, that inherited overlap.)
+    val zones = after.groupBy(col("bin"))
+      .agg(min(unix_micros(col("ts"))).as("mn"))
+      .orderBy("bin").collect().toSeq
+    zones.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.getAs[Long]("mn") <= b.getAs[Long]("mn"),
+          s"bin minima regress between ${a.get(0)} and ${b.get(0)}")
+      case _ =>
+    }
+  }
+}

@@ -282,6 +282,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming histogram sketch is bit-identical to the batch count array") {
+    val streamed = StreamingOps.runStreamHistOnce(
+        spark, TestSpark.Sf0001, 0.0, 512.0, 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HistogramAgg.hist_sketch(
+        col("value"), 0.0, 512.0, 64).as("h"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming sessionization (sentinel-flushed) equals batch session_window") {
     val streamed = StreamingOps.runStreamSessionsOnce(spark, TestSpark.Sf0001)
       .collect()
