@@ -1063,6 +1063,106 @@ object Profile {
             f"recompute $rec1q%5.1f s  files 1q $probedFiles/$total")
           e.unpersist()
         }
+      case "skip_scale" =>
+        // SkipIndex claim: pruning cost is metadata-flat while the
+        // benefit (scan fraction avoided) GROWS with archive span — a
+        // fixed 3-day window reads 3/30 of a 1-month archive but
+        // 3/(30·N) of an N-month one. Replicate events with ts shifted
+        // +31 days per replica (archive span grows, density constant),
+        // then measure: index-build time (footer pass), pruned-vs-total
+        // file counts and bytes, and pruned-query vs full-filter-query
+        // wall time.
+        import org.apache.spark.sql.functions._
+        val ev0 = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val n0 = ev0.count()
+        Seq(1, 1, 4, 12).foreach { months =>
+          val ev = (0 until months).map { i =>
+            ev0.select(col("event_id"), (col("ts") +
+              expr(s"INTERVAL ${i * 31} DAYS")).as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+          }.reduce(_ unionByName _)
+          val dir = s"/tmp/graft_skip_profile/x$months/events_flat"
+          val wbuild = elapsed(graft.sources.SkipIndex.writeTimeClustered(
+            ev, "ts", dir, numFiles = 32 * months))
+          var idx: DataFrame = null
+          val ibuild = elapsed {
+            idx = graft.sources.SkipIndex.buildFooterIndex(spark, dir, "ts")
+              .persist(); idx.count(): Unit
+          }
+          val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+          val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+          val picked = graft.sources.SkipIndex.pruneFiles(idx,
+            lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+          val (kept, total) = (picked.count(), idx.count())
+          val keptBytes = picked.agg(sum("bytes")).first().getLong(0)
+          val totalBytes = idx.agg(sum("bytes")).first().getLong(0)
+          def winAgg(df: DataFrame): DataFrame = df
+            .filter(col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+                    col("ts") < lit(java.sql.Timestamp.from(hi)))
+            .groupBy(to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n"), avg("value").as("m"))
+          val tPruned = elapsed(force(
+            winAgg(graft.sources.SkipIndex.readFiles(spark, picked))))
+          val tFull = elapsed(force(winAgg(spark.read.parquet(dir))))
+          println(f"[profile] ${months}%3d mo (${n0 * months}%8d rows): " +
+            f"write $wbuild%5.1f s  footer-index $ibuild%5.1f s  " +
+            f"files $kept%3d/$total%3d  bytes ${keptBytes / 1024}%6d/" +
+            f"${totalBytes / 1024}%6d KiB  query pruned $tPruned%5.2f s " +
+            f"/ full $tFull%5.2f s")
+          idx.unpersist()
+        }
+
+      case "knn_scale" =>
+        // kNN-graph claim: exact block-pair work grows n², the IVF
+        // cell-join Σ|cell|·|probes| ≈ n²·(nProbe/nCells) with constant
+        // cells — and at REAL scale nCells grows ~√n, making it
+        // sub-quadratic. Measure both paths' wall time and the scored
+        // candidate-pair counts at 1×/10×, IVF alone at 50×.
+        import org.apache.spark.sql.functions._
+        val e0 = graft.tables.Tables.embeddings(spark, sfDir)
+        val nv0 = e0.count()
+        val stride = e0.agg(max("vec_id")).first().getLong(0) + 1
+        Seq(1, 1, 10, 50).foreach { times =>
+          val e = (0 until times).map { i =>
+            e0.select((col("vec_id") + lit(i * stride)).as("vec_id"),
+              col("embedding"))
+          }.reduce(_ unionByName _).repartition(32).persist()
+          val n = e.count()
+          // centroids come from the DISTINCT original vectors (replicas
+          // would duplicate centroids and degenerate the quantizer)
+          def centK(nc: Int): DataFrame =
+            e0.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+              .orderBy("cell").limit(nc)
+          def runIvf(nc: Int): (Double, Long) = {
+            val cent = centK(nc)
+            val t = elapsed(force(graft.sim.SimilarityOps.knnJoinIvf(
+              e, "vec_id", "embedding", cent, k = 5, nProbe = 2)))
+            val probes = graft.sim.SimilarityOps.corpusProbes(
+              e, "vec_id", "embedding", cent, 2)
+            val cands = probes.filter(col("probe_rank") === 1)
+              .groupBy("cell").agg(count(lit(1)).as("nc"))
+              .join(probes.groupBy("cell").agg(count(lit(1)).as("np")), "cell")
+              .agg(sum(col("nc") * col("np"))).first().getLong(0)
+            (t, cands)
+          }
+          // fixed 16 cells (the contract-query quantizer) vs ~√n cells
+          // (the FAISS sizing rule) — constant cells stop scaling: 16
+          // join keys bound both parallelism and the candidate fraction
+          val (t16, c16) = runIvf(16)
+          val ncScaled = 16 * math.ceil(math.sqrt(times.toDouble)).toInt
+          val (tS, cS) = runIvf(ncScaled)
+          val tExact = if (times <= 10)
+            elapsed(force(graft.sim.SimilarityOps.knnJoin(
+              e, "vec_id", "embedding", k = 5)))
+            else Double.NaN
+          println(f"[profile] ${times}%3d× ($n%7d vecs): ivf16 $t16%6.1f s " +
+            f"(${c16.toDouble / (n.toDouble * n)}%.4f of n²)  " +
+            f"ivf$ncScaled%d $tS%6.1f s (${cS.toDouble / (n.toDouble * n)}%.4f)" +
+            f"  exact $tExact%6.1f s")
+          e.unpersist()
+        }
+
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each
