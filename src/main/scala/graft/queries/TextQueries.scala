@@ -221,6 +221,16 @@ object TextQueries {
           PiiUrlRe, "[URL]").cast("binary")).as("scrubbed_md5"))
         .orderBy("doc_id")),
 
+    // k-anonymity generalization over the (lang, source) quasi-identifier:
+    // under-5 groups get source coarsened to '*', regrouped, and flagged
+    // if the merge still leaves them re-identifiable (k_ok=false → a
+    // release must suppress). Group membership, not values, is the leak
+    // this bounds — the complement of q_pii_scrub.
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.text.TextOps.kAnonymize(docs(s, dir),
+          Seq("lang", "source"), generalize = "source", k = 5)
+        .orderBy("lang", "source_anon")),
+
     // Benchmark-contamination check: per-document 3-gram overlap against an
     // eval set (every 100th doc stands in for a held-out benchmark). The
     // eval shingle set is SMALL by construction → broadcast semi-join; the
@@ -1021,6 +1031,16 @@ object TextQueries {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      'https?://[^ \t\n\f\r]+', '[URL]', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+        |gen AS (
+        |  SELECT lang, CASE WHEN n < 5 THEN '*' ELSE source END AS source_anon, n
+        |  FROM g)
+        |SELECT lang, source_anon, CAST(sum(n) AS BIGINT) AS n,
+        |       sum(n) >= 5 AS k_ok
+        |FROM gen GROUP BY 1, 2 ORDER BY lang, source_anon""".stripMargin,
 
     "q_contamination" ->
       s"""WITH tk AS (

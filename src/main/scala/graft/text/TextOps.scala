@@ -689,4 +689,30 @@ object TextOps {
     }
     merges.toSeq.toDF("step", "lhs", "rhs", "freq")
   }
+
+  /** k-ANONYMITY generalization (Sweeney 2002): a quasi-identifier
+    * combination shared by fewer than `k` rows re-identifies — one
+    * generalization-hierarchy step coarsens the `generalize` column of
+    * every under-`k` group to `"*"`, groups again, and flags whether the
+    * merged groups now satisfy k (`k_ok` — generalization can still
+    * leave a residual under-k `"*"` group, which a release pipeline must
+    * SUPPRESS; surfacing the flag instead of silently dropping keeps the
+    * decision auditable). The privacy companion to the PII scrub: scrub
+    * cleans VALUES, this bounds what group MEMBERSHIP discloses.
+    *
+    * Shape: two partial→final hash aggregates over the QI columns —
+    * group-count scale, no row-level shuffle beyond the first groupBy;
+    * at 100 TB the QI cardinality (not the corpus) sizes every exchange
+    * after the first. Output `(qi..., <generalize>_anon, n, k_ok)`. */
+  def kAnonymize(df: DataFrame, qi: Seq[String], generalize: String,
+                 k: Int): DataFrame = {
+    require(qi.contains(generalize), s"generalize column $generalize must be a QI column")
+    val keep = qi.filterNot(_ == generalize)
+    val g = df.groupBy(qi.map(col): _*).agg(count(lit(1)).as("n"))
+      .withColumn(s"${generalize}_anon",
+        when(col("n") < lit(k), lit("*")).otherwise(col(generalize)))
+    g.groupBy((keep :+ s"${generalize}_anon").map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      .withColumn("k_ok", col("n") >= lit(k))
+  }
 }

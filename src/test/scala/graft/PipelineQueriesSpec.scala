@@ -421,4 +421,23 @@ class PipelineQueriesSpec extends AnyFunSuite {
       bs.foreach(b => assert(b._3 / total < 0.6, s"$src ${b._2} ${b._3}/$total"))
     }
   }
+
+  test("kAnonymize: under-k groups merge into '*', residual under-k flagged, mass preserved") {
+    import spark.implicits._
+    // planted: en has one big group + two rare that merge to a k-ok '*';
+    // de has a single rare group whose '*' stays under k (k_ok=false)
+    val rows =
+      Seq.fill(6)(("en", "sA")) ++ Seq(("en", "sB"), ("en", "sB"),
+        ("en", "sC"), ("en", "sC"), ("en", "sC")) ++ Seq(("de", "sD"))
+    val out = graft.text.TextOps.kAnonymize(
+        rows.toDF("lang", "source"), Seq("lang", "source"), "source", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getBoolean(3))).toSet
+    assert(out === Set(
+      ("en", "sA", 6L, true),  // already k-anonymous, name kept
+      ("en", "*", 5L, true),   // 2+3 rare rows merge and now satisfy k
+      ("de", "*", 1L, false))) // generalization insufficient → suppress
+    // no row lost or duplicated by the generalize→regroup
+    assert(out.toSeq.map(_._3).sum === rows.size)
+  }
 }
