@@ -93,6 +93,31 @@ object DedupQueries {
         dir, "simhash_fps")
       DedupOps.simhashPairs(fps, 3).orderBy("id_a", "id_b")
     }),
+
+    // INCREMENTAL near-dup screening against the PERSISTED band index
+    // (IncrementalDedup): sources 0-9 are the indexed history, 10+ the
+    // incoming batch; the index is a bkey-bucketed table so screening
+    // shuffles only the batch (IncDedupSpec pins zero Exchange above the
+    // index scan), and verification is signature-agreement — no access
+    // to historical text. Same banding and sig fixture as
+    // q_dedup_minhash, so the oracle replays band join + agreement from
+    // the shared seam.
+    "q_dedup_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val d = docs(s, dir).withColumn("sn",
+        regexp_extract(col("source"), "\\d+", 0).cast("int"))
+      val sigs = seam(DedupOps.minhashSignatures(d, "doc_id", "text", n = 3, k = K),
+        dir, "minhash_sigs")
+      val withSn = sigs.join(d.select("doc_id", "sn"), "doc_id")
+      val hist = withSn.filter(col("sn") < 10).select("doc_id", "sig")
+      val inc = withSn.filter(col("sn") >= 10).select("doc_id", "sig")
+      val table = "graft_inc_dedup_" +
+        new java.io.File(dir.replaceAll("/+$", "")).getName.replaceAll("\\W", "_")
+      graft.dedup.IncrementalDedup.buildBandIndex(s, hist, K, Bands, table)
+      graft.dedup.IncrementalDedup.screenBatch(s, table, inc, K, Bands,
+          minAgree = 0.5)
+        .orderBy("inc_id", "hist_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,5 +243,35 @@ object DedupQueries {
          |FROM cand
          |WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // Band join restricted hist(sn<10) × incoming(sn≥10), then the
+    // signature-agreement verify: matching positions / k, replayed by
+    // indexing both sig arrays over range(1, k+1).
+    "q_dedup_incremental" ->
+      s"""WITH sigs AS (SELECT * FROM read_parquet('${sqlPath("minhash_sigs")}')),
+         |src AS (SELECT doc_id,
+         |          CAST(regexp_extract(source, '[0-9]+', 0) AS INT) AS sn
+         |        FROM documents),
+         |s2 AS (SELECT s.doc_id, s.sig, src.sn FROM sigs s JOIN src USING (doc_id)),
+         |banded AS (
+         |  SELECT doc_id, sn, unnest(range(0, $Bands)) AS band, sig FROM s2),
+         |bb AS (
+         |  SELECT doc_id, sn, band,
+         |         array_to_string(list_slice(sig, CAST(band AS INT) * 4 + 1,
+         |                                    CAST(band AS INT) * 4 + 4), ',') AS bucket
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS inc_id, h.doc_id AS hist_id
+         |  FROM bb i JOIN bb h ON i.band = h.band AND i.bucket = h.bucket
+         |  WHERE i.sn >= 10 AND h.sn < 10 AND i.doc_id <> h.doc_id),
+         |ag AS (
+         |  SELECT c.inc_id, c.hist_id,
+         |         round(CAST(len(list_filter(range(1, $K + 1),
+         |                 x -> si.sig[x] = sh.sig[x])) AS DOUBLE) / $K.0, 6) AS agree
+         |  FROM cand c
+         |  JOIN sigs si ON si.doc_id = c.inc_id
+         |  JOIN sigs sh ON sh.doc_id = c.hist_id)
+         |SELECT inc_id, hist_id, agree FROM ag
+         |WHERE agree >= 0.5 ORDER BY inc_id, hist_id""".stripMargin,
   )
 }
