@@ -128,6 +128,36 @@ object SkipIndex {
     (file, rows, bytes, mn, mx)
   }
 
+  /** INCREMENTAL index maintenance: bring a persisted index up to date
+    * with the archive by reading footers ONLY for files the index has
+    * not seen (the shape continuous ingest needs — each refresh costs
+    * O(new files), never O(archive); deleted files' rows are dropped so
+    * compaction rewrites self-heal). The listing diff runs on the
+    * metadata frames; stats merge by union since per-file rows are
+    * immutable (parquet files never change in place — an overwritten
+    * file has a new name). */
+  def refreshFooterIndex(spark: SparkSession, dataDir: String,
+                         statCol: String, existing: DataFrame): DataFrame = {
+    import spark.implicits._
+    val listing = spark.createDataset(
+      spark.read.parquet(dataDir).inputFiles.toIndexedSeq)(Encoders.STRING)
+      .toDF("file")
+    // joins on the metadata frames, never an N-file isin literal
+    val kept = existing.join(listing, Seq("file"), "left_semi")
+    val newFiles = listing
+      .join(existing.select("file"), Seq("file"), "left_anti")
+      .collect().map(_.getString(0)).toIndexedSeq // bounded: new files only
+    if (newFiles.isEmpty) kept
+    else {
+      val fresh = spark.createDataset(newFiles)(Encoders.STRING)
+        .mapPartitions { it =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          it.map { f => footerStats(conf, f, statCol) }
+        }.toDF("file", "n_rows", "bytes", "min_us", "max_us")
+      kept.unionByName(fresh)
+    }
+  }
+
   /** Files whose `[min_us, max_us]` zone intersects `[loUs, hiUs)`.
     * Unprunable files (no stats) have an empty zone and are excluded —
     * pair with [[unprunableFiles]] when the archive may contain them. */

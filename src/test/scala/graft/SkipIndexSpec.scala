@@ -91,6 +91,45 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(bins.distinct.size < plan.size)
   }
 
+  test("refreshFooterIndex: incremental ≡ rebuild; only new files' footers read; deletions dropped") {
+    val dir = new java.io.File("target/fixtures/events_flat_refresh").getAbsolutePath
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    SkipIndex.writeTimeClustered(ev.filter(col("ts") <
+      lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))), "ts", dir)
+    val idx0 = SkipIndex.buildFooterIndex(spark, dir, "ts").cache()
+    idx0.count()
+
+    // append the second half as new files (fresh subdir files via a
+    // second write into a sibling then move — simplest: write with
+    // append mode clustered on the remaining days)
+    val rest = ev.filter(col("ts") >=
+      lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+    val key = "spark.sql.parquet.outputTimestampType"
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try rest.withColumn("__d", to_date(col("ts")))
+      .repartition(8, col("__d")).sortWithinPartitions("ts").drop("__d")
+      .write.mode("append").parquet(dir)
+    finally spark.conf.unset(key)
+
+    val refreshed = SkipIndex.refreshFooterIndex(spark, dir, "ts", idx0)
+    val rebuilt = SkipIndex.buildFooterIndex(spark, dir, "ts")
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+        col("n_rows"), col("min_us"), col("max_us"))
+      .orderBy("file").collect().toSeq
+    assert(norm(refreshed) === norm(rebuilt))
+    assert(refreshed.count() > idx0.count())
+
+    // deletion heals: drop one file on disk → refresh forgets its row
+    val victim = new java.io.File(
+      norm(refreshed).head.getString(0))
+    assert(victim.exists()); victim.delete()
+    val healed = SkipIndex.refreshFooterIndex(spark, dir, "ts", refreshed)
+    assert(!norm(healed).map(_.getString(0)).contains(victim.getPath))
+    assert(healed.count() === refreshed.count() - 1)
+  }
+
   test("compact: content preserved, exactly one file per bin, zones stay time-contiguous") {
     val plan = SkipIndex.assignBins(
       index.filter(col("n_rows") > 0)
