@@ -128,6 +128,48 @@ object SkipIndex {
     (file, rows, bytes, mn, mx)
   }
 
+  /** Replay-idempotent micro-batch append into a FLAT archive: the
+    * [[PartitionedArchive.appendBatchAt]] staging/marker/deterministic-
+    * rename protocol with NO partition directories — batch rows are
+    * day-clustered and time-sorted so each landed file carries a tight
+    * zone. Redelivered batches (foreachBatch is at-least-once) hit the
+    * commit marker and land nothing. */
+  def appendClusteredBatch(df: DataFrame, tsCol: String, dir: String,
+                           batchId: Long, streamId: String = ""): Unit =
+    PartitionedArchive.appendBatchAt(
+      df.withColumn("__d", to_date(col(tsCol)))
+        .repartition(col("__d")).drop("__d"),
+      dir, Seq.empty, Seq(tsCol), batchId, streamId)
+
+  /** The co-located persisted index lives at `dir/_skipindex` — the
+    * underscore prefix hides it from every data scan (Spark's FileIndex
+    * skips `_`/`.` paths), so index and data share one root. */
+  def indexPath(dir: String): String = s"$dir/_skipindex"
+
+  /** Load the persisted index, or an empty frame with the index schema
+    * when none exists yet (first batch of a fresh archive). */
+  def loadIndexOrEmpty(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(indexPath(dir))
+    else {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long, Long, Long)]
+        .toDF("file", "n_rows", "bytes", "min_us", "max_us")
+    }
+  }
+
+  /** Persist an index frame at [[indexPath]]. The frame is materialized
+    * on the driver first — it is METADATA-scale by construction (one row
+    * per file; ~1e5 rows at 100 TB), and reading `_skipindex` while
+    * overwriting it would otherwise race the lazy scan. */
+  def persistIndex(spark: SparkSession, idx: DataFrame, dir: String): Unit = {
+    val rows = idx.collect().toIndexedSeq // metadata-scale
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), idx.schema)
+      .write.mode("overwrite").parquet(indexPath(dir))
+  }
+
   /** INCREMENTAL index maintenance: bring a persisted index up to date
     * with the archive by reading footers ONLY for files the index has
     * not seen (the shape continuous ingest needs — each refresh costs

@@ -380,6 +380,39 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming ingest into a FLAT skip-indexed archive: each micro-batch
+    * lands through the replay-idempotent clustered appender
+    * ([[graft.sources.SkipIndex.appendClusteredBatch]] — staging +
+    * deterministic names + commit marker, so at-least-once redelivery is
+    * exactly-once on disk), then the co-located zone-map index is
+    * brought up to date INCREMENTALLY (footer reads for the new files
+    * only) and persisted beside the data. Data is prunable the moment
+    * the batch commits — the skip-index twin of [[archiveIngest]]'s
+    * partition-directory path and the ANN index's streamed postings. */
+  def flatArchiveIngest(stream: DataFrame, tsCol: String, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(checkpoint.getBytes("UTF-8"))
+      d.take(4).map("%02x".format(_)).mkString
+    }
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.sources.SkipIndex
+        val s = batch.sparkSession
+        SkipIndex.appendClusteredBatch(batch, tsCol, dir, batchId, streamId)
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(root) &&
+          fs.listStatus(root).exists(_.getPath.getName.endsWith(".parquet"))
+        if (hasData) // an empty first batch has nothing to index
+          SkipIndex.persistIndex(s, SkipIndex.refreshFooterIndex(
+            s, dir, tsCol, SkipIndex.loadIndexOrEmpty(s, dir)), dir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** STREAM-STREAM interval join (§2.10's remaining operator family):
     * purchases matched to the same user's clicks in the preceding hour —
     * the attribution-join shape. Both sides carry watermarks, and the join

@@ -130,6 +130,55 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(healed.count() === refreshed.count() - 1)
   }
 
+  test("streaming flat ingest: exactly-once files, index fresh per batch, pruning correct") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val src = java.nio.file.Files.createTempDirectory("graft_flat_src").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_flat_arch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_flat_ckpt").toString
+    def rows(day: Int) = (0 until 50).map { i =>
+      (day * 1000L + i,
+        Timestamp.valueOf(f"2024-02-0$day 00:00:00").toLocalDateTime
+          .plusSeconds(i * 60L), i.toDouble)
+    }.map { case (id, t, v) => (id, Timestamp.valueOf(t), v) }
+      .toDF("event_id", "ts", "value")
+    rows(1).coalesce(1).write.parquet(s"$src/f1")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    val q = graft.streaming.StreamingOps.flatArchiveIngest(stream, "ts", dir, ckpt)
+    try {
+      q.processAllAvailable()
+      rows(2).coalesce(1).write.parquet(s"$src/f2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val data = spark.read.parquet(dir)
+    assert(data.count() === 100)
+    // the persisted index is current: identical to a from-scratch rebuild
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+        col("n_rows"), col("min_us"), col("max_us"))
+      .orderBy("file").collect().toSeq
+    val idx = SkipIndex.loadIndexOrEmpty(spark, dir)
+    assert(idx.count() >= 2)
+    assert(norm(idx) === norm(SkipIndex.buildFooterIndex(spark, dir, "ts")))
+    // zone pruning serves straight off the streamed archive
+    val lo = java.time.Instant.parse("2024-02-02T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-02-03T00:00:00Z")
+    val picked = SkipIndex.pruneFiles(idx,
+      lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+    assert(picked.count() > 0 && picked.count() < idx.count())
+    assert(SkipIndex.readFiles(spark, picked)
+      .filter(col("ts") >= lit(Timestamp.from(lo)) &&
+              col("ts") < lit(Timestamp.from(hi))).count() === 50)
+    // redelivery of a committed batch is a no-op (marker protocol)
+    val streamId = java.security.MessageDigest.getInstance("MD5")
+      .digest(ckpt.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    SkipIndex.appendClusteredBatch(rows(1), "ts", dir, batchId = 0L, streamId)
+    assert(spark.read.parquet(dir).count() === 100)
+  }
+
   test("compact: content preserved, exactly one file per bin, zones stay time-contiguous") {
     val plan = SkipIndex.assignBins(
       index.filter(col("n_rows") > 0)
