@@ -290,7 +290,67 @@ object StatsQueries {
     "q_stream_quantiles" -> ((s, dir) =>
       histQuantiles(graft.streaming.StreamingOps.runStreamHistOnce(
         s, dir, HistLo, HistHi, HistBins))),
+
+    // KMV distinct sketch (k minimum hash values) per language: the
+    // set-algebra cardinality sketch — unlike HLL registers, the k-min
+    // set is a uniform sample of the key space, so sketches ALSO answer
+    // intersection/Jaccard (q_kmv_overlap). Estimate = (k−1)·2^60 /
+    // kth_min (one divide of exact integers — bit-identical in SQL);
+    // under-full sketch = exact count. Audited vs the exact distinct
+    // (the column a 100 TB run would omit).
+    "q_kmv_distinct" -> ((s, dir) => {
+      val bgs = langBigrams(s, dir)
+      val exact = bgs.groupBy(col("lang"))
+        .agg(countDistinct(col("bg")).as("n_exact"))
+      kmvSketches(s, dir)
+        .select(col("lang"), size(col("mins")).as("m"),
+          when(size(col("mins")) >= lit(KmvK),
+            element_at(col("mins"), KmvK)).as("kth_min"),
+          graft.functions.KmvAgg.kmvEstimate(col("mins"), KmvK).as("est"))
+        .join(broadcast(exact), Seq("lang"))
+        .orderBy("lang")
+    }),
+
+    // Pairwise Jaccard between language bigram VOCABULARIES from the
+    // KMV sketches alone (Beyer et al. 2007 §5: the k smallest of the
+    // union form a uniform sample; the fraction present in both
+    // sketches estimates |A∩B|/|A∪B|) — the cross-corpus-overlap
+    // question (contamination, source similarity) answered without
+    // revisiting raw data. Audited vs the exact Jaccard.
+    "q_kmv_overlap" -> ((s, dir) => {
+      val sk = kmvSketches(s, dir)
+      val est = sk.as("a").join(sk.as("b"), col("a.lang") < col("b.lang"))
+        .select(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"),
+          graft.functions.KmvAgg.kmvJaccard(
+            col("a.mins"), col("b.mins"), KmvK).as("jacc_est"))
+      val d = langBigrams(s, dir).distinct()
+      val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val inter = d.as("x").join(d.as("y"),
+          col("x.bg") === col("y.bg") && col("x.lang") < col("y.lang"))
+        .groupBy(col("x.lang").as("lang_a"), col("y.lang").as("lang_b"))
+        .agg(count(lit(1)).as("i"))
+      est.join(inter, Seq("lang_a", "lang_b"), "left")
+        .join(n.select(col("lang").as("lang_a"), col("n").as("na")), "lang_a")
+        .join(n.select(col("lang").as("lang_b"), col("n").as("nb")), "lang_b")
+        .select(col("lang_a"), col("lang_b"), col("jacc_est"),
+          round(coalesce(col("i"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"),
+            6).as("jacc_exact"))
+        .orderBy("lang_a", "lang_b")
+    }),
   )
+
+  /** 512 minima — σ ≈ 1/√510 ≈ 4.4%. */
+  private val KmvK = 512
+
+  /** Per-language KMV sketches over corpus bigrams (shared by both KMV
+    * queries; pre-hashed child per the interpreted-agg-child rule). */
+  private def kmvSketches(s: SparkSession, dir: String): DataFrame =
+    langBigrams(s, dir)
+      .select(col("lang"),
+        graft.text.TextOps.md5Key64(col("bg"), "kmv:").as("k"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.KmvAgg.kmv_sketch(col("k"), KmvK).as("mins"))
 
   private val HistLo = 0.0
   private val HistHi = 512.0
@@ -454,7 +514,76 @@ object StatsQueries {
       |     FROM cm WHERE cm.event_type = t.event_type AND cum >= t.t95) AS p95
       |FROM t ORDER BY t.event_type""".stripMargin
 
+  /** Shared KMV replay prefix: distinct per-lang bigrams → 60-bit keys
+    * (same `md5Key64` recipe as HLL, prefix `kmv:`) → per-lang rank
+    * window keeps the 512 minima — the sketch, rebuilt exactly. */
+  private val KmvBase: String =
+    """WITH tk AS (
+      |  SELECT lang, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+      |bg AS (
+      |  SELECT lang, unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM tk WHERE len(t) >= 2),
+      |d AS (SELECT DISTINCT lang, bg FROM bg),
+      |kk AS (
+      |  SELECT lang, CAST(concat('0x', substr(md5('kmv:' || bg), 1, 15))
+      |               AS BIGINT) AS key
+      |  FROM d),
+      |dk AS (SELECT DISTINCT lang, key FROM kk),
+      |r AS (SELECT lang, key,
+      |        row_number() OVER (PARTITION BY lang ORDER BY key) AS rn
+      |      FROM dk),
+      |mins AS (SELECT lang, key, rn FROM r WHERE rn <= 512)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_kmv_distinct" -> (KmvBase +
+      """,
+        |agg AS (SELECT lang, count(*) AS m,
+        |          max(CASE WHEN rn = 512 THEN key END) AS kth
+        |        FROM mins GROUP BY 1),
+        |ex AS (SELECT lang, count(DISTINCT bg) AS n_exact FROM bg GROUP BY 1)
+        |SELECT a.lang, CAST(a.m AS INT) AS m, a.kth AS kth_min,
+        |  CASE WHEN a.m < 512 THEN CAST(a.m AS DOUBLE)
+        |       ELSE round(CAST(511.0 AS DOUBLE)
+        |              * CAST(1152921504606846976.0 AS DOUBLE)
+        |              / CAST(a.kth AS DOUBLE), 6) END AS est,
+        |  e.n_exact
+        |FROM agg a JOIN ex e USING (lang) ORDER BY a.lang""".stripMargin),
+
+    "q_kmv_overlap" -> (KmvBase +
+      """,
+        |pr AS (SELECT DISTINCT a.lang AS la, b.lang AS lb
+        |       FROM mins a JOIN mins b ON a.lang < b.lang),
+        |u AS (SELECT DISTINCT p.la, p.lb, m.key
+        |      FROM pr p JOIN mins m ON m.lang = p.la OR m.lang = p.lb),
+        |ur AS (SELECT la, lb, key,
+        |         row_number() OVER (PARTITION BY la, lb ORDER BY key) AS rn
+        |       FROM u),
+        |uk AS (SELECT la, lb, key FROM ur WHERE rn <= 512),
+        |fl AS (SELECT u2.la, u2.lb,
+        |         CASE WHEN EXISTS (SELECT 1 FROM mins ma
+        |                           WHERE ma.lang = u2.la AND ma.key = u2.key)
+        |               AND EXISTS (SELECT 1 FROM mins mb
+        |                           WHERE mb.lang = u2.lb AND mb.key = u2.key)
+        |         THEN 1 ELSE 0 END AS inboth
+        |       FROM uk u2),
+        |est AS (SELECT la AS lang_a, lb AS lang_b,
+        |          round(CAST(sum(inboth) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |            AS jacc_est
+        |        FROM fl GROUP BY 1, 2),
+        |n AS (SELECT lang, count(*) AS n FROM d GROUP BY 1),
+        |iv AS (SELECT x.lang AS la, y.lang AS lb, count(*) AS i
+        |       FROM d x JOIN d y ON x.bg = y.bg AND x.lang < y.lang
+        |       GROUP BY 1, 2)
+        |SELECT e.lang_a, e.lang_b, e.jacc_est,
+        |  round(CAST(coalesce(iv.i, 0) AS DOUBLE)
+        |        / CAST(na.n + nb.n - coalesce(iv.i, 0) AS DOUBLE), 6) AS jacc_exact
+        |FROM est e
+        |LEFT JOIN iv ON iv.la = e.lang_a AND iv.lb = e.lang_b
+        |JOIN n na ON na.lang = e.lang_a
+        |JOIN n nb ON nb.lang = e.lang_b
+        |ORDER BY e.lang_a, e.lang_b""".stripMargin),
+
     "q_quantile_sketch" -> HistQuantileSql,
 
     "q_stream_quantiles" -> HistQuantileSql,

@@ -194,6 +194,54 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv_sketch: under-full is exact and sorted; split-merge ≡ single pass; 15% at 50k keys") {
+    import spark.implicits._
+    import graft.functions.KmvAgg
+    // under-full: all keys kept, ascending, estimate = exact count
+    val small = (0L until 100L).map(i => i * 1000L + 7L).toDF("k")
+    val mins = small.agg(KmvAgg.kmv_sketch(col("k"), 512).as("m"))
+      .select(col("m"), KmvAgg.kmvEstimate(col("m"), 512).as("est"))
+      .collect()(0)
+    val arr = mins.getSeq[Long](0)
+    assert(arr.length === 100 && arr == arr.sorted)
+    assert(mins.getDouble(1) === 100.0)
+
+    // 50k distinct md5 keys: estimate within 15% (σ ≈ 4.4% at k=512)
+    val big = spark.range(50000)
+      .select(graft.text.TextOps.md5Key64(col("id").cast("string"), "kmvtest:").as("k"))
+      .cache()
+    val whole = big.agg(KmvAgg.kmv_sketch(col("k"), 512).as("m"))
+      .select(col("m"), KmvAgg.kmvEstimate(col("m"), 512).as("est")).collect()(0)
+    assert(math.abs(whole.getDouble(1) - 50000.0) / 50000.0 <= 0.15,
+      s"est=${whole.getDouble(1)}")
+
+    // merge = set-union-recap: per-third sketches merged in JVM equal one pass
+    val thirds = big.withColumn("g", col("k") % 3)
+      .groupBy("g").agg(KmvAgg.kmv_sketch(col("k"), 512).as("m"))
+      .collect().map(_.getSeq[Long](1))
+    val merged = thirds.flatten.distinct.sorted.take(512).toSeq
+    assert(merged === whole.getSeq[Long](0))
+  }
+
+  test("kmvJaccard: planted 1/3 overlap within ±0.1; out-of-range key fails fast") {
+    import spark.implicits._
+    import graft.functions.KmvAgg
+    def keys(lo: Int, hi: Int, tag: String) = (lo until hi)
+      .map(i => s"item$i").toDF("s")
+      .select(lit(tag).as("g"), graft.text.TextOps.md5Key64(col("s"), "kmvj:").as("k"))
+    val sk = keys(0, 1000, "a").unionByName(keys(500, 1500, "b"))
+      .groupBy("g").agg(KmvAgg.kmv_sketch(col("k"), 512).as("m"))
+    val est = sk.as("x").join(sk.as("y"), col("x.g") < col("y.g"))
+      .select(KmvAgg.kmvJaccard(col("x.m"), col("y.m"), 512))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 1.0 / 3.0) <= 0.1, s"jaccard est $est, truth 0.333")
+
+    val bad = intercept[Exception] {
+      Seq(-1L).toDF("k").agg(KmvAgg.kmv_sketch(col("k"), 512)).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("histQuantile: empty sketch → null, q=1 lands in the last occupied bin") {
     import spark.implicits._
     import graft.functions.HistogramAgg
