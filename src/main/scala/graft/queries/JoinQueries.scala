@@ -151,6 +151,17 @@ object JoinQueries {
         .orderBy(col("gid"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
+    // Full CUBE over (returnflag, linestatus) — all four grouping sets
+    // in one pass (rollup's lattice completion; Spark expands the sets
+    // before the partial aggregate, so it stays one shuffle).
+    "q_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     // Set operations: purchasers who never raised an error (EXCEPT) and
     // users doing both (INTERSECT).
     "q_set_ops" -> ((s, dir) => {
@@ -372,6 +383,13 @@ object JoinQueries {
         |       count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_set_ops" ->

@@ -311,6 +311,23 @@ object StatsQueries {
         .orderBy("lang")
     }),
 
+    // The SAME KMV sketch built by STRUCTURED STREAMING: the ≤k-element
+    // sorted key set rides the state store, and SET-union merge is
+    // idempotent — streamed minima ≡ batch bit-identically (and
+    // redelivered rows are absorbed, not double-counted). Shares
+    // q_kmv_distinct's oracle verbatim.
+    "q_stream_kmv" -> ((s, dir) => {
+      val exact = langBigrams(s, dir).groupBy(col("lang"))
+        .agg(countDistinct(col("bg")).as("n_exact"))
+      graft.streaming.StreamingOps.runStreamKmvOnce(s, dir, KmvK)
+        .select(col("lang"), size(col("mins")).as("m"),
+          when(size(col("mins")) >= lit(KmvK),
+            element_at(col("mins"), KmvK)).as("kth_min"),
+          graft.functions.KmvAgg.kmvEstimate(col("mins"), KmvK).as("est"))
+        .join(broadcast(exact), Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // Pairwise Jaccard between language bigram VOCABULARIES from the
     // KMV sketches alone (Beyer et al. 2007 §5: the k smallest of the
     // union form a uniform sample; the fraction present in both
@@ -583,6 +600,20 @@ object StatsQueries {
         |JOIN n na ON na.lang = e.lang_a
         |JOIN n nb ON nb.lang = e.lang_b
         |ORDER BY e.lang_a, e.lang_b""".stripMargin),
+
+    "q_stream_kmv" -> (KmvBase +
+      """,
+        |agg AS (SELECT lang, count(*) AS m,
+        |          max(CASE WHEN rn = 512 THEN key END) AS kth
+        |        FROM mins GROUP BY 1),
+        |ex AS (SELECT lang, count(DISTINCT bg) AS n_exact FROM bg GROUP BY 1)
+        |SELECT a.lang, CAST(a.m AS INT) AS m, a.kth AS kth_min,
+        |  CASE WHEN a.m < 512 THEN CAST(a.m AS DOUBLE)
+        |       ELSE round(CAST(511.0 AS DOUBLE)
+        |              * CAST(1152921504606846976.0 AS DOUBLE)
+        |              / CAST(a.kth AS DOUBLE), 6) END AS est,
+        |  e.n_exact
+        |FROM agg a JOIN ex e USING (lang) ORDER BY a.lang""".stripMargin),
 
     "q_quantile_sketch" -> HistQuantileSql,
 

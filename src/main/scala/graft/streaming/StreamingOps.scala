@@ -380,6 +380,30 @@ object StreamingOps {
       .start()
   }
 
+  /** STREAMING KMV distinct sketch ([[graft.functions.KmvAgg]]): the
+    * per-group state is the ≤k-element sorted key set in the state
+    * store, and SET-union merge is idempotent and commutative — the
+    * streamed minima are bit-identical to one batch pass no matter how
+    * rows split into micro-batches (stronger even than the add-merge
+    * sketches: redelivered ROWS are absorbed, not double-counted). The
+    * continuous-ingest shape of distinct + set-overlap tracking. */
+  def runStreamKmvOnce(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val name = s"graft_stream_kmv_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = documentsStream(ses, dir)
+      .select(col("lang"), explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+      .select(col("lang"),
+        graft.text.TextOps.md5Key64(col("bg"), "kmv:").as("k"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.KmvAgg.kmv_sketch(col("k"), k).as("mins"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name)
+  }
+
   /** Streaming ingest into a FLAT skip-indexed archive: each micro-batch
     * lands through the replay-idempotent clustered appender
     * ([[graft.sources.SkipIndex.appendClusteredBatch]] — staging +

@@ -282,6 +282,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming KMV minima are bit-identical to the batch sorted key set") {
+    val streamed = StreamingOps.runStreamKmvOnce(spark, TestSpark.Sf0001, 512)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val batch = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang"), explode(graft.functions.WordShingles.word_shingles(
+        col("text"), 2, distinct = false)).as("bg"))
+      .select(col("lang"),
+        graft.text.TextOps.md5Key64(col("bg"), "kmv:").as("k"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.KmvAgg.kmv_sketch(col("k"), 512).as("mins"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming histogram sketch is bit-identical to the batch count array") {
     val streamed = StreamingOps.runStreamHistOnce(
         spark, TestSpark.Sf0001, 0.0, 512.0, 64)
