@@ -1113,6 +1113,51 @@ object Profile {
           idx.unpersist()
         }
 
+      case "zorder_skip" =>
+        // Zone maps are only as good as the CLUSTERING: on a
+        // time-clustered layout, per-file user_id ranges span the whole
+        // domain and a user predicate prunes nothing; z-ordering
+        // (user, hour) bounds BOTH dimensions per file, so the SAME
+        // footer index prunes on either — the ZOrder2 kernel and the
+        // skip index composed into the 2-D data-skipping story.
+        import org.apache.spark.sql.functions._
+        val ev = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val flatT = "/tmp/graft_zskip/time"
+        graft.sources.SkipIndex.writeTimeClustered(ev, "ts", flatT)
+        val flatZ = "/tmp/graft_zskip/zord"
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        ev.withColumn("x", col("user_id").cast("int"))
+          .withColumn("y", floor((unix_micros(col("ts")) - lit(1704067200000000L))
+            / lit(3.6e9)).cast("int"))
+          .withColumn("zv", graft.functions.ZOrder2.z_order(col("x"), col("y"))
+            - lit(4611686018427387904L))
+          .withColumn("zb", shiftright(col("zv"), 14))
+          .repartition(32, col("zb"))
+          .sortWithinPartitions("zv")
+          .drop("x", "y", "zv", "zb")
+          .write.mode("overwrite").parquet(flatZ)
+        Seq(("time-clustered", flatT), ("z-ordered", flatZ)).foreach {
+          case (label, dir) =>
+            val idxU = graft.sources.SkipIndex.buildFooterIndex(spark, dir, "user_id")
+            val keptU = graft.sources.SkipIndex.pruneFiles(idxU, 100L, 150L).count()
+            val idxT = graft.sources.SkipIndex.buildFooterIndex(spark, dir, "ts")
+            val lo = java.time.Instant.parse("2024-01-10T00:00:00Z")
+            val hi = java.time.Instant.parse("2024-01-13T00:00:00Z")
+            val keptT = graft.sources.SkipIndex.pruneFiles(idxT,
+              lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L).count()
+            val total = idxU.count()
+            // sanity: pruned read reproduces the full-filter answer
+            val pruned = graft.sources.SkipIndex.readFiles(spark,
+              graft.sources.SkipIndex.pruneFiles(idxU, 100L, 150L))
+              .filter(col("user_id") >= 100L && col("user_id") < 150L).count()
+            val full = spark.read.parquet(dir)
+              .filter(col("user_id") >= 100L && col("user_id") < 150L).count()
+            require(pruned == full, s"$label: pruned $pruned != full $full")
+            println(f"[profile] $label%-15s files: user-range $keptU%3d/$total%3d  " +
+              f"3-day window $keptT%3d/$total%3d  (rows in user range: $full)")
+        }
+
       case "knn_scale" =>
         // kNN-graph claim: exact block-pair work grows n², the IVF
         // cell-join Σ|cell|·|probes| ≈ n²·(nProbe/nCells) with constant
