@@ -413,6 +413,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // WEIGHTED sampling without replacement, integer weights, fully
+    // deterministic: item priority = min of w independent hashes (the
+    // min-hash property gives P(item wins) = w_i/Σw — equivalent to
+    // expanding each item into w copies and distinct-sampling), so the
+    // 32 smallest priorities ARE a weighted sample and the oracle
+    // replays every hash. Weights favor long documents (3/2/1 by
+    // length); the rank is a distributed TakeOrdered, never a full
+    // sort. The deterministic stand-in for rand()-based weighted
+    // sampling, which no oracle could check.
+    "q_weighted_sample" -> ((s, dir) => {
+      val w = docs(s, dir).select(col("doc_id"),
+        when(col("n_chars") >= 500, 3)
+          .when(col("n_chars") >= 250, 2).otherwise(1).as("w"))
+      w.withColumn("j", explode(sequence(lit(0), col("w") - 1)))
+        .select(col("doc_id"), col("w"),
+          TextOps.md5Key64(concat_ws(":", col("doc_id"), col("j")), "wrs:")
+            .as("hk"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(min(col("hk")).as("key"))
+        .orderBy("key").limit(32)
+    }),
+
     // Stratified deterministic sampling: the k hash-ranked docs per source
     // (eval-set construction). Ranking key = first 60 bits of md5(doc_id)
     // — reproducible across engines/runs. Runs through the bounded-heap
@@ -1031,6 +1053,21 @@ object TextQueries {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      'https?://[^ \t\n\f\r]+', '[URL]', 'g')) AS scrubbed_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN n_chars >= 500 THEN 3
+        |              WHEN n_chars >= 250 THEN 2 ELSE 1 END AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, w, unnest(range(0, w)) AS j FROM w),
+        |h AS (SELECT doc_id, w,
+        |        CAST(concat('0x', substr(md5('wrs:' || doc_id || ':' || j), 1, 15))
+        |          AS BIGINT) AS hk
+        |      FROM e),
+        |m AS (SELECT doc_id, any_value(w) AS w, min(hk) AS key
+        |      FROM h GROUP BY doc_id)
+        |SELECT doc_id, w, key FROM m ORDER BY key LIMIT 32""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH g AS (

@@ -422,6 +422,29 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample: heavy items over-represented vs uniform; keys ascending, ids distinct") {
+    import graft.text.TextOps
+    val d = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"),
+        when(col("n_chars") >= 500, 3)
+          .when(col("n_chars") >= 250, 2).otherwise(1).as("w"))
+    val sample = d
+      .withColumn("j", explode(sequence(lit(0), col("w") - 1)))
+      .select(col("doc_id"), col("w"),
+        TextOps.md5Key64(concat_ws(":", col("doc_id"), col("j")), "wrs:").as("hk"))
+      .groupBy(col("doc_id"), col("w")).agg(min(col("hk")).as("key"))
+      .orderBy("key").limit(200)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(sample.length === 200)
+    assert(sample.map(_._1).distinct.length === 200)
+    assert(sample.map(_._3).toSeq == sample.map(_._3).sorted.toSeq)
+    // the min-of-w-hash priority gives P(pick) ∝ w: the sample's mean
+    // weight must exceed the population's (deterministic given the data)
+    val popAvg = d.agg(avg(col("w"))).collect()(0).getDouble(0)
+    val sampleAvg = sample.map(_._2).sum.toDouble / sample.length
+    assert(sampleAvg > popAvg, s"sample avg w $sampleAvg !> population $popAvg")
+  }
+
   test("kAnonymize: under-k groups merge into '*', residual under-k flagged, mass preserved") {
     import spark.implicits._
     // planted: en has one big group + two rare that merge to a k-ok '*';
