@@ -303,6 +303,21 @@ class PlanSpec extends AnyFunSuite {
            pi.toLowerCase.contains("topkpaybyagg"), pi.take(2000))
   }
 
+  test("KMV sketches: constant-size set partials, window-free; weighted sample is TakeOrdered") {
+    // kmv_sketch runs as ObjectHashAggregate with a partial stage — the
+    // exchange carries one ≤k-element set per (group, partition), never
+    // the distinct-key stream a count(distinct) would shuffle
+    val p = plan("q_kmv_distinct")
+    assert(p.toLowerCase.contains("kmvagg"), p.take(2000))
+    assert(p.contains("partial_"), p.take(2000))
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), p.take(2000))
+    // the weighted sample's rank is a distributed TakeOrdered (heap per
+    // partition), never a global sort of the full priority frame
+    val pw = plan("q_weighted_sample")
+    assert(pw.contains("TakeOrderedAndProject"), pw.take(2000))
+    assert(!pw.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), pw.take(2000))
+  }
+
   test("skip-scan aggregates only the pruned file subset; compaction plan is metadata-scale") {
     // q_skip_scan ends in a partial→final hash aggregate over the pruned
     // read — no window, no join (the index probe happened at planning
