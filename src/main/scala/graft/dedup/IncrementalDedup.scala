@@ -35,12 +35,22 @@ object IncrementalDedup {
   /** Build (overwrite) the historical band index from a signature frame
     * `(doc_id, sig)`. `numBuckets` sizes the bucketed layout — at scale,
     * pick it like shuffle partitions (the incoming side will hash into
-    * the same `numBuckets` streams). */
+    * the same `numBuckets` streams).
+    *
+    * The table is EXTERNAL at an explicit location: a managed table
+    * whose warehouse directory survives a JVM restart (fresh in-memory
+    * catalog, stale directory) fails creation with
+    * LOCATION_ALREADY_EXISTS — external locations are allowed to
+    * pre-exist, and `overwrite` replaces the data either way. */
   def buildBandIndex(spark: SparkSession, sigs: DataFrame, k: Int,
-                     bands: Int, table: String, numBuckets: Int = 8): Unit =
+                     bands: Int, table: String, numBuckets: Int = 8): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     bandKeyed(sigs, k, bands)
       .write.bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .option("path",
+        s"${System.getProperty("java.io.tmpdir")}/graft_inc_index/$table")
       .format("parquet").mode("overwrite").saveAsTable(table)
+  }
 
   /** Append a (screened) batch's signatures to the index; `insertInto`
     * honors the table's bucket spec, so the index stays join-ready. */
