@@ -48,6 +48,9 @@ object GraftFunctions {
         .toAggregateExpression()),
     "hll_registers" -> ((args: Seq[Expression]) =>
       HllRegisterAgg(args(0), intArg(args(1), "p"))
+        .toAggregateExpression()),
+    "misra_gries" -> ((args: Seq[Expression]) =>
+      MisraGriesAgg(args(0), intArg(args(1), "k"))
         .toAggregateExpression()))
 
   /** Register on an already-running session (temp-function scope). */

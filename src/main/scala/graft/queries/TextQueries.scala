@@ -644,7 +644,47 @@ object TextQueries {
             .cast("double") / count(lit(1)) / 1e6, 6).as("mean_nlp"))
         .orderBy("source", "bucket")
     }),
+
+    // EXACT heavy hitters by the two-pass Misra-Gries protocol
+    // (FrequencyOps): pass 1 is one constant-state MG aggregate (≤k
+    // counters per partial, map-side combined — never a per-distinct-key
+    // shuffle), pass 2 recounts only the ≤k candidates behind a codegen'd
+    // InSet row filter and keeps freq > n/k in exact integers. The
+    // candidate SET is order-dependent; the final answer is exactly
+    // {word : freq > n/k} under any partitioning (the MG n/(k+1)
+    // guarantee), so the oracle is the plain GROUP BY ... HAVING. k=30
+    // over the 31-word corpus vocab forces the decrement path live.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+      graft.ops.FrequencyOps.exactHeavyHitters(words, "word", HeavyK)
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    // The SAME heavy-hitter answer with pass 1 run as a STREAMING
+    // aggregate: the MG counter map is the state-store payload
+    // (StreamingOps.runStreamMgOnce), candidates drain from the sink,
+    // and the exact batch recount filters them. Streamed candidates
+    // differ from batch candidates (order-dependence is real); the
+    // recounted answer cannot — it shares q_heavy_hitters' oracle
+    // verbatim. Continuous "what's trending" with ≤k entries of state.
+    "q_stream_topk" -> ((s, dir) => {
+      val mg = graft.streaming.StreamingOps.runStreamMgOnce(s, dir, HeavyK)
+        .select(col("mg.n").as("n"), col("mg.entries.key").as("cands"))
+        .head()
+      val words = docs(s, dir)
+        .select(explode(TextOps.wsTokens(lower(col("text")))).as("word"))
+      graft.ops.FrequencyOps.recountHeavy(words, "word", HeavyK,
+          mg.getLong(0), mg.getSeq[String](1))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
   )
+
+  /** k for the heavy-hitter pair: chosen above the corpus vocab size is
+    * trivial (no decrements), far below it is empty output — 30 vs the
+    * 31-word vocab exercises both the decrement path and a non-trivial
+    * 16-of-31 heavy set at sf0.01. */
+  private val HeavyK = 30
 
   /** PII patterns — Java-regex/RE2-identical constructs only. */
   private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -1532,5 +1572,20 @@ object TextQueries {
          |                  AS DOUBLE) / count(*) / 1e6, 6) AS mean_nlp
          |FROM ws JOIN b USING (source)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact two-pass heavy hitters ≡ plain GROUP BY + HAVING — the MG
+    // candidate stage is pure execution strategy (guaranteed superset,
+    // exactly recounted), so the oracle never sees it
+    "q_heavy_hitters" -> HeavyHittersSql,
+
+    // streamed pass 1, identical final answer (see the query comment)
+    "q_stream_topk" -> HeavyHittersSql,
   )
+
+  private lazy val HeavyHittersSql =
+    s"""WITH t AS (SELECT unnest(${toks("lower(text)")}) AS word FROM documents),
+       |c AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+       |tot AS (SELECT count(*) AS n FROM t)
+       |SELECT word, cnt FROM c, tot WHERE cnt * 30 > n
+       |ORDER BY cnt DESC, word""".stripMargin
 }

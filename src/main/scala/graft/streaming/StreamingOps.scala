@@ -350,6 +350,33 @@ object StreamingOps {
     drainTable(ses, name)
   }
 
+  /** STREAMING Misra-Gries frequent-items summary
+    * ([[graft.functions.MisraGriesAgg]]): the ≤k-entry counter map rides
+    * the state store between micro-batches; each batch's partials fold in
+    * through the mergeable-summaries rule. Unlike the CMS/HLL/histogram
+    * states this one is ORDER-DEPENDENT — different micro-batch splits
+    * yield different candidate maps — but the MG invariant (every key
+    * with true frequency > n/(k+1) is present) holds under ANY merge
+    * tree, so the exact second-pass recount built on the drained summary
+    * ([[graft.ops.FrequencyOps.recountHeavy]]) is deterministic and the
+    * batch heavy-hitter oracle applies unchanged (MisraGriesSpec pins
+    * stream ≡ batch at the ANSWER level, not the state level). The
+    * continuous-ingest shape of "what's trending" at 100 TB: ≤k entries
+    * of state, forever, vs per-distinct-key state for exact counting. */
+  def runStreamMgOnce(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val name = s"graft_stream_mg_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = documentsStream(ses, dir)
+      // pre-projected key: same interpreted-child rule as the batch query
+      .select(explode(graft.text.TextOps.wsTokens(lower(col("text")))).as("word"))
+      .agg(graft.functions.MisraGriesAgg.misra_gries(col("word"), k).as("mg"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name)
+  }
+
   /** Streaming ingest into the canonical partitioned archive: each
     * micro-batch lands through the same sorted, stats-bearing writer the
     * bulk path uses, so data is servable the moment the batch commits and
