@@ -30,6 +30,43 @@ object JoinOps {
   def overlaps(aStart: Column, aEnd: Column, bStart: Column, bEnd: Column): Column =
     aStart <= bEnd && bStart <= aEnd
 
+  /** Point-in-time (SCD2) dimension lookup: for every fact row, the ONE
+    * dimension version whose validity interval covers the fact's event
+    * time — `dim.key = fact.key AND valid_from <= ts < valid_to`. With a
+    * [[MergeOps.scd2Intervals]] dimension the intervals tile each
+    * entity's timeline gaplessly from its first version to the
+    * end-of-time sentinel, so any fact at/after the entity's first
+    * version matches exactly one row (empty [d, d) intervals from
+    * same-instant versions can never match; the later version wins).
+    *
+    * Physical shape: an equi-join on the entity key with the range
+    * predicate evaluated as the join's non-equi condition. With
+    * `broadcastDim` (the default) that is one BroadcastHashJoin — zero
+    * shuffle of the fact side, the 100 TB norm for dimension lookups
+    * (SCD2 dims are versions-per-entity × entities — usually well under
+    * executor memory; the intermediate per-key version fan-out is pruned
+    * by the range condition inside the join, never materialized).
+    * Entity-skewed facts hit no hot reducer because nothing shuffles.
+    * Set `broadcastDim = false` for a dimension past broadcast size:
+    * same plan keyed by a shuffled hash join, AQE handling fact skew.
+    *
+    * `joinType = "left"` (the feature-pipeline default) keeps facts
+    * that precede the entity's FIRST version with NULL dimension
+    * columns — the point-in-time leakage guard: an event before any
+    * version existed must see "no features yet", never a later
+    * version's values. `"inner"` drops such pre-history facts. */
+  def pitLookup(facts: DataFrame, dim: DataFrame, factKey: String,
+      factTs: String, dimKey: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to", broadcastDim: Boolean = true,
+      joinType: String = "left"): DataFrame = {
+    val d = if (broadcastDim) broadcast(dim) else dim
+    facts.join(d,
+        facts(factKey) === d(dimKey) &&
+          d(validFrom) <= facts(factTs) && facts(factTs) < d(validTo),
+        joinType)
+      .drop(d(dimKey))
+  }
+
   /** As-of join: for every probe row, the latest event row with
     * `event.ts <= probe.ts` within the same key — THE timeseries join Spark
     * lacks natively (SURVEY §7.6 names it the canonical custom-operator

@@ -238,6 +238,47 @@ object JoinQueries {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // Point-in-time lookup against that same SCD2 dimension
+    // (JoinOps.pitLookup): every lineitem shipment fetches the order
+    // version that was current for its customer ON THE SHIP DATE —
+    // the canonical "training features as of event time" join that
+    // prevents label leakage in feature pipelines. The dimension
+    // (15k versions here; versions×entities generally) broadcasts, so
+    // the fact side never shuffles and per-customer fact skew has no
+    // hot reducer; the probe's custkey rides in from orders via an
+    // already-broadcast equi-join. At most one version matches per fact
+    // (SCD2 intervals tile each timeline), and the LEFT join keeps
+    // facts that precede the customer's first version with NULL
+    // dimension columns — the leakage guard made visible: this
+    // synthetic archive ships ~half its lineitems before their order's
+    // orderdate, and those must see "no features yet", never a later
+    // version. Fact cardinality is preserved exactly (60k in, 60k out
+    // at sf0.01) — pinned by the oracle rowcount.
+    "q_pit_join" -> ((s, dir) => {
+      val dim = graft.ops.MergeOps.scd2Intervals(
+          Tables.orders(s, dir).select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("o_orderdate")),
+          "o_custkey", "o_orderdate",
+          tieBreak = "o_orderkey", endOfTime = "9999-12-31 00:00:00")
+        .select(col("o_custkey").as("dim_custkey"),
+          col("o_orderkey").as("version_key"),
+          col("o_totalprice").as("version_price"),
+          col("valid_from"), col("valid_to"))
+      val probes = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .join(broadcast(Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .drop("o_orderkey")
+      graft.ops.JoinOps.pitLookup(probes, dim,
+          factKey = "o_custkey", factTs = "l_shipdate", dimKey = "dim_custkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+          col("version_key"), col("version_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // The SAME top-3-suppliers-per-nation result as
     // q_top_suppliers_per_nation, but through the native partial top-k
     // aggregate (functions.TopKByAgg) instead of a rank window: per-nation
@@ -427,6 +468,25 @@ object JoinQueries {
         |       coalesce(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
         |       CAST(vt IS NULL AS INT) AS is_current
         |FROM v ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q_pit_join" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         o_orderdate AS vf,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate, o_orderkey) AS vt
+        |  FROM orders),
+        |probe AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT p.l_orderkey, p.l_linenumber, p.o_custkey,
+        |       strftime(p.l_shipdate, '%Y-%m-%d') AS ship_day,
+        |       v.o_orderkey AS version_key, v.o_totalprice AS version_price
+        |FROM probe p LEFT JOIN v
+        |  ON p.o_custkey = v.o_custkey
+        | AND v.vf <= p.l_shipdate
+        | AND (v.vt IS NULL OR p.l_shipdate < v.vt)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the salt is pure execution strategy — the oracle is the plain join
     "q_salted_join" ->

@@ -50,6 +50,29 @@ object LayoutQueries {
         .orderBy("day")
     }),
 
+    // Metadata-only windowed aggregate (SkipIndex.metaWindowStats):
+    // count/min/max for a 9-day window where interior files answer from
+    // footer stats alone and only the two-ish boundary files are
+    // scanned — aggregate pushdown to metadata, the "how many rows
+    // landed in March" query that must not cost a 10 TB scan. Exact by
+    // decomposition; the oracle is the plain full-scan aggregate.
+    // SkipIndexSpec pins that interior files' data pages are never
+    // read and that the decomposition survives empty/boundary edges.
+    "q_meta_count" -> ((s, dir) => {
+      val dataDir = s"/tmp/graft_index/${sfName(dir)}/events_flat_meta"
+      SkipIndex.writeTimeClustered(
+        Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        "ts", dataDir)
+      val lo = java.time.Instant.parse("2024-01-08T00:00:00Z")
+      val hi = java.time.Instant.parse("2024-01-17T00:00:00Z")
+      SkipIndex.metaWindowStats(s, dataDir, "ts",
+          lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+        .select(col("n_rows"),
+          timestamp_micros(col("min_us")).as("min_ts"),
+          timestamp_micros(col("max_us")).as("max_ts"))
+    }),
+
     // Compaction planner on a deterministic manifest: segments are the
     // per-(event_type, day) slices of the archive sized by row count,
     // walked in cluster order and bin-packed to ~2000-row output files
@@ -77,6 +100,13 @@ object LayoutQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact by decomposition → the oracle is the plain scan
+    "q_meta_count" ->
+      """SELECT count(*) AS n_rows, min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-17 00:00:00'""".stripMargin,
 
     "q_compaction_plan" ->
       """WITH m AS (

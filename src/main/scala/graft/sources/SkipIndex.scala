@@ -228,6 +228,46 @@ object SkipIndex {
       spark.read.parquet(paths.toIndexedSeq: _*)
   }
 
+  /** Metadata-only windowed aggregate with boundary correction: count /
+    * min / max of `tsCol` over `[loUs, hiUs)` where INTERIOR files
+    * (zone fully inside the window — parquet INT64 stats are exact, so
+    * footer rows/min/max ARE the file's true aggregate) contribute
+    * straight from the index and only BOUNDARY files (zone straddles a
+    * window edge) plus stats-less unprunable files are scanned with the
+    * window predicate. The aggregate-pushdown-to-metadata trick: on a
+    * time-clustered 100 TB archive a month-long window is thousands of
+    * interior files and two boundary files, so "how many rows landed in
+    * March" costs footer reads + two file scans, not a 10 TB scan. The
+    * decomposition is exact, not approximate — the full-scan answer is
+    * the oracle. Returns one row `(n_rows, min_us, max_us)`; min/max
+    * are NULL when the window is empty. */
+  def metaWindowStats(spark: SparkSession, dataDir: String, tsCol: String,
+      loUs: Long, hiUs: Long): DataFrame = {
+    val idx = buildFooterIndex(spark, dataDir, tsCol)
+    val hasStats = col("min_us") <= col("max_us")
+    val interiorP = hasStats && col("min_us") >= lit(loUs) && col("max_us") < lit(hiUs)
+    val boundary = pruneFiles(idx, loUs, hiUs).filter(!interiorP)
+    val scanned = readFiles(spark, boundary.unionByName(unprunableFiles(idx)))
+    val scanAgg =
+      if (scanned.columns.isEmpty)
+        spark.range(1).select(lit(0L).as("n_rows"),
+          lit(null).cast("long").as("mn"), lit(null).cast("long").as("mx"))
+      else scanned
+        // timestamp-typed bounds (constant-folded) so the boundary scan
+        // keeps row-group skipping on the ts column
+        .filter(col(tsCol) >= timestamp_micros(lit(loUs)) &&
+                col(tsCol) < timestamp_micros(lit(hiUs)))
+        .agg(count(lit(1)).as("n_rows"),
+          min(unix_micros(col(tsCol))).as("mn"),
+          max(unix_micros(col(tsCol))).as("mx"))
+    val metaAgg = idx.filter(interiorP)
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n_rows"),
+        min("min_us").as("mn"), max("max_us").as("mx"))
+    metaAgg.unionByName(scanAgg)
+      .agg(sum("n_rows").as("n_rows"),
+        min("mn").as("min_us"), max("mx").as("max_us"))
+  }
+
   /** In-order bin-packing as ONE window cumsum — no driver loop:
     * walking `manifest` in `orderCols` order, segment k goes to bin
     * `floor(cumulative_size_before_k / target)`. Bins are contiguous

@@ -333,4 +333,28 @@ class PlanSpec extends AnyFunSuite {
       .exists(_.contains("HashAggregate"))
     assert(aggBeforeWindow, s"window not fed by the aggregated manifest:\n${pc.take(2000)}")
   }
+
+  test("PIT lookup: broadcast left-outer hash join; fact side never shuffles") {
+    val p = plan("q_pit_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // shuffles: the SCD2 window build on the (small) dim side + the output
+    // range sort — the 60k-row fact side reaches both joins broadcast-fed
+    val shuffles = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(shuffles <= 2, s"unexpected fact-side shuffle ($shuffles exchanges):\n${p.take(2000)}")
+  }
+
+  test("heavy hitters: candidate InSet row filter on the scan, no per-key shuffle") {
+    val p = plan("q_heavy_hitters")
+    // pass 2's candidate membership is a scan-side filter literal
+    // (In/InSet over ≤k keys), not a join
+    assert(p.toLowerCase.contains("inset") || p.contains(" IN ("), p.take(2000))
+    assert(!p.contains("Join"), s"candidate filter became a join:\n${p.take(2000)}")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), p.take(2000))
+    // one agg exchange (≤k groups) + the output sort; the full word
+    // stream never shuffles
+    val shuffles = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(shuffles <= 2, s"per-key shuffle leaked ($shuffles exchanges):\n${p.take(2000)}")
+  }
 }

@@ -69,6 +69,52 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(SkipIndex.readFiles(spark, picked).isEmpty)
   }
 
+  test("metaWindowStats: footer-answered interior + boundary scan ≡ full scan") {
+    val lo = java.time.Instant.parse("2024-01-05T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-20T00:00:00Z")
+    val (loUs, hiUs) = (lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+
+    // the decomposition this window must exercise: interior files exist
+    // (answered from footers alone) and the boundary set is a strict
+    // subset of the archive — the files whose data pages get read
+    val hasStats = col("min_us") <= col("max_us")
+    val interior = index.filter(hasStats &&
+      col("min_us") >= loUs && col("max_us") < hiUs).count()
+    val boundary = SkipIndex.pruneFiles(index, loUs, hiUs)
+      .filter(!(hasStats && col("min_us") >= loUs && col("max_us") < hiUs)).count()
+    assert(interior > 0, "window too narrow: no interior files, nothing metadata-answered")
+    assert(boundary < index.count(), "boundary not a strict subset")
+
+    val got = SkipIndex.metaWindowStats(spark, flatDir, "ts", loUs, hiUs).head()
+    val exp = spark.read.parquet(flatDir)
+      .filter(col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+              col("ts") < lit(java.sql.Timestamp.from(hi)))
+      .agg(count(lit(1)), min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .head()
+    assert(got.getLong(0) === exp.getLong(0))
+    assert(got.getLong(1) === exp.getLong(1))
+    assert(got.getLong(2) === exp.getLong(2))
+  }
+
+  test("metaWindowStats: window inside one file (no interior) and empty window") {
+    // narrow window: both edges inside the archive's day files → every
+    // candidate file is boundary, the scan path carries the whole answer
+    val lo = java.time.Instant.parse("2024-01-07T06:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-07T18:00:00Z")
+    val (loUs, hiUs) = (lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+    val got = SkipIndex.metaWindowStats(spark, flatDir, "ts", loUs, hiUs).head()
+    val exp = spark.read.parquet(flatDir)
+      .filter(col("ts") >= lit(java.sql.Timestamp.from(lo)) &&
+              col("ts") < lit(java.sql.Timestamp.from(hi)))
+      .count()
+    assert(got.getLong(0) === exp && exp > 0)
+
+    // empty window (1970): zero rows, NULL min/max, no crash
+    val empty = SkipIndex.metaWindowStats(spark, flatDir, "ts", 0L, 1L).head()
+    assert(empty.getLong(0) === 0L)
+    assert(empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("assignBins: monotone bins, ≤ ceil(total/target) of them, none oversized") {
     val target = 200L
     val plan = SkipIndex.assignBins(
