@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a partitioned rollup table — the ETL shape
+  * that keeps a 100 TB archive's aggregates fresh without re-scanning
+  * history: when a batch lands, only the partitions the batch TOUCHED are
+  * recomputed (from archive ∪ batch, partition-pruned to those keys);
+  * every other partition's rows carry over from the previous rollup
+  * byte-for-byte, never re-read.
+  *
+  * Late data falls out for free: a batch carrying rows for an old day
+  * marks that day changed, so the old partition recomputes — the
+  * standard watermark-free backfill semantics ("reprocess any partition
+  * that received data"), exactly how partition-overwrite ETL jobs
+  * (Hive/Iceberg `INSERT OVERWRITE PARTITION`) behave.
+  *
+  * The maintained result is EXACTLY the full recompute (same aggregate
+  * over changed partitions, identical prior rows elsewhere — assuming
+  * `recompute` is deterministic per partition, which every rollup here
+  * is by the integer-micro discipline), so the full-scan aggregate is
+  * the oracle and RollupSpec pins maintained ≡ recomputed plus the
+  * pruning itself. */
+object RollupOps {
+
+  /** Maintain `prev` (a rollup keyed by `keyCol`, one or more rows per
+    * key) against newly-landed `batch` rows:
+    * - changed keys = distinct `keyCol` in the batch (collected —
+    *   metadata scale: bounded by partitions touched per batch, the
+    *   same catalog-sized collect as [[graft.sources.SkipIndex.readFiles]];
+    *   literal keys make the recompute's partition pruning STATIC, no
+    *   DPP runtime dependency);
+    * - recompute those keys from `data` (the archive-∪-batch view,
+    *   filtered by a pushed `IN (changed…)` before `recompute` runs);
+    * - keep every other `prev` row untouched (broadcast-anti-joined
+    *   against the tiny changed-key set — no shuffle of the rollup).
+    *
+    * @param prev      current rollup rows (must contain `keyCol`)
+    * @param data      full logical dataset (base archive ∪ batch); only
+    *                  changed-key partitions of it are ever scanned
+    * @param batch     the newly-landed rows (must contain `keyCol`)
+    * @param keyCol    partition key column name (e.g. a `day` date)
+    * @param recompute per-partition rollup: filtered data → rollup rows */
+  def maintainByKey(prev: DataFrame, data: DataFrame, batch: DataFrame,
+      keyCol: String, recompute: DataFrame => DataFrame): DataFrame = {
+    val changed = batch.select(col(keyCol)).distinct().collect().map(_.get(0)).toSeq
+    if (changed.isEmpty) prev
+    else {
+      val carried = prev.filter(!col(keyCol).isInCollection(changed))
+      val fresh = recompute(data.filter(col(keyCol).isInCollection(changed)))
+      carried.unionByName(fresh)
+    }
+  }
+}

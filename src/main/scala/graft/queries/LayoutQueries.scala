@@ -73,6 +73,44 @@ object LayoutQueries {
           timestamp_micros(col("max_us")).as("max_ts"))
     }),
 
+    // Incremental rollup maintenance (RollupOps.maintainByKey): the
+    // archive lands day-partitioned, the daily rollup materializes as
+    // its own table, then a batch arrives carrying five NEW days plus
+    // LATE rows for an old day (every 7th event of Jan 10 held back).
+    // Maintenance recomputes exactly the six touched day partitions
+    // (changed keys collected → static partition pruning on the
+    // archive-∪-batch view) and carries every other rollup row from the
+    // materialized v1 without touching raw data. Exact by construction,
+    // so the oracle is the plain full-scan daily aggregate over ALL
+    // events; RollupSpec pins maintained ≡ full recompute, the pruned
+    // scan's file subset, and the empty-batch identity. At 100 TB this
+    // is the difference between re-aggregating 3 years and re-reading
+    // one late day plus the fresh tail.
+    "q_incr_rollup" -> ((s, dir) => {
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_rollup"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .withColumn("day", to_date(col("ts")))
+      val isLate = col("day") === lit("2024-01-10").cast("date") &&
+        col("event_id") % 7 === 0
+      val isBatch = col("day") >= lit("2024-01-26").cast("date") || isLate
+      ev.filter(!isBatch).write.mode("overwrite")
+        .partitionBy("day").parquet(s"$root/base")
+      val base = s.read.parquet(s"$root/base")
+      val batch = ev.filter(isBatch)
+      def dailyAgg(d: org.apache.spark.sql.DataFrame) = d.groupBy("day").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+          / count(lit(1)) / 1e6, 6).as("avg_value"))
+      dailyAgg(base).write.mode("overwrite").parquet(s"$root/v1")
+      val v1 = s.read.parquet(s"$root/v1")
+      graft.ops.RollupOps.maintainByKey(
+          v1, base.unionByName(batch), batch, "day", dailyAgg)
+        .orderBy("day")
+    }),
+
     // Compaction planner on a deterministic manifest: segments are the
     // per-(event_type, day) slices of the archive sized by row count,
     // walked in cluster order and bin-packed to ~2000-row output files
@@ -100,6 +138,14 @@ object LayoutQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maintenance is exact → the oracle is the full-scan daily rollup
+    "q_incr_rollup" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact by decomposition → the oracle is the plain scan
     "q_meta_count" ->

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.RollupOps
+import graft.tables.Tables
+
+/** Incremental rollup maintenance (RollupOps.maintainByKey): maintained ≡
+  * full recompute, late data reprocesses its old partition, the recompute
+  * scan is partition-pruned to the changed keys, and an empty batch is the
+  * identity. */
+class RollupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def dailyAgg(d: DataFrame): DataFrame = d.groupBy("day").agg(
+    count(lit(1)).as("n"),
+    countDistinct(col("user_id")).as("n_users"),
+    sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+
+  private lazy val env = {
+    val root = new java.io.File("target/fixtures/rollup").getAbsolutePath
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    val isLate = col("day") === lit("2024-01-10").cast("date") &&
+      col("event_id") % 7 === 0
+    val isBatch = col("day") >= lit("2024-01-26").cast("date") || isLate
+    ev.filter(!isBatch).write.mode("overwrite")
+      .partitionBy("day").parquet(s"$root/base")
+    val base = spark.read.parquet(s"$root/base")
+    val batch = ev.filter(isBatch)
+    (ev, base, batch)
+  }
+
+  test("maintained ≡ full recompute, including the late-data day") {
+    val (ev, base, batch) = env
+    val v1 = dailyAgg(base)
+    val maintained = RollupOps.maintainByKey(
+        v1, base.unionByName(batch), batch, "day", dailyAgg)
+      .orderBy("day").collect().toSeq
+    val full = dailyAgg(ev).orderBy("day").collect().toSeq
+    assert(maintained == full)
+    // the late day actually changed between v1 and v2 (otherwise this
+    // test wouldn't be exercising the backfill path)
+    val lateDay = java.sql.Date.valueOf("2024-01-10")
+    val v1Late = v1.filter(col("day") === lateDay).head()
+    val v2Late = maintained.find(_.getDate(0) == lateDay).get
+    assert(v1Late.getLong(1) < v2Late.getLong(1))
+  }
+
+  test("recompute scan is partition-pruned to exactly the changed days") {
+    val (_, base, batch) = env
+    val changed = batch.select(col("day")).distinct().collect()
+      .map(_.getDate(0)).toSeq
+    val prunedScan = base.filter(col("day").isInCollection(changed))
+    // the changed-day IN list must plan as a PARTITION filter (static
+    // pruning — `inputFiles` can't show this; the executed scan's
+    // numFiles metric can)
+    val plan = prunedScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("day")), plan.take(2000))
+    prunedScan.collect()
+    val scan = prunedScan.queryExecution.executedPlan.collectLeaves()
+      .find(_.metrics.contains("numFiles")).get
+    val read = scan.metrics("numFiles").value
+    // base holds no files for the five NEW days; of the changed set only
+    // the late day exists in base → exactly that day's files get read,
+    // out of 25 day partitions
+    val lateDayFiles = base.inputFiles.count(_.contains("day=2024-01-10"))
+    assert(read == lateDayFiles && read < base.inputFiles.length,
+      s"read $read files, late-day has $lateDayFiles of ${base.inputFiles.length}")
+  }
+
+  test("empty batch is the identity (no recompute, prev returned as-is)") {
+    val (_, base, batch) = env
+    val v1 = dailyAgg(base)
+    val out = RollupOps.maintainByKey(
+      v1, base, batch.filter(lit(false)), "day", dailyAgg)
+    assert(out eq v1)
+  }
+}
