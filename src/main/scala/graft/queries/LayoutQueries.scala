@@ -17,6 +17,15 @@ import graft.tables.Tables
   */
 object LayoutQueries {
 
+  /** Shared per-day rollup for the incremental/streaming maintenance
+    * pair: exact-integer mean discipline (sum of micro-units, one
+    * divide) so the maintained and recomputed rows are bit-identical. */
+  private def dailyRollup(d: DataFrame): DataFrame = d.groupBy("day").agg(
+    count(lit(1)).as("n"),
+    countDistinct(col("user_id")).as("n_users"),
+    round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+      / count(lit(1)) / 1e6, 6).as("avg_value"))
+
   private def sfName(dir: String): String =
     new java.io.File(dir.replaceAll("/+$", "")).getName
 
@@ -99,17 +108,25 @@ object LayoutQueries {
         .partitionBy("day").parquet(s"$root/base")
       val base = s.read.parquet(s"$root/base")
       val batch = ev.filter(isBatch)
-      def dailyAgg(d: org.apache.spark.sql.DataFrame) = d.groupBy("day").agg(
-        count(lit(1)).as("n"),
-        countDistinct(col("user_id")).as("n_users"),
-        round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
-          / count(lit(1)) / 1e6, 6).as("avg_value"))
-      dailyAgg(base).write.mode("overwrite").parquet(s"$root/v1")
+      dailyRollup(base).write.mode("overwrite").parquet(s"$root/v1")
       val v1 = s.read.parquet(s"$root/v1")
       graft.ops.RollupOps.maintainByKey(
-          v1, base.unionByName(batch), batch, "day", dailyAgg)
+          v1, base.unionByName(batch), batch, "day", dailyRollup)
         .orderBy("day")
     }),
+
+    // The SAME daily rollup maintained CONTINUOUSLY at ingest
+    // (StreamingOps.rollupIngest): events replay as 6 ts-range
+    // micro-batches into the flat skip-indexed archive; each batch runs
+    // the identical RollupOps.maintainByKey kernel with its recompute
+    // reading only the zone-map-pruned files of the batch's days, and
+    // lands a batch-id-named rollup VERSION (overwrite-mode → replayed
+    // batches are exactly-once on disk; RollupSpec replays one
+    // mid-stream). Maintenance is exact, so this shares q_incr_rollup's
+    // full-scan oracle verbatim — streamed ≡ batch at the table level.
+    "q_stream_rollup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamRollupOnce(s, dir, dailyRollup)
+        .orderBy("day")),
 
     // Compaction planner on a deterministic manifest: segments are the
     // per-(event_type, day) slices of the archive sized by row count,
@@ -140,12 +157,10 @@ object LayoutQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // maintenance is exact → the oracle is the full-scan daily rollup
-    "q_incr_rollup" ->
-      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-        |       count(DISTINCT user_id) AS n_users,
-        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
-        |             / count(*) / 1e6, 6) AS avg_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_incr_rollup" -> DailyRollupSql,
+
+    // streamed maintenance is the same exact kernel → same oracle
+    "q_stream_rollup" -> DailyRollupSql,
 
     // exact by decomposition → the oracle is the plain scan
     "q_meta_count" ->
@@ -164,4 +179,11 @@ object LayoutQueries {
         |            - n_rows) / 2000.0) AS BIGINT) AS bin
         |FROM m ORDER BY event_type, day""".stripMargin,
   )
+
+  private lazy val DailyRollupSql =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+      |       count(DISTINCT user_id) AS n_users,
+      |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+      |             / count(*) / 1e6, 6) AS avg_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

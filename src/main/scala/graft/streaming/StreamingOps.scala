@@ -464,6 +464,132 @@ object StreamingOps {
       .start()
   }
 
+  /** Checkpoint-scoped stream identity: batch ids restart at 0 per
+    * checkpoint, so commit markers / version names are scoped by the
+    * checkpoint's hash to let several streams share one root. */
+  private[graft] def streamScope(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8"))
+    d.take(4).map("%02x".format(_)).mkString
+  }
+
+  private def rollupRoot(dir: String) = s"$dir/_rollup"
+  private[graft] def rollupVersionPath(dir: String, streamId: String,
+      batchId: Long): String =
+    f"${rollupRoot(dir)}/v_${streamId}_$batchId%09d"
+
+  /** Latest committed rollup version at or before `beforeId` (every id
+    * when None) — the underscore-prefixed `_rollup` dir is invisible to
+    * data scans, same trick as `_skipindex`. */
+  private[graft] def latestRollup(spark: SparkSession, dir: String,
+      beforeId: Option[Long] = None): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(rollupRoot(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val versions = fs.listStatus(p).map(_.getPath).toSeq
+        .filter(_.getName.startsWith("v_"))
+        .map(q => (q.getName.substring(q.getName.lastIndexOf('_') + 1).toLong, q))
+        .filter { case (id, _) => beforeId.forall(id < _) }
+      if (versions.isEmpty) None
+      else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+    }
+  }
+
+  /** One micro-batch of continuous rollup maintenance — the body
+    * [[rollupIngest]] runs per batch, factored out so the replay path is
+    * directly testable:
+    *  1. the batch lands in the flat skip-indexed archive through the
+    *     replay-idempotent clustered appender, and the zone-map index
+    *     refreshes incrementally (exactly [[flatArchiveIngest]]);
+    *  2. the SAME maintenance kernel the batch ETL uses
+    *     ([[graft.ops.RollupOps.maintainByKey]]) brings the persisted
+    *     per-day rollup up to date: the batch's days recompute from a
+    *     zone-map-PRUNED archive read (per-day file picks — never a
+    *     history scan), every other row carries from the previous rollup
+    *     version untouched;
+    *  3. the result lands as an overwrite-mode, batch-id-named VERSION:
+    *     redelivery rewrites the same version from the same idempotent
+    *     archive state, so at-least-once delivery is exactly-once output
+    *     (RollupSpec replays a mid-stream batch and pins both the rewrite
+    *     and the untouched later versions).
+    * At 100 TB the dashboard aggregate trails ingest by one pruned
+    * recompute instead of a nightly full scan. */
+  private[graft] def maintainRollupBatch(batch: DataFrame, batchId: Long,
+      streamId: String, tsCol: String, dir: String,
+      recompute: DataFrame => DataFrame): Unit = {
+    import graft.sources.SkipIndex
+    val s = batch.sparkSession
+    SkipIndex.appendClusteredBatch(batch, tsCol, dir, batchId, streamId)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData)
+      SkipIndex.persistIndex(s, SkipIndex.refreshFooterIndex(
+        s, dir, tsCol, SkipIndex.loadIndexOrEmpty(s, dir)), dir)
+    val changed = batch.select(to_date(col(tsCol)).as("day"))
+      .distinct().collect().map(_.getDate(0)).toSeq
+    if (changed.nonEmpty) {
+      val idx = SkipIndex.loadIndexOrEmpty(s, dir)
+      def us(d: java.sql.Date): Long =
+        d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli * 1000L
+      val picks = changed.map(d =>
+          SkipIndex.pruneFiles(idx, us(d), us(d) + 86400000000L))
+        .reduce(_ unionByName _).distinct()
+        .unionByName(SkipIndex.unprunableFiles(idx))
+      val data = SkipIndex.readFiles(s, picks)
+        .withColumn("day", to_date(col(tsCol)))
+      val batchDay = batch.withColumn("day", to_date(col(tsCol)))
+      // prev = latest version STRICTLY BEFORE this batch id: on
+      // redelivery a half-written own version must not become input
+      val next = latestRollup(s, dir, beforeId = Some(batchId)) match {
+        case Some(prev) =>
+          graft.ops.RollupOps.maintainByKey(prev, data, batchDay, "day", recompute)
+        case None =>
+          recompute(data.filter(col("day").isInCollection(changed)))
+      }
+      next.coalesce(1).write.mode("overwrite")
+        .parquet(rollupVersionPath(dir, streamId, batchId))
+    }
+  }
+
+  /** Continuous rollup maintenance at ingest: [[maintainRollupBatch]]
+    * per micro-batch behind a checkpoint. */
+  def rollupIngest(stream: DataFrame, tsCol: String, dir: String,
+      checkpoint: String, recompute: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = streamScope(checkpoint)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        maintainRollupBatch(batch, batchId, streamId, tsCol, dir, recompute)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Drive the continuous rollup over the (finite) events table split
+    * into 6 contiguous ts-range files, one micro-batch each, and return
+    * the final rollup version. The result must equal one batch aggregate
+    * over the same rows — maintenance is exact — so the batch full-scan
+    * oracle applies unchanged. */
+  def runStreamRollupOnce(spark: SparkSession, dir: String,
+      recompute: DataFrame => DataFrame): DataFrame = {
+    val ses = stateSizedSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_rollup").toString
+    val (src, arch, ckpt) = (s"$tmp/src", s"$tmp/arch", s"$tmp/ckpt")
+    graft.tables.Tables.events(ses, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartitionByRange(6, col("ts"))
+      .write.parquet(src)
+    val stream = ses.readStream.schema(ses.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = rollupIngest(stream, "ts", arch, ckpt, recompute)
+    try { q.processAllAvailable() } finally { q.stop() }
+    latestRollup(ses, arch).get
+  }
+
   /** STREAM-STREAM interval join (§2.10's remaining operator family):
     * purchases matched to the same user's clicks in the preceding hour —
     * the attribution-join shape. Both sides carry watermarks, and the join

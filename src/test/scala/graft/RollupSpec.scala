@@ -81,4 +81,50 @@ class RollupSpec extends AnyFunSuite {
       v1, base, batch.filter(lit(false)), "day", dailyAgg)
     assert(out eq v1)
   }
+
+  test("continuous rollup at ingest ≡ one batch aggregate over the stream") {
+    val streamed = graft.streaming.StreamingOps
+      .runStreamRollupOnce(spark, TestSpark.Sf0001, dailyAgg)
+      .orderBy("day").collect().toSeq
+    val batch = dailyAgg(
+        Tables.events(spark, TestSpark.Sf0001)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+          .withColumn("day", to_date(col("ts"))))
+      .orderBy("day").collect().toSeq
+    assert(streamed == batch && batch.size >= 25)
+  }
+
+  test("rollup versions: one per batch; mid-stream replay is exactly-once") {
+    import graft.streaming.StreamingOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_replay").toString
+    val arch = s"$tmp/arch"
+    val sid = StreamingOps.streamScope(s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    // four deterministic ts-range batches driven by hand (the engine path
+    // is covered above; hand-driving exposes batch ids for the replay)
+    val cuts = Seq("2024-01-08", "2024-01-16", "2024-01-24")
+      .map(d => lit(d).cast("timestamp"))
+    val batches = Seq(
+      ev.filter(col("ts") < cuts(0)),
+      ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+      ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+      ev.filter(col("ts") >= cuts(2)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingOps.maintainRollupBatch(b, i.toLong, sid, "ts", arch, dailyAgg)
+    }
+    // one version per batch, and the latest equals the full aggregate
+    val vPaths = (0 until 4).map(i =>
+      StreamingOps.rollupVersionPath(arch, sid, i.toLong))
+    vPaths.foreach(p => assert(new java.io.File(p).isDirectory, p))
+    def read(p: String) = spark.read.parquet(p).orderBy("day").collect().toSeq
+    val before = vPaths.map(read)
+    assert(before.last == dailyAgg(ev.withColumn("day", to_date(col("ts"))))
+      .orderBy("day").collect().toSeq)
+    // redeliver batch 2 (at-least-once): the idempotent archive append
+    // absorbs the rows, version 2 rewrites identically, later versions
+    // untouched — exactly-once OUTPUT
+    StreamingOps.maintainRollupBatch(batches(2), 2L, sid, "ts", arch, dailyAgg)
+    assert(vPaths.map(read) == before)
+  }
 }
