@@ -82,6 +82,37 @@ object LayoutQueries {
           timestamp_micros(col("max_us")).as("max_ts"))
     }),
 
+    // Bloom skip index (SkipIndex.buildBloomIndex): point lookups by an
+    // OPAQUE surrogate key (trace_id = md5 of the event id — stand-in
+    // for the UUID/trace keys real archives carry) against the
+    // time-clustered archive. Every file's [min,max] range on a hash
+    // key spans the whole key space, so zone maps prune NOTHING for
+    // this probe; the per-file Bloom blob routes each of the five probe
+    // keys to the file(s) that might hold it — ≈5 file reads out of 30,
+    // false positives only cost an extra file, false negatives are
+    // impossible (SkipIndexSpec pins all of this). The oracle probes by
+    // the underlying event ids — the engine must find exactly those
+    // rows without ever seeing an event-id predicate.
+    "q_bloom_skip" -> ((s, dir) => {
+      val dataDir = s"/tmp/graft_index/${sfName(dir)}/events_flat_trace"
+      SkipIndex.writeTimeClustered(
+        Tables.events(s, dir)
+          .withColumn("trace_id", md5(col("event_id").cast("string")))
+          .select("event_id", "ts", "trace_id", "value"),
+        "ts", dataDir)
+      val bidx = SkipIndex.buildBloomIndex(s, dataDir, "trace_id",
+        expectedItemsPerFile = 4096, numBits = 1L << 16)
+      val probeIds = Seq(17L, 211L, 404L, 650L, 888L)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val traces = probeIds.map(id =>
+        md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      SkipIndex.readFiles(s, SkipIndex.pruneFilesByKeys(bidx, traces))
+        .filter(col("trace_id").isin(traces: _*))
+        .select(col("event_id"), col("trace_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // Incremental rollup maintenance (RollupOps.maintainByKey): the
     // archive lands day-partitioned, the daily rollup materializes as
     // its own table, then a batch arrives carrying five NEW days plus
@@ -155,6 +186,13 @@ object LayoutQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the bloom route must recover exactly the probed rows — the oracle
+    // probes by the underlying ids the engine never filters on
+    "q_bloom_skip" ->
+      """SELECT event_id, md5(CAST(event_id AS VARCHAR)) AS trace_id, value
+        |FROM events WHERE event_id IN (17, 211, 404, 650, 888)
+        |ORDER BY event_id""".stripMargin,
 
     // maintenance is exact → the oracle is the full-scan daily rollup
     "q_incr_rollup" -> DailyRollupSql,

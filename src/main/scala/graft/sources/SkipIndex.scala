@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 import scala.jdk.CollectionConverters._
 
@@ -226,6 +227,44 @@ object SkipIndex {
       spark.emptyDataFrame
     else
       spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Per-file Bloom membership index — the skip dimension zone maps
+    * cannot provide: a point lookup on an OPAQUE key (UUID/trace/content
+    * hash) hits a time-clustered archive whose per-file [min,max] ranges
+    * on that key all span the whole key space, so range zones prune
+    * nothing, while a ~2-bytes-per-row Bloom blob per file routes the
+    * probe to the handful of files that might hold it (false positives
+    * cost an extra file scan; false negatives are impossible). One data
+    * pass at build — an INDEX build, amortized over every later lookup,
+    * exactly like the footer index — producing a metadata-scale
+    * `(file, bloom)` table. Blobs come from Spark's own
+    * `BloomFilterAggregate` over `xxhash64(key)` (the runtime-filter
+    * pair), so probe hashing provably matches the build side. */
+  def buildBloomIndex(spark: SparkSession, dataDir: String, keyCol: String,
+      expectedItemsPerFile: Long, numBits: Long): DataFrame =
+    spark.read.parquet(dataDir)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(graft.functions.BloomFunctions.bloom_agg(
+        col(keyCol), expectedItemsPerFile, numBits).as("bloom"))
+
+  /** Files whose Bloom blob might contain ANY of `keys` (string keys,
+    * hashed with the build side's xxhash64-seed-42). Driver-side over
+    * the collected metadata table — the same catalog-scale collect as
+    * [[readFiles]]; feed the result straight to it. */
+  def pruneFilesByKeys(bloomIdx: DataFrame, keys: Seq[String]): DataFrame = {
+    val spark = bloomIdx.sparkSession
+    val hashes = keys.map(k =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        StringType, 42L))
+    val kept = bloomIdx.select("file", "bloom").collect().filter { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+      hashes.exists(bf.mightContainLong)
+    }.map(_.getString(0)).toIndexedSeq
+    import spark.implicits._
+    kept.toDF("file")
   }
 
   /** Metadata-only windowed aggregate with boundary correction: count /

@@ -115,6 +115,60 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(empty.isNullAt(1) && empty.isNullAt(2))
   }
 
+  test("bloom skip index: routes opaque-key probes to a strict file subset, " +
+       "no false negatives, zone maps provably useless for the same probe") {
+    val dir = new java.io.File("target/fixtures/events_flat_bloom").getAbsolutePath
+    SkipIndex.writeTimeClustered(
+      Tables.events(spark, TestSpark.Sf0001)
+        .withColumn("trace_id", md5(col("event_id").cast("string")))
+        .select("event_id", "ts", "trace_id", "value"),
+      "ts", dir)
+    val all = spark.read.parquet(dir)
+    val totalFiles = all.inputFiles.length
+    val bidx = SkipIndex.buildBloomIndex(spark, dir, "trace_id",
+      expectedItemsPerFile = 4096, numBits = 1L << 16)
+    // one blob per DATA-BEARING file; the empty schema-carrier file has no
+    // rows to index and provably holds no key — skipping it is pruning
+    assert(bidx.count() ==
+      all.select(col("_metadata.file_path")).distinct().count())
+    assert(bidx.count() <= totalFiles)
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def trace(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val probeIds = Seq(17L, 211L, 404L, 650L, 888L)
+    val traces = probeIds.map(trace)
+
+    val picked = SkipIndex.pruneFilesByKeys(bidx, traces)
+      .collect().map(_.getString(0)).toSet
+    // strict subset: 5 unique keys live in ≤5 true files (+ rare fps)
+    assert(picked.nonEmpty && picked.size < totalFiles,
+      s"picked ${picked.size} of $totalFiles")
+    // no false negatives: every file truly holding a probe key is picked
+    val trueFiles = all
+      .filter(col("trace_id").isin(traces: _*))
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val pickedNorm = picked.map(_.replaceAll("^file:/+", "/"))
+    assert(trueFiles.subsetOf(pickedNorm), s"missed ${trueFiles -- pickedNorm}")
+    // the probe recovers exactly the 5 rows
+    val got = SkipIndex.readFiles(spark, SkipIndex.pruneFilesByKeys(bidx, traces))
+      .filter(col("trace_id").isin(traces: _*))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == probeIds.sorted)
+    // and the honest comparison: a ZONE map on trace_id cannot prune this
+    // archive — every file's hex-key [min,max] spans essentially the whole
+    // space, so every per-file range contains at least one probe key
+    val ranges = all
+      .groupBy(col("_metadata.file_path"))
+      .agg(min("trace_id").as("lo"), max("trace_id").as("hi"))
+      .collect()
+    val zonesPrunable = ranges.count(r =>
+      !traces.exists(t => r.getString(1) <= t && t <= r.getString(2)))
+    assert(zonesPrunable == 0,
+      s"$zonesPrunable files were range-prunable — trace_id zones unexpectedly tight")
+  }
+
   test("assignBins: monotone bins, ≤ ceil(total/target) of them, none oversized") {
     val target = 200L
     val plan = SkipIndex.assignBins(
