@@ -279,6 +279,17 @@ object JoinQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // The SAME point-in-time enrichment run CONTINUOUSLY: the lineitem
+    // stream joins the STATIC SCD2 dimension per micro-batch (stateless
+    // stream-static broadcast left-outer join — the third join topology
+    // next to the stream-stream interval join), then aggregates into a
+    // bounded (ship-month × matched) grid in complete mode. Streamed ≡
+    // batch because the static side is identical per batch and the
+    // aggregate is exact — the batch SQL oracle applies unchanged.
+    "q_stream_pit" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamPitOnce(s, dir)
+        .orderBy("ship_month", "matched")),
+
     // The SAME top-3-suppliers-per-nation result as
     // q_top_suppliers_per_nation, but through the native partial top-k
     // aggregate (functions.TopKByAgg) instead of a rank window: per-nation
@@ -487,6 +498,30 @@ object JoinQueries {
         | AND v.vf <= p.l_shipdate
         | AND (v.vt IS NULL OR p.l_shipdate < v.vt)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // streamed ≡ batch: static dim per micro-batch + exact aggregate
+    "q_stream_pit" ->
+      """WITH v AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         o_orderdate AS vf,
+        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |                                 ORDER BY o_orderdate, o_orderkey) AS vt
+        |  FROM orders),
+        |probe AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |j AS (
+        |  SELECT p.l_shipdate, v.o_orderkey AS vk, v.o_totalprice AS vp
+        |  FROM probe p LEFT JOIN v
+        |    ON p.o_custkey = v.o_custkey
+        |   AND v.vf <= p.l_shipdate
+        |   AND (v.vt IS NULL OR p.l_shipdate < v.vt))
+        |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |       CAST(vk IS NOT NULL AS INT) AS matched,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(coalesce(vp, 0) * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS price_cents
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the salt is pure execution strategy — the oracle is the plain join
     "q_salted_join" ->

@@ -496,6 +496,27 @@ object StreamingOps {
     }
   }
 
+  /** Retention for the rollup version lineage — VACUUM: keep the newest
+    * `keepLast` versions (time-travel window), delete the rest. Versions
+    * are self-contained snapshots (each carries the WHOLE rollup, not a
+    * delta), so deleting old ones never affects later reads — pinned in
+    * RollupSpec together with `latestRollup(beforeId)` time travel.
+    * Returns the number of versions deleted. */
+  def vacuumRollups(spark: SparkSession, dir: String, keepLast: Int): Int = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val p = new org.apache.hadoop.fs.Path(rollupRoot(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val versions = fs.listStatus(p).map(_.getPath).toSeq
+        .filter(_.getName.startsWith("v_"))
+        .sortBy(q => q.getName.substring(q.getName.lastIndexOf('_') + 1).toLong)
+      val doomed = versions.dropRight(keepLast)
+      doomed.foreach(fs.delete(_, true))
+      doomed.size
+    }
+  }
+
   /** One micro-batch of continuous rollup maintenance — the body
     * [[rollupIngest]] runs per batch, factored out so the replay path is
     * directly testable:
@@ -588,6 +609,52 @@ object StreamingOps {
     val q = rollupIngest(stream, "ts", arch, ckpt, recompute)
     try { q.processAllAvailable() } finally { q.stop() }
     latestRollup(ses, arch).get
+  }
+
+  /** STREAM-STATIC point-in-time enrichment: the lineitem fact stream
+    * joins the STATIC SCD2 order-version dimension through the same
+    * [[graft.ops.JoinOps.pitLookup]] the batch path uses — a stateless
+    * stream-static broadcast left-outer join (no watermark, no state
+    * store: the static side is fixed per micro-batch, Spark re-plans it
+    * into each batch), followed by a streaming aggregate. This is the
+    * third join topology next to q_stream_join's stream-stream interval
+    * join and the ANN ingest's static-centroid assignment: continuous
+    * fact enrichment against versioned dimensions, THE feature-pipeline
+    * ingest shape, with the same no-leakage guarantee as batch (a fact
+    * before its entity's first version aggregates into the matched=0
+    * bucket, never a later version's). Complete-mode aggregate over a
+    * bounded (month × matched) grid, so the batch oracle applies
+    * unchanged. */
+  def runStreamPitOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_pit_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val orders = graft.tables.Tables.orders(ses, dir)
+    val dim = graft.ops.MergeOps.scd2Intervals(
+        orders.select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        "o_custkey", "o_orderdate",
+        tieBreak = "o_orderkey", endOfTime = "9999-12-31 00:00:00")
+      .select(col("o_custkey").as("dim_custkey"),
+        col("o_orderkey").as("version_key"),
+        col("o_totalprice").as("version_price"),
+        col("valid_from"), col("valid_to"))
+    val probes = footerSchemaStream(ses, dir, "lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+    val q = graft.ops.JoinOps.pitLookup(probes, dim,
+        factKey = "o_custkey", factTs = "l_shipdate", dimKey = "dim_custkey")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        when(col("version_key").isNotNull, 1).otherwise(0).as("matched"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(coalesce(col("version_price"), lit(0.0)) * 100, 0)
+          .cast("long")).as("price_cents"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    drainTable(ses, name)
   }
 
   /** STREAM-STREAM interval join (§2.10's remaining operator family):

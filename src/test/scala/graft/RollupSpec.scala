@@ -126,5 +126,19 @@ class RollupSpec extends AnyFunSuite {
     // untouched — exactly-once OUTPUT
     StreamingOps.maintainRollupBatch(batches(2), 2L, sid, "ts", arch, dailyAgg)
     assert(vPaths.map(read) == before)
+
+    // time travel: the rollup as of batch 2 = version 2's snapshot
+    val asOf = StreamingOps.latestRollup(spark, arch, beforeId = Some(3L))
+      .get.orderBy("day").collect().toSeq
+    assert(asOf == before(2))
+
+    // VACUUM keep-2: v0/v1 deleted, v2/v3 intact, latest read unaffected
+    // (versions are self-contained snapshots, not deltas)
+    assert(StreamingOps.vacuumRollups(spark, arch, keepLast = 2) == 2)
+    assert(!new java.io.File(vPaths(0)).exists())
+    assert(!new java.io.File(vPaths(1)).exists())
+    assert(read(vPaths(2)) == before(2) && read(vPaths(3)) == before(3))
+    assert(StreamingOps.latestRollup(spark, arch).get
+      .orderBy("day").collect().toSeq == before(3))
   }
 }

@@ -375,4 +375,38 @@ class StreamingSpec extends AnyFunSuite {
       Seq(StreamingOps.NearDupEdge(4L, 6L), StreamingOps.NearDupEdge(4L, 7L)))
     assert(s4.get == 4L)
   }
+
+  test("stream-static PIT enrichment equals the batch formulation") {
+    val dir = TestSpark.Sf0001
+    val streamed = StreamingOps.runStreamPitOnce(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val orders = graft.tables.Tables.orders(spark, dir)
+    val dim = graft.ops.MergeOps.scd2Intervals(
+        orders.select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate")),
+        "o_custkey", "o_orderdate",
+        tieBreak = "o_orderkey", endOfTime = "9999-12-31 00:00:00")
+      .select(col("o_custkey").as("dim_custkey"),
+        col("o_orderkey").as("version_key"),
+        col("o_totalprice").as("version_price"),
+        col("valid_from"), col("valid_to"))
+    val probes = graft.tables.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .join(broadcast(orders.select(col("o_orderkey"), col("o_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .drop("o_orderkey")
+    val batch = graft.ops.JoinOps.pitLookup(probes, dim,
+        factKey = "o_custkey", factTs = "l_shipdate", dimKey = "dim_custkey")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        when(col("version_key").isNotNull, 1).otherwise(0).as("matched"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(coalesce(col("version_price"), lit(0.0)) * 100, 0)
+          .cast("long")).as("price_cents"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(streamed == batch)
+    // both matched buckets exist (facts before first version are real here)
+    assert(streamed.exists(_._2 == 0) && streamed.exists(_._2 == 1))
+  }
 }
