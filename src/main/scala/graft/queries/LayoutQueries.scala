@@ -26,6 +26,12 @@ object LayoutQueries {
     round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
       / count(lit(1)) / 1e6, 6).as("avg_value"))
 
+  /** Driver-side md5 hex — must match Spark's `md5()` and DuckDB's
+    * `md5()` (all three lowercase-hex the UTF-8 bytes). */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def sfName(dir: String): String =
     new java.io.File(dir.replaceAll("/+$", "")).getName
 
@@ -82,6 +88,34 @@ object LayoutQueries {
           timestamp_micros(col("max_us")).as("max_ts"))
     }),
 
+    // Key-level deletion vectors (Deletes): five trace ids tombstone
+    // into the `_deletes` sidecar (O(keys), no data touched — GDPR
+    // erasure acknowledgment at request speed), then the maintenance
+    // pass applies them physically, ROUTED BY THE BLOOM INDEX to only
+    // the files that might hold a doomed key — ~5 rewrites out of 30
+    // files; everything else stays byte-identical (DeletesSpec pins
+    // it, plus logical-read ≡ post-apply-physical-read). The output is
+    // the plain post-apply scan: the archive must behave as if the rows
+    // never existed, which is exactly what the NOT-IN oracle states.
+    "q_deletes" -> ((s, dir) => {
+      val dataDir = s"/tmp/graft_index/${sfName(dir)}/events_flat_del"
+      SkipIndex.writeTimeClustered(
+        Tables.events(s, dir)
+          .withColumn("trace_id", md5(col("event_id").cast("string")))
+          .select("event_id", "ts", "trace_id", "value"),
+        "ts", dataDir)
+      val doomed = Seq(21L, 333L, 555L, 777L, 901L).map(id => md5Hex(id.toString))
+      graft.sources.Deletes.addTombstones(s, dataDir, doomed)
+      val bidx = SkipIndex.buildBloomIndex(s, dataDir, "trace_id",
+        expectedItemsPerFile = 4096, numBits = 1L << 16)
+      graft.sources.Deletes.applyDeletes(s, dataDir, "trace_id", bidx)
+      s.read.parquet(dataDir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+        .orderBy("day")
+    }),
+
     // Bloom skip index (SkipIndex.buildBloomIndex): point lookups by an
     // OPAQUE surrogate key (trace_id = md5 of the event id — stand-in
     // for the UUID/trace keys real archives carry) against the
@@ -103,10 +137,7 @@ object LayoutQueries {
       val bidx = SkipIndex.buildBloomIndex(s, dataDir, "trace_id",
         expectedItemsPerFile = 4096, numBits = 1L << 16)
       val probeIds = Seq(17L, 211L, 404L, 650L, 888L)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val traces = probeIds.map(id =>
-        md.digest(id.toString.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString)
+      val traces = probeIds.map(id => md5Hex(id.toString))
       SkipIndex.readFiles(s, SkipIndex.pruneFilesByKeys(bidx, traces))
         .filter(col("trace_id").isin(traces: _*))
         .select(col("event_id"), col("trace_id"), col("value"))
@@ -185,6 +216,14 @@ object LayoutQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the archive must behave as if the tombstoned rows never existed
+    "q_deletes" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_micro
+        |FROM events WHERE event_id NOT IN (21, 333, 555, 777, 901)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the bloom route must recover exactly the probed rows — the oracle

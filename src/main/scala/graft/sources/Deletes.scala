@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key-level deletion vectors for flat parquet archives — the
+  * delete-without-rewrite lakehouse primitive (Delta deletion vectors /
+  * Iceberg equality deletes, re-expressed Spark-first): a delete lands as
+  * a TOMBSTONE row in a `_deletes` sidecar (O(keys), instant, no data
+  * touched), every logical read anti-joins the broadcast tombstone set
+  * (map-side, no shuffle), and a later MAINTENANCE pass applies the
+  * tombstones physically — routed by the [[SkipIndex.buildBloomIndex]]
+  * Bloom blobs to only the files that might hold a doomed key, so a
+  * 5-key GDPR erasure on a 100 TB archive rewrites ~5 files, not the
+  * archive.
+  *
+  * Tombstone keys are strings (the same opaque trace/UUID keys the Bloom
+  * index serves); the doomed-key set is bounded by deletion REQUESTS
+  * (human-scale), which is what licenses the driver-side collects here —
+  * the same metadata-scale contract as [[SkipIndex.readFiles]]. */
+object Deletes {
+
+  def tombstonePath(dir: String): String = s"$dir/_deletes"
+
+  /** Record keys for deletion — append-only, O(keys), no data touched.
+    * The `_` prefix hides the sidecar from data scans (Spark FileIndex
+    * skips `_`/`.` paths), same trick as `_skipindex`. */
+  def addTombstones(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
+    import spark.implicits._
+    keys.toDF("key").coalesce(1)
+      .write.mode("append").parquet(tombstonePath(dir))
+  }
+
+  /** The distinct tombstoned keys (empty frame when none). */
+  def loadTombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tombstonePath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(tombstonePath(dir)).distinct()
+    else { import spark.implicits._; Seq.empty[String].toDF("key") }
+  }
+
+  /** Logical read: archive minus tombstoned keys, via a broadcast
+    * LEFT ANTI join — a map-side row filter at scan speed (the tombstone
+    * set is request-scale), never a shuffle of the archive. This is what
+    * every query between a delete request and the next maintenance
+    * window runs. */
+  def readWithDeletes(spark: SparkSession, dir: String, keyCol: String): DataFrame = {
+    val tomb = loadTombstones(spark, dir)
+    spark.read.parquet(dir)
+      .join(broadcast(tomb), col(keyCol) === col("key"), "left_anti")
+  }
+
+  /** Apply tombstones PHYSICALLY: rewrite only the files that hold a
+    * doomed key, then clear the sidecar.
+    *
+    * File routing: `bloomIdx` (a [[SkipIndex.buildBloomIndex]] frame over
+    * `keyCol`) narrows the candidates to the files whose blob might
+    * contain any doomed key — no-false-negative, so no deleted row can
+    * survive in an unrouted file; candidates are then confirmed by
+    * scanning just those files (a false positive costs one file scan,
+    * never a wrong rewrite). Each affected file rewrites in place —
+    * survivors to a staging dir, deterministic rename over the original,
+    * file dropped entirely when nothing survives — preserving the
+    * archive's file-per-zone layout for every untouched file (their
+    * paths, bytes, and zone stats stay bit-identical; DeletesSpec pins
+    * it). Callers holding a `_skipindex` should refresh it afterwards
+    * ([[SkipIndex.buildFooterIndex]] + persist — footer-only cost).
+    *
+    * Returns the rewritten (or deleted) file paths. */
+  def applyDeletes(spark: SparkSession, dir: String, keyCol: String,
+      bloomIdx: DataFrame): Seq[String] = {
+    val doomed = loadTombstones(spark, dir).collect().map(_.getString(0)).toIndexedSeq
+    if (doomed.isEmpty) return Seq.empty
+    val candidates = SkipIndex.pruneFilesByKeys(bloomIdx, doomed)
+    val affected = SkipIndex.readFiles(spark, candidates)
+      .filter(col(keyCol).isInCollection(doomed))
+      .select(col("_metadata.file_path"))
+      .distinct().collect().map(_.getString(0)).toIndexedSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    affected.foreach { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      val fs = path.getFileSystem(conf)
+      val survivors = spark.read.parquet(f)
+        .filter(!col(keyCol).isInCollection(doomed))
+      val n = survivors.count()
+      if (n == 0L) fs.delete(path, false)
+      else {
+        val staging = new org.apache.hadoop.fs.Path(
+          path.getParent, s"_rewrite_${path.getName}")
+        // same stats-bearing micros encoding as the original writer, so
+        // the rewritten file stays zone-prunable
+        SkipIndex.withMicrosTimestamps(survivors) {
+          survivors.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        }
+        val part = fs.listStatus(staging)
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(
+            s"rewrite of $f produced no parquet part"))
+        fs.delete(path, false)
+        fs.rename(part, path)
+        fs.delete(staging, true)
+      }
+    }
+    // tombstones applied → clear the sidecar
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(dir))
+    tp.getFileSystem(conf).delete(tp, true)
+    affected
+  }
+}

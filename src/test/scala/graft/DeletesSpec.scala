@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Deletes, SkipIndex}
+import graft.tables.Tables
+
+/** Key-level deletion vectors (Deletes): tombstone-excluded logical reads,
+  * bloom-routed physical apply that rewrites ONLY affected files, and the
+  * archive behaving afterwards as if the rows never existed. */
+class DeletesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def freshArchive(name: String): String = {
+    val dir = new java.io.File(s"target/fixtures/$name").getAbsolutePath
+    SkipIndex.writeTimeClustered(
+      Tables.events(spark, TestSpark.Sf0001)
+        .withColumn("trace_id", md5(col("event_id").cast("string")))
+        .select("event_id", "ts", "trace_id", "value"),
+      "ts", dir)
+    dir
+  }
+
+  test("logical read excludes tombstoned keys; apply makes it physical; " +
+       "only affected files rewritten") {
+    val dir = freshArchive("events_del_spec")
+    val doomedIds = Seq(21L, 333L, 555L, 777L, 901L)
+    val doomed = doomedIds.map(id => md5Hex(id.toString))
+    Deletes.addTombstones(spark, dir, doomed)
+
+    // logical read: exactly the doomed rows gone, nothing else
+    val logical = Deletes.readWithDeletes(spark, dir, "trace_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(logical == all -- doomedIds)
+
+    // snapshot every file's (size, mtime) before the apply
+    def snapshot() = {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.getName ->
+          (st.getLen, st.getModificationTime)).toMap
+    }
+    val before = snapshot()
+
+    val bidx = SkipIndex.buildBloomIndex(spark, dir, "trace_id",
+      expectedItemsPerFile = 4096, numBits = 1L << 16)
+    val rewritten = Deletes.applyDeletes(spark, dir, "trace_id", bidx)
+    val after = snapshot()
+
+    // only the affected files changed; every other file is byte-identical
+    val changedNames = rewritten.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(changedNames.nonEmpty && changedNames.size < before.size,
+      s"${changedNames.size} of ${before.size} rewritten")
+    (before.keySet -- changedNames).foreach { name =>
+      assert(after(name) == before(name), s"untouched file $name changed")
+    }
+
+    // physical read now equals the logical read; tombstones cleared
+    val physical = spark.read.parquet(dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(physical == logical)
+    assert(Deletes.loadTombstones(spark, dir).count() == 0)
+
+    // re-apply with nothing pending is a no-op
+    assert(Deletes.applyDeletes(spark, dir, "trace_id", bidx).isEmpty)
+  }
+
+  test("rewritten files keep prunable timestamp stats (zones stay tight)") {
+    val dir = freshArchive("events_del_zones")
+    Deletes.addTombstones(spark, dir, Seq(md5Hex("42")))
+    val bidx = SkipIndex.buildBloomIndex(spark, dir, "trace_id",
+      expectedItemsPerFile = 4096, numBits = 1L << 16)
+    val rewritten = Deletes.applyDeletes(spark, dir, "trace_id", bidx)
+    assert(rewritten.nonEmpty)
+    // the rebuilt footer index must carry real stats for every file,
+    // including the rewritten ones (no unprunable stragglers)
+    val idx = SkipIndex.buildFooterIndex(spark, dir, "ts")
+    assert(SkipIndex.unprunableFiles(idx).count() == 0)
+    val rewrittenNames = rewritten.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val rows = idx.collect().filter(r => rewrittenNames.contains(
+      new org.apache.hadoop.fs.Path(r.getString(0)).getName))
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4),
+      s"rewritten file lost its ts stats: $r"))
+  }
+
+  test("deleting every row of a file drops the file itself") {
+    import spark.implicits._
+    val dir = new java.io.File("target/fixtures/events_del_wholefile").getAbsolutePath
+    // 2 one-day files; day 1 dies entirely
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 3.0))
+      .toDF("event_id", "ts", "value")
+      .withColumn("trace_id", md5(col("event_id").cast("string")))
+    SkipIndex.writeTimeClustered(rows, "ts", dir, numFiles = 2)
+    Deletes.addTombstones(spark, dir, Seq("1", "2").map(md5Hex))
+    val bidx = SkipIndex.buildBloomIndex(spark, dir, "trace_id", 16, 1L << 12)
+    Deletes.applyDeletes(spark, dir, "trace_id", bidx)
+    val left = spark.read.parquet(dir).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == Seq(3L))
+  }
+}
