@@ -50,6 +50,30 @@ object StatsQueries {
       DedupOps.clusterSizeHistogram(d, "doc_id", pairs)
     }),
 
+    // Leakage-aware train/val split: q_train_split hashes each DOC into
+    // a fold, which lets a near-duplicate pair straddle train/val — the
+    // classic eval-contamination leak (Lee et al. 2022 measured the
+    // inflation). This splits by GROUP: every doc's fold key is its
+    // near-dup CLUSTER id (own id for singletons), so a whole duplicate
+    // family lands on one side by construction. Same CC machinery as
+    // q_dedup_clusters (one extra left join against the cluster frame —
+    // doc-keyed shuffle, AQE-handled); DedupSpec pins that no near-dup
+    // pair crosses the fold boundary.
+    "q_group_split" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8)
+        .select(col("id_a"), col("id_b"))
+      val clusters = DedupOps.duplicateClusters(pairs)
+      d.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("gkey"))
+        .withColumn("split",
+          when(substring(md5(col("gkey").cast("string").cast("binary")), 1, 1)
+            === "f", "val").otherwise("train"))
+        .orderBy("doc_id")
+    }),
+
     // Heavy hitters: the most document-frequent 3-gram shingles (exact
     // count, rank-limited with deterministic tie-break).
     "q_top_shingles" -> ((s, dir) => {
@@ -668,6 +692,43 @@ object StatsQueries {
         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
         |  FROM reach GROUP BY src)
         |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin,
+
+    // same CC chain; fold key = cluster id (own id for singletons)
+    "q_group_split" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |  WHERE r.src <> b.dst),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS gkey
+        |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id)
+        |SELECT doc_id, gkey,
+        |       CASE WHEN substr(md5(CAST(gkey AS VARCHAR)), 1, 1) = 'f'
+        |            THEN 'val' ELSE 'train' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster_sizes" ->
       """WITH RECURSIVE toks AS (

@@ -183,6 +183,22 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("group split: no near-dup pair straddles the fold boundary") {
+    val d = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val out = SparkEntry.queries("q_group_split")(spark, TestSpark.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.size == d.count())
+    val pairs = DedupOps.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — test is vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(out(a) == out(b), s"near-dup pair ($a,$b) split ${out(a)}/${out(b)}")
+    }
+    // both folds populated (split isn't degenerate)
+    assert(out.values.toSet == Set("train", "val"))
+  }
+
   test("simhash: identical docs share fingerprints; near-dups within hamming 3") {
     val fps = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
