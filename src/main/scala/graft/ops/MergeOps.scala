@@ -79,6 +79,41 @@ object MergeOps {
         (lead(col(tsCol), 1).over(w).isNull).cast("int"))
   }
 
+  /** CDC apply — MERGE INTO semantics for a change feed against a keyed
+    * snapshot: `cdc` rows carry `(opCol ∈ {I,U,D}, keyCol, seqCol,
+    * payload…)`; per key the HIGHEST-`seqCol` operation wins (CDC
+    * compaction), then a winning `D` removes the key, a winning `I`/`U`
+    * replaces (or introduces) the row wholesale.
+    *
+    * Scale shape: the rank window runs over the CHANGE FEED only (delta-
+    * sized — never the snapshot), and the snapshot's single shuffle is
+    * the anti-join on the key (AQE-planned; broadcastable when the
+    * compacted delta is small, which a per-batch CDC feed usually is).
+    * This is the lakehouse MERGE pattern with the Delta/Iceberg
+    * implementation idiom — touched keys drop out, winners union in —
+    * rather than a row-by-row upsert loop.
+    *
+    * `seqCol` must be unique per (key) among that key's changes — equal
+    * sequence numbers would make the winner nondeterministic, so ties
+    * fail fast rather than silently picking one. */
+  def applyCdc(snapshot: DataFrame, cdc: DataFrame, keyCol: String,
+      opCol: String, seqCol: String): DataFrame = {
+    val dupSeq = cdc.groupBy(col(keyCol), col(seqCol))
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dupSeq.nonEmpty)
+      throw new IllegalArgumentException(
+        s"applyCdc: duplicate $seqCol for key ${dupSeq.head.get(0)} — " +
+          "the winning operation would be nondeterministic")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val latest = cdc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val winners = latest.filter(col(opCol) =!= "D")
+      .select(snapshot.columns.map(col).toIndexedSeq: _*)
+    snapshot
+      .join(latest.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(winners)
+  }
+
   /** U3 — schema-consistency guard: all chunks must share one schema
     * (reference 502s on frequency-column mismatch, ref `:277-281`). */
   def requireSameSchema(chunks: Seq[DataFrame]): Unit = {

@@ -279,6 +279,34 @@ object JoinQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // CDC apply (MergeOps.applyCdc — MERGE INTO semantics): a change
+    // feed derived from the snapshot itself carries two competing
+    // updates per touched key (seq 1: +500, seq 2: +1000 — the LAST
+    // must win), deletes at the highest seq (a key both updated and
+    // deleted must die), and inserts under fresh keys. Compaction ranks
+    // only the DELTA (window over the feed, never the snapshot); the
+    // snapshot pays one anti-join shuffle on the key. The oracle states
+    // the end state directly: survivors with the seq-2 value, minus the
+    // deleted keys, plus the inserts.
+    "q_cdc_apply" -> ((s, dir) => {
+      val snap = Tables.events(s, dir).select("event_id", "event_type", "value")
+      def feed(pred: org.apache.spark.sql.Column, op: String, seq: Long,
+               id: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+        snap.filter(pred).select(lit(op).as("op"), id.as("event_id"),
+          lit(seq).as("seq"), col("event_type"), value.as("value"))
+      val idc = col("event_id")
+      val cdc = feed(idc % 100 === 50, "U", 1L, idc, col("value") + 500)
+        .unionByName(feed(idc % 100 === 50, "U", 2L, idc, col("value") + 1000))
+        .unionByName(feed(idc % 97 === 0, "D", 3L, idc, col("value")))
+        .unionByName(feed(idc % 500 === 0, "I", 1L, idc + 1000000L,
+          col("value") + 0.25))
+      graft.ops.MergeOps.applyCdc(snap, cdc, "event_id", "op", "seq")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+        .orderBy("event_type")
+    }),
+
     // The SAME point-in-time enrichment run CONTINUOUSLY: the lineitem
     // stream joins the STATIC SCD2 dimension per micro-batch (stateless
     // stream-static broadcast left-outer join — the third join topology
@@ -498,6 +526,23 @@ object JoinQueries {
         | AND v.vf <= p.l_shipdate
         | AND (v.vt IS NULL OR p.l_shipdate < v.vt)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // the oracle states the CDC end state directly
+    "q_cdc_apply" ->
+      """WITH survivors AS (
+        |  SELECT event_id, event_type,
+        |         CASE WHEN event_id % 100 = 50 THEN value + 1000
+        |              ELSE value END AS value
+        |  FROM events WHERE event_id % 97 <> 0),
+        |ins AS (
+        |  SELECT event_id + 1000000 AS event_id, event_type,
+        |         value + 0.25 AS value
+        |  FROM events WHERE event_id % 500 = 0),
+        |merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_micro
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // streamed ≡ batch: static dim per micro-batch + exact aggregate
     "q_stream_pit" ->

@@ -160,6 +160,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("applyCdc: last-seq wins, delete beats earlier update, insert lands, " +
+       "untouched rows ride through; duplicate seq fails fast") {
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "t", "v")
+    val cdc = Seq(
+      ("U", 1L, 1L, "a", 11.0), ("U", 1L, 2L, "a", 12.0), // last wins → 12
+      ("U", 2L, 1L, "b", 21.0), ("D", 2L, 2L, "b", 0.0),  // delete wins
+      ("I", 9L, 1L, "z", 99.0))                           // fresh insert
+      .toDF("op", "id", "seq", "t", "v")
+    val out = graft.ops.MergeOps.applyCdc(snap, cdc, "id", "op", "seq")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a", 12.0), (3L, "c", 30.0), (9L, "z", 99.0)))
+
+    val dup = Seq(("U", 1L, 1L, "a", 1.0), ("D", 1L, 1L, "a", 0.0))
+      .toDF("op", "id", "seq", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.MergeOps.applyCdc(snap, dup, "id", "op", "seq")
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+  }
+
   test("q_vocab_oov rates in [0,1], tokens add up over sources") {
     val out = graft.queries.TextQueries.queries("q_vocab_oov")(spark, TestSpark.Sf0001)
       .collect()
