@@ -88,6 +88,35 @@ object LayoutQueries {
           timestamp_micros(col("max_us")).as("max_ts"))
     }),
 
+    // Schema evolution read: generation-1 files (days 1-15) predate the
+    // `quality` column that generation-2 files carry — the reality of
+    // any archive written over years. One mergeSchema read unifies them
+    // (legacy rows surface NULL quality, never a crash, never a silent
+    // column drop — the round-9 lesson class: adapt to what the files
+    // actually contain), and the aggregate's NULL bucket IS the legacy
+    // cohort, visible and countable. mergeSchema costs a footer read
+    // per file at planning (cheap, and cacheable via the skip index);
+    // at 100 TB the alternative — rewriting history on every schema
+    // change — is the thing this engine refuses to do.
+    "q_schema_evolve" -> ((s, dir) => {
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_evolve"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("value"))
+        .withColumn("day", to_date(col("ts")))
+      val cut = lit("2024-01-16").cast("date")
+      ev.filter(col("day") < cut).drop("day")
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      ev.filter(col("day") >= cut).drop("day")
+        .withColumn("quality", (col("event_id") % 5).cast("int"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      s.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true").parquet(root)
+        .groupBy(col("quality"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+        .orderBy(asc_nulls_first("quality"))
+    }),
+
     // Key-level deletion vectors (Deletes): five trace ids tombstone
     // into the `_deletes` sidecar (O(keys), no data touched — GDPR
     // erasure acknowledgment at request speed), then the maintenance
@@ -217,6 +246,15 @@ object LayoutQueries {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // NULL quality = the legacy cohort, by construction
+    "q_schema_evolve" ->
+      """SELECT CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |            THEN CAST(event_id % 5 AS INT) END AS quality,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_micro
+        |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // the archive must behave as if the tombstoned rows never existed
     "q_deletes" ->
