@@ -531,6 +531,62 @@ object Profile {
             f"${spanDays * times}%4d days): 7d-window resample $win%6.1f s  " +
             f"full-archive daily $full%6.1f s")
         }
+      case "bloom_scale" =>
+        // Bloom-routing scale law (round 10): a 5-key opaque-id lookup
+        // against an archive growing 1×/10×/50× along the history axis.
+        // Zone maps cannot serve this probe at any scale (hash keys span
+        // every file's range); the claim measured is that the BLOOM
+        // route stays ~constant (≤5+fp files read, independent of
+        // archive span) while the full-scan lookup grows linearly —
+        // and that the index build cost is one data pass, amortized
+        // over every later probe. Trace ids stay unique across replicas
+        // (event ids shift by n0 per replica) so each probe has exactly
+        // one true file at every scale.
+        import org.apache.spark.sql.functions._
+        import graft.sources.SkipIndex
+        val ev0 = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "value")
+        val n0 = ev0.count()
+        def evX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            ev0.select((col("event_id") + lit(i * n0)).as("event_id"),
+              (col("ts") + expr(s"INTERVAL ${i * 31L} DAYS")).as("ts"),
+              col("value"))
+          }.reduce(_ unionByName _)
+            .withColumn("trace_id", md5(col("event_id").cast("string")))
+        def t(f: => Unit): Double = elapsed(f)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val traces = Seq(17L, 4242L, 31337L, 55555L, 77777L).map(id =>
+          md.digest((id % n0).toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+        Seq(1, 1, 10, 50).foreach { times =>
+          val root = s"/tmp/graft_profile_bloom/x$times"
+          if (!new java.io.File(root, "_SUCCESS").exists())
+            SkipIndex.writeTimeClustered(evX(times), "ts", root,
+              numFiles = 20 * times)
+          val total = spark.read.parquet(root).inputFiles.length
+          var bidx: DataFrame = null
+          val build = t {
+            bidx = SkipIndex.buildBloomIndex(spark, root, "trace_id",
+              expectedItemsPerFile = 8192, numBits = 1L << 17)
+            bidx = bidx.cache(); bidx.count()
+          }
+          var routed = 0
+          val lookup = t {
+            val picked = SkipIndex.pruneFilesByKeys(bidx, traces)
+            routed = picked.count().toInt
+            force(SkipIndex.readFiles(spark, picked)
+              .filter(col("trace_id").isin(traces: _*)))
+          }
+          val fullScan = t(force(spark.read.parquet(root)
+            .filter(col("trace_id").isin(traces: _*))))
+          bidx.unpersist()
+          println(f"[profile] ${times}%3d× (${n0 * times}%9d rows, " +
+            f"$total%4d files): bloom build $build%6.1f s  " +
+            f"routed $routed%3d files, lookup $lookup%5.2f s  " +
+            f"full-scan lookup $fullScan%5.2f s")
+        }
+
       case "pca_recall" =>
         // PCA as the ANN pre-stage (dimension reduction before search —
         // the classic OPQ/PCA-IVF front half): project the clustered
