@@ -136,6 +136,25 @@ object StatsQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
         .orderBy("k_bucket")),
 
+    // Malformed-input quarantine: every 50th row's JSON props is
+    // corrupted in flight (deterministic stand-in for the bad records
+    // every 100 TB feed contains), and the pipeline must neither die
+    // (`get_json_object` is null-on-malformed — never throw-on-row, the
+    // ANSI-mode trap) nor silently drop: bad rows route to a visible
+    // `quarantined` bucket with full counts while good rows aggregate
+    // normally. One bad record in a 6-hour job is triage material, not
+    // a job kill. Oracle guards the same parse with json_valid.
+    "q_quarantine" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("p", when(col("event_id") % 50 === 0,
+          concat(lit("{oops"), col("props"))).otherwise(col("props")))
+        .withColumn("k", get_json_object(col("p"), "$.k").cast("int"))
+        .withColumn("status",
+          when(col("k").isNull, "quarantined").otherwise("ok"))
+        .groupBy(col("status"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
+        .orderBy(col("status"), asc_nulls_first("k_bucket"))),
+
     // Gap detection (SURVEY §2.5 extension): per-user inter-event gaps > 1h.
     "q_gap_report" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -811,6 +830,22 @@ object StatsQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |       count(*) AS n, round(avg(value), 6) AS mean_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // json_valid guards the parse the way null-on-malformed does in Spark
+    "q_quarantine" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN event_id % 50 = 0 THEN '{oops' || props
+        |              ELSE props END AS p, value
+        |  FROM events),
+        |parsed AS (
+        |  SELECT CASE WHEN json_valid(p)
+        |              THEN CAST(json_extract_string(p, '$.k') AS INT) END AS k,
+        |         value
+        |  FROM c)
+        |SELECT CASE WHEN k IS NULL THEN 'quarantined' ELSE 'ok' END AS status,
+        |       k % 10 AS k_bucket,
+        |       count(*) AS n, round(avg(value), 6) AS mean_value
+        |FROM parsed GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
     "q_gap_report" ->
       """WITH g AS (
