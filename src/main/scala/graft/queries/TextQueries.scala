@@ -645,6 +645,25 @@ object TextQueries {
         .orderBy("source", "bucket")
     }),
 
+    // Length-bucketed batching: docs bin by token length padded to the
+    // next multiple of 64 (tensor-alignment practice), and each bucket
+    // reports its padding waste — the batching-efficiency audit that
+    // decides training throughput (uniform batches pad everything to
+    // the global max; bucketed batches pad to the bucket cap). Pure
+    // map-side bucketing + one aggregate: no sort, no window, the shape
+    // that holds at 10^10 docs. The /64 floor is exact in FP (power-of-
+    // two divisor), so both engines bucket identically.
+    "q_length_buckets" -> ((s, dir) =>
+      docs(s, dir)
+        .select(size(TextOps.bpeTokens(col("text"))).cast("long").as("len"))
+        .withColumn("cap",
+          (floor((col("len") + lit(63)) / lit(64)) * 64).cast("long"))
+        .groupBy("cap")
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_len"))
+        .select(col("cap"), col("n_docs"), col("sum_len"),
+          (col("cap") * col("n_docs") - col("sum_len")).as("pad_waste"))
+        .orderBy("cap")),
+
     // EXACT heavy hitters by the two-pass Misra-Gries protocol
     // (FrequencyOps): pass 1 is one constant-state MG aggregate (≤k
     // counters per partial, map-side combined — never a per-distinct-key
@@ -1572,6 +1591,19 @@ object TextQueries {
          |                  AS DOUBLE) / count(*) / 1e6, 6) AS mean_nlp
          |FROM ws JOIN b USING (source)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // /64 floor exact in FP on both engines (power-of-two divisor)
+    "q_length_buckets" ->
+      """WITH t AS (
+        |  SELECT len(regexp_extract_all(text,
+        |             '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS len
+        |  FROM documents),
+        |b AS (SELECT CAST(floor((len + 63) / 64.0) * 64 AS BIGINT) AS cap, len
+        |      FROM t)
+        |SELECT cap, count(*) AS n_docs,
+        |       CAST(sum(len) AS BIGINT) AS sum_len,
+        |       CAST(cap * count(*) - sum(len) AS BIGINT) AS pad_waste
+        |FROM b GROUP BY cap ORDER BY cap""".stripMargin,
 
     // exact two-pass heavy hitters ≡ plain GROUP BY + HAVING — the MG
     // candidate stage is pure execution strategy (guaranteed superset,
