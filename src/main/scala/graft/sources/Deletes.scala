@@ -104,6 +104,10 @@ object Deletes {
     // tombstones applied → clear the sidecar
     val tp = new org.apache.hadoop.fs.Path(tombstonePath(dir))
     tp.getFileSystem(conf).delete(tp, true)
+    // the fs-level renames changed file LENGTHS under unchanged names:
+    // a stale FileStatusCache entry would mis-plan later scans (splits
+    // sized off the old length), so invalidate the path eagerly
+    spark.catalog.refreshByPath(dir)
     affected
   }
 }

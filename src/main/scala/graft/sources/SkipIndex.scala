@@ -89,6 +89,10 @@ object SkipIndex {
     * metadata op every table read performs). */
   def buildFooterIndex(spark: SparkSession, dataDir: String,
                        statCol: String): DataFrame = {
+    // out-of-band deletes/compaction (Deletes.applyDeletes, external
+    // cleanup) don't invalidate the session's FileStatusCache — a stale
+    // listing would feed footerStats a vanished file and fail the job
+    spark.catalog.refreshByPath(dataDir)
     val files = spark.read.parquet(dataDir).inputFiles.toIndexedSeq
     import spark.implicits._
     val ds: Dataset[String] = spark.createDataset(files)(Encoders.STRING)
@@ -182,6 +186,8 @@ object SkipIndex {
   def refreshFooterIndex(spark: SparkSession, dataDir: String,
                          statCol: String, existing: DataFrame): DataFrame = {
     import spark.implicits._
+    // same stale-FileStatusCache guard as buildFooterIndex
+    spark.catalog.refreshByPath(dataDir)
     val listing = spark.createDataset(
       spark.read.parquet(dataDir).inputFiles.toIndexedSeq)(Encoders.STRING)
       .toDF("file")
