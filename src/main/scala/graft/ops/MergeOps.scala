@@ -114,6 +114,60 @@ object MergeOps {
       .unionByName(winners)
   }
 
+  /** Versioned CDC apply — [[applyCdc]] made OUT-OF-ORDER tolerant for
+    * continuous sinks: the snapshot carries `verCol` (sequence of the
+    * last change applied per key; seed base rows with 0) and `delCol`
+    * (tombstone flag; seed false), and a feed operation only lands if
+    * its sequence EXCEEDS the stored one — a stale replay keeps the
+    * newer state. Deletes RETAIN the key as a tombstoned row (the
+    * Kafka-compaction / Delta-CDF discipline): dropping it would lose
+    * the delete's sequence and let a stale pre-delete update resurrect
+    * the key on out-of-order arrival — exactly the bug RollupSpec's
+    * delete-arrives-first permutation pins. A genuinely NEWER insert
+    * after the delete (higher seq) does resurrect, as it should.
+    * Readers filter `!delCol`; tombstone retention/GC is a separate
+    * maintenance policy (same vacuum shape as rollup versions).
+    *
+    * Sequential application over any content-to-batch assignment and
+    * any redelivery converges to the same snapshot as one compacted
+    * apply of the whole feed. Scale shape as [[applyCdc]]: compaction
+    * windows over the DELTA only; the snapshot pays one key-shuffle
+    * through a full-outer join (AQE-planned). */
+  def applyCdcVersioned(snapshot: DataFrame, cdc: DataFrame, keyCol: String,
+      opCol: String, seqCol: String, verCol: String = "__seq",
+      delCol: String = "__deleted"): DataFrame = {
+    Seq(verCol, delCol).foreach { c =>
+      require(snapshot.columns.contains(c),
+        s"applyCdcVersioned: snapshot must carry $c (seed 0 / false)")
+    }
+    val dupSeq = cdc.groupBy(col(keyCol), col(seqCol))
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dupSeq.nonEmpty)
+      throw new IllegalArgumentException(
+        s"applyCdcVersioned: duplicate $seqCol for key ${dupSeq.head.get(0)} — " +
+          "the winning operation would be nondeterministic")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val latest = cdc.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val payload = snapshot.columns
+      .filterNot(c => c == verCol || c == delCol || c == keyCol)
+    val d = latest.select(
+      (Seq(col(keyCol).as("__k"), col(opCol).as("__op"),
+           col(seqCol).as("__s")) ++
+        payload.map(c => col(c).as(s"__p_$c"))): _*)
+    val joined = snapshot.join(d, col(keyCol) === col("__k"), "full_outer")
+    val applies = col("__k").isNotNull &&
+      (col(keyCol).isNull || col("__s") > col(verCol))
+    joined.select(
+      (coalesce(col(keyCol), col("__k")).as(keyCol) +:
+        payload.map(c =>
+          when(applies, col(s"__p_$c")).otherwise(col(c)).as(c)) :+
+        when(applies, col("__s")).otherwise(coalesce(col(verCol), lit(0L)))
+          .as(verCol) :+
+        when(applies, col("__op") === "D")
+          .otherwise(coalesce(col(delCol), lit(false))).as(delCol)): _*)
+  }
+
   /** U3 — schema-consistency guard: all chunks must share one schema
     * (reference 502s on frequency-column mismatch, ref `:277-281`). */
   def requireSameSchema(chunks: Seq[DataFrame]): Unit = {

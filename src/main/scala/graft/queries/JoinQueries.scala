@@ -307,6 +307,20 @@ object JoinQueries {
         .orderBy("event_type")
     }),
 
+    // The SAME CDC end state reached CONTINUOUSLY: the feed's three
+    // seq-group files stream in as micro-batches (arrival order
+    // uncontrolled), each advancing a persisted snapshot VERSION through
+    // MergeOps.applyCdcVersioned — the seq-guarded apply that makes
+    // stale replays and out-of-order content converge (the property a
+    // CDC sink needs under at-least-once, cross-partition delivery).
+    // Shares q_cdc_apply's end-state oracle verbatim.
+    "q_stream_cdc" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamCdcOnce(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+        .orderBy("event_type")),
+
     // The SAME point-in-time enrichment run CONTINUOUSLY: the lineitem
     // stream joins the STATIC SCD2 dimension per micro-batch (stateless
     // stream-static broadcast left-outer join — the third join topology
@@ -528,21 +542,10 @@ object JoinQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the oracle states the CDC end state directly
-    "q_cdc_apply" ->
-      """WITH survivors AS (
-        |  SELECT event_id, event_type,
-        |         CASE WHEN event_id % 100 = 50 THEN value + 1000
-        |              ELSE value END AS value
-        |  FROM events WHERE event_id % 97 <> 0),
-        |ins AS (
-        |  SELECT event_id + 1000000 AS event_id, event_type,
-        |         value + 0.25 AS value
-        |  FROM events WHERE event_id % 500 = 0),
-        |merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
-        |SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
-        |         AS value_micro
-        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cdc_apply" -> CdcEndStateSql,
+
+    // the versioned apply is arrival-order-independent → same end state
+    "q_stream_cdc" -> CdcEndStateSql,
 
     // streamed ≡ batch: static dim per micro-batch + exact aggregate
     "q_stream_pit" ->
@@ -612,4 +615,20 @@ object JoinQueries {
         |FROM ranked WHERE rank <= 3
         |ORDER BY n_name, rank""".stripMargin,
   )
+
+  private lazy val CdcEndStateSql =
+    """WITH survivors AS (
+      |  SELECT event_id, event_type,
+      |         CASE WHEN event_id % 100 = 50 THEN value + 1000
+      |              ELSE value END AS value
+      |  FROM events WHERE event_id % 97 <> 0),
+      |ins AS (
+      |  SELECT event_id + 1000000 AS event_id, event_type,
+      |         value + 0.25 AS value
+      |  FROM events WHERE event_id % 500 = 0),
+      |merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM ins)
+      |SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+      |         AS value_micro
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
 }

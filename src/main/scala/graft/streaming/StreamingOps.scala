@@ -611,6 +611,70 @@ object StreamingOps {
     latestRollup(ses, arch).get
   }
 
+  /** One micro-batch of the continuous CDC sink: the previous snapshot
+    * VERSION (or the seed `base` for the first batch) advances through
+    * [[graft.ops.MergeOps.applyCdcVersioned]] and lands as the next
+    * batch-id-named version — the rollup lineage's overwrite/replay
+    * discipline applied to MERGE INTO. Batch ids arrive in order (the
+    * engine assigns them), but the CONTENT does not: which seq-group
+    * file lands in which micro-batch is arrival luck, and redelivery
+    * re-runs a batch against its unchanged predecessor — the versioned
+    * apply's `seq > stored-seq` guard makes both converge to the same
+    * snapshot (RollupSpec permutes the content-to-batch assignment and
+    * replays a batch to pin it). */
+  private[graft] def maintainCdcBatch(base: DataFrame, batch: DataFrame,
+      batchId: Long, streamId: String, dir: String, keyCol: String,
+      opCol: String, seqCol: String): Unit = {
+    val s = batch.sparkSession
+    val prev = latestRollup(s, dir, beforeId = Some(batchId)).getOrElse(base)
+    graft.ops.MergeOps.applyCdcVersioned(prev, batch, keyCol, opCol, seqCol)
+      .coalesce(1).write.mode("overwrite")
+      .parquet(rollupVersionPath(dir, streamId, batchId))
+  }
+
+  /** Drive the continuous CDC sink over the q_cdc_apply change feed
+    * split into its three seq-group files (one micro-batch each, arrival
+    * order uncontrolled) and return the final snapshot version. The
+    * versioned apply makes the result arrival-order-independent, so the
+    * batch end-state oracle applies unchanged. */
+  def runStreamCdcOnce(spark: SparkSession, dir: String): DataFrame = {
+    val ses = stateSizedSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
+    val (src, snapDir, ckpt) = (s"$tmp/src", s"$tmp/snap", s"$tmp/ckpt")
+    val snap = graft.tables.Tables.events(ses, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val base = snap.withColumn("__seq", lit(0L))
+      .withColumn("__deleted", lit(false))
+    val idc = col("event_id")
+    def feed(pred: org.apache.spark.sql.Column, op: String, seq: Long,
+             id: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
+      snap.filter(pred).select(lit(op).as("op"), id.as("event_id"),
+        lit(seq).as("seq"), col("event_type"), value.as("value"))
+    val groups = Seq(
+      feed(idc % 100 === 50, "U", 1L, idc, col("value") + 500)
+        .unionByName(feed(idc % 500 === 0, "I", 1L, idc + 1000000L,
+          col("value") + 0.25)),
+      feed(idc % 100 === 50, "U", 2L, idc, col("value") + 1000),
+      feed(idc % 97 === 0, "D", 3L, idc, col("value")))
+    groups.zipWithIndex.foreach { case (g, i) =>
+      g.coalesce(1).write.parquet(s"$src/f$i")
+    }
+    val stream = ses.readStream.schema(ses.read.parquet(s"$src/f0").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    val sid = streamScope(ckpt)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        maintainCdcBatch(base, b, id, sid, snapDir,
+          "event_id", "op", "seq")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // live view: tombstones out, bookkeeping columns dropped
+    latestRollup(ses, snapDir).get
+      .filter(!col("__deleted")).drop("__seq", "__deleted")
+  }
+
   /** STREAM-STATIC point-in-time enrichment: the lineitem fact stream
     * joins the STATIC SCD2 order-version dimension through the same
     * [[graft.ops.JoinOps.pitLookup]] the batch path uses — a stateless

@@ -141,4 +141,52 @@ class RollupSpec extends AnyFunSuite {
     assert(StreamingOps.latestRollup(spark, arch).get
       .orderBy("day").collect().toSeq == before(3))
   }
+
+  test("CDC sink: content-to-batch permutation and batch replay both converge") {
+    import graft.streaming.StreamingOps
+    import graft.ops.MergeOps
+    import spark.implicits._
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "v").withColumn("__seq", lit(0L))
+      .withColumn("__deleted", lit(false))
+    val groups = Seq( // seq-ordered change groups, same shape as the query
+      Seq(("U", 1L, 1L, 11.0), ("I", 9L, 1L, 90.0)),
+      Seq(("U", 1L, 2L, 12.0), ("U", 2L, 2L, 22.0)),
+      Seq(("D", 2L, 3L, 0.0)))
+      .map(_.toDF("op", "id", "seq", "v"))
+    val expected = Seq((1L, 12.0), (3L, 30.0), (9L, 90.0))
+    def drive(contentOrder: Seq[Int], tag: String): Seq[(Long, Double)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cdc_$tag").toString
+      contentOrder.zipWithIndex.foreach { case (g, batchId) =>
+        StreamingOps.maintainCdcBatch(base, groups(g), batchId.toLong,
+          "t", dir, "id", "op", "seq")
+      }
+      StreamingOps.latestRollup(spark, dir).get
+        .filter(!col("__deleted")).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    }
+    // in-order content
+    assert(drive(Seq(0, 1, 2), "inorder") == expected)
+    // the delete's group arrives FIRST, the stale updates after — the
+    // seq guard must refuse to resurrect key 2 or regress key 1
+    assert(drive(Seq(2, 0, 1), "permuted") == expected)
+    // replay convergence: re-running the last batch against its
+    // unchanged predecessor rewrites the same snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_replay").toString
+    Seq(0, 1, 2).zipWithIndex.foreach { case (g, i) =>
+      StreamingOps.maintainCdcBatch(base, groups(g), i.toLong,
+        "t", dir, "id", "op", "seq")
+    }
+    val last = StreamingOps.latestRollup(spark, dir).get.collect().toSet
+    StreamingOps.maintainCdcBatch(base, groups(2), 2L, "t", dir, "id", "op", "seq")
+    assert(StreamingOps.latestRollup(spark, dir).get.collect().toSet == last)
+    // equal seqs for one key fail fast, never a silent coin flip
+    val dup = Seq(("U", 1L, 5L, 1.0), ("D", 1L, 5L, 0.0))
+      .toDF("op", "id", "seq", "v")
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.applyCdcVersioned(base, dup, "id", "op", "seq")
+    }
+    assert(e.getMessage.contains("nondeterministic"))
+  }
 }
