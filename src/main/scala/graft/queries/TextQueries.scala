@@ -645,6 +645,31 @@ object TextQueries {
         .orderBy("source", "bucket")
     }),
 
+    // Training DATA CARD: the per-(source, lang) release manifest —
+    // document and token counts, exact-duplicate counts, and mean
+    // quality score — the summary table every corpus release ships
+    // (dataset cards, FineWeb-style stats tables). One corpus pass for
+    // the per-doc columns, one 16-byte-hash aggregate for dup counts
+    // joined back on the hash (never on text), one final group-by.
+    // Quality means use the integer-micro discipline so both engines
+    // agree bit-for-bit.
+    "q_data_card" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("source"), col("lang"),
+        size(TextOps.wsTokens(lower(col("text")))).cast("long").as("ntok"),
+        md5(col("text").cast("binary")).as("h"),
+        round(TextOps.qualityScore(col("text")), 6).as("q"))
+      val dupes = d.groupBy(col("h")).agg(count(lit(1)).as("copies"))
+      d.join(dupes, Seq("h"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+          round(sum(round(col("q") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("mean_quality"))
+        .orderBy("source", "lang")
+    }),
+
     // Length-bucketed batching: docs bin by token length padded to the
     // next multiple of 64 (tensor-alignment practice), and each bucket
     // reports its padding waste — the batching-efficiency audit that
@@ -1590,6 +1615,35 @@ object TextQueries {
          |       round(CAST(sum(CAST(round(avg_neg_logprob * 1e6, 0) AS BIGINT))
          |                  AS DOUBLE) / count(*) / 1e6, 6) AS mean_nlp
          |FROM ws JOIN b USING (source)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-doc columns replayed with q_text_quality's exact score recipe
+    "q_data_card" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, md5(text) AS h,
+         |         CAST(len(${toks("lower(text)")}) AS BIGINT) AS ntok,
+         |         ${toks("lower(text)")} AS toks,
+         |         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |           / greatest(length(text), 1) AS praw,
+         |         CAST(len(list_filter(${toks("lower(text)")},
+         |              x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+         |           AS nstop
+         |  FROM documents),
+         |scored AS (
+         |  SELECT source, lang, h, ntok,
+         |         round(least(CAST(len(toks) AS DOUBLE) / 256.0, 1.0)
+         |               * (1.0 - praw)
+         |               * least(nstop / greatest(CAST(len(toks) AS DOUBLE), 1.0)
+         |                       * 5.0, 1.0), 6) AS q
+         |  FROM t),
+         |dup AS (SELECT h, count(*) AS copies FROM scored GROUP BY 1)
+         |SELECT source, lang, count(*) AS n_docs,
+         |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_exact_dup,
+         |       round(CAST(sum(CAST(round(q * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |             / count(*) / 1e6, 6) AS mean_quality
+         |FROM scored JOIN dup USING (h)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // /64 floor exact in FP on both engines (power-of-two divisor)
