@@ -145,6 +145,30 @@ object LayoutQueries {
         .orderBy("day")
     }),
 
+    // The SAME erasure end state reached by a STREAM of deletion
+    // requests: two micro-batches of doomed trace ids land as sidecar
+    // tombstones (O(keys) per batch — acknowledgment at request speed),
+    // and the logical read excludes every one the moment its batch
+    // commits, with the physical rewrite left to maintenance. Append-
+    // mode tombstones absorb redelivered keys (DeletesSpec). Shares
+    // q_deletes' NOT-IN oracle verbatim.
+    "q_stream_deletes" -> ((s, dir) => {
+      val dataDir = s"/tmp/graft_index/${sfName(dir)}/events_flat_sdel"
+      SkipIndex.writeTimeClustered(
+        Tables.events(s, dir)
+          .withColumn("trace_id", md5(col("event_id").cast("string")))
+          .select("event_id", "ts", "trace_id", "value"),
+        "ts", dataDir)
+      val batches = Seq(Seq(21L, 333L, 555L), Seq(777L, 901L))
+        .map(_.map(id => md5Hex(id.toString)))
+      graft.streaming.StreamingOps
+        .runStreamDeletesOnce(s, dataDir, "trace_id", batches)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+        .orderBy("day")
+    }),
+
     // Bloom skip index (SkipIndex.buildBloomIndex): point lookups by an
     // OPAQUE surrogate key (trace_id = md5 of the event id — stand-in
     // for the UUID/trace keys real archives carry) against the
@@ -257,12 +281,10 @@ object LayoutQueries {
         |FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // the archive must behave as if the tombstoned rows never existed
-    "q_deletes" ->
-      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
-        |         AS value_micro
-        |FROM events WHERE event_id NOT IN (21, 333, 555, 777, 901)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_deletes" -> DeletesEndSql,
+
+    // streamed tombstones, identical logical end state
+    "q_stream_deletes" -> DeletesEndSql,
 
     // the bloom route must recover exactly the probed rows — the oracle
     // probes by the underlying ids the engine never filters on
@@ -294,6 +316,13 @@ object LayoutQueries {
         |            - n_rows) / 2000.0) AS BIGINT) AS bin
         |FROM m ORDER BY event_type, day""".stripMargin,
   )
+
+  private lazy val DeletesEndSql =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+      |         AS value_micro
+      |FROM events WHERE event_id NOT IN (21, 333, 555, 777, 901)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private lazy val DailyRollupSql =
     """SELECT CAST(ts AS DATE) AS day, count(*) AS n,

@@ -248,11 +248,13 @@ object SkipIndex {
     * `BloomFilterAggregate` over `xxhash64(key)` (the runtime-filter
     * pair), so probe hashing provably matches the build side. */
   def buildBloomIndex(spark: SparkSession, dataDir: String, keyCol: String,
-      expectedItemsPerFile: Long, numBits: Long): DataFrame =
+      expectedItemsPerFile: Long, numBits: Long): DataFrame = {
+    spark.catalog.refreshByPath(dataDir) // same stale-listing guard as footer index
     spark.read.parquet(dataDir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(graft.functions.BloomFunctions.bloom_agg(
         col(keyCol), expectedItemsPerFile, numBits).as("bloom"))
+  }
 
   /** Files whose Bloom blob might contain ANY of `keys` (string keys,
     * hashed with the build side's xxhash64-seed-42). Driver-side over

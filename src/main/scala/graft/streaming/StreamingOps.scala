@@ -611,6 +611,42 @@ object StreamingOps {
     latestRollup(ses, arch).get
   }
 
+  /** STREAMING deletion requests: each micro-batch of doomed keys lands
+    * as tombstones in the archive's `_deletes` sidecar
+    * ([[graft.sources.Deletes.addTombstones]] — O(keys) per batch, the
+    * erasure-request ACKNOWLEDGMENT path), so every logical read
+    * ([[graft.sources.Deletes.readWithDeletes]]) excludes them the
+    * moment the batch commits; the PHYSICAL rewrite stays an
+    * out-of-band maintenance pass. Append-mode tombstones make
+    * redelivery idempotent for free: duplicate keys are absorbed by the
+    * tombstone set's distinct (DeletesSpec pins it). Returns the
+    * post-stream logical view. */
+  def runStreamDeletesOnce(spark: SparkSession, dataDir: String,
+      keyCol: String, requestBatches: Seq[Seq[String]]): DataFrame = {
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_del").toString
+    requestBatches.zipWithIndex.foreach { case (keys, i) =>
+      keys.toDF("key").coalesce(1).write.parquet(s"$tmp/src/f$i")
+    }
+    val stream = ses.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src/*")
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // request-scale collect — the same bounded contract as the
+        // batch delete path
+        graft.sources.Deletes.addTombstones(b.sparkSession, dataDir,
+          b.select("key").collect().map(_.getString(0)).toIndexedSeq)
+      }
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    graft.sources.Deletes.readWithDeletes(ses, dataDir, keyCol)
+  }
+
   /** One micro-batch of the continuous CDC sink: the previous snapshot
     * VERSION (or the seed `base` for the first batch) advances through
     * [[graft.ops.MergeOps.applyCdcVersioned]] and lands as the next

@@ -94,6 +94,25 @@ class DeletesSpec extends AnyFunSuite {
       s"rewritten file lost its ts stats: $r"))
   }
 
+  test("streamed deletion requests: logical view excludes all batches; " +
+       "redelivered keys absorbed") {
+    val dir = freshArchive("events_del_stream")
+    val batches = Seq(Seq(21L, 333L, 555L), Seq(777L, 901L))
+      .map(_.map(id => md5Hex(id.toString)))
+    val view = graft.streaming.StreamingOps
+      .runStreamDeletesOnce(spark, dir, "trace_id", batches)
+    val got = view.select("event_id").collect().map(_.getLong(0)).toSet
+    val all = spark.read.parquet(dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == all -- Seq(21L, 333L, 555L, 777L, 901L))
+    // redelivery: appending the same keys again changes nothing
+    Deletes.addTombstones(spark, dir, batches.head)
+    val again = Deletes.readWithDeletes(spark, dir, "trace_id")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+    assert(Deletes.loadTombstones(spark, dir).count() == 5)
+  }
+
   test("deleting every row of a file drops the file itself") {
     import spark.implicits._
     val dir = new java.io.File("target/fixtures/events_del_wholefile").getAbsolutePath
