@@ -136,6 +136,41 @@ object StatsQueries {
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
         .orderBy("k_bucket")),
 
+    // Declarative data-quality audit (the dbt-tests / Deequ shape): a
+    // rule set — null keys, duplicate keys, value range, event-time
+    // domain, categorical domain — evaluated in ONE scan as conditional
+    // aggregates (plus one 16-byte-hash aggregate for the uniqueness
+    // rule), emitting a (rule, n_violations) report. At 100 TB the
+    // whole audit costs one pass however many rules there are; the
+    // anti-pattern is one scan per rule.
+    "q_dq_audit" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dupes = ev.groupBy(col("event_id")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+        .select(lit("duplicate_event_id").as("rule"), col("n"))
+      val onePass = ev.agg(
+          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("null_key"),
+          // bounds chosen so the rules actually FIRE on this archive
+          // (value max ~490; 'error' events sit outside the allowed
+          // domain) — an audit whose rules can't trip proves nothing
+          sum(when(col("value") < 0 || col("value") > 400, 1L)
+            .otherwise(0L)).as("value_range"),
+          sum(when(col("ts") < lit("2024-01-01 00:00:00").cast("timestamp") ||
+                   col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp"),
+            1L).otherwise(0L)).as("ts_domain"),
+          sum(when(!col("event_type").isin(
+            "click", "view", "purchase", "signup"), 1L)
+            .otherwise(0L)).as("type_domain"))
+      onePass.select(explode(map(
+          lit("null_key"), col("null_key"),
+          lit("value_range"), col("value_range"),
+          lit("ts_domain"), col("ts_domain"),
+          lit("type_domain"), col("type_domain"))).as(Seq("rule", "n")))
+        .unionByName(dupes)
+        .orderBy("rule")
+    }),
+
     // Malformed-input quarantine: every 50th row's JSON props is
     // corrupted in flight (deterministic stand-in for the bad records
     // every 100 TB feed contains), and the pipeline must neither die
@@ -830,6 +865,31 @@ object StatsQueries {
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
         |       count(*) AS n, round(avg(value), 6) AS mean_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one UNION of conditional aggregates — the same single-pass shape
+    "q_dq_audit" ->
+      """WITH base AS (
+        |  SELECT sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_key,
+        |         sum(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END)
+        |           AS value_range,
+        |         sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+        |                    OR ts >= TIMESTAMP '2024-02-01 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS ts_domain,
+        |         sum(CASE WHEN event_type NOT IN
+        |                    ('click', 'view', 'purchase', 'signup')
+        |                  THEN 1 ELSE 0 END) AS type_domain
+        |  FROM events),
+        |dup AS (
+        |  SELECT coalesce(sum(c), 0) AS n FROM (
+        |    SELECT count(*) AS c FROM events GROUP BY event_id
+        |    HAVING count(*) > 1)),
+        |rules AS (
+        |  SELECT 'null_key' AS rule, CAST(null_key AS BIGINT) AS n FROM base
+        |  UNION ALL SELECT 'value_range', CAST(value_range AS BIGINT) FROM base
+        |  UNION ALL SELECT 'ts_domain', CAST(ts_domain AS BIGINT) FROM base
+        |  UNION ALL SELECT 'type_domain', CAST(type_domain AS BIGINT) FROM base
+        |  UNION ALL SELECT 'duplicate_event_id', CAST(n AS BIGINT) FROM dup)
+        |SELECT rule, n FROM rules ORDER BY rule""".stripMargin,
 
     // json_valid guards the parse the way null-on-malformed does in Spark
     "q_quarantine" ->
