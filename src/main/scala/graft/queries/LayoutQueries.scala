@@ -88,6 +88,37 @@ object LayoutQueries {
           timestamp_micros(col("max_us")).as("max_ts"))
     }),
 
+    // File-level corruption resilience: one day-partition's data file is
+    // destroyed in place (3 junk bytes — no parquet magic, footer
+    // unreadable: the bit-rot / torn-upload case, one level below
+    // q_quarantine's row-level bad records). The read must survive and
+    // serve everything else (`ignoreCorruptFiles` — the 100 TB archive
+    // WILL contain a bad file eventually, and one of them must cost one
+    // partition, not the job), with the loss visible as the missing day
+    // in the oracle comparison. Schema comes from an intact generation
+    // read, never inferred from the poisoned listing.
+    "q_corrupt_skip" -> ((s, dir) => {
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_corrupt"
+      Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(root)
+      val dayDir = new java.io.File(s"$root/day=2024-01-15")
+      dayDir.listFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, Array[Byte](1, 2, 3))
+      }
+      s.catalog.refreshByPath(root)
+      val schema = s.read.parquet(s"$root/day=2024-01-01")
+        .schema.add("day", org.apache.spark.sql.types.DateType)
+      s.read.schema(schema)
+        .option("ignoreCorruptFiles", "true").parquet(root)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("day")).as("n_days"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
+        .orderBy("event_type")
+    }),
+
     // Schema evolution read: generation-1 files (days 1-15) predate the
     // `quality` column that generation-2 files carry — the reality of
     // any archive written over years. One mergeSchema read unifies them
@@ -269,6 +300,16 @@ object LayoutQueries {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the corrupted day is simply absent — the read survives, the loss
+    // is visible (n_days = 29, not 30)
+    "q_corrupt_skip" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_micro
+        |FROM events WHERE CAST(ts AS DATE) <> DATE '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // NULL quality = the legacy cohort, by construction
