@@ -47,8 +47,20 @@ object RollupOps {
     val changed = batch.select(col(keyCol)).distinct().collect().map(_.get(0)).toSeq
     if (changed.isEmpty) prev
     else {
-      val carried = prev.filter(!col(keyCol).isInCollection(changed))
-      val fresh = recompute(data.filter(col(keyCol).isInCollection(changed)))
+      // NULL is a legitimate partition key (e.g. a null-day group from
+      // null timestamps): membership must be null-safe, or `NOT IN`'s
+      // three-valued logic silently drops the NULL group from BOTH the
+      // carried and recomputed sides on every maintenance run
+      val nonNull = changed.filter(_ != null)
+      val nullChanged = changed.exists(_ == null)
+      def member(c: org.apache.spark.sql.Column) = {
+        val inSet =
+          if (nonNull.isEmpty) lit(false)
+          else coalesce(c.isInCollection(nonNull), lit(false))
+        if (nullChanged) c.isNull || inSet else inSet
+      }
+      val carried = prev.filter(!member(col(keyCol)))
+      val fresh = recompute(data.filter(member(col(keyCol))))
       carried.unionByName(fresh)
     }
   }

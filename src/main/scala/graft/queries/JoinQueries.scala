@@ -290,16 +290,7 @@ object JoinQueries {
     // deleted keys, plus the inserts.
     "q_cdc_apply" -> ((s, dir) => {
       val snap = Tables.events(s, dir).select("event_id", "event_type", "value")
-      def feed(pred: org.apache.spark.sql.Column, op: String, seq: Long,
-               id: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
-        snap.filter(pred).select(lit(op).as("op"), id.as("event_id"),
-          lit(seq).as("seq"), col("event_type"), value.as("value"))
-      val idc = col("event_id")
-      val cdc = feed(idc % 100 === 50, "U", 1L, idc, col("value") + 500)
-        .unionByName(feed(idc % 100 === 50, "U", 2L, idc, col("value") + 1000))
-        .unionByName(feed(idc % 97 === 0, "D", 3L, idc, col("value")))
-        .unionByName(feed(idc % 500 === 0, "I", 1L, idc + 1000000L,
-          col("value") + 0.25))
+      val cdc = cdcFeedGroups(snap).reduce(_ unionByName _)
       graft.ops.MergeOps.applyCdc(snap, cdc, "event_id", "op", "seq")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -315,7 +306,7 @@ object JoinQueries {
     // CDC sink needs under at-least-once, cross-partition delivery).
     // Shares q_cdc_apply's end-state oracle verbatim.
     "q_stream_cdc" -> ((s, dir) =>
-      graft.streaming.StreamingOps.runStreamCdcOnce(s, dir)
+      graft.streaming.StreamingOps.runStreamCdcOnce(s, dir, cdcFeedGroups)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 1e6, 0).cast("long")).as("value_micro"))
@@ -615,6 +606,30 @@ object JoinQueries {
         |FROM ranked WHERE rank <= 3
         |ORDER BY n_name, rank""".stripMargin,
   )
+
+  /** The ONE change-feed construction both CDC paths run (batch
+    * q_cdc_apply unions the groups; the streaming sink lands them as
+    * three seq-ordered micro-batch files) — and the thing
+    * [[CdcEndStateSql]] describes. Editing any modulus/delta here is
+    * the only way to change the feed, so the two engines and the oracle
+    * cannot drift apart silently. Groups, in sequence order:
+    * seq 1 = update (+500) on id%100==50 plus inserts (+0.25 under
+    * id+1000000) on id%500==0; seq 2 = competing update (+1000) that
+    * must win; seq 3 = deletes on id%97==0 that beat both. */
+  private[graft] def cdcFeedGroups(snap: DataFrame): Seq[DataFrame] = {
+    def feed(pred: org.apache.spark.sql.Column, op: String, seq: Long,
+             id: org.apache.spark.sql.Column,
+             value: org.apache.spark.sql.Column) =
+      snap.filter(pred).select(lit(op).as("op"), id.as("event_id"),
+        lit(seq).as("seq"), col("event_type"), value.as("value"))
+    val idc = col("event_id")
+    Seq(
+      feed(idc % 100 === 50, "U", 1L, idc, col("value") + 500)
+        .unionByName(feed(idc % 500 === 0, "I", 1L, idc + 1000000L,
+          col("value") + 0.25)),
+      feed(idc % 100 === 50, "U", 2L, idc, col("value") + 1000),
+      feed(idc % 97 === 0, "D", 3L, idc, col("value")))
+  }
 
   private lazy val CdcEndStateSql =
     """WITH survivors AS (

@@ -26,11 +26,7 @@ object LayoutQueries {
     round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
       / count(lit(1)) / 1e6, 6).as("avg_value"))
 
-  /** Driver-side md5 hex — must match Spark's `md5()` and DuckDB's
-    * `md5()` (all three lowercase-hex the UTF-8 bytes). */
-  private def md5Hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def md5Hex(s: String): String = graft.text.TextOps.md5Hex(s)
 
   private def sfName(dir: String): String =
     new java.io.File(dir.replaceAll("/+$", "")).getName

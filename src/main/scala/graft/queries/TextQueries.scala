@@ -1672,6 +1672,6 @@ object TextQueries {
     s"""WITH t AS (SELECT unnest(${toks("lower(text)")}) AS word FROM documents),
        |c AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
        |tot AS (SELECT count(*) AS n FROM t)
-       |SELECT word, cnt FROM c, tot WHERE cnt * 30 > n
+       |SELECT word, cnt FROM c, tot WHERE cnt * $HeavyK > n
        |ORDER BY cnt DESC, word""".stripMargin
 }

@@ -31,11 +31,17 @@ object Deletes {
       .write.mode("append").parquet(tombstonePath(dir))
   }
 
-  /** The distinct tombstoned keys (empty frame when none). */
+  /** The distinct tombstoned keys (empty frame when none — including a
+    * sidecar dir whose parquet files were all cleared by a maintenance
+    * pass: schema inference over a markers-only dir would throw). */
   def loadTombstones(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(tombstonePath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(tombstonePath(dir)).distinct()
+    val files =
+      if (!fs.exists(p)) Seq.empty[String]
+      else fs.listStatus(p).map(_.getPath).toSeq
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    if (files.nonEmpty) spark.read.parquet(files: _*).distinct()
     else { import spark.implicits._; Seq.empty[String].toDF("key") }
   }
 
@@ -69,19 +75,50 @@ object Deletes {
     * Returns the rewritten (or deleted) file paths. */
   def applyDeletes(spark: SparkSession, dir: String, keyCol: String,
       bloomIdx: DataFrame): Seq[String] = {
-    val doomed = loadTombstones(spark, dir).collect().map(_.getString(0)).toIndexedSeq
-    if (doomed.isEmpty) return Seq.empty
-    val candidates = SkipIndex.pruneFilesByKeys(bloomIdx, doomed)
-    val affected = SkipIndex.readFiles(spark, candidates)
-      .filter(col(keyCol).isInCollection(doomed))
-      .select(col("_metadata.file_path"))
-      .distinct().collect().map(_.getString(0)).toIndexedSeq
     val conf = spark.sparkContext.hadoopConfiguration
+    // snapshot the sidecar FILES first: only these are cleared at the
+    // end, so a tombstone appended concurrently (the streaming
+    // acknowledgment path) survives for the next maintenance pass
+    // instead of being wiped unapplied
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(dir))
+    val tfs = tp.getFileSystem(conf)
+    val sidecarFiles =
+      if (!tfs.exists(tp)) Seq.empty[org.apache.hadoop.fs.Path]
+      else tfs.listStatus(tp).map(_.getPath).toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    if (sidecarFiles.isEmpty) return Seq.empty
+    val doomed = spark.read.parquet(sidecarFiles.map(_.toString): _*)
+      .distinct().collect().map(_.getString(0)).toIndexedSeq
+    // candidate files = bloom-routed ∪ files the index does not COVER:
+    // a bloom index built before a later ingest knows nothing about the
+    // new files, and an uncovered file may hold a doomed key — the
+    // no-false-negative claim only holds inside the index's coverage
+    spark.catalog.refreshByPath(dir)
+    import spark.implicits._
+    // URI forms differ between sources (`file:/`, `file:///`): compare
+    // canonically or every file looks uncovered and routing degrades to
+    // a full confirm scan
+    def canon(s: String) = s.replaceFirst("^file:/+", "file:///")
+    val covered = bloomIdx.select(col("file")).as[String].collect()
+      .map(canon).toSet
+    val uncovered = spark.read.parquet(dir).inputFiles.toIndexedSeq
+      .filterNot(f => covered.contains(canon(f)))
+    val candidates = SkipIndex.pruneFilesByKeys(bloomIdx, doomed)
+      .select("file").as[String].collect().toIndexedSeq ++ uncovered
+    val affected =
+      if (candidates.isEmpty) IndexedSeq.empty[String]
+      else spark.read.parquet(candidates: _*)
+        .filter(col(keyCol).isInCollection(doomed))
+        .select(col("_metadata.file_path"))
+        .distinct().collect().map(_.getString(0)).toIndexedSeq
     affected.foreach { f =>
       val path = new org.apache.hadoop.fs.Path(f)
       val fs = path.getFileSystem(conf)
+      // NULL keys survive: `NOT (NULL IN ...)` is NULL and would silently
+      // drop every null-key row, diverging from the logical read (whose
+      // left_anti join keeps them)
       val survivors = spark.read.parquet(f)
-        .filter(!col(keyCol).isInCollection(doomed))
+        .filter(col(keyCol).isNull || !col(keyCol).isInCollection(doomed))
       val n = survivors.count()
       if (n == 0L) fs.delete(path, false)
       else {
@@ -96,17 +133,20 @@ object Deletes {
           .map(_.getPath).find(_.getName.endsWith(".parquet"))
           .getOrElse(throw new IllegalStateException(
             s"rewrite of $f produced no parquet part"))
+        // land under a FRESH name: files are immutable-by-name — the
+        // incremental footer-index refresh diffs listings by name, so an
+        // in-place rewrite would keep serving the file's PRE-delete
+        // stats forever; a fresh name makes the refresh re-read it
+        val fresh = new org.apache.hadoop.fs.Path(path.getParent,
+          s"rw-${graft.text.TextOps.md5Hex(path.getName + doomed.mkString(","))}.parquet")
         fs.delete(path, false)
-        fs.rename(part, path)
+        fs.rename(part, fresh)
         fs.delete(staging, true)
       }
     }
-    // tombstones applied → clear the sidecar
-    val tp = new org.apache.hadoop.fs.Path(tombstonePath(dir))
-    tp.getFileSystem(conf).delete(tp, true)
-    // the fs-level renames changed file LENGTHS under unchanged names:
-    // a stale FileStatusCache entry would mis-plan later scans (splits
-    // sized off the old length), so invalidate the path eagerly
+    // clear exactly the sidecar files this pass READ
+    sidecarFiles.foreach(tfs.delete(_, false))
+    // deletes + renames under this path: invalidate cached listings
     spark.catalog.refreshByPath(dir)
     affected
   }

@@ -96,24 +96,44 @@ object SkipIndex {
     val files = spark.read.parquet(dataDir).inputFiles.toIndexedSeq
     import spark.implicits._
     val ds: Dataset[String] = spark.createDataset(files)(Encoders.STRING)
-    ds.mapPartitions { it =>
+    localize(spark, ds.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { f => footerStats(conf, f, statCol) }
-    }.toDF("file", "n_rows", "bytes", "min_us", "max_us")
+    }.toDF("file", "n_rows", "bytes", "min_us", "max_us", "n_nulls"))
   }
 
-  /** Read one footer → (file, rows, compressedBytes, min, max) for the
-    * INT64 column `statCol`. Files with no non-null stats for the column
-    * surface as (Long.MaxValue, Long.MinValue) — they never match a
-    * range and are listed by [[unprunableFiles]] for safety audits. */
+  /** Pin an index frame's ROWS on the driver (metadata scale by the
+    * module contract — one row per file). Index frames are consumed
+    * lazily by joins, pruning, and LATER refreshes; leaving them as live
+    * plans would re-run the footer reads at every evaluation, and a
+    * footer re-read after a file was deleted/compacted out from under
+    * the plan fails the job (observed as a cache-eviction-timing flake:
+    * a `.cache()`d index evicted under memory pressure re-read a footer
+    * the test had deleted). Localizing makes the index a VALUE — the
+    * same reason [[persistIndex]] materializes before overwriting. */
+  private def localize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      df.collect().toList.asJava)
+    spark.createDataFrame(rows, df.schema)
+  }
+
+  /** Read one footer → (file, rows, compressedBytes, min, max, nulls)
+    * for the INT64 column `statCol`. Files with no non-null stats for
+    * the column surface as (Long.MaxValue, Long.MinValue) — they never
+    * match a range and are listed by [[unprunableFiles]] for safety
+    * audits. `n_nulls` is the column's null count, or -1 when any block
+    * lacks a null count — consumers that need exact row accounting
+    * (metaWindowStats' interior path) treat unknown as "must scan";
+    * range PRUNING never needs it (a null matches no range). */
   private def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           file: String, statCol: String)
-      : (String, Long, Long, Long, Long) = {
+      : (String, Long, Long, Long, Long, Long) = {
     val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, new org.apache.hadoop.fs.Path(file),
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     var rows = 0L; var bytes = 0L
     var mn = Long.MaxValue; var mx = Long.MinValue
+    var nulls = 0L; var nullsKnown = true
     md.getBlocks.asScala.foreach { b =>
       rows += b.getRowCount
       bytes += b.getCompressedSize
@@ -121,16 +141,20 @@ object SkipIndex {
         .find(_.getPath.toDotString == statCol)
         .foreach { cc =>
           val st = cc.getStatistics
-          if (st != null && !st.isEmpty && st.hasNonNullValue) {
-            (st.genericGetMin, st.genericGetMax) match {
-              case (lo: java.lang.Long, hi: java.lang.Long) =>
-                mn = math.min(mn, lo); mx = math.max(mx, hi)
-              case _ => // non-INT64 column: leave unprunable
+          if (st != null && !st.isEmpty) {
+            if (st.isNumNullsSet) nulls += st.getNumNulls
+            else nullsKnown = false
+            if (st.hasNonNullValue) {
+              (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  mn = math.min(mn, lo); mx = math.max(mx, hi)
+                case _ => // non-INT64 column: leave unprunable
+              }
             }
-          }
+          } else nullsKnown = false
         }
     }
-    (file, rows, bytes, mn, mx)
+    (file, rows, bytes, mn, mx, if (nullsKnown) nulls else -1L)
   }
 
   /** Replay-idempotent micro-batch append into a FLAT archive: the
@@ -156,11 +180,17 @@ object SkipIndex {
   def loadIndexOrEmpty(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexPath(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(indexPath(dir))
-    else {
+    if (fs.exists(p)) {
+      val idx = spark.read.parquet(indexPath(dir))
+      // an index persisted before the n_nulls column existed: null
+      // count UNKNOWN (-1) — conservative for exact-count consumers,
+      // irrelevant for range pruning
+      if (idx.columns.contains("n_nulls")) idx
+      else idx.withColumn("n_nulls", lit(-1L))
+    } else {
       import spark.implicits._
-      Seq.empty[(String, Long, Long, Long, Long)]
-        .toDF("file", "n_rows", "bytes", "min_us", "max_us")
+      Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("file", "n_rows", "bytes", "min_us", "max_us", "n_nulls")
     }
   }
 
@@ -202,8 +232,8 @@ object SkipIndex {
         .mapPartitions { it =>
           val conf = new org.apache.hadoop.conf.Configuration()
           it.map { f => footerStats(conf, f, statCol) }
-        }.toDF("file", "n_rows", "bytes", "min_us", "max_us")
-      kept.unionByName(fresh)
+        }.toDF("file", "n_rows", "bytes", "min_us", "max_us", "n_nulls")
+      localize(spark, kept.unionByName(fresh))
     }
   }
 
@@ -292,7 +322,12 @@ object SkipIndex {
       loUs: Long, hiUs: Long): DataFrame = {
     val idx = buildFooterIndex(spark, dataDir, tsCol)
     val hasStats = col("min_us") <= col("max_us")
-    val interiorP = hasStats && col("min_us") >= lit(loUs) && col("max_us") < lit(hiUs)
+    // interior eligibility additionally needs a PROVABLY null-free stat
+    // column: footer n_rows counts null-ts rows the window predicate
+    // (and the full-scan oracle) exclude, so a file with nulls — or an
+    // unknown null count — must take the scan path to stay exact
+    val interiorP = hasStats && col("n_nulls") === lit(0L) &&
+      col("min_us") >= lit(loUs) && col("max_us") < lit(hiUs)
     val boundary = pruneFiles(idx, loUs, hiUs).filter(!interiorP)
     val scanned = readFiles(spark, boundary.unionByName(unprunableFiles(idx)))
     val scanAgg =

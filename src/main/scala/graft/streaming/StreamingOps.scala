@@ -131,11 +131,7 @@ object StreamingOps {
   def indexIngest(stream: DataFrame, idCol: String, vecCol: String,
       centroidFrame: DataFrame, indexDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val streamId = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map("%02x".format(_)).mkString
-    }
+    val streamId = streamScope(checkpoint)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sim.IndexOps.appendIvfBatch(batch, idCol, vecCol,
@@ -393,11 +389,7 @@ object StreamingOps {
     // batch ids restart at 0 per checkpoint: scope this query's commit
     // markers by its checkpoint identity so several ingest streams can
     // share one archive root without mistaking each other's batch 0
-    val streamId = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map("%02x".format(_)).mkString
-    }
+    val streamId = streamScope(checkpoint)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.PartitionedArchive.appendBroadbandBatch(
@@ -442,11 +434,7 @@ object StreamingOps {
     * partition-directory path and the ANN index's streamed postings. */
   def flatArchiveIngest(stream: DataFrame, tsCol: String, dir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val streamId = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(checkpoint.getBytes("UTF-8"))
-      d.take(4).map("%02x".format(_)).mkString
-    }
+    val streamId = streamScope(checkpoint)
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import graft.sources.SkipIndex
@@ -467,11 +455,8 @@ object StreamingOps {
   /** Checkpoint-scoped stream identity: batch ids restart at 0 per
     * checkpoint, so commit markers / version names are scoped by the
     * checkpoint's hash to let several streams share one root. */
-  private[graft] def streamScope(checkpoint: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpoint.getBytes("UTF-8"))
-    d.take(4).map("%02x".format(_)).mkString
-  }
+  private[graft] def streamScope(checkpoint: String): String =
+    graft.text.TextOps.md5Hex(checkpoint).take(8)
 
   private def rollupRoot(dir: String) = s"$dir/_rollup"
   private[graft] def rollupVersionPath(dir: String, streamId: String,
@@ -480,19 +465,40 @@ object StreamingOps {
 
   /** Latest committed rollup version at or before `beforeId` (every id
     * when None) — the underscore-prefixed `_rollup` dir is invisible to
-    * data scans, same trick as `_skipindex`. */
+    * data scans, same trick as `_skipindex`.
+    *
+    * `streamId` scopes the lookup to ONE lineage: batch ids restart at
+    * 0 per checkpoint, so comparing raw ids across streams (or across a
+    * checkpoint restart) would mix lineages — a restarted stream's
+    * batch 0 must not see, or be shadowed by, the old stream's
+    * higher-numbered versions. The per-batch maintenance paths always
+    * pass their own scope; `None` (read-side convenience) means "the
+    * single lineage in this dir" and asserts that's the case. */
   private[graft] def latestRollup(spark: SparkSession, dir: String,
-      beforeId: Option[Long] = None): Option[DataFrame] = {
+      beforeId: Option[Long] = None,
+      streamId: Option[String] = None): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(rollupRoot(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
-      val versions = fs.listStatus(p).map(_.getPath).toSeq
+      val all = fs.listStatus(p).map(_.getPath).toSeq
         .filter(_.getName.startsWith("v_"))
-        .map(q => (q.getName.substring(q.getName.lastIndexOf('_') + 1).toLong, q))
-        .filter { case (id, _) => beforeId.forall(id < _) }
+        .map { q =>
+          val parts = q.getName.split("_") // v_<sid>_<batchId>
+          (parts(1), parts(2).toLong, q)
+        }
+      if (streamId.isEmpty) {
+        val sids = all.map(_._1).distinct
+        require(sids.size <= 1,
+          s"rollup root $dir holds ${sids.size} version lineages " +
+            s"(${sids.mkString(", ")}) — pass streamId to pick one")
+      }
+      val versions = all
+        .filter { case (sid, id, _) =>
+          streamId.forall(_ == sid) && beforeId.forall(id < _)
+        }
       if (versions.isEmpty) None
-      else Some(spark.read.parquet(versions.maxBy(_._1)._2.toString))
+      else Some(spark.read.parquet(versions.maxBy(_._2)._3.toString))
     }
   }
 
@@ -502,16 +508,22 @@ object StreamingOps {
     * delta), so deleting old ones never affects later reads — pinned in
     * RollupSpec together with `latestRollup(beforeId)` time travel.
     * Returns the number of versions deleted. */
-  def vacuumRollups(spark: SparkSession, dir: String, keepLast: Int): Int = {
+  def vacuumRollups(spark: SparkSession, dir: String, keepLast: Int,
+      streamId: Option[String] = None): Int = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val p = new org.apache.hadoop.fs.Path(rollupRoot(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0
     else {
-      val versions = fs.listStatus(p).map(_.getPath).toSeq
+      // retention is PER LINEAGE: keepLast applies within each stream's
+      // version chain, never across streams sharing the root
+      val byStream = fs.listStatus(p).map(_.getPath).toSeq
         .filter(_.getName.startsWith("v_"))
-        .sortBy(q => q.getName.substring(q.getName.lastIndexOf('_') + 1).toLong)
-      val doomed = versions.dropRight(keepLast)
+        .map { q => val parts = q.getName.split("_"); (parts(1), parts(2).toLong, q) }
+        .filter { case (sid, _, _) => streamId.forall(_ == sid) }
+        .groupBy(_._1)
+      val doomed = byStream.values.flatMap(
+        _.sortBy(_._2).dropRight(keepLast).map(_._3)).toSeq
       doomed.foreach(fs.delete(_, true))
       doomed.size
     }
@@ -565,7 +577,8 @@ object StreamingOps {
       val batchDay = batch.withColumn("day", to_date(col(tsCol)))
       // prev = latest version STRICTLY BEFORE this batch id: on
       // redelivery a half-written own version must not become input
-      val next = latestRollup(s, dir, beforeId = Some(batchId)) match {
+      val next = latestRollup(s, dir, beforeId = Some(batchId),
+          streamId = Some(streamId)) match {
         case Some(prev) =>
           graft.ops.RollupOps.maintainByKey(prev, data, batchDay, "day", recompute)
         case None =>
@@ -608,7 +621,7 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = rollupIngest(stream, "ts", arch, ckpt, recompute)
     try { q.processAllAvailable() } finally { q.stop() }
-    latestRollup(ses, arch).get
+    latestRollup(ses, arch, streamId = Some(streamScope(ckpt))).get
   }
 
   /** STREAMING deletion requests: each micro-batch of doomed keys lands
@@ -662,7 +675,8 @@ object StreamingOps {
       batchId: Long, streamId: String, dir: String, keyCol: String,
       opCol: String, seqCol: String): Unit = {
     val s = batch.sparkSession
-    val prev = latestRollup(s, dir, beforeId = Some(batchId)).getOrElse(base)
+    val prev = latestRollup(s, dir, beforeId = Some(batchId),
+      streamId = Some(streamId)).getOrElse(base)
     graft.ops.MergeOps.applyCdcVersioned(prev, batch, keyCol, opCol, seqCol)
       .coalesce(1).write.mode("overwrite")
       .parquet(rollupVersionPath(dir, streamId, batchId))
@@ -673,7 +687,8 @@ object StreamingOps {
     * order uncontrolled) and return the final snapshot version. The
     * versioned apply makes the result arrival-order-independent, so the
     * batch end-state oracle applies unchanged. */
-  def runStreamCdcOnce(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamCdcOnce(spark: SparkSession, dir: String,
+      feedOf: DataFrame => Seq[DataFrame]): DataFrame = {
     val ses = stateSizedSession(spark)
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream_cdc").toString
     val (src, snapDir, ckpt) = (s"$tmp/src", s"$tmp/snap", s"$tmp/ckpt")
@@ -681,17 +696,10 @@ object StreamingOps {
       .select(col("event_id"), col("event_type"), col("value"))
     val base = snap.withColumn("__seq", lit(0L))
       .withColumn("__deleted", lit(false))
-    val idc = col("event_id")
-    def feed(pred: org.apache.spark.sql.Column, op: String, seq: Long,
-             id: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column) =
-      snap.filter(pred).select(lit(op).as("op"), id.as("event_id"),
-        lit(seq).as("seq"), col("event_type"), value.as("value"))
-    val groups = Seq(
-      feed(idc % 100 === 50, "U", 1L, idc, col("value") + 500)
-        .unionByName(feed(idc % 500 === 0, "I", 1L, idc + 1000000L,
-          col("value") + 0.25)),
-      feed(idc % 100 === 50, "U", 2L, idc, col("value") + 1000),
-      feed(idc % 97 === 0, "D", 3L, idc, col("value")))
+    // the change feed comes from the CALLER's builder — the same one the
+    // batch q_cdc_apply runs, so the two paths cannot drift apart from
+    // each other (or from the shared end-state oracle) silently
+    val groups = feedOf(snap)
     groups.zipWithIndex.foreach { case (g, i) =>
       g.coalesce(1).write.parquet(s"$src/f$i")
     }
@@ -707,7 +715,7 @@ object StreamingOps {
       .start()
     try { q.processAllAvailable() } finally { q.stop() }
     // live view: tombstones out, bookkeeping columns dropped
-    latestRollup(ses, snapDir).get
+    latestRollup(ses, snapDir, streamId = Some(sid)).get
       .filter(!col("__deleted")).drop("__seq", "__deleted")
   }
 

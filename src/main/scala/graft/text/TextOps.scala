@@ -422,6 +422,14 @@ object TextOps {
     * DuckDB replays it as `CAST(concat('0x', substr(md5(...), 1, 15)) AS
     * BIGINT)`. 15 digits (60 bits) is the widest prefix that cannot
     * overflow a signed BIGINT — do NOT widen to 16. */
+  /** Driver-side md5 lowercase-hex of UTF-8 bytes — the ONE copy that
+    * must match Spark's `md5()` and DuckDB's `md5()` (all three
+    * lowercase-hex the UTF-8 bytes); every oracle-visible driver-side
+    * hash goes through here. */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def md5Key64(id: Column, prefix: String = ""): Column = {
     val s = if (prefix.isEmpty) id.cast("string")
             else concat(lit(prefix), id.cast("string"))

@@ -555,10 +555,8 @@ object Profile {
           }.reduce(_ unionByName _)
             .withColumn("trace_id", md5(col("event_id").cast("string")))
         def t(f: => Unit): Double = elapsed(f)
-        val md = java.security.MessageDigest.getInstance("MD5")
         val traces = Seq(17L, 4242L, 31337L, 55555L, 77777L).map(id =>
-          md.digest((id % n0).toString.getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString)
+          graft.text.TextOps.md5Hex((id % n0).toString))
         Seq(1, 1, 10, 50).foreach { times =>
           val root = s"/tmp/graft_profile_bloom/x$times"
           if (!new java.io.File(root, "_SUCCESS").exists())

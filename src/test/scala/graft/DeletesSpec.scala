@@ -81,15 +81,20 @@ class DeletesSpec extends AnyFunSuite {
       expectedItemsPerFile = 4096, numBits = 1L << 16)
     val rewritten = Deletes.applyDeletes(spark, dir, "trace_id", bidx)
     assert(rewritten.nonEmpty)
-    // the rebuilt footer index must carry real stats for every file,
-    // including the rewritten ones (no unprunable stragglers)
+    // rewrites land under FRESH rw-* names (immutable-by-name, so the
+    // incremental footer refresh re-reads them) and the rebuilt index
+    // must carry real stats for every file, rewritten ones included
     val idx = SkipIndex.buildFooterIndex(spark, dir, "ts")
     assert(SkipIndex.unprunableFiles(idx).count() == 0)
-    val rewrittenNames = rewritten.map(f =>
+    val oldNames = rewritten.map(f =>
       new org.apache.hadoop.fs.Path(f).getName).toSet
-    val rows = idx.collect().filter(r => rewrittenNames.contains(
-      new org.apache.hadoop.fs.Path(r.getString(0)).getName))
-    assert(rows.nonEmpty)
+    val idxNames = idx.collect().map(r =>
+      new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    assert(oldNames.forall(n => !idxNames.contains(n)),
+      "an original name survived an in-place rewrite")
+    val rows = idx.collect().filter(
+      _.getString(0).contains("/rw-"))
+    assert(rows.size == rewritten.size)
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(4),
       s"rewritten file lost its ts stats: $r"))
   }

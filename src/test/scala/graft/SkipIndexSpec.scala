@@ -96,6 +96,26 @@ class SkipIndexSpec extends AnyFunSuite {
     assert(got.getLong(2) === exp.getLong(2))
   }
 
+  test("metaWindowStats: null-ts rows never inflate the metadata count") {
+    import spark.implicits._
+    val dir = new java.io.File("target/fixtures/events_nullts").getAbsolutePath
+    // one wide window fully containing both files; file B carries nulls,
+    // so its footer n_rows overcounts what the window predicate keeps —
+    // it must take the scan path (n_nulls > 0 → not interior)
+    val rows = Seq(
+      (1L, Some(java.sql.Timestamp.valueOf("2024-01-02 10:00:00")), 1.0),
+      (2L, Some(java.sql.Timestamp.valueOf("2024-01-02 11:00:00")), 2.0),
+      (3L, Some(java.sql.Timestamp.valueOf("2024-01-03 10:00:00")), 3.0),
+      (4L, None, 4.0),
+      (5L, None, 5.0)).toDF("event_id", "ts", "value")
+    SkipIndex.writeTimeClustered(rows, "ts", dir, numFiles = 2)
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-01-10T00:00:00Z")
+    val got = SkipIndex.metaWindowStats(spark, dir, "ts",
+      lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L).head()
+    assert(got.getLong(0) === 3L, s"null-ts rows counted: ${got.getLong(0)}")
+  }
+
   test("metaWindowStats: window inside one file (no interior) and empty window") {
     // narrow window: both edges inside the archive's day files → every
     // candidate file is boundary, the scan path carries the whole answer
