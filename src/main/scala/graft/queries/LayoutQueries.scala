@@ -84,6 +84,32 @@ object LayoutQueries {
           timestamp_micros(col("max_us")).as("max_ts"))
     }),
 
+    // JSONL ingestion (the training-data interchange format): the
+    // events table round-trips through newline-delimited JSON and must
+    // aggregate identically to the parquet original — timestamp
+    // microseconds and double values survive the text round-trip
+    // (Spark writes shortest-roundtrip doubles and ISO-8601 micros).
+    // The read schema is DECLARED, never inferred: inference costs a
+    // full pre-scan at 100 TB and type-drifts on partial data (the
+    // round-9 lesson applied to text sources). Shares the daily-rollup
+    // oracle verbatim.
+    "q_jsonl_ingest" -> ((s, dir) => {
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_jsonl"
+      Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(root)
+      s.read.schema(
+          "event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE")
+        .json(root)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("avg_value"))
+        .orderBy("day")
+    }),
+
     // File-level corruption resilience: one day-partition's data file is
     // destroyed in place (3 junk bytes — no parquet magic, footer
     // unreadable: the bit-rot / torn-upload case, one level below
@@ -332,6 +358,9 @@ object LayoutQueries {
 
     // maintenance is exact → the oracle is the full-scan daily rollup
     "q_incr_rollup" -> DailyRollupSql,
+
+    // the JSONL round-trip must be lossless → same daily-rollup oracle
+    "q_jsonl_ingest" -> DailyRollupSql,
 
     // streamed maintenance is the same exact kernel → same oracle
     "q_stream_rollup" -> DailyRollupSql,
