@@ -435,7 +435,8 @@ object SimQueries {
         |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
         |  WHERE q.id % 10 = 0 AND q.id < 1000),
         |dists AS (
-        |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
+        |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(CAST(sum(CAST(round(qt.pd * 1e9, 0) AS BIGINT)) AS DOUBLE)
+         |               / 1e9, 6) AS d2
         |  FROM enc e JOIN asg a ON e.id = a.id
         |  JOIN probes p ON a.cell = p.cell
         |  JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
@@ -761,7 +762,8 @@ object SimQueries {
         |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
         |  WHERE q.id % 10 = 0 AND q.id < 1000),
         |dists AS (
-        |  SELECT qt.query_id, e.id AS neighbor_id, round(sum(qt.pd), 6) AS d2
+        |  SELECT qt.query_id, e.id AS neighbor_id, round(CAST(sum(CAST(round(qt.pd * 1e9, 0) AS BIGINT)) AS DOUBLE)
+         |               / 1e9, 6) AS d2
         |  FROM enc e JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
         |  WHERE qt.query_id <> e.id
         |  GROUP BY 1, 2),
@@ -801,7 +803,8 @@ object SimQueries {
          |  FROM base q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub
          |  WHERE q.id % 10 = 0 AND q.id < 1000),
          |dists AS (
-         |  SELECT qt.query_id, e.id AS neighbor_id, round(sum(qt.pd), 6) AS d2
+         |  SELECT qt.query_id, e.id AS neighbor_id, round(CAST(sum(CAST(round(qt.pd * 1e9, 0) AS BIGINT)) AS DOUBLE)
+         |               / 1e9, 6) AS d2
          |  FROM enc e JOIN qtab qt ON e.sub = qt.sub AND e.code = qt.code
          |  WHERE qt.query_id <> e.id
          |  GROUP BY 1, 2),
@@ -871,7 +874,8 @@ object SimQueries {
          |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
          |  FROM qres q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub),
          |dists AS (
-         |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
+         |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(CAST(sum(CAST(round(qt.pd * 1e9, 0) AS BIGINT)) AS DOUBLE)
+         |               / 1e9, 6) AS d2
          |  FROM enc e JOIN asg a ON e.id = a.id
          |  JOIN qtab qt ON a.cell = qt.cell AND e.sub = qt.sub AND e.code = qt.code
          |  WHERE qt.query_id <> e.id
@@ -954,7 +958,8 @@ object SimQueries {
          |           p -> (p[1] - p[2]) * (p[1] - p[2]))), 9) AS pd
          |  FROM qres q CROSS JOIN subs s JOIN books bk ON s.sub = bk.sub),
          |dists AS (
-         |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(sum(qt.pd), 6) AS d2
+         |  SELECT qt.query_id, e.id AS neighbor_id, a.cell, round(CAST(sum(CAST(round(qt.pd * 1e9, 0) AS BIGINT)) AS DOUBLE)
+         |               / 1e9, 6) AS d2
          |  FROM enc e JOIN asg a ON e.id = a.id
          |  JOIN qtab qt ON a.cell = qt.cell AND e.sub = qt.sub AND e.code = qt.code
          |  WHERE qt.query_id <> e.id

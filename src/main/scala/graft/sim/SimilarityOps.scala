@@ -1040,13 +1040,19 @@ object SimilarityOps {
       // partial landing within 1 ulp of a 0.5e-6 boundary could round the
       // FINAL d2 differently in Spark vs the oracle; 9-decimal partials
       // make every summand a short exact decimal on both engines (same
-      // pinning idea as pqEncode's per-subspace rounding)
+      // pinning idea as pqEncode's per-subspace rounding). The partials
+      // are then summed as exact integer NANO-units, not doubles: a
+      // double sum is still summation-ORDER-dependent in its last ulp,
+      // and DuckDB's parallel aggregation order varies run to run — one
+      // d2 at sf0.01 sat exactly on a 0.5e-6 boundary and flipped the
+      // oracle compare ~50% of checker runs until the sum went integer
       .select(col("query_id"), col("sub"), col("code"),
         round(l2sq(col("qsv"), col("cv")), 9).as("pd"))
     val scored = codes.join(broadcast(qtab), Seq("sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"))
-      .agg(round(sum("pd"), 6).as("d2"))
+      .agg(round(sum(round(col("pd") * 1e9, 0).cast("long")).cast("double")
+        / 1e9, 6).as("d2"))
     // ascending bounded-heap rank: the queries×corpus ADC frame reduces to
     // ≤ k rows per (query, partition) before any exchange — never a
     // per-query corpus-sized window sort
@@ -1106,7 +1112,8 @@ object SimilarityOps {
       .join(broadcast(qtab), Seq("query_id", "sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"), col("cell"))
-      .agg(round(sum("pd"), 6).as("d2"))
+      .agg(round(sum(round(col("pd") * 1e9, 0).cast("long")).cast("double")
+        / 1e9, 6).as("d2"))
     // ascending bounded-heap rank over the probed-cell ADC candidates; the
     // cell (unique per neighbor) rides the heap as an inert payload
     rankTopK(scored, "d2", k, ascending = true, tag = Some("cell"))
@@ -1215,7 +1222,8 @@ object SimilarityOps {
     val scored = codes.join(broadcast(qtab), Seq("cell", "sub", "code"))
       .filter(col("query_id") =!= col("id"))
       .groupBy(col("query_id"), col("id").as("neighbor_id"), col("cell"))
-      .agg(round(sum("pd"), 6).as("d2"))
+      .agg(round(sum(round(col("pd") * 1e9, 0).cast("long")).cast("double")
+        / 1e9, 6).as("d2"))
     rankTopK(scored, "d2", k, ascending = true, tag = Some("cell"))
       .select("query_id", "rank", "neighbor_id", "d2", "cell")
   }
