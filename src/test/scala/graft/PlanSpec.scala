@@ -334,6 +334,17 @@ class PlanSpec extends AnyFunSuite {
     assert(aggBeforeWindow, s"window not fed by the aggregated manifest:\n${pc.take(2000)}")
   }
 
+  test("DQ audit: whole rule set costs one conditional-aggregate pass " +
+       "+ one hash-keyed dup pass — never a scan per rule") {
+    val p = plan("q_dq_audit")
+    // 4 of the 5 rules fold into ONE scan's conditional aggregates; the
+    // uniqueness rule is the only second scan (hash-keyed groupBy)
+    val scans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 2, s"expected 2 scans (one-pass rules + dup rule), got $scans:\n${p.take(2000)}")
+    assert(!p.linesIterator.exists(_.matches(".*\\bWindow \\[.*")), p.take(2000))
+  }
+
   test("PIT lookup: broadcast left-outer hash join; fact side never shuffles") {
     val p = plan("q_pit_join")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p.take(2000))
