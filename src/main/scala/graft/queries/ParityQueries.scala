@@ -106,6 +106,72 @@ object ParityQueries {
         .orderBy("event_type")
     }),
 
+    // S5 — metadata-only matching-file count (the reference's integrity
+    // probe, get_timeseries.py:71-81): how many data files back each
+    // product partition, without opening any. The archive fixture lands
+    // through the replay-idempotent batch appender in weekly micro-batches
+    // coalesced to one task each, so each (hydrophone, delta_t) partition
+    // holds EXACTLY one file per week with data — the physical file count
+    // equals a relational fact DuckDB can state: distinct weeks per band.
+    "q_file_match_count" -> ((s, dir) => {
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_s5_archive/" +
+        new java.io.File(dir.replaceAll("/+$", "")).getName
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root)) // fresh build: stale commit markers would
+                                 // short-circuit the appends
+      val bb = events(s, dir).select(col("event_type").as("hydrophone"),
+        lit(60).as("delta_t"), col("ts"), col("value"))
+      (0 to 4).foreach { w =>
+        graft.sources.PartitionedArchive.appendBroadbandBatch(
+          bb.filter(floor((dayofmonth(col("ts")) - 1) / lit(7)).cast("int") === w)
+            .coalesce(1), root, w.toLong, "s5")
+      }
+      val bands = bb.select("hydrophone").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted // catalog-scale: one row per band
+      bands.map { h =>
+        (h, graft.sources.PartitionedArchive.matchingFileCount(
+          s, root, "broadband", Map("hydrophone" -> h, "delta_t" -> 60)))
+      }.toDF("hydrophone", "n_files").orderBy("hydrophone")
+    }),
+
+    // A9 — expected-point estimator `ceil((end-start)/delta_t)` (ref
+    // get_timeseries.py:36-40), driven by per-band catalog windows
+    // (metadata-scale collect — the reference computes this per request
+    // from request params; here the request grid is each band's coverage
+    // at three delta_t grades).
+    "q_expected_points" -> ((s, dir) => {
+      import s.implicits._
+      val mm = events(s, dir).groupBy(col("event_type"))
+        .agg(min("ts").as("lo"), max("ts").as("hi"))
+        .collect()
+      val rows = for {
+        r <- mm.toSeq
+        d <- Seq(60L, 300L, 3600L)
+      } yield (r.getString(0), d,
+        TimeseriesOps.expectedPointCount(
+          r.getTimestamp(1).toInstant, r.getTimestamp(2).toInstant, d))
+      rows.toDF("band", "delta_t", "n_expected").orderBy("band", "delta_t")
+    }),
+
+    // S6 — empty-relation source is SUCCESS, not error (ref
+    // get_timeseries.py:255-271): a window with no data returns the
+    // response envelope (zero points, expected count, completeness flag)
+    // rather than failing — the serving edge's distinction between "no
+    // data here" and "broken archive".
+    "q_empty_window" -> ((s, dir) => {
+      val start = Instant.parse("2023-06-01T00:00:00Z")
+      val end = Instant.parse("2023-06-02T00:00:00Z")
+      val expected = TimeseriesOps.expectedPointCount(start, end, 60)
+      TimeseriesOps.windowFilter(events(s, dir), "ts", start, end)
+        .agg(count(lit(1)).as("n_points"))
+        .select(col("n_points"), lit(expected).as("n_expected"),
+          (col("n_points") >= lit(expected)).cast("int").as("complete"))
+    }),
+
     // J3/U1 — last-wins chunk merge: two overlapping daily aggregates, the
     // later chunk (restricted to value<400) overrides on collision.
     "q_merge_lastwins" -> ((s, dir) => {
@@ -196,6 +262,30 @@ object ParityQueries {
         |SELECT event_type, count(*) AS n_kept, round(avg(v), 6) AS mean_value
         |FROM bad WHERE isfinite(v)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_file_match_count" ->
+      """SELECT event_type AS hydrophone,
+        |       CAST(count(DISTINCT (day(ts) - 1) // 7) AS BIGINT) AS n_files
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_expected_points" ->
+      """WITH w AS (SELECT event_type AS band,
+        |                  CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+        |                  CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+        |           FROM events GROUP BY 1),
+        |     d AS (SELECT CAST(unnest([60, 300, 3600]) AS BIGINT) AS delta_t)
+        |SELECT band, delta_t,
+        |       CAST(CASE WHEN hi <= lo THEN 0
+        |                 ELSE (hi - lo + delta_t - 1) // delta_t END AS BIGINT) AS n_expected
+        |FROM w, d ORDER BY band, delta_t""".stripMargin,
+
+    "q_empty_window" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |       CAST(1440 AS BIGINT) AS n_expected,
+        |       CAST(count(*) >= 1440 AS INT) AS complete
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2023-06-01 00:00:00'
+        |  AND ts < TIMESTAMP '2023-06-02 00:00:00'""".stripMargin,
 
     "q_merge_lastwins" ->
       """WITH c1 AS (
