@@ -24,6 +24,24 @@ object JoinOps {
     saltedLarge.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Fact × fact equi-join — the NON-broadcast join topology. At 100 TB
+    * both sides of lineitem ⋈ orders outgrow any broadcast threshold;
+    * the correct physical plan is a shuffle-and-sort-merge join: both
+    * sides exchange on the join key, sort within partitions, and stream
+    * one merge pass — bounded memory per task regardless of build-side
+    * size (a hash join's build side must FIT; a merge join's only
+    * spills). The SHUFFLE_MERGE hint pins that strategy so the plan is
+    * the 100 TB plan at every test scale — without it, any side under
+    * `autoBroadcastJoinThreshold` (tens of MB) silently becomes a
+    * BroadcastHashJoin at test SFs and the contract would never exercise
+    * the plan that actually runs in production (PlanSpec pins both the
+    * hinted SMJ here and that the UNHINTED join picks SMJ on its own
+    * once the build side exceeds the threshold). Co-bucketing both
+    * tables on the key at ingest removes the two Exchanges entirely —
+    * the bucketed twin (`q_fact_join_bucketed`, BucketedJoinSpec). */
+  def factFactJoin(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
+    left.join(right.hint("shuffle_merge"), cond)
+
   /** Range/interval overlap predicate `[aStart,aEnd] ∩ [bStart,bEnd] ≠ ∅`
     * (J2's generalization). Use with a broadcast side; for two large sides
     * pre-bucket both on coarse time buckets first. */

@@ -195,6 +195,63 @@ object JoinQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Fact × fact SORT-MERGE join (JoinOps.factFactJoin) — the
+    // non-broadcast topology: at 100 TB BOTH sides of lineitem ⋈ orders
+    // outgrow any broadcast threshold, and the production plan is
+    // exchange + sort + streaming merge with bounded task memory. The
+    // SHUFFLE_MERGE hint pins that plan at every test scale (unhinted,
+    // a test-SF orders side broadcasts and the contract would never
+    // exercise it); PlanSpec pins both the hinted plan and that the
+    // UNHINTED join resolves to SMJ once broadcast is off the table.
+    // Late-shipment profile per priority; counts integer-exact.
+    "q_fact_join_smj" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      graft.ops.JoinOps.factFactJoin(li, o,
+          li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("n_late"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // The same fact × fact join over CO-BUCKETED tables: bucketing both
+    // sides on the join key at ingest pre-satisfies the join's
+    // clustering, so the sort-merge join plans with NO Exchange on
+    // either side — the amortize-the-shuffle-once answer for a join that
+    // runs every day at 100 TB (BucketedJoinSpec pins the exchange-free
+    // plan; this contract row pins the RESULT equals the plain join's).
+    "q_fact_join_bucketed" -> ((s, dir) => {
+      val sfTag = new java.io.File(dir.replaceAll("/+$", "")).getName
+        .replaceAll("\\W", "_")
+      val (liT, oT) = (s"graft_li_bkt_$sfTag", s"graft_o_bkt_$sfTag")
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$sfTag"
+      s.sql(s"DROP TABLE IF EXISTS `$liT`")
+      s.sql(s"DROP TABLE IF EXISTS `$oT`")
+      // external locations: pre-existing dirs from a previous JVM are
+      // legal and overwritten (the IncrementalDedup lesson, e83c447)
+      Tables.lineitem(s, dir)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/$liT").mode("overwrite").saveAsTable(liT)
+      Tables.orders(s, dir)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/$oT").mode("overwrite").saveAsTable(oT)
+      val li = s.table(liT)
+      val o = s.table(oT)
+      graft.ops.JoinOps.factFactJoin(li, o,
+          li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+            .otherwise(0L)).as("n_late"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Bloom-prefiltered semi-join (JoinOps.bloomSemiJoin): the membership-
     // test scale path (benchmark-contamination screens, id-set lookups).
     // The urgent-order key set aggregates into ONE bloom blob, the lineitem
@@ -498,6 +555,24 @@ object JoinQueries {
         |FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fact_join_smj" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the physical layout differs (bucketed scan, no exchange); the
+    // RESULT must not — same oracle as the shuffling twin
+    "q_fact_join_bucketed" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scd2" ->

@@ -45,6 +45,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("fact × fact join resolves to SortMergeJoin, never broadcast (q_fact_join_smj)") {
+    // the hinted contract plan: SMJ at every scale, no broadcast of a
+    // "small" side that is only small at test SF
+    val p = plan("q_fact_join_smj")
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("UNHINTED fact join picks SMJ on its own once broadcast is off the table") {
+    // the 100 TB regime modeled: with both broadcast thresholds
+    // disabled (= both sides exceed them), plain planner join selection
+    // must land on sort-merge — the engine's default large-join path
+    // needs no hint when the stats say 'big'
+    val ses = spark.newSession()
+    ses.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ses.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val li = graft.tables.Tables.lineitem(ses, TestSpark.Sf0001)
+    val o = graft.tables.Tables.orders(ses, TestSpark.Sf0001)
+    val p = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(org.apache.spark.sql.functions.col("o_orderpriority"))
+      .count()
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("BroadcastHashJoin"))
+  }
+
+  test("co-bucketed fact join: no Exchange below the join on either side " +
+       "(q_fact_join_bucketed)") {
+    val df = SparkEntry.queries("q_fact_join_bucketed")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.linesIterator.take(25).mkString("\n"))
+    // everything below the SortMergeJoin is its subtree (plans print
+    // top-down): the join's inputs must carry NO Exchange — the bucketed
+    // layout satisfies the join's clustering; only the downstream
+    // groupBy/orderBy may shuffle
+    val joinSubtree = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("coverage overlap joins broadcast (tiny catalog side)") {
     val p = plan("q_coverage_overlap")
     assert(p.contains("Broadcast"))
