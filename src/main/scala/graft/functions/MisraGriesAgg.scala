@@ -54,6 +54,17 @@ case class MisraGriesAgg(
 
   require(k >= 1 && k <= (1 << 16), s"misra_gries: k must be in [1, 65536], got $k")
 
+  /** String keys only, rejected at ANALYSIS time: update() casts the
+    * child's value to UTF8String, so without this a non-string column
+    * (easy via the SQL-registered `misra_gries`) would fail at executor
+    * runtime with ClassCastException instead of a plan-time error. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires a STRING key, got ${child.dataType.catalogString}")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = MisraGriesAgg.OutType

@@ -45,6 +45,16 @@ object RollupOps {
   def maintainByKey(prev: DataFrame, data: DataFrame, batch: DataFrame,
       keyCol: String, recompute: DataFrame => DataFrame): DataFrame = {
     val changed = batch.select(col(keyCol)).distinct().collect().map(_.get(0)).toSeq
+    maintainByKeys(prev, data, changed, keyCol, recompute)
+  }
+
+  /** [[maintainByKey]] with the changed-key set ALREADY known — callers
+    * that computed it for their own routing (the streamed maintenance
+    * loop collects the batch's days to prune the archive read) pass it
+    * through instead of paying a second distinct-collect job per
+    * micro-batch. */
+  def maintainByKeys(prev: DataFrame, data: DataFrame, changed: Seq[Any],
+      keyCol: String, recompute: DataFrame => DataFrame): DataFrame = {
     if (changed.isEmpty) prev
     else {
       // NULL is a legitimate partition key (e.g. a null-day group from

@@ -187,7 +187,13 @@ object StatsQueries {
         .withColumn("status",
           when(col("k").isNull, "quarantined").otherwise("ok"))
         .groupBy(col("status"), (col("k") % 10).as("k_bucket"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
+        // integer micro-unit mean (the dailyRollup discipline): a raw
+        // double avg's last ulp is aggregation-order dependent across
+        // engines, and a group mean landing on a 0.5e-6 rounding boundary
+        // would flip the hash compare intermittently
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("mean_value"))
         .orderBy(col("status"), asc_nulls_first("k_bucket"))),
 
     // Gap detection (SURVEY §2.5 extension): per-user inter-event gaps > 1h.
@@ -904,7 +910,9 @@ object StatsQueries {
         |  FROM c)
         |SELECT CASE WHEN k IS NULL THEN 'quarantined' ELSE 'ok' END AS status,
         |       k % 10 AS k_bucket,
-        |       count(*) AS n, round(avg(value), 6) AS mean_value
+        |       count(*) AS n,
+        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS mean_value
         |FROM parsed GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
 
     "q_gap_report" ->

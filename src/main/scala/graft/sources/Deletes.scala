@@ -94,17 +94,29 @@ object Deletes {
     // new files, and an uncovered file may hold a doomed key — the
     // no-false-negative claim only holds inside the index's coverage
     spark.catalog.refreshByPath(dir)
-    import spark.implicits._
     // URI forms differ between sources (`file:/`, `file:///`): compare
     // canonically or every file looks uncovered and routing degrades to
     // a full confirm scan
     def canon(s: String) = s.replaceFirst("^file:/+", "file:///")
-    val covered = bloomIdx.select(col("file")).as[String].collect()
-      .map(canon).toSet
-    val uncovered = spark.read.parquet(dir).inputFiles.toIndexedSeq
-      .filterNot(f => covered.contains(canon(f)))
-    val candidates = SkipIndex.pruneFilesByKeys(bloomIdx, doomed)
-      .select("file").as[String].collect().toIndexedSeq ++ uncovered
+    // collect the (file, bloom) index ONCE — metadata scale — and derive
+    // both the covered set and the key routing from the same rows: an
+    // uncached bloomIdx is a lazy full-archive aggregate, and evaluating
+    // it twice would make a 5-key erasure cost two full data scans
+    val bloomRows = bloomIdx.select(col("file"), col("bloom"))
+      .collect().toIndexedSeq
+    val covered = bloomRows.map(r => canon(r.getString(0))).toSet
+    val live = spark.read.parquet(dir).inputFiles.toIndexedSeq
+    val uncovered = live.filterNot(f => covered.contains(canon(f)))
+    // a MATERIALIZED index built before an earlier applyDeletes or
+    // compaction can route to files that no longer exist — reading them
+    // would kill the maintenance pass with path-not-found. Dead routed
+    // paths are dropped (their keys, if live anywhere, are in files a
+    // fresher index covers or in `uncovered`); routing maps back to the
+    // LIVE path spelling so the read uses names the filesystem serves.
+    val liveByCanon = live.map(f => canon(f) -> f).toMap
+    val routed = SkipIndex.pruneCollectedByKeys(bloomRows, doomed)
+      .flatMap(f => liveByCanon.get(canon(f)))
+    val candidates = routed ++ uncovered
     val affected =
       if (candidates.isEmpty) IndexedSeq.empty[String]
       else spark.read.parquet(candidates: _*)

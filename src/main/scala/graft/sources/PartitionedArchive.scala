@@ -119,18 +119,27 @@ object PartitionedArchive {
     appendBatch(df, s"$root/psd", PsdPartitions, batchId, streamId)
 
   private def appendBatch(df: DataFrame, productRoot: String,
-      partitionCols: Seq[String], batchId: Long, streamId: String): Unit =
+      partitionCols: Seq[String], batchId: Long, streamId: String): Unit = {
     appendBatchAt(df, productRoot, partitionCols, partitionCols :+ "ts",
-      batchId, streamId)
+      batchId, streamId): Unit
+  }
 
   /** The generic replay-idempotent micro-batch appender behind
     * [[appendBroadbandBatch]]/[[appendPsdBatch]] — same
     * marker/staging/deterministic-rename protocol, parameterized sort
     * columns so non-timeseries layouts (e.g. the persisted ANN index's
-    * cell partitions, [[graft.sim.IndexOps.appendIvfBatch]]) share it. */
+    * cell partitions, [[graft.sim.IndexOps.appendIvfBatch]]) share it.
+    *
+    * Returns the landed data files (qualified paths) — the appender is
+    * the one place that knows EXACTLY which files a batch created, and
+    * incremental index maintenance fed from this list costs zero
+    * listings and zero jobs ([[SkipIndex.extendFooterIndex]]). A
+    * marker-short-circuited replay reconstructs the list from the
+    * batch's deterministic file names, so the caller's index update is
+    * replay-idempotent too. */
   private[graft] def appendBatchAt(df: DataFrame, productRoot: String,
       partitionCols: Seq[String], sortCols: Seq[String],
-      batchId: Long, streamId: String): Unit = {
+      batchId: Long, streamId: String): Seq[String] = {
     // batch ids are scoped to ONE streaming query's checkpoint: two
     // queries ingesting into the same root both start at batch 0, so the
     // marker/staging/file namespace carries the caller's stream identity
@@ -143,7 +152,23 @@ object PartitionedArchive {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(base, s"_ingest_commits/$tag")
     val staging = new Path(base, s"_staging/batch=$tag")
-    if (fs.exists(marker)) { fs.delete(staging, true); return }
+    if (fs.exists(marker)) {
+      fs.delete(staging, true)
+      // replay of a committed batch: its files are already live under
+      // their deterministic names — walk them back out so the caller's
+      // index update sees the same list the original delivery did
+      val landed = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(base, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val hidden = f.toUri.getPath.stripPrefix(base.toUri.getPath)
+          .split("/").exists(s => s.startsWith("_") || s.startsWith("."))
+        if (!hidden && f.getName.startsWith(s"b$tag-") &&
+            f.getName.endsWith(".parquet"))
+          landed += fs.makeQualified(f).toString
+      }
+      return landed.toSeq
+    }
     withMicrosTimestamps(df) {
       df.sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite")
@@ -156,6 +181,7 @@ object PartitionedArchive {
       if (kids.isEmpty) Seq(dir) else kids.toSeq.flatMap(leafDirs)
     }
     val stagingPrefix = staging.toUri.getPath.stripSuffix("/") + "/"
+    val landed = scala.collection.mutable.ArrayBuffer.empty[String]
     leafDirs(staging).foreach { leaf =>
       val rel = leaf.toUri.getPath.stripPrefix(stagingPrefix)
       val live = if (rel.isEmpty || rel.startsWith("/")) base else new Path(base, rel)
@@ -170,10 +196,12 @@ object PartitionedArchive {
         val tgt = new Path(live, s"b$tag-$idx.parquet")
         if (!fs.rename(f.getPath, tgt))
           throw new java.io.IOException(s"ingest batch $tag: rename ${f.getPath} -> $tgt failed")
+        landed += fs.makeQualified(tgt).toString
       }
     }
     fs.create(marker, true).close()
     fs.delete(staging, true)
+    landed.toSeq
   }
 
   def readBroadband(spark: SparkSession, root: String): DataFrame =

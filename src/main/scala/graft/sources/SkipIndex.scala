@@ -162,9 +162,12 @@ object SkipIndex {
     * rename protocol with NO partition directories — batch rows are
     * day-clustered and time-sorted so each landed file carries a tight
     * zone. Redelivered batches (foreachBatch is at-least-once) hit the
-    * commit marker and land nothing. */
+    * commit marker and land nothing (but still report the batch's files,
+    * so the caller's index update replays idempotently too). Returns the
+    * landed file paths — feed them to [[extendFooterIndex]] for a
+    * zero-listing, zero-job index refresh. */
   def appendClusteredBatch(df: DataFrame, tsCol: String, dir: String,
-                           batchId: Long, streamId: String = ""): Unit =
+                           batchId: Long, streamId: String = ""): Seq[String] =
     PartitionedArchive.appendBatchAt(
       df.withColumn("__d", to_date(col(tsCol)))
         .repartition(col("__d")).drop("__d"),
@@ -226,7 +229,11 @@ object SkipIndex {
     val newFiles = listing
       .join(existing.select("file"), Seq("file"), "left_anti")
       .collect().map(_.getString(0)).toIndexedSeq // bounded: new files only
-    if (newFiles.isEmpty) kept
+    // localize BOTH branches: a held reference to a live `kept` plan
+    // would lazily re-read the persisted _skipindex and can fail or go
+    // stale after a later overwrite — exactly the flake the localize
+    // contract exists to prevent
+    if (newFiles.isEmpty) localize(spark, kept)
     else {
       val fresh = spark.createDataset(newFiles)(Encoders.STRING)
         .mapPartitions { it =>
@@ -235,6 +242,44 @@ object SkipIndex {
         }.toDF("file", "n_rows", "bytes", "min_us", "max_us", "n_nulls")
       localize(spark, kept.unionByName(fresh))
     }
+  }
+
+  /** EXTEND an index by exactly the given new files — the per-micro-batch
+    * fast path: when the caller already knows which files just landed
+    * ([[appendClusteredBatch]] returns them), the refresh needs no
+    * directory listing, no datasource resolution, and no Spark job — the
+    * handful of new footers is read ON THE DRIVER (the same footerStats
+    * kernel the distributed build uses) and appended to the localized
+    * index value. Already-indexed paths are skipped, so a replayed
+    * batch's file list is absorbed idempotently.
+    *
+    * Contract vs [[refreshFooterIndex]]: this trusts the caller's file
+    * list and does NOT heal rows for files deleted out-of-band — an
+    * ingest loop carrying its index through this path assumes no
+    * concurrent deletions during the stream (true for the append-only
+    * archives it serves); a restart goes through loadIndexOrEmpty +
+    * refreshFooterIndex, which reconciles against the real listing. */
+  def extendFooterIndex(spark: SparkSession, existing: DataFrame,
+                        newFiles: Seq[String], statCol: String): DataFrame = {
+    // one path, several spellings: Spark's inputFiles listing renders
+    // local files as `file:///x` while Hadoop's makeQualified (the
+    // appender's form) renders `file:/x` — compared raw, every landed
+    // file would re-enter beside its listing-spelled row and the picks
+    // read would double its rows (caught by RollupSpec). Store and
+    // compare ONE spelling (the listing's, so refreshFooterIndex's
+    // listing-diff healing keeps working on extended indexes).
+    def canon(s: String) = s.replaceFirst("^file:/+", "file:///")
+    val existRows = existing.collect().toIndexedSeq
+    val fileIdx = existing.schema.fieldIndex("file")
+    val known = existRows.map(r => canon(r.getString(fileIdx))).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fresh = newFiles.map(canon).distinct.filterNot(known).map { f =>
+      val (file, rows, bytes, mn, mx, nulls) = footerStats(conf, f, statCol)
+      org.apache.spark.sql.Row(canon(file), rows, bytes, mn, mx, nulls)
+    }
+    val all = new java.util.ArrayList[org.apache.spark.sql.Row](
+      (existRows ++ fresh).asJava)
+    spark.createDataFrame(all, existing.schema)
   }
 
   /** Files whose `[min_us, max_us]` zone intersects `[loUs, hiUs)`.
@@ -292,17 +337,28 @@ object SkipIndex {
     * [[readFiles]]; feed the result straight to it. */
   def pruneFilesByKeys(bloomIdx: DataFrame, keys: Seq[String]): DataFrame = {
     val spark = bloomIdx.sparkSession
+    val kept = pruneCollectedByKeys(
+      bloomIdx.select("file", "bloom").collect().toIndexedSeq, keys)
+    import spark.implicits._
+    kept.toDF("file")
+  }
+
+  /** Driver-side core of [[pruneFilesByKeys]] over ALREADY-COLLECTED
+    * `(file, bloom)` rows. Callers that also need the covered-file set
+    * ([[Deletes.applyDeletes]]) collect the index once and reuse the rows
+    * for both derivations — evaluating a lazy bloom-index plan twice
+    * would re-run the full-archive bloom aggregate per evaluation. */
+  def pruneCollectedByKeys(rows: Seq[org.apache.spark.sql.Row],
+      keys: Seq[String]): Seq[String] = {
     val hashes = keys.map(k =>
       org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         org.apache.spark.unsafe.types.UTF8String.fromString(k),
         StringType, 42L))
-    val kept = bloomIdx.select("file", "bloom").collect().filter { r =>
+    rows.filter { r =>
       val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
       hashes.exists(bf.mightContainLong)
-    }.map(_.getString(0)).toIndexedSeq
-    import spark.implicits._
-    kept.toDF("file")
+    }.map(_.getAs[String]("file"))
   }
 
   /** Metadata-only windowed aggregate with boundary correction: count /

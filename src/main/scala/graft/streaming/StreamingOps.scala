@@ -21,6 +21,29 @@ object StreamingOps {
 
   private val runId = new AtomicInteger(0)
 
+  /** Run a one-shot (finite-replay) streaming query to completion, then
+    * release the state-store providers it loaded into this JVM.
+    *
+    * In local mode every stateful operator leaves its providers in the
+    * process-wide `StateStore.loadedProviders` registry after the query
+    * stops — each holding the last in-memory state maps plus maintenance
+    * bookkeeping. One query's residue is harmless; a long-lived embedding
+    * running MANY one-shot drivers (Bench runs ~15 stateful drivers twice
+    * per pass family) accumulates tens of provider sets, and the heap
+    * pressure taxes LATER stateful queries: round 10's bench shipped
+    * q_stream_neardup at 2.0 s cold → 9.7 s warm with proportional CPU
+    * growth — real (GC) work, invisible to the contended gate by design.
+    * `unloadAll()` drops the providers (the next stateful query reloads
+    * from its checkpoint as usual), making every driver pass-idempotent:
+    * warm workload ≡ cold workload. The long-running ingest helpers
+    * ([[archiveIngest]], [[indexIngest]], [[rollupIngest]]) keep their
+    * providers — they're still using them. */
+  private def awaitOneShot(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable() finally {
+      q.stop()
+      org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    }
+
   /** Drain a finished memory-sink table into a standalone DataFrame and
     * drop the temp view — a leaked view retains the full materialized
     * result in the driver for the session lifetime (Bench runs every query
@@ -108,7 +131,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -156,7 +179,7 @@ object StreamingOps {
     cent.coalesce(1).write.mode("overwrite").parquet(s"$idx/centroids")
     val q = indexIngest(embeddingsStream(spark, dir), "vec_id", "embedding",
       cent, idx, s"$idx/_checkpoint")
-    try q.processAllAvailable() finally q.stop()
+    awaitOneShot(q)
     val queries = e.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     graft.sim.IndexOps.queryIvfIndex(spark, idx, queries, k = 5, nProbe = 2)
@@ -179,7 +202,7 @@ object StreamingOps {
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -258,7 +281,7 @@ object StreamingOps {
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     // the same pair surfaces once per shared band: collapse to the edge
     // set (serving-edge post-processing, same as the other one-shot
     // drivers' drains)
@@ -290,7 +313,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -318,7 +341,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -342,7 +365,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -369,7 +392,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -419,7 +442,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -548,44 +571,97 @@ object StreamingOps {
     *     and the untouched later versions).
     * At 100 TB the dashboard aggregate trails ingest by one pruned
     * recompute instead of a nightly full scan. */
+  /** Driver-held state the CONTINUOUS maintenance loop carries between
+    * micro-batches so each batch is metadata-work-free:
+    *  - `idx`: the localized footer index (extended per batch from the
+    *    appender's landed-file list — zero listings, zero jobs);
+    *  - `prev`: the last rollup version THIS loop wrote, as a localized
+    *    value with its batch id (re-reading the version parquet each
+    *    batch cost a datasource resolution + scan).
+    * Both are pure caches of on-disk state: an empty carry (fresh loop,
+    * restart, or a direct [[maintainRollupBatch]] call as in RollupSpec's
+    * replay pins) falls back to disk and reconciles via the full
+    * refresh — round 11 measured the carry at ~2× on the streamed
+    * maintenance cell. */
+  private[graft] final class RollupCarry {
+    var idx: Option[DataFrame] = None
+    var prev: Option[(Long, DataFrame)] = None
+  }
+
+  /** Pin a result frame's rows on the driver (serving-scale by the rollup
+    * contract: one row per (key, day)-grain group). */
+  private def localizeFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      df.collect().toList.asJava)
+    spark.createDataFrame(rows, df.schema)
+  }
+
   private[graft] def maintainRollupBatch(batch: DataFrame, batchId: Long,
       streamId: String, tsCol: String, dir: String,
-      recompute: DataFrame => DataFrame): Unit = {
+      recompute: DataFrame => DataFrame,
+      carry: RollupCarry = new RollupCarry): Unit = {
     import graft.sources.SkipIndex
     val s = batch.sparkSession
-    SkipIndex.appendClusteredBatch(batch, tsCol, dir, batchId, streamId)
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.endsWith(".parquet"))
-    if (hasData)
-      SkipIndex.persistIndex(s, SkipIndex.refreshFooterIndex(
-        s, dir, tsCol, SkipIndex.loadIndexOrEmpty(s, dir)), dir)
-    val changed = batch.select(to_date(col(tsCol)).as("day"))
-      .distinct().collect().map(_.getDate(0)).toSeq
+    // the appender returns EXACTLY the files this batch landed (also on
+    // marker-short-circuited replay), so index maintenance is a driver
+    // footer read per new file — no listing, no resolution, no job
+    val landed = SkipIndex.appendClusteredBatch(batch, tsCol, dir, batchId, streamId)
+    val base = carry.idx.getOrElse {
+      // fresh loop or restart: reconcile the persisted index against the
+      // real listing once, then stay incremental
+      SkipIndex.refreshFooterIndex(s, dir, tsCol, SkipIndex.loadIndexOrEmpty(s, dir))
+    }
+    val idx = SkipIndex.extendFooterIndex(s, base, landed, tsCol)
+    SkipIndex.persistIndex(s, idx, dir)
+    carry.idx = Some(idx)
+    // changed days come from the landed files' FOOTER ZONES (already in
+    // the extended index — no extra pass over the batch): every day in a
+    // landed file's [min_us, max_us] recomputes. A zone may span a day
+    // the batch didn't actually touch; recomputing it from the archive
+    // reproduces its rows unchanged, so the superset is correct — and
+    // the enumeration is driver arithmetic, not a Spark job. LocalDate
+    // (timezone-free proleptic days) matches to_date(ts) under the UTC
+    // session exactly: epoch-day = floor(µs / 86400e6).
+    def canonF(p: String) = p.replaceFirst("^file:/+", "file:///")
+    val landedSet = landed.map(canonF).toSet
+    val idxRows = idx.collect().toIndexedSeq
+    val fI = idx.schema.fieldIndex("file")
+    val changed: Seq[java.time.LocalDate] = idxRows
+      .filter(r => landedSet.contains(canonF(r.getString(fI))))
+      .flatMap { r =>
+        val (rows, mn, mx) = (r.getLong(idx.schema.fieldIndex("n_rows")),
+          r.getLong(idx.schema.fieldIndex("min_us")),
+          r.getLong(idx.schema.fieldIndex("max_us")))
+        if (rows == 0L || mn > mx) Seq.empty
+        else (Math.floorDiv(mn, 86400000000L) to Math.floorDiv(mx, 86400000000L))
+          .map(java.time.LocalDate.ofEpochDay)
+      }.distinct
     if (changed.nonEmpty) {
-      val idx = SkipIndex.loadIndexOrEmpty(s, dir)
-      def us(d: java.sql.Date): Long =
-        d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
-          .toInstant.toEpochMilli * 1000L
+      def us(d: java.time.LocalDate): Long = d.toEpochDay * 86400000000L
       val picks = changed.map(d =>
           SkipIndex.pruneFiles(idx, us(d), us(d) + 86400000000L))
         .reduce(_ unionByName _).distinct()
         .unionByName(SkipIndex.unprunableFiles(idx))
       val data = SkipIndex.readFiles(s, picks)
         .withColumn("day", to_date(col(tsCol)))
-      val batchDay = batch.withColumn("day", to_date(col(tsCol)))
       // prev = latest version STRICTLY BEFORE this batch id: on
-      // redelivery a half-written own version must not become input
-      val next = latestRollup(s, dir, beforeId = Some(batchId),
-          streamId = Some(streamId)) match {
-        case Some(prev) =>
-          graft.ops.RollupOps.maintainByKey(prev, data, batchDay, "day", recompute)
+      // redelivery a half-written own version must not become input —
+      // the carried copy obeys the same rule (its id must be < batchId,
+      // so an engine retry of the same id falls back to disk). The
+      // changed-day set is already in hand — maintainByKeys skips the
+      // second per-batch distinct-collect maintainByKey would pay.
+      val prev = carry.prev.collect { case (id, v) if id < batchId => v }
+        .orElse(latestRollup(s, dir, beforeId = Some(batchId),
+          streamId = Some(streamId)))
+      val next = localizeFrame(s, prev match {
+        case Some(p) =>
+          graft.ops.RollupOps.maintainByKeys(p, data, changed, "day", recompute)
         case None =>
           recompute(data.filter(col("day").isInCollection(changed)))
-      }
+      })
       next.coalesce(1).write.mode("overwrite")
         .parquet(rollupVersionPath(dir, streamId, batchId))
+      carry.prev = Some((batchId, next))
     }
   }
 
@@ -595,9 +671,10 @@ object StreamingOps {
       checkpoint: String, recompute: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val streamId = streamScope(checkpoint)
+    val carry = new RollupCarry // one loop = one carried index/version
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainRollupBatch(batch, batchId, streamId, tsCol, dir, recompute)
+        maintainRollupBatch(batch, batchId, streamId, tsCol, dir, recompute, carry)
       }
       .option("checkpointLocation", checkpoint)
       .start()
@@ -620,7 +697,7 @@ object StreamingOps {
     val stream = ses.readStream.schema(ses.read.parquet(src).schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
     val q = rollupIngest(stream, "ts", arch, ckpt, recompute)
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     latestRollup(ses, arch, streamId = Some(streamScope(ckpt))).get
   }
 
@@ -656,7 +733,7 @@ object StreamingOps {
       }
       .option("checkpointLocation", s"$tmp/ckpt")
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     graft.sources.Deletes.readWithDeletes(ses, dataDir, keyCol)
   }
 
@@ -713,7 +790,7 @@ object StreamingOps {
       }
       .option("checkpointLocation", ckpt)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     // live view: tombstones out, bookkeeping columns dropped
     latestRollup(ses, snapDir, streamId = Some(sid)).get
       .filter(!col("__deleted")).drop("__seq", "__deleted")
@@ -761,7 +838,7 @@ object StreamingOps {
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -812,7 +889,7 @@ object StreamingOps {
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name)
   }
 
@@ -858,7 +935,7 @@ object StreamingOps {
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     drainTable(ses, name).filter(col("user_id") >= 0)
   }
 
@@ -892,7 +969,7 @@ object StreamingOps {
       .writeStream.outputMode("update")
       .format("memory").queryName(name)
       .start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    awaitOneShot(q)
     // last emission per user = the final (count, sum) — count is monotone
     drainTable(ses, name).groupBy("user_id")
       .agg(max_by(struct(col("n_events"), col("sum_value")), col("n_events")).as("m"))

@@ -74,6 +74,52 @@ class DeletesSpec extends AnyFunSuite {
     assert(Deletes.applyDeletes(spark, dir, "trace_id", bidx).isEmpty)
   }
 
+  test("stale MATERIALIZED bloom index routing to rewritten-away files: " +
+       "dead paths dropped, pass survives and still deletes correctly") {
+    val dir = freshArchive("events_del_stale")
+    // materialize the index BEFORE any delete — a live buildBloomIndex
+    // plan would re-read the current files and never go stale; a
+    // persisted/cached index is a VALUE and does
+    val live = SkipIndex.buildBloomIndex(spark, dir, "trace_id",
+      expectedItemsPerFile = 4096, numBits = 1L << 16)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](
+      java.util.Arrays.asList(live.collect(): _*))
+    val stale = spark.createDataFrame(rows, live.schema)
+
+    // pass 1 rewrites the files holding these keys under fresh rw-* names
+    val doomed1 = Seq(21L, 333L, 555L)
+    Deletes.addTombstones(spark, dir, doomed1.map(id => md5Hex(id.toString)))
+    val rw1 = Deletes.applyDeletes(spark, dir, "trace_id", stale)
+    assert(rw1.nonEmpty)
+
+    // pass 2 with the SAME stale index: neighbors of the pass-1 keys live
+    // in the same (now vanished) original files, so the routed candidate
+    // list names dead paths — the pass must drop them, not die on
+    // path-not-found, and the fresh rw-* files (uncovered by the stale
+    // index) must still be confirm-scanned so the deletes land
+    val doomed2 = Seq(20L, 22L, 334L, 556L)
+    // non-vacuity: the stale index really does route these keys to at
+    // least one path pass 1 deleted — the scenario under test
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val routedStale = SkipIndex.pruneCollectedByKeys(
+      rows.toArray(Array.empty[org.apache.spark.sql.Row]).toIndexedSeq,
+      doomed2.map(id => md5Hex(id.toString)))
+    assert(routedStale.exists(f =>
+      !fs.exists(new org.apache.hadoop.fs.Path(f))),
+      "fixture failed to produce a dead routed path — scenario not exercised")
+    Deletes.addTombstones(spark, dir, doomed2.map(id => md5Hex(id.toString)))
+    Deletes.applyDeletes(spark, dir, "trace_id", stale)
+
+    val physical = spark.read.parquet(dir)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert((doomed1 ++ doomed2).forall(id => !physical.contains(id)))
+    val expected = Tables.events(spark, TestSpark.Sf0001)
+      .select("event_id").collect().map(_.getLong(0)).toSet --
+      doomed1 -- doomed2
+    assert(physical == expected)
+  }
+
   test("rewritten files keep prunable timestamp stats (zones stay tight)") {
     val dir = freshArchive("events_del_zones")
     Deletes.addTombstones(spark, dir, Seq(md5Hex("42")))

@@ -118,6 +118,17 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("non-string key rejected at ANALYSIS time, not executor runtime") {
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("k")
+        .agg(graft.functions.MisraGriesAgg.misra_gries(col("k"), 4))
+        .collect()
+    }
+    assert(e.getMessage.contains("misra_gries"),
+      s"expected the type-check message, got: ${e.getMessage}")
+  }
+
   test("SQL registration: misra_gries callable from spark.sql") {
     graft.functions.GraftFunctions.register(spark)
     skewed(50, 10).toDF("key").createOrReplaceTempView("mg_in")
