@@ -179,9 +179,14 @@ object Bench {
         Timing(-1.0, -1.0, readMaxLoad())
       } finally {
         // measurement isolation: a query that persists/checkpoints must not
-        // tax its successors' memory (blocks otherwise free only on GC)
+        // tax its successors' memory (blocks otherwise free only on GC) —
+        // and the streaming drivers' state-store providers must not pile
+        // up in the process-wide registry (round 10 shipped 5× warm
+        // inflation on q_stream_neardup/q_stream_kmv from exactly this:
+        // CPU-backed GC work the contended gate rightly ignores)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
         if (trace) System.err.println(s"[bench-t] $name end ${System.currentTimeMillis}")
       }
     }

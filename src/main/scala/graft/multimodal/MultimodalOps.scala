@@ -128,6 +128,98 @@ object MultimodalOps {
     mapBatched(payloads, idCol, batchSize)(resizeStub(_, _, factor))
   }
 
+  /** ==== REAL-CODEC SEAM ====
+    * The decode/resize kernels above are stubs because ffmpeg-class codecs
+    * aren't linked in this container — but the SEAM must be proven against
+    * a real decoder wherever one exists. [[ImageCodec]] is that seam: a
+    * serializable per-element kernel the SAME [[mapBatched]] scaffold
+    * drives, and [[ImageIoCodec]] is a REAL implementation backed by
+    * `javax.imageio` (PNG/JPEG readers ship with every JDK, including this
+    * one), exercised by MultimodalSpec with an actual PNG round-trip. A
+    * production deployment swaps in an ffmpeg/libvips-backed instance; the
+    * Spark-side plumbing (schema, batching, partition locality, failure
+    * routing) is identical for stub, ImageIO, and native codecs. */
+  trait ImageCodec extends Serializable {
+    /** Decode payload bytes → (width, height, mean luma over all pixels),
+      * or None when the bytes aren't a decodable image — the quarantine
+      * contract: bad payloads become visible rows, never task failures. */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Double)]
+    /** Decode + resize to (w, h); returns the RESIZED (width, height,
+      * mean luma), or None on undecodable input. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Int, Double)]
+  }
+
+  /** JDK-native image codec (`javax.imageio`): real PNG/JPEG decode with
+    * zero extra dependencies. Mean luma = average of (r+g+b)/3 over all
+    * pixels — deterministic for a given decoded raster. */
+  object ImageIoCodec extends ImageCodec {
+    private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+      var sum = 0.0
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+          x += 1
+        }
+        y += 1
+      }
+      sum / (img.getWidth.toLong * img.getHeight)
+    }
+
+    override def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (img.getWidth, img.getHeight, meanLuma(img)))
+
+    override def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Int, Double)] =
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { src =>
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null): Unit
+          } finally g.dispose()
+          (dst.getWidth, dst.getHeight, meanLuma(dst))
+        }
+  }
+
+  /** Per-image decode result; `ok = false` rows are the quarantine bucket
+    * (undecodable payloads stay visible and countable, never kill a task). */
+  final case class ImageInfo(id: Long, width: Int, height: Int,
+      mean_luma: Double, ok: Boolean)
+
+  /** REAL image decode through the batched per-partition scaffold — the
+    * same plumbing as [[extractFeatures]], a real codec as the kernel. */
+  def decodeImages(payloads: DataFrame, idCol: String, codec: ImageCodec,
+      batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    mapBatched(payloads, idCol, batchSize) { (id, bytes) =>
+      codec.decode(bytes) match {
+        case Some((w, h, m)) => ImageInfo(id, w, h, m, ok = true)
+        case None => ImageInfo(id, -1, -1, 0.0, ok = false)
+      }
+    }
+  }
+
+  /** REAL image resize through the same scaffold. */
+  def resizeImages(payloads: DataFrame, idCol: String, codec: ImageCodec,
+      w: Int, h: Int, batchSize: Int = 64): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    mapBatched(payloads, idCol, batchSize) { (id, bytes) =>
+      codec.resize(bytes, w, h) match {
+        case Some((rw, rh, m)) => ImageInfo(id, rw, rh, m, ok = true)
+        case None => ImageInfo(id, -1, -1, 0.0, ok = false)
+      }
+    }
+  }
+
   /** Frame sampling: cut the payload into fixed-size "frames" and keep every
     * `stride`-th — pure expressions (no decode), so pruning/pushdown and
     * codegen all apply. Output one row per kept frame. */

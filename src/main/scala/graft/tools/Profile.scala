@@ -585,6 +585,213 @@ object Profile {
             f"full-scan lookup $fullScan%5.2f s")
         }
 
+      case "rollup_stages" =>
+        // Where does q_stream_rollup's wall go? Time the 6-batch
+        // maintenance loop three ways: the full streamed run (micro-batch
+        // engine + maintenance), a direct driver loop over the SAME
+        // batches (maintenance only — the engine overhead is the
+        // difference), and the per-stage costs inside one batch.
+        import org.apache.spark.sql.functions._
+        import graft.sources.SkipIndex
+        import graft.streaming.StreamingOps
+        val recompute: DataFrame => DataFrame = d => d.groupBy("day").agg(
+          count(lit(1)).as("n_events"),
+          round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("avg_value"))
+        def t(f: => Unit): Double = elapsed(f)
+        val full = t(StreamingOps.runStreamRollupOnce(spark, sfDir, recompute)
+          .write.format("noop").mode("overwrite").save())
+        // direct loop, no stream engine
+        val tmp = java.nio.file.Files.createTempDirectory("graft_prof_rollup").toString
+        val ev = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .repartitionByRange(6, col("ts"))
+        ev.write.parquet(s"$tmp/src")
+        val files = spark.read.parquet(s"$tmp/src").inputFiles.sorted
+        val arch = s"$tmp/arch"
+        val direct = t {
+          files.zipWithIndex.foreach { case (f, i) =>
+            StreamingOps.maintainRollupBatch(
+              spark.read.parquet(f), i.toLong, "prof", "ts", arch, recompute)
+          }
+        }
+        // stage split for one more batch over the 6-batch archive
+        val extra = spark.read.parquet(files.head)
+        val tAppend = t(SkipIndex.appendClusteredBatch(extra, "ts", arch, 99L, "prof"))
+        var idx: DataFrame = null
+        val tRefresh = t {
+          idx = SkipIndex.refreshFooterIndex(
+            spark, arch, "ts", SkipIndex.loadIndexOrEmpty(spark, arch))
+        }
+        val tPersist = t(SkipIndex.persistIndex(spark, idx, arch))
+        val tChanged = t(extra.select(to_date(col("ts")).as("day"))
+          .distinct().collect(): Unit)
+        println(f"[profile] streamed $full%6.1f s  direct-loop $direct%6.1f s " +
+          f"(engine overhead ${full - direct}%5.1f s)")
+        println(f"[profile] one batch: append $tAppend%5.2f s  " +
+          f"refresh $tRefresh%5.2f s  persist $tPersist%5.2f s  " +
+          f"changed-collect $tChanged%5.2f s")
+        // pure engine floor: same 6-file stream, no-op body
+        val noop = t {
+          val stream = spark.readStream
+            .schema(spark.read.parquet(s"$tmp/src").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp/src")
+          val q = stream.writeStream
+            .foreachBatch { (b: DataFrame, _: Long) => b.count(): Unit }
+            .option("checkpointLocation", s"$tmp/ckpt_noop")
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        println(f"[profile] no-op 6-batch stream (count only): $noop%6.1f s")
+        // decompose the streamed run: src prep | stream+maintenance | drain
+        val tmp2 = java.nio.file.Files.createTempDirectory("graft_prof_r2").toString
+        val tPrep = t {
+          graft.tables.Tables.events(spark, sfDir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .repartitionByRange(6, col("ts"))
+            .write.parquet(s"$tmp2/src")
+        }
+        val tStream = t {
+          val stream = spark.readStream
+            .schema(spark.read.parquet(s"$tmp2/src").schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$tmp2/src")
+          val q = StreamingOps.rollupIngest(stream, "ts", s"$tmp2/arch",
+            s"$tmp2/ckpt", recompute)
+          try q.processAllAvailable() finally q.stop()
+        }
+        println(f"[profile] decomposed: src-prep $tPrep%5.2f s  " +
+          f"stream+maintenance $tStream%6.1f s  " +
+          f"(vs direct-loop $direct%5.1f s on the 32-part session)")
+        // child-session effect, partition count separated
+        Seq(32, 8).foreach { parts =>
+          val tmp3 = java.nio.file.Files.createTempDirectory(s"graft_prof_p$parts").toString
+          val ses = spark.newSession()
+          ses.conf.set("spark.sql.shuffle.partitions", parts)
+          graft.tables.Tables.events(ses, sfDir)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .repartitionByRange(6, col("ts"))
+            .write.parquet(s"$tmp3/src")
+          val tChild = t {
+            val stream = ses.readStream
+              .schema(ses.read.parquet(s"$tmp3/src").schema)
+              .option("maxFilesPerTrigger", "1").parquet(s"$tmp3/src")
+            val q = StreamingOps.rollupIngest(stream, "ts", s"$tmp3/arch",
+              s"$tmp3/ckpt", recompute)
+            try q.processAllAvailable() finally q.stop()
+          }
+          println(f"[profile] child session, $parts%2d shuffle partitions: " +
+            f"stream+maintenance $tChild%6.1f s")
+        }
+
+      case "inc_scale" =>
+        // Incremental-dedup index growth (round 11): screen a FIXED
+        // incoming batch against a persisted band index whose history
+        // grows 1×/4×/10×. Replica signatures are PERTURBED (element-wise
+        // +i·C) so histories are distinct non-duplicates — candidate
+        // count stays ~constant and the measurement isolates pure
+        // index-size scaling: build should grow ~linearly (one pass over
+        // history), screening shuffles only the batch (zero Exchange
+        // above the index scan — IncDedupSpec), so its growth is the
+        // sequential bucketed-table scan, never a history reshuffle.
+        import org.apache.spark.sql.functions._
+        import graft.dedup.{DedupOps, IncrementalDedup}
+        val (k, bands) = (128, 32)
+        val d0 = graft.tables.Tables.documents(spark, sfDir)
+          .select("doc_id", "text")
+        val sigs0 = DedupOps.minhashSignatures(d0, "doc_id", "text",
+          n = 3, k = k).persist()
+        val n0 = sigs0.count()
+        def histX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            sigs0.select((col("doc_id") + lit(i * n0 * 2)).as("doc_id"),
+              transform(col("sig"), x => x + lit(i * 1000003L)).as("sig"))
+          }.reduce(_ unionByName _)
+        val batch = sigs0.select((col("doc_id") + lit(-n0 * 2)).as("doc_id"),
+          col("sig")).filter(col("doc_id") % 10 === 0).persist()
+        val nb = batch.count()
+        def t(f: => Unit): Double = elapsed(f)
+        Seq(1, 1, 4, 10).foreach { times =>
+          val table = s"graft_prof_inc_x$times"
+          val build = t(IncrementalDedup.buildBandIndex(
+            spark, histX(times), k, bands, table))
+          var pairs = 0L
+          val screen = t {
+            pairs = IncrementalDedup.screenBatch(
+              spark, table, batch, k, bands, minAgree = 0.5).count()
+          }
+          println(f"[profile] ${times}%3d× history (${n0 * times}%8d sigs, " +
+            f"$nb%6d-doc batch): index build $build%6.1f s  " +
+            f"screen $screen%6.2f s  pairs $pairs%6d")
+          spark.sql(s"DROP TABLE IF EXISTS `$table`")
+        }
+        sigs0.unpersist(); batch.unpersist(): Unit
+
+      case "maint_scale" =>
+        // Deletes + compaction maintenance at 1×/10× archive span
+        // (round 11): the GDPR-erasure claim is that a 5-key delete costs
+        // O(routed files), not O(archive) — tombstone append is O(keys),
+        // the logical-read overhead is one broadcast anti-join, and the
+        // bloom-routed physical apply rewrites ~5 files at every scale.
+        // Compaction planning is metadata-scale (window cumsum over the
+        // file manifest) — flat regardless of data volume.
+        import org.apache.spark.sql.functions._
+        import graft.sources.{Deletes, SkipIndex}
+        val ev0 = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "value")
+        val n0 = ev0.count()
+        def evX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            ev0.select((col("event_id") + lit(i * n0)).as("event_id"),
+              (col("ts") + expr(s"INTERVAL ${i * 31L} DAYS")).as("ts"),
+              col("value"))
+          }.reduce(_ unionByName _)
+            .withColumn("trace_id", md5(col("event_id").cast("string")))
+        def t(f: => Unit): Double = elapsed(f)
+        val doomed = Seq(17L, 4242L, 31337L, 55555L, 77777L).map(id =>
+          graft.text.TextOps.md5Hex((id % n0).toString))
+        Seq(1, 1, 10).foreach { times =>
+          val root = s"/tmp/graft_profile_maint/x$times"
+          def rm(f: java.io.File): Unit = if (f.exists()) {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(root)) // deletes mutate: always fresh
+          SkipIndex.writeTimeClustered(evX(times), "ts", root,
+            numFiles = 20 * times)
+          val bidx = SkipIndex.buildBloomIndex(spark, root, "trace_id",
+            expectedItemsPerFile = 8192, numBits = 1L << 17).cache()
+          bidx.count()
+          val tomb = t(Deletes.addTombstones(spark, root, doomed))
+          val logical = t(force(
+            Deletes.readWithDeletes(spark, root, "trace_id")))
+          val plain = t(force(spark.read.parquet(root)))
+          var rewritten = 0
+          val apply = t {
+            rewritten = Deletes.applyDeletes(
+              spark, root, "trace_id", bidx).size
+          }
+          bidx.unpersist()
+          // compaction: plan over the post-delete manifest (metadata
+          // scale), then execute the planned bins
+          val manifest = SkipIndex.refreshFooterIndex(spark, root, "ts",
+            SkipIndex.loadIndexOrEmpty(spark, root))
+          var bins = 0L
+          val plan = t {
+            val p = SkipIndex.assignBins(manifest, "bytes",
+              Seq("min_us", "file"), 8L << 20)
+            bins = p.agg(max(col("bin"))).first().getLong(0) + 1
+          }
+          val compact = t(SkipIndex.compact(spark,
+            SkipIndex.assignBins(manifest, "bytes",
+              Seq("min_us", "file"), 8L << 20),
+            root, "ts", s"$root/_compacted"))
+          println(f"[profile] ${times}%3d× (${n0 * times}%9d rows): " +
+            f"tombstone $tomb%5.2f s  logical-read $logical%5.2f s " +
+            f"(plain $plain%5.2f s)  apply $apply%5.2f s " +
+            f"($rewritten files)  compact-plan $plan%5.2f s " +
+            f"($bins bins)  compact $compact%6.1f s")
+        }
+
       case "pca_recall" =>
         // PCA as the ANN pre-stage (dimension reduction before search —
         // the classic OPQ/PCA-IVF front half): project the clustered

@@ -12,3 +12,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to the `private[sql]` state-store registry. One-shot streaming
+  * drivers unload the providers they leave behind in the process-wide
+  * registry, so long-lived embeddings running many finite replays (the
+  * bench, a test suite, a service) don't accumulate every past query's
+  * in-memory state maps — the next stateful query reloads from its
+  * checkpoint as usual. */
+object StateStoreBridge {
+  def unloadAll(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+}

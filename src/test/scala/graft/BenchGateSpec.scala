@@ -66,6 +66,24 @@ class BenchGateSpec extends AnyFunSuite {
       coldBest = Timing(2.0, 10.0, 2.0), Thresh))
   }
 
+  test("r10 scenario: real-work warm growth (state accumulation) → NOT repaired") {
+    // q_stream_neardup shipped 2.03 s cold → 9.74 s warm with cpu 8.93 →
+    // 20.40 on a quiet box: the warm pass did MORE REAL WORK (state-store
+    // providers from ~30 prior streaming drivers piling GC pressure onto
+    // the pass). cpu_warm/cpu_cold = 2.28 sits between the starvation
+    // (<2×) and thrash (>3×) signals — by design: the gate repairs
+    // MEASUREMENT artifacts, never workload growth. The fix belongs in
+    // the workload (per-query StateStoreBridge.unloadAll(), this round),
+    // not in the repair logic — a gate loose enough to catch this would
+    // also repair away genuine state-dependent plan regressions.
+    assert(!warmContended(Timing(9.74, 20.40, 2.5), coldRepairedWall = 2.03,
+      coldBest = Timing(2.03, 8.93, 2.2), Thresh))
+    // and the same shape for q_stream_kmv (1.38 → 6.18 s, cpu 2.57 → 7.39):
+    // cpu ratio 2.88, still inside the real-work band
+    assert(!warmContended(Timing(6.18, 7.39, 2.5), coldRepairedWall = 1.38,
+      coldBest = Timing(1.38, 2.57, 2.2), Thresh))
+  }
+
   test("thrashed-cold masking: corroboration must use the REPAIRED cold timing") {
     // cold pass thrashed (66 s / 109 cpu-s), repaired to 4.2 s. A warm
     // regression at 14 s / 25 cpu-s: against the RAW cold cpu (109) the

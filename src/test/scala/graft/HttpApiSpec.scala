@@ -195,6 +195,42 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("cache coherence under race: identical concurrent requests return " +
+       "ONE body; a conf-mutating co-tenant can't bleed into request handling") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = TestSpark.spark
+    val confKeys = Seq(
+      "spark.sql.legacy.parquet.nanosAsLong",
+      "spark.sql.parquet.inferTimestampNTZ.enabled",
+      "spark.sql.session.timeZone",
+      "spark.sql.shuffle.partitions")
+    val before = confKeys.map(k => k -> spark.conf.getOption(k))
+    // co-resident workload following the documented recipe — Tables.events
+    // mutates ITS session's confs, so it runs on newSession(); racing it
+    // against the request storm pins that the recipe actually isolates:
+    // responses stay coherent and the serving session's confs never move
+    val mutator = Future {
+      (0 until 3).foreach { _ =>
+        graft.tables.Tables.events(spark.newSession(), TestSpark.Sf0001)
+          .count(): Unit
+      }
+    }
+    val path = "/aggregations/broadband?hydrophone=orcasound_lab" +
+      "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=15m"
+    val responses = Await.result(
+      Future.sequence((0 until 16).map(_ => Future(get(path)))), 120.seconds)
+    assert(responses.forall(_.statusCode() == 200))
+    // C2/C3 memo under race: however the 16 threads interleave on a cold
+    // cache, every caller must see the SAME payload — one coherent answer,
+    // never a half-built cache entry or a conf-dependent variant
+    assert(responses.map(_.body()).distinct.size == 1)
+    Await.result(mutator, 120.seconds)
+    val after = confKeys.map(k => k -> spark.conf.getOption(k))
+    assert(after == before, s"session confs drifted: $before -> $after")
+  }
+
   test("validate=false serves an empty window as success (SURVEY §7.5.7)") {
     val r = get("/timeseries/psd?hydrophone=orcasound_lab" +
       "&start=2024-01-01T00:00:00&end=2024-01-01T00:10:00&delta_t=10" +

@@ -77,6 +77,43 @@ class MultimodalSpec extends AnyFunSuite {
       plan.contains("n_bytes"), plan.linesIterator.take(25).mkString("\n"))
   }
 
+  test("REAL codec (javax.imageio): PNG round-trip decodes and resizes " +
+       "through the same batched scaffold; garbage payloads quarantine") {
+    // generate real PNGs with known geometry and a solid known color —
+    // the decode must recover all three exactly (PNG is lossless)
+    def png(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (r << 16) | (g << 8) | b
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", out), "JDK PNG writer missing")
+      out.toByteArray
+    }
+    val rows = Seq(
+      (0L, png(8, 6, 30, 60, 90)),    // luma (30+60+90)/3 = 60
+      (1L, png(16, 4, 255, 255, 255)), // luma 255
+      (2L, "not an image".getBytes("UTF-8")))
+    val df = rows.toDF("id", "payload")
+
+    val decoded = MultimodalOps.decodeImages(df, "id", MultimodalOps.ImageIoCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(decoded(0L) == ((8, 6, 60.0, true)))
+    assert(decoded(1L) == ((16, 4, 255.0, true)))
+    assert(decoded(2L)._4 == false) // quarantined, not a task failure
+
+    // real bilinear resize: solid-color images stay solid, so the resized
+    // mean luma is exact too; geometry must be the requested one
+    val resized = MultimodalOps.resizeImages(
+        df, "id", MultimodalOps.ImageIoCodec, w = 4, h = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(resized(0L) == ((4, 3, 60.0, true)))
+    assert(resized(1L) == ((4, 3, 255.0, true)))
+    assert(resized(2L)._4 == false)
+  }
+
   test("extraction is distributed: no single-partition collapse") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
     val feats = MultimodalOps.extractFeatures(
