@@ -21,7 +21,8 @@ object SparkEntry {
     ParityQueries.queries ++ JoinQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ StatsQueries.queries ++
-      RetrievalQueries.queries ++ LayoutQueries.queries
+      RetrievalQueries.queries ++ LayoutQueries.queries ++
+      AudioQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     ParityQueries.oracleSql ++ JoinQueries.oracleSql ++
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ TextQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ StatsQueries.oracleSql ++
-      RetrievalQueries.oracleSql ++ LayoutQueries.oracleSql
+      RetrievalQueries.oracleSql ++ LayoutQueries.oracleSql ++
+      AudioQueries.oracleSql
 }

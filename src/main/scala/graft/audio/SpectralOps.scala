@@ -1,0 +1,216 @@
+package graft.audio
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Upstream acoustic pipeline — waveform → Welch power spectra →
+  * 1/3-octave (decidecade) band levels — in-engine.
+  *
+  * The reference API only SERVES band-level PSD tables; the math that
+  * produces them (windowed FFT frames, power averaging, decidecade
+  * banding, dB conversion) lives in its upstream `orcasound_noise`
+  * package (`docs/upstream-notes.md:10-16,140-158` describes the
+  * products; `acoustic_util.py` holds the dB-domain math). A user
+  * switching to this engine shouldn't need a separate single-node
+  * pipeline to make the data the engine serves — this module computes
+  * the same products distributed:
+  *
+  *  - framing/windowing are pure column expressions (slice over the
+  *    sample array — codegen, no shuffle, frames never leave their
+  *    partition);
+  *  - the FFT runs per-partition via JTransforms (`DoubleFFT_1D`, on
+  *    Spark's own classpath) inside `mapPartitions` — the legitimate
+  *    per-element imperative kernel, same scaffold contract as
+  *    [[graft.multimodal.MultimodalOps]] batched decode: one plan per
+  *    transform, embarrassingly parallel, 100 TB of audio streams
+  *    through executors without driver involvement;
+  *  - banding + Welch averaging + dB are plain relational aggregates,
+  *    integer-nano-unit exact where cross-engine hashes need them.
+  *
+  * Scale: a hydrophone-year at 48 kHz is ~1.5 TB of raw samples; the
+  * whole pipeline is one narrow map (frame+FFT+band partial) followed
+  * by one keyed aggregate per (recording, band) — shuffle rows are
+  * band-level partials (dozens per frame), never samples.
+  */
+object SpectralOps {
+
+  /** Periodic Hann window (the Welch default): w[i] = 0.5·(1−cos(2πi/N)). */
+  def hannWindow(n: Int): Array[Double] =
+    Array.tabulate(n)(i => 0.5 * (1.0 - math.cos(2.0 * math.Pi * i / n)))
+
+  /** Cut a sample-array column into hop-overlapped frames — pure
+    * expressions: `(n - frameLen) / hop + 1` frames per recording, each
+    * a `slice` of the array. Output `(…, frame_idx, frame)`. */
+  def frameWaveform(df: DataFrame, samplesCol: String,
+                    frameLen: Int, hop: Int): DataFrame = {
+    require(frameLen > 0 && hop > 0, s"frameLen=$frameLen hop=$hop")
+    val nFrames = floor((size(col(samplesCol)) - frameLen) / hop) + 1
+    df.withColumn("frame_idx",
+        explode(sequence(lit(0), nFrames.cast("int") - 1)))
+      .withColumn("frame",
+        slice(col(samplesCol), col("frame_idx") * hop + 1, lit(frameLen)))
+      .drop(samplesCol)
+  }
+
+  /** One frame's Hann-windowed one-sided power spectrum (length
+    * `frameLen/2 + 1`), real FFT via JTransforms. Power convention:
+    * `|X_k|²`, with the two half-spectrum duplicates (all bins except DC
+    * and Nyquist) folded in ×2 — Parseval then reads
+    * `Σ_k P_k = N · Σ_i (w_i·x_i)²` (pinned in SpectralSpec). */
+  private[graft] def framePower(frame: Array[Double], window: Array[Double])
+      : Array[Double] = {
+    val n = frame.length
+    val buf = new Array[Double](n)
+    var i = 0
+    while (i < n) { buf(i) = frame(i) * window(i); i += 1 }
+    new org.jtransforms.fft.DoubleFFT_1D(n.toLong).realForward(buf)
+    // JTransforms realForward packing: buf(0)=Re(0), buf(1)=Re(n/2),
+    // buf(2k)=Re(k), buf(2k+1)=Im(k) for 0<k<n/2
+    val out = new Array[Double](n / 2 + 1)
+    out(0) = buf(0) * buf(0)
+    out(n / 2) = buf(1) * buf(1)
+    var k = 1
+    while (k < n / 2) {
+      val re = buf(2 * k); val im = buf(2 * k + 1)
+      out(k) = 2.0 * (re * re + im * im)
+      k += 1
+    }
+    out
+  }
+
+  /** Per-frame power spectra for a framed Dataset — the imperative FFT
+    * kernel per partition; everything stays partition-local. Input rows
+    * `(id, frame_idx, frame)`; output `(id, frame_idx, bins)`. */
+  def powerSpectra(framed: DataFrame, idCol: String, frameLen: Int): DataFrame = {
+    val spark = framed.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, Int, Array[Double])] = framed
+      .select(col(idCol).cast("long"), col("frame_idx").cast("int"), col("frame"))
+      .as[(Long, Int, Array[Double])]
+    ds.mapPartitions { it =>
+      // window + FFT plan built once per partition, reused per frame
+      val window = hannWindow(frameLen)
+      it.map { case (id, fi, frame) => (id, fi, framePower(frame, window)) }
+    }.toDF(idCol, "frame_idx", "bins")
+  }
+
+  /** ISO R10 nominal decidecade (1/3-octave) center for decidecade index
+    * d = round(10·log10(f)): nominal = R10[d mod 10] · 10^(d div 10) —
+    * the 63/80/100/125… labels the reference's PSD tables carry
+    * (`docs/upstream-notes.md:153-158`). */
+  private val R10 = Array(1.0, 1.25, 1.6, 2.0, 2.5, 3.15, 4.0, 5.0, 6.3, 8.0)
+  def nominalCenter(decidecade: Int): Double = {
+    require(decidecade >= 0, s"decidecade $decidecade")
+    R10(decidecade % 10) * math.pow(10.0, decidecade / 10)
+  }
+
+  /** Fold per-frame FFT bins into per-frame DECIDECADE BAND partials with
+    * integer-nano-unit exactness: each bin's power rounds to nano-units
+    * (long) once, bins belonging to one band SUM as integers — the
+    * cross-engine-deterministic seam discipline (every later mean is an
+    * integer sum ÷ count). Bin k's frequency is k·sr/frameLen; DC and
+    * bins below `fLo` are dropped (no decidecade), Nyquist kept. Band
+    * labels are the ISO nominal centers. Output
+    * `(id, frame_idx, band, p_nano)`. */
+  def bandPartials(spectra: DataFrame, idCol: String, sampleRate: Int,
+                   frameLen: Int, fLo: Double = 10.0): DataFrame = {
+    val binHz = sampleRate.toDouble / frameLen
+    // band lookup per bin index, computed ONCE on the driver (bin count
+    // is frameLen/2+1) and applied as a literal map — no per-row log10
+    val bandOfBin: Seq[(Int, Double)] = (0 to frameLen / 2).flatMap { k =>
+      val f = k * binHz
+      if (f < fLo) None
+      else Some(k -> nominalCenter(math.round(10.0 * math.log10(f)).toInt))
+    }
+    val bandMap = map(bandOfBin.flatMap { case (k, b) =>
+      Seq(lit(k), lit(b)) }: _*)
+    spectra
+      .select(col(idCol), col("frame_idx"),
+        posexplode(col("bins")).as(Seq("bin", "p")))
+      .withColumn("band", element_at(bandMap, col("bin")))
+      .filter(col("band").isNotNull)
+      .groupBy(col(idCol), col("frame_idx"), col("band"))
+      .agg(sum(round(col("p") * lit(1e9), 0).cast("long")).as("p_nano"))
+  }
+
+  /** FUSED frame→FFT→band kernel: [[powerSpectra]] + [[bandPartials]] in
+    * one `mapPartitions` pass, emitting `(id, frame_idx, band, p_nano)`
+    * directly — the row stream narrows from bins (129/frame through a
+    * posexplode + map lookup + first aggregate) to band partials
+    * (~20/frame) before anything touches a shuffle. Bit-identical to the
+    * unfused pair by construction: same per-bin nano rounding, same
+    * integer band sums (SpectralSpec pins fused ≡ unfused row-for-row),
+    * so the seam fixture and the DuckDB oracle are unchanged. This is
+    * the production path; the unfused stages remain for spectrum-level
+    * consumers. */
+  def bandPartialsFused(framed: DataFrame, idCol: String, sampleRate: Int,
+                        frameLen: Int, fLo: Double = 10.0): DataFrame = {
+    val spark = framed.sparkSession
+    import spark.implicits._
+    val binHz = sampleRate.toDouble / frameLen
+    // driver-computed bin→band routing, closed over by the kernel
+    val bandLabels = (0 to frameLen / 2).flatMap { k =>
+      val f = k * binHz
+      if (f < fLo) None
+      else Some(nominalCenter(math.round(10.0 * math.log10(f)).toInt))
+    }.distinct.sorted.toArray
+    val bandIdxOfBin: Array[Int] = (0 to frameLen / 2).map { k =>
+      val f = k * binHz
+      if (f < fLo) -1
+      else bandLabels.indexOf(
+        nominalCenter(math.round(10.0 * math.log10(f)).toInt))
+    }.toArray
+    framed
+      .select(col(idCol).cast("long"), col("frame_idx").cast("int"), col("frame"))
+      .as[(Long, Int, Array[Double])]
+      .mapPartitions { it =>
+        val window = hannWindow(frameLen)
+        it.flatMap { case (id, fi, frame) =>
+          val p = framePower(frame, window)
+          val acc = new Array[Long](bandLabels.length)
+          var k = 0
+          while (k < p.length) {
+            val b = bandIdxOfBin(k)
+            if (b >= 0) acc(b) += math.round(p(k) * 1e9)
+            k += 1
+          }
+          acc.indices.iterator.map(b => (id, fi, bandLabels(b), acc(b)))
+        }
+      }.toDF(idCol, "frame_idx", "band", "p_nano")
+  }
+
+  /** Welch band levels from band partials: mean band power over frames,
+    * in dB — `10·log10(Σ p_nano / n_frames / 1e9)`. The sum is integer
+    * (exact under any aggregation order); only the final log10 is
+    * floating, the same cross-engine contract as q_db_energy_mean.
+    * Bands with zero total power at nano resolution are below the
+    * representable noise floor and are dropped — emitting −∞ dB rows
+    * would put a non-finite through every downstream consumer (P4's
+    * whole job is removing those). */
+  def welchBandDb(partials: DataFrame, idCol: String): DataFrame =
+    partials.groupBy(col(idCol), col("band"))
+      .agg(sum(col("p_nano")).as("p_sum"), count(lit(1)).as("n_frames"))
+      .filter(col("p_sum") > 0)
+      .select(col(idCol), col("band"),
+        round(lit(10.0) * log(10.0,
+          col("p_sum").cast("double") / col("n_frames") / lit(1e9)), 6)
+          .as("value_db"),
+        col("n_frames"))
+
+  /** Deterministic synthetic waveforms keyed by document id — two tones
+    * + a DC-free ramp, frequencies derived from the id, generated as
+    * pure column expressions (the stand-in for reading real audio
+    * payloads; the spectral pipeline downstream is the real thing). */
+  def synthesizeWaves(docs: DataFrame, idCol: String,
+                      sampleRate: Int, nSamples: Int): DataFrame = {
+    val id = col(idCol)
+    val f1 = (id % 13).cast("double") * 7.5 + 20.0
+    val f2 = (id % 5).cast("double") * 30.0 + 80.0
+    docs.select(id.as(idCol))
+      .withColumn("samples", transform(sequence(lit(0), lit(nSamples - 1)), i => {
+        val t = i.cast("double") / sampleRate
+        sin(t * f1 * (2.0 * math.Pi)) +
+          lit(0.5) * sin(t * f2 * (2.0 * math.Pi))
+      }))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audio.SpectralOps
+import graft.tables.Tables
+import OracleFixtures.{seam, sqlPath}
+
+/** Upstream acoustic products computed in-engine ([[SpectralOps]]): the
+  * reference SERVES 1/3-octave PSD tables; these queries COMPUTE them
+  * from waveforms — deterministic synthetic tones stand in for audio
+  * payloads (the codec-less container contract, same as multimodal),
+  * while framing, FFT, banding, Welch averaging and dB are the real
+  * pipeline.
+  *
+  * Oracle discipline: the FFT is not SQL-expressible, so the pipeline
+  * splits at its deterministic seam — per-frame decidecade band partials
+  * in integer nano-units (exact under any aggregation order). DuckDB
+  * replays everything downstream (Welch mean + dB); the FFT stage itself
+  * is pinned by SpectralSpec (Parseval, tone-bin dominance, naive-DFT
+  * agreement). */
+object AudioQueries {
+
+  private val Sr = 1024      // synthetic sample rate (Hz)
+  private val NSamples = 1024
+  private val FrameLen = 256 // 4 Hz bins, Nyquist 512 Hz
+  private val Hop = 128      // 50% overlap → 7 frames per recording
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Welch 1/3-octave band levels per recording — the exact product
+    // shape the parity family serves (long-form (id, band, value)).
+    "q_audio_psd" -> ((s, dir) => {
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      SpectralOps.welchBandDb(partials, "doc_id")
+        .orderBy("doc_id", "band")
+    }),
+
+    // The computed product feeding the SERVED aggregate: corpus-level
+    // per-band summary — band coverage, mean level across recordings —
+    // the data-card view of an audio corpus (how much energy lives
+    // where). Integer micro-unit mean over the per-recording dB values.
+    "q_audio_band_summary" -> ((s, dir) => {
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      SpectralOps.welchBandDb(partials, "doc_id")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_recordings"),
+          round(sum(round(col("value_db") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("mean_db"))
+        .orderBy("band")
+    }),
+  )
+
+  private def welchSql(fix: String): String =
+    s"""SELECT doc_id, band,
+       |       round(10.0 * log10(CAST(sum(p_nano) AS DOUBLE)
+       |                          / count(*) / 1e9), 6) AS value_db,
+       |       count(*) AS n_frames
+       |FROM read_parquet('$fix')
+       |GROUP BY 1, 2 HAVING sum(p_nano) > 0""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_audio_psd" ->
+      (welchSql(sqlPath("audio_band_partials")) + "\nORDER BY doc_id, band"),
+
+    "q_audio_band_summary" ->
+      s"""WITH w AS (
+         |${welchSql(sqlPath("audio_band_partials"))})
+         |SELECT band, count(*) AS n_recordings,
+         |       round(CAST(sum(CAST(round(value_db * 1e6, 0) AS BIGINT)) AS DOUBLE)
+         |             / count(*) / 1e6, 6) AS mean_db
+         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.audio.SpectralOps
+
+/** The upstream acoustic pipeline (SpectralOps): the FFT stage cannot be
+  * replayed by the DuckDB oracle, so its physics is pinned here —
+  * Parseval energy conservation, tone-bin dominance, agreement with a
+  * naive O(n²) DFT — plus the framing layout, decidecade labels, and
+  * the no-shuffle plan shape of the map stage. */
+class SpectralSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def naivePowerSpectrum(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    val w = SpectralOps.hannWindow(n)
+    val y = Array.tabulate(n)(i => x(i) * w(i))
+    Array.tabulate(n / 2 + 1) { k =>
+      var re = 0.0; var im = 0.0
+      var i = 0
+      while (i < n) {
+        val a = -2.0 * math.Pi * k * i / n
+        re += y(i) * math.cos(a); im += y(i) * math.sin(a)
+        i += 1
+      }
+      val p = re * re + im * im
+      if (k == 0 || k == n / 2) p else 2.0 * p
+    }
+  }
+
+  test("hann window: endpoints zero, center one, symmetric") {
+    val w = SpectralOps.hannWindow(256)
+    assert(w(0) == 0.0 && math.abs(w(128) - 1.0) < 1e-12)
+    (1 until 256).foreach(i => assert(math.abs(w(i) - w(256 - i)) < 1e-12))
+  }
+
+  test("Parseval: sum of one-sided power bins = N * windowed energy") {
+    val rnd = new scala.util.Random(7)
+    val n = 256
+    val frame = Array.fill(n)(rnd.nextGaussian())
+    val w = SpectralOps.hannWindow(n)
+    val p = SpectralOps.framePower(frame, w)
+    val energy = frame.zip(w).map { case (x, wi) => x * wi * x * wi }.sum
+    assert(math.abs(p.sum - n * energy) / (n * energy) < 1e-12,
+      s"${p.sum} vs ${n * energy}")
+  }
+
+  test("bin-aligned tone concentrates in its Hann mainlobe (k-1..k+1)") {
+    val n = 256; val sr = 1024
+    val f = 8 * sr / n // exactly bin 8
+    val frame = Array.tabulate(n)(i => math.sin(2 * math.Pi * f * i / sr.toDouble))
+    val p = SpectralOps.framePower(frame, SpectralOps.hannWindow(n))
+    val lobe = p(7) + p(8) + p(9)
+    assert(lobe / p.sum > 0.99, s"mainlobe carries ${lobe / p.sum}")
+    assert(p(8) > p(7) && p(8) > p(9))
+  }
+
+  test("FFT power spectrum agrees with the naive O(n^2) DFT") {
+    val rnd = new scala.util.Random(42)
+    val frame = Array.fill(256)(rnd.nextGaussian())
+    val fast = SpectralOps.framePower(frame, SpectralOps.hannWindow(256))
+    val slow = naivePowerSpectrum(frame)
+    val scale = slow.max
+    fast.zip(slow).zipWithIndex.foreach { case ((a, b), k) =>
+      assert(math.abs(a - b) / scale < 1e-9, s"bin $k: $a vs $b")
+    }
+  }
+
+  test("ISO R10 nominal decidecade centers") {
+    assert(SpectralOps.nominalCenter(18) == 63.0)
+    assert(SpectralOps.nominalCenter(20) == 100.0)
+    assert(SpectralOps.nominalCenter(21) == 125.0)
+    assert(SpectralOps.nominalCenter(26) == 400.0)
+    assert(SpectralOps.nominalCenter(13) == 20.0)
+  }
+
+  test("framing layout: hop-overlapped slices, expected frame count") {
+    import spark.implicits._
+    val df = Seq((1L, (0 until 1024).map(_.toDouble).toArray))
+      .toDF("doc_id", "samples")
+    val framed = SpectralOps.frameWaveform(df, "samples", 256, 128)
+      .orderBy("frame_idx").collect()
+    assert(framed.length == 7) // (1024-256)/128 + 1
+    framed.foreach { r =>
+      val fi = r.getInt(r.fieldIndex("frame_idx"))
+      val fr = r.getSeq[Double](r.fieldIndex("frame"))
+      assert(fr.length == 256)
+      assert(fr.head == fi * 128.0 && fr.last == fi * 128.0 + 255.0)
+    }
+  }
+
+  test("fused frame→FFT→band kernel ≡ unfused stages, row for row") {
+    import spark.implicits._
+    val waves = SpectralOps.synthesizeWaves(
+      spark.range(20).select(col("id").as("doc_id")), "doc_id", 1024, 1024)
+    val framed = SpectralOps.frameWaveform(waves, "samples", 256, 128)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "frame_idx", "band").collect()
+        .map(r => (r.getLong(0), r.getInt(r.fieldIndex("frame_idx")),
+          r.getDouble(r.fieldIndex("band")), r.getLong(r.fieldIndex("p_nano"))))
+        .toSeq
+    val unfused = rows(SpectralOps.bandPartials(
+      SpectralOps.powerSpectra(framed, "doc_id", 256), "doc_id", 1024, 256)
+      .withColumn("doc_id", col("doc_id").cast("long")))
+    val fused = rows(SpectralOps.bandPartialsFused(framed, "doc_id", 1024, 256))
+    assert(fused == unfused && fused.nonEmpty)
+    // the fused plan has NO shuffle before its output (one narrow map)
+    val p = SpectralOps.bandPartialsFused(framed, "doc_id", 1024, 256)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("pipeline: tone energy lands in the right decidecade; map stage " +
+       "plans shuffle-free") {
+    import spark.implicits._
+    // doc_id 0 → f1=20 Hz, f2=80 Hz tones (synthesizeWaves' derivation)
+    val waves = SpectralOps.synthesizeWaves(
+      Seq(0L).toDF("doc_id"), "doc_id", 1024, 1024)
+    val spectra = SpectralOps.powerSpectra(
+      SpectralOps.frameWaveform(waves, "samples", 256, 128), "doc_id", 256)
+    // framing + FFT are one narrow map: no Exchange in the stage's plan
+    assert(!spectra.queryExecution.executedPlan.toString.contains("Exchange"))
+    val db = SpectralOps.welchBandDb(
+        SpectralOps.bandPartials(spectra, "doc_id", 1024, 256), "doc_id")
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // 20 Hz → decidecade 13 (nominal 20); 80 Hz → 19 (nominal 80). The
+    // Hann mainlobe is ±1 FFT bin at ~-6 dB, and at these frequencies
+    // the adjacent bin falls in the NEIGHBORING decidecade (16/25 around
+    // 20 Hz; 63/100 around 80 Hz) — so those bands legitimately carry
+    // mainlobe energy. Everything else is sidelobe floor and must sit
+    // >20 dB below the tones.
+    val toneBands = Set(20.0, 80.0)
+    val mainlobe = toneBands ++ Set(16.0, 25.0, 63.0, 100.0)
+    val toneMin = toneBands.map(db).min
+    // sidelobe bands may be absent entirely (power below the nano-unit
+    // floor → dropped by welchBandDb) — absence IS ">20 dB below"
+    val rest = db.view.filterKeys(b => !mainlobe.contains(b)).values
+    assert(rest.isEmpty || toneMin - rest.max > 20.0,
+      s"tone bands $toneMin dB vs loudest sidelobe band ${rest.maxOption}")
+    // and within the mainlobe the tone's own band is the peak (at 80 Hz
+    // the whole ±1-bin lobe fits INSIDE decidecade 19, so 63/100 may be
+    // absent entirely — compare only bands that surfaced)
+    Seq(16.0, 25.0, 63.0, 100.0).flatMap(db.get).foreach { side =>
+      assert(toneMin > side, s"mainlobe side band $side >= tone $toneMin")
+    }
+  }
+}
