@@ -585,6 +585,34 @@ object Profile {
             f"full-scan lookup $fullScan%5.2f s")
         }
 
+      case "audio_scale" =>
+        // Spectral pipeline throughput vs corpus size: waveforms 1×/4×/10×
+        // (sf0.1 documents replicated with offset ids). The pipeline is a
+        // narrow map (synthesize → frame → FFT → band partials) + one
+        // keyed aggregate, so wall should scale ~linearly with samples
+        // and the per-sample rate should hold — the 100 TB claim is the
+        // RATE, not the toy wall time.
+        import org.apache.spark.sql.functions._
+        import graft.audio.SpectralOps
+        val (sr, ns, fl, hop) = (1024, 1024, 256, 128)
+        val d0 = graft.tables.Tables.documents(spark, sfDir).select("doc_id")
+        val n0 = d0.count()
+        def docsX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            d0.select((col("doc_id") + lit(i * n0)).as("doc_id"))
+          }.reduce(_ unionByName _)
+        def t(f: => Unit): Double = elapsed(f)
+        Seq(1, 1, 4, 10).foreach { times =>
+          val waves = SpectralOps.synthesizeWaves(docsX(times), "doc_id", sr, ns)
+          val framed = SpectralOps.frameWaveform(waves, "samples", fl, hop)
+          val psd = t(force(SpectralOps.welchBandDb(
+            SpectralOps.bandPartialsFused(framed, "doc_id", sr, fl), "doc_id")))
+          val nSamp = n0 * times * ns
+          println(f"[profile] ${times}%3d× (${n0 * times}%8d waves, " +
+            f"$nSamp%10d samples): welch-psd $psd%6.1f s  " +
+            f"${nSamp / psd / 1e6}%6.1f Msamples/s")
+        }
+
       case "rollup_stages" =>
         // Where does q_stream_rollup's wall go? Time the 6-batch
         // maintenance loop three ways: the full streamed run (micro-batch
