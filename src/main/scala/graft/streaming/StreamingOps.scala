@@ -76,13 +76,16 @@ object StreamingOps {
     * handling as the batch reader ([[graft.tables.Tables.adaptTs]]): raw
     * int64 nanos → derived µs timestamp; native parquet timestamp → used
     * directly. Output dtype is TimestampType either way. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    // the streaming parquet source wants a directory; glob-filter to the
-    // events table within the multi-table sf dir
-    graft.tables.Tables.adaptTs(footerSchemaStream(spark, dir, "events.parquet"))
-  }
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    // Conf scope: the footer probe + readStream declaration below resolve
+    // the schema inside the window; micro-batch execution decodes by that
+    // declared schema and never re-reads the confs (same mechanism
+    // ConfScopeSpec pins for the batch path).
+    graft.tables.Tables.withTsReadConfs(spark) {
+      // the streaming parquet source wants a directory; glob-filter to the
+      // events table within the multi-table sf dir
+      graft.tables.Tables.adaptTs(footerSchemaStream(spark, dir, "events.parquet"))
+    }
 
   /** Event-time tumbling-window mean over a stream (A1 as a stream). */
   def windowedMean(stream: DataFrame, duration: String,
@@ -139,6 +142,44 @@ object StreamingOps {
     * like [[eventsStream]] (no timestamp column, so no adaptation). */
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     footerSchemaStream(spark, dir, "documents.parquet")
+
+  /** STREAMING spectral pipeline (the ingest-time shape of q_audio_psd):
+    * waveforms arrive in micro-batches, the fused frame→FFT→band kernel
+    * runs as a STATELESS per-partition map, and the only stateful
+    * operator is the running Welch aggregate per (recording, band) —
+    * state is one (long sum, long count) per key, never samples or
+    * spectra. Partials are integer nano-units and integer sums are
+    * associative, so the streamed complete-mode result is bit-identical
+    * to the batch pipeline whatever the micro-batch boundaries — the
+    * batch oracle applies unchanged. This is the hydrophone-ingest
+    * deployment story: decode+FFT at the edge of the stream, only
+    * band-level partials ever enter the shuffle/state machinery. */
+  def runAudioPsdOnce(spark: SparkSession, dir: String, sampleRate: Int,
+      nSamples: Int, frameLen: Int, hop: Int): DataFrame = {
+    import graft.audio.SpectralOps
+    val name = s"graft_stream_audio_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val waves = SpectralOps.synthesizeWaves(
+      documentsStream(ses, dir).select("doc_id"), "doc_id", sampleRate, nSamples)
+    val partials = SpectralOps.bandPartialsFused(
+      SpectralOps.frameWaveform(waves, "samples", frameLen, hop),
+      "doc_id", sampleRate, frameLen)
+    val q = partials.groupBy(col("doc_id"), col("band"))
+      .agg(sum(col("p_nano")).as("p_sum"), count(lit(1)).as("n_frames"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    // dB + noise-floor drop on the drained aggregate — same final math as
+    // SpectralOps.welchBandDb, applied batch-side after the stream ends
+    drainTable(ses, name)
+      .filter(col("p_sum") > 0)
+      .select(col("doc_id"), col("band"),
+        round(lit(10.0) * log(10.0,
+          col("p_sum").cast("double") / col("n_frames") / lit(1e9)), 6)
+          .as("value_db"),
+        col("n_frames"))
+  }
 
   def embeddingsStream(spark: SparkSession, dir: String): DataFrame =
     footerSchemaStream(spark, dir, "embeddings.parquet")

@@ -46,4 +46,49 @@ object TestSpark {
     }
     dir.getAbsolutePath
   }
+
+  /** ANNOTATED-NANOS events fixture: `ts` stored as parquet INT64 with a
+    * real TIMESTAMP(NANOS,true) logical annotation — the third physical
+    * encoding an archive can ship (distinct from [[NanosFixtureDir]]'s
+    * un-annotated raw int64). Spark cannot WRITE this type, so the file is
+    * produced with parquet-java's example API directly (parquet-hadoop is
+    * on Spark's classpath). Without `spark.sql.legacy.parquet.nanosAsLong`
+    * the read fails analysis with PARQUET_TYPE_ILLEGAL, which makes this
+    * fixture the probe ConfScopeSpec uses to pin that the conf window in
+    * `Tables.withTsReadConfs` covers schema resolution and that execution
+    * after restore still decodes correctly. Columns are the minimal
+    * (event_id, ts, value) — adaptTs only keys on `ts`. */
+  lazy val AnnotatedNanosFixtureDir: String = {
+    val dir = new java.io.File("target/fixtures/nanos_annotated").getAbsoluteFile
+    val eventsFile = new java.io.File(dir, "events.parquet")
+    if (!eventsFile.exists()) {
+      dir.mkdirs()
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.schema.MessageTypeParser
+      import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+      import org.apache.parquet.example.data.simple.SimpleGroupFactory
+      val schema = MessageTypeParser.parseMessageType(
+        """message events {
+          |  required int64 event_id;
+          |  required int64 ts (TIMESTAMP(NANOS,true));
+          |  required double value;
+          |}""".stripMargin)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      GroupWriteSupport.setSchema(schema, conf)
+      val writer = ExampleParquetWriter.builder(new Path(eventsFile.getAbsolutePath))
+        .withConf(conf).build()
+      val f = new SimpleGroupFactory(schema)
+      (0 until 1000).foreach { i =>
+        val g = f.newGroup()
+        g.add("event_id", i.toLong)
+        // 2024-01-01T00:00:00Z + i seconds, with a sub-microsecond nanos
+        // tail (i%1000) so µs truncation is actually exercised
+        g.add("ts", 1704067200000000000L + i * 1000000000L + (i % 1000))
+        g.add("value", i.toDouble)
+        writer.write(g)
+      }
+      writer.close()
+    }
+    dir.getAbsolutePath
+  }
 }
