@@ -1,0 +1,136 @@
+package graft.audio
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REAL audio codec for the spectral pipeline: RIFF/WAVE encode (pure
+  * Scala, deterministic) and decode through `javax.sound.sampled` — the
+  * WAV reader that ships with every JDK, so this container runs a real
+  * decoder end-to-end (the same seam contract as
+  * [[graft.multimodal.MultimodalOps.ImageIoCodec]] for images: a
+  * production deployment swaps in ffmpeg/libsndfile behind the same
+  * trait; the Spark-side plumbing is identical).
+  *
+  * Reference anchor: the upstream `orcasound_noise` pipeline's input is
+  * hydrophone WAV/FLAC from the archive (`docs/upstream-notes.md:10-16`);
+  * with this codec plus [[SpectralOps]], raw-payload → decidecade PSD
+  * runs entirely in-engine — waveform bytes arrive as a binary column,
+  * decode is a per-partition kernel (embarrassingly parallel, no
+  * shuffle), and only ~20 band-partial rows per frame ever reach an
+  * exchange.
+  *
+  * Determinism contract: [[encodePcm16]] quantizes with
+  * `round(x·32767)` (clamped) and [[AudioDecoder.decode]] maps back with
+  * `s/32767.0`, so decode∘encode ≡ driver-side quantization exactly
+  * (pinned by WavCodecSpec) and every downstream band partial is
+  * bit-identical to the same pipeline run on pre-quantized samples. */
+object WavCodec {
+
+  /** A decoded recording: source sample rate and MONO samples in
+    * [-1, 1] (multi-channel inputs are averaged to mono). */
+  final case class WavData(sampleRate: Int, samples: Array[Double])
+
+  /** Serializable per-element decode kernel — the swap-point for a
+    * native codec. `None` = undecodable payload (quarantine contract:
+    * visible row, never a task failure). */
+  trait AudioDecoder extends Serializable {
+    def decode(bytes: Array[Byte]): Option[WavData]
+  }
+
+  /** Encode mono samples to 16-bit PCM little-endian RIFF/WAVE.
+    * Samples are clamped to [-1, 1] then quantized `round(x·32767)`. */
+  def encodePcm16(samples: Array[Double], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)              // PCM
+      .putShort(1)              // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)   // byte rate
+      .putShort(2)              // block align
+      .putShort(16)             // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val x = math.max(-1.0, math.min(1.0, samples(i)))
+      buf.putShort(math.round(x * 32767.0).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** JDK-native decoder: `AudioSystem` parses the container, and any
+    * non-PCM16 encoding the JDK can convert (8/24/32-bit PCM, µ-law,
+    * a-law) is normalized to 16-bit signed through
+    * `AudioSystem.getAudioInputStream(targetFormat, in)` — the JDK does
+    * the transcoding, we only unpack frames. Multi-channel is averaged
+    * to mono (the spectral pipeline is single-channel, like the
+    * reference's hydrophone products). */
+  object JavaSoundDecoder extends AudioDecoder {
+    override def decode(bytes: Array[Byte]): Option[WavData] =
+      try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          val target = new AudioFormat(
+            AudioFormat.Encoding.PCM_SIGNED, src.getSampleRate, 16,
+            src.getChannels, src.getChannels * 2, src.getSampleRate,
+            false /* little-endian */)
+          val pcm = AudioSystem.getAudioInputStream(target, in)
+          try {
+            val raw = pcm.readAllBytes()
+            val ch = target.getChannels
+            val nFrames = raw.length / (2 * ch)
+            val out = new Array[Double](nFrames)
+            val bb = java.nio.ByteBuffer.wrap(raw)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) { acc += bb.getShort(); c += 1 }
+              out(f) = acc / ch / 32767.0
+              f += 1
+            }
+            Some(WavData(math.round(src.getSampleRate).toInt, out))
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** Encode a `(id, samples)` frame to `(id, wav)` — per-partition
+    * kernel, no shuffle; payload bytes stay where the samples were. */
+  def encodeWaves(df: DataFrame, idCol: String, samplesCol: String,
+                  sampleRate: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(samplesCol))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, s) => (id, encodePcm16(s, sampleRate)) })
+      .toDF(idCol, "wav")
+  }
+
+  /** Decode a `(id, wav)` frame to `(id, sample_rate, samples, ok)` —
+    * undecodable payloads surface as `ok = false` rows with empty
+    * samples (countable, quarantine-routable, never job-killing). */
+  def decodeWaves(df: DataFrame, idCol: String, wavCol: String,
+                  decoder: AudioDecoder = JavaSoundDecoder): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(wavCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decoder.decode(bytes) match {
+          case Some(WavData(sr, s)) => (id, sr, s, true)
+          case None                 => (id, -1, Array.empty[Double], false)
+        }
+      })
+      .toDF(idCol, "sample_rate", "samples", "ok")
+  }
+}

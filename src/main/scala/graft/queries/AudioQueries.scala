@@ -41,6 +41,37 @@ object AudioQueries {
         .orderBy("doc_id", "band")
     }),
 
+    // The REAL-CODEC path: waveforms round-trip through RIFF/WAVE bytes
+    // and the JDK's javax.sound decoder before the spectral pipeline —
+    // i.e. the payload-column deployment (binary WAV in, PSD out) with an
+    // actual parser+transcoder in the loop, not a stub. PCM16 quantizes,
+    // so the levels differ from q_audio_psd by design; the oracle seam is
+    // this path's OWN integer partials (WavCodecSpec pins decoded ≡
+    // driver-quantized partials bit-for-bit).
+    "q_audio_wav_psd" -> ((s, dir) => {
+      import graft.audio.WavCodec
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val decoded = WavCodec.decodeWaves(
+        WavCodec.encodeWaves(waves, "doc_id", "samples", Sr), "doc_id", "wav")
+        .filter(col("ok")).drop("sample_rate", "ok")
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(decoded, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_wav_band_partials")
+      SpectralOps.welchBandDb(partials, "doc_id")
+        .orderBy("doc_id", "band")
+    }),
+
+    // STREAMING twin of q_audio_psd: micro-batched waveforms, stateless
+    // fused FFT kernel, running integer Welch aggregate — bit-identical
+    // to batch by linearity, so the same fixture oracle applies.
+    "q_stream_audio_psd" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .runAudioPsdOnce(s, dir, Sr, NSamples, FrameLen, Hop)
+        .orderBy("doc_id", "band")),
+
     // The computed product feeding the SERVED aggregate: corpus-level
     // per-band summary — band coverage, mean level across recordings —
     // the data-card view of an audio corpus (how much energy lives
@@ -72,6 +103,14 @@ object AudioQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_audio_psd" ->
+      (welchSql(sqlPath("audio_band_partials")) + "\nORDER BY doc_id, band"),
+
+    "q_audio_wav_psd" ->
+      (welchSql(sqlPath("audio_wav_band_partials")) + "\nORDER BY doc_id, band"),
+
+    // same downstream math over the BATCH fixture: streamed integer
+    // partials sum to identical totals whatever the batch boundaries
+    "q_stream_audio_psd" ->
       (welchSql(sqlPath("audio_band_partials")) + "\nORDER BY doc_id, band"),
 
     "q_audio_band_summary" ->
