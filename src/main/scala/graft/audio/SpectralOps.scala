@@ -197,12 +197,44 @@ object SpectralOps {
           .as("value_db"),
         col("n_frames"))
 
-  /** Deterministic synthetic waveforms keyed by document id — two tones
-    * + a DC-free ramp, frequencies derived from the id, generated as
-    * pure column expressions (the stand-in for reading real audio
-    * payloads; the spectral pipeline downstream is the real thing). */
+  /** Deterministic synthetic waveforms keyed by document id — two tones,
+    * frequencies derived from the id (the stand-in for reading real
+    * audio payloads; the spectral pipeline downstream is the real
+    * thing). Generated by a per-partition kernel: the higher-order
+    * `transform` lambda formulation ([[synthesizeWavesExpr]]) runs
+    * INTERPRETED per element (PERF.md lesson 1) and alone cost more
+    * than the whole FFT+band stage — the kernel is ~2× at sf0.1.
+    * Bit-identical to the expression form (same `Math.sin`, same
+    * operation order — SpectralSpec pins kernel ≡ expression), so the
+    * fixture seam and every oracle are unchanged. */
   def synthesizeWaves(docs: DataFrame, idCol: String,
                       sampleRate: Int, nSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val f1 = (id % 13).toDouble * 7.5 + 20.0
+          val f2 = (id % 5).toDouble * 30.0 + 80.0
+          val out = new Array[Double](nSamples)
+          var i = 0
+          while (i < nSamples) {
+            val t = i.toDouble / sampleRate
+            out(i) = math.sin(t * f1 * (2.0 * math.Pi)) +
+              0.5 * math.sin(t * f2 * (2.0 * math.Pi))
+            i += 1
+          }
+          (id, out)
+        }
+      }.toDF(idCol, "samples")
+  }
+
+  /** The pure-column-expression formulation of [[synthesizeWaves]] —
+    * kept as the independent formulation the kernel is pinned against
+    * (the same contract FunctionsSpec uses for every native kernel). */
+  def synthesizeWavesExpr(docs: DataFrame, idCol: String,
+                          sampleRate: Int, nSamples: Int): DataFrame = {
     val id = col(idCol)
     val f1 = (id % 13).cast("double") * 7.5 + 20.0
     val f2 = (id % 5).cast("double") * 30.0 + 80.0

@@ -613,6 +613,28 @@ object Profile {
             f"${nSamp / psd / 1e6}%6.1f Msamples/s")
         }
 
+      case "audio_stages" =>
+        // Where do the audio cells' seconds go? Synthesis (interpreted
+        // higher-order transform), framing, FFT+band kernel, WAV
+        // encode/decode — timed cumulatively at sf0.1 (5k waves).
+        import graft.audio.{SpectralOps, WavCodec}
+        val (sr, ns, fl, hop) = (1024, 1024, 256, 128)
+        val docs = graft.tables.Tables.documents(spark, sfDir).select("doc_id")
+        def waves = SpectralOps.synthesizeWaves(docs, "doc_id", sr, ns)
+        (1 to 2).foreach { pass =>
+          val tSynth = elapsed(force(waves))
+          val tFrame = elapsed(force(SpectralOps.frameWaveform(waves, "samples", fl, hop)))
+          val tFull = elapsed(force(SpectralOps.welchBandDb(
+            SpectralOps.bandPartialsFused(
+              SpectralOps.frameWaveform(waves, "samples", fl, hop), "doc_id", sr, fl),
+            "doc_id")))
+          val tEnc = elapsed(force(WavCodec.encodeWaves(waves, "doc_id", "samples", sr)))
+          val tDec = elapsed(force(WavCodec.decodeWaves(
+            WavCodec.encodeWaves(waves, "doc_id", "samples", sr), "doc_id", "wav")))
+          println(f"[profile] pass $pass: synth $tSynth%5.2f s  +frame $tFrame%5.2f s  " +
+            f"full-psd $tFull%5.2f s  +encode $tEnc%5.2f s  +decode $tDec%5.2f s")
+        }
+
       case "rollup_stages" =>
         // Where does q_stream_rollup's wall go? Time the 6-batch
         // maintenance loop three ways: the full streamed run (micro-batch

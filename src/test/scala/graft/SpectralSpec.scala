@@ -90,6 +90,22 @@ class SpectralSpec extends AnyFunSuite {
     }
   }
 
+  test("synthesis kernel ≡ expression formulation, bit for bit") {
+    // the mapPartitions kernel replaced the interpreted transform-lambda
+    // on the hot path; same Math.sin, same operation order — every
+    // sample must be == (not approx), or the fixture seam would shift
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    def collectWaves(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val kernel = collectWaves(SpectralOps.synthesizeWaves(ids, "doc_id", 1024, 512))
+    val expr = collectWaves(SpectralOps.synthesizeWavesExpr(ids, "doc_id", 1024, 512))
+    assert(kernel.map(_._1) == expr.map(_._1))
+    kernel.zip(expr).foreach { case ((id, k), (_, e)) =>
+      assert(java.util.Arrays.equals(k, e), s"doc $id waveforms differ")
+    }
+  }
+
   test("fused frame→FFT→band kernel ≡ unfused stages, row for row") {
     import spark.implicits._
     val waves = SpectralOps.synthesizeWaves(
