@@ -230,6 +230,69 @@ object SpectralOps {
       }.toDF(idCol, "samples")
   }
 
+  /** Deterministic BURST waveforms for detection testing: a full-scale
+    * tone confined to an id-derived sample span over a faint (-40 dB)
+    * continuous background tone — so frame energy crosses a detection
+    * threshold only inside the burst, at id-varied positions/widths.
+    * Kernel-generated like [[synthesizeWaves]]. */
+  def synthesizeBursts(docs: DataFrame, idCol: String,
+                       sampleRate: Int, nSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val f1 = (id % 13).toDouble * 7.5 + 20.0
+          val f2 = (id % 5).toDouble * 30.0 + 80.0
+          val start = ((id * 37) % (nSamples / 2)).toInt
+          val len = nSamples / 4 + ((id % 5) * (nSamples / 16)).toInt
+          val out = new Array[Double](nSamples)
+          var i = 0
+          while (i < nSamples) {
+            val t = i.toDouble / sampleRate
+            val burst = if (i >= start && i < start + len)
+              math.sin(t * f1 * (2.0 * math.Pi)) else 0.0
+            out(i) = burst + 0.01 * math.sin(t * f2 * (2.0 * math.Pi))
+            i += 1
+          }
+          (id, out)
+        }
+      }.toDF(idCol, "samples")
+  }
+
+  /** Threshold-crossing EVENT DETECTION over band partials — the
+    * detection product of the reference's domain (loud-interval
+    * extraction from hydrophone PSD). Frame-level total power is the
+    * integer sum of that frame's band partials (exact, order-free);
+    * consecutive hot frames merge into one event via gaps-and-islands
+    * (`frame_idx − row_number` per recording). The only window is
+    * PARTITIONED BY recording — bounded by one recording's frame count,
+    * never global — and everything upstream of it is a partial
+    * aggregate, so the plan scales as one shuffle on the recording key.
+    * Output: `(id, start_frame, end_frame, n_frames, peak_p_nano)`
+    * + start/end seconds derived from the hop. */
+  def detectEvents(partials: DataFrame, idCol: String, thresholdNano: Long,
+                   sampleRate: Int, hop: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frameTotals = partials
+      .groupBy(col(idCol), col("frame_idx"))
+      .agg(sum(col("p_nano")).as("frame_p"))
+      .filter(col("frame_p") > thresholdNano)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    frameTotals
+      .withColumn("island", col("frame_idx") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("frame_idx").as("start_frame"),
+           max("frame_idx").as("end_frame"),
+           count(lit(1)).as("n_frames"),
+           max("frame_p").as("peak_p_nano"))
+      .select(col(idCol), col("start_frame"), col("end_frame"),
+        col("n_frames"), col("peak_p_nano"),
+        round(col("start_frame") * hop.toDouble / sampleRate, 6).as("start_sec"),
+        round((col("end_frame") * hop.toDouble + hop) / sampleRate, 6).as("end_sec"))
+  }
+
   /** The pure-column-expression formulation of [[synthesizeWaves]] —
     * kept as the independent formulation the kernel is pinned against
     * (the same contract FunctionsSpec uses for every native kernel). */

@@ -25,6 +25,11 @@ object AudioQueries {
   private val NSamples = 1024
   private val FrameLen = 256 // 4 Hz bins, Nyquist 512 Hz
   private val Hop = 128      // 50% overlap → 7 frames per recording
+  /** Detection threshold (nano-units of frame power). A full-scale Hann-
+    * windowed tone frame sums to ≈ N²·3/16 ≈ 1.2e13 nano; the −40 dB
+    * background sits ≈ 1e9 — 1e12 cleanly separates burst frames
+    * (including partial overlaps) from background. */
+  private val DetectNano = 1000000000000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Welch 1/3-octave band levels per recording — the exact product
@@ -72,6 +77,23 @@ object AudioQueries {
         .runAudioPsdOnce(s, dir, Sr, NSamples, FrameLen, Hop)
         .orderBy("doc_id", "band")),
 
+    // DETECTION: burst waveforms → frame-level integer power →
+    // threshold-crossing islands per recording (loud-interval
+    // extraction, the reference domain's detection product). Oracle
+    // replays the gaps-and-islands from this path's partials fixture
+    // with row_number CTEs — a full independent DuckDB formulation.
+    "q_audio_detections" -> ((s, dir) => {
+      val waves = SpectralOps.synthesizeBursts(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_burst_partials")
+      SpectralOps.detectEvents(partials, "doc_id", DetectNano, Sr, Hop)
+        .orderBy("doc_id", "start_frame")
+    }),
+
     // The computed product feeding the SERVED aggregate: corpus-level
     // per-band summary — band coverage, mean level across recordings —
     // the data-card view of an audio corpus (how much energy lives
@@ -112,6 +134,27 @@ object AudioQueries {
     // partials sum to identical totals whatever the batch boundaries
     "q_stream_audio_psd" ->
       (welchSql(sqlPath("audio_band_partials")) + "\nORDER BY doc_id, band"),
+
+    "q_audio_detections" ->
+      s"""WITH frame_p AS (
+         |  SELECT doc_id, frame_idx, sum(p_nano) AS frame_p
+         |  FROM read_parquet('${sqlPath("audio_burst_partials")}')
+         |  GROUP BY 1, 2
+         |), hot AS (
+         |  SELECT doc_id, frame_idx, frame_p,
+         |         frame_idx - row_number() OVER (PARTITION BY doc_id
+         |                                        ORDER BY frame_idx) AS island
+         |  FROM frame_p WHERE frame_p > 1000000000000
+         |)
+         |SELECT doc_id,
+         |       min(frame_idx) AS start_frame,
+         |       max(frame_idx) AS end_frame,
+         |       count(*) AS n_frames,
+         |       CAST(max(frame_p) AS BIGINT) AS peak_p_nano,
+         |       round(min(frame_idx) * 128.0 / 1024, 6) AS start_sec,
+         |       round((max(frame_idx) * 128.0 + 128) / 1024, 6) AS end_sec
+         |FROM hot GROUP BY doc_id, island
+         |ORDER BY doc_id, start_frame""".stripMargin,
 
     "q_audio_band_summary" ->
       s"""WITH w AS (

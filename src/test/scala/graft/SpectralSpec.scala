@@ -106,6 +106,39 @@ class SpectralSpec extends AnyFunSuite {
     }
   }
 
+  test("detectEvents: islands merge consecutive hot frames; window is " +
+       "per-recording, never global") {
+    import spark.implicits._
+    // doc 1: hot 0-2, cold 3, hot 5-6 → two events; doc 2: all cold
+    val partials = Seq(
+      (1L, 0, 63.0, 2000000000000L), (1L, 1, 63.0, 2000000000000L),
+      (1L, 2, 63.0, 1500000000000L), (1L, 3, 63.0, 1000000000L),
+      (1L, 5, 63.0, 3000000000000L), (1L, 6, 63.0, 2500000000000L),
+      (2L, 0, 63.0, 500000000L), (2L, 1, 63.0, 500000000L)
+    ).toDF("doc_id", "frame_idx", "band", "p_nano")
+    val events = SpectralOps.detectEvents(partials, "doc_id",
+        1000000000000L, 1024, 128)
+      .orderBy("doc_id", "start_frame").collect()
+    assert(events.length == 2)
+    assert(events(0).getLong(0) == 1L && events(0).getInt(1) == 0 &&
+      events(0).getInt(2) == 2 && events(0).getLong(3) == 3 &&
+      events(0).getLong(4) == 2000000000000L)
+    assert(events(1).getInt(1) == 5 && events(1).getInt(2) == 6 &&
+      events(1).getLong(3) == 2)
+    // start/end seconds derive from the hop
+    assert(events(1).getDouble(5) == 5 * 128.0 / 1024)
+    assert(events(1).getDouble(6) == (6 * 128.0 + 128) / 1024)
+    // the island window must be partitioned by recording — a global
+    // window would serialize the whole corpus through one partition
+    // (logical plan: AQE wraps the physical one before execution)
+    val wins = SpectralOps.detectEvents(partials, "doc_id",
+        1000000000000L, 1024, 128)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("fused frame→FFT→band kernel ≡ unfused stages, row for row") {
     import spark.implicits._
     val waves = SpectralOps.synthesizeWaves(
