@@ -293,6 +293,126 @@ object SpectralOps {
         round((col("end_frame") * hop.toDouble + hop) / sampleRate, 6).as("end_sec"))
   }
 
+  /** Full cross-correlation `corr(lag) = Σ_t a[t]·b[t+lag]` for
+    * `lag ∈ [−maxLag, maxLag]`, via FFT (pad to the next power of two ≥
+    * 2·n so circular wraparound cannot reach the window, multiply
+    * conj(A)·B, inverse): O(n log n) against the naive O(n·maxLag) —
+    * SpectralSpec pins FFT ≡ naive, the same discipline as the DFT pin.
+    * Result index `i` holds lag `i − maxLag`. */
+  private[graft] def crossCorrelation(a: Array[Double], b: Array[Double],
+      maxLag: Int): Array[Double] = {
+    val n = math.max(a.length, b.length)
+    require(maxLag < n, s"maxLag=$maxLag n=$n")
+    var m = 1
+    while (m < 2 * n) m <<= 1
+    val fa = new Array[Double](2 * m); val fb = new Array[Double](2 * m)
+    var i = 0
+    while (i < a.length) { fa(2 * i) = a(i); i += 1 }
+    i = 0
+    while (i < b.length) { fb(2 * i) = b(i); i += 1 }
+    val fft = new org.jtransforms.fft.DoubleFFT_1D(m.toLong)
+    fft.complexForward(fa); fft.complexForward(fb)
+    // C = conj(A)·B, in place over fa
+    i = 0
+    while (i < m) {
+      val ar = fa(2 * i); val ai = fa(2 * i + 1)
+      val br = fb(2 * i); val bi = fb(2 * i + 1)
+      fa(2 * i) = ar * br + ai * bi      // Re(conj(A)B)
+      fa(2 * i + 1) = ar * bi - ai * br  // Im(conj(A)B)
+      i += 1
+    }
+    fft.complexInverse(fa, true)
+    // circular layout: lag τ≥0 at index τ, τ<0 at m+τ
+    Array.tabulate(2 * maxLag + 1) { j =>
+      val lag = j - maxLag
+      fa(2 * (if (lag >= 0) lag else m + lag))
+    }
+  }
+
+  /** Naive O(n·maxLag) cross-correlation — the independent formulation
+    * the FFT kernel is pinned against. */
+  private[graft] def crossCorrelationNaive(a: Array[Double], b: Array[Double],
+      maxLag: Int): Array[Double] =
+    Array.tabulate(2 * maxLag + 1) { j =>
+      val lag = j - maxLag
+      var s = 0.0
+      var t = math.max(0, -lag)
+      val tEnd = math.min(a.length, b.length - lag)
+      while (t < tEnd) { s += a(t) * b(t + lag); t += 1 }
+      s
+    }
+
+  /** Two-sensor recordings of one source: channel `a` is the burst
+    * waveform, channel `b` the same signal delayed by an id-derived
+    * sample count in [−24, 25] (zero-padded at the edges) — the
+    * geometry stand-in for a hydrophone pair hearing one event at a
+    * time-difference-of-arrival. Kernel-generated; the true delay is
+    * recoverable as `(id % 50) − 24`, which SpectralSpec uses to pin
+    * end-to-end lag recovery. */
+  def synthesizeDelayedPairs(docs: DataFrame, idCol: String,
+                             sampleRate: Int, nSamples: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val f1 = (id % 13).toDouble * 7.5 + 20.0
+          val start = ((id * 37) % (nSamples / 2)).toInt
+          val len = nSamples / 4
+          val a = new Array[Double](nSamples)
+          var i = 0
+          while (i < nSamples) {
+            val t = i.toDouble / sampleRate
+            if (i >= start && i < start + len)
+              a(i) = math.sin(t * f1 * (2.0 * math.Pi))
+            i += 1
+          }
+          val d = (id % 50).toInt - 24
+          val b = new Array[Double](nSamples)
+          i = math.max(0, d)
+          while (i < nSamples && i - d < nSamples) {
+            if (i - d >= 0) b(i) = a(i - d)
+            i += 1
+          }
+          (id, a, b)
+        }
+      }.toDF(idCol, "chan_a", "chan_b")
+  }
+
+  /** Per-pair cross-correlation in integer nano-units — the oracle seam
+    * for TDOA: one row per (pair, lag), `corr_nano = round(corr·1e9)`.
+    * The FFT kernel runs per partition (pairs never leave their
+    * partition; output is 2·maxLag+1 rows per pair, not samples). */
+  def pairCorrelations(pairs: DataFrame, idCol: String,
+                       maxLag: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col(idCol).cast("long"), col("chan_a"), col("chan_b"))
+      .as[(Long, Array[Double], Array[Double])]
+      .mapPartitions(_.flatMap { case (id, a, b) =>
+        val c = crossCorrelation(a, b, maxLag)
+        c.indices.iterator.map(j =>
+          (id, j - maxLag, math.round(c(j) * 1e9)))
+      })
+      .toDF(idCol, "lag", "corr_nano")
+  }
+
+  /** TDOA estimate per pair: the lag maximizing correlation (ties break
+    * to the smallest lag — deterministic, and what the DuckDB oracle
+    * replays). The window is PARTITIONED BY pair and bounded by
+    * 2·maxLag+1 rows, never global. */
+  def tdoaPeaks(corr: DataFrame, idCol: String, sampleRate: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("corr_nano").desc, col("lag").asc)
+    corr.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("lag").as("lag_samples"),
+        round(col("lag") / sampleRate.toDouble, 6).as("lag_sec"),
+        col("corr_nano").as("peak_corr_nano"))
+  }
+
   /** The pure-column-expression formulation of [[synthesizeWaves]] —
     * kept as the independent formulation the kernel is pinned against
     * (the same contract FunctionsSpec uses for every native kernel). */

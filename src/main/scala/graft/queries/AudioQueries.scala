@@ -30,6 +30,8 @@ object AudioQueries {
     * background sits ≈ 1e9 — 1e12 cleanly separates burst frames
     * (including partial overlaps) from background. */
   private val DetectNano = 1000000000000L
+  /** TDOA correlation half-window (samples); planted delays span ±24. */
+  private val MaxLag = 32
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Welch 1/3-octave band levels per recording — the exact product
@@ -94,6 +96,21 @@ object AudioQueries {
         .orderBy("doc_id", "start_frame")
     }),
 
+    // TDOA: FFT cross-correlation between a two-sensor pair's channels,
+    // peak lag = time-difference-of-arrival (the localization primitive
+    // of the reference's domain). Seam = per-(pair, lag) correlation in
+    // integer nano-units; DuckDB replays the argmax with the same
+    // smallest-lag tie-break.
+    "q_audio_tdoa" -> ((s, dir) => {
+      val pairs = SpectralOps.synthesizeDelayedPairs(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val corr = seam(
+        SpectralOps.pairCorrelations(pairs, "doc_id", MaxLag),
+        dir, "audio_pair_corr")
+      SpectralOps.tdoaPeaks(corr, "doc_id", Sr)
+        .orderBy("doc_id")
+    }),
+
     // The computed product feeding the SERVED aggregate: corpus-level
     // per-band summary — band coverage, mean level across recordings —
     // the data-card view of an audio corpus (how much energy lives
@@ -134,6 +151,19 @@ object AudioQueries {
     // partials sum to identical totals whatever the batch boundaries
     "q_stream_audio_psd" ->
       (welchSql(sqlPath("audio_band_partials")) + "\nORDER BY doc_id, band"),
+
+    "q_audio_tdoa" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lag, corr_nano,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY corr_nano DESC, lag ASC) AS rn
+         |  FROM read_parquet('${sqlPath("audio_pair_corr")}')
+         |)
+         |SELECT doc_id, lag AS lag_samples,
+         |       round(lag / 1024.0, 6) AS lag_sec,
+         |       corr_nano AS peak_corr_nano
+         |FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q_audio_detections" ->
       s"""WITH frame_p AS (

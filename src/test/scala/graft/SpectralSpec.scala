@@ -139,6 +139,45 @@ class SpectralSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("FFT cross-correlation agrees with the naive formulation") {
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(300)(rnd.nextDouble() - 0.5)
+    val b = Array.fill(300)(rnd.nextDouble() - 0.5)
+    val fft = SpectralOps.crossCorrelation(a, b, 40)
+    val naive = SpectralOps.crossCorrelationNaive(a, b, 40)
+    assert(fft.length == 81 && naive.length == 81)
+    fft.indices.foreach { i =>
+      assert(math.abs(fft(i) - naive(i)) < 1e-9,
+        s"lag ${i - 40}: ${fft(i)} vs ${naive(i)}")
+    }
+  }
+
+  test("TDOA end-to-end: the peak lag recovers the planted delay, " +
+       "per-pair window only") {
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    val pairs = SpectralOps.synthesizeDelayedPairs(ids, "doc_id", 1024, 1024)
+    val peaks = SpectralOps.tdoaPeaks(
+      SpectralOps.pairCorrelations(pairs, "doc_id", 32), "doc_id", 1024)
+      .orderBy("doc_id").collect()
+    assert(peaks.length == 40)
+    peaks.foreach { r =>
+      val id = r.getLong(0)
+      val expected = (id % 50).toInt - 24
+      assert(r.getInt(1) == expected,
+        s"doc $id: peak lag ${r.getInt(1)} != planted delay $expected")
+      // round() is half-away-from-zero in both Spark and DuckDB
+      val expSec = BigDecimal(expected / 1024.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) == expSec)
+    }
+    val wins = SpectralOps.tdoaPeaks(
+      SpectralOps.pairCorrelations(pairs, "doc_id", 32), "doc_id", 1024)
+      .queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("fused frame→FFT→band kernel ≡ unfused stages, row for row") {
     import spark.implicits._
     val waves = SpectralOps.synthesizeWaves(
