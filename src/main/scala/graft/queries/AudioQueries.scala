@@ -96,6 +96,55 @@ object AudioQueries {
         .orderBy("doc_id", "start_frame")
     }),
 
+    // ARCHIVE deployment path: a directory of .wav FILES read through
+    // Spark's binaryFile source → JDK decode → PSD — "point the engine
+    // at a WAV archive" end-to-end. The fixture archive (every 10th
+    // recording, ~2 KB PCM16 files) is built once per SF by a
+    // DISTRIBUTED writer (foreachPartition; a production archive writes
+    // through the Hadoop FS API the same way), idempotent via a marker.
+    "q_audio_archive_psd" -> ((s, dir) => {
+      import graft.audio.WavCodec
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_wav_archive/" +
+        new java.io.File(dir.replaceAll("/+$", "")).getName
+      val marker = new java.io.File(root, "_COMPLETE")
+      if (!marker.exists()) {
+        def rm(f: java.io.File): Unit = if (f.exists()) {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+        new java.io.File(root).mkdirs()
+        val enc = WavCodec.encodeWaves(
+          SpectralOps.synthesizeWaves(
+            Tables.documents(s, dir).select("doc_id")
+              .filter(col("doc_id") % 10 === 0), "doc_id", Sr, NSamples),
+          "doc_id", "samples", Sr)
+        val sparkRoot = root // avoid closing over the File
+        enc.select(col("doc_id"), col("wav")).foreachPartition {
+          (rows: Iterator[org.apache.spark.sql.Row]) =>
+            rows.foreach { r =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(sparkRoot, s"${r.getLong(0)}.wav"),
+                r.getAs[Array[Byte]](1)): Unit
+            }
+        }
+        marker.createNewFile(): Unit
+      }
+      val bin = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(root)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1)
+          .cast("long").as("doc_id"), col("content").as("wav"))
+      val decoded = WavCodec.decodeWaves(bin, "doc_id", "wav")
+        .filter(col("ok")).drop("sample_rate", "ok")
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(decoded, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_archive_partials")
+      SpectralOps.welchBandDb(partials, "doc_id")
+        .orderBy("doc_id", "band")
+    }),
+
     // TDOA: FFT cross-correlation between a two-sensor pair's channels,
     // peak lag = time-difference-of-arrival (the localization primitive
     // of the reference's domain). Seam = per-(pair, lag) correlation in
@@ -151,6 +200,9 @@ object AudioQueries {
     // partials sum to identical totals whatever the batch boundaries
     "q_stream_audio_psd" ->
       (welchSql(sqlPath("audio_band_partials")) + "\nORDER BY doc_id, band"),
+
+    "q_audio_archive_psd" ->
+      (welchSql(sqlPath("audio_archive_partials")) + "\nORDER BY doc_id, band"),
 
     "q_audio_tdoa" ->
       s"""WITH r AS (
