@@ -104,6 +104,65 @@ object WavCodec {
       } catch { case _: Exception => None }
   }
 
+  /** Default decoder: a LOCK-FREE fast path for PCM16 little-endian WAV
+    * (the overwhelmingly common archive format, and the one
+    * [[encodePcm16]] writes) with [[JavaSoundDecoder]] as fallback for
+    * every other encoding. Why: `AudioSystem.getAudioInputStream` walks
+    * a SYNCHRONIZED provider registry per call, and the contention
+    * INVERTS scaling — measured at 10× corpus replicas, 32 threads
+    * decoded SLOWER than 4 (12.2 s vs 7.5 s wall; PERF.md). The fast
+    * path parses the RIFF chunk list directly (we own the format), so
+    * executors never touch a shared lock; non-PCM16 chunks still get
+    * the real JDK transcoder. Pinned fast ≡ JDK on PCM16 by
+    * WavCodecSpec. */
+  object FastWavDecoder extends AudioDecoder {
+    override def decode(bytes: Array[Byte]): Option[WavData] =
+      decodePcm16Direct(bytes).orElse(JavaSoundDecoder.decode(bytes))
+
+    private[graft] def decodePcm16Direct(bytes: Array[Byte]): Option[WavData] = {
+      if (bytes.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      // chunk walk: fmt must precede data; unknown chunks are skipped
+      var off = 12
+      var sr = -1; var ch = -1; var ok16 = false
+      while (off + 8 <= bytes.length) {
+        val id = tag(off); val sz = bb.getInt(off + 4)
+        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        id match {
+          case "fmt " =>
+            if (sz < 16) return None
+            val fmt = bb.getShort(off + 8)
+            ch = bb.getShort(off + 10)
+            sr = bb.getInt(off + 12)
+            val bits = bb.getShort(off + 22)
+            ok16 = fmt == 1 && bits == 16 && ch >= 1
+            if (!ok16) return None // not PCM16 → let the JDK transcode
+          case "data" =>
+            if (!ok16) return None
+            val nFrames = sz / (2 * ch)
+            val out = new Array[Double](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              var acc = 0.0
+              var c = 0
+              while (c < ch) {
+                acc += bb.getShort(off + 8 + 2 * (f * ch + c)); c += 1
+              }
+              out(f) = acc / ch / 32767.0
+              f += 1
+            }
+            return Some(WavData(sr, out))
+          case _ => ()
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      None
+    }
+  }
+
   /** Encode a `(id, samples)` frame to `(id, wav)` — per-partition
     * kernel, no shuffle; payload bytes stay where the samples were. */
   def encodeWaves(df: DataFrame, idCol: String, samplesCol: String,
@@ -120,7 +179,7 @@ object WavCodec {
     * undecodable payloads surface as `ok = false` rows with empty
     * samples (countable, quarantine-routable, never job-killing). */
   def decodeWaves(df: DataFrame, idCol: String, wavCol: String,
-                  decoder: AudioDecoder = JavaSoundDecoder): DataFrame = {
+                  decoder: AudioDecoder = FastWavDecoder): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(wavCol))

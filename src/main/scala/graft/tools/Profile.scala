@@ -635,6 +635,39 @@ object Profile {
             f"full-psd $tFull%5.2f s  +encode $tEnc%5.2f s  +decode $tDec%5.2f s")
         }
 
+      case "audio_scale2" =>
+        // Scale shape of the round-11 additions: WAV encode+decode
+        // (JDK codec throughput), TDOA xcorr (per-pair kernel), event
+        // detection (frame totals + per-recording island window) at
+        // 1×/4×/10× corpus replicas.
+        import org.apache.spark.sql.functions._
+        import graft.audio.{SpectralOps, WavCodec}
+        val (sr, ns, fl, hop) = (1024, 1024, 256, 128)
+        val d0 = graft.tables.Tables.documents(spark, sfDir).select("doc_id")
+        val n0 = d0.count()
+        def docsX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            d0.select((col("doc_id") + lit(i * n0)).as("doc_id"))
+          }.reduce(_ unionByName _)
+        Seq(1, 1, 4, 10).foreach { times =>
+          val docs = docsX(times)
+          val waves = SpectralOps.synthesizeWaves(docs, "doc_id", sr, ns)
+          val tWav = elapsed(force(WavCodec.decodeWaves(
+            WavCodec.encodeWaves(waves, "doc_id", "samples", sr), "doc_id", "wav")))
+          val pairs = SpectralOps.synthesizeDelayedPairs(docs, "doc_id", sr, ns)
+          val tTdoa = elapsed(force(SpectralOps.tdoaPeaks(
+            SpectralOps.pairCorrelations(pairs, "doc_id", 32), "doc_id", sr)))
+          val bursts = SpectralOps.synthesizeBursts(docs, "doc_id", sr, ns)
+          val tDet = elapsed(force(SpectralOps.detectEvents(
+            SpectralOps.bandPartialsFused(
+              SpectralOps.frameWaveform(bursts, "samples", fl, hop), "doc_id", sr, fl),
+            "doc_id", 1000000000000L, sr, hop)))
+          val nSamp = n0 * times * ns
+          println(f"[profile] ${times}%3d× (${n0 * times}%8d waves): " +
+            f"wav-roundtrip $tWav%5.1f s (${nSamp / tWav / 1e6}%5.1f Ms/s)  " +
+            f"tdoa $tTdoa%5.1f s  detect $tDet%5.1f s")
+        }
+
       case "rollup_stages" =>
         // Where does q_stream_rollup's wall go? Time the 6-batch
         // maintenance loop three ways: the full streamed run (micro-batch

@@ -63,6 +63,51 @@ class WavCodecSpec extends AnyFunSuite {
     mono.foreach(v => assert(v == 2000.0 / 32767.0))
   }
 
+  test("fast PCM16 path ≡ JDK decoder, and falls back for other encodings") {
+    // mono PCM16: both decoders, identical output
+    val mono = encodePcm16(Array.tabulate(64)(i => math.sin(i * 0.3)), 22050)
+    val f = FastWavDecoder.decode(mono).get
+    val j = JavaSoundDecoder.decode(mono).get
+    assert(f.sampleRate == j.sampleRate)
+    assert(java.util.Arrays.equals(f.samples, j.samples))
+
+    // stereo PCM16: the fast path averages like the JDK path
+    val n = 8
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + n * 4).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(16000).putInt(16000 * 4).putShort(4).putShort(16)
+      .put("data".getBytes).putInt(n * 4)
+    (0 until n).foreach(_ => buf.putShort(-500).putShort(1500))
+    val fs = FastWavDecoder.decodePcm16Direct(buf.array()).get
+    val js = JavaSoundDecoder.decode(buf.array()).get
+    assert(java.util.Arrays.equals(fs.samples, js.samples))
+
+    // 8-bit unsigned PCM: fast path declines, FastWavDecoder still
+    // decodes through the JDK transcoder
+    val n8 = 16
+    val b8 = java.nio.ByteBuffer.allocate(44 + n8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes).putInt(36 + n8).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes).putInt(n8)
+    (0 until n8).foreach(_ => b8.put(192.toByte)) // +0.5 full scale
+    assert(FastWavDecoder.decodePcm16Direct(b8.array()).isEmpty)
+    val d8 = FastWavDecoder.decode(b8.array()).get
+    assert(d8.sampleRate == 8000 && d8.samples.length == n8)
+    d8.samples.foreach(v => assert(math.abs(v - 0.5) < 0.01, v.toString))
+
+    // truncated data chunk: the STRICT direct path declines (declared
+    // size past the buffer), the composite decoder then matches the
+    // JDK's tolerant partial decode — no throw either way
+    val trunc = mono.slice(0, mono.length - 10)
+    assert(FastWavDecoder.decodePcm16Direct(trunc).isEmpty)
+    val ft = FastWavDecoder.decode(trunc); val jt = JavaSoundDecoder.decode(trunc)
+    assert(ft.map(_.samples.toSeq) == jt.map(_.samples.toSeq))
+  }
+
   test("decoded-WAV band partials ≡ quantized-sample band partials") {
     // The load-bearing pin for q_audio_wav_psd's oracle: running the
     // spectral pipeline on decode(encode(x)) must produce byte-identical
