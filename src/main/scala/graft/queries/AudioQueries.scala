@@ -160,6 +160,43 @@ object AudioQueries {
         .orderBy("doc_id")
     }),
 
+    // CALIBRATION: hydrophone sensitivity applied per band — relative
+    // Welch levels + a broadcast-joined per-band gain curve → absolute
+    // dB (re 1 µPa), the product the reference actually serves. The
+    // gain table is integer micro-dB (driver-derived from the
+    // decidecade index, seam-written so DuckDB joins the exact rows);
+    // the join is a 25-row broadcast against the band-level aggregate.
+    "q_audio_calibrated" -> ((s, dir) => {
+      import s.implicits._
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      // sensitivity curve: flat −170 dB re 1 V/µPa + 0.1 dB per
+      // decidecade index (a gentle high-frequency rolloff correction),
+      // exact in integer micro-dB
+      val bands = (0 to FrameLen / 2).map(k => k * Sr.toDouble / FrameLen)
+        .filter(_ >= 10.0)
+        .map(f => SpectralOps.nominalCenter(
+          math.round(10.0 * math.log10(f)).toInt)).distinct.sorted
+      val cal = seam(
+        bands.map { b =>
+          val d = math.round(10.0 * math.log10(b)).toInt
+          (b, -170000000L + d * 100000L)
+        }.toDF("band", "cal_micro"),
+        dir, "audio_calibration")
+      SpectralOps.welchBandDb(partials, "doc_id")
+        .join(broadcast(cal), "band")
+        .select(col("doc_id"), col("band"),
+          round(col("value_db") + col("cal_micro") / lit(1e6), 6)
+            .as("abs_db"),
+          col("n_frames"))
+        .orderBy("doc_id", "band")
+    }),
+
     // The computed product feeding the SERVED aggregate: corpus-level
     // per-band summary — band coverage, mean level across recordings —
     // the data-card view of an audio corpus (how much energy lives
@@ -203,6 +240,16 @@ object AudioQueries {
 
     "q_audio_archive_psd" ->
       (welchSql(sqlPath("audio_archive_partials")) + "\nORDER BY doc_id, band"),
+
+    "q_audio_calibrated" ->
+      s"""WITH w AS (
+         |${welchSql(sqlPath("audio_band_partials"))})
+         |SELECT w.doc_id, w.band,
+         |       round(w.value_db + c.cal_micro / 1e6, 6) AS abs_db,
+         |       w.n_frames
+         |FROM w JOIN read_parquet('${sqlPath("audio_calibration")}') c
+         |  ON w.band = c.band
+         |ORDER BY w.doc_id, w.band""".stripMargin,
 
     "q_audio_tdoa" ->
       s"""WITH r AS (
