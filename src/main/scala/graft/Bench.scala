@@ -202,11 +202,8 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File("target/stream_sentinel"))
+      graft.util.LocalFs.deleteRecursively(
+        new java.io.File("target/stream_sentinel"))
       Thread.sleep(2000) // let async ContextCleaner callbacks drain
     }
 

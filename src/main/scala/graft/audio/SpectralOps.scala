@@ -45,8 +45,14 @@ object SpectralOps {
                     frameLen: Int, hop: Int): DataFrame = {
     require(frameLen > 0 && hop > 0, s"frameLen=$frameLen hop=$hop")
     val nFrames = floor((size(col(samplesCol)) - frameLen) / hop) + 1
-    df.withColumn("frame_idx",
-        explode(sequence(lit(0), nFrames.cast("int") - 1)))
+    // a waveform SHORTER than one frame contributes zero frames — NOT
+    // explode(sequence(0, negative)): Spark's sequence defaults to step
+    // −1 when stop < start, which would emit negative frame indices,
+    // end-relative slices and corrupt partials (a truncated archive WAV
+    // the tolerant decoder partial-decoded is exactly this shape)
+    val idxs = when(nFrames > 0,
+      sequence(lit(0), nFrames.cast("int") - 1)).otherwise(array())
+    df.withColumn("frame_idx", explode(idxs))
       .withColumn("frame",
         slice(col(samplesCol), col("frame_idx") * hop + 1, lit(frameLen)))
       .drop(samplesCol)

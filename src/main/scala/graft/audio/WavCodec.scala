@@ -119,7 +119,7 @@ object WavCodec {
     override def decode(bytes: Array[Byte]): Option[WavData] =
       decodePcm16Direct(bytes).orElse(JavaSoundDecoder.decode(bytes))
 
-    private[graft] def decodePcm16Direct(bytes: Array[Byte]): Option[WavData] = {
+    private[graft] def decodePcm16Direct(bytes: Array[Byte]): Option[WavData] = try {
       if (bytes.length < 44) return None
       val bb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -130,7 +130,9 @@ object WavCodec {
       var sr = -1; var ch = -1; var ok16 = false
       while (off + 8 <= bytes.length) {
         val id = tag(off); val sz = bb.getInt(off + 4)
-        if (sz < 0 || off + 8 + sz > bytes.length) return None
+        // LONG arithmetic: a hostile declared size near Int.MaxValue
+        // would wrap `off + 8 + sz` negative and slip past an int guard
+        if (sz < 0 || off + 8L + sz > bytes.length) return None
         id match {
           case "fmt " =>
             if (sz < 16) return None
@@ -160,7 +162,10 @@ object WavCodec {
         off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       None
-    }
+      // belt-and-braces: the quarantine contract is 'None, never a task
+      // failure' — any parse surprise the guards miss degrades to the
+      // JDK fallback (which has its own catch), not a thrown task error
+    } catch { case _: Exception => None }
   }
 
   /** Encode a `(id, samples)` frame to `(id, wav)` — per-partition

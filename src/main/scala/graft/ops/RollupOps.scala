@@ -57,21 +57,26 @@ object RollupOps {
       keyCol: String, recompute: DataFrame => DataFrame): DataFrame = {
     if (changed.isEmpty) prev
     else {
-      // NULL is a legitimate partition key (e.g. a null-day group from
-      // null timestamps): membership must be null-safe, or `NOT IN`'s
-      // three-valued logic silently drops the NULL group from BOTH the
-      // carried and recomputed sides on every maintenance run
-      val nonNull = changed.filter(_ != null)
-      val nullChanged = changed.exists(_ == null)
-      def member(c: org.apache.spark.sql.Column) = {
-        val inSet =
-          if (nonNull.isEmpty) lit(false)
-          else coalesce(c.isInCollection(nonNull), lit(false))
-        if (nullChanged) c.isNull || inSet else inSet
-      }
-      val carried = prev.filter(!member(col(keyCol)))
-      val fresh = recompute(data.filter(member(col(keyCol))))
+      val carried = prev.filter(!keyMembership(changed, col(keyCol)))
+      val fresh = recompute(data.filter(keyMembership(changed, col(keyCol))))
       carried.unionByName(fresh)
     }
+  }
+
+  /** NULL-SAFE set membership for partition keys. NULL is a legitimate
+    * partition key (e.g. a null-day group from null timestamps):
+    * membership must be null-safe, or `NOT IN`'s three-valued logic
+    * silently drops the NULL group from BOTH the carried and recomputed
+    * sides on every maintenance run. Shared by [[maintainByKeys]] and
+    * the streamed maintenance loop's no-previous-version branch — the
+    * two must route the null group identically or they diverge. */
+  def keyMembership(changed: Seq[Any],
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nonNull = changed.filter(_ != null)
+    val nullChanged = changed.exists(_ == null)
+    val inSet =
+      if (nonNull.isEmpty) lit(false)
+      else coalesce(c.isInCollection(nonNull), lit(false))
+    if (nullChanged) c.isNull || inSet else inSet
   }
 }

@@ -108,11 +108,7 @@ object AudioQueries {
         new java.io.File(dir.replaceAll("/+$", "")).getName
       val marker = new java.io.File(root, "_COMPLETE")
       if (!marker.exists()) {
-        def rm(f: java.io.File): Unit = if (f.exists()) {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(root))
+        graft.util.LocalFs.deleteRecursively(new java.io.File(root))
         new java.io.File(root).mkdirs()
         val enc = WavCodec.encodeWaves(
           SpectralOps.synthesizeWaves(

@@ -229,16 +229,26 @@ object JoinQueries {
         .replaceAll("\\W", "_")
       val (liT, oT) = (s"graft_li_bkt_$sfTag", s"graft_o_bkt_$sfTag")
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$sfTag"
-      s.sql(s"DROP TABLE IF EXISTS `$liT`")
-      s.sql(s"DROP TABLE IF EXISTS `$oT`")
-      // external locations: pre-existing dirs from a previous JVM are
-      // legal and overwritten (the IncrementalDedup lesson, e83c447)
-      Tables.lineitem(s, dir)
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$root/$liT").mode("overwrite").saveAsTable(liT)
-      Tables.orders(s, dir)
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$root/$oT").mode("overwrite").saveAsTable(oT)
+      // ingest ONCE per session: bucketing is the amortize-the-shuffle-
+      // at-ingest story, so rebuilding both tables inside every (timed)
+      // invocation measured the ingest, not the exchange-free join the
+      // row exists to demonstrate — the warm bench pass now reuses the
+      // session tables, like q_audio_archive_psd's marker pattern
+      val ready = s.catalog.tableExists(liT) && s.catalog.tableExists(oT) &&
+        new java.io.File(s"$root/$liT").isDirectory &&
+        new java.io.File(s"$root/$oT").isDirectory
+      if (!ready) {
+        s.sql(s"DROP TABLE IF EXISTS `$liT`")
+        s.sql(s"DROP TABLE IF EXISTS `$oT`")
+        // external locations: pre-existing dirs from a previous JVM are
+        // legal and overwritten (the IncrementalDedup lesson, e83c447)
+        Tables.lineitem(s, dir)
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/$liT").mode("overwrite").saveAsTable(liT)
+        Tables.orders(s, dir)
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/$oT").mode("overwrite").saveAsTable(oT)
+      }
       val li = s.table(liT)
       val o = s.table(oT)
       graft.ops.JoinOps.factFactJoin(li, o,

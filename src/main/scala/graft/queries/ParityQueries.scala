@@ -117,12 +117,8 @@ object ParityQueries {
       import s.implicits._
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_s5_archive/" +
         new java.io.File(dir.replaceAll("/+$", "")).getName
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(root)) // fresh build: stale commit markers would
-                                 // short-circuit the appends
+      graft.util.LocalFs.deleteRecursively(new java.io.File(root))
+      // fresh build: stale commit markers would short-circuit the appends
       val bb = events(s, dir).select(col("event_type").as("hydrophone"),
         lit(60).as("delta_t"), col("ts"), col("value"))
       (0 to 4).foreach { w =>

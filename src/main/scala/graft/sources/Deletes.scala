@@ -97,7 +97,7 @@ object Deletes {
     // URI forms differ between sources (`file:/`, `file:///`): compare
     // canonically or every file looks uncovered and routing degrades to
     // a full confirm scan
-    def canon(s: String) = s.replaceFirst("^file:/+", "file:///")
+    def canon(s: String) = SkipIndex.canonPath(s)
     // collect the (file, bloom) index ONCE — metadata scale — and derive
     // both the covered set and the key routing from the same rows: an
     // uncached bloomIdx is a lazy full-archive aggregate, and evaluating

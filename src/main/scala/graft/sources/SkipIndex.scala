@@ -221,9 +221,14 @@ object SkipIndex {
     import spark.implicits._
     // same stale-FileStatusCache guard as buildFooterIndex
     spark.catalog.refreshByPath(dataDir)
-    val listing = spark.createDataset(
-      spark.read.parquet(dataDir).inputFiles.toIndexedSeq)(Encoders.STRING)
-      .toDF("file")
+    // an archive with NO data files yet (first empty micro-batch of an
+    // ingest loop: only _ingest_commits/_skipindex sidecars exist) fails
+    // parquet schema inference — that's an empty listing, not an error
+    val files =
+      try spark.read.parquet(dataDir).inputFiles.toIndexedSeq
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        IndexedSeq.empty[String] }
+    val listing = spark.createDataset(files)(Encoders.STRING).toDF("file")
     // joins on the metadata frames, never an N-file isin literal
     val kept = existing.join(listing, Seq("file"), "left_semi")
     val newFiles = listing
@@ -259,16 +264,23 @@ object SkipIndex {
     * concurrent deletions during the stream (true for the append-only
     * archives it serves); a restart goes through loadIndexOrEmpty +
     * refreshFooterIndex, which reconciles against the real listing. */
+  /** One path, several spellings: Spark's inputFiles listing renders
+    * local files as `file:///x` while Hadoop's makeQualified (the
+    * appender's form) renders `file:/x` — compared raw, every landed
+    * file would re-enter an index beside its listing-spelled row and a
+    * picks read would double its rows (caught by RollupSpec). Every
+    * site that compares file paths across those two sources — index
+    * extension here, the maintenance loop's changed-day routing, the
+    * delete-apply live-path intersection — must use THIS one
+    * canonicalizer; per-site copies were drifting hazards. */
+  def canonPath(s: String): String = s.replaceFirst("^file:/+", "file:///")
+
   def extendFooterIndex(spark: SparkSession, existing: DataFrame,
                         newFiles: Seq[String], statCol: String): DataFrame = {
-    // one path, several spellings: Spark's inputFiles listing renders
-    // local files as `file:///x` while Hadoop's makeQualified (the
-    // appender's form) renders `file:/x` — compared raw, every landed
-    // file would re-enter beside its listing-spelled row and the picks
-    // read would double its rows (caught by RollupSpec). Store and
-    // compare ONE spelling (the listing's, so refreshFooterIndex's
-    // listing-diff healing keeps working on extended indexes).
-    def canon(s: String) = s.replaceFirst("^file:/+", "file:///")
+    // store and compare ONE spelling (the listing's, so
+    // refreshFooterIndex's listing-diff healing keeps working on
+    // extended indexes) — see canonPath
+    def canon(s: String) = canonPath(s)
     val existRows = existing.collect().toIndexedSeq
     val fileIdx = existing.schema.fieldIndex("file")
     val known = existRows.map(r => canon(r.getString(fileIdx))).toSet

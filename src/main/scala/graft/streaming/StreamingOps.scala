@@ -663,12 +663,13 @@ object StreamingOps {
     // the enumeration is driver arithmetic, not a Spark job. LocalDate
     // (timezone-free proleptic days) matches to_date(ts) under the UTC
     // session exactly: epoch-day = floor(µs / 86400e6).
-    def canonF(p: String) = p.replaceFirst("^file:/+", "file:///")
+    def canonF(p: String) = SkipIndex.canonPath(p)
     val landedSet = landed.map(canonF).toSet
     val idxRows = idx.collect().toIndexedSeq
     val fI = idx.schema.fieldIndex("file")
-    val changed: Seq[java.time.LocalDate] = idxRows
+    val landedRows = idxRows
       .filter(r => landedSet.contains(canonF(r.getString(fI))))
+    val changedDays: Seq[java.time.LocalDate] = landedRows
       .flatMap { r =>
         val (rows, mn, mx) = (r.getLong(idx.schema.fieldIndex("n_rows")),
           r.getLong(idx.schema.fieldIndex("min_us")),
@@ -677,12 +678,30 @@ object StreamingOps {
         else (Math.floorDiv(mn, 86400000000L) to Math.floorDiv(mx, 86400000000L))
           .map(java.time.LocalDate.ofEpochDay)
       }.distinct
+    // footer min/max zones EXCLUDE nulls, so a landed file carrying
+    // null-ts rows (n_nulls > 0, or unknown −1) contributes a changed
+    // group the zones can't name: the NULL day. Route it explicitly or
+    // the maintained rollup's null group silently diverges from a full
+    // recompute (RollupOps.maintainByKeys is null-safe; the zone
+    // derivation has to be too).
+    val nI = idx.schema.fieldIndex("n_nulls")
+    val landedNulls = landedRows.exists(_.getLong(nI) != 0L)
+    val changed: Seq[Any] =
+      if (landedNulls) changedDays :+ (null: Any) else changedDays
     if (changed.nonEmpty) {
       def us(d: java.time.LocalDate): Long = d.toEpochDay * 86400000000L
-      val picks = changed.map(d =>
+      val dayPicks = changedDays.map(d =>
           SkipIndex.pruneFiles(idx, us(d), us(d) + 86400000000L))
+      // null-day rows live in any file whose footer reports (or cannot
+      // rule out) null-ts rows — zones can't route them
+      val nullPicks =
+        if (landedNulls) Seq(idx.filter(col("n_nulls") =!= 0L)) else Seq.empty
+      // distinct AFTER every contributor: an all-null file satisfies
+      // unprunableFiles' inverted-sentinel test AND nullPicks — deduping
+      // before the unprunable union read it twice and doubled the null
+      // group (caught by RollupSpec's null-day pin)
+      val picks = (dayPicks ++ nullPicks :+ SkipIndex.unprunableFiles(idx))
         .reduce(_ unionByName _).distinct()
-        .unionByName(SkipIndex.unprunableFiles(idx))
       val data = SkipIndex.readFiles(s, picks)
         .withColumn("day", to_date(col(tsCol)))
       // prev = latest version STRICTLY BEFORE this batch id: on
@@ -698,7 +717,10 @@ object StreamingOps {
         case Some(p) =>
           graft.ops.RollupOps.maintainByKeys(p, data, changed, "day", recompute)
         case None =>
-          recompute(data.filter(col("day").isInCollection(changed)))
+          // same null-safe membership maintainByKeys uses — a plain
+          // isInCollection would drop the null-day group here
+          recompute(data.filter(
+            graft.ops.RollupOps.keyMembership(changed, col("day"))))
       })
       next.coalesce(1).write.mode("overwrite")
         .parquet(rollupVersionPath(dir, streamId, batchId))

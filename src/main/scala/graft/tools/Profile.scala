@@ -834,11 +834,8 @@ object Profile {
           graft.text.TextOps.md5Hex((id % n0).toString))
         Seq(1, 1, 10).foreach { times =>
           val root = s"/tmp/graft_profile_maint/x$times"
-          def rm(f: java.io.File): Unit = if (f.exists()) {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(): Unit
-          }
-          rm(new java.io.File(root)) // deletes mutate: always fresh
+          graft.util.LocalFs.deleteRecursively(
+            new java.io.File(root)) // deletes mutate: always fresh
           SkipIndex.writeTimeClustered(evX(times), "ts", root,
             numFiles = 20 * times)
           val bidx = SkipIndex.buildBloomIndex(spark, root, "trace_id",

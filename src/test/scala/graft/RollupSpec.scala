@@ -142,6 +142,62 @@ class RollupSpec extends AnyFunSuite {
       .orderBy("day").collect().toSeq == before(3))
   }
 
+  test("empty first batch against an empty archive is a no-op, not a crash") {
+    // regression: refreshFooterIndex ran spark.read.parquet on an archive
+    // holding only sidecar dirs and died on schema inference — the first
+    // delivery of a fresh ingest loop is exactly this shape
+    import graft.streaming.StreamingOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_empty").toString
+    val arch = s"$tmp/arch"
+    val sid = StreamingOps.streamScope(s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    StreamingOps.maintainRollupBatch(
+      ev.filter(lit(false)), 0L, sid, "ts", arch, dailyAgg)
+    assert(!new java.io.File(
+      StreamingOps.rollupVersionPath(arch, sid, 0L)).exists())
+    // and the loop proceeds normally afterwards
+    StreamingOps.maintainRollupBatch(ev, 1L, sid, "ts", arch, dailyAgg)
+    val v1 = spark.read.parquet(StreamingOps.rollupVersionPath(arch, sid, 1L))
+      .orderBy("day").collect().toSeq
+    assert(v1 == dailyAgg(ev.withColumn("day", to_date(col("ts"))))
+      .orderBy("day").collect().toSeq)
+  }
+
+  test("null-timestamp rows maintain the NULL-day group (zones can't " +
+       "name it; n_nulls routes it)") {
+    import graft.streaming.StreamingOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup_null").toString
+    val arch = s"$tmp/arch"
+    val sid = StreamingOps.streamScope(s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_id"),
+        when(col("event_id") % 97 === 0, lit(null)).otherwise(col("ts")).as("ts"),
+        col("user_id"), col("value"))
+    val cut = lit("2024-01-16").cast("timestamp")
+    // batch 0: no nulls; batches 1-2: null-ts rows interleaved — the
+    // null group must grow across batches exactly like a day group
+    val batches = Seq(
+      ev.filter(col("ts") < cut),
+      ev.filter(col("ts").isNull && col("event_id") < 500),
+      ev.filter(col("ts") >= cut ||
+        (col("ts").isNull && col("event_id") >= 500)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingOps.maintainRollupBatch(b, i.toLong, sid, "ts", arch, dailyAgg)
+    }
+    val latest = StreamingOps.latestRollup(spark, arch).get
+      .orderBy(col("day").asc_nulls_first).collect().toSeq
+    val full = dailyAgg(ev.withColumn("day", to_date(col("ts"))))
+      .orderBy(col("day").asc_nulls_first).collect().toSeq
+    assert(latest == full)
+    // and the null group is genuinely present (the test would otherwise
+    // pass vacuously on data without nulls)
+    assert(full.exists(_.isNullAt(0)))
+    assert(full.find(_.isNullAt(0)).get.getLong(1) >= 10)
+    // both null-bearing batches contributed (the cross-batch growth path)
+    assert(batches(1).count() > 0 && batches(2).filter(col("ts").isNull).count() > 0)
+  }
+
   test("CDC sink: content-to-batch permutation and batch replay both converge") {
     import graft.streaming.StreamingOps
     import graft.ops.MergeOps

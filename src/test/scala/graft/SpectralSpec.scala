@@ -90,6 +90,19 @@ class SpectralSpec extends AnyFunSuite {
     }
   }
 
+  test("waveforms shorter than one frame contribute zero frames") {
+    // sequence(0, negative) defaults to step -1 in Spark — without the
+    // guard a 59-sample tolerant partial decode would emit NEGATIVE
+    // frame indices with end-relative slices feeding corrupt partials
+    import spark.implicits._
+    val short = Seq((1L, Array.fill(59)(0.5)), (2L, Array.fill(300)(0.5)))
+      .toDF("doc_id", "samples")
+    val framed = SpectralOps.frameWaveform(short, "samples", 256, 128)
+    val rows = framed.select("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(rows == Seq((2L, 0))) // doc 1: zero frames; doc 2: exactly one
+  }
+
   test("synthesis kernel ≡ expression formulation, bit for bit") {
     // the mapPartitions kernel replaced the interpreted transform-lambda
     // on the hot path; same Math.sin, same operation order — every

@@ -99,6 +99,25 @@ class WavCodecSpec extends AnyFunSuite {
     assert(d8.sampleRate == 8000 && d8.samples.length == n8)
     d8.samples.foreach(v => assert(math.abs(v - 0.5) < 0.01, v.toString))
 
+    // hostile declared chunk size near Int.MaxValue: int arithmetic
+    // would wrap the bounds check negative and read far past the buffer
+    // — must be a clean decline on both paths, never a task failure
+    val hostile = {
+      val h = java.nio.ByteBuffer.allocate(60)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(2147483640)
+      h.array()
+    }
+    // the strict direct path declines; the composite decoder defers to
+    // the JDK, which clamps the read to the available bytes — either
+    // way a BOUNDED, non-throwing outcome
+    assert(FastWavDecoder.decodePcm16Direct(hostile).isEmpty)
+    assert(FastWavDecoder.decode(hostile).map(_.samples.toSeq) ==
+      JavaSoundDecoder.decode(hostile).map(_.samples.toSeq))
+
     // truncated data chunk: the STRICT direct path declines (declared
     // size past the buffer), the composite decoder then matches the
     // JDK's tolerant partial decode — no throw either way
