@@ -279,12 +279,20 @@ object SpectralOps {
     * Output: `(id, start_frame, end_frame, n_frames, peak_p_nano)`
     * + start/end seconds derived from the hop. */
   def detectEvents(partials: DataFrame, idCol: String, thresholdNano: Long,
-                   sampleRate: Int, hop: Int): DataFrame = {
+                   sampleRate: Int, hop: Int): DataFrame =
+    detectEventsFromTotals(
+      partials.groupBy(col(idCol), col("frame_idx"))
+        .agg(sum(col("p_nano")).as("frame_p")),
+      idCol, thresholdNano, sampleRate, hop)
+
+  /** The islands stage of [[detectEvents]], over ALREADY-SUMMED frame
+    * totals `(id, frame_idx, frame_p)` — the entry point the streaming
+    * twin uses (its running aggregate IS the frame-total stage; integer
+    * sums are batch-boundary-free, so the batch oracle applies). */
+  def detectEventsFromTotals(totals: DataFrame, idCol: String,
+      thresholdNano: Long, sampleRate: Int, hop: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val frameTotals = partials
-      .groupBy(col(idCol), col("frame_idx"))
-      .agg(sum(col("p_nano")).as("frame_p"))
-      .filter(col("frame_p") > thresholdNano)
+    val frameTotals = totals.filter(col("frame_p") > thresholdNano)
     val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
     frameTotals
       .withColumn("island", col("frame_idx") - row_number().over(w))

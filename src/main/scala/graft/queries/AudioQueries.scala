@@ -96,6 +96,15 @@ object AudioQueries {
         .orderBy("doc_id", "start_frame")
     }),
 
+    // STREAMING twin of q_audio_detections — detection at ingest: the
+    // running (recording, frame) integer aggregate is batch-boundary-
+    // free, so the streamed islands are bit-identical to batch and the
+    // same oracle applies.
+    "q_stream_audio_detections" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .runAudioDetectionsOnce(s, dir, Sr, NSamples, FrameLen, Hop, DetectNano)
+        .orderBy("doc_id", "start_frame")),
+
     // ARCHIVE deployment path: a directory of .wav FILES read through
     // Spark's binaryFile source → JDK decode → PSD — "point the engine
     // at a WAV archive" end-to-end. The fixture archive (every 10th
@@ -214,6 +223,29 @@ object AudioQueries {
     }),
   )
 
+  /** Gaps-and-islands replay for both detection queries (batch + its
+    * streaming twin — identical totals by integer-sum linearity). */
+  private lazy val detectionsSql: String =
+    s"""WITH frame_p AS (
+       |  SELECT doc_id, frame_idx, sum(p_nano) AS frame_p
+       |  FROM read_parquet('${sqlPath("audio_burst_partials")}')
+       |  GROUP BY 1, 2
+       |), hot AS (
+       |  SELECT doc_id, frame_idx, frame_p,
+       |         frame_idx - row_number() OVER (PARTITION BY doc_id
+       |                                        ORDER BY frame_idx) AS island
+       |  FROM frame_p WHERE frame_p > 1000000000000
+       |)
+       |SELECT doc_id,
+       |       min(frame_idx) AS start_frame,
+       |       max(frame_idx) AS end_frame,
+       |       count(*) AS n_frames,
+       |       CAST(max(frame_p) AS BIGINT) AS peak_p_nano,
+       |       round(min(frame_idx) * 128.0 / 1024, 6) AS start_sec,
+       |       round((max(frame_idx) * 128.0 + 128) / 1024, 6) AS end_sec
+       |FROM hot GROUP BY doc_id, island
+       |ORDER BY doc_id, start_frame""".stripMargin
+
   private def welchSql(fix: String): String =
     s"""SELECT doc_id, band,
        |       round(10.0 * log10(CAST(sum(p_nano) AS DOUBLE)
@@ -260,26 +292,10 @@ object AudioQueries {
          |FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
 
-    "q_audio_detections" ->
-      s"""WITH frame_p AS (
-         |  SELECT doc_id, frame_idx, sum(p_nano) AS frame_p
-         |  FROM read_parquet('${sqlPath("audio_burst_partials")}')
-         |  GROUP BY 1, 2
-         |), hot AS (
-         |  SELECT doc_id, frame_idx, frame_p,
-         |         frame_idx - row_number() OVER (PARTITION BY doc_id
-         |                                        ORDER BY frame_idx) AS island
-         |  FROM frame_p WHERE frame_p > 1000000000000
-         |)
-         |SELECT doc_id,
-         |       min(frame_idx) AS start_frame,
-         |       max(frame_idx) AS end_frame,
-         |       count(*) AS n_frames,
-         |       CAST(max(frame_p) AS BIGINT) AS peak_p_nano,
-         |       round(min(frame_idx) * 128.0 / 1024, 6) AS start_sec,
-         |       round((max(frame_idx) * 128.0 + 128) / 1024, 6) AS end_sec
-         |FROM hot GROUP BY doc_id, island
-         |ORDER BY doc_id, start_frame""".stripMargin,
+    "q_audio_detections" -> detectionsSql,
+
+    // streamed totals ≡ batch totals by integer-sum linearity
+    "q_stream_audio_detections" -> detectionsSql,
 
     "q_audio_band_summary" ->
       s"""WITH w AS (

@@ -143,6 +143,34 @@ object StreamingOps {
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     footerSchemaStream(spark, dir, "documents.parquet")
 
+  /** STREAMING event detection (detection at INGEST): burst waveforms
+    * arrive in micro-batches, the fused FFT kernel maps statelessly, a
+    * running integer aggregate keyed (recording, frame) carries frame
+    * totals, and the gaps-and-islands stage runs batch-side on the
+    * drained totals — integer sums are batch-boundary-free, so the
+    * streamed detections are bit-identical to the batch query's and the
+    * same DuckDB islands replay applies. */
+  def runAudioDetectionsOnce(spark: SparkSession, dir: String,
+      sampleRate: Int, nSamples: Int, frameLen: Int, hop: Int,
+      thresholdNano: Long): DataFrame = {
+    import graft.audio.SpectralOps
+    val name = s"graft_stream_audio_det_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val bursts = SpectralOps.synthesizeBursts(
+      documentsStream(ses, dir).select("doc_id"), "doc_id", sampleRate, nSamples)
+    val partials = SpectralOps.bandPartialsFused(
+      SpectralOps.frameWaveform(bursts, "samples", frameLen, hop),
+      "doc_id", sampleRate, frameLen)
+    val q = partials.groupBy(col("doc_id"), col("frame_idx"))
+      .agg(sum(col("p_nano")).as("frame_p"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    SpectralOps.detectEventsFromTotals(
+      drainTable(ses, name), "doc_id", thresholdNano, sampleRate, hop)
+  }
+
   /** STREAMING spectral pipeline (the ingest-time shape of q_audio_psd):
     * waveforms arrive in micro-batches, the fused frame→FFT→band kernel
     * runs as a STATELESS per-partition map, and the only stateful
