@@ -283,6 +283,54 @@ object LayoutQueries {
         .orderBy("day")
     }),
 
+    // DIM-DELTA IVM (RollupOps.maintainOnDimDelta): a user-segment
+    // rollup maintained through a DIMENSION update without scanning
+    // facts — the delta keys bloom-route to the fact files that hold
+    // them (no false negatives → no partition missed), footer zones
+    // name the affected day partitions, and only those recompute under
+    // the new dimension via a broadcast join; every other partition is
+    // carried (identical under old and new dim, since it holds no
+    // delta-key facts). The oracle is the full join+aggregate under the
+    // NEW dimension — maintenance must be exact.
+    "q_ivm_dim_update" -> ((s, dir) => {
+      import graft.sources.SkipIndex
+      val root = s"/tmp/graft_index/${sfName(dir)}/ivm_facts"
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val marker = new java.io.File(s"$root/_COMPLETE")
+      if (!marker.exists()) {
+        SkipIndex.writeTimeClustered(ev, "ts", root, numFiles = 16)
+        marker.createNewFile(): Unit
+      }
+      val idx = SkipIndex.buildFooterIndex(s, root, "ts")
+      val bloom = SkipIndex.buildBloomIndex(
+        s, root, "CAST(user_id AS STRING)", 100000L, 1L << 20)
+      val deltaKeys = Seq(3L, 7L, 11L)
+      def dim(updated: Boolean): DataFrame = {
+        val seg =
+          if (updated) when(col("user_id").isInCollection(deltaKeys), lit(99L))
+            .otherwise(col("user_id") % 5)
+          else col("user_id") % 5
+        ev.select(col("user_id")).distinct().withColumn("segment", seg)
+      }
+      def segV(dimDf: DataFrame)(facts: DataFrame): DataFrame =
+        facts.join(broadcast(dimDf), "user_id")
+          .groupBy("day", "segment")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+      val facts = s.read.parquet(root).withColumn("day", to_date(col("ts")))
+      // the view under the OLD dimension, materialized (the maintained
+      // view is a table, not a lineage — carrying a lazy plan would
+      // re-join the carried partitions on every read)
+      segV(dim(updated = false))(facts)
+        .write.mode("overwrite").parquet(s"$root/../ivm_v1")
+      val v1 = s.read.parquet(s"$root/../ivm_v1")
+      graft.ops.RollupOps.maintainOnDimDelta(
+          v1, idx, bloom, deltaKeys.map(_.toString), "ts",
+          segV(dim(updated = true)))
+        .orderBy("day", "segment")
+    }),
+
     // The SAME daily rollup maintained CONTINUOUSLY at ingest
     // (StreamingOps.rollupIngest): events replay as 6 ts-range
     // micro-batches into the flat skip-indexed archive; each batch runs
@@ -358,6 +406,18 @@ object LayoutQueries {
 
     // maintenance is exact → the oracle is the full-scan daily rollup
     "q_incr_rollup" -> DailyRollupSql,
+
+    // dim-delta maintenance is exact → the oracle is the full
+    // join+aggregate under the NEW dimension
+    "q_ivm_dim_update" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |       CASE WHEN user_id IN (3, 7, 11) THEN CAST(99 AS BIGINT)
+        |            ELSE user_id % 5 END AS segment,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_micro
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // the JSONL round-trip must be lossless → same daily-rollup oracle
     "q_jsonl_ingest" -> DailyRollupSql,

@@ -294,6 +294,43 @@ object SkipIndex {
     spark.createDataFrame(all, existing.schema)
   }
 
+  /** Changed-DAY derivation from index rows: every epoch day covered by
+    * each row's `[min_us, max_us]` zone, plus a null-group flag when any
+    * row carries (`n_nulls` > 0) or cannot rule out (−1) null stat-column
+    * values — footer zones EXCLUDE nulls, so the NULL day is a changed
+    * group zones can't name and must be routed explicitly. Shared by the
+    * streamed maintenance loop and dim-delta IVM; the two must derive
+    * identically or their maintained views diverge. */
+  def zoneChangedDays(idxSchema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row])
+      : (Seq[java.time.LocalDate], Boolean) = {
+    val (nR, mnI, mxI, nnI) = (idxSchema.fieldIndex("n_rows"),
+      idxSchema.fieldIndex("min_us"), idxSchema.fieldIndex("max_us"),
+      idxSchema.fieldIndex("n_nulls"))
+    val days = rows.flatMap { r =>
+      val (rows0, mn, mx) = (r.getLong(nR), r.getLong(mnI), r.getLong(mxI))
+      if (rows0 == 0L || mn > mx) Seq.empty
+      else (Math.floorDiv(mn, 86400000000L) to Math.floorDiv(mx, 86400000000L))
+        .map(java.time.LocalDate.ofEpochDay)
+    }.distinct
+    (days, rows.exists(_.getLong(nnI) != 0L))
+  }
+
+  /** Pruned pick set for a changed-day recompute: the day-zone files,
+    * the null-bearing files when the null group changed, and the
+    * unprunable residue — DISTINCT applied after ALL contributors (an
+    * all-null file satisfies both the null picks and the unprunable
+    * test; deduping early double-reads it). */
+  def picksForChangedDays(idx: DataFrame, days: Seq[java.time.LocalDate],
+      includeNullGroup: Boolean): DataFrame = {
+    def us(d: java.time.LocalDate): Long = d.toEpochDay * 86400000000L
+    val dayPicks = days.map(d => pruneFiles(idx, us(d), us(d) + 86400000000L))
+    val nullPicks =
+      if (includeNullGroup) Seq(idx.filter(col("n_nulls") =!= 0L)) else Seq.empty
+    (dayPicks ++ nullPicks :+ unprunableFiles(idx))
+      .reduce(_ unionByName _).distinct()
+  }
+
   /** Files whose `[min_us, max_us]` zone intersects `[loUs, hiUs)`.
     * Unprunable files (no stats) have an empty zone and are excluded —
     * pair with [[unprunableFiles]] when the archive may contain them. */
@@ -337,10 +374,13 @@ object SkipIndex {
   def buildBloomIndex(spark: SparkSession, dataDir: String, keyCol: String,
       expectedItemsPerFile: Long, numBits: Long): DataFrame = {
     spark.catalog.refreshByPath(dataDir) // same stale-listing guard as footer index
+    // keyCol is any SQL expression (a plain column name, or e.g.
+    // `CAST(user_id AS STRING)` — probe-side pruneCollectedByKeys hashes
+    // STRING keys, so non-string key columns are indexed via a cast)
     spark.read.parquet(dataDir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(graft.functions.BloomFunctions.bloom_agg(
-        col(keyCol), expectedItemsPerFile, numBits).as("bloom"))
+        expr(keyCol), expectedItemsPerFile, numBits).as("bloom"))
   }
 
   /** Files whose Bloom blob might contain ANY of `keys` (string keys,

@@ -697,39 +697,15 @@ object StreamingOps {
     val fI = idx.schema.fieldIndex("file")
     val landedRows = idxRows
       .filter(r => landedSet.contains(canonF(r.getString(fI))))
-    val changedDays: Seq[java.time.LocalDate] = landedRows
-      .flatMap { r =>
-        val (rows, mn, mx) = (r.getLong(idx.schema.fieldIndex("n_rows")),
-          r.getLong(idx.schema.fieldIndex("min_us")),
-          r.getLong(idx.schema.fieldIndex("max_us")))
-        if (rows == 0L || mn > mx) Seq.empty
-        else (Math.floorDiv(mn, 86400000000L) to Math.floorDiv(mx, 86400000000L))
-          .map(java.time.LocalDate.ofEpochDay)
-      }.distinct
-    // footer min/max zones EXCLUDE nulls, so a landed file carrying
-    // null-ts rows (n_nulls > 0, or unknown −1) contributes a changed
-    // group the zones can't name: the NULL day. Route it explicitly or
-    // the maintained rollup's null group silently diverges from a full
-    // recompute (RollupOps.maintainByKeys is null-safe; the zone
-    // derivation has to be too).
-    val nI = idx.schema.fieldIndex("n_nulls")
-    val landedNulls = landedRows.exists(_.getLong(nI) != 0L)
+    // changed days from footer zones + the NULL-day flag (zones exclude
+    // nulls, so null-ts rows are a changed group zones can't name) —
+    // shared derivation with dim-delta IVM: SkipIndex.zoneChangedDays
+    val (changedDays, landedNulls) =
+      SkipIndex.zoneChangedDays(idx.schema, landedRows)
     val changed: Seq[Any] =
       if (landedNulls) changedDays :+ (null: Any) else changedDays
     if (changed.nonEmpty) {
-      def us(d: java.time.LocalDate): Long = d.toEpochDay * 86400000000L
-      val dayPicks = changedDays.map(d =>
-          SkipIndex.pruneFiles(idx, us(d), us(d) + 86400000000L))
-      // null-day rows live in any file whose footer reports (or cannot
-      // rule out) null-ts rows — zones can't route them
-      val nullPicks =
-        if (landedNulls) Seq(idx.filter(col("n_nulls") =!= 0L)) else Seq.empty
-      // distinct AFTER every contributor: an all-null file satisfies
-      // unprunableFiles' inverted-sentinel test AND nullPicks — deduping
-      // before the unprunable union read it twice and doubled the null
-      // group (caught by RollupSpec's null-day pin)
-      val picks = (dayPicks ++ nullPicks :+ SkipIndex.unprunableFiles(idx))
-        .reduce(_ unionByName _).distinct()
+      val picks = SkipIndex.picksForChangedDays(idx, changedDays, landedNulls)
       val data = SkipIndex.readFiles(s, picks)
         .withColumn("day", to_date(col(tsCol)))
       // prev = latest version STRICTLY BEFORE this batch id: on

@@ -198,6 +198,56 @@ class RollupSpec extends AnyFunSuite {
     assert(batches(1).count() > 0 && batches(2).filter(col("ts").isNull).count() > 0)
   }
 
+  test("dim-delta IVM: exact vs full recompute, and the delta key routes " +
+       "to a strict file subset") {
+    import graft.sources.SkipIndex
+    import graft.ops.RollupOps
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val root = s"$tmp/facts"
+    // three day-clustered files; user 3 has facts ONLY on 2024-01-02
+    import spark.implicits._
+    val facts0 = Seq(
+      (1L, "2024-01-01 01:00:00", 1L, 10.0), (2L, "2024-01-01 02:00:00", 2L, 20.0),
+      (3L, "2024-01-02 01:00:00", 3L, 30.0), (4L, "2024-01-02 02:00:00", 4L, 40.0),
+      (5L, "2024-01-03 01:00:00", 1L, 50.0), (6L, "2024-01-03 02:00:00", 4L, 60.0)
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    SkipIndex.writeTimeClustered(facts0, "ts", root, numFiles = 8)
+    val idx = SkipIndex.buildFooterIndex(spark, root, "ts")
+    val bloom = SkipIndex.buildBloomIndex(
+      spark, root, "CAST(user_id AS STRING)", 100L, 1L << 16)
+    // the delta key's facts live on one day → strictly fewer files route
+    // than exist (zones are per-day by construction)
+    val routed = SkipIndex.pruneFilesByKeys(bloom, Seq("3")).collect()
+    val allFiles = spark.read.parquet(root).inputFiles.length
+    assert(routed.nonEmpty && routed.length < allFiles,
+      s"routed ${routed.length} of $allFiles")
+
+    def segV(updated: Boolean)(d: org.apache.spark.sql.DataFrame) = {
+      val seg = if (updated) when(col("user_id") === 3L, lit(99L))
+        .otherwise(col("user_id") % 2) else col("user_id") % 2
+      d.withColumn("segment", seg).groupBy("day", "segment")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+    }
+    val facts = spark.read.parquet(root).withColumn("day", to_date(col("ts")))
+    val v1 = segV(updated = false)(facts)
+    val maintained = RollupOps.maintainOnDimDelta(
+        v1, idx, bloom, Seq("3"), "ts", segV(updated = true))
+      .orderBy("day", "segment").collect().toSeq
+    val full = segV(updated = true)(facts)
+      .orderBy("day", "segment").collect().toSeq
+    assert(maintained == full)
+    // the update genuinely changed the routed day's grouping
+    assert(full.exists(_.getLong(1) == 99L))
+
+    // a key with NO facts routes nowhere → prev returned untouched
+    val unchanged = RollupOps.maintainOnDimDelta(
+      v1, idx, bloom, Seq("does-not-exist"), "ts", segV(updated = true))
+    assert(unchanged.orderBy("day", "segment").collect().toSeq ==
+      v1.orderBy("day", "segment").collect().toSeq)
+  }
+
   test("CDC sink: content-to-batch permutation and batch replay both converge") {
     import graft.streaming.StreamingOps
     import graft.ops.MergeOps
