@@ -58,6 +58,13 @@ object MultimodalQueries {
     "q_stream_dedup" -> ((s, dir) =>
       StreamingOps.runStreamDedupOnce(s, dir).orderBy("content_hash")),
 
+    // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark over
+    // a doubled archive): duplicates within the watermark dedup exactly;
+    // state for keys past the watermark evicts instead of growing
+    // forever — the continuous-ingest variant of q_stream_dedup.
+    "q_stream_dedup_wm" -> ((s, dir) =>
+      StreamingOps.runStreamDedupWatermarkOnce(s, dir)),
+
     // Custom streaming state (flatMapGroupsWithState): per-user running
     // (count, sum); final emissions == the batch per-user aggregate.
     "q_stream_user_stats" -> ((s, dir) =>
@@ -177,6 +184,12 @@ object MultimodalQueries {
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash
         |FROM documents ORDER BY content_hash""".stripMargin,
+
+    // every duplicate arrives within the watermark → surviving rows are
+    // exactly the distinct events
+    "q_stream_dedup_wm" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // round(…,2): the streaming side accumulates the double sum in arrival
     // order, DuckDB in scan order — coarse rounding absorbs the last-ulp

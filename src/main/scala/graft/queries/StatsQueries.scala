@@ -50,6 +50,29 @@ object StatsQueries {
       DedupOps.clusterSizeHistogram(d, "doc_id", pairs)
     }),
 
+    // Duplicate-cluster resolution, KEEP-BEST variant: production dedup
+    // keeps the best copy of each family, not the smallest id — here
+    // "best" = longest text (tie → smallest doc_id), the common
+    // keep-the-most-complete-copy policy. Same CC machinery; the keeper
+    // pick is a row_number window PARTITIONED BY cluster (bounded by
+    // family size, never global).
+    "q_dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val pairs = DedupOps.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8)
+        .select(col("id_a"), col("id_b"))
+      val clusters = DedupOps.duplicateClusters(pairs)
+      val keyed = d.select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("text_len").desc, col("doc_id").asc)
+      keyed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cluster_id"), col("text_len"))
+        .orderBy("doc_id")
+    }),
+
     // Leakage-aware train/val split: q_train_split hashes each DOC into
     // a fold, which lets a near-duplicate pair straddle train/val — the
     // classic eval-contamination leak (Lee et al. 2022 measured the
@@ -754,6 +777,46 @@ object StatsQueries {
         |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin,
 
     // same CC chain; fold key = cluster id (own id for singletons)
+    // same CC chain; keeper = longest text per family (tie → min id)
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |  WHERE r.src <> b.dst),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+        |         length(d.text) AS text_len
+        |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |             ORDER BY text_len DESC, doc_id ASC) AS rn
+        |  FROM keyed)
+        |SELECT doc_id, cluster_id, text_len
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
     "q_group_split" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),

@@ -69,7 +69,7 @@ object SkipIndex {
 
   /** Scope a write to INT64 TIMESTAMP_MICROS (stats-bearing) parquet
     * timestamps; restore the session conf after. */
-  private[sources] def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
+  private[graft] def withMicrosTimestamps[T](df: DataFrame)(f: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val conf = df.sparkSession.conf
     val prev = conf.getOption(key)

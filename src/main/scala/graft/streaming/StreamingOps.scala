@@ -143,6 +143,59 @@ object StreamingOps {
   def documentsStream(spark: SparkSession, dir: String): DataFrame =
     footerSchemaStream(spark, dir, "documents.parquet")
 
+  /** BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark` —
+    * the 100 TB continuous-ingest variant the unbounded
+    * [[runStreamDedupOnce]] docstring promises: duplicate re-deliveries
+    * arrive within the event-time watermark, so state for keys older
+    * than the watermark is EVICTED instead of growing forever. Driven
+    * over a doubled events archive (every row twice, the two copies in
+    * different files) with a 1-day watermark: all duplicates fall
+    * inside it, so the streamed output must equal the plain DISTINCT —
+    * the deterministic oracle — while the operator exercised is the
+    * state-evicting one. Emits per-type counts of the surviving rows. */
+  def runStreamDedupWatermarkOnce(spark: SparkSession, dir: String): DataFrame = {
+    // doubled fixture: two files with identical content → duplicates
+    // exist physically, and a micro-batch split between them re-delivers
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dupstream/" +
+      new java.io.File(dir.replaceAll("/+$", "")).getName
+    val marker = new java.io.File(root, "_COMPLETE")
+    if (!marker.exists()) {
+      graft.util.LocalFs.deleteRecursively(new java.io.File(root))
+      new java.io.File(root).mkdirs()
+      val ev = graft.tables.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      Seq("copy_a", "copy_b").foreach { name =>
+        val tmp = new java.io.File(root, s"_tmp_$name")
+        graft.sources.SkipIndex.withMicrosTimestamps(ev) {
+          ev.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        }
+        val part = tmp.listFiles().find(f =>
+          f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(root, s"$name.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        graft.util.LocalFs.deleteRecursively(tmp)
+      }
+      marker.createNewFile(): Unit
+    }
+    val name = s"graft_stream_dedup_wm_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val src = graft.tables.Tables.adaptTs(
+      footerSchemaStream(ses, root, "*.parquet"))
+    val q = src
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_type"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    drainTable(ses, name)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** STREAMING event detection (detection at INGEST): burst waveforms
     * arrive in micro-batches, the fused FFT kernel maps statelessly, a
     * running integer aggregate keyed (recording, frame) carries frame
