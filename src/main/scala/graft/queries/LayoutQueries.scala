@@ -332,7 +332,7 @@ object LayoutQueries {
       val bloom = s.read.parquet(s"$root/../ivm_bloom")
       val v1 = s.read.parquet(s"$root/../ivm_v1")
       graft.ops.RollupOps.maintainOnDimDelta(
-          v1, idx, bloom, deltaKeys.map(_.toString), "ts",
+          v1, idx, bloom, "user_id", deltaKeys.map(_.toString), "ts",
           segV(dim(updated = true)))
         .orderBy("day", "segment")
     }),

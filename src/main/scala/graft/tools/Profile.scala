@@ -668,6 +668,57 @@ object Profile {
             f"tdoa $tTdoa%5.1f s  detect $tDet%5.1f s")
         }
 
+      case "ivm_scale" =>
+        // Dim-delta IVM vs archive span: replicas shift ts by k·31 days
+        // and offset user_id by k·100000, so the delta keys (3, 7, 11)
+        // hold facts ONLY in replica 0's day-span — the affected
+        // partition count is CONSTANT as the archive grows 10×, and the
+        // maintenance cost must stay ~flat (vs the full rebuild, which
+        // grows linearly). That separation is the IVM claim.
+        import org.apache.spark.sql.functions._
+        import graft.sources.SkipIndex
+        import graft.ops.RollupOps
+        val ev0 = graft.tables.Tables.events(spark, sfDir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        def evX(times: Int): DataFrame =
+          (0 until times).map { k =>
+            ev0.select(col("event_id"),
+              (col("ts") + expr(s"INTERVAL ${k * 31} DAYS")).as("ts"),
+              (col("user_id") + lit(k * 100000L)).as("user_id"), col("value"))
+          }.reduce(_ unionByName _)
+        val deltaKeys = Seq("3", "7", "11")
+        def segV(updated: Boolean)(d: DataFrame): DataFrame = {
+          val seg = if (updated)
+            when(col("user_id").isin(3L, 7L, 11L), lit(99L))
+              .otherwise(col("user_id") % 5)
+          else col("user_id") % 5
+          d.withColumn("segment", seg).groupBy("day", "segment")
+            .agg(count(lit(1)).as("n"),
+              sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+        }
+        Seq(1, 1, 4, 10).foreach { times =>
+          val root = s"/tmp/graft_profile_ivm/x$times"
+          graft.util.LocalFs.deleteRecursively(new java.io.File(root))
+          SkipIndex.writeTimeClustered(evX(times), "ts", root, 16 * times)
+          val idx = SkipIndex.buildFooterIndex(spark, root, "ts")
+          val tBloom = elapsed {
+            SkipIndex.buildBloomIndex(spark, root,
+                "CAST(user_id AS STRING)", 100000L, 1L << 20)
+              .write.mode("overwrite").parquet(s"$root/../bloom_x$times")
+          }
+          val bloom = spark.read.parquet(s"$root/../bloom_x$times")
+          val facts = spark.read.parquet(root).withColumn("day", to_date(col("ts")))
+          segV(updated = false)(facts).write.mode("overwrite")
+            .parquet(s"$root/../v1_x$times")
+          val v1 = spark.read.parquet(s"$root/../v1_x$times")
+          val tMaint = elapsed(force(RollupOps.maintainOnDimDelta(
+            v1, idx, bloom, "user_id", deltaKeys, "ts", segV(updated = true))))
+          val tFull = elapsed(force(segV(updated = true)(facts)))
+          println(f"[profile] ${times}%3d× (${facts.count()}%9d facts): " +
+            f"bloom-build $tBloom%5.1f s  maintain $tMaint%5.1f s  " +
+            f"full-rebuild $tFull%5.1f s")
+        }
+
       case "rollup_stages" =>
         // Where does q_stream_rollup's wall go? Time the 6-batch
         // maintenance loop three ways: the full streamed run (micro-batch

@@ -233,7 +233,7 @@ class RollupSpec extends AnyFunSuite {
     val facts = spark.read.parquet(root).withColumn("day", to_date(col("ts")))
     val v1 = segV(updated = false)(facts)
     val maintained = RollupOps.maintainOnDimDelta(
-        v1, idx, bloom, Seq("3"), "ts", segV(updated = true))
+        v1, idx, bloom, "user_id", Seq("3"), "ts", segV(updated = true))
       .orderBy("day", "segment").collect().toSeq
     val full = segV(updated = true)(facts)
       .orderBy("day", "segment").collect().toSeq
@@ -243,7 +243,7 @@ class RollupSpec extends AnyFunSuite {
 
     // a key with NO facts routes nowhere → prev returned untouched
     val unchanged = RollupOps.maintainOnDimDelta(
-      v1, idx, bloom, Seq("does-not-exist"), "ts", segV(updated = true))
+      v1, idx, bloom, "user_id", Seq("does-not-exist"), "ts", segV(updated = true))
     assert(unchanged.orderBy("day", "segment").collect().toSeq ==
       v1.orderBy("day", "segment").collect().toSeq)
   }
