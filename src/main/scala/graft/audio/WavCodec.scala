@@ -140,8 +140,11 @@ object WavCodec {
             ch = bb.getShort(off + 10)
             sr = bb.getInt(off + 12)
             val bits = bb.getShort(off + 22)
-            ok16 = fmt == 1 && bits == 16 && ch >= 1
-            if (!ok16) return None // not PCM16 → let the JDK transcode
+            // sr > 0: a zero/negative declared rate is a corrupt header —
+            // the JDK path throws on it (→ quarantine row), and the fast
+            // path must not silently upgrade it to ok=true
+            ok16 = fmt == 1 && bits == 16 && ch >= 1 && sr > 0
+            if (!ok16) return None // not valid PCM16 → let the JDK decide
           case "data" =>
             if (!ok16) return None
             val nFrames = sz / (2 * ch)

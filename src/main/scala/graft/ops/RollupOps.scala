@@ -114,8 +114,17 @@ object RollupOps {
       .distinct().collect().map(_.get(0)).toIndexedSeq
     if (changed.isEmpty) prev
     else {
-      val days = changed.collect { case d: java.sql.Date => d.toLocalDate }
+      // collect() yields java.sql.Date by default but java.time.LocalDate
+      // under spark.sql.datetime.java8API.enabled — match both, and fail
+      // LOUDLY on anything else (a silent non-match would empty `days`,
+      // select no day files, and vanish the changed partitions)
+      val days = changed.collect {
+        case d: java.sql.Date        => d.toLocalDate
+        case d: java.time.LocalDate  => d
+      }
       val hasNull = changed.exists(_ == null)
+      require(days.size + (if (hasNull) 1 else 0) == changed.size,
+        s"unexpected day-key types in $changed")
       val picks = SkipIndex.picksForChangedDays(idx, days, hasNull)
       val data = SkipIndex.readFiles(spark, picks)
         .withColumn("day", to_date(col(tsCol)))

@@ -284,14 +284,15 @@ object LayoutQueries {
     }),
 
     // DIM-DELTA IVM (RollupOps.maintainOnDimDelta): a user-segment
-    // rollup maintained through a DIMENSION update without scanning
-    // facts — the delta keys bloom-route to the fact files that hold
-    // them (no false negatives → no partition missed), footer zones
-    // name the affected day partitions, and only those recompute under
-    // the new dimension via a broadcast join; every other partition is
-    // carried (identical under old and new dim, since it holds no
-    // delta-key facts). The oracle is the full join+aggregate under the
-    // NEW dimension — maintenance must be exact.
+    // rollup maintained through a DIMENSION update without a full fact
+    // scan — the delta keys bloom-route to the fact files that hold
+    // them (no false negatives → no partition missed), a scan of ONLY
+    // those files yields the exact affected day partitions, and only
+    // those recompute under the new dimension via a broadcast join;
+    // every other partition is carried (identical under old and new
+    // dim, since it holds no delta-key facts). The oracle is the full
+    // join+aggregate under the NEW dimension — maintenance must be
+    // exact.
     "q_ivm_dim_update" -> ((s, dir) => {
       import graft.sources.SkipIndex
       val root = s"/tmp/graft_index/${sfName(dir)}/ivm_facts"

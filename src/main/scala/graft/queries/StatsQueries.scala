@@ -776,8 +776,7 @@ object StatsQueries {
         |  FROM reach GROUP BY src)
         |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin,
 
-    // same CC chain; fold key = cluster id (own id for singletons)
-    // same CC chain; keeper = longest text per family (tie → min id)
+    // keeper = longest text per family (tie → min id), same CC chain
     "q_dedup_keep_best" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
@@ -817,6 +816,7 @@ object StatsQueries {
         |SELECT doc_id, cluster_id, text_len
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+    // same CC chain; fold key = cluster id (own id for singletons)
     "q_group_split" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),

@@ -178,6 +178,34 @@ object SkipIndex {
     * skips `_`/`.` paths), so index and data share one root. */
   def indexPath(dir: String): String = s"$dir/_skipindex"
 
+  /** Does `dir` hold at least one DATA file — a file outside `_`/`.`
+    * sidecar paths? (Spark's FileIndex visibility rule: underscore and
+    * dot prefixed names are metadata, at every path depth.) */
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def visible(q: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = q
+      var ok = true
+      while (ok && cur != null && cur.depth() > p.depth()) {
+        val n = cur.getName
+        ok = !(n.startsWith("_") || n.startsWith("."))
+        cur = cur.getParent
+      }
+      ok
+    }
+    if (!fs.exists(p)) false
+    else {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        found = st.isFile && visible(st.getPath)
+      }
+      found
+    }
+  }
+
   /** Load the persisted index, or an empty frame with the index schema
     * when none exists yet (first batch of a fresh archive). */
   def loadIndexOrEmpty(spark: SparkSession, dir: String): DataFrame = {
@@ -223,11 +251,15 @@ object SkipIndex {
     spark.catalog.refreshByPath(dataDir)
     // an archive with NO data files yet (first empty micro-batch of an
     // ingest loop: only _ingest_commits/_skipindex sidecars exist) fails
-    // parquet schema inference — that's an empty listing, not an error
+    // parquet schema inference — that's an empty listing, not an error.
+    // The emptiness is established by an EXPLICIT fs walk, never by
+    // catching AnalysisException: the same exception also covers
+    // all-corrupt footers and path races over a POPULATED archive, and
+    // treating those as "empty" would semi-join every existing index
+    // row away — silent index loss where a loud failure is correct.
     val files =
-      try spark.read.parquet(dataDir).inputFiles.toIndexedSeq
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        IndexedSeq.empty[String] }
+      if (!hasDataFiles(spark, dataDir)) IndexedSeq.empty[String]
+      else spark.read.parquet(dataDir).inputFiles.toIndexedSeq
     val listing = spark.createDataset(files)(Encoders.STRING).toDF("file")
     // joins on the metadata frames, never an N-file isin literal
     val kept = existing.join(listing, Seq("file"), "left_semi")

@@ -66,10 +66,12 @@ object StreamingOps {
     * Deriving the schema from what the files actually contain makes the
     * stream track the archive's physical layout by construction. */
   private def footerSchemaStream(spark: SparkSession, dir: String,
-      glob: String): DataFrame = {
+      glob: String, maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val footer = spark.read.option("pathGlobFilter", glob).parquet(dir).schema
-    spark.readStream.schema(footer)
-      .option("pathGlobFilter", glob).parquet(dir)
+    val r = spark.readStream.schema(footer).option("pathGlobFilter", glob)
+    maxFilesPerTrigger
+      .fold(r)(n => r.option("maxFilesPerTrigger", n.toString))
+      .parquet(dir)
   }
 
   /** Streaming source over the events parquet. Same dtype-adaptive `ts`
@@ -181,8 +183,12 @@ object StreamingOps {
     }
     val name = s"graft_stream_dedup_wm_${runId.incrementAndGet()}"
     val ses = stateSizedSession(spark)
+    // ONE FILE PER TRIGGER: without it the source loads both copies in a
+    // single micro-batch and the cross-batch re-delivery path this
+    // driver exists to exercise never runs — the duplicate of every row
+    // must arrive in a LATER batch than its original
     val src = graft.tables.Tables.adaptTs(
-      footerSchemaStream(ses, root, "*.parquet"))
+      footerSchemaStream(ses, root, "*.parquet", maxFilesPerTrigger = Some(1)))
     val q = src
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")

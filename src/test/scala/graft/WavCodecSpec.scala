@@ -111,6 +111,23 @@ class WavCodecSpec extends AnyFunSuite {
         .put("data".getBytes).putInt(2147483640)
       h.array()
     }
+    // a zero declared sample rate: the STRICT fast path declines and
+    // defers — and whatever the JDK then does (empirically it tolerates
+    // sr=0 and decodes) the composite decoder must match it exactly, so
+    // swapping the default decoder never changed observable behavior
+    val srZero = {
+      val z = java.nio.ByteBuffer.allocate(48)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      z.put("RIFF".getBytes).putInt(40).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(0).putInt(0).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(4).putShort(100).putShort(200)
+      z.array()
+    }
+    assert(FastWavDecoder.decodePcm16Direct(srZero).isEmpty)
+    assert(FastWavDecoder.decode(srZero).map(w => (w.sampleRate, w.samples.toSeq)) ==
+      JavaSoundDecoder.decode(srZero).map(w => (w.sampleRate, w.samples.toSeq)))
+
     // the strict direct path declines; the composite decoder defers to
     // the JDK, which clamps the read to the available bytes — either
     // way a BOUNDED, non-throwing outcome
