@@ -11,6 +11,52 @@ import org.scalatest.funsuite.AnyFunSuite
 class BucketedJoinSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("AQE splits a planted hot key at runtime (skew=true in the " +
+       "executed sort-merge join)") {
+    // The contract's manual mitigation is salting (q_salted_join); this
+    // pins the AUTOMATIC path: AQE's OptimizeSkewedJoin detects a
+    // reducer partition far above the median at runtime and splits it,
+    // visible as `skew=true` on the executed SMJ — the reason PERF.md's
+    // r9 audit kept AQE defaults ON. Thresholds are lowered to make the
+    // toy-scale skew eligible (production sizes trip the defaults).
+    import spark.implicits._
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // left: one hot key with 200k wide incompressible rows + uniform
+      // tail; right: the key set. The aggregate CONSUMES the payload —
+      // column pruning would otherwise strip it before the exchange and
+      // the shuffled rows (bare 8-byte keys) would sit under the skew
+      // threshold (how this test was first defeated).
+      val hot = spark.range(200000).select(lit(7L).as("k"),
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string"))).as("pay"))
+      val tail = spark.range(2000).select((col("id") % 100 + 100).as("k"),
+        concat(lit("t"), col("id").cast("string")).as("pay"))
+      val left = hot.unionByName(tail)
+      val right = spark.range(200).select(col("id").as("k"),
+        (col("id") * 2).as("attr"))
+      val joined = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pay"))).as("s"))
+      val row = joined.collect()(0)
+      assert(row.getLong(0) == 202000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        "expected a skew-split SMJ in:\n" + plan.take(3000))
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("joins on co-bucketed tables plan without a shuffle on the bucketed side") {
     val wh = Files.createTempDirectory("graft_warehouse").toString
     val li = graft.tables.Tables.lineitem(spark, TestSpark.Sf0001)
