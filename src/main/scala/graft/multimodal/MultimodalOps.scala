@@ -220,6 +220,117 @@ object MultimodalOps {
     }
   }
 
+  /** ==== REAL MULTI-FRAME (VIDEO-SHAPED) CODEC ====
+    * Animated GIF is the one multi-frame container every JDK can both
+    * WRITE and READ (`javax.imageio`'s gif plugin), so the keyframe-
+    * sampling pipeline — container in a binary column → decode → keep
+    * every `stride`-th frame → per-frame features — runs end-to-end with
+    * a real codec, the same seam contract as [[ImageIoCodec]] for still
+    * images. A production deployment swaps an ffmpeg-backed
+    * frame-grabber behind the same shape; [[sampleFrames]] (byte-chunk
+    * pseudo-frames, pure expressions) remains the codec-free variant. */
+
+  /** Encode frames as an animated GIF via the JDK's sequence writer. */
+  def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach { f =>
+        w.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode every `stride`-th frame of a multi-frame payload:
+    * `(frame_idx, width, height, mean_luma)` per kept frame, or None on
+    * an undecodable container (quarantine contract). */
+  def decodeKeyframes(bytes: Array[Byte], stride: Int)
+      : Option[Seq[(Int, Int, Int, Double)]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        Some((0 until n by stride).map { i =>
+          val img = r.read(i)
+          // integer channel sum, ONE division at the end — float
+          // accumulation over pixels would smear the last ulps and break
+          // the closed-form oracle equality solid frames otherwise admit
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          (i, img.getWidth, img.getHeight,
+            sum / 3.0 / (img.getWidth.toLong * img.getHeight))
+        })
+      } finally { r.dispose(); iis.close() }
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic "video" payloads: an animated GIF of
+    * `4 + id % 3` solid-color 16×16 frames, frame f's channels derived
+    * from (id, f) — solid frames survive GIF palettization exactly, so
+    * the decoded mean luma is a CLOSED FORM the DuckDB oracle computes
+    * from the documents table alone (no fixture). */
+  def synthesizeGifs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (4 + id % 3).toInt
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val r = ((id * 13 + f * 29) % 256).toInt
+          val g = ((id * 7 + f * 31) % 256).toInt
+          val b = ((id * 3 + f * 37) % 256).toInt
+          val gfx = img.createGraphics()
+          try {
+            gfx.setColor(new java.awt.Color(r, g, b))
+            gfx.fillRect(0, 0, 16, 16)
+          } finally gfx.dispose()
+          img
+        }
+        (id, encodeGif(frames))
+      })
+      .toDF(idCol, "payload")
+  }
+
+  /** REAL keyframe sampling over binary multi-frame payloads — one row
+    * per kept frame; undecodable payloads yield a single ok=false row. */
+  def sampleKeyframes(payloads: DataFrame, idCol: String,
+      stride: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeKeyframes(bytes, stride) match {
+          case Some(frames) => frames.iterator.map { case (f, w, h, luma) =>
+            (id, f, w, h, luma, true)
+          }
+          case None => Iterator.single((id, -1, -1, -1, 0.0, false))
+        }
+      })
+      .toDF(idCol, "frame_idx", "width", "height", "mean_luma", "ok")
+  }
+
   /** Frame sampling: cut the payload into fixed-size "frames" and keep every
     * `stride`-th — pure expressions (no decode), so pruning/pushdown and
     * codegen all apply. Output one row per kept frame. */

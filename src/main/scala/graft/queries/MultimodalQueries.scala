@@ -46,6 +46,20 @@ object MultimodalQueries {
           length(col("frame_bytes")).as("frame_len"))
         .orderBy("doc_id", "frame_idx")),
 
+    // REAL keyframe sampling: animated-GIF payloads (a real multi-frame
+    // container the JDK writes AND reads) → javax.imageio decode → every
+    // 2nd frame's dimensions + mean luma. Solid synthetic frames survive
+    // GIF palettization exactly, so the oracle is a CLOSED FORM over the
+    // documents table — no fixture, the decode itself is what's checked.
+    "q_video_keyframes" -> ((s, dir) =>
+      MultimodalOps.sampleKeyframes(
+          MultimodalOps.synthesizeGifs(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "doc_id", stride = 2)
+        .filter(col("ok")).drop("ok")
+        .withColumn("mean_luma", round(col("mean_luma"), 6))
+        .orderBy("doc_id", "frame_idx")),
+
     // Structured Streaming A1: same windows, same oracle as the batch path.
     "q_stream_resample" -> ((s, dir) => {
       val r = StreamingOps.runResampleOnce(s, dir, "1 hour")
@@ -175,6 +189,21 @@ object MultimodalQueries {
         |       least(512, n - frame_idx * 512) AS frame_len
         |FROM f WHERE frame_idx % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // closed form: frame f of doc d is solid RGB
+    // ((13d+29f)%256, (7d+31f)%256, (3d+37f)%256) over 4 + d%3 frames
+    "q_video_keyframes" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, 4 + CAST(doc_id % 3 AS INT), 2)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       16 AS width, 16 AS height,
+        |       round(((doc_id * 13 + frame_idx * 29) % 256
+        |             + (doc_id * 7 + frame_idx * 31) % 256
+        |             + (doc_id * 3 + frame_idx * 37) % 256) / 3.0, 6)
+        |         AS mean_luma
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_stream_resample" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,

@@ -114,6 +114,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(resized(2L)._4 == false)
   }
 
+  test("REAL multi-frame codec (gif): keyframe round-trip exact, stride " +
+       "sampling, quarantine on garbage") {
+    import graft.multimodal.MultimodalOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // closed-form colors survive GIF palettization exactly (solid frames)
+    val ids = Seq(0L, 5L, 11L).toDF("doc_id")
+    val gifs = MultimodalOps.synthesizeGifs(ids, "doc_id")
+    val all = MultimodalOps.sampleKeyframes(gifs, "doc_id", 1)
+      .orderBy("doc_id", "frame_idx").collect()
+    Seq(0L, 5L, 11L).foreach { id =>
+      val frames = all.filter(_.getLong(0) == id)
+      assert(frames.length == (4 + id % 3).toInt, s"doc $id frame count")
+      frames.foreach { r =>
+        val f = r.getInt(1)
+        assert(r.getInt(2) == 16 && r.getInt(3) == 16 && r.getBoolean(5))
+        val expected = (((id * 13 + f * 29) % 256) +
+          ((id * 7 + f * 31) % 256) + ((id * 3 + f * 37) % 256)) / 3.0
+        assert(r.getDouble(4) == expected, s"doc $id frame $f luma")
+      }
+    }
+    // stride 2 keeps frames 0, 2, 4, …
+    val strided = MultimodalOps.sampleKeyframes(gifs, "doc_id", 2)
+      .filter(col("doc_id") === 5L).select("frame_idx").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(strided == Seq(0, 2, 4)) // 6 frames for id 5
+    // undecodable payload → one visible ok=false row, never a failure
+    val bad = Seq((9L, "not a gif".getBytes)).toDF("doc_id", "payload")
+    val q = MultimodalOps.sampleKeyframes(bad, "doc_id", 1).collect()
+    assert(q.length == 1 && !q(0).getBoolean(5) && q(0).getInt(1) == -1)
+  }
+
   test("extraction is distributed: no single-partition collapse") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
     val feats = MultimodalOps.extractFeatures(
