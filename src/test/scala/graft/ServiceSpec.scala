@@ -31,6 +31,52 @@ class ServiceSpec extends AnyFunSuite {
     AmbientService.fromFrames(bb, psd)
   }
 
+  test("full loop: in-engine spectral pipeline feeds the served API — " +
+       "waveform to PSD table to /aggregations answers") {
+    // The reference requires a separate upstream package to PRODUCE the
+    // PSD tables its API serves; here the same engine computes them
+    // (SpectralOps) and the service answers from them — raw waveform in,
+    // served decidecade levels out, one system.
+    import org.apache.spark.sql.functions._
+    import graft.audio.SpectralOps
+    val ids = spark.range(40).select(col("id").as("doc_id"))
+    val waves = SpectralOps.synthesizeWaves(ids, "doc_id", 1024, 1024)
+    val welch = SpectralOps.welchBandDb(
+      SpectralOps.bandPartialsFused(
+        SpectralOps.frameWaveform(waves, "samples", 256, 128),
+        "doc_id", 1024, 256), "doc_id")
+    // one PSD row per (recording-second, band): recording i at t0 + i s
+    val t0 = ts("2024-03-01 00:00:00").toInstant
+    val psd = welch.select(
+      lit("SPECTRAL_LAB").as("hydrophone"),
+      lit("octave_bands").as("freq_type"),
+      lit(3).as("delta_f"), lit(1).as("delta_t"),
+      timestamp_micros(lit(t0.toEpochMilli * 1000L)
+        + col("doc_id") * 1000000L).as("ts"),
+      col("band"), col("value_db").as("value"))
+    // broadband = arithmetic mean over band dBs (the reference wrapper's
+    // own semantic — SURVEY §2.8 note — applied consistently)
+    val bb = psd.groupBy("hydrophone", "delta_t", "ts")
+      .agg(round(avg(col("value")), 6).as("value"))
+      .select("hydrophone", "delta_t", "ts", "value")
+    val svc = AmbientService.fromFrames(bb, psd)
+
+    val r = svc.getPsdAggregation("SPECTRAL_LAB",
+      t0, t0.plusSeconds(40), "10s", "3oct")
+    assert(r.times.length == 4)
+    // served per-band bucket means == direct aggregation of the welch
+    // frame (first 10 recordings land in the first 10s bucket)
+    val direct = welch.filter(col("doc_id") < 10)
+      .groupBy("band").agg(avg(col("value_db")).as("m"))
+      .collect().map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+    r.frequencies.zipWithIndex.foreach { case (f, i) =>
+      val served = r.values.head(i)
+      assert(math.abs(served - direct(f)) < 1e-6,
+        s"band $f: served $served vs direct ${direct(f)}")
+    }
+    assert(r.frequencies == r.frequencies.sorted && r.frequencies.size > 10)
+  }
+
   test("options: catalog derived from data, sorted, coverage bounds set") {
     val r = service.getOptions(None)
     assert(r.hydrophones.map(_.hydrophone) == Seq("ORCASOUND_LAB"))
