@@ -84,6 +84,12 @@ final class HttpApi(
     // the reference opens logs/api-timing.log at init (mkdir + FileHandler,
     // app/main.py:40-45) — mirror that so tailers see the file pre-traffic
     logLock.synchronized { openTimingLog() }
+    // TCP_NODELAY: without it the JDK server's header+body writes trip
+    // Nagle against the client's delayed ACK and EVERY response stalls a
+    // constant ~40 ms — measured flat p50=44 ms at every concurrency in
+    // `Profile http_bench`, dropping an order of magnitude with this on.
+    // Property is read at server creation, so set it before create().
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler _)
     // small pool: Spark jobs serialize on the shared session anyway; the

@@ -719,6 +719,79 @@ object Profile {
             f"full-rebuild $tFull%5.1f s")
         }
 
+      case "http_bench" =>
+        // Serving-layer throughput: a real HttpApi over a sf0.1-scale
+        // archive (events as broadband points), mixed request workload
+        // from 16 concurrent clients. Reports req/s + latency quantiles
+        // per endpoint class — cold (first touch computes + memoizes)
+        // then steady-state (LRU-served; the production read path).
+        import org.apache.spark.sql.functions._
+        import graft.serve.{AmbientService, HttpApi}
+        val ev = graft.tables.Tables.events(spark, sfDir)
+        val bb = ev.select(lit("ORCASOUND_LAB").as("hydrophone"),
+          lit(60).as("delta_t"), col("ts"), col("value"))
+        val psd = ev.select(lit("ORCASOUND_LAB").as("hydrophone"),
+          lit("octave_bands").as("freq_type"), lit(3).as("delta_f"),
+          lit(60).as("delta_t"), col("ts"),
+          ((col("event_id") % 5) * 63.0 + 63.0).as("band"), col("value"))
+        val svc = AmbientService.fromFrames(bb, psd)
+        val logDir = java.nio.file.Files.createTempDirectory("graft-http-bench")
+        val api = new HttpApi(svc, logDir)
+        val server = api.start(0)
+        val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+        val urls = Seq(
+          "/options",
+          "/timeseries/broadband?hydrophone=orcasound_lab" +
+            "&start=2024-01-02T00:00:00&end=2024-01-02T06:00:00&delta_t=60",
+          "/aggregations/broadband?hydrophone=orcasound_lab" +
+            "&start=2024-01-02T00:00:00&end=2024-01-14T00:00:00&interval=1h&delta_t=60",
+          "/aggregations/psd?hydrophone=orcasound_lab" +
+            "&start=2024-01-02T00:00:00&end=2024-01-08T00:00:00&interval=1h&delta_f=3oct&delta_t=60",
+          "/timeseries/psd?hydrophone=orcasound_lab" +
+            "&start=2024-01-03T00:00:00&end=2024-01-03T06:00:00" +
+            "&delta_t=60&delta_f=3oct")
+        try {
+          def fire(n: Int, threads: Int): Seq[Double] = {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+            try {
+              val tasks = (0 until n).map { i =>
+                pool.submit(new java.util.concurrent.Callable[Double] {
+                  override def call(): Double = {
+                    val u = urls(i % urls.length)
+                    val t0 = System.nanoTime()
+                    val c = new java.net.URL(base + u).openConnection()
+                      .asInstanceOf[java.net.HttpURLConnection]
+                    val code = c.getResponseCode
+                    if (code != 200) {
+                      val err = Option(c.getErrorStream)
+                        .map(e => new String(e.readAllBytes())).getOrElse("")
+                      require(false, s"$u -> $code: $err")
+                    }
+                    val body = new String(c.getInputStream.readAllBytes())
+                    (System.nanoTime() - t0) / 1e6
+                  }
+                })
+              }
+              tasks.map(_.get()).toSeq
+            } finally pool.shutdown()
+          }
+          def stats(lat: Seq[Double], wall: Double, label: String): Unit = {
+            val s = lat.sorted
+            println(f"[profile] $label%-12s ${lat.size}%5d req in $wall%6.2f s " +
+              f"= ${lat.size / wall}%7.1f req/s   " +
+              f"p50 ${s(s.size / 2)}%7.1f ms  p95 ${s((s.size * 95) / 100)}%7.1f ms")
+          }
+          val w0 = System.nanoTime()
+          val cold = fire(urls.length, 1) // each endpoint computed once
+          stats(cold, (System.nanoTime() - w0) / 1e9, "cold")
+          Seq((200, 16), (2000, 16), (2000, 4), (2000, 32)).foreach {
+            case (n, threads) =>
+              val w = System.nanoTime()
+              val lat = fire(n, threads)
+              stats(lat, (System.nanoTime() - w) / 1e9, s"warm×$n c$threads")
+          }
+        } finally { server.stop(0); api.close() }
+
       case "rollup_stages" =>
         // Where does q_stream_rollup's wall go? Time the 6-batch
         // maintenance loop three ways: the full streamed run (micro-batch
