@@ -427,6 +427,56 @@ object SpectralOps {
         col("corr_nano").as("peak_corr_nano"))
   }
 
+  /** Windowed-sinc low-pass FIR: cutoff `fc` as a fraction of the
+    * sample rate (0 < fc < 0.5), Hamming window, unit DC gain
+    * (coefficients normalized to Σh = 1 so passband amplitude is
+    * preserved). Designed once on the driver, closed over by kernels. */
+  def designLowpass(numTaps: Int, fc: Double): Array[Double] = {
+    require(numTaps % 2 == 1 && fc > 0 && fc < 0.5, s"taps=$numTaps fc=$fc")
+    val c = numTaps / 2
+    val h = Array.tabulate(numTaps) { k =>
+      val x = k - c
+      val sinc = if (x == 0) 2.0 * fc
+        else math.sin(2.0 * math.Pi * fc * x) / (math.Pi * x)
+      val w = 0.54 - 0.46 * math.cos(2.0 * math.Pi * k / (numTaps - 1))
+      sinc * w
+    }
+    val s = h.sum
+    h.map(_ / s)
+  }
+
+  /** Anti-aliased decimation by `factor`: FIR low-pass at 0.45 of the
+    * OUTPUT Nyquist, then keep every `factor`-th filtered sample —
+    * the hydrophone-pipeline stage that turns a 48 kHz archive into
+    * analysis-rate waveforms without aliasing ship noise into the
+    * bands. Per-partition kernel (filter state never crosses rows, rows
+    * never cross partitions); output sample n is
+    * `Σ_k h[k]·x[n·factor + k]` (causal, length ⌊(N−taps)/factor⌋+1). */
+  def decimateWaves(df: DataFrame, idCol: String, samplesCol: String,
+      factor: Int, numTaps: Int = 63): DataFrame = {
+    require(factor >= 2, s"factor=$factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val taps = designLowpass(numTaps, 0.45 / factor)
+    df.select(col(idCol).cast("long"), col(samplesCol))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, x) =>
+        val nOut = math.max(0, (x.length - taps.length) / factor + 1)
+        val out = new Array[Double](nOut)
+        var n = 0
+        while (n < nOut) {
+          var acc = 0.0
+          var k = 0
+          val base = n * factor
+          while (k < taps.length) { acc += taps(k) * x(base + k); k += 1 }
+          out(n) = acc
+          n += 1
+        }
+        (id, out)
+      })
+      .toDF(idCol, "samples")
+  }
+
   /** The pure-column-expression formulation of [[synthesizeWaves]] —
     * kept as the independent formulation the kernel is pinned against
     * (the same contract FunctionsSpec uses for every native kernel). */

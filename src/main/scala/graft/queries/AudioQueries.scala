@@ -150,6 +150,25 @@ object AudioQueries {
         .orderBy("doc_id", "band")
     }),
 
+    // DECIMATION: anti-aliased sample-rate reduction (windowed-sinc FIR
+    // + keep every 2nd sample) ahead of the spectral pipeline — the
+    // 48 kHz-archive-to-analysis-rate stage. The seam is the DECIMATED
+    // path's own integer partials; the FIR's anti-alias behavior is
+    // pinned by SpectralSpec (passband preserved, folded tone > 30 dB
+    // down, unit DC gain).
+    "q_audio_decimated_psd" -> ((s, dir) => {
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val dec = SpectralOps.decimateWaves(waves, "doc_id", "samples", 2)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(dec, "samples", FrameLen / 2, Hop / 2),
+          "doc_id", Sr / 2, FrameLen / 2),
+        dir, "audio_dec_partials")
+      SpectralOps.welchBandDb(partials, "doc_id")
+        .orderBy("doc_id", "band")
+    }),
+
     // TDOA: FFT cross-correlation between a two-sensor pair's channels,
     // peak lag = time-difference-of-arrival (the localization primitive
     // of the reference's domain). Seam = per-(pair, lag) correlation in
@@ -278,6 +297,9 @@ object AudioQueries {
          |FROM w JOIN read_parquet('${sqlPath("audio_calibration")}') c
          |  ON w.band = c.band
          |ORDER BY w.doc_id, w.band""".stripMargin,
+
+    "q_audio_decimated_psd" ->
+      (welchSql(sqlPath("audio_dec_partials")) + "\nORDER BY doc_id, band"),
 
     "q_audio_tdoa" ->
       s"""WITH r AS (

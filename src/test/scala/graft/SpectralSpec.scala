@@ -152,6 +152,34 @@ class SpectralSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("decimation: passband tone preserved, above-output-Nyquist tone " +
+       "attenuated, DC gain unity") {
+    import spark.implicits._
+    val taps = SpectralOps.designLowpass(63, 0.45 / 2)
+    assert(math.abs(taps.sum - 1.0) < 1e-12) // unit DC gain by construction
+    val sr = 1024
+    // 50 Hz sits well inside the decimated (sr/2=512 → Nyquist 256) band;
+    // 400 Hz is above it and must NOT alias through
+    val n = 4096
+    val wave = Array.tabulate(n) { i =>
+      val t = i.toDouble / sr
+      math.sin(2 * math.Pi * 50 * t) + math.sin(2 * math.Pi * 400 * t)
+    }
+    val out = SpectralOps.decimateWaves(
+        Seq((1L, wave)).toDF("doc_id", "samples"), "doc_id", "samples", 2)
+      .select("samples").collect()(0).getSeq[Double](0).toArray
+    assert(out.length == (n - 63) / 2 + 1)
+    // spectral check on one 512-sample frame of the decimated signal
+    // (output rate 512 Hz → bin = 1 Hz): 50 Hz strong, alias of 400 Hz
+    // (folds to 112 Hz) down > 30 dB relative
+    val frame = out.slice(0, 512)
+    val p = SpectralOps.framePower(frame, SpectralOps.hannWindow(512))
+    val p50 = p.slice(48, 53).max
+    val pAlias = p.slice(110, 115).max
+    assert(p50 > 1000 * pAlias,
+      s"passband $p50 vs alias $pAlias — anti-alias filter not working")
+  }
+
   test("FFT cross-correlation agrees with the naive formulation") {
     val rnd = new scala.util.Random(7)
     val a = Array.fill(300)(rnd.nextDouble() - 0.5)
