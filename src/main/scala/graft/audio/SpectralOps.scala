@@ -446,7 +446,9 @@ object SpectralOps {
   }
 
   /** Anti-aliased decimation by `factor`: FIR low-pass at 0.45 of the
-    * OUTPUT Nyquist, then keep every `factor`-th filtered sample —
+    * output SAMPLE RATE (= 0.9 of the output Nyquist — the transition
+    * band occupies the top 10%), then keep every `factor`-th filtered
+    * sample —
     * the hydrophone-pipeline stage that turns a 48 kHz archive into
     * analysis-rate waveforms without aliasing ship noise into the
     * bands. Per-partition kernel (filter state never crosses rows, rows
@@ -461,7 +463,13 @@ object SpectralOps {
     df.select(col(idCol).cast("long"), col(samplesCol))
       .as[(Long, Array[Double])]
       .mapPartitions(_.map { case (id, x) =>
-        val nOut = math.max(0, (x.length - taps.length) / factor + 1)
+        // explicit shorter-than-filter branch: integer division truncates
+        // TOWARD ZERO, so (len − taps)/factor + 1 evaluates to 1 (not ≤0)
+        // for len just under taps and max(0, ·) alone would read past the
+        // array — the same short-input shape frameWaveform guards
+        val nOut =
+          if (x.length < taps.length) 0
+          else (x.length - taps.length) / factor + 1
         val out = new Array[Double](nOut)
         var n = 0
         while (n < nOut) {

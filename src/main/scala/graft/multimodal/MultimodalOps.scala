@@ -149,25 +149,28 @@ object MultimodalOps {
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Int, Double)]
   }
 
-  /** JDK-native image codec (`javax.imageio`): real PNG/JPEG decode with
-    * zero extra dependencies. Mean luma = average of (r+g+b)/3 over all
-    * pixels — deterministic for a given decoded raster. */
-  object ImageIoCodec extends ImageCodec {
-    private def meanLuma(img: java.awt.image.BufferedImage): Double = {
-      var sum = 0.0
-      var y = 0
-      while (y < img.getHeight) {
-        var x = 0
-        while (x < img.getWidth) {
-          val rgb = img.getRGB(x, y)
-          sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
-          x += 1
-        }
-        y += 1
+  /** ONE mean-luma definition for every decoder: integer channel sum
+    * over all pixels, ONE division at the end — exact (no accumulation-
+    * order last-ulp drift) and shared by the still-image codec and the
+    * keyframe decoder so the two can never silently diverge. */
+  private def meanLuma(img: java.awt.image.BufferedImage): Double = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
       }
-      sum / (img.getWidth.toLong * img.getHeight)
+      y += 1
     }
+    sum / 3.0 / (img.getWidth.toLong * img.getHeight)
+  }
 
+  /** JDK-native image codec (`javax.imageio`): real PNG/JPEG decode with
+    * zero extra dependencies. Mean luma = [[meanLuma]]. */
+  object ImageIoCodec extends ImageCodec {
     override def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] =
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map(img => (img.getWidth, img.getHeight, meanLuma(img)))
@@ -250,37 +253,36 @@ object MultimodalOps {
     * `(frame_idx, width, height, mean_luma)` per kept frame, or None on
     * an undecodable container (quarantine contract). */
   def decodeKeyframes(bytes: Array[Byte], stride: Int)
-      : Option[Seq[(Int, Int, Int, Double)]] =
+      : Option[Seq[(Int, Int, Int, Double)]] = {
+    // stride is CALLER configuration, not payload data: an invalid value
+    // must fail loudly at the call site, never be swallowed into the
+    // per-payload None (stride 0 would quarantine EVERY payload, stride
+    // < 0 would silently emit zero rows for decodable ones)
+    require(stride >= 1, s"stride=$stride")
     try {
+      // iis closes on every exit path — getImageReaders/next can throw
+      // too, and leaking the memory-cache stream per bad payload would
+      // accumulate across an archive (the quarantine row must mean the
+      // input was handled CLEANLY)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return None }
-      val r = readers.next()
       try {
-        r.setInput(iis)
-        val n = r.getNumImages(true)
-        Some((0 until n by stride).map { i =>
-          val img = r.read(i)
-          // integer channel sum, ONE division at the end — float
-          // accumulation over pixels would smear the last ulps and break
-          // the closed-form oracle equality solid frames otherwise admit
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
-              x += 1
-            }
-            y += 1
-          }
-          (i, img.getWidth, img.getHeight,
-            sum / 3.0 / (img.getWidth.toLong * img.getHeight))
-        })
-      } finally { r.dispose(); iis.close() }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          // mean luma via the shared integer-sum helper: exact, so solid
+          // frames keep the closed-form oracle equality
+          Some((0 until n by stride).map { i =>
+            val img = r.read(i)
+            (i, img.getWidth, img.getHeight, meanLuma(img))
+          })
+        } finally r.dispose()
+      } finally iis.close()
     } catch { case _: Exception => None }
+  }
 
   /** Deterministic synthetic "video" payloads: an animated GIF of
     * `4 + id % 3` solid-color 16×16 frames, frame f's channels derived
@@ -316,6 +318,7 @@ object MultimodalOps {
     * per kept frame; undecodable payloads yield a single ok=false row. */
   def sampleKeyframes(payloads: DataFrame, idCol: String,
       stride: Int): DataFrame = {
+    require(stride >= 1, s"stride=$stride") // fail at plan time, not per task
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.select(col(idCol).cast("long"), col("payload"))

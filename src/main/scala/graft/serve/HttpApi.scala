@@ -88,7 +88,15 @@ final class HttpApi(
     // Nagle against the client's delayed ACK and EVERY response stalls a
     // constant ~40 ms — measured flat p50=44 ms at every concurrency in
     // `Profile http_bench`, dropping an order of magnitude with this on.
-    // Property is read at server creation, so set it before create().
+    // ONE-SHOT semantics: sun.net.httpserver.ServerConfig reads the
+    // property in its STATIC initializer, i.e. once per JVM at the first
+    // HttpServer class use. Setting it here covers every process whose
+    // first JDK http server is ours (ServeMain, tests, Profile); an
+    // embedder that created some other HttpServer earlier has already
+    // frozen the config and must pass -Dsun.net.httpserver.nodelay=true
+    // on the command line instead — which is why the launcher docs say
+    // so, and why this assignment sits before create() rather than
+    // claiming to be sufficient on its own.
     System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/", handler _)

@@ -15,6 +15,9 @@ import graft.sources.PartitionedArchive
   */
 object ServeMain {
   def main(args: Array[String]): Unit = {
+    // before ANY JDK http-server class loads: ServerConfig freezes this
+    // in its static init (see HttpApi.start's Nagle note)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val root = args.headOption.getOrElse(
       sys.error("usage: ServeMain <archiveRoot> [port]"))
     val port = args.lift(1).map(_.toInt).getOrElse(8000)

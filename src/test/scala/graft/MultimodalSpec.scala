@@ -144,6 +144,11 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = Seq((9L, "not a gif".getBytes)).toDF("doc_id", "payload")
     val q = MultimodalOps.sampleKeyframes(bad, "doc_id", 1).collect()
     assert(q.length == 1 && !q(0).getBoolean(5) && q(0).getInt(1) == -1)
+    // invalid stride is CALLER error — loud at plan time, never a mass
+    // quarantine (stride 0 would have silently flagged every payload)
+    assertThrows[IllegalArgumentException] {
+      MultimodalOps.sampleKeyframes(gifs, "doc_id", 0)
+    }
   }
 
   test("extraction is distributed: no single-partition collapse") {

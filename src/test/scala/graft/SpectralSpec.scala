@@ -178,6 +178,16 @@ class SpectralSpec extends AnyFunSuite {
     val pAlias = p.slice(110, 115).max
     assert(p50 > 1000 * pAlias,
       s"passband $p50 vs alias $pAlias — anti-alias filter not working")
+
+    // shorter-than-filter inputs contribute ZERO samples — integer
+    // division truncating toward zero made (62-63)/2+1 == 1 and the
+    // kernel read past the array (truncated-decode input shape)
+    val short = SpectralOps.decimateWaves(
+        Seq((1L, Array.fill(62)(0.5)), (2L, Array.fill(63)(0.5)))
+          .toDF("doc_id", "samples"), "doc_id", "samples", 2)
+      .selectExpr("doc_id", "size(samples) AS n").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(short(1L) == 0 && short(2L) == 1, short.toString)
   }
 
   test("FFT cross-correlation agrees with the naive formulation") {
