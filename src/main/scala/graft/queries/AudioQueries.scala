@@ -221,6 +221,151 @@ object AudioQueries {
         .orderBy("doc_id", "band")
     }),
 
+    // EXCEEDANCE LEVELS (ISO 1996 / ANSI S1.13 Ln statistics — the
+    // standard ambient-noise product after the mean): per band, the
+    // level exceeded 10/50/90% of the time across all frames. Exact
+    // nearest-rank on the INTEGER frame powers (k = ceil(q·n), sorted
+    // descending, ties broken by (doc, frame) so the picked row is
+    // unique), dB only at the edge — no interpolated-double percentile
+    // to drift between engines. The rank formulas are pure integer
+    // division ((n+9) div 10 etc.): ceil(0.1·n) via doubles is off by
+    // one whenever 0.1·n lands on the wrong side of an ulp. At 100 TB
+    // the exact rank needs a per-band sort; the scale path is the
+    // existing mergeable quantile sketch (q_quantile_sketch) — this is
+    // the exact product for archives that fit a band-partitioned sort.
+    "q_audio_exceedance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      val rankW = Window.partitionBy(col("band"))
+        .orderBy(col("p_nano").desc, col("doc_id"), col("frame_idx"))
+      val ranked = partials
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("band"))))
+      def db(c: org.apache.spark.sql.Column) =
+        when(c > 0, round(lit(10.0) * log(10.0, c.cast("double") / lit(1e9)), 6))
+      ranked.groupBy(col("band"))
+        .agg(max(when(col("rn") === expr("(n + 9) div 10"), col("p_nano"))).as("p10"),
+             max(when(col("rn") === expr("(n + 1) div 2"), col("p_nano"))).as("p50"),
+             max(when(col("rn") === expr("(9 * n + 9) div 10"), col("p_nano"))).as("p90"),
+             max(col("n")).as("n_frames"))
+        .select(col("band"), db(col("p10")).as("l10_db"),
+          db(col("p50")).as("l50_db"), db(col("p90")).as("l90_db"),
+          col("n_frames"))
+        .orderBy("band")
+    }),
+
+    // FREQUENCY-WEIGHTED broadband level (the Southall et al. 2019
+    // marine-mammal M-weighting shape — a band-pass emphasis curve
+    // W(f) = 20·log10(f²·fhi² / ((f²+flo²)(f²+fhi²))), peak-normalized
+    // to 0 dB): per recording, 10·log10(Σ_b w_b · mean_p_b). The curve
+    // is driver-derived per decidecade center in integer linear
+    // MICRO-units (seam-written, 25 rows, broadcast), and the weighted
+    // sum runs in exact decimal(38)/HUGEINT — p_sum·w_micro ≈ 1e20
+    // overflows a long, and a double Σ over bands is order-dependent.
+    // n_frames is per-recording (every frame emits every band), so one
+    // division at the edge suffices.
+    "q_audio_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      val (fLo, fHi) = (50.0, 300.0)
+      val bands = (0 to FrameLen / 2).map(k => k * Sr.toDouble / FrameLen)
+        .filter(_ >= 10.0)
+        .map(f => SpectralOps.nominalCenter(
+          math.round(10.0 * math.log10(f)).toInt)).distinct.sorted
+      val wRaw = bands.map { f =>
+        20.0 * math.log10(f * f * fHi * fHi /
+          ((f * f + fLo * fLo) * (f * f + fHi * fHi))) }
+      val wMax = wRaw.max
+      val weight = seam(
+        bands.zip(wRaw).map { case (b, w) =>
+          (b, math.round(math.pow(10.0, (w - wMax) / 10.0) * 1e6))
+        }.toDF("band", "w_micro"),
+        dir, "audio_mweight")
+      val tot = partials.groupBy(col("doc_id"), col("band"))
+        .agg(sum(col("p_nano")).as("p_sum"))
+      val nf = partials.groupBy(col("doc_id"))
+        .agg(countDistinct(col("frame_idx")).as("n_frames"))
+      tot.join(broadcast(weight), "band")
+        .withColumn("wp", col("p_sum").cast("decimal(20,0)") *
+          col("w_micro").cast("decimal(10,0)"))
+        .groupBy(col("doc_id")).agg(sum(col("wp")).as("wp_sum"))
+        .join(nf, "doc_id")
+        .select(col("doc_id"),
+          round(lit(10.0) * log(10.0, col("wp_sum").cast("double")
+            / col("n_frames") / lit(1e6) / lit(1e9)), 6).as("weighted_db"),
+          col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // SOUND EXPOSURE LEVEL per detected event (the dose metric paired
+    // with detection in every ambient-noise standard): islands over the
+    // burst frame powers as in q_audio_detections, then
+    // SEL = 10·log10(Σ frame_p · Δt) with Δt = hop/Sr — cumulative
+    // energy, not peak. Island totals are exact integer sums; only the
+    // final dB is floating.
+    "q_audio_sel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val waves = SpectralOps.synthesizeBursts(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_burst_partials")
+      val frameP = partials.groupBy(col("doc_id"), col("frame_idx"))
+        .agg(sum(col("p_nano")).as("frame_p"))
+      val hot = frameP.filter(col("frame_p") > DetectNano)
+        .withColumn("island", col("frame_idx") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))))
+      hot.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("frame_idx")).as("start_frame"),
+             max(col("frame_idx")).as("end_frame"),
+             count(lit(1)).as("n_frames"),
+             sum(col("frame_p")).as("e_sum"))
+        .select(col("doc_id"), col("start_frame"), col("end_frame"),
+          col("n_frames"),
+          round(lit(10.0) * log(10.0, col("e_sum").cast("double") / lit(1e9)
+            * lit(Hop.toDouble / Sr)), 6).as("sel_db"))
+        .orderBy("doc_id", "start_frame")
+    }),
+
+    // LONG-TERM SPECTRAL AVERAGE — the time × frequency reduction every
+    // passive-acoustic monitor renders (PAMGuide / Merchant et al. 2015):
+    // recordings bucketed into coarse time cells (doc_id stands in for
+    // the deployment clock; 16 recordings per cell) × band, mean power
+    // per cell in dB. One integer-sum aggregate over the partials — the
+    // whole matrix costs a single exchange however long the deployment.
+    "q_audio_ltsa" -> ((s, dir) => {
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      partials.groupBy(expr("doc_id div 16").as("time_cell"), col("band"))
+        .agg(sum(col("p_nano")).as("p_sum"), count(lit(1)).as("n"))
+        .filter(col("p_sum") > 0)
+        .select(col("time_cell"), col("band"),
+          round(lit(10.0) * log(10.0,
+            col("p_sum").cast("double") / col("n") / lit(1e9)), 6)
+            .as("mean_db"),
+          col("n"))
+        .orderBy("time_cell", "band")
+    }),
+
     // The computed product feeding the SERVED aggregate: corpus-level
     // per-band summary — band coverage, mean level across recordings —
     // the data-card view of an audio corpus (how much energy lives
@@ -318,6 +463,80 @@ object AudioQueries {
 
     // streamed totals ≡ batch totals by integer-sum linearity
     "q_stream_audio_detections" -> detectionsSql,
+
+    "q_audio_exceedance" ->
+      s"""WITH ranked AS (
+         |  SELECT band, p_nano,
+         |         row_number() OVER (PARTITION BY band
+         |           ORDER BY p_nano DESC, doc_id, frame_idx) AS rn,
+         |         count(*) OVER (PARTITION BY band) AS n
+         |  FROM read_parquet('${sqlPath("audio_band_partials")}')
+         |), picked AS (
+         |  SELECT band,
+         |         max(CASE WHEN rn = (n + 9) // 10 THEN p_nano END) AS p10,
+         |         max(CASE WHEN rn = (n + 1) // 2 THEN p_nano END) AS p50,
+         |         max(CASE WHEN rn = (9 * n + 9) // 10 THEN p_nano END) AS p90,
+         |         max(n) AS n_frames
+         |  FROM ranked GROUP BY band
+         |)
+         |SELECT band,
+         |  CASE WHEN p10 > 0 THEN round(10.0 * log10(CAST(p10 AS DOUBLE) / 1e9), 6) END AS l10_db,
+         |  CASE WHEN p50 > 0 THEN round(10.0 * log10(CAST(p50 AS DOUBLE) / 1e9), 6) END AS l50_db,
+         |  CASE WHEN p90 > 0 THEN round(10.0 * log10(CAST(p90 AS DOUBLE) / 1e9), 6) END AS l90_db,
+         |  n_frames
+         |FROM picked ORDER BY band""".stripMargin,
+
+    "q_audio_weighted" ->
+      s"""WITH tot AS (
+         |  SELECT doc_id, band, sum(p_nano) AS p_sum
+         |  FROM read_parquet('${sqlPath("audio_band_partials")}')
+         |  GROUP BY 1, 2
+         |), nf AS (
+         |  SELECT doc_id, count(DISTINCT frame_idx) AS n_frames
+         |  FROM read_parquet('${sqlPath("audio_band_partials")}')
+         |  GROUP BY 1
+         |), wsum AS (
+         |  SELECT t.doc_id,
+         |         sum(CAST(t.p_sum AS HUGEINT) * w.w_micro) AS wp_sum
+         |  FROM tot t JOIN read_parquet('${sqlPath("audio_mweight")}') w
+         |    ON t.band = w.band
+         |  GROUP BY 1
+         |)
+         |SELECT s.doc_id,
+         |       round(10.0 * log10(CAST(s.wp_sum AS DOUBLE)
+         |             / n.n_frames / 1e6 / 1e9), 6) AS weighted_db,
+         |       n.n_frames
+         |FROM wsum s JOIN nf n ON s.doc_id = n.doc_id
+         |ORDER BY s.doc_id""".stripMargin,
+
+    "q_audio_sel" ->
+      s"""WITH frame_p AS (
+         |  SELECT doc_id, frame_idx, sum(p_nano) AS frame_p
+         |  FROM read_parquet('${sqlPath("audio_burst_partials")}')
+         |  GROUP BY 1, 2
+         |), hot AS (
+         |  SELECT doc_id, frame_idx, frame_p,
+         |         frame_idx - row_number() OVER (PARTITION BY doc_id
+         |                                        ORDER BY frame_idx) AS island
+         |  FROM frame_p WHERE frame_p > 1000000000000
+         |)
+         |SELECT doc_id,
+         |       min(frame_idx) AS start_frame,
+         |       max(frame_idx) AS end_frame,
+         |       count(*) AS n_frames,
+         |       round(10.0 * log10(CAST(sum(frame_p) AS DOUBLE) / 1e9
+         |             * (128.0 / 1024)), 6) AS sel_db
+         |FROM hot GROUP BY doc_id, island
+         |ORDER BY doc_id, start_frame""".stripMargin,
+
+    "q_audio_ltsa" ->
+      s"""SELECT doc_id // 16 AS time_cell, band,
+         |       round(10.0 * log10(CAST(sum(p_nano) AS DOUBLE)
+         |                          / count(*) / 1e9), 6) AS mean_db,
+         |       count(*) AS n
+         |FROM read_parquet('${sqlPath("audio_band_partials")}')
+         |GROUP BY 1, 2 HAVING sum(p_nano) > 0
+         |ORDER BY time_cell, band""".stripMargin,
 
     "q_audio_band_summary" ->
       s"""WITH w AS (

@@ -284,4 +284,83 @@ class SpectralSpec extends AnyFunSuite {
       assert(toneMin > side, s"mainlobe side band $side >= tone $toneMin")
     }
   }
+
+  test("exceedance levels: L10 ≥ L50 ≥ L90 per band, ranks from the " +
+      "full frame population") {
+    val r = graft.SparkEntry.queries("q_audio_exceedance")(
+        spark, TestSpark.Sf0001).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (l10, l50, l90) = (Option(row.get(1)).map(_.asInstanceOf[Double]),
+        Option(row.get(2)).map(_.asInstanceOf[Double]),
+        Option(row.get(3)).map(_.asInstanceOf[Double]))
+      // exceedance is antitone in q: the level exceeded 10% of the time
+      // is at least the median, which is at least the 90%-exceeded floor
+      for (a <- l10; b <- l50) assert(a >= b, s"L10 $a < L50 $b @ ${row.get(0)}")
+      for (b <- l50; c <- l90) assert(b >= c, s"L50 $b < L90 $c @ ${row.get(0)}")
+      // every band saw every frame: n = docs × frames-per-doc
+      assert(row.getLong(4) > 0)
+    }
+  }
+
+  test("M-weighted broadband ≤ unweighted broadband (peak-normalized " +
+      "curve never amplifies)") {
+    import spark.implicits._
+    val weighted = graft.SparkEntry.queries("q_audio_weighted")(
+        spark, TestSpark.Sf0001)
+      .select("doc_id", "weighted_db").as[(Long, Double)].collect().toMap
+    // unweighted broadband: 10·log10(Σ_b mean_p_b) from the same partials
+    val waves = SpectralOps.synthesizeWaves(
+      graft.tables.Tables.documents(spark, TestSpark.Sf0001).select("doc_id"),
+      "doc_id", 1024, 1024)
+    val broadband = SpectralOps.welchBandDb(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", 256, 128),
+          "doc_id", 1024, 256), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("pow(10.0, value_db / 10.0)")).as("lin"))
+      .select(col("doc_id"), (lit(10.0) * log(10.0, col("lin"))).as("bb_db"))
+      .as[(Long, Double)].collect().toMap
+    assert(weighted.nonEmpty && weighted.keySet == broadband.keySet)
+    weighted.foreach { case (id, wdb) =>
+      assert(wdb <= broadband(id) + 1e-6,
+        s"doc $id weighted $wdb > broadband ${broadband(id)}")
+    }
+  }
+
+  test("SEL: islands line up with the detections; cumulative energy ≥ " +
+      "any single frame's share") {
+    val sel = graft.SparkEntry.queries("q_audio_sel")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    val det = graft.SparkEntry.queries("q_audio_detections")(
+        spark, TestSpark.Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getInt(1), r.getInt(2)),
+        r.getLong(4))).toMap
+    assert(sel.nonEmpty && sel.keySet == det.keySet,
+      "SEL islands must be exactly the detection islands")
+    sel.foreach { case (k, (n, selDb)) =>
+      // Σ frame_p ≥ peak_p ⇒ SEL ≥ the peak frame's own exposure
+      val peakDb = 10.0 * math.log10(det(k).toDouble / 1e9 * (128.0 / 1024))
+      assert(selDb >= peakDb - 1e-6, s"island $k SEL $selDb < peak-frame $peakDb")
+      assert(n >= 1)
+    }
+  }
+
+  test("LTSA: cell × band coverage tiles the corpus — per-band frame " +
+      "counts sum back to the full population") {
+    import spark.implicits._
+    val ltsa = graft.SparkEntry.queries("q_audio_ltsa")(spark, TestSpark.Sf0001)
+    val perBand = ltsa.groupBy(col("band")).agg(sum(col("n")).as("total"))
+      .as[(Double, Long)].collect().toMap
+    val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001).count()
+    // every recording contributes its 7 hop-overlapped frames to every
+    // band that carries any power; tone bands carry power in all docs
+    assert(perBand.values.max == docs * 7,
+      s"densest band covers ${perBand.values.max}, expected ${docs * 7}")
+    // cells partition doc_id space: no cell outside [0, maxDoc/16]
+    val cells = ltsa.select("time_cell").distinct()
+      .as[Long].collect().sorted
+    assert(cells.head >= 0 && cells.distinct.length == cells.length)
+  }
 }
