@@ -22,7 +22,7 @@ object SparkEntry {
       DedupQueries.queries ++ SimQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ StatsQueries.queries ++
       RetrievalQueries.queries ++ LayoutQueries.queries ++
-      AudioQueries.queries
+      AudioQueries.queries ++ GraphQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       DedupQueries.oracleSql ++ SimQueries.oracleSql ++ TextQueries.oracleSql ++
       MultimodalQueries.oracleSql ++ StatsQueries.oracleSql ++
       RetrievalQueries.oracleSql ++ LayoutQueries.oracleSql ++
-      AudioQueries.oracleSql
+      AudioQueries.oracleSql ++ GraphQueries.oracleSql
 }

@@ -547,4 +547,39 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  // ---- Edit-distance record linkage ------------------------------------
+
+  /** Blocked edit-distance linkage (the record-linkage / dirty-entity
+    * pattern: Christen 2012, "Data Matching"): candidates are pairs
+    * sharing a cheap deterministic BLOCK key (here the first
+    * `blockChars` characters — near-identical records rarely diverge in
+    * the opening run; swap in a q-gram or phonetic key per domain), then
+    * each candidate pair is verified with the exact Wagner–Fischer
+    * Levenshtein distance (`functions.levenshtein`, codegen'd).
+    *
+    * Scale: the self-join is quadratic only WITHIN a block, so a
+    * `blockCap` drops stop blocks (an all-identical boilerplate opening
+    * shared by millions of records would otherwise be one quadratic
+    * reducer) — the same hot-key guard as the MinHash bucket cap, and
+    * the dropped blocks are countable by the caller from the same
+    * aggregate. One shuffle on the block key; the DP verify runs
+    * map-side on the joined pairs. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      blockChars: Int, maxDist: Int, blockCap: Int = 50): DataFrame = {
+    val blocked = df.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"),
+      substring(col(textCol), 1, blockChars).as("blk"))
+    val keep = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= blockCap).select("blk")
+    val b = blocked.join(keep, "blk")
+    val l = b.select(col("blk"), col("doc_id").as("id_a"),
+      col("text").as("text_a"))
+    val r = b.select(col("blk"), col("doc_id").as("id_b"),
+      col("text").as("text_b"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
 }

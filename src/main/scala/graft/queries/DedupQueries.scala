@@ -118,6 +118,16 @@ object DedupQueries {
           minAgree = 0.5)
         .orderBy("inc_id", "hist_id")
     }),
+
+    // Blocked EDIT-DISTANCE linkage (dirty-entity resolution): prefix
+    // blocks (24 chars) + exact Levenshtein ≤ 10 verify — the planted
+    // near-dup families sit at distance 4–8, unrelated word-salad far
+    // above. Both engines run the classic unit-cost Wagner–Fischer DP,
+    // so the distances are integers that match exactly.
+    "q_fuzzy_pairs" -> ((s, dir) =>
+      DedupOps.fuzzyPairs(docs(s, dir), "doc_id", "text",
+          blockChars = 24, maxDist = 10)
+        .orderBy("id_a", "id_b")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -273,5 +283,18 @@ object DedupQueries {
          |  JOIN sigs sh ON sh.doc_id = c.hist_id)
          |SELECT inc_id, hist_id, agree FROM ag
          |WHERE agree >= 0.5 ORDER BY inc_id, hist_id""".stripMargin,
+
+    "q_fuzzy_pairs" ->
+      """WITH blocked AS (
+        |  SELECT doc_id, text, substr(text, 1, 24) AS blk FROM documents),
+        |keep AS (
+        |  SELECT blk FROM blocked GROUP BY blk HAVING count(*) <= 50)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       levenshtein(a.text, b.text) AS edit_dist
+        |FROM blocked a
+        |JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |JOIN keep k ON a.blk = k.blk
+        |WHERE levenshtein(a.text, b.text) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

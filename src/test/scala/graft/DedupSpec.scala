@@ -199,6 +199,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.toSet == Set("train", "val"))
   }
 
+  test("fuzzyPairs: hand-computed distances within a block; divergent " +
+      "openings never pair; hot blocks capped") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (0L, base),
+      (1L, base.replace("dog", "cat")),   // edit PAST the 24-char block
+      (2L, "a completely different opening " + base),
+      (3L, base)                          // exact copy, dist 0
+    ).toDF("id", "txt")
+    val got = DedupOps.fuzzyPairs(df, "id", "txt", blockChars = 24, maxDist = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    // doc 2 diverges inside the 24-char block → never a candidate;
+    // "dog"→"cat" is 3 substitutions
+    assert(got.keySet == Set((0L, 1L), (0L, 3L), (1L, 3L)),
+      s"pairs were ${got.keySet}")
+    assert(got((0L, 3L)) == 0)
+    assert(got((0L, 1L)) == 3 && got((1L, 3L)) == 3)
+    // cap: blockCap=1 makes the shared block hot → no pairs at all
+    assert(DedupOps.fuzzyPairs(df, "id", "txt", 24, 10, blockCap = 1).isEmpty)
+  }
+
+  test("fuzzyPairs on the corpus: planted near-dup families surface with " +
+      "small distances; members corroborate the n-gram pairs") {
+    val fuzzy = SparkEntry.queries("q_fuzzy_pairs")(spark, TestSpark.Sf0001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+    assert(fuzzy.nonEmpty, "no fuzzy pairs at sf0.001 — test is vacuous")
+    fuzzy.foreach { case ((a, b), d) =>
+      assert(a < b && d >= 0 && d <= 10)
+    }
+  }
+
   test("simhash: identical docs share fingerprints; near-dups within hamming 3") {
     val fps = DedupOps.simhash(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.GraphOps
+
+/** Integer fixed-point PageRank ([[GraphOps.pageRank]]): the hand case
+  * pins the exact per-round arithmetic the DuckDB oracle unrolls; the
+  * corpus case pins structural invariants of the bipartite ranking. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pageRank: hand-computed 3-round fixed point on a 3-node star") {
+    import spark.implicits._
+    // a ↔ b, a ↔ c: deg(a)=2, deg(b)=deg(c)=1
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"))
+      .toDF("src", "dst")
+    val got = GraphOps.pageRank(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // round 1: c_a = 1e6+1e6 → r_a = 150000 + 850000·2e6 div 1e6 = 1850000
+    //          c_b = 1e6 div 2 = 500000 → r_b = 575000 (= r_c)
+    // round 2: r_a = 150000 + 850000·1150000 div 1e6 = 1127500
+    //          r_b = 150000 + 850000·(1850000 div 2) div 1e6 = 936250
+    // round 3: r_a = 150000 + 850000·1872500 div 1e6 = 1741625
+    //          r_b = 150000 + 850000·(1127500 div 2) div 1e6 = 629187
+    assert(got == Map("a" -> 1741625L, "b" -> 629187L, "c" -> 629187L))
+  }
+
+  test("pageRank invariants on the part–supplier graph: every node " +
+      "ranked, floor respected, hubs outrank leaves") {
+    val r = SparkEntry.queries("q_pagerank")(spark, TestSpark.Sf0001)
+      .collect().map(x => x.getString(0) -> x.getLong(1))
+    assert(r.nonEmpty)
+    val (sups, parts) = r.partition(_._1.startsWith("s"))
+    assert(sups.nonEmpty && parts.nonEmpty)
+    // (1−d) floor: no rank below 150000 micro
+    r.foreach { case (n, v) => assert(v >= 150000L, s"$n rank $v < floor") }
+    // suppliers aggregate many parts' mass: the best supplier must
+    // outrank the best part (each part feeds only its few suppliers)
+    assert(sups.map(_._2).max > parts.map(_._2).max)
+    // node set is exactly the distinct part/supplier keys of lineitem
+    val li = graft.tables.Tables.lineitem(spark, TestSpark.Sf0001)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+    val expected = li.map(x => "p" + x.get(0)).toSet ++
+      li.map(x => "s" + x.get(1)).toSet
+    assert(r.map(_._1).toSet == expected)
+  }
+}
