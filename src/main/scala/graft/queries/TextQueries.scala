@@ -113,6 +113,26 @@ object TextQueries {
     "q_doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    // Compressibility quality signal (RedPajama-v2 signal family):
+    // per-doc DEFLATE ratio — boilerplate compresses far below prose,
+    // noise barely at all. The compressor is the non-SQL stage (one
+    // zlib stream per partition, seam-written like the hash families);
+    // ratio + bucketing replay in DuckDB from the fixture.
+    "q_compress_ratio" -> ((s, dir) => {
+      val stats = seam(
+        TextOps.compressionStats(docs(s, dir), "doc_id", "text"),
+        dir, "compress_stats")
+      stats
+        .withColumn("ratio", round(col("comp_len").cast("double") /
+          nullif(col("raw_len"), lit(0L)), 6))
+        .withColumn("bucket",
+          when(col("ratio").isNull, "empty")
+            .when(col("ratio") < 0.3, "repetitive")
+            .when(col("ratio") <= 0.55, "normal")
+            .otherwise("incompressible"))
+        .orderBy("doc_id")
+    }),
+
     // Repetition filter (Gopher-style): within-document duplicate-shingle
     // ratio; heavily repetitive docs are low-quality training data.
     "q_repetition_filter" -> ((s, dir) =>
@@ -999,6 +1019,19 @@ object TextQueries {
          |SELECT doc_id, fp_full,
          |       list_min(list_transform(gs, g -> substr(md5(g), 1, 16))) AS fp_shingle_min
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q_compress_ratio" ->
+      s"""SELECT doc_id, raw_len, comp_len,
+         |       round(CAST(comp_len AS DOUBLE) / nullif(raw_len, 0), 6) AS ratio,
+         |       CASE
+         |         WHEN raw_len = 0 THEN 'empty'
+         |         WHEN round(CAST(comp_len AS DOUBLE) / raw_len, 6) < 0.3
+         |           THEN 'repetitive'
+         |         WHEN round(CAST(comp_len AS DOUBLE) / raw_len, 6) <= 0.55
+         |           THEN 'normal'
+         |         ELSE 'incompressible' END AS bucket
+         |FROM read_parquet('${sqlPath("compress_stats")}')
+         |ORDER BY doc_id""".stripMargin,
 
     "q_repetition_filter" ->
       s"""WITH t AS (

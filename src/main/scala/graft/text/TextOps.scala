@@ -723,4 +723,37 @@ object TextOps {
       .agg(sum(col("n")).as("n"))
       .withColumn("k_ok", col("n") >= lit(k))
   }
+
+  /** Per-document DEFLATE compression stats — the compressibility
+    * quality signal (RedPajama-v2 `ccnet_*`-family signals; highly
+    * repetitive boilerplate compresses far below prose, near-random
+    * noise barely compresses at all). One `Deflater` per PARTITION,
+    * `reset()` per row — allocating a native zlib stream per document
+    * is the hidden cost at corpus scale. Emits `(id, raw_len,
+    * comp_len)` in bytes (UTF-8); ratio/bucketing happen downstream in
+    * plain relational algebra so the oracle can replay them from the
+    * seam fixture (the compressor itself is the non-SQL stage, same
+    * contract as the hash families). */
+  def compressionStats(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val defl = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, false)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          defl.reset()
+          defl.setInput(raw)
+          defl.finish()
+          var n = 0L
+          while (!defl.finished()) n += defl.deflate(buf)
+          (id, raw.length.toLong, n)
+        }
+      }.toDF(idCol, "raw_len", "comp_len")
+  }
 }

@@ -192,4 +192,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_tokens"))
     }
   }
+
+  test("compression stats: boilerplate compresses far below high-entropy " +
+      "text; empty doc routes to the empty bucket") {
+    import spark.implicits._
+    val rep = ("spam and eggs " * 100).trim
+    val rand = (0 until 100)
+      .map(i => graft.text.TextOps.md5Hex(s"salt$i").take(8)).mkString(" ")
+    val df = Seq((0L, rep), (1L, rand), (2L, "")).toDF("doc_id", "text")
+    val st = graft.text.TextOps.compressionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // raw lengths are the exact UTF-8 byte counts
+    assert(st(0L)._1 == rep.length && st(1L)._1 == rand.length)
+    assert(st(2L) == (0L, 8L) || st(2L)._1 == 0L) // empty deflate stream is a few bytes
+    val (r0, r1) = (st(0L)._2.toDouble / st(0L)._1, st(1L)._2.toDouble / st(1L)._1)
+    assert(r0 < 0.1, s"boilerplate ratio $r0 not tiny")
+    assert(r1 > 0.5, s"hex-salad ratio $r1 should barely compress")
+    assert(r0 < r1 / 3)
+  }
 }
