@@ -409,4 +409,36 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(shuffles <= 2, s"per-key shuffle leaked ($shuffles exchanges):\n${p.take(2000)}")
   }
+
+  test("fuzzy linkage: equi-join on the block key only — never a " +
+      "cartesian; the Levenshtein verify runs post-join, map-side") {
+    val p = plan("q_fuzzy_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the DP verify is a filter/projection over the joined pairs, not a
+    // join condition that would force a nested-loop plan
+    assert(p.contains("levenshtein"), p.take(2000))
+  }
+
+  test("pageRank: per-round lineage is truncated — the 3-round plan is " +
+      "a scan of the checkpointed round, not 3 nested joins") {
+    val df = SparkEntry.queries("q_pagerank")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // localCheckpoint(true) per round: the final plan reads the round-3
+    // RDD and sorts — if lineage leaked, 3 rounds × (join + agg) would
+    // appear here and grow per iteration
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("Join"), s"iteration lineage leaked into the final plan:\n${p.take(2000)}")
+  }
+
+  test("exceedance levels: one rank window per band partition + the " +
+      "final agg — no per-frame shuffle beyond them") {
+    val p = plan("q_audio_exceedance")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows >= 1, p.take(2000))
+    // band-partitioned exchanges only: rank window + count window share
+    // the band hash partitioning, then one agg on band
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
