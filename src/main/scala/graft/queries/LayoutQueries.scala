@@ -250,6 +250,28 @@ object LayoutQueries {
         .orderBy("event_id")
     }),
 
+    // AGGREGATE NAVIGATION (plans.RollupNavigation): the user writes the
+    // day-rollup aggregate over the RAW events scan; the registered
+    // Catalyst rule rewrites it to read the materialized rollup instead
+    // — the reference's precomputed-table serving pattern as an
+    // optimizer rule. The returned frame IS the navigated query (the
+    // plan scans the MV, NavigationSpec pins it); the oracle is the
+    // plain full aggregate over events — navigation must be invisible
+    // to results. No DISTINCT aggregates by design (they rewrite into
+    // multi-Aggregate plans before user rules run).
+    "q_rollup_navigate" -> ((s, dir) => {
+      val root = s"/tmp/graft_index/${sfName(dir)}/rollup_nav"
+      def agg(): DataFrame = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"),
+          round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("avg_value"))
+      graft.plans.RollupNavigation.materialize(s, agg(), s"$root/mv")
+      agg().orderBy("day")
+    }),
+
     // Incremental rollup maintenance (RollupOps.maintainByKey): the
     // archive lands day-partitioned, the daily rollup materializes as
     // its own table, then a batch arrives carrying five NEW days plus
@@ -413,6 +435,15 @@ object LayoutQueries {
 
     // maintenance is exact → the oracle is the full-scan daily rollup
     "q_incr_rollup" -> DailyRollupSql,
+
+    // navigation must be invisible: plain full aggregate over events
+    "q_rollup_navigate" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_micro,
+        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // dim-delta maintenance is exact → the oracle is the full
     // join+aggregate under the NEW dimension

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import graft.plans.RollupNavigation
+
+/** Aggregate navigation ([[RollupNavigation]]): the rewrite fires only
+  * for the registered definition, is invisible to results, and vetoes
+  * itself on any mismatch. */
+class NavigationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def dailyAgg(): DataFrame =
+    graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day").agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+
+  private def aggCount(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.size
+
+  private def cleanup(): Unit = {
+    spark.conf.unset(RollupNavigation.TargetKey)
+    spark.conf.unset(RollupNavigation.SignatureKey)
+  }
+
+  test("navigated query reads the MV — no Aggregate in the plan — and " +
+      "returns exactly the re-aggregated answer") {
+    val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
+    try {
+      // expected answer BEFORE registration (plain aggregation)
+      val expected = dailyAgg().orderBy("day").collect().toSeq
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      val q = dailyAgg().orderBy("day")
+      assert(aggCount(q) == 0,
+        s"navigation did not fire:\n${q.queryExecution.optimizedPlan}")
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString).mkString(",")
+            case _ => ""
+          }
+      }.mkString(";")
+      assert(scanned.contains("nav_mv"), s"scanned: $scanned")
+      assert(q.collect().toSeq == expected)
+    } finally cleanup()
+  }
+
+  test("a different aggregate over the same source still aggregates — " +
+      "signature mismatch vetoes the rewrite") {
+    val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
+    try {
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      val other = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(max(col("value")).as("mx"))
+      assert(aggCount(other) >= 1, "unrelated aggregate was rewritten")
+    } finally cleanup()
+  }
+
+  test("schema mismatch at the target vetoes the rewrite instead of " +
+      "producing a broken plan") {
+    val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
+    try {
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      // poison the target: same signature registered, but the files now
+      // hold a different schema — substitute() must refuse
+      spark.conf.set(RollupNavigation.TargetKey,
+        s"${TestSpark.Sf0001}/documents.parquet")
+      val q = dailyAgg()
+      assert(aggCount(q) >= 1, "rewrite proceeded against a foreign schema")
+      assert(q.count() > 0)
+    } finally cleanup()
+  }
+
+  test("unregistered session never rewrites") {
+    cleanup()
+    assert(aggCount(dailyAgg()) >= 1)
+  }
+}
