@@ -50,23 +50,47 @@ object RollupNavigation extends Rule[LogicalPlan] {
     val sig = conf.getConfString(SignatureKey, "")
     if (target.isEmpty || sig.isEmpty) plan
     else plan.transformUp {
-      case agg: Aggregate if signatureOf(agg).contains(sig) =>
-        substitute(agg, target).getOrElse(agg)
+      case agg: Aggregate =>
+        (for {
+          parsed <- parse(agg) if parsed.sig == sig
+          conds <- remapFilters(parsed, agg)
+          sub <- substitute(agg, target)
+        } yield if (conds.isEmpty) sub
+                else org.apache.spark.sql.catalyst.plans.logical
+                  .Filter(conds.reduce(And), sub))
+          .getOrElse(agg)
     }
   }
 
-  /** Canonical signature of an Aggregate whose child is a Project chain
+  /** Parse result: the aggregate-structure signature (filters excluded —
+    * they rewrite separately) plus any filter conditions found in the
+    * chain, inlined to relation attributes, grouped by grouping
+    * expression (also inlined). */
+  private[graft] case class Parsed(sig: String,
+      inlinedFilters: Seq[Expression], inlinedGroupings: Seq[Expression])
+
+  /** Canonicalize an Aggregate whose child is a Project/Filter chain
     * over ONE parquet relation: `sourcePath | groupings | name:=expr…`,
     * all expressions inlined to relation attributes and rendered
-    * qualifier-free. None if the shape is anything else. */
-  private[graft] def signatureOf(agg: Aggregate): Option[String] = {
-    // walk the Project chain, collecting alias definitions bottom-up
-    val projects = collection.mutable.ListBuffer[Seq[NamedExpression]]()
+    * qualifier-free. None if the shape is anything else.
+    *
+    * Filters are legal in the chain (predicate pushdown moves a user's
+    * post-aggregate `day >= X` below the Aggregate before user rules
+    * run) and are returned for [[remapFilters]] to judge — they do NOT
+    * contribute to the signature, because the registered definition has
+    * none. */
+  private[graft] def parse(agg: Aggregate): Option[Parsed] = {
+    // walk the chain top-down, then process bottom-up so each level's
+    // aliases/conditions inline through everything beneath them
+    val chain = collection.mutable.ListBuffer[Either[Seq[NamedExpression], Expression]]()
     var node: LogicalPlan = agg.child
-    while (node.isInstanceOf[Project]) {
-      val p = node.asInstanceOf[Project]
-      projects.prepend(p.projectList)
-      node = p.child
+    var done = false
+    while (!done) node match {
+      case p: Project =>
+        chain.prepend(scala.Left(p.projectList)); node = p.child
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        chain.prepend(scala.Right(f.condition)); node = f.child
+      case _ => done = true
     }
     val path = node match {
       case lr: LogicalRelation =>
@@ -82,22 +106,114 @@ object RollupNavigation extends Rule[LogicalPlan] {
     def inline(e: Expression): Expression = e.transformUp {
       case a: AttributeReference if defs.contains(a.exprId) => defs(a.exprId)
     }
-    projects.foreach { pl =>
-      defs = defs ++ pl.map {
-        case al: Alias => al.exprId -> inline(al.child)
-        case ne => ne.exprId -> inline(ne.toAttribute)
-      }.toMap
+    val filters = collection.mutable.ListBuffer[Expression]()
+    chain.foreach {
+      case scala.Left(pl) =>
+        defs = defs ++ pl.map {
+          case al: Alias => al.exprId -> inline(al.child)
+          case ne => ne.exprId -> inline(ne.toAttribute)
+        }.toMap
+      case scala.Right(cond) =>
+        filters ++= splitConjuncts(cond).map(inline)
     }
     def render(e: Expression): String =
       e.transformUp {
         case a: AttributeReference => a.withQualifier(Seq.empty)
       }.sql
-    val groups = agg.groupingExpressions.map(g => render(inline(g)))
+    val inlinedGroups = agg.groupingExpressions.map(inline)
+    val groups = inlinedGroups.map(render)
     val aggs = agg.aggregateExpressions.map {
       case al: Alias => s"${al.name}:=${render(inline(al.child))}"
       case ne => s"${ne.name}:=${render(inline(ne))}"
     }
-    Some(s"$path | ${groups.mkString(",")} | ${aggs.mkString(",")}")
+    Some(Parsed(s"$path | ${groups.mkString(",")} | ${aggs.mkString(",")}",
+      filters.toSeq, inlinedGroups))
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A filter below the aggregate is navigable iff it FACTORS THROUGH
+    * the grouping expressions — then it removes whole groups, which
+    * commutes with aggregation (each group's value depends only on its
+    * own rows). Structurally: replace every occurrence of a grouping
+    * expression in the conjunct with the aggregate's output attribute
+    * for it; if any raw relation attribute survives, the predicate cuts
+    * WITHIN groups (e.g. `hour(ts) = 3` under day grouping) and the
+    * whole rewrite is vetoed. Returns the remapped conjuncts to apply
+    * ABOVE the MV scan — where the parquet reader then gets them pushed
+    * for free. */
+  private def remapFilters(parsed: Parsed, agg: Aggregate)
+      : Option[Seq[Expression]] = {
+    if (parsed.inlinedFilters.isEmpty) return Some(Nil)
+    // grouping expr → the aggregate output attribute carrying it
+    val groupOut: Seq[(Expression, Attribute)] =
+      parsed.inlinedGroupings.flatMap { g =>
+        agg.aggregateExpressions.collectFirst {
+          case al: Alias if al.child.semanticEquals(
+              agg.groupingExpressions(parsed.inlinedGroupings.indexOf(g))) =>
+            al.toAttribute
+          case ar: AttributeReference if agg.groupingExpressions(
+              parsed.inlinedGroupings.indexOf(g)).semanticEquals(ar) =>
+            ar
+        }.map(g -> _)
+      }
+    if (groupOut.size != parsed.inlinedGroupings.size) return None
+    val allowed = AttributeSet(agg.output)
+    // DATE-CAST groupings get an extra re-derivation: the optimizer
+    // rewrites `cast(ts as date) >= d` into TIMESTAMP space
+    // (`ts >= midnight(d)` + `isnotnull(ts)`) before user rules run, so
+    // the grouping expression no longer appears structurally. The
+    // inverse holds exactly when the bound sits ON midnight in the
+    // session zone: `ts >= midnight(d) ⇔ date(ts) >= d` and
+    // `ts < midnight(d) ⇔ date(ts) < d`; `isnotnull(ts) ⇔
+    // isnotnull(date(ts))` (casts preserve nullness). Anything else —
+    // strict >, <=, =, off-midnight bounds — cuts within a day group
+    // and vetoes.
+    val dateCasts: Map[ExprId, Attribute] = groupOut.collect {
+      case (c: Cast, out) if c.dataType ==
+          org.apache.spark.sql.types.DateType &&
+          c.child.isInstanceOf[AttributeReference] =>
+        c.child.asInstanceOf[AttributeReference].exprId -> out
+    }.toMap
+    val zone = java.time.ZoneId.of(conf.sessionLocalTimeZone)
+    def midnightDate(micros: Long): Option[Literal] = {
+      val zdt = java.time.Instant.EPOCH
+        .plus(micros, java.time.temporal.ChronoUnit.MICROS).atZone(zone)
+      if (zdt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+        Some(Literal(zdt.toLocalDate.toEpochDay.toInt,
+          org.apache.spark.sql.types.DateType))
+      else None
+    }
+    def dateBound(a: Expression, v: Any): Option[(Attribute, Literal)] =
+      a match {
+        case ar: AttributeReference if dateCasts.contains(ar.exprId) =>
+          v match {
+            case micros: Long => midnightDate(micros).map(dateCasts(ar.exprId) -> _)
+            case _ => None
+          }
+        case _ => None
+      }
+    def remapConjunct(c: Expression): Option[Expression] = {
+      val structural = c.transformUp {
+        case e if groupOut.exists(_._1.semanticEquals(e)) =>
+          groupOut.find(_._1.semanticEquals(e)).get._2
+      }
+      if (structural.references.subsetOf(allowed)) Some(structural)
+      else c match {
+        case IsNotNull(a: AttributeReference) if dateCasts.contains(a.exprId) =>
+          Some(IsNotNull(dateCasts(a.exprId)))
+        case GreaterThanOrEqual(a, Literal(v, _: org.apache.spark.sql.types.TimestampType)) =>
+          dateBound(a, v).map { case (out, d) => GreaterThanOrEqual(out, d) }
+        case LessThan(a, Literal(v, _: org.apache.spark.sql.types.TimestampType)) =>
+          dateBound(a, v).map { case (out, d) => LessThan(out, d) }
+        case _ => None
+      }
+    }
+    val remapped = parsed.inlinedFilters.map(remapConjunct)
+    if (remapped.forall(_.isDefined)) Some(remapped.map(_.get)) else None
   }
 
   /** Replace the Aggregate with a read of the target, aliased onto the
@@ -138,7 +254,7 @@ object RollupNavigation extends Rule[LogicalPlan] {
     // the (absent or stale) previous target
     spark.conf.unset(SignatureKey)
     val sig = definition.queryExecution.optimizedPlan.collectFirst {
-      case a: Aggregate => signatureOf(a)
+      case a: Aggregate => parse(a).map(_.sig)
     }.flatten.getOrElse(throw new IllegalArgumentException(
       "definition is not a navigable single-relation aggregate"))
     definition.write.mode("overwrite").parquet(target)

@@ -272,6 +272,30 @@ object LayoutQueries {
       agg().orderBy("day")
     }),
 
+    // FILTERED navigation: the user adds a day-range predicate to the
+    // same aggregate — predicate pushdown moves it below the Aggregate
+    // before user rules run, the rule proves it factors through the
+    // grouping expression (whole-group removal commutes with
+    // aggregation), remaps it onto the MV's day column and applies it
+    // above the scan — where parquet row-group pruning picks it up for
+    // free. An intra-group predicate (e.g. hour(ts)) vetoes instead
+    // (NavigationSpec).
+    "q_rollup_navigate_range" -> ((s, dir) => {
+      val root = s"/tmp/graft_index/${sfName(dir)}/rollup_nav"
+      def agg(): DataFrame = Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"),
+          round(sum(round(col("value") * 1e6, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1e6, 6).as("avg_value"))
+      graft.plans.RollupNavigation.materialize(s, agg(), s"$root/mv")
+      agg()
+        .filter(col("day") >= lit("2024-01-08").cast("date") &&
+                col("day") < lit("2024-01-15").cast("date"))
+        .orderBy("day")
+    }),
+
     // Incremental rollup maintenance (RollupOps.maintainByKey): the
     // archive lands day-partitioned, the daily rollup materializes as
     // its own table, then a batch arrives carrying five NEW days plus
@@ -444,6 +468,16 @@ object LayoutQueries {
         |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
         |             / count(*) / 1e6, 6) AS avg_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_rollup_navigate_range" ->
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_micro,
+        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*) / 1e6, 6) AS avg_value
+        |FROM events GROUP BY 1
+        |HAVING day >= DATE '2024-01-08' AND day < DATE '2024-01-15'
+        |ORDER BY 1""".stripMargin,
 
     // dim-delta maintenance is exact → the oracle is the full
     // join+aggregate under the NEW dimension

@@ -81,4 +81,42 @@ class NavigationSpec extends AnyFunSuite {
     cleanup()
     assert(aggCount(dailyAgg()) >= 1)
   }
+
+  test("a day-range filter navigates too: pushed below the aggregate by " +
+      "the optimizer, proven group-factoring, remapped onto the MV") {
+    val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
+    try {
+      val range = (df: DataFrame) => df.filter(
+        col("day") >= lit("2024-01-08").cast("date") &&
+        col("day") < lit("2024-01-15").cast("date"))
+      val expected = range(dailyAgg()).orderBy("day").collect().toSeq
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      val q = range(dailyAgg()).orderBy("day")
+      assert(aggCount(q) == 0,
+        s"filtered navigation did not fire:\n${q.queryExecution.optimizedPlan}")
+      assert(q.collect().toSeq == expected)
+      // the remapped predicate reaches the MV scan: parquet row-group
+      // pruning on the rollup comes free after the rewrite
+      val pushed = q.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains("GreaterThanOrEqual(day") ||
+        pushed.contains("day"), pushed)
+    } finally cleanup()
+  }
+
+  test("an intra-group predicate (hour of ts) vetoes navigation — it " +
+      "cuts within groups, which an MV cannot answer") {
+    val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
+    try {
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      val q = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+        .filter(hour(col("ts")) === 3)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("sum_micro"))
+      assert(aggCount(q) >= 1,
+        s"intra-group filter was navigated:\n${q.queryExecution.optimizedPlan}")
+    } finally cleanup()
+  }
 }
