@@ -52,13 +52,33 @@ object RollupNavigation extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg: Aggregate =>
         (for {
-          parsed <- parse(agg) if parsed.sig == sig
+          parsed <- parse(agg) if covers(sig, parsed.sig)
           conds <- remapFilters(parsed, agg)
           sub <- substitute(agg, target)
         } yield if (conds.isEmpty) sub
                 else org.apache.spark.sql.catalyst.plans.logical
                   .Filter(conds.reduce(And), sub))
           .getOrElse(agg)
+    }
+  }
+
+  /** The registered MV answers the query when the source path and the
+    * grouping list are IDENTICAL and the query's aggregate columns are
+    * a SUBSET of the view's (each compared as `name:=expression`) — a
+    * query computing fewer of the MV's measures navigates to a
+    * projection of it, the common serving case. More columns, different
+    * expressions under the same name, or different grouping granularity
+    * never match. */
+  private[graft] def covers(registered: String, query: String): Boolean = {
+    (registered.split(" \\| ", -1), query.split(" \\| ", -1)) match {
+      case (Array(rPath, rGroups, rAggs), Array(qPath, qGroups, qAggs)) =>
+        // agg entries split only at a comma DIRECTLY followed by the
+        // next `name:=` (expressions contain commas; alias names are
+        // word-only and `:=` never appears in rendered SQL)
+        rPath == qPath && rGroups == qGroups &&
+          qAggs.split(",(?=\\w+:=)", -1).toSet
+            .subsetOf(rAggs.split(",(?=\\w+:=)", -1).toSet)
+      case _ => registered == query
     }
   }
 
@@ -258,6 +278,22 @@ object RollupNavigation extends Rule[LogicalPlan] {
     }.flatten.getOrElse(throw new IllegalArgumentException(
       "definition is not a navigable single-relation aggregate"))
     definition.write.mode("overwrite").parquet(target)
+    spark.conf.set(TargetKey, target)
+    spark.conf.set(SignatureKey, sig)
+    install(spark)
+  }
+
+  /** Register WITHOUT writing — the maintenance path: after the IVM
+    * family ([[graft.ops.RollupOps]]) advances the target in place,
+    * re-point navigation at the fresh version. The definition is only
+    * consulted for its signature. */
+  def register(spark: SparkSession, definition: DataFrame,
+      target: String): Unit = {
+    spark.conf.unset(SignatureKey)
+    val sig = definition.queryExecution.optimizedPlan.collectFirst {
+      case a: Aggregate => parse(a).map(_.sig)
+    }.flatten.getOrElse(throw new IllegalArgumentException(
+      "definition is not a navigable single-relation aggregate"))
     spark.conf.set(TargetKey, target)
     spark.conf.set(SignatureKey, sig)
     install(spark)

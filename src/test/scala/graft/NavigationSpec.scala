@@ -104,6 +104,46 @@ class NavigationSpec extends AnyFunSuite {
     } finally cleanup()
   }
 
+  test("maintenance handoff: after the MV advances in place, register() " +
+      "re-points navigation and the query serves the fresh version") {
+    val target = new java.io.File("target/fixtures/nav_mv2").getAbsolutePath
+    try {
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      // the IVM stand-in: the target advances in place (here: a version
+      // with every count doubled — distinguishable from the original)
+      val advanced = dailyAgg().withColumn("n", col("n") * 2)
+      spark.conf.unset(RollupNavigation.SignatureKey) // write w/o navigating
+      advanced.write.mode("overwrite").parquet(target)
+      RollupNavigation.register(spark, dailyAgg(), target)
+      val q = dailyAgg().orderBy("day")
+      assert(aggCount(q) == 0, "navigation did not re-fire after register()")
+      // freshness contract: the navigated answer IS the advanced content
+      val got = q.collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      val want = advanced.collect()
+        .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally cleanup()
+  }
+
+  test("a SUBSET of the MV's measures navigates to a projection of it — " +
+      "the common serving case") {
+    val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
+    try {
+      RollupNavigation.materialize(spark, dailyAgg(), target)
+      // query only (day, n): fewer measures than the registered view
+      val q = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("day").agg(count(lit(1)).as("n"))
+        .orderBy("day")
+      assert(aggCount(q) == 0,
+        s"subset query did not navigate:\n${q.queryExecution.optimizedPlan}")
+      val expected = dailyAgg().select("day", "n").orderBy("day")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toSeq
+      assert(q.collect().map(r => r.getDate(0).toString -> r.getLong(1))
+        .toSeq == expected)
+    } finally cleanup()
+  }
+
   test("an intra-group predicate (hour of ts) vetoes navigation — it " +
       "cuts within groups, which an MV cannot answer") {
     val target = new java.io.File("target/fixtures/nav_mv").getAbsolutePath
