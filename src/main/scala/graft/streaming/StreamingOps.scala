@@ -714,7 +714,19 @@ object StreamingOps {
   private[graft] final class RollupCarry {
     var idx: Option[DataFrame] = None
     var prev: Option[(Long, DataFrame)] = None
+    var persistCountdown: Int = 0
   }
+
+  /** How many micro-batches may extend the CARRIED footer index before
+    * it is re-persisted. The on-disk `_skipindex` is a warm-start CACHE,
+    * not a correctness input — every fresh loop (and every non-loop
+    * reader) reconciles it against the real listing via
+    * [[graft.sources.SkipIndex.refreshFooterIndex]], which costs one
+    * footer read per file persisted-behind. Writing it every batch was
+    * ~0.15 s/batch of the streamed-maintenance cell for zero recovery
+    * benefit; this bounds restart reconcile work to ≤16 footers while
+    * removing the write from the steady-state batch path. */
+  private val IndexPersistEvery = 16
 
   /** Pin a result frame's rows on the driver (serving-scale by the rollup
     * contract: one row per (key, day)-grain group). */
@@ -734,13 +746,22 @@ object StreamingOps {
     // marker-short-circuited replay), so index maintenance is a driver
     // footer read per new file — no listing, no resolution, no job
     val landed = SkipIndex.appendClusteredBatch(batch, tsCol, dir, batchId, streamId)
+    val freshCarry = carry.idx.isEmpty
     val base = carry.idx.getOrElse {
       // fresh loop or restart: reconcile the persisted index against the
       // real listing once, then stay incremental
       SkipIndex.refreshFooterIndex(s, dir, tsCol, SkipIndex.loadIndexOrEmpty(s, dir))
     }
     val idx = SkipIndex.extendFooterIndex(s, base, landed, tsCol)
-    SkipIndex.persistIndex(s, idx, dir)
+    // persist on the first batch of a loop (so a brand-new archive gets
+    // an index at all) and every [[IndexPersistEvery]] batches; the
+    // steady-state batch extends only the carried copy — see the cache
+    // contract on IndexPersistEvery
+    carry.persistCountdown -= 1
+    if (freshCarry || carry.persistCountdown <= 0) {
+      SkipIndex.persistIndex(s, idx, dir)
+      carry.persistCountdown = IndexPersistEvery
+    }
     carry.idx = Some(idx)
     // changed days come from the landed files' FOOTER ZONES (already in
     // the extended index — no extra pass over the batch): every day in a
