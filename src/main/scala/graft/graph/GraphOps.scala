@@ -56,4 +56,59 @@ object GraphOps {
     }
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** Per-node triangle participation over an undirected edge list —
+    * the local-clustering signal a dedup/link-analysis pipeline reads
+    * off a kNN or co-occurrence graph (dense triangles = tight
+    * near-dup cliques; triangle-free hubs = promiscuous false joins).
+    *
+    * Degree orientation (Schank & Wagner 2005; Suri & Vassilvitskii
+    * WWW'11 "the curse of the last reducer"): orient every edge from
+    * its lower-(degree, id) endpoint to the higher, enumerate wedges
+    * only at each edge's LOW endpoint, and close them against the
+    * oriented edge set. Out-degree after orientation is O(√m) on any
+    * graph, so wedge count is O(m^1.5) total and — the part that
+    * matters at 100 TB — a degree-10⁶ hub generates ZERO wedges at
+    * itself instead of 10¹²: the skew that kills the naive
+    * neighbor-join moves to the bounded oriented lists. Both joins are
+    * plain equi-joins (wedge anchor; closing (v,w) pair), so Catalyst
+    * shuffles on the join keys — no cross product, no driver
+    * adjacency. Each triangle is found exactly once, anchored at its
+    * minimum-(deg, id) vertex.
+    *
+    * Input may contain duplicates and both directions; self-loops are
+    * dropped. Returns `(node, n_tri)` for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // canonical undirected edge set
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // (deg, id) lexicographic orientation, written as an explicit
+    // boolean so the DuckDB oracle states the identical predicate
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("hi_deg"))
+      .localCheckpoint(true) // reused 3× below: orient once, not thrice
+    // wedges at the low endpoint, ordered so each wedge appears once
+    val e1 = oriented.select(col("lo"), col("hi").as("v"), col("hi_deg").as("dv"))
+    val e2 = oriented.select(col("lo"), col("hi").as("w"), col("hi_deg").as("dw"))
+    val wedges = e1.join(e2, Seq("lo"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    // key(v) < key(w) means the closing edge, if present, is oriented v→w
+    val closing = oriented.select(col("lo").as("v"), col("hi").as("w"))
+    val tris = wedges.join(closing, Seq("v", "w"))
+    tris.select(explode(array(col("lo"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -48,6 +48,38 @@ object JoinOps {
   def overlaps(aStart: Column, aEnd: Column, bStart: Column, bEnd: Column): Column =
     aStart <= bEnd && bStart <= aEnd
 
+  /** Interval × point range join for TWO FACT-SCALE sides — the
+    * "pre-bucket both on coarse time buckets" strategy [[overlaps]]
+    * points at, made concrete. A naive
+    * `a JOIN b ON pt >= start AND pt < end` has no equi-key, so Spark
+    * plans BroadcastNestedLoopJoin (driver-killing broadcast of a fact
+    * side) or a cartesian — |A|·|B| comparisons either way. Instead:
+    * each interval EXPLODES to the day bins it covers, each point maps
+    * to its own day bin, and the pair matches on the bin EQUI-key with
+    * the exact range predicate as a residual filter (a point's bin is
+    * covered by every interval overlapping that day, so no pair is
+    * missed; each point carries exactly one bin, so no pair is
+    * duplicated). Work drops to Σ_bin |A_bin|·|B_bin| — the classic
+    * binned range join (e.g. Chawda et al., "Processing Interval Joins
+    * On Map-Reduce", EDBT'14) — and the join is shuffle-partitioned BY
+    * BIN, so time-skew spreads across reducers. Pick the bin width ≈
+    * typical interval length (here: day bins for multi-day windows); a
+    * much finer bin multiplies the explode factor, a much coarser one
+    * multiplies the per-bin cross product.
+    *
+    * `intervals` columns must not collide with `points` columns.
+    * Matches are `startCol <= ptCol < endCol` (start-incl, end-excl). */
+  def binnedIntervalJoin(intervals: DataFrame, startCol: String,
+      endCol: String, points: DataFrame, ptCol: String): DataFrame = {
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(date_trunc("DAY", col(startCol)).cast("date"),
+        col(endCol).cast("date"), expr("INTERVAL 1 DAY"))))
+    val pts = points.withColumn("__bin", to_date(col(ptCol)))
+    binned.join(pts, Seq("__bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__bin")
+  }
+
   /** Point-in-time (SCD2) dimension lookup: for every fact row, the ONE
     * dimension version whose validity interval covers the fact's event
     * time — `dim.key = fact.key AND valid_from <= ts < valid_to`. With a

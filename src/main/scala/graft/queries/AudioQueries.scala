@@ -260,6 +260,36 @@ object AudioQueries {
         .orderBy("band")
     }),
 
+    // Spectral probability density (Merchant et al. 2013, "Measuring
+    // acoustic habitats" / PAMGuide's SPD product): per band, the
+    // EMPIRICAL DISTRIBUTION of per-frame levels in 1 dB bins — the
+    // full noise-climate picture the L10/L50/L90 exceedance levels
+    // summarize. Pure grouped counting off the same integer-partials
+    // seam (bin = floor(dB), computed from identical integers on both
+    // engines, so the floor is deterministic); shuffles one row per
+    // occupied (band, bin), never a per-frame sort — the 100 TB shape,
+    // unlike the exact-rank exceedance which sorts per band.
+    "q_audio_spd" -> ((s, dir) => {
+      val waves = SpectralOps.synthesizeWaves(
+        Tables.documents(s, dir).select("doc_id"), "doc_id", Sr, NSamples)
+      val partials = seam(
+        SpectralOps.bandPartialsFused(
+          SpectralOps.frameWaveform(waves, "samples", FrameLen, Hop),
+          "doc_id", Sr, FrameLen),
+        dir, "audio_band_partials")
+      val lv = partials.filter(col("p_nano") > 0)
+        .withColumn("bin_db",
+          floor(lit(10.0) * log(10.0, col("p_nano").cast("double") / lit(1e9))))
+      val n = lv.groupBy(col("band")).agg(count(lit(1)).as("n_band"))
+      lv.groupBy(col("band"), col("bin_db"))
+        .agg(count(lit(1)).as("n_frames"))
+        .join(n, "band")
+        .select(col("band"), col("bin_db"), col("n_frames"),
+          round(col("n_frames").cast("double") / col("n_band").cast("double"),
+            6).as("density"))
+        .orderBy("band", "bin_db")
+    }),
+
     // FREQUENCY-WEIGHTED broadband level (the Southall et al. 2019
     // marine-mammal M-weighting shape — a band-pass emphasis curve
     // W(f) = 20·log10(f²·fhi² / ((f²+flo²)(f²+fhi²))), peak-normalized
@@ -485,6 +515,19 @@ object AudioQueries {
          |  CASE WHEN p90 > 0 THEN round(10.0 * log10(CAST(p90 AS DOUBLE) / 1e9), 6) END AS l90_db,
          |  n_frames
          |FROM picked ORDER BY band""".stripMargin,
+
+    "q_audio_spd" ->
+      s"""WITH lv AS (
+         |  SELECT band,
+         |         floor(10.0 * log10(CAST(p_nano AS DOUBLE) / 1e9)) AS bin_db
+         |  FROM read_parquet('${sqlPath("audio_band_partials")}')
+         |  WHERE p_nano > 0),
+         |n AS (SELECT band, count(*) AS n_band FROM lv GROUP BY 1)
+         |SELECT l.band, CAST(l.bin_db AS BIGINT) AS bin_db,
+         |       count(*) AS n_frames,
+         |       round(count(*) / CAST(n.n_band AS DOUBLE), 6) AS density
+         |FROM lv l JOIN n USING (band)
+         |GROUP BY 1, 2, n.n_band ORDER BY 1, 2""".stripMargin,
 
     "q_audio_weighted" ->
       s"""WITH tot AS (

@@ -33,6 +33,23 @@ object GraphQueries {
           concat(lit("p"), col("l_partkey").cast("string")).as("dst")))
       GraphOps.pageRank(edges, Iters).orderBy("node")
     }),
+
+    // Per-node triangle counts over the IVF kNN graph (the sub-quadratic
+    // q_knn_join_ivf construction — the graph a 100 TB pipeline would
+    // actually have): the local-clustering QA signal for near-dup
+    // clusters. Degree-oriented wedge enumeration keeps the heaviest
+    // node's work at O(√m) — see [[GraphOps.triangleCounts]]. The kNN
+    // edge set is deterministic (rounded sims, tie-broken ranks), so
+    // the oracle replays graph construction AND counting exactly.
+    "q_triangle_count" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        .orderBy("cell").limit(16)
+      val knn = graft.sim.SimilarityOps.knnJoinIvf(
+        e, "vec_id", "embedding", cent, k = 5, nProbe = 2)
+      GraphOps.triangleCounts(knn, "query_id", "neighbor_id")
+        .orderBy("node")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -62,5 +79,62 @@ object GraphQueries {
          |${round(3)}
          |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
     },
+
+    // the q_knn_join_ivf CTE chain verbatim, then canonical undirected
+    // edges → (deg, id) orientation → wedge join → closing-edge join —
+    // the same explicit lexicographic predicate the Spark side states
+    "q_triangle_count" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (
+        |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
+        |probed AS (
+        |  SELECT b.id, b.v, c.cell,
+        |         row_number() OVER (PARTITION BY b.id
+        |           ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
+        |                    c.cell) AS r
+        |  FROM base b CROSS JOIN cent c),
+        |corpus AS (SELECT id AS neighbor_id, v, cell FROM probed WHERE r = 1),
+        |qs AS (SELECT id AS query_id, v AS qv, cell FROM probed WHERE r <= 2),
+        |pairs AS (
+        |  SELECT q.query_id, c.neighbor_id,
+        |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
+        |  FROM qs q JOIN corpus c
+        |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+        |knn AS (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM pairs),
+        |und AS (
+        |  SELECT DISTINCT least(query_id, neighbor_id) AS a,
+        |                  greatest(query_id, neighbor_id) AS b
+        |  FROM knn WHERE rank <= 5 AND query_id <> neighbor_id),
+        |deg AS (
+        |  SELECT n, count(*) AS deg FROM (
+        |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |oriented AS (
+        |  SELECT CASE WHEN da.deg < db.deg
+        |                OR (da.deg = db.deg AND u.a < u.b)
+        |              THEN u.a ELSE u.b END AS lo,
+        |         CASE WHEN da.deg < db.deg
+        |                OR (da.deg = db.deg AND u.a < u.b)
+        |              THEN u.b ELSE u.a END AS hi,
+        |         CASE WHEN da.deg < db.deg
+        |                OR (da.deg = db.deg AND u.a < u.b)
+        |              THEN db.deg ELSE da.deg END AS hi_deg
+        |  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
+        |tris AS (
+        |  SELECT e1.lo, e1.hi AS v, e2.hi AS w
+        |  FROM oriented e1
+        |  JOIN oriented e2 ON e1.lo = e2.lo
+        |    AND (e1.hi_deg < e2.hi_deg
+        |         OR (e1.hi_deg = e2.hi_deg AND e1.hi < e2.hi))
+        |  JOIN oriented e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT lo AS node FROM tris
+        |  UNION ALL SELECT v FROM tris
+        |  UNION ALL SELECT w FROM tris)
+        |GROUP BY node ORDER BY node""".stripMargin,
   )
 }

@@ -446,6 +446,29 @@ object JoinQueries {
         .select("n_name", "rank", "s_suppkey", "s_name", "revenue")
         .orderBy("n_name", "rank")
     }),
+
+    // Fact×fact RANGE join with no equi-key: lineitems shipped inside
+    // each June-1995 order's [o_orderdate, +170h) window, via the
+    // day-bin decomposition ([[graft.ops.JoinOps.binnedIntervalJoin]]) —
+    // an equi-join on the bin plus a residual trim, never a
+    // BroadcastNestedLoopJoin (PlanSpec pins the plan shape). The 170 h
+    // (not 168 h) window keeps the interval NOT day-aligned, so the
+    // residual predicate does real work on the boundary bins. Quantity
+    // sums in exact centi-units.
+    "q_range_join_binned" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-06-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1995-07-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 170 HOURS")).as("o_end"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      graft.ops.JoinOps.binnedIntervalJoin(o, "o_orderdate", "o_end", li, "l_shipdate")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+             sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_centi"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -690,6 +713,22 @@ object JoinQueries {
         |SELECT n_name, rank, s_suppkey, s_name, revenue
         |FROM ranked WHERE rank <= 3
         |ORDER BY n_name, rank""".stripMargin,
+
+    // the oracle states the PLAIN theta join — the binned decomposition
+    // must be invisible in the result
+    "q_range_join_binned" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         o_orderdate + INTERVAL 170 HOUR AS o_end
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00')
+        |SELECT o.o_orderkey, count(*) AS n_shipped,
+        |       CAST(sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS qty_centi
+        |FROM o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.o_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** The ONE change-feed construction both CDC paths run (batch

@@ -462,6 +462,34 @@ object StatsQueries {
             6).as("jacc_exact"))
         .orderBy("lang_a", "lang_b")
     }),
+
+    // First-touch funnel view→click→purchase, reported per entry-day
+    // cohort: per-user conditional-aggregate stages (shuffled rows =
+    // O(users), no window over events), counts rolled to the t1 day.
+    // See [[graft.ops.BehaviorOps.funnel3]].
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.BehaviorOps.funnel3(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "view", "click", "purchase")
+        .groupBy(to_date(col("t1")).as("cohort_day"))
+        .agg(count(lit(1)).as("n_entered"),
+             count(col("t2")).as("n_clicked"),
+             count(col("t3")).as("n_purchased"))
+        .orderBy("cohort_day")),
+
+    // Day-grain retention matrix: cohort = first active day; cell =
+    // users from that cohort active `day_offset` days later.
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.BehaviorOps.cohortRetention(
+          Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
+
+    // Median/MAD robust outlier summary per event_type (|v−med| >
+    // 3·1.4826·MAD): integer-micro quantization ahead of the exact
+    // percentiles makes both engines interpolate identical integers.
+    "q_anomaly_mad" -> ((s, dir) =>
+      graft.ops.BehaviorOps.madOutlierSummary(
+          Tables.events(s, dir), "event_type", "value")
+        .orderBy("event_type")),
   )
 
   /** 512 minima — σ ≈ 1/√510 ≈ 4.4%. */
@@ -1059,5 +1087,61 @@ object StatsQueries {
         |       min(x) AS x_min, max(x) AS x_max,
         |       min(y) AS y_min, max(y) AS y_max
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same strictly-ordered stage chain: min-after-previous-stage CTEs
+    "q_funnel" ->
+      """WITH entered AS (
+        |  SELECT user_id AS u,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1
+        |  HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL),
+        |s2 AS (
+        |  SELECT e.u, min(ev.ts) AS t2
+        |  FROM events ev JOIN entered e ON ev.user_id = e.u
+        |  WHERE ev.event_type = 'click' AND ev.ts > e.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT s.u, min(ev.ts) AS t3
+        |  FROM events ev JOIN s2 s ON ev.user_id = s.u
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > s.t2 GROUP BY 1)
+        |SELECT CAST(e.t1 AS DATE) AS cohort_day,
+        |       count(*) AS n_entered,
+        |       count(s2.t2) AS n_clicked,
+        |       count(s3.t3) AS n_purchased
+        |FROM entered e
+        |LEFT JOIN s2 ON e.u = s2.u
+        |LEFT JOIN s3 ON e.u = s3.u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT u, min(day) AS cohort_day FROM active GROUP BY 1)
+        |SELECT c.cohort_day,
+        |       date_diff('day', c.cohort_day, a.day) AS day_offset,
+        |       count(*) AS n_active
+        |FROM active a JOIN cohort c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // quantile_cont == Spark percentile (linear interpolation) over the
+    // SAME micro-unit integers; the outlier compare then sees
+    // bit-identical doubles on both engines
+    "q_anomaly_mad" ->
+      """WITH micro AS (
+        |  SELECT event_type AS g,
+        |         CAST(round(value * 1e6, 0) AS BIGINT) AS mv FROM events),
+        |med AS (
+        |  SELECT g, quantile_cont(mv, 0.5) AS med_micro, count(*) AS n
+        |  FROM micro GROUP BY 1),
+        |dev AS (
+        |  SELECT m.g, abs(m.mv - d.med_micro) AS ad, d.med_micro, d.n
+        |  FROM micro m JOIN med d ON m.g = d.g),
+        |mad AS (SELECT g, quantile_cont(ad, 0.5) AS mad_micro FROM dev GROUP BY 1)
+        |SELECT d.g AS event_type, d.n,
+        |       round(d.med_micro / 1e6, 6) AS med,
+        |       round(m.mad_micro / 1e6, 6) AS mad,
+        |       CAST(sum(CASE WHEN d.ad > 3.0 * 1.4826 * m.mad_micro
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad m ON d.g = m.g
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
   )
 }

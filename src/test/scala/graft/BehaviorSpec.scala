@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.BehaviorOps
+
+/** Hand-case pins for the behavioral analytics trio
+  * ([[graft.ops.BehaviorOps]]): funnel stage ordering, retention
+  * offsets, and the median/MAD outlier rule — the semantics the DuckDB
+  * oracles restate, pinned here on inputs small enough to check by
+  * eye. */
+class BehaviorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel3: strict after-previous-stage ordering, first-touch, no reset") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1 converts fully; the pre-view click at 09:00 must NOT count
+      (1L, "click", "2024-01-01 09:00:00"),
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "click", "2024-01-01 11:00:00"),
+      (1L, "click", "2024-01-01 12:00:00"), // later click ignored (first-touch)
+      (1L, "purchase", "2024-01-01 13:00:00"),
+      // u2 purchases BEFORE its first post-view click → stage 3 not reached
+      (2L, "view", "2024-01-02 10:00:00"),
+      (2L, "purchase", "2024-01-02 11:00:00"),
+      (2L, "click", "2024-01-02 12:00:00"),
+      // u3 never views → not in the funnel at all
+      (3L, "click", "2024-01-03 10:00:00"),
+      (3L, "purchase", "2024-01-03 11:00:00"))
+      .toDF("user_id", "event_type", "s")
+      .select(col("user_id"), col("event_type"), col("s").cast("timestamp").as("ts"))
+    val got = BehaviorOps.funnel3(ev, "user_id", "event_type", "ts",
+        "view", "click", "purchase")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)), Option(r.getTimestamp(3)))).toSet
+    assert(got == Set(
+      (1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 11:00:00")),
+        Some(ts("2024-01-01 13:00:00"))),
+      (2L, ts("2024-01-02 10:00:00"), Some(ts("2024-01-02 12:00:00")), None)))
+  }
+
+  test("cohortRetention: offsets from first active day; within-day dedup") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 09:00:00"), // one active day
+      (1L, "2024-01-03 09:00:00"),
+      (2L, "2024-01-01 23:59:59"), (2L, "2024-01-02 00:00:01"),
+      (3L, "2024-01-02 12:00:00"))
+      .toDF("user_id", "s")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = BehaviorOps.cohortRetention(ev, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L),  // u1+u2 day-0
+      ("2024-01-01", 1L, 1L),  // u2 on Jan 2
+      ("2024-01-01", 2L, 1L),  // u1 on Jan 3
+      ("2024-01-02", 0L, 1L))) // u3's own cohort
+  }
+
+  test("madOutlierSummary: hand median/MAD; one wild value flagged, not absorbing") {
+    import spark.implicits._
+    // values 1..9 plus a 1000 spike: median 5.5, deviations
+    // {4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5} → MAD 2.5;
+    // cutoff 3·1.4826·2.5 = 11.1195 → only the spike exceeds it.
+    // (A mean/stddev z-score would put the cutoff past 900 — the spike
+    // dragging the threshold is exactly what MAD resists.)
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0)
+      .map(("g", _)).toDF("grp", "value")
+    val r = BehaviorOps.madOutlierSummary(df, "grp", "value").collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 10L)               // n
+    assert(r(0).getDouble(2) == 5.5)             // med
+    assert(r(0).getDouble(3) == 2.5)             // mad
+    assert(r(0).getLong(4) == 1L)                // n_outliers: the spike only
+  }
+}

@@ -44,4 +44,37 @@ class GraphSpec extends AnyFunSuite {
       li.map(x => "s" + x.get(1)).toSet
     assert(r.map(_._1).toSet == expected)
   }
+
+  test("triangleCounts: hand graphs — K4, K4+pendant, star, duplicates/directions") {
+    import spark.implicits._
+    def counts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      GraphOps.triangleCounts(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every vertex sits in C(3,2)=3 of the 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(counts(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a pendant vertex joins no triangle and must be absent
+    assert(counts(k4 :+ (4L, 5L)) ==
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a star is triangle-free — the hub's degree creates no wedge at
+    // itself under degree orientation (and no output at all)
+    assert(counts(Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))).isEmpty)
+    // duplicate edges, both directions, and self-loops don't change
+    // the undirected simple graph
+    val noisy = k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (2L, 3L), (2L, 3L))
+    assert(counts(noisy) == counts(k4))
+  }
+
+  test("q_triangle_count: totals consistent and plan is equi-join only") {
+    val df = SparkEntry.queries("q_triangle_count")(spark, TestSpark.Sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // wedge + closing joins must be equi-joins — no nested loop over
+    // the neighbor lists, no cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    val rows = df.collect()
+    // per-node participations sum to 3 per triangle
+    assert(rows.map(_.getLong(1)).sum % 3 == 0)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
 }

@@ -441,4 +441,20 @@ class PlanSpec extends AnyFunSuite {
     // the band hash partitioning, then one agg on band
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("binned interval join stays an equi-join on the day bin — never " +
+      "a nested-loop/cartesian theta join (q_range_join_binned)") {
+    // a non-equi time-range join is exactly where Spark falls back to
+    // BroadcastNestedLoopJoin (broadcasting a FACT side) — the bin
+    // decomposition must keep the residual range predicate inside a
+    // keyed join at every scale
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    // the residual trim rides the keyed join's condition (or a
+    // post-join filter), with the bin as the equi-key
+    assert(p.contains("Join") && p.contains("__bin"),
+      p.linesIterator.take(30).mkString("\n"))
+  }
 }
