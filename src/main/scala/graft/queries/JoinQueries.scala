@@ -140,6 +140,51 @@ object JoinQueries {
         .orderBy("bucket_start")
     }),
 
+    // LINEAR interpolation across missing buckets — q_gap_fill's
+    // forward-fill upgraded to the two-sided estimate sensor pipelines
+    // want: v = prev + (next−prev)·Δt/Δspan, edges one-sided. The
+    // bracketing (value, bucket) pairs come from last/first IGNORE NULLS
+    // windows over the point-capped serving grid (the window is
+    // serving-scale by the same O4 cap as q_gap_fill — never a global
+    // sort of raw data). Determinism: endpoints are 6-rounded means and
+    // the time fraction is integer-seconds arithmetic, so both engines
+    // interpolate identical doubles.
+    "q_interp_linear" -> ((s, dir) => {
+      val gridStart = java.time.Instant.parse("2024-01-05T00:00:00Z")
+      val gridEnd = java.time.Instant.parse("2024-01-12T00:00:00Z")
+      graft.planner.RequestPlanner.enforcePointCap(
+        graft.planner.RequestPlanner.estimatedPoints(gridStart, gridEnd, "1h"))
+      val grid = Tables.region(s, dir).sparkSession.range(1)
+        .select(explode(sequence(
+          lit("2024-01-05 00:00:00").cast("timestamp"),
+          lit("2024-01-12 00:00:00").cast("timestamp"),
+          expr("INTERVAL 1 HOUR"))).as("bucket_start"))
+      val agg = graft.ops.ResampleOps.resampleMean(
+          Tables.events(s, dir).filter(col("user_id") === 7), "ts", "value", "1h")
+        .withColumn("mean_value", round(col("mean_value"), 6))
+      val wp = org.apache.spark.sql.expressions.Window.orderBy("bucket_start")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wn = org.apache.spark.sql.expressions.Window.orderBy("bucket_start")
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val known = when(col("mean_value").isNotNull, col("bucket_start"))
+      grid.join(agg, Seq("bucket_start"), "left")
+        .withColumn("pv", last(col("mean_value"), ignoreNulls = true).over(wp))
+        .withColumn("pb", last(known, ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("mean_value"), ignoreNulls = true).over(wn))
+        .withColumn("nb", first(known, ignoreNulls = true).over(wn))
+        .withColumn("interp_value",
+          when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("pb") === col("nb"), col("pv")) // observed bucket
+            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+              ((unix_timestamp(col("bucket_start")) - unix_timestamp(col("pb")))
+                .cast("double") /
+               (unix_timestamp(col("nb")) - unix_timestamp(col("pb")))
+                .cast("double")), 6)))
+        .select("bucket_start", "mean_value", "interp_value")
+        .orderBy("bucket_start")
+    }),
+
     // Multi-level aggregation: ROLLUP over (returnflag, linestatus) with
     // grouping_id disambiguating subtotal rows. NULL ordering pinned
     // explicitly (Spark sorts NULLS FIRST by default, DuckDB NULLS LAST).
@@ -161,6 +206,35 @@ object JoinQueries {
           grouping_id().as("gid"))
         .orderBy(col("gid"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // GROUPING SETS — the general lattice form rollup/cube specialize:
+    // two INDEPENDENT summaries ((returnflag), (linestatus)) in ONE
+    // pass/shuffle (Spark expands the sets before the partial
+    // aggregate), where rollup could only express the hierarchy.
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Wide→long UNPIVOT (the PSD-matrix melt generalized): three
+    // lineitem measures stack into (measure, val) rows — Spark's Expand
+    // node, a map-side row multiplication, never a shuffle per measure —
+    // then one grouped aggregate in exact centi-units.
+    "q_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("val") * 100, 0).cast("long")).as("sum_centi"))
+        .orderBy("l_returnflag", "measure")),
 
     // Set operations: purchasers who never raised an error (EXCEPT) and
     // users doing both (INTERSECT).
@@ -552,6 +626,65 @@ object JoinQueries {
         |         AS filled_value
         |FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start
         |ORDER BY g.bucket_start""".stripMargin,
+
+    "q_interp_linear" ->
+      """WITH grid AS (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+        |                TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR))
+        |    AS bucket_start),
+        |agg AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |         round(avg(value), 6) AS mean_value
+        |  FROM events WHERE user_id = 7 GROUP BY 1),
+        |j AS (
+        |  SELECT g.bucket_start, a.mean_value
+        |  FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start),
+        |w AS (
+        |  SELECT bucket_start, mean_value,
+        |    last_value(mean_value IGNORE NULLS)
+        |      OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN mean_value IS NOT NULL THEN bucket_start END
+        |        IGNORE NULLS)
+        |      OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS pb,
+        |    first_value(mean_value IGNORE NULLS)
+        |      OVER (ORDER BY bucket_start
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN mean_value IS NOT NULL THEN bucket_start END
+        |        IGNORE NULLS)
+        |      OVER (ORDER BY bucket_start
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM j)
+        |SELECT bucket_start, mean_value,
+        |  CASE WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN pb = nb THEN pv
+        |       ELSE round(pv + (nv - pv)
+        |              * (CAST(epoch(bucket_start) - epoch(pb) AS DOUBLE)
+        |                 / CAST(epoch(nb) - epoch(pb) AS DOUBLE)), 6)
+        |  END AS interp_value
+        |FROM w ORDER BY bucket_start""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       count(*) AS n, GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    // the UNION-of-measures statement IS unpivot's semantics — the
+    // Spark side must make its Expand invisible in the result
+    "q_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |       CAST(sum(CAST(round(val * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS sum_centi
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -490,6 +490,40 @@ object StatsQueries {
       graft.ops.BehaviorOps.madOutlierSummary(
           Tables.events(s, dir), "event_type", "value")
         .orderBy("event_type")),
+
+    // STREAMING funnel twin: per-user (t1,t2,t3) state machine at
+    // ingest (flatMapGroupsWithState, 24 bytes/user), time-ordered
+    // micro-batches by construction — streamed ≡ batch exactly, so
+    // q_funnel's oracle applies unchanged. See
+    // [[graft.streaming.StreamingOps.runStreamFunnelOnce]].
+    "q_stream_funnel" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .runStreamFunnelOnce(s, dir, "view", "click", "purchase")
+        .groupBy(to_date(timestamp_micros(col("t1"))).as("cohort_day"))
+        .agg(count(lit(1)).as("n_entered"),
+             count(col("t2")).as("n_clicked"),
+             count(col("t3")).as("n_purchased"))
+        .orderBy("cohort_day")),
+
+    // Per-group key-skew diagnostic — the measurement that DECIDES
+    // salting (JoinOps.saltedEquiJoin) and AQE skew thresholds instead
+    // of guessing: per-key counts (map-side combinable), then
+    // distribution stats per group. max/mean ratio ≈ 1 → uniform;
+    // top1_share near 1 → one hot key owns the group.
+    "q_skew_diag" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_n"),
+          round(expr("percentile(c, 0.99)"), 6).as("p99_n"),
+          round(max(col("c")).cast("double") * count(lit(1)).cast("double")
+            / sum(col("c")).cast("double"), 6).as("skew_ratio"),
+          round(max(col("c")).cast("double")
+            / sum(col("c")).cast("double"), 6).as("top1_share"))
+        .orderBy("event_type")),
   )
 
   /** 512 minima — σ ≈ 1/√510 ≈ 4.4%. */
@@ -1089,28 +1123,23 @@ object StatsQueries {
         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same strictly-ordered stage chain: min-after-previous-stage CTEs
-    "q_funnel" ->
-      """WITH entered AS (
-        |  SELECT user_id AS u,
-        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
-        |  FROM events GROUP BY 1
-        |  HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL),
-        |s2 AS (
-        |  SELECT e.u, min(ev.ts) AS t2
-        |  FROM events ev JOIN entered e ON ev.user_id = e.u
-        |  WHERE ev.event_type = 'click' AND ev.ts > e.t1 GROUP BY 1),
-        |s3 AS (
-        |  SELECT s.u, min(ev.ts) AS t3
-        |  FROM events ev JOIN s2 s ON ev.user_id = s.u
-        |  WHERE ev.event_type = 'purchase' AND ev.ts > s.t2 GROUP BY 1)
-        |SELECT CAST(e.t1 AS DATE) AS cohort_day,
-        |       count(*) AS n_entered,
-        |       count(s2.t2) AS n_clicked,
-        |       count(s3.t3) AS n_purchased
-        |FROM entered e
-        |LEFT JOIN s2 ON e.u = s2.u
-        |LEFT JOIN s3 ON e.u = s3.u
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" -> FunnelSql,
+
+    // streamed ≡ batch by the time-ordered-ingest contract
+    "q_stream_funnel" -> FunnelSql,
+
+    "q_skew_diag" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_keys,
+        |       CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_n,
+        |       round(quantile_cont(c, 0.99), 6) AS p99_n,
+        |       round(CAST(max(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS skew_ratio,
+        |       round(CAST(max(c) AS DOUBLE)
+        |             / CAST(sum(c) AS DOUBLE), 6) AS top1_share
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH active AS (
@@ -1144,4 +1173,29 @@ object StatsQueries {
         |FROM dev d JOIN mad m ON d.g = m.g
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
   )
+
+  // lazy: referenced by oracleSql ABOVE its declaration — an eager val
+  // would still be null when the map literal is built
+  private lazy val FunnelSql: String =
+      """WITH entered AS (
+        |  SELECT user_id AS u,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM events GROUP BY 1
+        |  HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL),
+        |s2 AS (
+        |  SELECT e.u, min(ev.ts) AS t2
+        |  FROM events ev JOIN entered e ON ev.user_id = e.u
+        |  WHERE ev.event_type = 'click' AND ev.ts > e.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT s.u, min(ev.ts) AS t3
+        |  FROM events ev JOIN s2 s ON ev.user_id = s.u
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > s.t2 GROUP BY 1)
+        |SELECT CAST(e.t1 AS DATE) AS cohort_day,
+        |       count(*) AS n_entered,
+        |       count(s2.t2) AS n_clicked,
+        |       count(s3.t3) AS n_purchased
+        |FROM entered e
+        |LEFT JOIN s2 ON e.u = s2.u
+        |LEFT JOIN s3 ON e.u = s3.u
+        |GROUP BY 1 ORDER BY 1""".stripMargin
 }

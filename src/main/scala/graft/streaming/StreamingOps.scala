@@ -1089,6 +1089,89 @@ object StreamingOps {
   /** Per-user running totals emitted by batch. */
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
 
+  /** Per-user funnel progression (event-time micros; stages set-once). */
+  final case class FunnelProgress(user: Long, t1: Option[Long],
+    t2: Option[Long], t3: Option[Long])
+
+  /** STREAMING first-touch funnel: a per-user 3-stage state machine via
+    * `flatMapGroupsWithState` — the online twin of
+    * [[graft.ops.BehaviorOps.funnel3]]. Each user's state is just the
+    * `(t1, t2, t3)` progression (24 bytes — funnel state for 10⁹ users
+    * fits one executor's memory budget), advanced strictly:
+    * view sets t1, the first later click sets t2, the first later
+    * purchase sets t3; set-once, so emissions are monotone and the
+    * drain reduces by `max`.
+    *
+    * Order contract: a bounded state machine cannot reconcile an
+    * out-of-order view that would retroactively lower t1 — so the
+    * driver lands the archive's 6 ts-contiguous slices ONE AT A TIME,
+    * draining the engine between landings (batch order = event-time
+    * order BY CONSTRUCTION, unlike a pre-populated source dir where
+    * file→batch assignment is arrival luck, cf. [[runStreamCdcOnce]]),
+    * and the state function sorts each group's in-batch rows by ts.
+    * Per-user event-time order is then global, and the streamed result
+    * equals the batch funnel EXACTLY — the same oracle applies. A
+    * production deployment gets the same guarantee from a watermark +
+    * per-trigger sort or an upstream log ordered per key (e.g. a
+    * keyed Kafka partition). */
+  def runStreamFunnelOnce(spark: SparkSession, dir: String,
+      stage1: String, stage2: String, stage3: String): DataFrame = {
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stream_funnel_${runId.incrementAndGet()}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toString
+    val src = s"$tmp/src"
+    val ev = graft.tables.Tables.events(ses, dir)
+      .select(unix_micros(col("ts")).as("us"), col("user_id"),
+        col("event_type"))
+    // 6 equal TIME slices of [min, max]; slice i lands only after the
+    // engine drained slice i-1
+    val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val step = (hi - lo) / 6 + 1
+    def slice(i: Int) = ev.filter(
+      col("us") >= lit(lo + i * step) && col("us") < lit(lo + (i + 1) * step))
+    slice(0).write.parquet(s"$src/s0")
+    val stream = ses.readStream
+      .schema(ses.read.parquet(s"$src/s0").schema)
+      .parquet(s"$src/*")
+      .as[(Long, Long, String)]
+    val progressed = stream.groupByKey(_._2)
+      .flatMapGroupsWithState[(Option[Long], Option[Long], Option[Long]),
+        FunnelProgress](OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[(Option[Long], Option[Long], Option[Long])]) =>
+          var (t1, t2, t3) = state.getOption.getOrElse(
+            (Option.empty[Long], Option.empty[Long], Option.empty[Long]))
+          // in-batch event-time order (the group iterator is unordered);
+          // group batch size is bounded by events-per-user-per-slice
+          rows.toArray.sortBy(_._1).foreach { case (us, _, et) =>
+            if (t1.isEmpty) { if (et == stage1) t1 = Some(us) }
+            else if (t2.isEmpty) { if (et == stage2 && us > t1.get) t2 = Some(us) }
+            else if (t3.isEmpty) { if (et == stage3 && us > t2.get) t3 = Some(us) }
+          }
+          state.update((t1, t2, t3))
+          if (t1.isDefined) Iterator(FunnelProgress(user, t1, t2, t3))
+          else Iterator.empty
+      }
+    val q = progressed.toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      (1 to 5).foreach { i =>
+        slice(i).write.parquet(s"$src/s$i")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // stages are set-once → max over a user's emissions = final state
+    drainTable(ses, name).groupBy(col("user"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+  }
+
   /** CUSTOM streaming state via `flatMapGroupsWithState` (§2.10's "novel
     * state" row): a per-user accumulator (count, sum) updated each
     * micro-batch — the primitive session stores, per-entity rate trackers

@@ -1673,6 +1673,54 @@ object Profile {
           e.unpersist()
         }
 
+      case "behavior_scale" =>
+        // Scale evidence for the session's additions.
+        // (a) binned interval join: the June-slice contract vs its naive
+        //     theta twin (Spark broadcasts the small side → nested-loop,
+        //     |o_June|·|lineitem| comparisons), then the ALL-orders run
+        //     the naive plan could never survive (|o|·|li| ≈ 9e10 at
+        //     sf1): the binned cost is Σ_bin |A_bin|·|B_bin| and should
+        //     grow ~linearly in the slice width.
+        import org.apache.spark.sql.functions._
+        import graft.ops.JoinOps
+        def ordersSlice(lo: String, hi: String) =
+          graft.tables.Tables.orders(spark, sfDir)
+            .filter(col("o_orderdate") >= lit(lo).cast("timestamp") &&
+                    col("o_orderdate") <  lit(hi).cast("timestamp"))
+            .select(col("o_orderkey"), col("o_orderdate"),
+              (col("o_orderdate") + expr("INTERVAL 170 HOURS")).as("o_end"))
+        val li = graft.tables.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+        def agg(j: org.apache.spark.sql.DataFrame) =
+          j.groupBy("o_orderkey").agg(count(lit(1)).as("n")).count()
+        val june = ordersSlice("1995-06-01 00:00:00", "1995-07-01 00:00:00")
+        time("range join June: binned")(
+          agg(JoinOps.binnedIntervalJoin(june, "o_orderdate", "o_end", li, "l_shipdate")))
+        time("range join June: naive theta (BNLJ)")(
+          agg(june.join(li, col("l_shipdate") >= col("o_orderdate") &&
+            col("l_shipdate") < col("o_end"))))
+        val all = ordersSlice("1990-01-01 00:00:00", "2010-01-01 00:00:00")
+        time("range join ALL orders: binned")(
+          agg(JoinOps.binnedIntervalJoin(all, "o_orderdate", "o_end", li, "l_shipdate")))
+        // (b) triangles: contract-sized kNN graph, then a planted
+        //     degree-100k hub star unioned onto a real edge set — the
+        //     naive wedge join would enumerate 1e10 hub wedges; the
+        //     degree orientation must keep it flat.
+        val e = graft.tables.Tables.embeddings(spark, sfDir)
+        val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+          .orderBy("cell").limit(16)
+        val knn = graft.sim.SimilarityOps.knnJoinIvf(
+          e, "vec_id", "embedding", cent, k = 5, nProbe = 2)
+          .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+          .localCheckpoint(true)
+        time("triangles: kNN graph")(
+          graft.graph.GraphOps.triangleCounts(knn, "a", "b").count())
+        val hub = spark.range(100000L)
+          .select(lit(-1L).as("a"), (col("id") + 1000000L).as("b"))
+        time("triangles: kNN + planted degree-1e5 hub")(
+          graft.graph.GraphOps.triangleCounts(
+            knn.unionByName(hub), "a", "b").count())
+
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each

@@ -409,4 +409,34 @@ class StreamingSpec extends AnyFunSuite {
     // both matched buckets exist (facts before first version are real here)
     assert(streamed.exists(_._2 == 0) && streamed.exists(_._2 == 1))
   }
+
+  test("streaming funnel state machine equals the batch funnel exactly") {
+    // time-ordered micro-batches by construction + in-batch sort ⇒ the
+    // 24-byte-per-user state machine reproduces first-touch semantics
+    // bit-for-bit — including users whose later stages span batch
+    // boundaries
+    val streamed = StreamingOps
+      .runStreamFunnelOnce(spark, TestSpark.Sf0001, "view", "click", "purchase")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1).toSeq
+    val batch = graft.ops.BehaviorOps.funnel3(
+        graft.tables.Tables.events(spark, TestSpark.Sf0001),
+        "user_id", "event_type", "ts", "view", "click", "purchase")
+      .select(col("user"), unix_micros(col("t1")), unix_micros(col("t2")),
+        unix_micros(col("t3")))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))
+      .sortBy(_._1).toSeq
+    assert(streamed == batch)
+    // stage timestamps span multiple micro-batches (the events table
+    // covers the full month, each batch one sixth of it), so cross-batch
+    // state carry is genuinely exercised: some user's purchase must land
+    // at least a batch-width after their first view
+    assert(streamed.nonEmpty)
+    val spanUs = streamed.flatMap(r => r._4.map(t3 =>
+      t3.asInstanceOf[Long] - r._2.get.asInstanceOf[Long]))
+    assert(spanUs.nonEmpty && spanUs.max > 86400L * 1000000L,
+      s"widest view→purchase span ${spanUs.sorted.lastOption} µs")
+  }
 }
