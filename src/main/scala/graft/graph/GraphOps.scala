@@ -111,4 +111,34 @@ object GraphOps {
     tris.select(explode(array(col("lo"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node (Watts & Strogatz 1998):
+    * `C(v) = 2·tri(v) / (deg(v)·(deg(v)−1))` over the canonical
+    * undirected simple graph — how close each node's neighborhood is
+    * to a clique. On a kNN graph this separates tight near-dup
+    * clusters (C→1) from promiscuous hub joins (C→0) node by node,
+    * which is the triage [[triangleCounts]]' raw counts feed. Returns
+    * `(node, deg, n_tri, coef)` for nodes with deg ≥ 2 (the
+    * coefficient is undefined below); triangle-free nodes appear with
+    * coef 0. Cost = triangleCounts + one degree aggregate + a same-key
+    * join; the coefficient arithmetic is exact-integer → one rounded
+    * division. */
+  def clusteringCoefficients(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // shared by the degree agg and the triangle pass
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(und, "a", "b")
+    deg.filter(col("deg") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("coef"))
+  }
 }

@@ -50,6 +50,19 @@ object GraphQueries {
       GraphOps.triangleCounts(knn, "query_id", "neighbor_id")
         .orderBy("node")
     }),
+
+    // Per-node clustering coefficient over the same kNN graph: tight
+    // near-dup cliques → C≈1, hub artifacts → C≈0 — the per-node triage
+    // of q_triangle_count's raw counts.
+    "q_clustering_coef" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cent = e.select(col("vec_id").as("cell"), col("embedding").as("cv"))
+        .orderBy("cell").limit(16)
+      val knn = graft.sim.SimilarityOps.knnJoinIvf(
+        e, "vec_id", "embedding", cent, k = 5, nProbe = 2)
+      GraphOps.clusteringCoefficients(knn, "query_id", "neighbor_id")
+        .orderBy("node")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,7 +96,35 @@ object GraphQueries {
     // the q_knn_join_ivf CTE chain verbatim, then canonical undirected
     // edges → (deg, id) orientation → wedge join → closing-edge join —
     // the same explicit lexicographic predicate the Spark side states
-    "q_triangle_count" ->
+    "q_triangle_count" -> (TriangleBase +
+      """
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT lo AS node FROM tris
+        |  UNION ALL SELECT v FROM tris
+        |  UNION ALL SELECT w FROM tris)
+        |GROUP BY node ORDER BY node""".stripMargin),
+
+    // same chain + degree join: C(v) = 2·tri/(deg·(deg−1)), deg ≥ 2
+    "q_clustering_coef" -> (TriangleBase +
+      """,
+        |pernode AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT lo AS node FROM tris
+        |    UNION ALL SELECT v FROM tris
+        |    UNION ALL SELECT w FROM tris)
+        |  GROUP BY node)
+        |SELECT d.n AS node, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+        |       round(2.0 * CAST(COALESCE(p.n_tri, 0) AS DOUBLE)
+        |             / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coef
+        |FROM deg d LEFT JOIN pernode p ON d.n = p.node
+        |WHERE d.deg >= 2 ORDER BY d.n""".stripMargin),
+  )
+
+  /** Shared replay prefix for the kNN-graph analytics: the
+    * q_knn_join_ivf CTE chain verbatim, then canonical undirected
+    * edges, degrees, the explicit (deg, id) lexicographic orientation,
+    * and the wedge+closing triangle join. */
+  private lazy val TriangleBase: String =
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (
@@ -130,11 +171,5 @@ object GraphQueries {
         |  JOIN oriented e2 ON e1.lo = e2.lo
         |    AND (e1.hi_deg < e2.hi_deg
         |         OR (e1.hi_deg = e2.hi_deg AND e1.hi < e2.hi))
-        |  JOIN oriented e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
-        |SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
-        |  SELECT lo AS node FROM tris
-        |  UNION ALL SELECT v FROM tris
-        |  UNION ALL SELECT w FROM tris)
-        |GROUP BY node ORDER BY node""".stripMargin,
-  )
+        |  JOIN oriented e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)""".stripMargin
 }

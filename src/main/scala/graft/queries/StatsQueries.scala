@@ -524,6 +524,25 @@ object StatsQueries {
           round(max(col("c")).cast("double")
             / sum(col("c")).cast("double"), 6).as("top1_share"))
         .orderBy("event_type")),
+
+    // Equal-frequency price bands per priority via NTILE — the
+    // monitoring/binning companion to the exact percentiles: band
+    // EDGES from ranks, deterministic under the (price, orderkey)
+    // tie-break. Partition-local sort only (orders partitioned by
+    // priority); the single-monster-group scale path remains the
+    // mergeable quantile sketch.
+    "q_deciles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("o_orderpriority"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("o_orderpriority", "decile")
+    }),
   )
 
   /** 512 minima — σ ≈ 1/√510 ≈ 4.4%. */
@@ -1140,6 +1159,20 @@ object StatsQueries {
         |       round(CAST(max(c) AS DOUBLE)
         |             / CAST(sum(c) AS DOUBLE), 6) AS top1_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // NTILE fills earlier tiles first in both engines; the tie-break
+    // makes the assignment a total order
+    "q_deciles" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |         ntile(10) OVER (PARTITION BY o_orderpriority
+        |                         ORDER BY o_totalprice, o_orderkey) AS decile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+        |       count(*) AS n,
+        |       round(min(o_totalprice), 2) AS lo,
+        |       round(max(o_totalprice), 2) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH active AS (

@@ -414,6 +414,34 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-bucketed epoch REPLICATION — the data-recipe upsampling
+    // move (repeat high-quality data k epochs in the training mix;
+    // cf. Llama/DoReMi-style source weighting): long docs ×3, mid docs
+    // ×1.5 (deterministic md5-nibble half), short dropped. The
+    // replication is a map-side explode(sequence(1, w)) — rows multiply
+    // WITHOUT a shuffle or a join, the only shape that survives when
+    // the upsampled corpus is 3× of 100 TB. q_mix_sample is the
+    // DOWN-sampling twin (keep-rates); this is the epoch fan-out.
+    "q_upsample" -> ((s, dir) => {
+      val ntok = size(graft.text.TextOps.wsTokens(col("text")))
+      val nibble = conv(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1),
+        16, 10).cast("int")
+      docs(s, dir)
+        .withColumn("bucket",
+          when(ntok >= 60, "long").when(ntok >= 30, "mid").otherwise("short"))
+        .withColumn("w",
+          when(col("bucket") === "long", lit(3))
+            .when(col("bucket") === "mid",
+              lit(1) + (nibble < 8).cast("int"))
+            .otherwise(lit(0)))
+        .filter(col("w") > 0)
+        .select(col("bucket"),
+          explode(sequence(lit(1), col("w"))).as("epoch"))
+        .groupBy("bucket", "epoch").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket", "epoch")
+    }),
+
     // Cross-corpus decontamination dedup: drop incoming docs whose exact
     // content already exists in the reference corpus (train-vs-eval
     // screening; sources 0-9 = reference, 10+ = incoming). Both sides
@@ -1427,6 +1455,28 @@ object TextQueries {
         |                   WHEN 0 THEN 16 WHEN 1 THEN 8 ELSE 4 END) AS INT)
         |         AS kept
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // generate_series fan-out = explode(sequence) semantics
+    "q_upsample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(${toks("text")}) >= 60 THEN 'long'
+         |              WHEN len(${toks("text")}) >= 30 THEN 'mid'
+         |              ELSE 'short' END AS bucket,
+         |         instr('0123456789abcdef',
+         |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+         |  FROM documents),
+         |w AS (
+         |  SELECT bucket,
+         |         CASE bucket WHEN 'long' THEN 3
+         |              WHEN 'mid' THEN 1 + CASE WHEN nib < 8 THEN 1 ELSE 0 END
+         |              ELSE 0 END AS w
+         |  FROM d),
+         |rep AS (
+         |  SELECT bucket, unnest(generate_series(1, w)) AS epoch
+         |  FROM w WHERE w > 0)
+         |SELECT bucket, CAST(epoch AS INT) AS epoch, count(*) AS n_docs
+         |FROM rep GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // NOT EXISTS (not NOT IN) mirrors left_anti's null-key semantics
     "q_cross_dedup" ->

@@ -65,6 +65,26 @@ class GraphSpec extends AnyFunSuite {
     assert(counts(noisy) == counts(k4))
   }
 
+  test("clusteringCoefficients: K4+pendant hand values; deg<2 excluded") {
+    import spark.implicits._
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("a", "b")
+    val got = GraphOps.clusteringCoefficients(k4p, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // 1..3: deg 3, tri 3 → C = 2·3/(3·2) = 1.0
+    // 4: deg 4 (pendant edge), tri 3 → C = 6/12 = 0.5
+    // 5: deg 1 → excluded (C undefined)
+    assert(got == Map(
+      1L -> ((3L, 3L, 1.0)), 2L -> ((3L, 3L, 1.0)), 3L -> ((3L, 3L, 1.0)),
+      4L -> ((4L, 3L, 0.5))))
+    // triangle-free: a path's middle node has deg 2 and coef 0
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val p = GraphOps.clusteringCoefficients(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(p == Map(2L -> 0.0))
+  }
+
   test("q_triangle_count: totals consistent and plan is equi-join only") {
     val df = SparkEntry.queries("q_triangle_count")(spark, TestSpark.Sf0001)
     val p = df.queryExecution.executedPlan.toString
