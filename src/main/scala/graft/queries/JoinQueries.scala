@@ -521,6 +521,31 @@ object JoinQueries {
         .orderBy("n_name", "rank")
     }),
 
+    // Market-basket co-occurrence: part pairs bought together in one
+    // order (the recsys/feature-cross primitive), support ≥ 2. The
+    // within-basket self-join is quadratic IN BASKET SIZE, so baskets
+    // beyond BasketCap items are excluded up front (the blockCap /
+    // hot-bucket guard applied to baskets — one 10⁵-item pathological
+    // basket would emit 5×10⁹ pairs); the basket-size filter is a
+    // groupBy + same-key semi-join, co-partitioned with the pair join.
+    "q_cooccur_pairs" -> ((s, dir) => {
+      val cap = 100
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val okSized = items.groupBy(col("ok"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn").between(2, cap))
+        .select("ok")
+      val kept = items.join(okSized, "ok")
+      kept.as("x").join(kept.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+        .orderBy("part_a", "part_b")
+    }),
+
     // Fact×fact RANGE join with no equi-key: lineitems shipped inside
     // each June-1995 order's [o_orderdate, +170h) window, via the
     // day-bin decomposition ([[graft.ops.JoinOps.binnedIntervalJoin]]) —
@@ -846,6 +871,19 @@ object JoinQueries {
         |SELECT n_name, rank, s_suppkey, s_name, revenue
         |FROM ranked WHERE rank <= 3
         |ORDER BY n_name, rank""".stripMargin,
+
+    // same cap + pair join; the cap predicate is part of the semantics
+    "q_cooccur_pairs" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (
+        |  SELECT ok FROM i GROUP BY ok
+        |  HAVING count(*) BETWEEN 2 AND 100),
+        |k AS (SELECT i.ok, i.pk FROM i JOIN sized USING (ok))
+        |SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
+        |FROM k x JOIN k y ON x.ok = y.ok AND x.pk < y.pk
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
 
     // the oracle states the PLAIN theta join — the binned decomposition
     // must be invisible in the result

@@ -491,6 +491,14 @@ object StatsQueries {
           Tables.events(s, dir), "event_type", "value")
         .orderBy("event_type")),
 
+    // STREAMING retention twin: 16-byte bitmask state per user,
+    // min-rebase + OR — commutative, so NO ingest-order contract (the
+    // funnel twin needs one; this one provably doesn't). See
+    // [[graft.streaming.StreamingOps.runStreamRetentionOnce]].
+    "q_stream_retention" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamRetentionOnce(s, dir)
+        .orderBy("cohort_day", "day_offset")),
+
     // STREAMING funnel twin: per-user (t1,t2,t3) state machine at
     // ingest (flatMapGroupsWithState, 24 bytes/user), time-ordered
     // micro-batches by construction — streamed ≡ batch exactly, so
@@ -1174,15 +1182,11 @@ object StatsQueries {
         |       round(max(o_totalprice), 2) AS hi
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    "q_cohort_retention" ->
-      """WITH active AS (
-        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
-        |cohort AS (SELECT u, min(day) AS cohort_day FROM active GROUP BY 1)
-        |SELECT c.cohort_day,
-        |       date_diff('day', c.cohort_day, a.day) AS day_offset,
-        |       count(*) AS n_active
-        |FROM active a JOIN cohort c ON a.u = c.u
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_cohort_retention" -> RetentionSql,
+
+    // order-independent state (min-rebase + OR) ⇒ the batch oracle
+    // applies with no ingest-order contract at all
+    "q_stream_retention" -> RetentionSql,
 
     // quantile_cont == Spark percentile (linear interpolation) over the
     // SAME micro-unit integers; the outlier compare then sees
@@ -1207,8 +1211,18 @@ object StatsQueries {
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
   )
 
-  // lazy: referenced by oracleSql ABOVE its declaration — an eager val
-  // would still be null when the map literal is built
+  private lazy val RetentionSql: String =
+      """WITH active AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (SELECT u, min(day) AS cohort_day FROM active GROUP BY 1)
+        |SELECT c.cohort_day,
+        |       date_diff('day', c.cohort_day, a.day) AS day_offset,
+        |       count(*) AS n_active
+        |FROM active a JOIN cohort c ON a.u = c.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // lazy: referenced by oracleSql ABOVE their declarations — an eager
+  // val would still be null when the map literal is built
   private lazy val FunnelSql: String =
       """WITH entered AS (
         |  SELECT user_id AS u,

@@ -1093,6 +1093,72 @@ object StreamingOps {
   final case class FunnelProgress(user: Long, t1: Option[Long],
     t2: Option[Long], t3: Option[Long])
 
+  /** Per-user retention state emission (`seq` = update count, monotone —
+    * the drain's max_by key; `mask` bit i = active on cohort day + i). */
+  final case class RetentionEmit(user: Long, seq: Long, cohort_day: Int,
+    mask: Long)
+
+  /** STREAMING cohort retention with 16 bytes of state per user: cohort
+    * = running MIN epoch-day, activity = a 64-day offset BITMASK —
+    * min-rebase (mask shifts up when an earlier day arrives) and OR are
+    * both commutative/associative, so unlike the funnel state machine
+    * this needs NO ordering contract: any batch arrival order converges
+    * to the same state, and the batch oracle (q_cohort_retention's SQL)
+    * applies unchanged. The 64-day horizon is the bounded-state price —
+    * offsets ≥ 64 drop (events span 30 days here; a production horizon
+    * widens the mask array). The streamed twin of
+    * [[graft.ops.BehaviorOps.cohortRetention]]. */
+  def runStreamRetentionOnce(spark: SparkSession, dir: String): DataFrame = {
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stream_retention_${runId.incrementAndGet()}"
+    // UTC epoch-day = floor(µs / 86400e6) — matches to_date(ts) exactly
+    // under the UTC session (the zoneChangedDays identity)
+    val ev = eventsStream(ses, dir)
+      .select(col("user_id"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("int").as("d"))
+      .as[(Long, Int)]
+    val updated = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long), RetentionEmit](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Int)],
+         state: GroupState[(Int, Long, Long)]) =>
+          var (cohort, mask, seq) =
+            state.getOption.getOrElse((Int.MaxValue, 0L, 0L))
+          rows.foreach { case (_, d) =>
+            if (d < cohort) {
+              // earlier day: re-base — existing offsets shift UP
+              val sh = cohort.toLong - d
+              mask = if (cohort == Int.MaxValue || sh >= 64) 1L
+                     else (mask << sh) | 1L
+              cohort = d
+            } else {
+              val off = d - cohort
+              if (off < 64) mask |= 1L << off
+            }
+          }
+          seq += 1
+          state.update((cohort, mask, seq))
+          Iterator(RetentionEmit(user, seq, cohort, mask))
+      }
+    val q = updated.toDF()
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    // last emission per user (seq monotone), then decode mask bits to
+    // the (cohort_day, day_offset, n_active) retention matrix
+    drainTable(ses, name).groupBy(col("user"))
+      .agg(max_by(struct(col("cohort_day"), col("mask")), col("seq")).as("m"))
+      .select(col("m.cohort_day").as("cd"), col("m.mask").as("mask"))
+      .select(date_add(to_date(lit("1970-01-01")), col("cd")).as("cohort_day"),
+        explode(sequence(lit(0), lit(63))).as("i"), col("mask"))
+      .filter(expr("shiftright(mask, i) & 1") === 1L)
+      .groupBy(col("cohort_day"), col("i").cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** STREAMING first-touch funnel: a per-user 3-stage state machine via
     * `flatMapGroupsWithState` — the online twin of
     * [[graft.ops.BehaviorOps.funnel3]]. Each user's state is just the
