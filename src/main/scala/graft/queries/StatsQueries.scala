@@ -533,6 +533,80 @@ object StatsQueries {
             / sum(col("c")).cast("double"), 6).as("top1_share"))
         .orderBy("event_type")),
 
+    // SLIDING-WINDOW distinct via daily HLL sketches — the sketch-
+    // mergeability payoff: ONE pass builds a 512-int register array per
+    // day, and every 7-day window's cardinality is a max-merge of its
+    // 7 daily sketches (register-wise max = HLL union). At 100 TB the
+    // daily sketches are a 30-row table; answering 30 windows costs 30
+    // tiny merges, never 30 re-scans — the reason sketches beat exact
+    // countDistinct for overlapping windows. Audited against the exact
+    // windowed distinct (same explode-to-window construction).
+    "q_hll_sliding" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"),
+        graft.text.TextOps.md5Key64(col("user_id"), "hll:").as("k"),
+        col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(graft.functions.HllRegisterAgg.hll_registers(col("k"), HllP)
+          .as("regs"))
+      // a day's sketch serves every window ENDING within the next 6 days
+      val merged = daily
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("wday"), col("regs"))
+        .select(col("wday"), posexplode(col("regs")).as(Seq("pos", "r")))
+        .groupBy(col("wday"), col("pos")).agg(max(col("r")).as("r"))
+      // same register math as hllStats, stated row-wise over the dense
+      // 512 positions (scale = 60 − p + 1 = 52)
+      val est = merged.groupBy(col("wday"))
+        .agg(sum(when(col("r") === 0, 1).otherwise(0)).as("v_zero"),
+          sum(pow(lit(2.0), lit(52) - col("r")).cast("long")).as("sum_scaled"))
+        .withColumn("est_raw", round(
+          lit(0.7213) / (lit(1.0) + lit(1.079) / lit(512.0)) *
+            lit(512.0) * lit(512.0) * lit((1L << 52).toDouble) /
+            col("sum_scaled").cast("double"), 6))
+      val exact = ev
+        .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("wday"), col("user_id"))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, "wday").orderBy("wday")
+    }),
+
+    // Exact integer-moment Pearson correlation per group: built-in
+    // corr() is a float accumulation whose last ulp is aggregation-order
+    // dependent — instead the five moments (Σx, Σy, Σx², Σy², Σxy)
+    // accumulate in centi-unit DECIMAL(38,0) (exact under any order,
+    // Σy² ≈ 2e19 overflows a long at sf0.1) and the closed form
+    // n·Σxy − ΣxΣy / √((n·Σx²−Σx²)(n·Σy²−Σy²)) evaluates once per
+    // group. One map-side-combined aggregate — correlation at 100 TB
+    // costs exactly one scan + a 3-row exchange.
+    "q_corr_moments" -> ((s, dir) => {
+      def centi(c: org.apache.spark.sql.Column) =
+        round(c * 100, 0).cast("decimal(38,0)")
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        centi(col("l_quantity")).as("x"),
+        centi(col("l_extendedprice")).as("y"),
+        centi(col("l_discount")).as("z"))
+      def corrOf(sx: String, sy: String, sxx: String, syy: String,
+                 sxy: String) = round(
+        ((col("n") * col(sxy) - col(sx) * col(sy)).cast("double")) /
+          sqrt((col("n") * col(sxx) - col(sx) * col(sx)).cast("double") *
+               (col("n") * col(syy) - col(sy) * col(sy)).cast("double")), 6)
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("z")).as("sz"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("z") * col("z")).as("szz"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("z") * col("y")).as("szy"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n"),
+          corrOf("sx", "sy", "sxx", "syy", "sxy").as("corr_qty_price"),
+          corrOf("sz", "sy", "szz", "syy", "szy").as("corr_disc_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Equal-frequency price bands per priority via NTILE — the
     // monitoring/binning companion to the exact percentiles: band
     // EDGES from ranks, deterministic under the (price, orderkey)
@@ -1167,6 +1241,73 @@ object StatsQueries {
         |       round(CAST(max(c) AS DOUBLE)
         |             / CAST(sum(c) AS DOUBLE), 6) AS top1_share
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // daily-register replay + the same window fan-out and max-merge;
+    // register math identical to q_hll_distinct's oracle (p=9, scale 52)
+    "q_hll_sliding" ->
+      """WITH k AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |         CAST(concat('0x',
+        |               substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT) AS key
+        |  FROM events),
+        |reg AS (SELECT day, key % 512 AS r, key // 512 AS w FROM k),
+        |rho AS (
+        |  SELECT day, r,
+        |         CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END AS rho
+        |  FROM reg),
+        |mxd AS (SELECT day, r, max(rho) AS mrho FROM rho GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT day + CAST(i AS INT) AS wday, r, mrho
+        |  FROM mxd CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)),
+        |mx AS (SELECT wday, r, max(mrho) AS mrho FROM contrib GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT wday, CAST(512 - count(*) AS BIGINT) AS v_zero,
+        |         CAST(sum(1::BIGINT << (52 - mrho))
+        |           + (512 - count(*)) * (1::BIGINT << 52) AS BIGINT)
+        |           AS sum_scaled
+        |  FROM mx GROUP BY 1),
+        |exact AS (
+        |  SELECT d.day + CAST(i.i AS INT) AS wday,
+        |         count(DISTINCT d.user_id) AS n_exact
+        |  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |        FROM events) d
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) i
+        |  GROUP BY 1)
+        |SELECT a.wday, a.v_zero, a.sum_scaled,
+        |       round(CAST(0.7213 AS DOUBLE)
+        |               / (CAST(1.0 AS DOUBLE)
+        |                  + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE))
+        |             * CAST(512.0 AS DOUBLE) * CAST(512.0 AS DOUBLE)
+        |             * CAST(4503599627370496.0 AS DOUBLE)
+        |             / CAST(a.sum_scaled AS DOUBLE), 6) AS est_raw,
+        |       e.n_exact
+        |FROM agg a JOIN exact e USING (wday) ORDER BY a.wday""".stripMargin,
+
+    // HUGEINT moments = the decimal(38,0) accumulation, exactly
+    "q_corr_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(round(l_quantity * 100, 0) AS HUGEINT) AS x,
+        |         CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS y,
+        |         CAST(round(l_discount * 100, 0) AS HUGEINT) AS z
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+        |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+        |         sum(x*y) AS sxy, sum(z*y) AS szy
+        |  FROM m GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |       round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |                    * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |         AS corr_qty_price,
+        |       round(CAST(n*szy - sz*sy AS DOUBLE)
+        |             / sqrt(CAST(n*szz - sz*sz AS DOUBLE)
+        |                    * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |         AS corr_disc_price
+        |FROM a ORDER BY 1""".stripMargin,
 
     // NTILE fills earlier tiles first in both engines; the tie-break
     // makes the assignment a total order
