@@ -33,15 +33,24 @@ object BehaviorOps {
               tsCol: String, stage1: String, stage2: String,
               stage3: String): DataFrame = {
     val u = col(userCol)
+    // each stage frame is used twice (next stage's join + the final
+    // assembly) and ReuseExchange does NOT dedupe them (the inner-join
+    // use acquires pushed filters the left-join use lacks), so without
+    // pinning, a k-stage funnel re-scans the event table 2(k−1) times.
+    // localCheckpoint(true) caps it at k scans; the pinned frames are
+    // O(users) rows of (key, timestamp) — executor-storage scale, the
+    // same call pageRank makes per round.
     val entered = events
       .groupBy(u.as("user"))
       .agg(min(when(col(typeCol) === stage1, col(tsCol))).as("t1"))
       .filter(col("t1").isNotNull)
+      .localCheckpoint(true)
     val s2 = events.filter(col(typeCol) === stage2)
       .select(u.as("user"), col(tsCol).as("ts2"))
       .join(entered, "user")
       .filter(col("ts2") > col("t1"))
       .groupBy("user").agg(min(col("ts2")).as("t2"))
+      .localCheckpoint(true)
     val s3 = events.filter(col(typeCol) === stage3)
       .select(u.as("user"), col(tsCol).as("ts3"))
       .join(s2, "user")

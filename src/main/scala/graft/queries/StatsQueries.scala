@@ -607,6 +607,27 @@ object StatsQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Top event-type TRIGRAM paths (the "common user journeys" product
+    // query): per user, consecutive event triples by event time via two
+    // leads over the (user, ts) window — window state is bounded by one
+    // user's history, never global — then a plain count/top. Ties in ts
+    // are broken by event_id so the sequence is a total order.
+    "q_top_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+          col("e3").as("step3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
     // Equal-frequency price bands per priority via NTILE — the
     // monitoring/binning companion to the exact percentiles: band
     // EDGES from ranks, deterministic under the (price, orderkey)
@@ -1308,6 +1329,20 @@ object StatsQueries {
         |                    * CAST(n*syy - sy*sy AS DOUBLE)), 6)
         |         AS corr_disc_price
         |FROM a ORDER BY 1""".stripMargin,
+
+    "q_top_paths" ->
+      """WITH w AS (
+        |  SELECT event_type AS step1,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS step2,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS step3
+        |  FROM events)
+        |SELECT step1, step2, step3, count(*) AS n
+        |FROM w WHERE step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
 
     // NTILE fills earlier tiles first in both engines; the tie-break
     // makes the assignment a total order

@@ -442,6 +442,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("dynamic partition pruning fires on a day-partitioned fact ⋈ filtered dim") {
+    // the 100 TB layout: fact partitioned by day on disk, dimension
+    // filtered at runtime — the scan must receive a DYNAMIC partition
+    // filter from the dim side (Spark's DPP), reading only the joined
+    // days' directories instead of the whole archive. This is the
+    // partition-pruning twin of the static window pins above.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("day", to_date(col("ts")))
+    ev.write.partitionBy("day").parquet(s"$tmp/fact")
+    ev.select(col("day"), dayofmonth(col("day")).as("dom")).distinct()
+      .write.parquet(s"$tmp/dim")
+    val fact = spark.read.parquet(s"$tmp/fact")
+    val dim = spark.read.parquet(s"$tmp/dim").filter(col("dom") <= 3)
+    val q = fact.join(dim, "day").agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      p.linesIterator.take(30).mkString("\n"))
+    // and the pruned result is the plain filtered count
+    val expected = ev.filter(dayofmonth(col("day")) <= 3).count()
+    assert(q.collect().head.getLong(0) == expected)
+  }
+
   test("binned interval join stays an equi-join on the day bin — never " +
       "a nested-loop/cartesian theta join (q_range_join_binned)") {
     // a non-equi time-range join is exactly where Spark falls back to
