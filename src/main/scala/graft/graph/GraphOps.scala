@@ -141,4 +141,36 @@ object GraphOps {
         round(lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double") /
           (col("deg") * (col("deg") - 1)).cast("double"), 6).as("coef"))
   }
+
+  /** Breadth-first min-hop distances from a seed set over a directed
+    * edge list `(src, dst)` — the reachability probe behind blast-radius
+    * analysis on a dependency/near-dup graph ("everything within k hops
+    * of these contaminated docs"). Frontier-style expansion, the
+    * distributed-BFS shape: each round is exactly one `edges ⋈ frontier`
+    * equi-join on `src` + one `distinct` + one anti-join against the
+    * settled set, so per-round cost is O(edges incident to the frontier),
+    * not O(V·E) — the Bellman-Ford trap a naive relax loop buys. The
+    * settled set is localCheckpointed per round (same lineage-truncation
+    * discipline as [[pageRank]]); hop assignment is MIN by construction
+    * (a node joins the settled set the first round it is reached and the
+    * anti-join bars re-entry), so the result is deterministic regardless
+    * of join order or partitioning. Returns `(node, hop)` for all nodes
+    * within `maxHops` of a seed, seeds at hop 0. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst"))
+    var settled = seeds.select(col("node"), lit(0).as("hop"))
+      .distinct().localCheckpoint(true)
+    var frontier = settled.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = ed.join(frontier, ed("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+    }
+    settled
+  }
 }

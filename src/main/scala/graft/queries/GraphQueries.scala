@@ -63,6 +63,37 @@ object GraphQueries {
       GraphOps.clusteringCoefficients(knn, "query_id", "neighbor_id")
         .orderBy("node")
     }),
+
+    // Min-hop BFS reachability over the part↔supplier graph from a
+    // seed set of suppliers ("blast radius": everything within 3 hops
+    // of these sources). Frontier expansion, one edges⋈frontier join +
+    // distinct + settled anti-join per round ([[GraphOps.bfsHops]]);
+    // the edge list is localCheckpointed once so the 3 rounds don't
+    // re-scan lineitem. Hop parity alternates sides of the bipartite
+    // graph (1=parts, 2=suppliers, 3=parts), so per-hop counts are a
+    // sharp structural signature; min/max node per hop pin membership
+    // edges without shipping the full frontier.
+    "q_bfs_hops" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = pairs.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .unionByName(pairs.select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")))
+        .localCheckpoint(true)
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 20 === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string"))
+          .as("node"))
+      GraphOps.bfsHops(edges, seeds, maxHops = 3)
+        .groupBy(col("hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("first_node"),
+          max(col("node")).as("last_node"))
+        .orderBy("hop")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -118,6 +149,40 @@ object GraphQueries {
         |             / CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS coef
         |FROM deg d LEFT JOIN pernode p ON d.n = p.node
         |WHERE d.deg >= 2 ORDER BY d.n""".stripMargin),
+
+    // the same three frontier rounds, unrolled: each fI is the distinct
+    // out-neighborhood of f(I−1) minus everything already settled —
+    // min-hop by construction, so the replay is exact set equality
+    "q_bfs_hops" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |e AS (
+        |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
+        |f0 AS (
+        |  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
+        |  WHERE s_suppkey % 20 = 0),
+        |f1 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0)),
+        |f2 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0
+        |                      UNION ALL SELECT node FROM f1)),
+        |f3 AS (
+        |  SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM f0
+        |                      UNION ALL SELECT node FROM f1
+        |                      UNION ALL SELECT node FROM f2)),
+        |settled AS (
+        |  SELECT node, 0 AS hop FROM f0
+        |  UNION ALL SELECT node, 1 FROM f1
+        |  UNION ALL SELECT node, 2 FROM f2
+        |  UNION ALL SELECT node, 3 FROM f3)
+        |SELECT hop, count(*) AS n_nodes,
+        |       min(node) AS first_node, max(node) AS last_node
+        |FROM settled GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
   /** Shared replay prefix for the kNN-graph analytics: the

@@ -414,6 +414,45 @@ object LayoutQueries {
         .select("event_type", "day", "n_rows", "bin")
         .orderBy("event_type", "day")
     }),
+
+    // TIME TRAVEL ([[graft.sources.Snapshots]]): three commits — append
+    // days 1-10 (v0), append days 11-20 (v1), retention-purge v0's
+    // files (v2) — then the SAME aggregate read at every version side
+    // by side. v0's data files are untouched by the purge (commits only
+    // write the next manifest), which is exactly why all three answers
+    // coexist; a vacuum would be the destructive step. The table is
+    // REBUILT from scratch each run (tmp wipe first) so warm bench
+    // passes measure the identical workload — the pass-idempotency
+    // lesson from the incremental-dedup cells. Reading a snapshot plans
+    // O(files in that version); the aggregates are exact-integer
+    // micro-sums, order-independent.
+    "q_time_travel" -> ((s, dir) => {
+      import graft.sources.Snapshots
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_snap"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val pfs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (pfs.exists(rp)) { pfs.delete(rp, true): Unit }
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 1e6, 0).cast("long").as("vm"))
+      val d11 = lit("2024-01-11").cast("date")
+      val d21 = lit("2024-01-21").cast("date")
+      Snapshots.commitAppend(s, root,
+        ev.filter(col("day") < d11).select("event_type", "vm"))
+      val v0Files = Snapshots.manifest(s, root, 0)
+      Snapshots.commitAppend(s, root,
+        ev.filter(col("day") >= d11 && col("day") < d21)
+          .select("event_type", "vm"))
+      Snapshots.commitRemove(s, root, v0Files)
+      (0 to 2).map { v =>
+          Snapshots.readSnapshot(s, root, v)
+            .withColumn("version", lit(v))
+        }.reduce(_ unionByName _)
+        .groupBy(col("version"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("vm")).cast("double") / 1e6, 6).as("v_sum"))
+        .orderBy("version", "event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,6 +552,26 @@ object LayoutQueries {
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |            - n_rows) / 2000.0) AS BIGINT) AS bin
         |FROM m ORDER BY event_type, day""".stripMargin,
+
+    // each version replayed as its defining day-range — v0: days 1-10,
+    // v1: +days 11-20, v2: v1 minus the purged v0 tranche
+    "q_time_travel" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |snap AS (
+        |  SELECT 0 AS version, event_type, vm FROM ev
+        |  WHERE day < DATE '2024-01-11'
+        |  UNION ALL
+        |  SELECT 1, event_type, vm FROM ev
+        |  WHERE day < DATE '2024-01-21'
+        |  UNION ALL
+        |  SELECT 2, event_type, vm FROM ev
+        |  WHERE day >= DATE '2024-01-11' AND day < DATE '2024-01-21')
+        |SELECT version, event_type, count(*) AS n,
+        |       round(CAST(sum(vm) AS DOUBLE) / 1e6, 6) AS v_sum
+        |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 
   private lazy val DeletesEndSql =

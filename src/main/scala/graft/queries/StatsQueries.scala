@@ -646,6 +646,96 @@ object StatsQueries {
           round(max(col("o_totalprice")), 2).as("hi"))
         .orderBy("o_orderpriority", "decile")
     }),
+
+    // Autocorrelation of the hourly activity series at lags 1..3 per
+    // event type — the seasonality probe a monitoring pipeline runs
+    // before picking a forecast window. Two-level shape: (1) the only
+    // full scan builds the hourly micro-unit rollup (map-side combined,
+    // one exchange on (event_type, hour)); (2) lag pairing and the
+    // moment aggregate run ON the rollup, whose size is bounded by the
+    // time dimension (hours × types), not corpus size — at 100 TB the
+    // scan dominates and stages 2+ stay constant. Pairing is a
+    // self-EQUI-join on (type, hb + lag) rather than lead(k): lead
+    // counts ROWS, so a gapped hour silently misaligns every pair
+    // behind it, while the join only ever matches true lag-L hour
+    // pairs (sf0.01 has gapped hours; both engines join identically).
+    // The rollup is localCheckpointed so the self-join's two branches
+    // cost one scan, and the ACF itself is the q_corr_moments
+    // discipline: exact DECIMAL(38,0) micro-unit moments (hourly sums
+    // ≈ 5e9 micro; squares ≈ 2.5e19 overflow a long), one closed-form
+    // division per (type, lag) — order-independent, hash-exact vs the
+    // HUGEINT oracle.
+    "q_acf" -> ((s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hb"))
+        .agg(sum(round(col("value") * 1e6, 0).cast("long"))
+          .cast("decimal(38,0)").as("x"))
+        .localCheckpoint(true)
+      val pairs = hourly
+        .withColumn("lag", explode(array((1 to 3).map(lit): _*)))
+        .select(col("event_type"), col("lag"), col("hb"), col("x"))
+        .join(hourly.select(col("event_type").as("et2"),
+            col("hb").as("hb2"), col("x").as("y")),
+          col("et2") === col("event_type") &&
+            col("hb2") === col("hb") + col("lag"))
+      def m(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      pairs.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("lag"),
+          col("n").cast("long").as("n_pairs"),
+          round((m(col("n") * col("sxy") - col("sx") * col("sy"))
+              .cast("double")) /
+            sqrt(m(col("n") * col("sxx") - col("sx") * col("sx"))
+                .cast("double") *
+              m(col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Additive seasonal decomposition (STL-lite: Cleveland et al. 1990
+    // shape without loess) of the daily activity total: trend = 7-day
+    // centered moving average, seasonal = day-of-week mean of the
+    // detrended series, residual = remainder. Everything runs on the
+    // DAILY rollup — one full scan, then windows over rows bounded by
+    // the calendar, the same two-level contract as q_acf. Exactness
+    // discipline: the window uses rangeBetween on the day NUMBER (a
+    // row-frame over a gapped calendar would silently widen the
+    // window), keeps only complete 7-day frames, and the detrended
+    // series is carried as the INTEGER 7·x − Σwin (micro-units) so the
+    // day-of-week mean is a single exact-integer division — no double
+    // accumulates across rows in either engine. weekday()+1 == DuckDB
+    // isodow (Monday=1) pins the dow encoding cross-engine.
+    "q_seasonal_decomp" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("xm"))
+        .withColumn("dn", datediff(col("day"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("dn")).rangeBetween(-3, 3)
+      val trended = daily
+        .withColumn("swin", sum(col("xm")).over(w))
+        .withColumn("cwin", count(lit(1)).over(w))
+        .filter(col("cwin") === 7)
+        .withColumn("detr7", lit(7) * col("xm") - col("swin"))
+        .withColumn("dow", weekday(col("day")) + 1)
+        .localCheckpoint(true)
+      val seasonal = trended.groupBy(col("dow"))
+        .agg((sum(col("detr7")).cast("double") /
+          (lit(7e6) * count(lit(1)))).as("seas"))
+      trended.join(broadcast(seasonal), "dow")
+        .select(col("day"),
+          round(col("xm") / 1e6, 6).as("x_val"),
+          round(col("swin") / 7e6, 6).as("trend"),
+          round(col("seas"), 6).as("seasonal"),
+          round(col("detr7") / 7e6 - col("seas"), 6).as("residual"))
+        .orderBy("day")
+    }),
   )
 
   /** 512 minima — σ ≈ 1/√510 ≈ 4.4%. */
@@ -1385,6 +1475,61 @@ object StatsQueries {
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM dev d JOIN mad m ON d.g = m.g
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    // HUGEINT moments over the hourly micro-unit rollup; lag pairing is
+    // the same (type, hb + lag) equi-join — lead(k) would misalign on
+    // gapped hours (sf0.01 has them).
+    "q_acf" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hb,
+        |         CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+        |              AS HUGEINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag, a.x, b.x AS y
+        |  FROM hourly a
+        |  JOIN (SELECT unnest(generate_series(1, 3)) AS lag) l ON true
+        |  JOIN hourly b ON b.event_type = a.event_type
+        |                AND b.hb = a.hb + l.lag),
+        |mom AS (
+        |  SELECT event_type, lag, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag,
+        |       CAST(n AS BIGINT) AS n_pairs,
+        |       round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |             / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+        |                    * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS acf
+        |FROM mom ORDER BY 1, 2""".stripMargin,
+
+    // Integer 7·x − Σwin detrending replayed verbatim; range frame on
+    // the day number, complete-window filter, isodow == weekday()+1.
+    "q_seasonal_decomp" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |         sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS xm
+        |  FROM events GROUP BY 1),
+        |win AS (
+        |  SELECT day, xm,
+        |         sum(xm) OVER (ORDER BY day
+        |             RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+        |                       AND INTERVAL 3 DAY FOLLOWING) AS swin,
+        |         count(*) OVER (ORDER BY day
+        |             RANGE BETWEEN INTERVAL 3 DAY PRECEDING
+        |                       AND INTERVAL 3 DAY FOLLOWING) AS cwin
+        |  FROM daily),
+        |tr AS (
+        |  SELECT day, xm, swin, 7*xm - swin AS detr7, isodow(day) AS dow
+        |  FROM win WHERE cwin = 7),
+        |seas AS (
+        |  SELECT dow, CAST(sum(detr7) AS DOUBLE) / (7e6 * count(*)) AS seas
+        |  FROM tr GROUP BY 1)
+        |SELECT t.day, round(t.xm / 1e6, 6) AS x_val,
+        |       round(t.swin / 7e6, 6) AS trend,
+        |       round(s.seas, 6) AS seasonal,
+        |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
+        |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
   )
 
   private lazy val RetentionSql: String =

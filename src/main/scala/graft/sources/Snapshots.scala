@@ -1,0 +1,143 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/** Versioned snapshot reads over a flat parquet archive — the TIME
+  * TRAVEL lakehouse primitive (Delta `versionAsOf` / Iceberg snapshot
+  * reads, re-expressed Spark-first): every commit writes its data files
+  * under an immutable per-commit subdirectory and records the FULL file
+  * list of the resulting table state as a manifest in a `_log/` sidecar;
+  * reading version v is then just `spark.read.parquet(manifest(v)…)` —
+  * planning cost O(files in v), zero reconciliation, and any historical
+  * version stays readable until its files are vacuumed because commits
+  * never mutate data files in place (append adds a directory; remove
+  * only edits the NEXT manifest).
+  *
+  * Scale contract: manifests are file LISTS — metadata-scale by the same
+  * argument as [[SkipIndex]]/[[Deletes]] (Spark's own FileIndex collects
+  * the identical listing), so the driver-side read/write here is O(file
+  * count), never O(rows). Data movement happens only inside ordinary
+  * distributed `df.write.parquet` calls.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _log/v00000.txt      one absolute data-file path per line
+  *     _log/v00001.txt
+  *     v0/part-….parquet    commit 0's immutable data files
+  *     v1/part-….parquet
+  * }}}
+  * The `_log` prefix hides the manifests from data scans (Spark's
+  * FileIndex skips `_`/`.` paths — the `_deletes`/`_skipindex` trick),
+  * and snapshot reads never list the table dir at all, so the per-commit
+  * subdirectories need no special casing.
+  */
+object Snapshots {
+
+  private def logDir(dir: String) = new Path(s"$dir/_log")
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed version, or -1 for an empty/absent table. */
+  def currentVersion(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark, dir)
+    if (!f.exists(logDir(dir))) -1
+    else f.listStatus(logDir(dir)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+      .sorted.lastOption.getOrElse(-1)
+  }
+
+  /** The data files constituting snapshot `version`. */
+  def manifest(spark: SparkSession, dir: String, version: Int): Seq[String] = {
+    val p = new Path(logDir(dir), f"v$version%05d.txt")
+    val in = fs(spark, dir).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, version: Int,
+      files: Seq[String]): Unit = {
+    val f = fs(spark, dir)
+    f.mkdirs(logDir(dir))
+    val out = f.create(new Path(logDir(dir), f"v$version%05d.txt"), true)
+    try out.write((files.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** List the parquet files a commit's write just produced. */
+  private def dataFiles(spark: SparkSession, sub: Path): Seq[String] = {
+    val f = sub.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.listStatus(sub).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+  }
+
+  /** Commit `df` as an APPEND: new immutable files under `dir/v<N>/`,
+    * next manifest = previous files ∪ new files. Returns the new
+    * version. */
+  def commitAppend(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val v = currentVersion(spark, dir) + 1
+    val sub = new Path(s"$dir/v$v")
+    df.write.mode(SaveMode.Overwrite).parquet(sub.toString)
+    val prev = if (v == 0) Nil else manifest(spark, dir, v - 1)
+    writeManifest(spark, dir, v, prev ++ dataFiles(spark, sub))
+    v
+  }
+
+  /** Commit a REMOVAL of whole files (retention purge / post-compaction
+    * drop): next manifest = previous minus `removed`. Data files stay on
+    * disk — that is what keeps older snapshots readable; a vacuum that
+    * deletes files unreferenced by any retained manifest is the
+    * (separate, destructive) space-reclaim step. */
+  def commitRemove(spark: SparkSession, dir: String,
+      removed: Seq[String]): Int = {
+    val v = currentVersion(spark, dir) + 1
+    val gone = removed.toSet
+    writeManifest(spark, dir, v,
+      manifest(spark, dir, v - 1).filterNot(gone))
+    v
+  }
+
+  /** Read the table AS OF `version` — exactly that manifest's files.
+    * Empty manifests read as an empty frame with the schema of any
+    * sibling version's files (callers with a fully-vacated table supply
+    * their own schema). */
+  def readSnapshot(spark: SparkSession, dir: String, version: Int): DataFrame = {
+    val files = manifest(spark, dir, version)
+    require(files.nonEmpty, s"snapshot v$version of $dir lists no files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** The destructive space-reclaim step: delete every data file
+    * referenced ONLY by manifests older than the retention horizon
+    * (the last `retainLast` versions), then drop those manifests.
+    * Time travel stays exact within the horizon and becomes
+    * deliberately impossible before it — the Delta/Iceberg VACUUM
+    * contract. Returns the deleted file paths. Driver-side O(file
+    * count), the same metadata-scale budget as the manifests
+    * themselves. */
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 1)
+      : Seq[String] = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val cur = currentVersion(spark, dir)
+    require(cur >= 0, s"$dir has no commits to vacuum")
+    val keepFrom = math.max(0, cur - retainLast + 1)
+    val keep = (keepFrom to cur).flatMap(manifest(spark, dir, _)).toSet
+    val doomed = (0 until keepFrom)
+      .flatMap(manifest(spark, dir, _)).toSet
+      .diff(keep).toSeq.sorted
+    val f = fs(spark, dir)
+    doomed.foreach(p => f.delete(new Path(p), false))
+    (0 until keepFrom).foreach { v =>
+      f.delete(new Path(logDir(dir), f"v$v%05d.txt"), false): Unit
+    }
+    // deleted paths can linger in Spark's FileStatusCache (the
+    // fs-mutation gotcha SkipIndex/Deletes already guard against)
+    spark.catalog.refreshByPath(dir)
+    doomed
+  }
+}

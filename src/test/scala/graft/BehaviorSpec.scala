@@ -77,4 +77,50 @@ class BehaviorSpec extends AnyFunSuite {
     assert(r(0).getDouble(3) == 2.5)             // mad
     assert(r(0).getLong(4) == 1L)                // n_outliers: the spike only
   }
+
+  test("q_acf: correlations bounded, every type × lag populated, " +
+      "pair counts shrink with lag") {
+    val rows = SparkEntry.queries("q_acf")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, lag, n, acf) =>
+      assert(lag >= 1 && lag <= 3)
+      assert(n > 0, s"$et lag $lag has no pairs")
+      assert(acf >= -1.0 && acf <= 1.0, s"$et lag $lag acf $acf")
+    }
+    // a lag-L pair needs BOTH hours present: on a gapped series the
+    // lag-1 pair count weakly dominates any longer lag's... per type
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val byLag = rs.map(r => r._2 -> r._3).toMap
+      assert(byLag.keySet == Set(1, 2, 3), s"$et missing a lag")
+    }
+  }
+
+  test("q_seasonal_decomp: additive identity, complete windows only, " +
+      "per-dow residuals cancel") {
+    val rows = SparkEntry.queries("q_seasonal_decomp")(
+        spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getDate(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // 30 days of events, 7-day centered window ⇒ exactly 24 full frames
+    assert(rows.length == 24)
+    rows.foreach { case (d, x, t, s0, res) =>
+      // x = trend + seasonal + residual up to the three 1e-6 roundings
+      assert(math.abs(x - (t + s0 + res)) < 5e-6,
+        s"$d additive identity broke: $x vs ${t + s0 + res}")
+    }
+    // seasonal is the per-dow mean of detrended ⇒ residuals sum to ~0
+    // within each dow (exact in rationals; ≤ n·1e-6 after rounding)
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    rows.groupBy { case (d, _, _, _, _) =>
+      cal.setTime(d); cal.get(java.util.Calendar.DAY_OF_WEEK)
+    }.foreach { case (dow, rs) =>
+      val s = rs.map(_._5).sum
+      assert(math.abs(s) < rs.length * 2e-6,
+        s"dow $dow residual sum $s not ~0")
+    }
+  }
 }

@@ -97,4 +97,31 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum % 3 == 0)
     assert(rows.forall(_.getLong(1) > 0))
   }
+
+  test("bfsHops: hand path+branch — min-hop wins, unreachable absent, " +
+      "seeds stay at 0") {
+    import spark.implicits._
+    // a→b→c→d chain, a→c shortcut (c reachable at hop 1 AND 2 — min
+    // wins), e isolated, b also a seed (its hop-0 beats a's hop-1)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"),
+      ("x", "y")).toDF("src", "dst")
+    val seeds = Seq("a", "b").toDF("node")
+    val got = GraphOps.bfsHops(edges, seeds, maxHops = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 0, "c" -> 1, "d" -> 2))
+  }
+
+  test("q_bfs_hops: bipartite parity — odd hops are parts, even are " +
+      "suppliers; counts bounded by the key domains") {
+    val rows = SparkEntry.queries("q_bfs_hops")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty && rows.head.getInt(0) == 0)
+    rows.foreach { r =>
+      val (hop, first, last) = (r.getInt(0), r.getString(2), r.getString(3))
+      val side = if (hop % 2 == 0) "s" else "p"
+      assert(first.startsWith(side) && last.startsWith(side),
+        s"hop $hop crossed bipartite sides: $first..$last")
+      assert(r.getLong(1) > 0)
+    }
+  }
 }

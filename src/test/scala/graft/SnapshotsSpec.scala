@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Snapshots
+
+/** Commit-log time travel ([[graft.sources.Snapshots]]): append/remove
+  * commits, immutability of already-committed versions, and the
+  * empty-snapshot refusal — the semantics q_time_travel's oracle
+  * replays as day-range aggregates. */
+class SnapshotsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("append/remove commits: monotone versions, exact per-version " +
+      "contents, history survives the purge") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_snap").toString + "/t"
+    assert(Snapshots.currentVersion(spark, root) == -1)
+
+    assert(Snapshots.commitAppend(spark, root, Seq(1, 2, 3).toDF("x")) == 0)
+    assert(Snapshots.commitAppend(spark, root, Seq(4, 5).toDF("x")) == 1)
+    val purged = Snapshots.manifest(spark, root, 0)
+    assert(purged.nonEmpty)
+    assert(Snapshots.commitRemove(spark, root, purged) == 2)
+    assert(Snapshots.currentVersion(spark, root) == 2)
+
+    def xs(v: Int): Seq[Int] = Snapshots.readSnapshot(spark, root, v)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(xs(0) == Seq(1, 2, 3))
+    assert(xs(1) == Seq(1, 2, 3, 4, 5))
+    assert(xs(2) == Seq(4, 5))
+    // the purge commit wrote only a new manifest: v0 still reads exact
+    assert(xs(0) == Seq(1, 2, 3))
+
+    // removing everything leaves a snapshot with no files — reading it
+    // refuses loudly rather than inferring a schema from nothing
+    val v3 = Snapshots.commitRemove(spark, root,
+      Snapshots.manifest(spark, root, 2))
+    intercept[IllegalArgumentException] {
+      Snapshots.readSnapshot(spark, root, v3)
+    }
+  }
+
+  test("vacuum: deletes only files outside the retention horizon, " +
+      "keeps shared files, current stays exact") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_vac").toString + "/t"
+    Snapshots.commitAppend(spark, root, Seq(1, 2, 3).toDF("x")) // v0
+    Snapshots.commitAppend(spark, root, Seq(4, 5).toDF("x"))    // v1
+    val v0Files = Snapshots.manifest(spark, root, 0)
+    Snapshots.commitRemove(spark, root, v0Files)                 // v2: {4,5}
+
+    val deleted = Snapshots.vacuum(spark, root, retainLast = 1)
+    // v0's tranche is unreferenced by v2 → gone; v1's survives IN v2
+    assert(deleted.toSet == v0Files.toSet)
+    deleted.foreach(p => assert(!new java.io.File(
+      new java.net.URI(p).getPath).exists(), s"$p not deleted"))
+    assert(Snapshots.readSnapshot(spark, root, 2)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5))
+    // pre-horizon manifests are dropped with their files
+    intercept[java.io.FileNotFoundException] {
+      Snapshots.manifest(spark, root, 0)
+    }
+    assert(Snapshots.currentVersion(spark, root) == 2)
+  }
+}
