@@ -173,4 +173,33 @@ object GraphOps {
     }
     settled
   }
+
+  /** Bounded-hop min-COST distances (Bellman-Ford relaxation over the
+    * min-plus semiring) from a seed set over a weighted directed edge
+    * list `(src, dst, w)`: after `rounds` rounds, `dist(v)` = the
+    * cheapest total weight of any seed→v path using ≤ `rounds` edges —
+    * [[bfsHops]]' weighted sibling (hop count IS min-plus with w≡1).
+    * Each round is one `edges ⋈ dist` shuffle + one `min` groupBy —
+    * the textbook distributed Bellman-Ford round, cost O(E) per round
+    * with map-side-combinable min. Weights are INTEGER longs: min-plus
+    * over integers is exact under any merge order, so the unrolled
+    * DuckDB replay is bit-equal (the pageRank fixed-point argument).
+    * Unlike BFS there is no settled set — a node's cost can improve in
+    * a later round via a cheaper multi-edge path, so every round
+    * re-mins over everything reached so far. */
+  def minCostPaths(edges: DataFrame, seeds: DataFrame, rounds: Int)
+      : DataFrame = {
+    val ed = edges.select(col("src"), col("dst"), col("w"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("node"), lit(0L).as("d"))
+      .distinct().localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = ed.join(dist, ed("src") === dist("node"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

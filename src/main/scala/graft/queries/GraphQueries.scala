@@ -94,6 +94,37 @@ object GraphQueries {
           max(col("node")).as("last_node"))
         .orderBy("hop")
     }),
+
+    // Min-COST reachability within 3 hops (q_bfs_hops' weighted twin):
+    // edge weight = the cheapest observed order quantity between the
+    // part and the supplier, distance = Bellman-Ford min-plus over
+    // integer weights ([[GraphOps.minCostPaths]] — no settled set,
+    // cheaper multi-edge paths can beat earlier arrivals). Output is
+    // the exact-cost histogram plus per-cost node extremes — bounded
+    // by the distinct path costs, not the graph size.
+    "q_sssp" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val edges = pairs.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"),
+          col("w"))
+        .unionByName(pairs.select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"),
+          col("w")))
+      val seeds = Tables.supplier(s, dir)
+        .filter(col("s_suppkey") % 20 === 0)
+        .select(concat(lit("s"), col("s_suppkey").cast("string"))
+          .as("node"))
+      GraphOps.minCostPaths(edges, seeds, rounds = 3)
+        .groupBy(col("d").as("cost"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("first_node"),
+          max(col("node")).as("last_node"))
+        .orderBy("cost")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -183,6 +214,39 @@ object GraphQueries {
         |SELECT hop, count(*) AS n_nodes,
         |       min(node) AS first_node, max(node) AS last_node
         |FROM settled GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // three Bellman-Ford rounds unrolled — each rI re-mins the previous
+    // distances against all one-edge relaxations; integer min-plus is
+    // exact, so the replay is bit-equal
+    "q_sssp" -> {
+      def relax(i: Int) =
+        s"""r$i AS (
+           |  SELECT node, min(d) AS d FROM (
+           |    SELECT node, d FROM r${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS node, r.d + e.w AS d
+           |    FROM e JOIN r${i - 1} r ON e.src = r.node)
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         CAST(min(l_quantity) AS BIGINT) AS w
+         |  FROM lineitem GROUP BY 1, 2),
+         |e AS (
+         |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst, w
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst, w
+         |  FROM pairs),
+         |r0 AS (
+         |  SELECT DISTINCT 's' || s_suppkey AS node, CAST(0 AS BIGINT) AS d
+         |  FROM supplier WHERE s_suppkey % 20 = 0),
+         |${relax(1)},
+         |${relax(2)},
+         |${relax(3)}
+         |SELECT d AS cost, count(*) AS n_nodes,
+         |       min(node) AS first_node, max(node) AS last_node
+         |FROM r3 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 
   /** Shared replay prefix for the kNN-graph analytics: the

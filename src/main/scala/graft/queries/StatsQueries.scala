@@ -736,6 +736,41 @@ object StatsQueries {
           round(col("detr7") / 7e6 - col("seas"), 6).as("residual"))
         .orderBy("day")
     }),
+
+    // CUSUM changepoint scan (Page 1954) per event type on the daily
+    // series: the cumulative sum of deviations from the series mean
+    // peaks at the most likely level-shift day. Same two-level contract
+    // as q_acf/q_seasonal_decomp — one full scan builds the daily
+    // rollup, every window below is bounded by the calendar. Exactness:
+    // CUSUM_d = Σ_{i≤d}(x_i − T/n) is a rational; carried as the
+    // INTEGER numerator n·prefix_d − idx_d·T (longs: n=30,
+    // prefix ≤ 3e12 micro at sf0.1 → ~1e14, far under 2^63) with ONE
+    // division at the end — no float accumulates anywhere, so the peak
+    // argmax (tie-broken by earliest day) is bit-stable cross-engine.
+    "q_changepoint" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("x"))
+      val wOrd = W.partitionBy("event_type").orderBy("day")
+      val wCum = wOrd.rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy("event_type")
+      val scored = daily
+        .withColumn("idx", row_number().over(wOrd).cast("long"))
+        .withColumn("prefix", sum(col("x")).over(wCum))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("t", sum(col("x")).over(wAll))
+        .withColumn("num",
+          col("n") * col("prefix") - col("idx") * col("t"))
+      val wPeak = W.partitionBy("event_type")
+        .orderBy(abs(col("num")).desc, col("day"))
+      scored.withColumn("pk", row_number().over(wPeak))
+        .select(col("event_type"), col("day"),
+          round(col("num").cast("double") / (col("n") * lit(1e6)), 6)
+            .as("cusum"),
+          when(col("pk") === 1, 1).otherwise(0).as("is_peak"))
+        .orderBy("event_type", "day")
+    }),
   )
 
   /** 512 minima — σ ≈ 1/√510 ≈ 4.4%. */
@@ -1530,6 +1565,35 @@ object StatsQueries {
         |       round(s.seas, 6) AS seasonal,
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
+
+    // integer numerator n·prefix − idx·T replayed verbatim; one final
+    // division, earliest-day peak tie-break
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT event_type, day,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY day) AS idx,
+        |         sum(x) OVER (PARTITION BY event_type ORDER BY day
+        |                      ROWS UNBOUNDED PRECEDING) AS prefix,
+        |         count(*) OVER (PARTITION BY event_type) AS n,
+        |         sum(x) OVER (PARTITION BY event_type) AS t
+        |  FROM daily),
+        |nm AS (
+        |  SELECT event_type, day, n,
+        |         n * prefix - idx * t AS num
+        |  FROM sc),
+        |pk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |            ORDER BY abs(num) DESC, day) AS pk
+        |  FROM nm)
+        |SELECT event_type, day,
+        |       round(CAST(num AS DOUBLE) / (n * 1e6), 6) AS cusum,
+        |       CASE WHEN pk = 1 THEN 1 ELSE 0 END AS is_peak
+        |FROM pk ORDER BY 1, 2""".stripMargin,
   )
 
   private lazy val RetentionSql: String =

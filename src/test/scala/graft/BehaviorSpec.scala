@@ -123,4 +123,23 @@ class BehaviorSpec extends AnyFunSuite {
         s"dow $dow residual sum $s not ~0")
     }
   }
+
+  test("q_changepoint: one peak per type, peak dominates, CUSUM " +
+      "closes at zero") {
+    val rows = SparkEntry.queries("q_changepoint")(
+        spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val peaks = rs.filter(_._4 == 1)
+      assert(peaks.length == 1, s"$et has ${peaks.length} peaks")
+      val pk = math.abs(peaks.head._3)
+      rs.foreach { r => assert(math.abs(r._3) <= pk + 1e-9,
+        s"$et day ${r._2} |cusum| ${math.abs(r._3)} exceeds peak $pk") }
+      // Σ over the whole series of (x_i − mean) telescopes to exactly 0
+      val last = rs.maxBy(_._2.getTime)
+      assert(last._3 == 0.0, s"$et final CUSUM ${last._3} ≠ 0")
+    }
+  }
 }

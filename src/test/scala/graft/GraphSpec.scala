@@ -111,6 +111,22 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Map("a" -> 0, "b" -> 0, "c" -> 1, "d" -> 2))
   }
 
+  test("minCostPaths: a later cheap 2-edge path beats the earlier " +
+      "direct edge — no settled-set shortcut") {
+    import spark.implicits._
+    // a→b direct costs 5, but a→c→b costs 2; d only direct at 10
+    val edges = Seq(("a", "b", 5L), ("a", "c", 1L), ("c", "b", 1L),
+      ("a", "d", 10L)).toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("node")
+    val got = GraphOps.minCostPaths(edges, seeds, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 0L, "b" -> 2L, "c" -> 1L, "d" -> 10L))
+    // with one round only, b still carries the direct-edge cost
+    val oneRound = GraphOps.minCostPaths(edges, seeds, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oneRound("b") == 5L)
+  }
+
   test("q_bfs_hops: bipartite parity — odd hops are parts, even are " +
       "suppliers; counts bounded by the key domains") {
     val rows = SparkEntry.queries("q_bfs_hops")(spark, TestSpark.Sf0001)
