@@ -415,6 +415,13 @@ object LayoutQueries {
         .orderBy("event_type", "day")
     }),
 
+    // streaming ingest under snapshot isolation: one Snapshots commit
+    // per micro-batch (token-idempotent against foreachBatch
+    // re-delivery), then every version read side by side — cumulative
+    // day tranches, so the oracle is three nested day-range aggregates
+    "q_stream_snapshots" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamSnapshotsOnce(s, dir)),
+
     // TIME TRAVEL ([[graft.sources.Snapshots]]): three commits — append
     // days 1-10 (v0), append days 11-20 (v1), retention-purge v0's
     // files (v2) — then the SAME aggregate read at every version side
@@ -569,6 +576,24 @@ object LayoutQueries {
         |  UNION ALL
         |  SELECT 2, event_type, vm FROM ev
         |  WHERE day >= DATE '2024-01-11' AND day < DATE '2024-01-21')
+        |SELECT version, event_type, count(*) AS n,
+        |       round(CAST(sum(vm) AS DOUBLE) / 1e6, 6) AS v_sum
+        |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // cumulative append-only versions: days <11, <21, all
+    "q_stream_snapshots" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |         CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+        |  FROM events),
+        |snap AS (
+        |  SELECT 0 AS version, event_type, vm FROM ev
+        |  WHERE day < DATE '2024-01-11'
+        |  UNION ALL
+        |  SELECT 1, event_type, vm FROM ev
+        |  WHERE day < DATE '2024-01-21'
+        |  UNION ALL
+        |  SELECT 2, event_type, vm FROM ev)
         |SELECT version, event_type, count(*) AS n,
         |       round(CAST(sum(vm) AS DOUBLE) / 1e6, 6) AS v_sum
         |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

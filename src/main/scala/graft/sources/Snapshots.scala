@@ -88,6 +88,39 @@ object Snapshots {
     v
   }
 
+  /** Token-idempotent append for at-least-once deliverers (streaming
+    * `foreachBatch`: a crash between the data landing and the
+    * checkpoint advancing re-delivers the batch). The token — e.g.
+    * `"<streamId>-<batchId>"` — names the commit: a re-delivery finds
+    * the token marker and returns the already-assigned version instead
+    * of appending twice. The data dir is token-named (re-delivery
+    * overwrites the same files, not new ones) and the manifest is
+    * de-duplicated, so even the crash window between manifest and
+    * marker degrades to one redundant-but-identical version, never to
+    * doubled rows — the appendBroadbandBatch exactly-once discipline
+    * applied to the commit log. */
+  def commitAppendOnce(spark: SparkSession, dir: String, df: DataFrame,
+      token: String): Int = {
+    val f = fs(spark, dir)
+    val tok = new Path(logDir(dir), s"tok-$token.txt")
+    if (f.exists(tok)) {
+      val in = f.open(tok)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim.toInt
+      finally in.close()
+    } else {
+      val sub = new Path(s"$dir/b-$token")
+      df.write.mode(SaveMode.Overwrite).parquet(sub.toString)
+      val v = currentVersion(spark, dir) + 1
+      val prev = if (v == 0) Nil else manifest(spark, dir, v - 1)
+      writeManifest(spark, dir, v,
+        (prev ++ dataFiles(spark, sub)).distinct)
+      val out = f.create(tok, true)
+      try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+      v
+    }
+  }
+
   /** Commit a REMOVAL of whole files (retention purge / post-compaction
     * drop): next manifest = previous minus `removed`. Data files stay on
     * disk — that is what keeps older snapshots readable; a vacuum that

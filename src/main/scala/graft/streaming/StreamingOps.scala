@@ -943,6 +943,58 @@ object StreamingOps {
       .filter(!col("__deleted")).drop("__seq", "__deleted")
   }
 
+  /** Streaming ingest with SNAPSHOT ISOLATION: every micro-batch lands
+    * as one [[graft.sources.Snapshots]] commit, so a reader always sees
+    * a consistent table version (all of a batch or none of it) and the
+    * commit history doubles as replayable time travel over the ingest.
+    * `foreachBatch` is at-least-once, so the commit is the
+    * token-idempotent [[graft.sources.Snapshots.commitAppendOnce]]
+    * keyed by (streamScope, batchId) — a re-delivered batch returns its
+    * already-assigned version instead of appending twice. The staged
+    * feed mirrors [[runStreamCdcOnce]]: tranche files written in day
+    * order, `maxFilesPerTrigger=1` → one commit per tranche. Returns
+    * the per-version aggregate across ALL committed versions — the
+    * same side-by-side shape as batch q_time_travel, cumulative
+    * because streaming ingest only ever appends. */
+  def runStreamSnapshotsOnce(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Snapshots
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_stream_snap").toString
+    val (src, table, ckpt) = (s"$tmp/src", s"$tmp/table", s"$tmp/ckpt")
+    val ev = graft.tables.Tables.events(spark, dir).select(
+      to_date(col("ts")).as("day"), col("event_type"),
+      round(col("value") * 1e6, 0).cast("long").as("vm"))
+    val d11 = lit("2024-01-11").cast("date")
+    val d21 = lit("2024-01-21").cast("date")
+    Seq(ev.filter(col("day") < d11),
+        ev.filter(col("day") >= d11 && col("day") < d21),
+        ev.filter(col("day") >= d21))
+      .zipWithIndex.foreach { case (t, i) =>
+        t.select("event_type", "vm").coalesce(1)
+          .write.parquet(s"$src/f$i")
+      }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$src/f0").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+    val sid = streamScope(ckpt)
+    val q = stream.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Snapshots.commitAppendOnce(b.sparkSession, table, b, s"$sid-$id"): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    awaitOneShot(q)
+    val cur = Snapshots.currentVersion(spark, table)
+    (0 to cur).map { v =>
+        Snapshots.readSnapshot(spark, table, v)
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+      .groupBy(col("version"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("vm")).cast("double") / 1e6, 6).as("v_sum"))
+      .orderBy("version", "event_type")
+  }
+
   /** STREAM-STATIC point-in-time enrichment: the lineitem fact stream
     * joins the STATIC SCD2 order-version dimension through the same
     * [[graft.ops.JoinOps.pitLookup]] the batch path uses — a stateless

@@ -41,6 +41,28 @@ class SnapshotsSpec extends AnyFunSuite {
     }
   }
 
+  test("commitAppendOnce: a re-delivered token returns the same " +
+      "version and appends nothing") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_once").toString + "/t"
+    val v0 = Snapshots.commitAppendOnce(spark, root,
+      Seq(1, 2).toDF("x"), "s1-0")
+    assert(v0 == 0)
+    // the at-least-once replay: same token, same (or any) payload
+    val again = Snapshots.commitAppendOnce(spark, root,
+      Seq(1, 2).toDF("x"), "s1-0")
+    assert(again == 0)
+    assert(Snapshots.currentVersion(spark, root) == 0)
+    assert(Snapshots.readSnapshot(spark, root, 0)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // a NEW token is a real second commit
+    assert(Snapshots.commitAppendOnce(spark, root,
+      Seq(3).toDF("x"), "s1-1") == 1)
+    assert(Snapshots.readSnapshot(spark, root, 1)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("vacuum: deletes only files outside the retention horizon, " +
       "keeps shared files, current stays exact") {
     import spark.implicits._
