@@ -307,6 +307,39 @@ object StatsQueries {
       cmsAudit(bgs, sketch)
     }),
 
+    // JOIN-CARDINALITY estimation from two CMS sketches (Cormode &
+    // Muthukrishnan 2005 §4.2: |A ⋈ B| = Σ_k fA(k)·fB(k), estimated by
+    // min_r dot(rowA_r, rowB_r) — always ≥ exact, within εN·M w.h.p.).
+    // The optimizer-grade primitive: join size predicted from two
+    // CONSTANT-SIZE (16 KiB) single-pass aggregates — at 100 TB each
+    // side is one map-side-combined sketch scan and the "join" never
+    // happens; the exact count here is the audit benchmark. Shares the
+    // q_cms_counts hash recipe (md5 32-bit fields % width) so the
+    // oracle rebuilds both counter matrices and the same min-of-dots.
+    "q_join_card" -> ((s, dir) => {
+      val (d, w) = (CmsDepth, CmsWidth)
+      def sketchOf(df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.select(graft.text.TextOps.md5Fields(
+            concat(lit("jc:"), key.cast("string")), d, w).as("rc"))
+          .agg(graft.functions.CmsSketchAgg.cms_sketch(
+            col("rc"), d, w).as("sk"))
+      val dots = sketchOf(Tables.events(s, dir), col("user_id"))
+        .select(col("sk").as("a"))
+        .crossJoin(sketchOf(Tables.orders(s, dir), col("o_custkey"))
+          .select(col("sk").as("b")))
+      val dotCols = (0 until d).map { r =>
+        aggregate(
+          zip_with(slice(col("a"), r * w + 1, w),
+            slice(col("b"), r * w + 1, w), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x)
+      }
+      val est = dots.select(least(dotCols: _*).as("est_card"))
+      val exact = Tables.events(s, dir)
+        .join(Tables.orders(s, dir), col("user_id") === col("o_custkey"))
+        .agg(count(lit(1)).as("exact_card"))
+      est.crossJoin(exact)
+    }),
+
     // HyperLogLog distinct-cardinality sketch per language over corpus
     // bigrams: native register aggregate (512 B state, element-wise-max
     // merge) + oracle-exact register arithmetic — v_zero / integer-scaled
@@ -1565,6 +1598,34 @@ object StatsQueries {
         |       round(s.seas, 6) AS seasonal,
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
+
+    // both counter matrices rebuilt with the shared md5-field recipe,
+    // dot per row over matching (r,c) cells (absent cells are zeros and
+    // contribute nothing), min of the four dots
+    "q_join_card" ->
+      """WITH rr AS (SELECT unnest(generate_series(0, 3)) AS r),
+        |ec AS (
+        |  SELECT r.r,
+        |         CAST(concat('0x', substr(md5('jc:' ||
+        |              CAST(user_id AS VARCHAR)), r.r * 8 + 1, 8))
+        |              AS BIGINT) % 512 AS c,
+        |         count(*) AS n
+        |  FROM events CROSS JOIN rr r GROUP BY 1, 2),
+        |oc AS (
+        |  SELECT r.r,
+        |         CAST(concat('0x', substr(md5('jc:' ||
+        |              CAST(o_custkey AS VARCHAR)), r.r * 8 + 1, 8))
+        |              AS BIGINT) % 512 AS c,
+        |         count(*) AS n
+        |  FROM orders CROSS JOIN rr r GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT e.r, CAST(sum(e.n * o.n) AS BIGINT) AS dot
+        |  FROM ec e JOIN oc o ON e.r = o.r AND e.c = o.c GROUP BY 1),
+        |est AS (SELECT min(dot) AS est_card FROM dots),
+        |ex AS (
+        |  SELECT count(*) AS exact_card
+        |  FROM events e JOIN orders o ON e.user_id = o.o_custkey)
+        |SELECT est.est_card, ex.exact_card FROM est CROSS JOIN ex""".stripMargin,
 
     // integer numerator n·prefix − idx·T replayed verbatim; one final
     // division, earliest-day peak tie-break

@@ -1721,6 +1721,112 @@ object Profile {
           graft.graph.GraphOps.triangleCounts(
             knn.unionByName(hub), "a", "b").count())
 
+      case "s6_scale" =>
+        // Session-6 additions under 1×/10× growth. Three claims:
+        // (a) ACF / seasonal-decomp / changepoint are two-level — the
+        //     scan dominates and the rollup-side windows stay
+        //     calendar-bounded, so wall grows ~linearly with rows (time
+        //     replication also grows the hour/day rollup linearly, the
+        //     worst case for the claim);
+        // (b) BFS / min-cost relaxation grow ~linearly in EDGES when
+        //     the graph grows as disjoint copies (key-offset
+        //     replication — realistic sharded-corpus growth, keeps
+        //     per-round frontier joins equi-key);
+        // (c) snapshot commit+read overhead is the data write cost —
+        //     manifests are O(files) and never rescan history.
+        import org.apache.spark.sql.functions._
+        val ev0 = graft.tables.Tables.events(spark, sfDir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val li0 = graft.tables.Tables.lineitem(spark, sfDir)
+          .select("l_partkey", "l_suppkey", "l_quantity")
+        val (maxP, maxS) = {
+          val r = li0.agg(max("l_partkey"), max("l_suppkey")).head
+          (r.getLong(0) + 1, r.getLong(1) + 1)
+        }
+        val spanDays = 31L
+        def evX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            ev0.select(
+              (col("ts") + expr(s"INTERVAL ${i * spanDays} DAYS")).as("ts"),
+              col("event_type"), col("value"))
+          }.reduce(_ unionByName _)
+        def liX(times: Int): DataFrame =
+          (0 until times).map { i =>
+            li0.select((col("l_partkey") + lit(i * maxP)).as("l_partkey"),
+              (col("l_suppkey") + lit(i * maxS)).as("l_suppkey"),
+              col("l_quantity"))
+          }.reduce(_ unionByName _)
+        Seq(1, 1, 10).foreach { times =>
+          val evDir = s"/tmp/graft_profile_s6/ev_x$times"
+          val liDir = s"/tmp/graft_profile_s6/li_x$times"
+          if (!new java.io.File(evDir, "_SUCCESS").exists())
+            evX(times).write.mode("overwrite").parquet(evDir)
+          if (!new java.io.File(liDir, "_SUCCESS").exists())
+            liX(times).write.mode("overwrite").parquet(liDir)
+          val ev = spark.read.parquet(evDir)
+          val li = spark.read.parquet(liDir)
+
+          // (a) the three rollup-windowed stats, inlined on the scaled
+          // events (same plans as q_acf/q_seasonal_decomp/q_changepoint)
+          val hourly = ev.groupBy(col("event_type"),
+              expr("unix_micros(ts) div 3600000000").as("hb"))
+            .agg(sum(round(col("value") * 1e6, 0).cast("long"))
+              .cast("decimal(38,0)").as("x")).localCheckpoint(true)
+          val acf = elapsed(force(hourly
+            .withColumn("lag", explode(array((1 to 3).map(lit): _*)))
+            .join(hourly.select(col("event_type").as("et2"),
+                col("hb").as("hb2"), col("x").as("y")),
+              col("et2") === col("event_type") &&
+                col("hb2") === col("hb") + col("lag"))
+            .groupBy("event_type", "lag")
+            .agg(count(lit(1)).as("n"), sum(col("x") * col("y")).as("sxy"))))
+          val daily = ev.groupBy(col("event_type"),
+              to_date(col("ts")).as("day"))
+            .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("x"))
+          val wOrd = org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type").orderBy("day")
+          val cusum = elapsed(force(daily
+            .withColumn("idx", row_number().over(wOrd).cast("long"))
+            .withColumn("prefix", sum(col("x")).over(wOrd.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))))
+
+          // (b) graph rounds on the 10× disjoint-copy graph
+          val pairs = li.groupBy(col("l_partkey"), col("l_suppkey"))
+            .agg(min(col("l_quantity")).cast("long").as("w"))
+          val edges = pairs.select(
+              concat(lit("p"), col("l_partkey")).as("src"),
+              concat(lit("s"), col("l_suppkey")).as("dst"), col("w"))
+            .unionByName(pairs.select(
+              concat(lit("s"), col("l_suppkey")).as("src"),
+              concat(lit("p"), col("l_partkey")).as("dst"), col("w")))
+          val seeds = pairs.select(col("l_suppkey")).distinct()
+            .filter(col("l_suppkey") % 20 === 0)
+            .select(concat(lit("s"), col("l_suppkey")).as("node"))
+          val nEdges = edges.count()
+          val bfs = elapsed(force(graft.graph.GraphOps.bfsHops(
+            edges.select("src", "dst"), seeds, 3)))
+          val sssp = elapsed(force(graft.graph.GraphOps.minCostPaths(
+            edges, seeds, 3)))
+
+          // (c) snapshot commit + versioned read on the scaled events
+          val snapDir = s"/tmp/graft_profile_s6/snap_x$times"
+          val sp = new org.apache.hadoop.fs.Path(snapDir)
+          val pfs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (pfs.exists(sp)) { pfs.delete(sp, true): Unit }
+          val half = ev.filter(dayofmonth(col("ts")) <= 15)
+          val rest = ev.filter(dayofmonth(col("ts")) > 15)
+          val snap = elapsed {
+            graft.sources.Snapshots.commitAppend(spark, snapDir, half)
+            graft.sources.Snapshots.commitAppend(spark, snapDir, rest)
+            force(graft.sources.Snapshots.readSnapshot(spark, snapDir, 0)): Unit
+            force(graft.sources.Snapshots.readSnapshot(spark, snapDir, 1)): Unit
+          }
+          println(f"[profile] x$times%-3d acf $acf%6.2f s  cusum-win " +
+            f"$cusum%6.2f s  bfs(3) $bfs%6.2f s  sssp(3) $sssp%6.2f s " +
+            f" snapshots $snap%6.2f s  (edges=$nEdges)")
+        }
+
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each

@@ -257,4 +257,20 @@ class SketchSpec extends AnyFunSuite {
     // single value in bin 12 [96,104): rank 1 of 1 → 96 + 1/1·8 = 104
     assert(one === 104.0)
   }
+
+  test("q_join_card: CMS inner-product estimate bounds the exact join " +
+      "size from above and lands within the εN·M envelope") {
+    val r = SparkEntry.queries("q_join_card")(spark, TestSpark.Sf0001)
+      .collect()(0)
+    val (est, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact > 0, "audit join is empty — key domains drifted")
+    // the sketch is a non-negative linear projection: every dot term
+    // ≥ the matching true-frequency product, so est ≥ exact always
+    assert(est >= exact, s"est $est below exact $exact")
+    // ε = e/width envelope on the cross term: N·M/width collision mass
+    val ev = graft.tables.Tables.events(spark, TestSpark.Sf0001).count()
+    val or = graft.tables.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(est - exact <= math.ceil(math.E * ev * or / 512.0).toLong,
+      s"est $est exceeds the εN·M bound over exact $exact")
+  }
 }
