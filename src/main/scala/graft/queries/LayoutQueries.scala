@@ -415,6 +415,34 @@ object LayoutQueries {
         .orderBy("event_type", "day")
     }),
 
+    // Snapshot HISTORY from parquet footers only: (version, n_files,
+    // n_rows) with zero data pages read — each distinct file's footer
+    // read once (distributed), joined back to the version×file
+    // expansion. File counts are pinned by coalesce(1) tranches so the
+    // oracle can state them as constants; row counts replay as day
+    // ranges. Own table dir (never q_time_travel's — queries must not
+    // order-depend on each other's fixtures), rebuilt per run.
+    "q_snapshot_history" -> ((s, dir) => {
+      import graft.sources.Snapshots
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_snap_hist"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val pfs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (pfs.exists(rp)) { pfs.delete(rp, true): Unit }
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"), col("event_type"),
+        round(col("value") * 1e6, 0).cast("long").as("vm"))
+      val d11 = lit("2024-01-11").cast("date")
+      val d21 = lit("2024-01-21").cast("date")
+      Snapshots.commitAppend(s, root, ev.filter(col("day") < d11)
+        .select("event_type", "vm").coalesce(1))
+      val v0Files = Snapshots.manifest(s, root, 0)
+      Snapshots.commitAppend(s, root,
+        ev.filter(col("day") >= d11 && col("day") < d21)
+          .select("event_type", "vm").coalesce(1))
+      Snapshots.commitRemove(s, root, v0Files)
+      Snapshots.history(s, root)
+    }),
+
     // streaming ingest under snapshot isolation: one Snapshots commit
     // per micro-batch (token-idempotent against foreachBatch
     // re-delivery), then every version read side by side — cumulative
@@ -579,6 +607,26 @@ object LayoutQueries {
         |SELECT version, event_type, count(*) AS n,
         |       round(CAST(sum(vm) AS DOUBLE) / 1e6, 6) AS v_sum
         |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // file counts are layout constants (coalesce(1) per tranche:
+    // v0 = 1 file, v1 = 2, v2 = 1 after the purge); row counts are the
+    // day-range populations the manifests select
+    "q_snapshot_history" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day FROM events),
+        |v AS (
+        |  SELECT 0 AS version, CAST(1 AS BIGINT) AS n_files,
+        |         (SELECT count(*) FROM ev
+        |          WHERE day < DATE '2024-01-11') AS n_rows
+        |  UNION ALL
+        |  SELECT 1, 2,
+        |         (SELECT count(*) FROM ev
+        |          WHERE day < DATE '2024-01-21')
+        |  UNION ALL
+        |  SELECT 2, 1,
+        |         (SELECT count(*) FROM ev
+        |          WHERE day >= DATE '2024-01-11'
+        |            AND day < DATE '2024-01-21'))
+        |SELECT version, n_files, n_rows FROM v ORDER BY version""".stripMargin,
 
     // cumulative append-only versions: days <11, <21, all
     "q_stream_snapshots" ->

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 import org.apache.hadoop.fs.Path
 
 /** Versioned snapshot reads over a flat parquet archive — the TIME
@@ -133,6 +134,49 @@ object Snapshots {
     writeManifest(spark, dir, v,
       manifest(spark, dir, v - 1).filterNot(gone))
     v
+  }
+
+  /** Commit a COMPACTION/REWRITE: the freshly-written files REPLACE the
+    * whole table state (next manifest = just these files). Historical
+    * versions keep reading their own immutable files — compaction under
+    * time travel, the OPTIMIZE-then-read-old-version contract. */
+  def commitReplace(spark: SparkSession, dir: String, df: DataFrame): Int = {
+    val v = currentVersion(spark, dir) + 1
+    val sub = new Path(s"$dir/v$v")
+    df.write.mode(SaveMode.Overwrite).parquet(sub.toString)
+    writeManifest(spark, dir, v, dataFiles(spark, sub))
+    v
+  }
+
+  /** Per-version history from parquet FOOTERS only — `(version,
+    * n_files, n_rows)` with zero data pages read: each distinct file's
+    * footer is read once (distributed, the [[SkipIndex]] mapPartitions
+    * budget), then joined back to the version⨯file expansion, so a file
+    * shared by 50 versions costs one footer, and the whole history
+    * costs O(distinct files), not O(versions × rows). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 0, s"$dir has no commits")
+    val vf = (0 to cur).flatMap(v =>
+      manifest(spark, dir, v).map(f => (v, f)))
+    val perFile = spark.createDataset(vf).toDF("version", "file")
+    val counts = spark.createDataset(vf.map(_._2).distinct)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { f =>
+          val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, new Path(f),
+            org.apache.parquet.format.converter
+              .ParquetMetadataConverter.NO_FILTER)
+          (f, md.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+        }
+      }.toDF("file", "rows")
+    perFile.join(counts, "file")
+      .groupBy(col("version"))
+      .agg(count(lit(1)).as("n_files"), sum("rows").as("n_rows"))
+      .orderBy("version")
   }
 
   /** Read the table AS OF `version` — exactly that manifest's files.

@@ -63,6 +63,31 @@ class SnapshotsSpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("commitReplace: compaction rewrites the state into fewer files " +
+      "while historical versions keep their own layout") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_rep").toString + "/t"
+    Snapshots.commitAppend(spark, root,
+      Seq(1, 2, 3).toDF("x").repartition(3))                  // v0: 3 files
+    Snapshots.commitAppend(spark, root,
+      Seq(4, 5).toDF("x").repartition(2))                     // v1: +2 files
+    assert(Snapshots.manifest(spark, root, 1).length == 5)
+    val v2 = Snapshots.commitReplace(spark, root,
+      Snapshots.readSnapshot(spark, root, 1).coalesce(1))     // compact
+    assert(v2 == 2)
+    assert(Snapshots.manifest(spark, root, 2).length == 1)
+    def xs(v: Int): Seq[Int] = Snapshots.readSnapshot(spark, root, v)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(xs(2) == Seq(1, 2, 3, 4, 5))   // content identical
+    assert(xs(1) == Seq(1, 2, 3, 4, 5))   // pre-compaction version intact
+    assert(xs(0) == Seq(1, 2, 3))
+    // and the history table sees the layout change, footer-only
+    val h = Snapshots.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(h.toSeq == Seq((0, 3L, 3L), (1, 5L, 5L), (2, 1L, 5L)))
+  }
+
   test("vacuum: deletes only files outside the retention horizon, " +
       "keeps shared files, current stays exact") {
     import spark.implicits._
