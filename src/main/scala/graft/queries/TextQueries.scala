@@ -501,6 +501,19 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // The SAME stratified sample maintained by STRUCTURED STREAMING:
+    // the ≤k-pair bottom-k heap is the state-store payload
+    // (StreamingOps.runStreamSampleOnce), and bottom-k-of-a-set is
+    // split-invariant — so the streamed sample is bit-identical to
+    // batch and shares q_strat_sample's oracle verbatim. Continuous
+    // uniform-sample maintenance at ingest.
+    "q_stream_sample" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamSampleOnce(s, dir, 5)
+        .select(col("source"), posexplode(col("tk")))
+        .select(col("source"), (col("pos") + 1).as("rank"),
+          col("col.id").as("doc_id"), (-col("col.ord")).as("hv"))
+        .orderBy("source", "rank")),
+
     // Vocabulary coverage / OOV-rate audit: build the corpus top-200
     // unigram vocabulary (count desc, term asc — deterministic), then per
     // source report token volume and the share falling outside the vocab.
@@ -781,6 +794,21 @@ object TextQueries {
   /** PII patterns — Java-regex/RE2-identical constructs only. */
   private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val PiiUrlRe = "https?://[^ \\t\\n\\f\\r]+"
+
+  /** Shared by q_strat_sample and its streamed twin q_stream_sample. */
+  private val StratSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS hv
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id, hv,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY hv, doc_id) AS rank
+      |  FROM d)
+      |SELECT source, CAST(rank AS INT) AS rank, doc_id, hv
+      |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
   private val WsTokensSql = """regexp_extract_all(%s, '\S+')"""
   private def toks(col: String) = WsTokensSql.format(col)
@@ -1493,19 +1521,11 @@ object TextQueries {
 
     // the bounded-heap aggregate replaces only the execution strategy —
     // the window formulation IS the oracle
-    "q_strat_sample" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |              AS BIGINT) AS hv
-        |  FROM documents),
-        |r AS (
-        |  SELECT source, doc_id, hv,
-        |         row_number() OVER (PARTITION BY source
-        |                            ORDER BY hv, doc_id) AS rank
-        |  FROM d)
-        |SELECT source, CAST(rank AS INT) AS rank, doc_id, hv
-        |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "q_strat_sample" -> StratSampleSql,
+
+    // streamed state ≡ batch aggregate (bottom-k of a set is
+    // split-invariant) → one oracle for both
+    "q_stream_sample" -> StratSampleSql,
 
     "q_vocab_oov" ->
       s"""WITH tokens AS (

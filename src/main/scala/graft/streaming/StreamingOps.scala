@@ -995,6 +995,34 @@ object StreamingOps {
       .orderBy("version", "event_type")
   }
 
+  /** STREAMING stratified sample: per-stratum bottom-k-by-hash
+    * ([[graft.functions.TopKByAgg]] over the negated md5 key) as the
+    * aggregation state — ≤k (ord, id) pairs per stratum ride the state
+    * store. Bottom-k of a hash-keyed SET is order-independent and
+    * split-invariant (k-bounded merge of partials = bottom-k of the
+    * union; md5 keys are collision-distinct at corpus scale), so the
+    * streamed sample is bit-identical to the batch q_strat_sample under
+    * any micro-batch arrival — the two share one oracle verbatim.
+    * Continuous-ingest uniform-sample maintenance: "always hold a fresh
+    * k-doc uniform preview per source" with constant state. */
+  def runStreamSampleOnce(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    val name = s"graft_stream_sample_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = documentsStream(ses, dir)
+      .select(col("source"),
+        graft.text.TextOps.md5Key64(col("doc_id")).as("hv"),
+        col("doc_id"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKByAgg.topk_by(
+        -col("hv"), col("doc_id"), k).as("tk"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    drainTable(ses, name)
+  }
+
   /** STREAM-STATIC point-in-time enrichment: the lineitem fact stream
     * joins the STATIC SCD2 order-version dimension through the same
     * [[graft.ops.JoinOps.pitLookup]] the batch path uses — a stateless

@@ -458,4 +458,25 @@ class StreamingSpec extends AnyFunSuite {
     // q_cohort_retention's two-cohort answer)
     assert(streamed.nonEmpty && streamed.exists(_._2 > 0))
   }
+
+  test("streaming stratified sample is bit-identical to the batch " +
+      "bottom-k heaps") {
+    import org.apache.spark.sql.functions._
+    def flat(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), col("pos"), col("col.id"), col("col.ord"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val streamed = flat(
+      StreamingOps.runStreamSampleOnce(spark, TestSpark.Sf0001, 5))
+    val batch = flat(
+      graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+        .select(col("source"), col("doc_id"),
+          graft.text.TextOps.md5Key64(col("doc_id")).as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.TopKByAgg.topk_by(
+          -col("hv"), col("doc_id"), 5).as("tk")))
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
