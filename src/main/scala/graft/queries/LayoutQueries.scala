@@ -415,6 +415,42 @@ object LayoutQueries {
         .orderBy("event_type", "day")
     }),
 
+    // RIGHT-TO-BE-FORGOTTEN across history: tombstone deletes can't
+    // reach historical manifests (an old version happily re-reads the
+    // purged rows), so the erase REWRITES only the files holding a
+    // doomed key — one distributed probe finds them, the driver loop is
+    // bounded by hit count — and swaps paths in every manifest. All
+    // versions stay readable; none can resurrect the erased users.
+    "q_snapshot_erase" -> ((s, dir) => {
+      import graft.sources.Snapshots
+      val root = s"/tmp/graft_index/${sfName(dir)}/events_snap_erase"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      val pfs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (pfs.exists(rp)) { pfs.delete(rp, true): Unit }
+      val ev = Tables.events(s, dir).select(
+        to_date(col("ts")).as("day"), col("user_id"),
+        round(col("value") * 1e6, 0).cast("long").as("vm"))
+      val d11 = lit("2024-01-11").cast("date")
+      val d21 = lit("2024-01-21").cast("date")
+      Snapshots.commitAppend(s, root, ev.filter(col("day") < d11)
+        .select("user_id", "vm"))
+      val v0Files = Snapshots.manifest(s, root, 0)
+      Snapshots.commitAppend(s, root,
+        ev.filter(col("day") >= d11 && col("day") < d21)
+          .select("user_id", "vm"))
+      Snapshots.commitRemove(s, root, v0Files)
+      Snapshots.eraseAcrossHistory(s, root, "user_id", Seq("3", "7"))
+      (0 to 2).map { v =>
+          Snapshots.readSnapshot(s, root, v)
+            .withColumn("version", lit(v))
+        }.reduce(_ unionByName _)
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("vm")).cast("double") / 1e6, 6).as("v_sum"))
+        .orderBy("version")
+    }),
+
     // Snapshot HISTORY from parquet footers only: (version, n_files,
     // n_rows) with zero data pages read — each distinct file's footer
     // read once (distributed), joined back to the version×file
@@ -607,6 +643,27 @@ object LayoutQueries {
         |SELECT version, event_type, count(*) AS n,
         |       round(CAST(sum(vm) AS DOUBLE) / 1e6, 6) AS v_sum
         |FROM snap GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each version is its day range MINUS the erased users — the erase
+    // must be total across history, not just at the head
+    "q_snapshot_erase" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id,
+        |         CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+        |  FROM events WHERE user_id NOT IN (3, 7)),
+        |snap AS (
+        |  SELECT 0 AS version, user_id, vm FROM ev
+        |  WHERE day < DATE '2024-01-11'
+        |  UNION ALL
+        |  SELECT 1, user_id, vm FROM ev
+        |  WHERE day < DATE '2024-01-21'
+        |  UNION ALL
+        |  SELECT 2, user_id, vm FROM ev
+        |  WHERE day >= DATE '2024-01-11' AND day < DATE '2024-01-21')
+        |SELECT version, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(CAST(sum(vm) AS DOUBLE) / 1e6, 6) AS v_sum
+        |FROM snap GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // file counts are layout constants (coalesce(1) per tranche:
     // v0 = 1 file, v1 = 2, v2 = 1 after the purge); row counts are the

@@ -189,6 +189,56 @@ object Snapshots {
     spark.read.parquet(files: _*)
   }
 
+  /** Right-to-be-forgotten ACROSS HISTORY: physically remove every row
+    * matching `doomed` keys from EVERY retained version — time travel
+    * keeps working, but no version can resurrect the erased entity (the
+    * gap plain [[Deletes]] tombstones can't close once a table has
+    * snapshots: an old manifest happily re-reads the purged rows).
+    *
+    * Shape: one distributed probe pass over the distinct files of all
+    * manifests finds the files that actually hold a doomed key
+    * (`input_file_name ⋈ broadcast(doomed)` — the same request-scale
+    * broadcast contract as [[Deletes.readWithDeletes]]); only those
+    * files are rewritten (driver loop bounded by HIT count, not file
+    * count — the bloom-routing argument), and every manifest swaps the
+    * old paths for the rewritten ones in place. Untouched files stay
+    * shared across versions; rewritten originals are deleted. Returns
+    * the number of files rewritten. */
+  def eraseAcrossHistory(spark: SparkSession, dir: String, keyCol: String,
+      doomed: Seq[String]): Int = {
+    import spark.implicits._
+    val cur = currentVersion(spark, dir)
+    require(cur >= 0, s"$dir has no commits")
+    val manifests = (0 to cur).map(v => v -> manifest(spark, dir, v)).toMap
+    val allFiles = manifests.values.flatten.toSeq.distinct
+    val doomedDf = doomed.toDF("__doomed_k")
+    val hit = spark.read.parquet(allFiles: _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col(keyCol).cast("string").as("__doomed_k"))
+      .join(org.apache.spark.sql.functions.broadcast(doomedDf), "__doomed_k")
+      .select("f").distinct().as[String].collect().toSeq
+    // normalize: input_file_name yields URIs; manifests may hold either
+    def norm(p: String) = new Path(p).toUri.getPath
+    val hitSet = hit.map(norm).toSet
+    val f = fs(spark, dir)
+    val remap = allFiles.filter(p => hitSet(norm(p))).map { old =>
+      val stamp = graft.text.TextOps.md5Hex(old).take(12)
+      val sub = new Path(s"$dir/purge-$stamp")
+      spark.read.parquet(old)
+        .filter(!col(keyCol).cast("string").isInCollection(doomed))
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(sub.toString)
+      old -> dataFiles(spark, sub)
+    }.toMap
+    manifests.toSeq.sortBy(_._1).foreach { case (v, files) =>
+      writeManifest(spark, dir, v,
+        files.flatMap(p => remap.getOrElse(p, Seq(p))))
+    }
+    remap.keys.foreach(p => f.delete(new Path(p), false))
+    spark.catalog.refreshByPath(dir)
+    remap.size
+  }
+
   /** The destructive space-reclaim step: delete every data file
     * referenced ONLY by manifests older than the retention horizon
     * (the last `retainLast` versions), then drop those manifests.

@@ -88,6 +88,29 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(h.toSeq == Seq((0, 3L, 3L), (1, 5L, 5L), (2, 1L, 5L)))
   }
 
+  test("eraseAcrossHistory: doomed keys vanish from EVERY version; " +
+      "clean files stay shared and unrewritten") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_erase").toString + "/t"
+    // v0 holds the doomed key 7; v1's tranche is clean
+    Snapshots.commitAppend(spark, root,
+      Seq((7L, "a"), (1L, "b"), (2L, "c")).toDF("k", "p").coalesce(1))
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, "d"), (4L, "e")).toDF("k", "p").coalesce(1))
+    val cleanFile = Snapshots.manifest(spark, root, 1)
+      .diff(Snapshots.manifest(spark, root, 0))
+    val rewritten = Snapshots.eraseAcrossHistory(spark, root, "k", Seq("7"))
+    assert(rewritten == 1) // only v0's tranche held key 7
+    def ks(v: Int): Seq[Long] = Snapshots.readSnapshot(spark, root, v)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(0) == Seq(1, 2))          // history readable, key gone
+    assert(ks(1) == Seq(1, 2, 3, 4))
+    // the clean tranche kept its exact physical path (still shared)
+    assert(Snapshots.manifest(spark, root, 1).toSet
+      .intersect(cleanFile.toSet) == cleanFile.toSet)
+  }
+
   test("vacuum: deletes only files outside the retention horizon, " +
       "keeps shared files, current stays exact") {
     import spark.implicits._
