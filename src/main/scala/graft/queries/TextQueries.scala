@@ -501,6 +501,37 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // Heaps-law vocabulary-growth audit (Heaps 1978: V(n) ≈ K·n^β —
+    // the curve that tells a tokenizer-training pipeline whether more
+    // corpus still buys vocabulary): distinct-vocab and token totals at
+    // four doc-id checkpoints. Scale shape: NO global ordering/window —
+    // each term collapses to its FIRST doc (min(doc_id), one map-side-
+    // combined agg), each doc to its token count, and checkpoint
+    // assignment is a broadcast join against the 4-row bounds table, so
+    // the curve costs one tokenize pass + two aggregates at any corpus
+    // size. The max(doc_id) scalar is a single-row driver agg
+    // (metadata-scale); ceil(m·q/4) in shared double math pins the
+    // bounds cross-engine.
+    "q_heaps_law" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val m = d.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val bdf = (1 to 4).map(q => (q, math.ceil(m * q / 4.0).toLong))
+        .toDF("q", "b")
+      val perDoc = d.select(col("doc_id"),
+          size(TextOps.wsTokens(lower(col("text")))).as("n_tok"))
+        .join(broadcast(bdf), col("doc_id") < col("b"))
+        .groupBy("q")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val vocab = d.select(col("doc_id"),
+          explode(TextOps.wsTokens(lower(col("text")))).as("term"))
+        .groupBy("term").agg(min(col("doc_id")).as("fid"))
+        .join(broadcast(bdf), col("fid") < col("b"))
+        .groupBy("q").agg(count(lit(1)).as("vocab"))
+      perDoc.join(vocab, "q").orderBy("q")
+    }),
+
     // The SAME stratified sample maintained by STRUCTURED STREAMING:
     // the ≤k-pair bottom-k heap is the state-store payload
     // (StreamingOps.runStreamSampleOnce), and bottom-k-of-a-set is
@@ -1526,6 +1557,31 @@ object TextQueries {
     // streamed state ≡ batch aggregate (bottom-k of a set is
     // split-invariant) → one oracle for both
     "q_stream_sample" -> StratSampleSql,
+
+    // first-occurrence collapse + broadcast bounds, replayed; ceil in
+    // the same double math
+    "q_heaps_law" ->
+      s"""WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         |b AS (
+         |  SELECT g.q, CAST(ceil(m.m * g.q / 4.0) AS BIGINT) AS b
+         |  FROM m CROSS JOIN
+         |       (SELECT unnest(generate_series(1, 4)) AS q) g),
+         |ds AS (
+         |  SELECT doc_id, len(${toks("lower(text)")}) AS n_tok
+         |  FROM documents),
+         |pd AS (
+         |  SELECT b.q, count(*) AS n_docs,
+         |         CAST(sum(ds.n_tok) AS BIGINT) AS n_tokens
+         |  FROM ds JOIN b ON ds.doc_id < b.b GROUP BY 1),
+         |tk AS (
+         |  SELECT doc_id, unnest(${toks("lower(text)")}) AS term
+         |  FROM documents),
+         |fi AS (SELECT term, min(doc_id) AS fid FROM tk GROUP BY 1),
+         |vc AS (
+         |  SELECT b.q, count(*) AS vocab
+         |  FROM fi JOIN b ON fi.fid < b.b GROUP BY 1)
+         |SELECT pd.q, pd.n_docs, pd.n_tokens, vc.vocab
+         |FROM pd JOIN vc USING (q) ORDER BY q""".stripMargin,
 
     "q_vocab_oov" ->
       s"""WITH tokens AS (

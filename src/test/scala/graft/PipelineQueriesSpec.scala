@@ -463,4 +463,26 @@ class PipelineQueriesSpec extends AnyFunSuite {
     // no row lost or duplicated by the generalize→regroup
     assert(out.toSeq.map(_._3).sum === rows.size)
   }
+
+  test("Heaps-law curve: monotone growth, final checkpoint equals the " +
+      "whole corpus, vocabulary grows sub-linearly in tokens") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_heaps_law")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4,
+        s"checkpoint ${b._1} shrank vs ${a._1}")
+    }
+    val d = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val last = rows.last
+    assert(last._2 == d.count())
+    val vocabAll = d.select(explode(graft.text.TextOps.wsTokens(
+        lower(col("text")))).as("t"))
+      .agg(countDistinct(col("t"))).head.getLong(0)
+    assert(last._4 == vocabAll)
+    // Heaps: vocab grows much slower than tokens on this corpus
+    assert(last._4 < last._3 / 10)
+  }
 }
