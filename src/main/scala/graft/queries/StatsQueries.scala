@@ -307,6 +307,52 @@ object StatsQueries {
       cmsAudit(bgs, sketch)
     }),
 
+    // Two-sample Welch t-test per event type (Welch 1947), cohorts =
+    // user-id parity (the A/B assignment an experimentation pipeline
+    // would hash): t = (x̄A−x̄B)/√(s²A/nA + s²B/nB) with the
+    // Welch–Satterthwaite dof. Same exact-moment discipline as
+    // q_corr_moments — per (type, cohort) the three DECIMAL(38,0)
+    // micro-unit moments (n, Σx, Σx²) accumulate order-independently in
+    // ONE map-side-combined scan, and every float op after is a fixed
+    // closed-form expression over 6 agreed integers per type — so a
+    // SIGNIFICANCE TEST at 100 TB costs one scan + a 5-row exchange,
+    // and the t statistic hash-matches DuckDB to the last rounded
+    // digit. (The variance term uses the n·Σx²−(Σx)² integer numerator
+    // — no catastrophic cancellation of float partials.)
+    "q_ab_welch" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 2).as("grp"),
+        round(col("value") * 1e6, 0).cast("long")
+          .cast("decimal(38,0)").as("x"))
+      val mom = ev.groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      def side(g: Int, suf: String) = mom.filter(col("grp") === g)
+        .select(col("event_type"), col("n").as(s"n$suf"),
+          col("sx").as(s"sx$suf"), col("sxx").as(s"sxx$suf"))
+      // per-side mean and unbiased variance from the integer moments;
+      // vOver = s²/n = (n·Σx²−(Σx)²) / (n²·(n−1)) in micro² units
+      def mean(n: String, sx: String) =
+        col(sx).cast("double") / col(n).cast("double") / 1e6
+      def vOver(n: String, sx: String, sxx: String) =
+        (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (col(n) * col(n) * (col(n) - 1)).cast("double") / 1e12
+      side(0, "a").join(side(1, "b"), "event_type")
+        .select(col("event_type"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(mean("na", "sxa") - mean("nb", "sxb"), 6).as("mean_diff"),
+          round((mean("na", "sxa") - mean("nb", "sxb")) /
+            sqrt(vOver("na", "sxa", "sxxa") + vOver("nb", "sxb", "sxxb")),
+            6).as("t_stat"),
+          round(
+            pow(vOver("na", "sxa", "sxxa") + vOver("nb", "sxb", "sxxb"), 2) /
+              (pow(vOver("na", "sxa", "sxxa"), 2) /
+                (col("na").cast("double") - 1) +
+               pow(vOver("nb", "sxb", "sxxb"), 2) /
+                (col("nb").cast("double") - 1)), 3).as("dof"))
+        .orderBy("event_type")
+    }),
+
     // JOIN-CARDINALITY estimation from two CMS sketches (Cormode &
     // Muthukrishnan 2005 §4.2: |A ⋈ B| = Σ_k fA(k)·fB(k), estimated by
     // min_r dot(rowA_r, rowB_r) — always ≥ exact, within εN·M w.h.p.).
@@ -1598,6 +1644,43 @@ object StatsQueries {
         |       round(s.seas, 6) AS seasonal,
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
+
+    // HUGEINT moments, then the identical closed-form double chain in
+    // the same operation order (mean = sx/n/1e6; v = num/den/1e12;
+    // t = Δmean/√(vA+vB); dof = Welch–Satterthwaite)
+    "q_ab_welch" ->
+      """WITH xs AS (
+        |  SELECT event_type, user_id % 2 AS grp,
+        |         CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(x*x) AS sxx
+        |  FROM xs GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type,
+        |         a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+        |         b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+        |  FROM m a JOIN m b ON a.event_type = b.event_type
+        |  WHERE a.grp = 0 AND b.grp = 1),
+        |v AS (
+        |  SELECT event_type, na, nb,
+        |         CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+        |           - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6
+        |           AS md,
+        |         CAST(na*sxxa - sxa*sxa AS DOUBLE)
+        |           / CAST(na*na*(na-1) AS DOUBLE) / 1e12 AS va,
+        |         CAST(nb*sxxb - sxb*sxb AS DOUBLE)
+        |           / CAST(nb*nb*(nb-1) AS DOUBLE) / 1e12 AS vb
+        |  FROM j)
+        |SELECT event_type,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       round(md, 6) AS mean_diff,
+        |       round(md / sqrt(va + vb), 6) AS t_stat,
+        |       round(pow(va + vb, 2)
+        |             / (pow(va, 2) / (CAST(na AS DOUBLE) - 1)
+        |              + pow(vb, 2) / (CAST(nb AS DOUBLE) - 1)), 3) AS dof
+        |FROM v ORDER BY 1""".stripMargin,
 
     // both counter matrices rebuilt with the shared md5-field recipe,
     // dot per row over matching (r,c) cells (absent cells are zeros and

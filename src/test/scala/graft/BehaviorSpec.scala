@@ -142,4 +142,25 @@ class BehaviorSpec extends AnyFunSuite {
       assert(last._3 == 0.0, s"$et final CUSUM ${last._3} ≠ 0")
     }
   }
+
+  test("q_ab_welch: cohorts partition each type, dof inside the Welch " +
+      "bracket, parity split shows no phantom effect") {
+    val rows = SparkEntry.queries("q_ab_welch")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val totals = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (et, na, nb, _, t, dof) =>
+      assert(na + nb == totals(et), s"$et cohorts don't partition")
+      // Welch dof ∈ [min(nA,nB)−1, nA+nB−2]
+      assert(dof >= math.min(na, nb) - 1 && dof <= na + nb - 2,
+        s"$et dof $dof outside bracket")
+      // user-id parity is independent of value: a |t| that clears ~5
+      // on this null split would mean the moment math is broken
+      assert(math.abs(t) < 5.0, s"$et phantom effect t=$t")
+    }
+  }
 }

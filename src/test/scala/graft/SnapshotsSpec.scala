@@ -31,6 +31,11 @@ class SnapshotsSpec extends AnyFunSuite {
     assert(xs(2) == Seq(4, 5))
     // the purge commit wrote only a new manifest: v0 still reads exact
     assert(xs(0) == Seq(1, 2, 3))
+    // plan contract: a snapshot read scans EXACTLY the manifest's files
+    def norm(p: String) = new java.net.URI(p).getPath
+    assert(Snapshots.readSnapshot(spark, root, 1).inputFiles
+      .map(norm).toSet ==
+      Snapshots.manifest(spark, root, 1).map(norm).toSet)
 
     // removing everything leaves a snapshot with no files — reading it
     // refuses loudly rather than inferring a schema from nothing
