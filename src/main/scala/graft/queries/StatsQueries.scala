@@ -307,6 +307,37 @@ object StatsQueries {
       cmsAudit(bgs, sketch)
     }),
 
+    // Theil–Sen robust trend per event type (Theil 1950 / Sen 1968):
+    // slope = MEDIAN of all pairwise day-slopes — a single outlier day
+    // can't drag it the way least-squares would. The pairwise set is
+    // quadratic ONLY in the daily rollup's row count (30 days → 435
+    // pairs per type, calendar-bounded at any corpus size) — the same
+    // two-level contract as q_acf: one full scan builds the rollup,
+    // everything quadratic runs on it. Slopes are single divisions of
+    // exact integers (micro Δx over integer Δdays → identical doubles
+    // cross-engine), and the median is Spark percentile ≡ DuckDB
+    // quantile_cont over the same multiset — the q_anomaly_mad order-
+    // statistics discipline.
+    "q_theilsen" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("x"))
+        .withColumn("dn", datediff(col("day"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .localCheckpoint(true)
+      daily.select(col("event_type"), col("dn").as("d1"), col("x").as("x1"))
+        .join(daily.select(col("event_type").as("et2"),
+            col("dn").as("d2"), col("x").as("x2")),
+          col("et2") === col("event_type") && col("d2") > col("d1"))
+        .withColumn("slope",
+          (col("x2") - col("x1")).cast("double") /
+            (col("d2") - col("d1")) / 1e6)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("slope"))
+        .orderBy("event_type")
+    }),
+
     // Two-sample Welch t-test per event type (Welch 1947), cohorts =
     // user-id parity (the A/B assignment an experimentation pipeline
     // would hash): t = (x̄A−x̄B)/√(s²A/nA + s²B/nB) with the
@@ -324,9 +355,13 @@ object StatsQueries {
         (col("user_id") % 2).as("grp"),
         round(col("value") * 1e6, 0).cast("long")
           .cast("decimal(38,0)").as("x"))
+      // localCheckpoint: the A and B sides below are two filters of
+      // THIS 10-row table — without it Catalyst re-derives the
+      // aggregate per side and the test costs two full scans
       val mom = ev.groupBy(col("event_type"), col("grp"))
         .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
           sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .localCheckpoint(true)
       def side(g: Int, suf: String) = mom.filter(col("grp") === g)
         .select(col("event_type"), col("n").as(s"n$suf"),
           col("sx").as(s"sx$suf"), col("sxx").as(s"sxx$suf"))
@@ -1644,6 +1679,23 @@ object StatsQueries {
         |       round(s.seas, 6) AS seasonal,
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
+
+    // identical pairwise-slope multiset; quantile_cont ≡ Spark
+    // percentile over the same doubles
+    "q_theilsen" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS x,
+        |         CAST(ts AS DATE) - DATE '1970-01-01' AS dn
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type,
+        |         CAST(b.x - a.x AS DOUBLE) / (b.dn - a.dn) / 1e6 AS slope
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.dn > a.dn)
+        |SELECT event_type, count(*) AS n_pairs,
+        |       round(quantile_cont(slope, 0.5), 6) AS slope
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // HUGEINT moments, then the identical closed-form double chain in
     // the same operation order (mean = sx/n/1e6; v = num/den/1e12;

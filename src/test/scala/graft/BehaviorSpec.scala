@@ -143,6 +143,23 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_theilsen: pair counts are exactly C(days,2) per type; " +
+      "slopes finite and modest on the stationary corpus") {
+    val rows = SparkEntry.queries("q_theilsen")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val days = graft.tables.Tables.events(spark, TestSpark.Sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (et, np, slope) =>
+      val d = days(et)
+      assert(np == d * (d - 1) / 2, s"$et pairs $np ≠ C($d,2)")
+      assert(!slope.isNaN && !slope.isInfinite)
+    }
+  }
+
   test("q_ab_welch: cohorts partition each type, dof inside the Welch " +
       "bracket, parity split shows no phantom effect") {
     val rows = SparkEntry.queries("q_ab_welch")(spark, TestSpark.Sf0001)
