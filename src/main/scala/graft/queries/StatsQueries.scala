@@ -307,6 +307,34 @@ object StatsQueries {
       cmsAudit(bgs, sketch)
     }),
 
+    // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
+    // fabricated-data smoke test every financial DQ suite runs):
+    // observed leading-digit distribution of order totals vs
+    // log10(1+1/d), with per-digit χ² contributions. Determinism
+    // discipline: the leading digit comes from the INTEGER cents
+    // string (×100 preserves the leading significant digit; double→
+    // string formatting does NOT agree cross-engine, int→string does),
+    // and χ² is computed from the ROUNDED 6-dp Benford p so both
+    // engines feed bit-identical inputs to the closed form (raw libm
+    // log10 may differ in the last ulp). One scan → 9-row rollup;
+    // everything after is digit-bounded.
+    "q_benford" -> ((s, dir) => {
+      val digits = Tables.orders(s, dir)
+        .select(substring(round(col("o_totalprice") * 100, 0)
+          .cast("long").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val total = digits.agg(sum(col("n")).as("tot"))
+      val pb = round(log10(lit(1.0) + lit(1.0) / col("digit")), 6)
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p_obs"),
+          pb.as("p_benford"),
+          round(pow(col("n").cast("double") - col("tot") * pb, 2) /
+            (col("tot") * pb), 3).as("chi2_contrib"))
+        .orderBy("digit")
+    }),
+
     // Theil–Sen robust trend per event type (Theil 1950 / Sen 1968):
     // slope = MEDIAN of all pairwise day-slopes — a single outlier day
     // can't drag it the way least-squares would. The pairwise set is
@@ -1679,6 +1707,27 @@ object StatsQueries {
         |       round(s.seas, 6) AS seasonal,
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
+
+    // integer-cents leading digit; χ² from the ROUNDED Benford p so
+    // the closed form sees bit-identical inputs
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0)
+        |           AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM g),
+        |p AS (
+        |  SELECT g.digit, g.n, t.tot,
+        |         round(log10(CAST(1.0 AS DOUBLE)
+        |                     + CAST(1.0 AS DOUBLE) / g.digit), 6) AS pb
+        |  FROM g CROSS JOIN t)
+        |SELECT digit, n,
+        |       round(CAST(n AS DOUBLE) / tot, 6) AS p_obs,
+        |       pb AS p_benford,
+        |       round(pow(CAST(n AS DOUBLE) - tot * pb, 2) / (tot * pb), 3)
+        |         AS chi2_contrib
+        |FROM p ORDER BY digit""".stripMargin,
 
     // identical pairwise-slope multiset; quantile_cont ≡ Spark
     // percentile over the same doubles

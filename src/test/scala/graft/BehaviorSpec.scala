@@ -160,6 +160,18 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_benford: all nine digits, probabilities close, counts " +
+      "partition the orders table") {
+    val rows = SparkEntry.queries("q_benford")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1 to 9))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4)
+    val nOrders = graft.tables.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_._2).sum == nOrders)
+  }
+
   test("q_ab_welch: cohorts partition each type, dof inside the Welch " +
       "bracket, parity split shows no phantom effect") {
     val rows = SparkEntry.queries("q_ab_welch")(spark, TestSpark.Sf0001)
