@@ -38,6 +38,45 @@ object SimQueries {
   private val NegK = 5
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Inter-class centroid similarity matrix (the label-quality /
+    // class-leakage audit a curation pipeline runs before training a
+    // classifier: labels whose centroids cosine ≈ 1 are candidates for
+    // merging or relabel review). Cosine is scale-invariant, so the
+    // per-label mean vector's 1/n cancels and the whole matrix reduces
+    // to exact INTEGER micro-unit sums per (label, dim) — one explode +
+    // map-side-combined aggregate over the corpus, then everything
+    // (norms, 45 pairwise dots) runs on the label×64 rollup. No float
+    // accumulates anywhere; one closed-form division per pair.
+    "q_centroid_sim" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val sums = emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(round(col("col") * 1e6, 0).cast("long"))
+          .cast("decimal(38,0)").as("s"))
+        .localCheckpoint(true)
+      val norms = sums.groupBy(col("label"))
+        .agg(sum(col("s") * col("s")).as("nn"))
+      val dots = sums.select(col("label").as("label_a"),
+          col("pos"), col("s").as("sa"))
+        .join(sums.select(col("label").as("label_b"),
+            col("pos"), col("s").as("sb")),
+          Seq("pos"))
+        .filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("sa") * col("sb")).as("dot"))
+      dots
+        .join(norms.select(col("label").as("label_a"), col("nn").as("nna")),
+          "label_a")
+        .join(norms.select(col("label").as("label_b"), col("nn").as("nnb")),
+          "label_b")
+        .select(col("label_a"), col("label_b"),
+          round(col("dot").cast("double") /
+            (sqrt(col("nna").cast("double")) *
+             sqrt(col("nnb").cast("double"))), 6).as("cos"))
+        .orderBy("label_a", "label_b")
+    }),
+
     // Exact brute-force cosine top-5: every 10th vector among the first 100
     // such ids is a query — FIXED-size query set, so the broadcast side
     // stays O(100) vectors no matter the corpus size.
@@ -452,6 +491,33 @@ object SimQueries {
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // HUGEINT micro-sums per (label, dim); the 1/n of each centroid
+    // cancels in cosine, so the replay is exact integers end to end
+    "q_centroid_sim" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (
+        |  SELECT label, i.i - 1 AS pos,
+        |         CAST(round(v[i.i] * 1e6, 0) AS BIGINT) AS nv
+        |  FROM e CROSS JOIN
+        |       (SELECT unnest(generate_series(1, 64)) AS i) i),
+        |s AS (
+        |  SELECT label, pos, CAST(sum(nv) AS HUGEINT) AS s
+        |  FROM x GROUP BY 1, 2),
+        |nn AS (SELECT label, sum(s*s) AS nn FROM s GROUP BY 1),
+        |d AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         sum(a.s * b.s) AS dot
+        |  FROM s a JOIN s b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT d.label_a, d.label_b,
+        |       round(CAST(dot AS DOUBLE)
+        |             / (sqrt(CAST(na.nn AS DOUBLE))
+        |                * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cos
+        |FROM d JOIN nn na ON na.label = d.label_a
+        |       JOIN nn nb ON nb.label = d.label_b
+        |ORDER BY 1, 2""".stripMargin,
+
     // Replays PcaOps.project from the pca_model fixture: per-(dim,
     // component) nano-unit integer terms, summed, /1e9, rounded at 6 —
     // the same HALF_UP-on-doubles rounding both engines share.

@@ -594,4 +594,34 @@ class SimilaritySpec extends AnyFunSuite {
     val r4 = recall(4)
     assert(r4 > r2, s"recall must grow with nProbe: $r2 -> $r4")
   }
+
+  test("q_centroid_sim: full upper triangle, cosines bounded, and the " +
+      "integer-sum matrix matches a float recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_centroid_sim")(
+        spark, TestSpark.Sf0001)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    val labels = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select("label").distinct().collect().map(_.getInt(0)).sorted
+    val expectPairs =
+      (for (a <- labels; b <- labels if a < b) yield (a, b)).toSet
+    assert(rows.map(_._1).toSet == expectPairs)
+    rows.foreach { case (p, c) =>
+      assert(c >= -1.0 && c <= 1.0, s"$p cos $c") }
+    // independent float recompute of the centroid cosines
+    val cents = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .groupBy(_._1).map { case (l, vs) =>
+        val dim = vs.head._2.length
+        l -> (0 until dim).map(j => vs.map(_._2(j)).sum / vs.size)
+      }
+    rows.foreach { case ((a, b), c) =>
+      val (va, vb) = (cents(a), cents(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val exp = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(c - exp) < 1e-4, s"($a,$b): $c vs $exp")
+    }
+  }
 }
