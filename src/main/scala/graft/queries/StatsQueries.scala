@@ -307,6 +307,34 @@ object StatsQueries {
       cmsAudit(bgs, sketch)
     }),
 
+    // Discrete churn hazard curve (the survival-analysis primitive
+    // without the Kaplan–Meier float product): treating each user's
+    // LAST active day as the churn event, hazard(d) = churned(d) /
+    // at-risk(d) where at-risk counts users whose last day is ≥ d.
+    // Two-level shape: the only full scan collapses events to one row
+    // per user (max day, map-side combined); the per-day counts and
+    // the reverse-cumulative at-risk window run on the ≤31-row daily
+    // rollup. Every hazard is ONE exact-integer division — no running
+    // product, no float accumulation (the KM survivor curve is the
+    // driver-side product of these; the hazard table IS the mergeable
+    // scale object).
+    "q_hazard_curve" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val lastDay = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"))
+      val daily = lastDay.groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("n_churned"))
+      val w = W.orderBy(col("day").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      daily
+        .withColumn("n_at_risk", sum(col("n_churned")).over(w))
+        .select(col("day"), col("n_at_risk"), col("n_churned"),
+          round(col("n_churned").cast("double") / col("n_at_risk"), 6)
+            .as("hazard"))
+        .orderBy("day")
+    }),
+
     // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
     // fabricated-data smoke test every financial DQ suite runs):
     // observed leading-digit distribution of order totals vs
@@ -1707,6 +1735,24 @@ object StatsQueries {
         |       round(s.seas, 6) AS seasonal,
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
+
+    // per-user max day, per-day churn counts, reverse-cumulative
+    // at-risk, one exact division
+    "q_hazard_curve" ->
+      """WITH u AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT last_day AS day, count(*) AS n_churned
+        |      FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT day, n_churned,
+        |         sum(n_churned) OVER (ORDER BY day DESC
+        |             ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        |  FROM d)
+        |SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |       n_churned,
+        |       round(CAST(n_churned AS DOUBLE) / n_at_risk, 6) AS hazard
+        |FROM r ORDER BY day""".stripMargin,
 
     // integer-cents leading digit; χ² from the ROUNDED Benford p so
     // the closed form sees bit-identical inputs
