@@ -308,31 +308,33 @@ object StatsQueries {
     }),
 
     // Discrete churn hazard curve (the survival-analysis primitive
-    // without the Kaplan–Meier float product): treating each user's
-    // LAST active day as the churn event, hazard(d) = churned(d) /
-    // at-risk(d) where at-risk counts users whose last day is ≥ d.
-    // Two-level shape: the only full scan collapses events to one row
-    // per user (max day, map-side combined); the per-day counts and
-    // the reverse-cumulative at-risk window run on the ≤31-row daily
+    // without the Kaplan–Meier float product): treating each customer's
+    // LAST order month as the churn event, hazard(m) = churned(m) /
+    // at-risk(m) where at-risk counts customers whose last month is
+    // ≥ m. Orders span 1995-2001, so the curve has ~80 buckets — a real
+    // survival table, unlike the 3-day events window. Two-level shape:
+    // the only full scan collapses orders to one row per customer (max
+    // month, map-side combined); the per-month counts and the
+    // reverse-cumulative at-risk window run on the ~80-row monthly
     // rollup. Every hazard is ONE exact-integer division — no running
     // product, no float accumulation (the KM survivor curve is the
     // driver-side product of these; the hazard table IS the mergeable
     // scale object).
     "q_hazard_curve" -> ((s, dir) => {
       val W = org.apache.spark.sql.expressions.Window
-      val lastDay = Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(max(to_date(col("ts"))).as("last_day"))
-      val daily = lastDay.groupBy(col("last_day").as("day"))
+      val lastMonth = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(trunc(col("o_orderdate"), "month")).as("last_month"))
+      val monthly = lastMonth.groupBy(col("last_month").as("month"))
         .agg(count(lit(1)).as("n_churned"))
-      val w = W.orderBy(col("day").desc)
+      val w = W.orderBy(col("month").desc)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
-      daily
+      monthly
         .withColumn("n_at_risk", sum(col("n_churned")).over(w))
-        .select(col("day"), col("n_at_risk"), col("n_churned"),
+        .select(col("month"), col("n_at_risk"), col("n_churned"),
           round(col("n_churned").cast("double") / col("n_at_risk"), 6)
             .as("hazard"))
-        .orderBy("day")
+        .orderBy("month")
     }),
 
     // Benford first-digit audit (Newcomb 1881 / Benford 1938 — the
@@ -1736,23 +1738,23 @@ object StatsQueries {
         |       round(t.detr7 / 7e6 - s.seas, 6) AS residual
         |FROM tr t JOIN seas s ON t.dow = s.dow ORDER BY t.day""".stripMargin,
 
-    // per-user max day, per-day churn counts, reverse-cumulative
+    // per-customer max month, per-month churn counts, reverse-cumulative
     // at-risk, one exact division
     "q_hazard_curve" ->
       """WITH u AS (
-        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_day
-        |  FROM events GROUP BY 1),
-        |d AS (SELECT last_day AS day, count(*) AS n_churned
+        |  SELECT o_custkey, CAST(max(date_trunc('month', o_orderdate)) AS DATE) AS last_month
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT last_month AS month, count(*) AS n_churned
         |      FROM u GROUP BY 1),
         |r AS (
-        |  SELECT day, n_churned,
-        |         sum(n_churned) OVER (ORDER BY day DESC
+        |  SELECT month, n_churned,
+        |         sum(n_churned) OVER (ORDER BY month DESC
         |             ROWS UNBOUNDED PRECEDING) AS n_at_risk
         |  FROM d)
-        |SELECT day, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |SELECT month, CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |       n_churned,
         |       round(CAST(n_churned AS DOUBLE) / n_at_risk, 6) AS hazard
-        |FROM r ORDER BY day""".stripMargin,
+        |FROM r ORDER BY month""".stripMargin,
 
     // integer-cents leading digit; χ² from the ROUNDED Benford p so
     // the closed form sees bit-identical inputs
