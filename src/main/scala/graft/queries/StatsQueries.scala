@@ -446,6 +446,128 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // Per-nation OLS revenue trend (slope / intercept / R²) from exact
+    // DECIMAL(38,0) moments — the least-squares counterpart of
+    // q_theilsen's robust fit. Two-level shape: the only full scan
+    // collapses orders×customer to the (nation, month) revenue rollup
+    // (~25×80 rows at any corpus size); the five regression moments
+    // (n, Σx, Σy, Σxx, Σxy, Σyy) accumulate over that rollup as exact
+    // integer cents/months, and slope/intercept/R² are fixed closed-form
+    // double chains over agreed integers — the q_corr_moments discipline,
+    // so the fit hash-matches DuckDB. x = months since 1995-01 (exact
+    // int), y = monthly revenue in integer cents.
+    "q_ols_trend" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val monthly = Tables.orders(s, dir)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"),
+          trunc(col("o_orderdate"), "month").as("month"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("decimal(38,0)"))
+          .as("y"))
+        .withColumn("x", months_between(col("month"),
+          lit("1995-01-01").cast("date")).cast("decimal(38,0)"))
+        .localCheckpoint(true)
+      val m = monthly.groupBy(col("nationkey"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      // integer numerators/denominators FIRST (no float-partial
+      // cancellation), one double division chain at the end
+      val numXY = col("n") * col("sxy") - col("sx") * col("sy")
+      val denX  = col("n") * col("sxx") - col("sx") * col("sx")
+      val denY  = col("n") * col("syy") - col("sy") * col("sy")
+      val numB  = col("sy") * col("sxx") - col("sx") * col("sxy")
+      m.select(col("nationkey"), col("n").cast("long").as("n_months"),
+          // cents/month → dollars/month
+          round(numXY.cast("double") / denX.cast("double") / 100, 2)
+            .as("slope"),
+          round(numB.cast("double") / denX.cast("double") / 100, 2)
+            .as("intercept"),
+          round(pow(numXY.cast("double"), 2) /
+            (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+        .orderBy("nationkey")
+    }),
+
+    // Chi-square test of independence, order priority × status (the
+    // categorical-drift / segment-bias audit): the ONLY full scan builds
+    // the 15-cell contingency rollup; marginals, expected counts, and
+    // per-cell χ² contributions are closed forms over it. The
+    // contribution is computed from the exact-integer numerator
+    // (n·N − r·c)² / (r·c·N) — counts never pass through a float until
+    // the final division, so the statistic hash-matches DuckDB.
+    "q_chi2_indep" -> ((s, dir) => {
+      val cont = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // 15 rows; marginals re-derive from it
+      val rowm = cont.groupBy(col("priority")).agg(sum(col("n")).as("nr"))
+      val colm = cont.groupBy(col("status")).agg(sum(col("n")).as("nc"))
+      val tot = cont.agg(sum(col("n")).as("nt"))
+      cont.join(broadcast(rowm), Seq("priority"))
+        .join(broadcast(colm), Seq("status"))
+        .crossJoin(broadcast(tot))
+        .select(col("priority"), col("status"), col("n").as("n_obs"),
+          round(((col("nr") * col("nc")).cast("double")) / col("nt"), 6)
+            .as("expected"),
+          round(pow((col("n") * col("nt") - col("nr") * col("nc"))
+              .cast("double"), 2) /
+            ((col("nr") * col("nc")).cast("double") * col("nt")), 6)
+            .as("chi2_contrib"))
+        .orderBy("priority", "status")
+    }),
+
+    // Rank-based group comparison (the Kruskal–Wallis/Dunn machinery
+    // without a cross-group float sum): per event type, the exact rank
+    // sum of `value` and the Dunn standardized mean rank
+    // z = (r̄_g − (N+1)/2) / √((N−n_g)(N+1)/(12 n_g)). Ranks are
+    // computed SCALE-CORRECTLY: values quantize to the centi-unit grid
+    // (exact — the synthetic values carry 2 decimals), so the rank table
+    // is bounded by the VALUE DOMAIN (~49 k buckets), not the corpus;
+    // mid-ranks come from one cumulative window over that bounded
+    // histogram (never a global sort of raw rows), and per-(group,
+    // bucket) counts join it broadcast. Every emitted float is a fixed
+    // closed form over three exact integers (2·rank-sum, n_g, N) — no
+    // order-dependent float accumulation anywhere, the same discipline
+    // as q_ab_welch. (The tie-corrected H statistic is a driver-side
+    // fold of these same integers.)
+    "q_rank_ztest" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      // bounded histogram: one row per occupied centi-bucket
+      val buckets = ev.groupBy(col("v")).agg(count(lit(1)).as("t"))
+      // mid-rank in HALVES: r2 = 2·(#smaller) + t + 1, an exact integer
+      // even when the mid-rank itself is *.5 (the window is a running
+      // sum over the bounded bucket table — single partition is fine
+      // and stays fine at 100 TB because the table is domain-bounded)
+      val wLt = W.orderBy(col("v")).rowsBetween(W.unboundedPreceding, -1)
+      val ranks = buckets
+        .withColumn("c_lt", coalesce(sum(col("t")).over(wLt), lit(0L)))
+        .select(col("v"), (lit(2) * col("c_lt") + col("t") + 1).as("r2"))
+      val grp = ev.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("ngv"))
+      val agg = grp.join(broadcast(ranks), Seq("v"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("ngv")).as("n_g"),
+          sum(col("ngv") * col("r2")).as("s2")) // 2× the exact rank sum
+        .localCheckpoint(true) // 5 rows; N re-derives from it
+      val tot = agg.agg(sum(col("n_g")).as("nt"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_g"),
+          round(col("s2").cast("double") / 2, 1).as("rank_sum"),
+          round(col("s2").cast("double") / (lit(2) * col("n_g")), 6)
+            .as("mean_rank"),
+          round(((col("s2") - col("n_g") * (col("nt") + 1)).cast("double") /
+              (lit(2) * col("n_g")).cast("double")) /
+            sqrt(((col("nt") - col("n_g")) * (col("nt") + 1)).cast("double") /
+              (lit(12) * col("n_g")).cast("double")), 6).as("dunn_z"))
+        .orderBy("event_type")
+    }),
+
     // JOIN-CARDINALITY estimation from two CMS sketches (Cormode &
     // Muthukrishnan 2005 §4.2: |A ⋈ B| = Σ_k fA(k)·fB(k), estimated by
     // min_r dot(rowA_r, rowB_r) — always ≥ exact, within εN·M w.h.p.).
@@ -1830,6 +1952,82 @@ object StatsQueries {
         |             / (pow(va, 2) / (CAST(na AS DOUBLE) - 1)
         |              + pow(vb, 2) / (CAST(nb AS DOUBLE) - 1)), 3) AS dof
         |FROM v ORDER BY 1""".stripMargin,
+
+    // exact HUGEINT regression moments over the (nation, month) rollup;
+    // one double chain at the end, mirroring the Spark expression order
+    "q_ols_trend" ->
+      """WITH cm AS (
+        |  SELECT c.c_nationkey AS nationkey,
+        |         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+        |           AS HUGEINT) AS y
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT nationkey,
+        |         CAST(date_diff('month', DATE '1995-01-01', month)
+        |           AS HUGEINT) AS x, y
+        |  FROM cm),
+        |m AS (
+        |  SELECT nationkey, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(y) AS sy,
+        |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+        |  FROM xy GROUP BY 1)
+        |SELECT nationkey, CAST(n AS BIGINT) AS n_months,
+        |       round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |             / CAST(n*sxx - sx*sx AS DOUBLE) / 100, 2) AS slope,
+        |       round(CAST(sy*sxx - sx*sxy AS DOUBLE)
+        |             / CAST(n*sxx - sx*sx AS DOUBLE) / 100, 2) AS intercept,
+        |       round(pow(CAST(n*sxy - sx*sy AS DOUBLE), 2)
+        |             / (CAST(n*sxx - sx*sx AS DOUBLE)
+        |              * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS r2
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // 15-cell contingency rollup; χ² contribution from the exact-integer
+    // numerator (n·N − r·c)², floats only in the final division
+    "q_chi2_indep" ->
+      """WITH cont AS (
+        |  SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT priority, CAST(sum(n) AS BIGINT) AS nr
+        |       FROM cont GROUP BY 1),
+        |cmg AS (SELECT status, CAST(sum(n) AS BIGINT) AS nc
+        |        FROM cont GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM cont)
+        |SELECT priority, status, n AS n_obs,
+        |       round(CAST(nr*nc AS DOUBLE) / nt, 6) AS expected,
+        |       round(pow(CAST(n*nt - nr*nc AS DOUBLE), 2)
+        |             / (CAST(nr*nc AS DOUBLE) * nt), 6) AS chi2_contrib
+        |FROM cont JOIN rm USING (priority) JOIN cmg USING (status), tt
+        |ORDER BY 1, 2""".stripMargin,
+
+    // centi-bucket histogram → integer mid-ranks (2·rank), exact
+    // rank sums per group, Dunn z as a closed form over three integers
+    "q_rank_ztest" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |b AS (SELECT v, count(*) AS t FROM ev GROUP BY 1),
+        |r AS (
+        |  SELECT v, 2 * coalesce(sum(t) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |         + t + 1 AS r2
+        |  FROM b),
+        |g AS (SELECT event_type, v, count(*) AS ngv FROM ev GROUP BY 1, 2),
+        |a AS (
+        |  SELECT event_type, CAST(sum(ngv) AS BIGINT) AS n_g,
+        |         CAST(sum(ngv * r2) AS BIGINT) AS s2
+        |  FROM g JOIN r USING (v) GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_g) AS BIGINT) AS nt FROM a)
+        |SELECT event_type, n_g,
+        |       round(CAST(s2 AS DOUBLE) / 2, 1) AS rank_sum,
+        |       round(CAST(s2 AS DOUBLE) / (2 * n_g), 6) AS mean_rank,
+        |       round((CAST(s2 - n_g * (nt + 1) AS DOUBLE)
+        |              / CAST(2 * n_g AS DOUBLE))
+        |             / sqrt(CAST((nt - n_g) * (nt + 1) AS DOUBLE)
+        |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
+        |FROM a, tt ORDER BY 1""".stripMargin,
 
     // both counter matrices rebuilt with the shared md5-field recipe,
     // dot per row over matching (r,c) cells (absent cells are zeros and

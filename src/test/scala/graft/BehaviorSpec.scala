@@ -192,4 +192,61 @@ class BehaviorSpec extends AnyFunSuite {
       assert(math.abs(t) < 5.0, s"$et phantom effect t=$t")
     }
   }
+
+  test("q_ols_trend: R² in [0,1], finite fit, month counts match the " +
+      "per-nation distinct-month rollup") {
+    val rows = SparkEntry.queries("q_ols_trend")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val months = graft.tables.Tables.orders(spark, TestSpark.Sf0001)
+      .join(graft.tables.Tables.customer(spark, TestSpark.Sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), trunc(col("o_orderdate"), "month").as("m"))
+      .distinct().groupBy("c_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (nk, n, slope, icept, r2) =>
+      assert(n == months(nk), s"nation $nk months $n ≠ ${months(nk)}")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"nation $nk r2 $r2 outside [0,1]")
+      assert(!slope.isNaN && !icept.isNaN)
+    }
+  }
+
+  test("q_chi2_indep: observed and expected both partition the orders " +
+      "table; contributions non-negative") {
+    val rows = SparkEntry.queries("q_chi2_indep")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val nOrders = graft.tables.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_._3).sum == nOrders)
+    // marginal construction forces Σ expected == Σ observed exactly
+    assert(math.abs(rows.map(_._4).sum - nOrders.toDouble) < 1e-3)
+    rows.foreach { case (p, st, _, e, c) =>
+      assert(e > 0.0, s"($p,$st) zero expected")
+      assert(c >= 0.0, s"($p,$st) negative contribution")
+    }
+  }
+
+  test("q_rank_ztest: rank sums partition N(N+1)/2, groups partition N, " +
+      "null split shows no phantom effect") {
+    val rows = SparkEntry.queries("q_rank_ztest")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    assert(n == graft.tables.Tables.events(spark, TestSpark.Sf0001).count())
+    // mid-ranks are a rank assignment: group rank sums partition the
+    // total rank mass exactly (ties redistribute within, never across)
+    assert(math.abs(rows.map(_._3).sum - n.toDouble * (n + 1) / 2) < 1e-6,
+      s"rank sums ${rows.map(_._3).sum} ≠ N(N+1)/2")
+    rows.foreach { case (et, _, _, mr, z) =>
+      assert(mr > 0 && mr < n, s"$et mean rank $mr outside (0,N)")
+      // event_type is independent of value on the synthetic corpus
+      assert(math.abs(z) < 5.0, s"$et phantom effect z=$z")
+    }
+  }
 }
