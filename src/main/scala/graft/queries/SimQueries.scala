@@ -85,6 +85,39 @@ object SimQueries {
           querySelector = 10, k = 5, maxQueries = 100)
         .orderBy("query_id", "rank")),
 
+    // Truncated-embedding retrieval audit (the Matryoshka question,
+    // Kusupati et al. 2022: how much recall do the first 16 of 64 dims
+    // keep?): top-5 by full-dim cosine vs top-5 by prefix-dim cosine
+    // over the same fixed query set, reported as per-query overlap and
+    // recall@5. Both rank sets come from the SAME audited
+    // bruteForceTopK skeleton (broadcast queries, bounded heap, rounded
+    // ties) — the truncated side just slices the vector column before
+    // scoring, so the whole audit costs two corpus passes and a
+    // query-sized join at any scale. This is the dimension-budget
+    // decision (index memory ∝ dims) made from data, not vibes.
+    "q_embed_trunc_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val e = emb(s, dir)
+      val full = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding",
+          querySelector = 10, k = 5, maxQueries = 100)
+        .select(col("query_id"), col("neighbor_id"))
+      val trunc = SimilarityOps.bruteForceTopK(
+          e.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding")),
+          "vec_id", "embedding", querySelector = 10, k = 5, maxQueries = 100)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      // zero-overlap queries must still report (left join, not the
+      // hits frame alone)
+      full.select(col("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / 5, 6)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     // EXACT kNN self-join (the kNN graph): every vector's 5 nearest
     // others — block-pair equi-join pair scan, both directions through
     // the bounded-heap rank. Oracle = brute-force per-query window.
@@ -579,6 +612,42 @@ object SimQueries {
         |  FROM pairs)
         |SELECT query_id, rank, neighbor_id, cos
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the q_cosine_topk ranking replayed twice — full vectors and the
+    // 16-dim prefix slice — then per-query overlap of the two rank sets
+    "q_embed_trunc_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+        |      WHERE vec_id % 10 = 0 AND vec_id < 1000),
+        |fullr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+        |                      e.vec_id) AS rank
+        |    FROM q, e WHERE q.query_id <> e.vec_id)
+        |  WHERE rank <= 5),
+        |truncr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY round(list_cosine_similarity(
+        |                        q.qv[1:16], e.v[1:16]), 6) DESC,
+        |                      e.vec_id) AS rank
+        |    FROM q, e WHERE q.query_id <> e.vec_id)
+        |  WHERE rank <= 5),
+        |hits AS (
+        |  SELECT f.query_id, count(*) AS n_hit
+        |  FROM fullr f JOIN truncr t
+        |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.query_id,
+        |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |       round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5, 6)
+        |         AS recall_at_5
+        |FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+        |ORDER BY 1""".stripMargin,
 
     "q_knn_join" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

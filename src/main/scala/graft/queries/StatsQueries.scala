@@ -520,6 +520,76 @@ object StatsQueries {
         .orderBy("priority", "status")
     }),
 
+    // l-diversity audit (Machanavajjhala et al. 2006 — the k-anonymity
+    // complement q_k_anonymity doesn't cover: a group can be k-anonymous
+    // yet leak because every member shares the SENSITIVE value):
+    // per (segment, nation) equivalence class, the distinct count and
+    // entropy of the account-balance band. One scan → the class×band
+    // conditional-aggregate rollup; band domain is FIXED (neg/low/high),
+    // so the entropy is a closed-form expression over three exact
+    // integers per class — never an order-dependent float sum.
+    // entropy ≥ ln(l) is the entropy-l-diversity release criterion.
+    "q_l_diversity" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("band"))
+      def nOf(b: String) =
+        sum(when(col("band") === b, 1L).otherwise(0L)).as(s"n_$b")
+      def term(cn: String) =
+        when(col(cn) > 0,
+          col(cn).cast("double") * log(col(cn).cast("double")))
+          .otherwise(lit(0.0))
+      c.groupBy(col("segment"), col("nationkey"))
+        .agg(count(lit(1)).as("n"), nOf("neg"), nOf("low"), nOf("high"))
+        .select(col("segment"), col("nationkey"), col("n"),
+          ((col("n_neg") > 0).cast("int") + (col("n_low") > 0).cast("int") +
+            (col("n_high") > 0).cast("int")).as("l_distinct"),
+          round(log(col("n").cast("double")) -
+            (term("n_neg") + term("n_low") + term("n_high")) / col("n"), 6)
+            .as("entropy"),
+          ((col("n_neg") > 0) && (col("n_low") > 0) && (col("n_high") > 0))
+            .as("l_ok"))
+        .orderBy("segment", "nationkey")
+    }),
+
+    // Exponentially-weighted moving average with a 1-day half-life,
+    // EXACT: α = 1/2 makes every weight a power of two, and truncating
+    // at 7 lags keeps x·2⁻ᵏ sums inside 53 bits — each term is an
+    // exactly-representable dyadic rational, so the windowed sum is
+    // bit-identical under ANY accumulation order (the float-determinism
+    // problem EWMA normally has simply doesn't arise). Two-level shape:
+    // the one full scan builds the daily micro-unit rollup; the weighted
+    // window is a calendar-bounded range self-join on day numbers (the
+    // q_theilsen contract), weights renormalized over the days actually
+    // present so gapped calendars don't dilute the average.
+    "q_ewma_smooth" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("x"),
+          count(lit(1)).as("n"))
+        .withColumn("dn", datediff(col("day"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .localCheckpoint(true)
+      val w = pow(lit(0.5), (col("dn") - col("dn2")).cast("double"))
+      // event-weighted EWMA: Σx·w / Σn·w — both sums are integer·2⁻ᵏ
+      // terms (exact dyadics), one float division at the end
+      daily.join(
+          daily.select(col("event_type").as("et2"), col("dn").as("dn2"),
+            col("x").as("x2"), col("n").as("n2")),
+          col("et2") === col("event_type") &&
+            col("dn2") <= col("dn") && col("dn2") > col("dn") - 8)
+        .groupBy(col("event_type"), col("day"), col("x"), col("n"))
+        .agg(sum(col("x2").cast("double") * w).as("sxw"),
+          sum(col("n2").cast("double") * w).as("snw"))
+        .select(col("event_type"), col("day"),
+          round(col("x").cast("double") / col("n") / 1e6, 6).as("raw_mean"),
+          round(col("sxw") / col("snw") / 1e6, 6).as("ewma"))
+        .orderBy("event_type", "day")
+    }),
+
     // Rank-based group comparison (the Kruskal–Wallis/Dunn machinery
     // without a cross-group float sum): per event type, the exact rank
     // sum of `value` and the Dunn standardized mean rank
@@ -2028,6 +2098,59 @@ object StatsQueries {
         |             / sqrt(CAST((nt - n_g) * (nt + 1) AS DOUBLE)
         |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
         |FROM a, tt ORDER BY 1""".stripMargin,
+
+    // fixed band domain → entropy is a closed form over three exact
+    // integers per class, identical term order to the Spark expression
+    "q_l_diversity" ->
+      """WITH c AS (
+        |  SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+        |         CASE WHEN c_acctbal < 0 THEN 'neg'
+        |              WHEN c_acctbal < 5000 THEN 'low'
+        |              ELSE 'high' END AS band
+        |  FROM customer),
+        |g AS (
+        |  SELECT segment, nationkey, count(*) AS n,
+        |         CAST(sum(CASE WHEN band = 'neg' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |         CAST(sum(CASE WHEN band = 'low' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |         CAST(sum(CASE WHEN band = 'high' THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |  FROM c GROUP BY 1, 2)
+        |SELECT segment, nationkey, n,
+        |       CAST(n_neg > 0 AS INT) + CAST(n_low > 0 AS INT)
+        |         + CAST(n_high > 0 AS INT) AS l_distinct,
+        |       round(ln(CAST(n AS DOUBLE)) -
+        |         (CASE WHEN n_neg > 0
+        |               THEN CAST(n_neg AS DOUBLE) * ln(CAST(n_neg AS DOUBLE))
+        |               ELSE 0 END
+        |          + CASE WHEN n_low > 0
+        |                 THEN CAST(n_low AS DOUBLE) * ln(CAST(n_low AS DOUBLE))
+        |                 ELSE 0 END
+        |          + CASE WHEN n_high > 0
+        |                 THEN CAST(n_high AS DOUBLE) * ln(CAST(n_high AS DOUBLE))
+        |                 ELSE 0 END) / n, 6) AS entropy,
+        |       (n_neg > 0 AND n_low > 0 AND n_high > 0) AS l_ok
+        |FROM g ORDER BY 1, 2""".stripMargin,
+
+    // dyadic weights pow(0.5, gap) make every Σx·w term exact — the
+    // windowed sums are order-independent by representability, one
+    // float division at the end
+    "q_ewma_smooth" ->
+      """WITH d0 AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT) AS x,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT *, day - DATE '1970-01-01' AS dn FROM d0),
+        |j AS (
+        |  SELECT a.event_type, a.day, a.x, a.n,
+        |         sum(CAST(b.x AS DOUBLE) * pow(0.5, a.dn - b.dn)) AS sxw,
+        |         sum(CAST(b.n AS DOUBLE) * pow(0.5, a.dn - b.dn)) AS snw
+        |  FROM d a JOIN d b ON b.event_type = a.event_type
+        |    AND b.dn <= a.dn AND b.dn > a.dn - 8
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, day,
+        |       round(CAST(x AS DOUBLE) / n / 1e6, 6) AS raw_mean,
+        |       round(sxw / snw / 1e6, 6) AS ewma
+        |FROM j ORDER BY 1, 2""".stripMargin,
 
     // both counter matrices rebuilt with the shared md5-field recipe,
     // dot per row over matching (r,c) cells (absent cells are zeros and

@@ -249,4 +249,46 @@ class BehaviorSpec extends AnyFunSuite {
       assert(math.abs(z) < 5.0, s"$et phantom effect z=$z")
     }
   }
+
+  test("q_l_diversity: classes partition customers; entropy inside " +
+      "[0, ln 3]; l_ok iff all three bands present") {
+    val rows = SparkEntry.queries("q_l_diversity")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    val nCust = graft.tables.Tables.customer(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_._3).sum == nCust, "classes don't partition customers")
+    rows.foreach { case (seg, nk, n, l, h, ok) =>
+      assert(l >= 1 && l <= 3, s"($seg,$nk) l=$l")
+      assert(h >= -1e-9 && h <= math.log(3.0) + 1e-9,
+        s"($seg,$nk) entropy $h outside [0, ln 3]")
+      assert(ok == (l == 3), s"($seg,$nk) l_ok inconsistent")
+      // entropy-l criterion coherence: 1 distinct value ⇒ entropy 0
+      if (l == 1) assert(math.abs(h) < 1e-9, s"($seg,$nk) l=1 but h=$h")
+      assert(n >= l, s"($seg,$nk) fewer rows than distinct bands")
+    }
+  }
+
+  test("q_ewma_smooth: a type's first day has ewma ≡ raw_mean; smoothing " +
+      "stays inside the window's raw range") {
+    val rows = SparkEntry.queries("q_ewma_smooth")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // weight renormalization: a window of one day IS that day
+      assert(sorted.head._3 == sorted.head._4,
+        s"$et first-day ewma ${sorted.head._4} ≠ raw ${sorted.head._3}")
+      // convexity: the weighted mean of window raws can't escape them
+      val raws = sorted.map(_._3)
+      sorted.zipWithIndex.foreach { case ((_, _, _, e), i) =>
+        val win = raws.slice(math.max(0, i - 7), i + 1)
+        assert(e >= win.min - 1e-4 && e <= win.max + 1e-4,
+          s"$et ewma $e escapes window [${win.min}, ${win.max}]")
+      }
+    }
+  }
 }

@@ -624,4 +624,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(math.abs(c - exp) < 1e-4, s"($a,$b): $c vs $exp")
     }
   }
+
+  test("q_embed_trunc_recall: every query reports, n_hit = 5·recall, and " +
+      "an identity truncation audits to recall 1 for all queries") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_embed_trunc_recall")(
+        spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
+    val nQueries = e.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000)
+      .count()
+    assert(rows.length == nQueries, "a query dropped from the audit")
+    rows.foreach { case (q, h, r) =>
+      assert(h >= 0 && h <= 5, s"query $q n_hit $h")
+      assert(math.abs(r - h / 5.0) < 1e-9, s"query $q recall $r ≠ $h/5")
+    }
+    // identity truncation (slice to the full 64 dims) must recover the
+    // full-dim rank set exactly — pins the audit plumbing itself
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val full = SimilarityOps.bruteForceTopK(e, "vec_id", "embedding",
+      10, 5, 100).select("query_id", "neighbor_id")
+    val ident = SimilarityOps.bruteForceTopK(
+      e.select(col("vec_id"), slice(col("embedding"), 1, dim).as("embedding")),
+      "vec_id", "embedding", 10, 5, 100).select("query_id", "neighbor_id")
+    assert(full.except(ident).isEmpty && ident.except(full).isEmpty,
+      "identity truncation changed the rank set")
+  }
 }
