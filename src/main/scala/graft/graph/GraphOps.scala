@@ -57,6 +57,43 @@ object GraphOps {
     ranks.select(col("node"), col("r").as("rank_micro"))
   }
 
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007) —
+    * community detection over an edge list `(src, dst)`: every node
+    * starts as its own community and each round adopts the MOST
+    * FREQUENT label among its neighbours, ties broken by the smaller
+    * label — a deterministic total rule, unlike the random-order
+    * original, which is what lets a DuckDB oracle replay every round
+    * with unrolled CTEs. A fixed round count (not convergence) keeps
+    * the plan bounded; labels spread one hop per round, so r rounds
+    * find communities of diameter ≲ r — the "coarse communities
+    * cheaply" contract, distinct from connected components (which this
+    * converges to only as r → ∞ on well-connected graphs).
+    *
+    * Scale shape per round: one `edges ⋈ labels` shuffle on the label
+    * side + one `(node, label)` count + one per-node row_number window
+    * BOUNDED by the node's distinct neighbour labels (≤ degree, never
+    * global); `localCheckpoint(true)` truncates lineage per round like
+    * [[pageRank]]. Callers pass a symmetric edge list for undirected
+    * semantics. Returns `(node, community)`. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = ed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      labels = ed.join(labels, ed("dst") === labels("node"))
+        .select(ed("src").as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
   /** Per-node triangle participation over an undirected edge list —
     * the local-clustering signal a dedup/link-analysis pipeline reads
     * off a kNN or co-occurrence graph (dense triangles = tight

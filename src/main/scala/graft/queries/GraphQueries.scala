@@ -125,6 +125,24 @@ object GraphQueries {
           max(col("node")).as("last_node"))
         .orderBy("cost")
     }),
+
+    // Deterministic label-propagation communities over the same
+    // part↔supplier graph ([[GraphOps.labelPropagation]]): 3 synchronous
+    // mode-adoption rounds, ties to the smaller label — coarse
+    // communities (diameter ≲ rounds), NOT connected components. The
+    // rule is a deterministic total order, so the oracle unrolls all
+    // three rounds exactly; output = per-node community assignment.
+    "q_communities" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val edges = pairs.select(
+          concat(lit("p"), col("l_partkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .unionByName(pairs.select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst")))
+      GraphOps.labelPropagation(edges, rounds = 3).orderBy("node")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -153,6 +171,31 @@ object GraphQueries {
          |${round(2)},
          |${round(3)}
          |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin
+    },
+
+    // three mode-adoption rounds unrolled; the (count DESC, label) tie
+    // rule is a deterministic total order, so the replay is exact
+    "q_communities" -> {
+      def round(i: Int) =
+        s"""l$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT e.src AS node, l.label,
+           |           row_number() OVER (PARTITION BY e.src
+           |             ORDER BY count(*) DESC, l.label) AS rn
+           |    FROM e JOIN l${i - 1} l ON e.dst = l.node
+           |    GROUP BY e.src, l.label)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |e AS (
+         |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node, label AS community FROM l3 ORDER BY node""".stripMargin
     },
 
     // the q_knn_join_ivf CTE chain verbatim, then canonical undirected

@@ -127,6 +127,23 @@ class GraphSpec extends AnyFunSuite {
     assert(oneRound("b") == 5L)
   }
 
+  test("labelPropagation: two bridged triangles split into two " +
+      "communities (≠ connected components); mode beats min on ties") {
+    import spark.implicits._
+    // triangles {a,b,c} and {d,e,f}, bridge c–d — one component, but
+    // 3 LPA rounds settle into TWO communities; and in round 2 node d
+    // sees labels {a, d, d} and must keep d (count 2 beats the smaller
+    // label a), pinning mode-over-min
+    val und = Seq(("a","b"),("b","c"),("a","c"),("d","e"),("e","f"),
+      ("d","f"),("c","d"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.labelPropagation(edges, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "c", "e" -> "c", "f" -> "c"), got.toString)
+    assert(got.values.toSet.size == 2, "expected two communities")
+  }
+
   test("q_bfs_hops: bipartite parity — odd hops are parts, even are " +
       "suppliers; counts bounded by the key domains") {
     val rows = SparkEntry.queries("q_bfs_hops")(spark, TestSpark.Sf0001)
