@@ -520,6 +520,44 @@ object StatsQueries {
         .orderBy("priority", "status")
     }),
 
+    // Gini concentration of order revenue per priority class (the
+    // inequality / concentration audit — "is the revenue in this segment
+    // carried by a few whale orders?"): G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n
+    // with mid-ranks for ties. Ranks come from the SAME bounded-
+    // histogram machinery as q_rank_ztest: totals quantize to exact
+    // cents, so the per-priority rank table is bounded by the PRICE
+    // DOMAIN (distinct cent values), never a global sort of raw rows;
+    // Σrᵢxᵢ accumulates as DECIMAL(38,0) integer halves (t·v·r2), and
+    // the Gini is one closed-form double chain over three exact
+    // integers per class.
+    "q_gini" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).select(
+        col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      val buckets = o.groupBy(col("priority"), col("v"))
+        .agg(count(lit(1)).as("t"))
+      val wLt = W.partitionBy(col("priority")).orderBy(col("v"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      // r2 = 2·mid-rank (exact integer); Σrx in HALVES: t·v·r2
+      val ranked = buckets
+        .withColumn("c_lt", coalesce(sum(col("t")).over(wLt), lit(0L)))
+        .select(col("priority"), col("v"), col("t"),
+          (lit(2) * col("c_lt") + col("t") + 1).as("r2"))
+      ranked.groupBy(col("priority"))
+        .agg(sum(col("t")).as("n"),
+          sum(col("t").cast("decimal(38,0)") * col("v")).as("sx"),
+          sum(col("t").cast("decimal(38,0)") * col("v") * col("r2"))
+            .as("srx2")) // 2·Σ r·x
+        .select(col("priority"), col("n"),
+          round(col("sx").cast("double") / col("n") / 100, 2).as("mean_price"),
+          round(col("srx2").cast("double") /
+              (col("n").cast("double") * col("sx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n").cast("double"), 6)
+            .as("gini"))
+        .orderBy("priority")
+    }),
+
     // l-diversity audit (Machanavajjhala et al. 2006 — the k-anonymity
     // complement q_k_anonymity doesn't cover: a group can be k-anonymous
     // yet leak because every member shares the SENSITIVE value):
@@ -2098,6 +2136,32 @@ object StatsQueries {
         |             / sqrt(CAST((nt - n_g) * (nt + 1) AS DOUBLE)
         |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
         |FROM a, tt ORDER BY 1""".stripMargin,
+
+    // bounded cent-histogram mid-ranks, HUGEINT Σt·v·r2, one closed-form
+    // double chain — identical operation order to the Spark side
+    "q_gini" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (SELECT priority, v, count(*) AS t FROM o GROUP BY 1, 2),
+        |r AS (
+        |  SELECT priority, v, t,
+        |         2 * coalesce(sum(t) OVER (PARTITION BY priority ORDER BY v
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           + t + 1 AS r2
+        |  FROM b),
+        |a AS (
+        |  SELECT priority, CAST(sum(t) AS BIGINT) AS n,
+        |         sum(CAST(t AS HUGEINT) * v) AS sx,
+        |         sum(CAST(t AS HUGEINT) * v * r2) AS srx2
+        |  FROM r GROUP BY 1)
+        |SELECT priority, n,
+        |       round(CAST(sx AS DOUBLE) / n / 100, 2) AS mean_price,
+        |       round(CAST(srx2 AS DOUBLE)
+        |             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+        |             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM a ORDER BY 1""".stripMargin,
 
     // fixed band domain → entropy is a closed form over three exact
     // integers per class, identical term order to the Spark expression

@@ -270,6 +270,35 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("q_gini: counts partition orders, gini in [0,1), and one class " +
+      "matches an independent sorted-values recompute") {
+    val rows = SparkEntry.queries("q_gini")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val nOrders = graft.tables.Tables.orders(spark, TestSpark.Sf0001).count()
+    assert(rows.map(_._2).sum == nOrders)
+    rows.foreach { case (p, _, mean, g) =>
+      assert(g >= 0.0 && g < 1.0, s"$p gini $g outside [0,1)")
+      assert(mean > 0.0, s"$p non-positive mean")
+    }
+    // independent recompute for the first class: mid-rank Gini over the
+    // sorted cent values (the textbook formula the query restates)
+    val p0 = rows.head._1
+    val vs = graft.tables.Tables.orders(spark, TestSpark.Sf0001)
+      .filter(col("o_orderpriority") === p0)
+      .select(round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val n = vs.length.toDouble
+    // mid-ranks: average 1-based rank among equal values
+    val byV = vs.zipWithIndex.groupBy(_._1).map { case (v, xs) =>
+      v -> xs.map(_._2 + 1).sum.toDouble / xs.length }
+    val srx = vs.map(v => byV(v) * v).sum
+    val exp = 2 * srx / (n * vs.map(_.toDouble).sum) - (n + 1) / n
+    assert(math.abs(rows.head._4 - exp) < 1e-6,
+      s"$p0 gini ${rows.head._4} vs recompute $exp")
+  }
+
   test("q_ewma_smooth: a type's first day has ewma ≡ raw_mean; smoothing " +
       "stays inside the window's raw range") {
     val rows = SparkEntry.queries("q_ewma_smooth")(spark, TestSpark.Sf0001)
