@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.tables.Tables
 import graft.dedup.DedupOps
 import OracleFixtures.{seam, sqlPath}
@@ -86,6 +87,38 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup-quality evaluation: precision/recall/F1 of the RAW
+    // MinHash-LSH candidate set against the exact 3-gram-Jaccard≥0.8
+    // truth — the measurement that justifies (or indicts) a band/row
+    // configuration before a 100 TB run commits to it. Truth comes from
+    // the prefix-filtered exact pair join; prediction is the UNVERIFIED
+    // band-collision set (the thing whose precision is in question —
+    // verification cost scales with its false positives). All three
+    // counts are exact; precision/recall/F1 are closed-form divisions
+    // (F1 = 2·tp/(nP+nT) — the harmonic identity keeps it one exact
+    // integer numerator). Same fixture seams as q_dedup_minhash.
+    "q_dedup_eval" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val sigs = seam(DedupOps.minhashSignatures(d, "doc_id", "text", n = 3, k = K),
+        dir, "minhash_sigs")
+      seam(DedupOps.shingleHashes(d, "doc_id", "text", n = 3),
+        dir, "minhash_shingles")
+      val truth = DedupOps.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      val pred = DedupOps.lshCandidates(sigs, K, Bands)
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+      val nT = truth.agg(count(lit(1)).as("n_truth"))
+      val nP = pred.agg(count(lit(1)).as("n_pred"))
+      val tp = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_tp"))
+      nT.crossJoin(nP).crossJoin(tp)
+        .select(col("n_truth"), col("n_pred"), col("n_tp"),
+          round(col("n_tp").cast("double") / col("n_pred"), 6).as("precision"),
+          round(col("n_tp").cast("double") / col("n_truth"), 6).as("recall"),
+          round((lit(2) * col("n_tp")).cast("double") /
+            (col("n_pred") + col("n_truth")), 6).as("f1"))
+    }),
+
     // SimHash fingerprints + Hamming≤3 near-dup pairs. Fixture seam: the
     // 64-bit fingerprint frame.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -156,6 +189,52 @@ object DedupQueries {
         |JOIN cnt cb ON id_b = cb.doc_id
         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // truth = the q_dedup_ngram naive replay verbatim; prediction = the
+    // q_dedup_minhash band-collision replay over the sig fixture; the
+    // three counts and their divisions follow
+    "q_dedup_eval" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |  FROM toks WHERE len(t) >= 3),
+         |exg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+         |tp0 AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tset AS (
+         |  SELECT id_a, id_b FROM tp0
+         |  JOIN cnt ca ON id_a = ca.doc_id
+         |  JOIN cnt cb ON id_b = cb.doc_id
+         |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+         |sigs AS (SELECT * FROM read_parquet('${sqlPath("minhash_sigs")}')),
+         |banded AS (
+         |  SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sigs),
+         |bb AS (
+         |  SELECT doc_id, band,
+         |         array_to_string(list_slice(sig, CAST(band AS INT) * 4 + 1,
+         |                                    CAST(band AS INT) * 4 + 4), ',') AS bucket
+         |  FROM banded),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |m AS (
+         |  SELECT (SELECT count(*) FROM tset) AS n_truth,
+         |         (SELECT count(*) FROM cand) AS n_pred,
+         |         (SELECT count(*) FROM cand c JOIN tset t
+         |            ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_tp)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |       CAST(n_pred AS BIGINT) AS n_pred,
+         |       CAST(n_tp AS BIGINT) AS n_tp,
+         |       round(CAST(n_tp AS DOUBLE) / n_pred, 6) AS precision,
+         |       round(CAST(n_tp AS DOUBLE) / n_truth, 6) AS recall,
+         |       round(CAST(2 * n_tp AS DOUBLE) / (n_pred + n_truth), 6) AS f1
+         |FROM m""".stripMargin,
 
     // Downstream-stage replay over the Spark-written fixtures. Band-bucket
     // equality here compares the BAND CONTENT (the 4-signature slice) —

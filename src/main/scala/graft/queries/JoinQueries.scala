@@ -546,6 +546,50 @@ object JoinQueries {
         .orderBy("part_a", "part_b")
     }),
 
+    // Association rules over the same capped baskets (Agrawal & Srikant
+    // 1994 measures on the q_cooccur_pairs pair set): every directed
+    // rule A→B with pair support ≥ 2, its confidence n(A,B)/n(A) and
+    // lift n(A,B)·N/(n(A)·n(B)) — all closed-form divisions of exact
+    // basket counts, so the recsys scoring layer adds nothing to the
+    // pair join's cost. Item counts join broadcast (bounded by the part
+    // catalog); N rides as a broadcast 1-row frame.
+    "q_assoc_rules" -> ((s, dir) => {
+      val cap = 100
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val okSized = items.groupBy(col("ok"))
+        .agg(count(lit(1)).as("bn"))
+        .filter(col("bn").between(2, cap))
+        .select("ok")
+      // reused by the item counts, the pair join (twice), and N
+      val kept = items.join(okSized, "ok").localCheckpoint(true)
+      val itemCnt = kept.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val nb = kept.agg(countDistinct(col("ok")).as("nb"))
+      val pairs = kept.as("x").join(kept.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= 2)
+      val directed = pairs
+        .select(col("part_a").as("antecedent"),
+          col("part_b").as("consequent"), col("n_pair"))
+        .unionByName(pairs.select(col("part_b").as("antecedent"),
+          col("part_a").as("consequent"), col("n_pair")))
+      directed
+        .join(broadcast(itemCnt.select(col("pk").as("antecedent"),
+          col("n_item").as("n_ante"))), Seq("antecedent"))
+        .join(broadcast(itemCnt.select(col("pk").as("consequent"),
+          col("n_item").as("n_cons"))), Seq("consequent"))
+        .crossJoin(broadcast(nb))
+        .select(col("antecedent"), col("consequent"), col("n_pair"),
+          round(col("n_pair").cast("double") / col("n_ante"), 6)
+            .as("confidence"),
+          round((col("n_pair") * col("nb")).cast("double") /
+            (col("n_ante") * col("n_cons")).cast("double"), 6).as("lift"))
+        .orderBy("antecedent", "consequent")
+    }),
+
     // Fact×fact RANGE join with no equi-key: lineitems shipped inside
     // each June-1995 order's [o_orderdate, +170h) window, via the
     // day-bin decomposition ([[graft.ops.JoinOps.binnedIntervalJoin]]) —
@@ -883,6 +927,34 @@ object JoinQueries {
         |SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_orders
         |FROM k x JOIN k y ON x.ok = y.ok AND x.pk < y.pk
         |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // directed rules over the same capped baskets; counts exact, the
+    // three measures are the identical closed-form divisions
+    "q_assoc_rules" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sized AS (
+        |  SELECT ok FROM i GROUP BY ok
+        |  HAVING count(*) BETWEEN 2 AND 100),
+        |k AS (SELECT i.ok, i.pk FROM i JOIN sized USING (ok)),
+        |ic AS (SELECT pk, count(*) AS n_item FROM k GROUP BY 1),
+        |nb AS (SELECT count(DISTINCT ok) AS nb FROM k),
+        |p AS (
+        |  SELECT x.pk AS part_a, y.pk AS part_b, count(*) AS n_pair
+        |  FROM k x JOIN k y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |d AS (
+        |  SELECT part_a AS antecedent, part_b AS consequent, n_pair FROM p
+        |  UNION ALL
+        |  SELECT part_b, part_a, n_pair FROM p)
+        |SELECT d.antecedent, d.consequent, d.n_pair,
+        |       round(CAST(d.n_pair AS DOUBLE) / a.n_item, 6) AS confidence,
+        |       round(CAST(d.n_pair * nb.nb AS DOUBLE)
+        |             / CAST(a.n_item * c.n_item AS DOUBLE), 6) AS lift
+        |FROM d
+        |JOIN ic a ON d.antecedent = a.pk
+        |JOIN ic c ON d.consequent = c.pk, nb
         |ORDER BY 1, 2""".stripMargin,
 
     // the oracle states the PLAIN theta join — the binned decomposition

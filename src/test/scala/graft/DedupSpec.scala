@@ -92,6 +92,33 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact) // 128 hashes / 32 bands: P(miss @0.8) ≈ (1-0.8⁴)¹⁶ ≈ 2e-4
   }
 
+  test("q_dedup_eval: count identities hold, and a 1-band config " +
+      "measurably loses the recall the 32-band config keeps") {
+    val row = SparkEntry.queries("q_dedup_eval")(spark, TestSpark.Sf0001)
+      .collect().head
+    val (nT, nP, tp) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (p, r, f1) = (row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(nT > 0 && nP > 0, "degenerate eval corpus")
+    assert(tp <= math.min(nT, nP))
+    assert(math.abs(p - tp.toDouble / nP) < 1e-6)
+    assert(math.abs(r - tp.toDouble / nT) < 1e-6)
+    assert(math.abs(f1 - 2.0 * tp / (nP + nT)) < 1e-6)
+    // the metric detects imperfect configs: one 128-row band demands a
+    // near-exact signature match, so the planted 0.8-Jaccard pairs drop
+    // out of the candidate set (P(collide) = j^128 ≈ 0) and recall
+    // falls below the 32-band config's
+    val real = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val sigs = DedupOps.minhashSignatures(real, "doc_id", "text", 3, 128)
+    val oneBand = DedupOps.lshCandidates(sigs, 128, 1)
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = DedupOps.ngramJaccardPairsPrefix(real, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tp1 = (oneBand intersect truth).size
+    assert(tp1 < truth.size,
+      s"1-band recall $tp1/${truth.size} should lose pairs vs 32 bands")
+  }
+
   test("bucket-capped candidates: stars for hot buckets, subset of clique, same clusters on boilerplate") {
     // boilerplate family: 6 exact copies (one bucket of 6 in EVERY band)
     // + the regular planted docs
