@@ -115,4 +115,39 @@ object BehaviorOps {
         round(col("mad_micro") / 1e6, 6).as("mad"),
         col("n_outliers"))
   }
+
+  /** Last-touch attribution: every `purchase` row credited to the same
+    * user's most recent NON-purchase event within `lookbackHours`,
+    * else `'direct'`. One window per user ordered by `(ts, event_id)`
+    * — the only exception to this file's no-window rule, because
+    * attribution genuinely needs the previous row, and the window state
+    * is bounded by one user's history (the q_top_paths contract), never
+    * global. The ignore-nulls `last()` carries the latest touchpoint's
+    * type and time past intervening purchases, so a purchase chain
+    * attributes every purchase to the same preceding touch (industry
+    * semantics), not to the previous purchase.
+    *
+    * Returns the purchase rows with `channel` attached; callers
+    * aggregate. */
+  def attributeLastTouch(events: DataFrame, userCol: String,
+      typeCol: String, tsCol: String, tieCol: String, valueCol: String,
+      lookbackHours: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    events
+      .withColumn("touch_type", last(
+        when(col(typeCol) =!= "purchase", col(typeCol)),
+        ignoreNulls = true).over(w))
+      .withColumn("touch_ts", last(
+        when(col(typeCol) =!= "purchase", col(tsCol)),
+        ignoreNulls = true).over(w))
+      .filter(col(typeCol) === "purchase")
+      .withColumn("channel",
+        when(col("touch_ts").isNotNull &&
+          unix_micros(col(tsCol)) - unix_micros(col("touch_ts")) <=
+            lit(lookbackHours * 3600L * 1000000L),
+          col("touch_type")).otherwise(lit("direct")))
+      .select(col(userCol), col(tsCol), col("channel"), col(valueCol))
+  }
 }

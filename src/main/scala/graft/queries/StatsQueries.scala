@@ -520,6 +520,23 @@ object StatsQueries {
         .orderBy("priority", "status")
     }),
 
+    // Last-touch attribution (the marketing-analytics primitive): each
+    // purchase is credited to the user's most recent NON-purchase event
+    // within a 24 h lookback, else 'direct'. One window per user ordered
+    // by (ts, event_id) — state bounded by a user's history, never
+    // global — carrying the last touchpoint's type and time via
+    // ignore-nulls last(); revenue accumulates in exact micro-units.
+    // Output: per (channel, day) purchase counts + attributed revenue.
+    "q_attribution" -> ((s, dir) =>
+      graft.ops.BehaviorOps.attributeLastTouch(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id", "value",
+          lookbackHours = 24)
+        .groupBy(col("channel"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(round(col("value") * 1e6, 0).cast("long"))
+            .cast("double") / 1e6, 6).as("revenue"))
+        .orderBy("channel", "day")),
+
     // Gini concentration of order revenue per priority class (the
     // inequality / concentration audit — "is the revenue in this segment
     // carried by a few whale orders?"): G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n
@@ -2136,6 +2153,33 @@ object StatsQueries {
         |             / sqrt(CAST((nt - n_g) * (nt + 1) AS DOUBLE)
         |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
         |FROM a, tt ORDER BY 1""".stripMargin,
+
+    // the same per-user ignore-nulls carry + 24 h gate, micro-exact sums
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch_type,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch_ts
+        |  FROM events),
+        |p AS (
+        |  SELECT CASE WHEN touch_ts IS NOT NULL
+        |              AND epoch_us(ts) - epoch_us(touch_ts)
+        |                  <= CAST(86400 AS BIGINT) * 1000000
+        |              THEN touch_type ELSE 'direct' END AS channel,
+        |         CAST(ts AS DATE) AS day, value
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, day, count(*) AS n_purchases,
+        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+        |             AS DOUBLE) / 1e6, 6) AS revenue
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // bounded cent-histogram mid-ranks, HUGEINT Σt·v·r2, one closed-form
     // double chain — identical operation order to the Spark side

@@ -270,6 +270,38 @@ class BehaviorSpec extends AnyFunSuite {
     }
   }
 
+  test("attributeLastTouch: 24h gate, carry past purchases, direct " +
+      "fallback — hand case") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: view 10:00 → purchase 11:00 (view), purchase 12:00 must
+      // ALSO credit the view (carry past the intervening purchase)
+      (1L, "view", "2024-01-01 10:00:00", 1L, 10.0),
+      (1L, "purchase", "2024-01-01 11:00:00", 2L, 20.0),
+      (1L, "purchase", "2024-01-01 12:00:00", 3L, 30.0),
+      // u1: click 13:00 supersedes the view for the 14:00 purchase
+      (1L, "click", "2024-01-01 13:00:00", 4L, 0.0),
+      (1L, "purchase", "2024-01-01 14:00:00", 5L, 40.0),
+      // u2: touch 25h before the purchase → outside the gate → direct
+      (2L, "click", "2024-01-01 09:00:00", 6L, 0.0),
+      (2L, "purchase", "2024-01-02 10:00:00", 7L, 50.0),
+      // u3: no touch at all → direct
+      (3L, "purchase", "2024-01-01 10:00:00", 8L, 60.0)
+    ).map { case (u, t, s, id, v) => (u, t, ts(s), id, v) }
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    val got = BehaviorOps.attributeLastTouch(ev, "user_id", "event_type",
+        "ts", "event_id", "value", lookbackHours = 24)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getString(2), r.getDouble(3)))
+      .map { case (u, t, c, v) => (u, t.toString, c) -> v }.toMap
+    assert(got == Map(
+      (1L, "2024-01-01 11:00:00.0", "view") -> 20.0,
+      (1L, "2024-01-01 12:00:00.0", "view") -> 30.0,
+      (1L, "2024-01-01 14:00:00.0", "click") -> 40.0,
+      (2L, "2024-01-02 10:00:00.0", "direct") -> 50.0,
+      (3L, "2024-01-01 10:00:00.0", "direct") -> 60.0), got.toString)
+  }
+
   test("q_gini: counts partition orders, gini in [0,1), and one class " +
       "matches an independent sorted-values recompute") {
     val rows = SparkEntry.queries("q_gini")(spark, TestSpark.Sf0001)
