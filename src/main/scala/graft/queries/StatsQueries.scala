@@ -932,6 +932,21 @@ object StatsQueries {
              count(col("t3")).as("n_purchased"))
         .orderBy("cohort_day")),
 
+    // STREAMING attribution twin: one (touch_type, touch_us) pair of
+    // state per user, purchases credited AT INGEST (the real-time
+    // "which campaign just converted" feed) — time-ordered micro-batches
+    // by construction, so streamed ≡ batch and q_attribution's oracle
+    // applies unchanged. See
+    // [[graft.streaming.StreamingOps.runStreamAttributionOnce]].
+    "q_stream_attribution" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .runStreamAttributionOnce(s, dir, lookbackHours = 24)
+        .groupBy(col("channel"),
+          to_date(timestamp_micros(col("us"))).as("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("vmicro")).cast("double") / 1e6, 6).as("revenue"))
+        .orderBy("channel", "day")),
+
     // Per-group key-skew diagnostic — the measurement that DECIDES
     // salting (JoinOps.saltedEquiJoin) and AQE skew thresholds instead
     // of guessing: per-key counts (map-side combinable), then
@@ -2155,31 +2170,10 @@ object StatsQueries {
         |FROM a, tt ORDER BY 1""".stripMargin,
 
     // the same per-user ignore-nulls carry + 24 h gate, micro-exact sums
-    "q_attribution" ->
-      """WITH t AS (
-        |  SELECT user_id, ts, event_id, event_type, value,
-        |         last_value(CASE WHEN event_type <> 'purchase'
-        |                         THEN event_type END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |           AS touch_type,
-        |         last_value(CASE WHEN event_type <> 'purchase'
-        |                         THEN ts END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |           AS touch_ts
-        |  FROM events),
-        |p AS (
-        |  SELECT CASE WHEN touch_ts IS NOT NULL
-        |              AND epoch_us(ts) - epoch_us(touch_ts)
-        |                  <= CAST(86400 AS BIGINT) * 1000000
-        |              THEN touch_type ELSE 'direct' END AS channel,
-        |         CAST(ts AS DATE) AS day, value
-        |  FROM t WHERE event_type = 'purchase')
-        |SELECT channel, day, count(*) AS n_purchases,
-        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
-        |             AS DOUBLE) / 1e6, 6) AS revenue
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_attribution" -> AttributionSql,
+
+    // streamed ≡ batch by the time-ordered-slices contract
+    "q_stream_attribution" -> AttributionSql,
 
     // bounded cent-histogram mid-ranks, HUGEINT Σt·v·r2, one closed-form
     // double chain — identical operation order to the Spark side
@@ -2317,6 +2311,35 @@ object StatsQueries {
         |       CASE WHEN pk = 1 THEN 1 ELSE 0 END AS is_peak
         |FROM pk ORDER BY 1, 2""".stripMargin,
   )
+
+  /** Shared by q_attribution and its streaming twin (streamed ≡ batch
+    * by the time-ordered-slices contract): per-user IGNORE NULLS carry
+    * of the last non-purchase touch, 24 h gate, micro-exact revenue. */
+  private lazy val AttributionSql: String =
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch_type,
+        |         last_value(CASE WHEN event_type <> 'purchase'
+        |                         THEN ts END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS touch_ts
+        |  FROM events),
+        |p AS (
+        |  SELECT CASE WHEN touch_ts IS NOT NULL
+        |              AND epoch_us(ts) - epoch_us(touch_ts)
+        |                  <= CAST(86400 AS BIGINT) * 1000000
+        |              THEN touch_type ELSE 'direct' END AS channel,
+        |         CAST(ts AS DATE) AS day, value
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, day, count(*) AS n_purchases,
+        |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+        |             AS DOUBLE) / 1e6, 6) AS revenue
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private lazy val RetentionSql: String =
       """WITH active AS (

@@ -1318,6 +1318,84 @@ object StreamingOps {
         max(col("t3")).as("t3"))
   }
 
+  /** A purchase attributed at ingest (`us` = event-time micros,
+    * `vmicro` = purchase value in micro-units). */
+  final case class AttributionEmit(user: Long, us: Long, channel: String,
+    vmicro: Long)
+
+  /** STREAMING last-touch attribution — the online twin of
+    * [[graft.ops.BehaviorOps.attributeLastTouch]]: per-user state is
+    * ONE (touch_type, touch_us) pair (~24 bytes — live attribution for
+    * 10⁹ users fits one executor), each non-purchase event overwrites
+    * it, each purchase emits its credited channel immediately (the
+    * real-time "which campaign just converted" feed). Purchases emit
+    * exactly once, so the drain is append-only — no max_by reduction.
+    *
+    * Order contract: identical to [[runStreamFunnelOnce]] and stated
+    * once there — a bounded last-touch state cannot reconcile an
+    * out-of-order touch arriving AFTER the purchase it should have
+    * credited, so the driver lands 6 ts-contiguous slices one at a
+    * time and the state function sorts each group's in-batch rows by
+    * (us, event_id). Streamed ≡ batch exactly; q_attribution's oracle
+    * applies unchanged. */
+  def runStreamAttributionOnce(spark: SparkSession, dir: String,
+      lookbackHours: Long): DataFrame = {
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stream_attribution_${runId.incrementAndGet()}"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream_attr").toString
+    val src = s"$tmp/src"
+    val ev = graft.tables.Tables.events(ses, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_id"),
+        col("user_id"), col("event_type"),
+        round(col("value") * 1e6, 0).cast("long").as("vmicro"))
+    val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val step = (hi - lo) / 6 + 1
+    def slice(i: Int) = ev.filter(
+      col("us") >= lit(lo + i * step) && col("us") < lit(lo + (i + 1) * step))
+    slice(0).write.parquet(s"$src/s0")
+    val stream = ses.readStream
+      .schema(ses.read.parquet(s"$src/s0").schema)
+      .parquet(s"$src/*")
+      .as[(Long, Long, Long, String, Long)]
+    val lookbackUs = lookbackHours * 3600L * 1000000L
+    val credited = stream.groupByKey(_._3)
+      .flatMapGroupsWithState[(String, Long), AttributionEmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Long)],
+         state: GroupState[(String, Long)]) =>
+          var touch = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionEmit]
+          rows.toArray.sortBy(r => (r._1, r._2)).foreach {
+            case (us, _, _, et, vm) =>
+              if (et == "purchase") {
+                val ch = touch match {
+                  case Some((t, tus)) if us - tus <= lookbackUs => t
+                  case _ => "direct"
+                }
+                out += AttributionEmit(user, us, ch, vm)
+              } else touch = Some((et, us))
+          }
+          touch.foreach(state.update)
+          out.iterator
+      }
+    val q = credited.toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      (1 to 5).foreach { i =>
+        slice(i).write.parquet(s"$src/s$i")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+    drainTable(ses, name)
+  }
+
   /** CUSTOM streaming state via `flatMapGroupsWithState` (§2.10's "novel
     * state" row): a per-user accumulator (count, sum) updated each
     * micro-batch — the primitive session stores, per-entity rate trackers

@@ -440,6 +440,32 @@ class StreamingSpec extends AnyFunSuite {
       s"widest view→purchase span ${spanUs.sorted.lastOption} µs")
   }
 
+  test("streaming attribution equals the batch last-touch rows exactly") {
+    // 24 bytes of (touch_type, touch_us) state per user, purchases
+    // credited at ingest; time-ordered slices + in-batch sort make the
+    // streamed credit assignment identical to the batch window's —
+    // including purchases whose crediting touch landed batches earlier
+    val streamed = StreamingOps
+      .runStreamAttributionOnce(spark, TestSpark.Sf0001, lookbackHours = 24)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    val batch = graft.ops.BehaviorOps.attributeLastTouch(
+        graft.tables.Tables.events(spark, TestSpark.Sf0001),
+        "user_id", "event_type", "ts", "event_id", "value", 24)
+      .select(col("user_id"), unix_micros(col("ts")), col("channel"),
+        round(col("value") * 1e6, 0).cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // both non-direct credits and direct fallbacks occur, so the gate
+    // and the carry are both exercised
+    val channels = streamed.map(_._3).toSet
+    assert(channels.exists(_ != "direct"), "no attributed purchase")
+  }
+
   test("streaming retention bitmask equals the batch cohort matrix") {
     // min-rebase + OR are commutative: whatever order the file stream
     // delivers batches in, the 16-byte state converges to the batch
