@@ -416,35 +416,23 @@ object StatsQueries {
       // localCheckpoint: the A and B sides below are two filters of
       // THIS 10-row table — without it Catalyst re-derives the
       // aggregate per side and the test costs two full scans
-      val mom = ev.groupBy(col("event_type"), col("grp"))
+      welchFromMoments(ev.groupBy(col("event_type"), col("grp"))
         .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
           sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
-        .localCheckpoint(true)
-      def side(g: Int, suf: String) = mom.filter(col("grp") === g)
-        .select(col("event_type"), col("n").as(s"n$suf"),
-          col("sx").as(s"sx$suf"), col("sxx").as(s"sxx$suf"))
-      // per-side mean and unbiased variance from the integer moments;
-      // vOver = s²/n = (n·Σx²−(Σx)²) / (n²·(n−1)) in micro² units
-      def mean(n: String, sx: String) =
-        col(sx).cast("double") / col(n).cast("double") / 1e6
-      def vOver(n: String, sx: String, sxx: String) =
-        (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
-          (col(n) * col(n) * (col(n) - 1)).cast("double") / 1e12
-      side(0, "a").join(side(1, "b"), "event_type")
-        .select(col("event_type"),
-          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
-          round(mean("na", "sxa") - mean("nb", "sxb"), 6).as("mean_diff"),
-          round((mean("na", "sxa") - mean("nb", "sxb")) /
-            sqrt(vOver("na", "sxa", "sxxa") + vOver("nb", "sxb", "sxxb")),
-            6).as("t_stat"),
-          round(
-            pow(vOver("na", "sxa", "sxxa") + vOver("nb", "sxb", "sxxb"), 2) /
-              (pow(vOver("na", "sxa", "sxxa"), 2) /
-                (col("na").cast("double") - 1) +
-               pow(vOver("nb", "sxb", "sxxb"), 2) /
-                (col("nb").cast("double") - 1)), 3).as("dof"))
-        .orderBy("event_type")
+        .localCheckpoint(true))
     }),
+
+    // STREAMING Welch twin: the (n, Σx, Σx²) DECIMAL moments as a
+    // streaming grouped aggregate — partial sums ARE the state-store
+    // state, and integer sums are linear (order/batch-split invariant),
+    // so the streamed moments are BIT-IDENTICAL to one batch pass and
+    // the same closed form + oracle apply unchanged. Continuous
+    // significance monitoring at 100 TB: constant state per (type,
+    // cohort), every micro-batch updates the t statistic.
+    "q_stream_welch" -> ((s, dir) =>
+      welchFromMoments(
+        graft.streaming.StreamingOps.runStreamWelchMomentsOnce(s, dir)
+          .localCheckpoint(true))),
 
     // Per-nation OLS revenue trend (slope / intercept / R²) from exact
     // DECIMAL(38,0) moments — the least-squares counterpart of
@@ -2059,39 +2047,10 @@ object StatsQueries {
     // HUGEINT moments, then the identical closed-form double chain in
     // the same operation order (mean = sx/n/1e6; v = num/den/1e12;
     // t = Δmean/√(vA+vB); dof = Welch–Satterthwaite)
-    "q_ab_welch" ->
-      """WITH xs AS (
-        |  SELECT event_type, user_id % 2 AS grp,
-        |         CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS HUGEINT) AS x
-        |  FROM events),
-        |m AS (
-        |  SELECT event_type, grp, CAST(count(*) AS HUGEINT) AS n,
-        |         sum(x) AS sx, sum(x*x) AS sxx
-        |  FROM xs GROUP BY 1, 2),
-        |j AS (
-        |  SELECT a.event_type,
-        |         a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
-        |         b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
-        |  FROM m a JOIN m b ON a.event_type = b.event_type
-        |  WHERE a.grp = 0 AND b.grp = 1),
-        |v AS (
-        |  SELECT event_type, na, nb,
-        |         CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
-        |           - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6
-        |           AS md,
-        |         CAST(na*sxxa - sxa*sxa AS DOUBLE)
-        |           / CAST(na*na*(na-1) AS DOUBLE) / 1e12 AS va,
-        |         CAST(nb*sxxb - sxb*sxb AS DOUBLE)
-        |           / CAST(nb*nb*(nb-1) AS DOUBLE) / 1e12 AS vb
-        |  FROM j)
-        |SELECT event_type,
-        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
-        |       round(md, 6) AS mean_diff,
-        |       round(md / sqrt(va + vb), 6) AS t_stat,
-        |       round(pow(va + vb, 2)
-        |             / (pow(va, 2) / (CAST(na AS DOUBLE) - 1)
-        |              + pow(vb, 2) / (CAST(nb AS DOUBLE) - 1)), 3) AS dof
-        |FROM v ORDER BY 1""".stripMargin,
+    "q_ab_welch" -> WelchSql,
+
+    // streamed moments ≡ batch moments by sum linearity
+    "q_stream_welch" -> WelchSql,
 
     // exact HUGEINT regression moments over the (nation, month) rollup;
     // one double chain at the end, mirroring the Spark expression order
@@ -2312,6 +2271,45 @@ object StatsQueries {
         |FROM pk ORDER BY 1, 2""".stripMargin,
   )
 
+  /** Shared by q_ab_welch and q_stream_welch (streamed moments ≡ batch
+    * moments by sum linearity): HUGEINT moments, then the identical
+    * closed-form double chain in the same operation order (mean =
+    * sx/n/1e6; v = num/den/1e12; t = Δmean/√(vA+vB); dof =
+    * Welch–Satterthwaite). */
+  private lazy val WelchSql: String =
+      """WITH xs AS (
+        |  SELECT event_type, user_id % 2 AS grp,
+        |         CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(x*x) AS sxx
+        |  FROM xs GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type,
+        |         a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+        |         b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+        |  FROM m a JOIN m b ON a.event_type = b.event_type
+        |  WHERE a.grp = 0 AND b.grp = 1),
+        |v AS (
+        |  SELECT event_type, na, nb,
+        |         CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6
+        |           - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 1e6
+        |           AS md,
+        |         CAST(na*sxxa - sxa*sxa AS DOUBLE)
+        |           / CAST(na*na*(na-1) AS DOUBLE) / 1e12 AS va,
+        |         CAST(nb*sxxb - sxb*sxb AS DOUBLE)
+        |           / CAST(nb*nb*(nb-1) AS DOUBLE) / 1e12 AS vb
+        |  FROM j)
+        |SELECT event_type,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       round(md, 6) AS mean_diff,
+        |       round(md / sqrt(va + vb), 6) AS t_stat,
+        |       round(pow(va + vb, 2)
+        |             / (pow(va, 2) / (CAST(na AS DOUBLE) - 1)
+        |              + pow(vb, 2) / (CAST(nb AS DOUBLE) - 1)), 3) AS dof
+        |FROM v ORDER BY 1""".stripMargin
+
   /** Shared by q_attribution and its streaming twin (streamed ≡ batch
     * by the time-ordered-slices contract): per-user IGNORE NULLS carry
     * of the last non-purchase touch, 24 h gate, micro-exact revenue. */
@@ -2340,6 +2338,40 @@ object StatsQueries {
         |       round(CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
         |             AS DOUBLE) / 1e6, 6) AS revenue
         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The Welch closed form over a (event_type, grp, n, sx, sxx)
+    * DECIMAL(38,0) moment frame — shared by q_ab_welch (batch moments)
+    * and q_stream_welch (state-store moments; bit-identical by sum
+    * linearity, so both feed the identical double chain). Callers
+    * localCheckpoint the moment frame: the A/B sides are two filters of
+    * a 10-row table, and a lazy frame would re-derive the aggregate —
+    * or re-run the drained stream — once per side. */
+  private def welchFromMoments(mom: DataFrame): DataFrame = {
+    def side(g: Int, suf: String) = mom.filter(col("grp") === g)
+      .select(col("event_type"), col("n").as(s"n$suf"),
+        col("sx").as(s"sx$suf"), col("sxx").as(s"sxx$suf"))
+    // per-side mean and unbiased variance from the integer moments;
+    // vOver = s²/n = (n·Σx²−(Σx)²) / (n²·(n−1)) in micro² units
+    def mean(n: String, sx: String) =
+      col(sx).cast("double") / col(n).cast("double") / 1e6
+    def vOver(n: String, sx: String, sxx: String) =
+      (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
+        (col(n) * col(n) * (col(n) - 1)).cast("double") / 1e12
+    side(0, "a").join(side(1, "b"), "event_type")
+      .select(col("event_type"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(mean("na", "sxa") - mean("nb", "sxb"), 6).as("mean_diff"),
+        round((mean("na", "sxa") - mean("nb", "sxb")) /
+          sqrt(vOver("na", "sxa", "sxxa") + vOver("nb", "sxb", "sxxb")),
+          6).as("t_stat"),
+        round(
+          pow(vOver("na", "sxa", "sxxa") + vOver("nb", "sxb", "sxxb"), 2) /
+            (pow(vOver("na", "sxa", "sxxa"), 2) /
+              (col("na").cast("double") - 1) +
+             pow(vOver("nb", "sxb", "sxxb"), 2) /
+              (col("nb").cast("double") - 1)), 3).as("dof"))
+      .orderBy("event_type")
+  }
 
   private lazy val RetentionSql: String =
       """WITH active AS (

@@ -1318,6 +1318,30 @@ object StreamingOps {
         max(col("t3")).as("t3"))
   }
 
+  /** STREAMING Welch moments: the per-(type, cohort) DECIMAL(38,0)
+    * moment triple (n, Σx, Σx²) as a streaming grouped aggregate in
+    * complete mode — the partial sums ARE the state-store state, and
+    * integer sums are linear (order/batch-split invariant), so the
+    * streamed moments are bit-identical to one batch pass. The caller
+    * ([[graft.queries.StatsQueries]] q_stream_welch) applies the same
+    * closed form as the batch test; constant state per group forever. */
+  def runStreamWelchMomentsOnce(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_welch_${runId.incrementAndGet()}"
+    val ses = stateSizedSession(spark)
+    val q = eventsStream(ses, dir)
+      .select(col("event_type"), (col("user_id") % 2).as("grp"),
+        round(col("value") * 1e6, 0).cast("long")
+          .cast("decimal(38,0)").as("x"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    drainTable(ses, name)
+  }
+
   /** A purchase attributed at ingest (`us` = event-time micros,
     * `vmicro` = purchase value in micro-units). */
   final case class AttributionEmit(user: Long, us: Long, channel: String,
