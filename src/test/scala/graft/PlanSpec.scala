@@ -481,4 +481,61 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("__bin"),
       p.linesIterator.take(30).mkString("\n"))
   }
+
+  test("attribution windows partition by user, never globally; no " +
+      "cartesian (q_attribution)") {
+    val p = plan("q_attribution")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "expected a window node")
+    assert(windows.forall(_.contains("user_id")),
+      windows.mkString("\n")) // per-user frame — state bounded by a
+                              // user's history at any corpus size
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("association rules: item-count joins broadcast; the pair join " +
+      "stays a keyed equi-join (q_assoc_rules)") {
+    val p = plan("q_assoc_rules")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      p.linesIterator.take(40).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("rank statistics: windows partition by the class column, the " +
+      "rank table is the aggregated histogram (q_gini)") {
+    val p = plan("q_gini")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("priority")),
+      windows.mkString("\n")) // per-class mid-rank windows, not global
+    // the cumulative window runs over the (priority, v) HISTOGRAM — an
+    // aggregate must sit between the scan and the window
+    assert(p.contains("HashAggregate"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("label propagation: per-round lineage truncated (scan of the " +
+      "checkpointed round, like pageRank); the round kernel's window is " +
+      "per-node, never global (q_communities)") {
+    // the contract query's final plan must be a scan of round 3's
+    // localCheckpoint — NOT three nested join+window rounds
+    val p = plan("q_communities")
+    assert(p.contains("Scan ExistingRDD"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    // and one UN-checkpointed round's kernel shows the bounded window:
+    // row_number partitioned by node over the neighbour-label counts
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val labels = edges.select(col("src").as("node"), col("src").as("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+    val round = edges.join(labels.withColumnRenamed("node", "n2"),
+        edges("dst") === col("n2"))
+      .select(edges("src").as("node"), col("label"))
+      .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val kp = round.queryExecution.executedPlan.toString
+    val windows = kp.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("node")),
+      kp.linesIterator.take(25).mkString("\n"))
+  }
 }
