@@ -59,6 +59,22 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // BM25 off a PERSISTED term-bucketed inverted index (the IVF-index
+    // pattern applied to text: build once, probe = partition pruning on
+    // the query terms' hash buckets, query cost ∝ matched posting
+    // lists, never the corpus). Indexed scores are bit-identical to the
+    // scan path — q_bm25_topk's oracle applies verbatim. Index rebuilt
+    // per run (the q_time_travel pass-idempotence convention).
+    "q_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val sfName = new java.io.File(dir.replaceAll("/+$", "")).getName
+      val idx = s"/tmp/graft_index/$sfName/bm25"
+      graft.text.InvertedIndex.build(docs(s, dir), "doc_id", "text", idx)
+      val q = Bm25Queries.toDF("query_id", "term")
+      graft.text.InvertedIndex.bm25TopKIndexed(s, idx, q, Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
     // RM3 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
     // 2001 / Abdul-Jaleel 2004): first-pass BM25 top-m as pseudo-
     // relevant, interpolated relevance model, top-e weighted terms.
@@ -206,6 +222,20 @@ object RetrievalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_topk" -> {
+      val values = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH ${bm25Sql(
+             s"SELECT CAST(query_id AS BIGINT) AS query_id, term, 1.0 AS w " +
+               s"FROM (VALUES $values) v(query_id, term)",
+             excludeSelf = false)}
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM lexrank WHERE rank <= $Bm25K
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // indexed scores are bit-identical to the scan path — the same
+    // replay applies; the index must be invisible in the result
+    "q_bm25_indexed" -> {
       val values = Bm25Queries
         .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
       s"""WITH ${bm25Sql(

@@ -193,4 +193,34 @@ class RetrievalSpec extends AnyFunSuite {
     // no self-matches on either evidence path
     assert(!hyRows.exists(r => r.getLong(0) == r.getLong(2)))
   }
+
+  test("inverted index: indexed BM25 ≡ scan-path BM25 bit-for-bit; the " +
+      "query probe is partition pruning that actually prunes") {
+    import graft.text.InvertedIndex
+    val d = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    InvertedIndex.build(d, "doc_id", "text", idx)
+    val q = graft.queries.RetrievalQueries.Bm25Queries.toDF("query_id", "term")
+    val indexed = InvertedIndex.bm25TopKIndexed(spark, idx, q, k = 10)
+    val scan = RetrievalOps.bm25TopK(d, "doc_id", "text", q, k = 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(rows(indexed) == rows(scan)) // same tf/df/dl/stats, same chain
+    // the postings scan carries the bucket predicate as a PARTITION
+    // filter (directory pruning), and strictly fewer files are read
+    // than the full layout
+    val plan = indexed.queryExecution.executedPlan.toString
+    val partLines = plan.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(partLines.matches("(?s).*PartitionFilters: \\[.*bucket.*"),
+      plan.take(3000))
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name().as("f")).distinct().count()
+    val postings = spark.read.parquet(s"$idx/postings")
+    val probed = scannedFiles(postings.filter(col("bucket").isin(0, 1)))
+    val all = scannedFiles(postings)
+    assert(probed > 0 && probed < all, s"probed $probed of $all")
+    graft.util.LocalFs.deleteRecursively(new java.io.File(idx))
+  }
 }
