@@ -75,6 +75,19 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // STREAMED inverted-index ingest: documents arrive as a stream,
+    // each micro-batch appends its posting lists + an exact-integer
+    // stats increment (replay-idempotent), and the standard query set
+    // runs off the streamed index — streamed ≡ built ≡ scan, so the
+    // same oracle applies. The text mirror of q_ann_ivf_stream.
+    "q_bm25_index_stream" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Queries.toDF("query_id", "term")
+      graft.streaming.StreamingOps
+        .runStreamTextIndexOnce(s, dir, q, Bm25K)
+        .orderBy("query_id", "rank")
+    }),
+
     // RM3 pseudo-relevance-feedback expansion terms (Lavrenko & Croft
     // 2001 / Abdul-Jaleel 2004): first-pass BM25 top-m as pseudo-
     // relevant, interpolated relevance model, top-e weighted terms.
@@ -222,6 +235,20 @@ object RetrievalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_topk" -> {
+      val values = Bm25Queries
+        .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH ${bm25Sql(
+             s"SELECT CAST(query_id AS BIGINT) AS query_id, term, 1.0 AS w " +
+               s"FROM (VALUES $values) v(query_id, term)",
+             excludeSelf = false)}
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+         |FROM lexrank WHERE rank <= $Bm25K
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // streamed index ≡ built index ≡ scan path: the same replay, the
+    // ingest batching must be invisible in the result
+    "q_bm25_index_stream" -> {
       val values = Bm25Queries
         .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
       s"""WITH ${bm25Sql(

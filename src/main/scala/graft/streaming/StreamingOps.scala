@@ -313,6 +313,43 @@ object StreamingOps {
     graft.sim.IndexOps.queryIvfIndex(spark, idx, queries, k = 5, nProbe = 2)
   }
 
+  /** Continuous inverted-index maintenance: each documents micro-batch
+    * tokenizes and lands in the term-bucket partitions through the
+    * replay-idempotent appender ([[graft.text.InvertedIndex
+    * .appendBatch]]) — the lexical index stays fresh at ingest the same
+    * way [[indexIngest]] keeps the ANN index fresh. df and collection
+    * stats are DERIVED at query time (df is bucket-local; stats rows
+    * are exact-integer increments), so appends never invalidate
+    * anything already written. */
+  def textIndexIngest(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, nBuckets: Int,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = streamScope(checkpoint)
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.InvertedIndex.appendBatch(batch, idCol, textCol,
+          indexDir, nBuckets, batchId, streamId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  /** Drive a finite documents stream through [[textIndexIngest]] into a
+    * FRESH index dir, then answer the standard q_bm25_topk query set off
+    * the streamed index — streamed index ≡ batch-built index ≡ the
+    * per-query scan path (postings are per-doc rows, stats increments
+    * are exact integers, so arrival batching cannot change a single
+    * score), hence the scan path's oracle applies verbatim. */
+  def runStreamTextIndexOnce(spark: SparkSession, dir: String,
+      queryTerms: DataFrame, k: Int): DataFrame = {
+    val sfName = new java.io.File(dir.replaceAll("/+$", "")).getName
+    val idx = s"/tmp/graft_index/$sfName/bm25_stream_${runId.incrementAndGet()}"
+    val q = textIndexIngest(documentsStream(spark, dir), "doc_id", "text",
+      idx, 64, s"$idx/_checkpoint")
+    awaitOneShot(q)
+    graft.text.InvertedIndex.bm25TopKIndexed(spark, idx, queryTerms, k)
+  }
+
   /** STREAMING exact dedup: `dropDuplicates` on the 16-byte content hash —
     * Spark's stateful dedup operator, state keyed by the hash (never the
     * text), exactly the ingest-time shape of the batch `exactDedup`.

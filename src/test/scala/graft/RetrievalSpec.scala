@@ -223,4 +223,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(probed > 0 && probed < all, s"probed $probed of $all")
     graft.util.LocalFs.deleteRecursively(new java.io.File(idx))
   }
+
+  test("text index appendBatch: replayed delivery changes neither " +
+      "postings nor stats (a doubled stats row would deflate every idf), " +
+      "and the appended index answers like the scan path") {
+    import graft.text.InvertedIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    val (b1, b2) = (corpus.filter(col("doc_id") < 2),
+      corpus.filter(col("doc_id") >= 2))
+    InvertedIndex.appendBatch(b1, "doc_id", "text", idx, 64, 0L, "s")
+    InvertedIndex.appendBatch(b2, "doc_id", "text", idx, 64, 1L, "s")
+    def counts() = (
+      spark.read.parquet(s"$idx/postings").count(),
+      spark.read.parquet(s"$idx/collstats")
+        .agg(sum("n_docs"), sum("dl_sum")).collect().head.toSeq)
+    val before = counts()
+    // engine retry of an already-committed batch id
+    InvertedIndex.appendBatch(b2, "doc_id", "text", idx, 64, 1L, "s")
+    assert(counts() == before, "replay mutated the index")
+    assert(before._2 == Seq(4.0, 13.0), before._2.toString) // 4 docs, Σdl=13
+    val q = Seq((1, "vector"), (1, "fast"), (2, "scan")).toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted.toSeq
+    assert(rows(InvertedIndex.bm25TopKIndexed(spark, idx, q, k = 10)) ==
+      rows(RetrievalOps.bm25TopK(corpus, "doc_id", "text", q, k = 10)))
+    graft.util.LocalFs.deleteRecursively(new java.io.File(idx))
+  }
 }
