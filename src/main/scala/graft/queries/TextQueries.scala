@@ -241,6 +241,40 @@ object TextQueries {
           PiiUrlRe, "[URL]").cast("binary")).as("scrubbed_md5"))
         .orderBy("doc_id")),
 
+    // Flesch reading-ease per language (Flesch 1948 — the readability
+    // gate readability-filtered corpora like C4/FineWeb-edu apply in
+    // spirit): per doc, words = whitespace tokens, syllables = vowel
+    // groups per token (min 1 — the standard heuristic), sentences =
+    // terminal-punctuation runs (min 1); F = 206.835 − 1.015·w/s −
+    // 84.6·syl/w. All three counts are exact integers; the per-doc F is
+    // the only float, rounded to micro-units BEFORE the per-language
+    // mean so the aggregate is an exact-integer sum (the dailyRollup
+    // discipline) — map-only per doc + one tiny rollup at any scale.
+    "q_readability" -> ((s, dir) => {
+      val t = graft.text.TextOps.wsTokens(lower(col("text")))
+      val syl = aggregate(
+        transform(t, w => greatest(lit(1L),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))),
+        lit(0L), (acc, x) => acc + x)
+      val scored = docs(s, dir).select(col("lang"),
+          size(t).cast("long").as("w"),
+          syl.as("syl"),
+          greatest(lit(1L), size(regexp_extract_all(col("text"),
+            lit("[.!?]+"), lit(0))).cast("long")).as("sent"))
+        .filter(col("w") > 0)
+        .select(col("lang"), round((lit(206.835)
+          - lit(1.015) * (col("w").cast("double") / col("sent"))
+          - lit(84.6) * (col("syl").cast("double") / col("w"))) * 1e6, 0)
+          .cast("long").as("fm"))
+      scored.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("fm")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("mean_flesch"),
+          round(min(col("fm")).cast("double") / 1e6, 6).as("min_flesch"),
+          round(max(col("fm")).cast("double") / 1e6, 6).as("max_flesch"))
+        .orderBy("lang")
+    }),
+
     // k-anonymity generalization over the (lang, source) quasi-identifier:
     // under-5 groups get source coarsened to '*', regrouped, and flagged
     // if the merge still leaves them re-identifiable (k_ok=false → a
@@ -1272,6 +1306,35 @@ object TextQueries {
         |m AS (SELECT doc_id, any_value(w) AS w, min(hk) AS key
         |      FROM h GROUP BY doc_id)
         |SELECT doc_id, w, key FROM m ORDER BY key LIMIT 32""".stripMargin,
+
+    // identical integer counts + the same micro-rounded per-doc F
+    "q_readability" ->
+      s"""WITH f AS (
+         |  SELECT lang, ${toks("lower(text)")} AS t,
+         |         greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |           AS sent
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang,
+         |         CAST(len(t) AS BIGINT) AS w,
+         |         CAST(list_sum(list_transform(t, x ->
+         |           greatest(1, len(regexp_extract_all(x, '[aeiouy]+')))))
+         |           AS BIGINT) AS syl,
+         |         CAST(sent AS BIGINT) AS sent
+         |  FROM f WHERE len(t) > 0),
+         |m AS (
+         |  SELECT lang,
+         |         CAST(round((206.835
+         |           - 1.015 * (CAST(w AS DOUBLE) / sent)
+         |           - 84.6 * (CAST(syl AS DOUBLE) / w)) * 1e6, 0)
+         |           AS BIGINT) AS fm
+         |  FROM c)
+         |SELECT lang, count(*) AS n_docs,
+         |       round(CAST(sum(fm) AS DOUBLE) / count(*) / 1e6, 6)
+         |         AS mean_flesch,
+         |       round(CAST(min(fm) AS DOUBLE) / 1e6, 6) AS min_flesch,
+         |       round(CAST(max(fm) AS DOUBLE) / 1e6, 6) AS max_flesch
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_k_anonymity" ->
       """WITH g AS (
