@@ -275,6 +275,47 @@ object TextQueries {
         .orderBy("lang")
     }),
 
+    // Zipf-law fit audit (Zipf 1949; q_heaps_law's rank-frequency
+    // sibling — natural corpora fit log f ≈ a + s·log r with s ≈ −1,
+    // and a synthetic/templated corpus betrays itself by a flat or
+    // kinked curve): OLS of ln(freq) on ln(rank) over the top-100
+    // terms. One tokenize scan → term counts (map-side combined) →
+    // distributed TakeOrdered 100 → everything else on the 100-row
+    // frame. Both logs are rounded to 6 dp BEFORE the moment sums (the
+    // q_benford rounded-inputs discipline), the moments accumulate as
+    // exact micro-unit longs, and slope/R² are one closed-form double
+    // chain — hash-stable cross-engine.
+    "q_zipf_fit" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val top = docs(s, dir)
+        .select(explode(graft.text.TextOps.wsTokens(lower(col("text"))))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(100)
+      val pts = top
+        .withColumn("r", row_number().over(
+          W.orderBy(col("n").desc, col("term"))))
+        .select(
+          // decimal moments: k·Σ(ly²) brushes Long.MAX at web-corpus
+          // frequencies (ln(1e12)·1e6 squared, ×100 terms, ×k)
+          round(round(log(col("r").cast("double")), 6) * 1e6, 0)
+            .cast("long").cast("decimal(38,0)").as("lx"),
+          round(round(log(col("n").cast("double")), 6) * 1e6, 0)
+            .cast("long").cast("decimal(38,0)").as("ly"))
+      val m = pts.agg(count(lit(1)).cast("decimal(38,0)").as("k"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("ly") * col("ly")).as("syy"))
+      val numXY = col("k") * col("sxy") - col("sx") * col("sy")
+      val denX  = col("k") * col("sxx") - col("sx") * col("sx")
+      val denY  = col("k") * col("syy") - col("sy") * col("sy")
+      m.select(col("k").cast("long").as("n_terms"),
+        round(numXY.cast("double") / denX.cast("double"), 6).as("slope"),
+        round(pow(numXY.cast("double"), 2) /
+          (denX.cast("double") * denY.cast("double")), 6).as("r2"))
+    }),
+
     // k-anonymity generalization over the (lang, source) quasi-identifier:
     // under-5 groups get source coarsened to '*', regrouped, and flagged
     // if the merge still leaves them re-identifiable (k_ok=false → a
@@ -1306,6 +1347,34 @@ object TextQueries {
         |m AS (SELECT doc_id, any_value(w) AS w, min(hk) AS key
         |      FROM h GROUP BY doc_id)
         |SELECT doc_id, w, key FROM m ORDER BY key LIMIT 32""".stripMargin,
+
+    // top-100 by (n DESC, term), rounded logs → HUGEINT micro moments,
+    // identical closed-form chain
+    "q_zipf_fit" ->
+      s"""WITH tc AS (
+         |  SELECT t AS term, count(*) AS n FROM (
+         |    SELECT unnest(${toks("lower(text)")}) AS t FROM documents)
+         |  GROUP BY 1),
+         |top AS (SELECT term, n FROM tc ORDER BY n DESC, term LIMIT 100),
+         |pts AS (
+         |  SELECT CAST(round(round(ln(CAST(row_number() OVER (
+         |             ORDER BY n DESC, term) AS DOUBLE)), 6) * 1e6, 0)
+         |           AS HUGEINT) AS lx,
+         |         CAST(round(round(ln(CAST(n AS DOUBLE)), 6) * 1e6, 0)
+         |           AS HUGEINT) AS ly
+         |  FROM top),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS k,
+         |         sum(lx) AS sx, sum(ly) AS sy,
+         |         sum(lx*lx) AS sxx, sum(lx*ly) AS sxy, sum(ly*ly) AS syy
+         |  FROM pts)
+         |SELECT CAST(k AS BIGINT) AS n_terms,
+         |       round(CAST(k*sxy - sx*sy AS DOUBLE)
+         |             / CAST(k*sxx - sx*sx AS DOUBLE), 6) AS slope,
+         |       round(pow(CAST(k*sxy - sx*sy AS DOUBLE), 2)
+         |             / (CAST(k*sxx - sx*sx AS DOUBLE)
+         |              * CAST(k*syy - sy*sy AS DOUBLE)), 6) AS r2
+         |FROM m""".stripMargin,
 
     // identical integer counts + the same micro-rounded per-doc F
     "q_readability" ->
