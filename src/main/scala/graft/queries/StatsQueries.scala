@@ -508,6 +508,34 @@ object StatsQueries {
         .orderBy("priority", "status")
     }),
 
+    // Cohort LTV curves (q_cohort_retention's revenue sibling — the
+    // "how much has the day-X cohort spent by day-offset Y" product
+    // table): cohort = first active day per user (one user-keyed
+    // aggregate, map-side combined), purchase revenue lands in exact
+    // micro-units per (cohort, offset) cell, and the cumulative curve
+    // is a window over the CALENDAR-bounded offset axis — shuffled rows
+    // O(users), window state O(days), at any corpus size.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(cohort, Seq("user_id")) // user-keyed, co-partitioned
+        .groupBy(col("cohort_day"),
+          datediff(to_date(col("ts")), col("cohort_day")).cast("long")
+            .as("day_offset"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 1e6, 0).cast("long")).as("rm"))
+      val w = W.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      cells.select(col("cohort_day"), col("day_offset"), col("n_purchases"),
+          round(col("rm").cast("double") / 1e6, 6).as("revenue"),
+          round(sum(col("rm")).over(w).cast("double") / 1e6, 6)
+            .as("cum_revenue"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Last-touch attribution (the marketing-analytics primitive): each
     // purchase is credited to the user's most recent NON-purchase event
     // within a 24 h lookback, else 'direct'. One window per user ordered
@@ -2127,6 +2155,30 @@ object StatsQueries {
         |             / sqrt(CAST((nt - n_g) * (nt + 1) AS DOUBLE)
         |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
         |FROM a, tt ORDER BY 1""".stripMargin,
+
+    // first-active-day cohorts, micro-exact purchase sums, calendar-
+    // bounded cumulative window
+    "q_cohort_ltv" ->
+      """WITH c AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |cell AS (
+        |  SELECT c.cohort_day,
+        |         CAST(ts AS DATE) - c.cohort_day AS day_offset,
+        |         count(*) AS n_purchases,
+        |         CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+        |           AS rm
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+        |       n_purchases,
+        |       round(CAST(rm AS DOUBLE) / 1e6, 6) AS revenue,
+        |       round(CAST(sum(rm) OVER (PARTITION BY cohort_day
+        |           ORDER BY day_offset
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS DOUBLE) / 1e6, 6) AS cum_revenue
+        |FROM cell ORDER BY 1, 2""".stripMargin,
 
     // the same per-user ignore-nulls carry + 24 h gate, micro-exact sums
     "q_attribution" -> AttributionSql,
