@@ -63,8 +63,8 @@ object GraftFunctions {
   }
 }
 
-/** Session-extension wrapper: SQL functions + the nanos-pushdown
-  * optimizer rule. */
+/** Session-extension wrapper: SQL functions, the nanos-pushdown
+  * optimizer rule, and the as-of merge planner strategy. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
@@ -72,5 +72,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.functions", name), b))
     }
     ext.injectOptimizerRule(_ => graft.plans.NanosPredicatePushdown)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

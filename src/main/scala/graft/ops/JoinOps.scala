@@ -168,6 +168,46 @@ object JoinOps {
         payload.map(c => col(s"__p.$c").as(c))).toIndexedSeq: _*)
   }
 
+  /** As-of join through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsOfJoinExec]] — one co-partitioned, co-sorted merge
+    * pass instead of the union+window composition; see the plan file's
+    * scaladoc for why this is the engine's one custom SparkPlan).
+    * Identical result contract to [[asofJoin]] on non-null keys (pinned
+    * by AsOfJoinSpec + the shared contract oracle); NULL-key probes
+    * emit NULL payload (SQL equi-join semantics).
+    *
+    * The physical merge reads the key/tie as longs and the event time
+    * as a long-backed type (timestamp/long) — the shapes this engine's
+    * tables carry. Anything else falls back to the composition, so the
+    * API is total. The strategy self-registers on the session
+    * (idempotent) so callers need no SparkSessionExtensions setup. */
+  def asofJoinMerge(probes: DataFrame, events: DataFrame, key: String,
+      tsCol: String, payload: Seq[String], tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    def longBacked(t: org.apache.spark.sql.types.DataType) =
+      t == LongType || t == TimestampType
+    val typed = probes.schema(key).dataType == LongType &&
+      events.schema(key).dataType == LongType &&
+      events.schema(tieBreak).dataType == LongType &&
+      longBacked(probes.schema(tsCol).dataType) &&
+      longBacked(events.schema(tsCol).dataType)
+    if (!typed) return asofJoin(probes, events, key, tsCol, payload, tieBreak)
+    val spark = probes.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lp = probes.queryExecution.analyzed
+    val rp = events.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        attr(lp, key), attr(rp, key), attr(lp, tsCol), attr(rp, tsCol),
+        attr(rp, tieBreak), payload.map(attr(rp, _))))
+  }
+
   /** Bloom-prefiltered semi-join: EXACT `fact ⋉ dim` result, with a bloom
     * filter doing the heavy pruning before the real join ever shuffles.
     *

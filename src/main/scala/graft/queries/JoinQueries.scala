@@ -113,6 +113,25 @@ object JoinQueries {
         .orderBy("o_orderkey")
     }),
 
+    // The SAME as-of join through the custom physical operator
+    // (AsOfJoinPlan → AsOfJoinStrategy → AsOfJoinExec: one
+    // co-partitioned co-sorted merge pass, no union, no window — the
+    // engine's one custom SparkPlan; PlanSpec pins the node + the
+    // absence of Window/Union). Result contract identical to
+    // q_asof_join, so the DuckDB ASOF JOIN oracle applies verbatim.
+    "q_asof_join_merge" -> ((s, dir) => {
+      val probes = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        (col("o_custkey") % 150).as("user_id"),
+        to_timestamp(concat(lit("2024-01-"),
+          lpad((col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+          lit(" 00:00:00"))).as("ts"))
+      val ev = Tables.events(s, dir).select("user_id", "ts", "value", "event_id")
+      graft.ops.JoinOps.asofJoinMerge(probes, ev, "user_id", "ts",
+          payload = Seq("value", "event_id"), tieBreak = "event_id")
+        .orderBy("o_orderkey")
+    }),
+
     // Gap filling: full hourly grid over a week for one sparse series,
     // forward-filling missing buckets (serving-side interpolation). The
     // single un-partitioned window is ONLY safe because the grid is bounded
@@ -667,6 +686,19 @@ object JoinQueries {
         | AND w_start <= cov_end
         | AND w_start + INTERVAL 3 DAY >= cov_start
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the custom-operator route must be invisible in the result
+    "q_asof_join_merge" ->
+      """WITH probe AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
+        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        |              || ' 00:00:00' AS TIMESTAMP) AS ts
+        |  FROM orders),
+        |ev AS (SELECT user_id, ts, value, event_id FROM events)
+        |SELECT p.o_orderkey, p.user_id, p.ts, e.value, e.event_id
+        |FROM probe p ASOF LEFT JOIN ev e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.o_orderkey""".stripMargin,
 
     "q_asof_join" ->
       """WITH probe AS (

@@ -23,3 +23,15 @@ object StateStoreBridge {
   def unloadAll(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
+
+/** Bridge to the `private[sql]` plan↔DataFrame converters — what a
+  * library defining its own logical operators (e.g.
+  * [[graft.plans.AsOfJoinPlan]]) needs to hand a custom plan back to the
+  * session as an ordinary DataFrame. */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
