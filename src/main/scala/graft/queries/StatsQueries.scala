@@ -508,6 +508,41 @@ object StatsQueries {
         .orderBy("priority", "status")
     }),
 
+    // Winsorized group statistics (the tail-robust mean the monitoring
+    // dashboards want when q_anomaly_mad says the tails are wild): per
+    // event type, values clip to the exact [p1, p99] of their group and
+    // the stats recompute over the clipped series. The percentiles run
+    // on INTEGER micro-units (the q_anomaly_mad discipline — both
+    // engines interpolate identical integers), clipping is exact
+    // integer clamping, and the winsorized mean is an exact-integer
+    // sum — so a tail-trimmed float statistic hash-matches DuckDB.
+    // Two-pass by nature (quantile → clip); a production caller
+    // persists the micro frame between passes.
+    "q_winsorize" -> ((s, dir) => {
+      val micro = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 1e6, 0).cast("long").as("mv"))
+      val cuts = micro.groupBy(col("event_type"))
+        .agg(expr("percentile(mv, 0.01)").as("p1"),
+          expr("percentile(mv, 0.99)").as("p99"))
+        // exact integer bounds: interpolated micro percentiles round to
+        // micro grid identically cross-engine before any comparison
+        .select(col("event_type"), round(col("p1"), 0).cast("long").as("lo"),
+          round(col("p99"), 0).cast("long").as("hi"))
+      micro.join(broadcast(cuts), Seq("event_type"))
+        .withColumn("cv", greatest(col("lo"), least(col("hi"), col("mv"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("mv") < col("lo") || col("mv") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"),
+          round(first(col("lo")).cast("double") / 1e6, 6).as("p1"),
+          round(first(col("hi")).cast("double") / 1e6, 6).as("p99"),
+          round(sum(col("mv")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("raw_mean"),
+          round(sum(col("cv")).cast("double") / count(lit(1)) / 1e6, 6)
+            .as("wins_mean"))
+        .orderBy("event_type")
+    }),
+
     // Cohort LTV curves (q_cohort_retention's revenue sibling — the
     // "how much has the day-X cohort spent by day-offset Y" product
     // table): cohort = first active day per user (one user-keyed
@@ -2155,6 +2190,30 @@ object StatsQueries {
         |             / sqrt(CAST((nt - n_g) * (nt + 1) AS DOUBLE)
         |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
         |FROM a, tt ORDER BY 1""".stripMargin,
+
+    // quantile_cont over the same micro integers, identical rounding to
+    // the integer clip bounds, exact clipped sums
+    "q_winsorize" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(round(value * 1e6, 0) AS BIGINT) AS mv
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type,
+        |         CAST(round(quantile_cont(mv, 0.01), 0) AS BIGINT) AS lo,
+        |         CAST(round(quantile_cont(mv, 0.99), 0) AS BIGINT) AS hi
+        |  FROM m GROUP BY 1),
+        |j AS (
+        |  SELECT m.event_type, m.mv, c.lo, c.hi,
+        |         greatest(c.lo, least(c.hi, m.mv)) AS cv
+        |  FROM m JOIN c ON m.event_type = c.event_type)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN mv < lo OR mv > hi THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_clipped,
+        |       round(CAST(min(lo) AS DOUBLE) / 1e6, 6) AS p1,
+        |       round(CAST(min(hi) AS DOUBLE) / 1e6, 6) AS p99,
+        |       round(CAST(sum(mv) AS DOUBLE) / count(*) / 1e6, 6) AS raw_mean,
+        |       round(CAST(sum(cv) AS DOUBLE) / count(*) / 1e6, 6) AS wins_mean
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // first-active-day cohorts, micro-exact purchase sums, calendar-
     // bounded cumulative window
