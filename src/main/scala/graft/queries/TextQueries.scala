@@ -576,6 +576,45 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // Sampler-bias audit: does the deterministic hash sample LOOK like
+    // its stratum? Per source, the q_strat_sample top-5 sample's mean
+    // n_chars against the population mean, standardized:
+    // z = (x̄s − μ)·√n / σ_pop. Population moments are exact
+    // DECIMAL(38,0) sums (n_chars is an integer), the sample mean is a
+    // 5-row exact sum, and z is one closed-form double chain — so the
+    // audit is itself hash-checkable, and a hash function that
+    // correlated with content would show up as |z| drift. One corpus
+    // scan + the sampler's bounded-heap pass at any scale.
+    "q_sample_bias" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val hv = TextOps.md5Key64(col("doc_id"))
+      val sample = d.select(col("source"), col("doc_id"), hv.as("hv"))
+        .groupBy("source")
+        .agg(graft.functions.TopKByAgg.topk_by(-col("hv"), col("doc_id"), 5)
+          .as("tk"))
+        .select(col("source"), explode(col("tk")).as("e"))
+        .select(col("source"), col("e.id").as("doc_id"))
+      val pop = d.groupBy(col("source")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("np"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sp"),
+        sum(col("n_chars").cast("decimal(38,0)") *
+          col("n_chars").cast("decimal(38,0)")).as("spp"))
+      val smp = d.join(sample, Seq("source", "doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("ns"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("ss"))
+      val meanS = col("ss").cast("double") / col("ns").cast("double")
+      val meanP = col("sp").cast("double") / col("np").cast("double")
+      val sigma = sqrt((col("np") * col("spp") - col("sp") * col("sp"))
+        .cast("double") / (col("np") * col("np")).cast("double"))
+      smp.join(pop, Seq("source"))
+        .select(col("source"), col("ns").as("n_sample"),
+          round(meanS, 6).as("mean_sample"),
+          round(meanP, 6).as("mean_pop"),
+          round((meanS - meanP) * sqrt(col("ns").cast("double")) / sigma, 6)
+            .as("z"))
+        .orderBy("source")
+    }),
+
     // Heaps-law vocabulary-growth audit (Heaps 1978: V(n) ≈ K·n^β —
     // the curve that tells a tokenizer-training pipeline whether more
     // corpus still buys vocabulary): distinct-vocab and token totals at
@@ -1685,6 +1724,42 @@ object TextQueries {
     // the bounded-heap aggregate replaces only the execution strategy —
     // the window formulation IS the oracle
     "q_strat_sample" -> StratSampleSql,
+
+    // the q_strat_sample rank replay picks the sample; HUGEINT moments,
+    // identical closed-form z chain
+    "q_sample_bias" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |              AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY hv, doc_id) AS rank
+        |  FROM d),
+        |smp AS (
+        |  SELECT source, count(*) AS ns,
+        |         CAST(sum(n_chars) AS HUGEINT) AS ss
+        |  FROM r WHERE rank <= 5 GROUP BY 1),
+        |pop AS (
+        |  SELECT source, CAST(count(*) AS HUGEINT) AS np,
+        |         CAST(sum(n_chars) AS HUGEINT) AS sp,
+        |         sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |           AS spp
+        |  FROM d GROUP BY 1)
+        |SELECT s.source, s.ns AS n_sample,
+        |       round(CAST(s.ss AS DOUBLE) / CAST(s.ns AS DOUBLE), 6)
+        |         AS mean_sample,
+        |       round(CAST(p.sp AS DOUBLE) / CAST(p.np AS DOUBLE), 6)
+        |         AS mean_pop,
+        |       round((CAST(s.ss AS DOUBLE) / CAST(s.ns AS DOUBLE)
+        |              - CAST(p.sp AS DOUBLE) / CAST(p.np AS DOUBLE))
+        |             * sqrt(CAST(s.ns AS DOUBLE))
+        |             / sqrt(CAST(p.np * p.spp - p.sp * p.sp AS DOUBLE)
+        |                    / CAST(p.np * p.np AS DOUBLE)), 6) AS z
+        |FROM smp s JOIN pop p ON s.source = p.source
+        |ORDER BY 1""".stripMargin,
 
     // streamed state ≡ batch aggregate (bottom-k of a set is
     // split-invariant) → one oracle for both
