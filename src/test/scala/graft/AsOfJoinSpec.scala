@@ -83,6 +83,36 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(10L) == Some(3.0) && got(12L).isEmpty)
   }
 
+  test("randomized agreement: merge ≡ composition over seeded adversarial " +
+      "shapes (dense ties, empty keys, pre-history, duplicate timestamps)") {
+    val rnd = new scala.util.Random(20260815L)
+    // small key domain forces collisions; coarse time grid forces ties
+    val evRows = Seq.fill(400) {
+      (rnd.nextInt(8).toLong,
+        ts(f"2024-01-${rnd.nextInt(9) + 1}%02d ${rnd.nextInt(4) * 6}%02d:00:00"),
+        rnd.nextInt(100) / 10.0, rnd.nextInt(1000).toLong)
+    }
+    val prRows = Seq.tabulate(300) { i =>
+      (i.toLong, rnd.nextInt(10).toLong, // keys 8,9 have no events
+        ts(f"2024-01-${rnd.nextInt(10) + 1}%02d ${rnd.nextInt(4) * 6}%02d:00:00"))
+    }
+    val ev = evRows.toDF("user_id", "ts", "value", "event_id")
+      // duplicate (key, ts, tie) rows must not break determinism either
+      .unionByName(evRows.take(50).toDF("user_id", "ts", "value", "event_id"))
+    val pr = prRows.toDF("o", "user_id", "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.get(3)), Option(r.get(4))))
+      .sortBy(_._1).toSeq
+    val merge = rows(JoinOps.asofJoinMerge(pr, ev, "user_id", "ts",
+      Seq("value", "event_id"), "event_id"))
+    val comp = rows(JoinOps.asofJoin(pr, ev, "user_id", "ts",
+      Seq("value", "event_id"), "event_id"))
+    assert(merge.size == 300)
+    val diffs = merge.zip(comp).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty, s"${diffs.size} rows diverge, first: ${diffs.headOption}")
+    assert(merge.exists(_._2.isEmpty) && merge.exists(_._2.isDefined))
+  }
+
   test("plan shape: one AsOfJoin merge node, key-hash exchanges on both " +
       "sides, NO window and NO union (the composition's machinery)") {
     val df = JoinOps.asofJoinMerge(probes, events, "user_id", "ts",
