@@ -508,6 +508,29 @@ object StatsQueries {
         .orderBy("priority", "status")
     }),
 
+    // Funnel latency percentiles (the "how long does view→purchase
+    // take" product metric on top of q_funnel's per-user stage times):
+    // per entry-day cohort, p50/p90 of the full-funnel conversion time
+    // over converted users. Latencies are exact µs longs before the
+    // percentile (the q_anomaly_mad interpolation discipline), nulls
+    // (unconverted users) fall out of the aggregate on both engines,
+    // and the per-user frame is O(users) — never a window over raw
+    // events (funnel3's contract).
+    "q_funnel_latency" -> ((s, dir) => {
+      val f = graft.ops.BehaviorOps.funnel3(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "view", "click", "purchase")
+      f.groupBy(to_date(col("t1")).as("cohort_day"))
+        .agg(count(lit(1)).as("n_entered"),
+          count(col("t3")).as("n_converted"),
+          round(expr(
+            "percentile(unix_micros(t3) - unix_micros(t1), 0.5)") / 1e6, 6)
+            .as("p50_s"),
+          round(expr(
+            "percentile(unix_micros(t3) - unix_micros(t1), 0.9)") / 1e6, 6)
+            .as("p90_s"))
+        .orderBy("cohort_day")
+    }),
+
     // Winsorized group statistics (the tail-robust mean the monitoring
     // dashboards want when q_anomaly_mad says the tails are wild): per
     // event type, values clip to the exact [p1, p99] of their group and
@@ -2191,6 +2214,10 @@ object StatsQueries {
         |                    / CAST(12 * n_g AS DOUBLE)), 6) AS dunn_z
         |FROM a, tt ORDER BY 1""".stripMargin,
 
+    // the funnel CTEs + quantile_cont over exact µs longs (nulls — the
+    // unconverted — fall out of the aggregate on both engines)
+    "q_funnel_latency" -> FunnelLatencySql,
+
     // quantile_cont over the same micro integers, identical rounding to
     // the integer clip bounds, exact clipped sums
     "q_winsorize" ->
@@ -2496,7 +2523,9 @@ object StatsQueries {
 
   // lazy: referenced by oracleSql ABOVE their declarations — an eager
   // val would still be null when the map literal is built
-  private lazy val FunnelSql: String =
+  /** The funnel stage CTEs, shared by q_funnel/q_stream_funnel (counts)
+    * and q_funnel_latency (conversion-time percentiles). */
+  private lazy val FunnelCtes: String =
       """WITH entered AS (
         |  SELECT user_id AS u,
         |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
@@ -2509,7 +2538,24 @@ object StatsQueries {
         |s3 AS (
         |  SELECT s.u, min(ev.ts) AS t3
         |  FROM events ev JOIN s2 s ON ev.user_id = s.u
-        |  WHERE ev.event_type = 'purchase' AND ev.ts > s.t2 GROUP BY 1)
+        |  WHERE ev.event_type = 'purchase' AND ev.ts > s.t2 GROUP BY 1)""".stripMargin
+
+  private lazy val FunnelLatencySql: String = FunnelCtes +
+      """
+        |SELECT CAST(e.t1 AS DATE) AS cohort_day,
+        |       count(*) AS n_entered,
+        |       count(s3.t3) AS n_converted,
+        |       round(quantile_cont(epoch_us(s3.t3) - epoch_us(e.t1), 0.5)
+        |             / 1e6, 6) AS p50_s,
+        |       round(quantile_cont(epoch_us(s3.t3) - epoch_us(e.t1), 0.9)
+        |             / 1e6, 6) AS p90_s
+        |FROM entered e
+        |LEFT JOIN s2 ON e.u = s2.u
+        |LEFT JOIN s3 ON e.u = s3.u
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private lazy val FunnelSql: String = FunnelCtes +
+      """
         |SELECT CAST(e.t1 AS DATE) AS cohort_day,
         |       count(*) AS n_entered,
         |       count(s2.t2) AS n_clicked,
