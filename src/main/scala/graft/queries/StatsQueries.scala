@@ -1021,6 +1021,21 @@ object StatsQueries {
           round(sum(col("vmicro")).cast("double") / 1e6, 6).as("revenue"))
         .orderBy("channel", "day")),
 
+    // STREAMING funnel-latency twin: the same conversion-time
+    // percentiles computed from the streamed per-user (t1,t2,t3) state
+    // machine's final emissions — streamed stage times ≡ batch
+    // (StreamingSpec pins element equality for the funnel), so
+    // q_funnel_latency's oracle applies unchanged.
+    "q_stream_funnel_latency" -> ((s, dir) =>
+      graft.streaming.StreamingOps
+        .runStreamFunnelOnce(s, dir, "view", "click", "purchase")
+        .groupBy(to_date(timestamp_micros(col("t1"))).as("cohort_day"))
+        .agg(count(lit(1)).as("n_entered"),
+          count(col("t3")).as("n_converted"),
+          round(expr("percentile(t3 - t1, 0.5)") / 1e6, 6).as("p50_s"),
+          round(expr("percentile(t3 - t1, 0.9)") / 1e6, 6).as("p90_s"))
+        .orderBy("cohort_day")),
+
     // Per-group key-skew diagnostic — the measurement that DECIDES
     // salting (JoinOps.saltedEquiJoin) and AQE skew thresholds instead
     // of guessing: per-key counts (map-side combinable), then
@@ -2217,6 +2232,10 @@ object StatsQueries {
     // the funnel CTEs + quantile_cont over exact µs longs (nulls — the
     // unconverted — fall out of the aggregate on both engines)
     "q_funnel_latency" -> FunnelLatencySql,
+
+    // streamed stage times ≡ batch (the funnel twin's ordered-slices
+    // contract), so the same replay applies
+    "q_stream_funnel_latency" -> FunnelLatencySql,
 
     // quantile_cont over the same micro integers, identical rounding to
     // the integer clip bounds, exact clipped sums
