@@ -422,6 +422,40 @@ object StatsQueries {
         .localCheckpoint(true))
     }),
 
+    // Experiment power sizing (the question asked BEFORE q_ab_welch's
+    // test runs: what effect could this cohort split even detect?):
+    // per event type, the minimal detectable effect at α=0.05/power=0.8
+    // — MDE = (z_{α/2}+z_β)·√(s²A/nA + s²B/nB) with the conventional
+    // 1.959964 + 0.841621 constants — absolute and relative to the A
+    // mean. Same exact DECIMAL moment scan as the t-test; every float
+    // is the one closed-form chain.
+    "q_ab_power" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") % 2).as("grp"),
+        round(col("value") * 1e6, 0).cast("long")
+          .cast("decimal(38,0)").as("x"))
+      val mom = ev.groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+        .localCheckpoint(true)
+      def side(g: Int, suf: String) = mom.filter(col("grp") === g)
+        .select(col("event_type"), col("n").as(s"n$suf"),
+          col("sx").as(s"sx$suf"), col("sxx").as(s"sxx$suf"))
+      def vOver(n: String, sx: String, sxx: String) =
+        (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (col(n) * col(n) * (col(n) - 1)).cast("double") / 1e12
+      val zSum = lit(1.959964 + 0.841621)
+      val mde = zSum * sqrt(vOver("na", "sxa", "sxxa") +
+        vOver("nb", "sxb", "sxxb"))
+      side(0, "a").join(side(1, "b"), "event_type")
+        .select(col("event_type"),
+          col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          round(mde, 6).as("mde_abs"),
+          round(mde / (col("sxa").cast("double") / col("na").cast("double")
+            / 1e6), 6).as("mde_rel"))
+        .orderBy("event_type")
+    }),
+
     // STREAMING Welch twin: the (n, Σx, Σx²) DECIMAL moments as a
     // streaming grouped aggregate — partial sums ARE the state-store
     // state, and integer sums are linear (order/batch-split invariant),
@@ -2152,6 +2186,38 @@ object StatsQueries {
 
     // streamed moments ≡ batch moments by sum linearity
     "q_stream_welch" -> WelchSql,
+
+    // same HUGEINT moments, the MDE closed form with the conventional
+    // z-constant sum spelled identically
+    "q_ab_power" ->
+      """WITH xs AS (
+        |  SELECT event_type, user_id % 2 AS grp,
+        |         CAST(CAST(round(value * 1e6, 0) AS BIGINT) AS HUGEINT) AS x
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, grp, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(x) AS sx, sum(x*x) AS sxx
+        |  FROM xs GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type,
+        |         a.n AS na, a.sx AS sxa, a.sxx AS sxxa,
+        |         b.n AS nb, b.sx AS sxb, b.sxx AS sxxb
+        |  FROM m a JOIN m b ON a.event_type = b.event_type
+        |  WHERE a.grp = 0 AND b.grp = 1),
+        |v AS (
+        |  SELECT event_type, na, nb,
+        |         (1.959964 + 0.841621) *
+        |         sqrt(CAST(na*sxxa - sxa*sxa AS DOUBLE)
+        |                / CAST(na*na*(na-1) AS DOUBLE) / 1e12
+        |              + CAST(nb*sxxb - sxb*sxb AS DOUBLE)
+        |                / CAST(nb*nb*(nb-1) AS DOUBLE) / 1e12) AS mde,
+        |         CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 1e6 AS ma
+        |  FROM j)
+        |SELECT event_type,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       round(mde, 6) AS mde_abs,
+        |       round(mde / ma, 6) AS mde_rel
+        |FROM v ORDER BY 1""".stripMargin,
 
     // exact HUGEINT regression moments over the (nation, month) rollup;
     // one double chain at the end, mirroring the Spark expression order
