@@ -576,6 +576,64 @@ object TextQueries {
         .orderBy("source", "rank")
     }),
 
+    // Language-ID confusion matrix (the QA table behind q_langid: where
+    // does the n-gram heuristic disagree with the corpus's ground-truth
+    // lang label, and at what per-language accuracy): one map-only
+    // predict pass → the (actual, predicted) contingency rollup;
+    // per-language accuracy is an exact-integer division over it. The
+    // production read: off-diagonal mass localized to one pair means a
+    // stopword-list gap, uniform off-diagonal means the text is too
+    // short for the heuristic.
+    "q_lang_confusion" -> ((s, dir) => {
+      val cells = docs(s, dir)
+        .select(col("lang").as("actual"),
+          TextOps.langId(col("text")).as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤ |langs|² rows; totals re-derive
+      val tot = cells.groupBy(col("actual"))
+        .agg(sum(col("n")).as("n_actual"))
+      cells.join(broadcast(tot), Seq("actual"))
+        .select(col("actual"), col("predicted"), col("n"),
+          round(col("n").cast("double") / col("n_actual"), 6).as("frac"),
+          (col("actual") === col("predicted")).as("correct"))
+        .orderBy("actual", "predicted")
+    }),
+
+    // Per-source dedup-rate dashboard (the curation table that decides
+    // which feeds are worth re-crawling: how much of each source
+    // survives exact dedup, and how much of THAT survives near-dup
+    // cluster resolution): exact survivors via the md5 keep set,
+    // near-dup losers via the prefix-filtered pair graph + CC — both
+    // the machinery the q_corpus_clean pipeline runs, here reported per
+    // source with exact-integer rates.
+    "q_dedup_rate" -> ((s, dir) => {
+      import graft.dedup.DedupOps
+      val d = docs(s, dir)
+      val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true) // pair join reads it twice
+      val losers = DedupOps.duplicateClusters(
+          DedupOps.ngramJaccardPairsPrefix(exactKept, "doc_id", "text", 3, 0.8)
+            .select(col("id_a"), col("id_b")))
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val nearKept = exactKept.join(losers, Seq("doc_id"), "left_anti")
+      val bySource = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val exactBy = exactKept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_exact"))
+      val nearBy = nearKept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_clean"))
+      bySource.join(exactBy, Seq("source"), "left")
+        .join(nearBy, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+          round(coalesce(col("n_clean"), lit(0L)).cast("double") /
+            col("n_docs"), 6).as("survival_rate"))
+        .orderBy("source")
+    }),
+
     // Sampler-bias audit: does the deterministic hash sample LOOK like
     // its stratum? Per source, the q_strat_sample top-5 sample's mean
     // n_chars against the population mean, standardized:
@@ -1185,6 +1243,93 @@ object TextQueries {
          |             * least(nstop / greatest(CAST(len(toks) AS DOUBLE), 1.0) * 5.0, 1.0),
          |             6) AS quality_score
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the q_langid prediction CASE → contingency rollup → exact rates
+    "q_lang_confusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, ${toks("lower(text)")} AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS zh,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS en,
+         |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','ein'))) AS de,
+         |    len(list_filter(toks, x -> x IN ('el','la','los','que','y','es','un'))) AS es,
+         |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une'))) AS fr
+         |  FROM t),
+         |p AS (
+         |  SELECT lang AS actual,
+         |         CASE WHEN zh > 0 THEN 'zh'
+         |              WHEN en + de + es + fr = 0 THEN 'und'
+         |              WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+         |              WHEN de >= es AND de >= fr THEN 'de'
+         |              WHEN es >= fr THEN 'es'
+         |              ELSE 'fr' END AS predicted
+         |  FROM c),
+         |cells AS (
+         |  SELECT actual, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT actual, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM cells GROUP BY 1)
+         |SELECT c.actual, c.predicted, c.n,
+         |       round(CAST(c.n AS DOUBLE) / t.n_actual, 6) AS frac,
+         |       (c.actual = c.predicted) AS correct
+         |FROM cells c JOIN tot t ON c.actual = t.actual
+         |ORDER BY 1, 2""".stripMargin,
+
+    // the corpus-clean dedup machinery replayed per source: exact-keep
+    // via md5 groups, near-dup losers via the pair CTE + transitive
+    // closure, exact-integer survival rates
+    "q_dedup_rate" ->
+      """WITH RECURSIVE toksd AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toksd WHERE len(t) >= 3),
+        |exg AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
+        |exact_keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |ek AS (
+        |  SELECT d.doc_id, d.source FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)),
+        |tp0 AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id IN (SELECT doc_id FROM ek)
+        |    AND b.doc_id IN (SELECT doc_id FROM ek)
+        |  GROUP BY 1, 2),
+        |edges AS (
+        |  SELECT id_a, id_b FROM tp0
+        |  JOIN cnt ca ON id_a = ca.doc_id
+        |  JOIN cnt cb ON id_b = cb.doc_id
+        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+        |bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION ALL SELECT id_b, id_a FROM edges),
+        |reach AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |  WHERE r.src <> b.dst),
+        |members AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |losers AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id),
+        |nk AS (SELECT doc_id, source FROM ek
+        |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |bys AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |exb AS (SELECT source, count(*) AS n_exact FROM ek GROUP BY 1),
+        |nkb AS (SELECT source, count(*) AS n_clean FROM nk GROUP BY 1)
+        |SELECT b.source, b.n_docs,
+        |       CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact,
+        |       CAST(coalesce(k.n_clean, 0) AS BIGINT) AS n_clean,
+        |       round(CAST(coalesce(k.n_clean, 0) AS DOUBLE) / b.n_docs, 6)
+        |         AS survival_rate
+        |FROM bys b
+        |LEFT JOIN exb e ON b.source = e.source
+        |LEFT JOIN nkb k ON b.source = k.source
+        |ORDER BY 1""".stripMargin,
 
     "q_langid" ->
       s"""WITH t AS (
