@@ -75,6 +75,36 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Inverted-index layout audit (the q_skew_diag question asked of
+    // the q_bm25_indexed bucket layout: do 64 term-hash buckets balance
+    // the posting mass, or does one hot bucket own the reads?): per
+    // bucket, term and posting counts; plus the summary skew ratio
+    // max/mean — >2 would argue for more buckets or a hot-term side
+    // list. Pure rollup of the same (term → bucket) projection the
+    // index writes, so the audit needs no index on disk.
+    "q_index_balance" -> ((s, dir) => {
+      // fixture seam at the bucketed postings (xxhash64 has no DuckDB
+      // replay): the oracle rolls up exactly the frame the index writes
+      val posts = OracleFixtures.seam(docs(s, dir)
+        .select(col("doc_id"),
+          explode(graft.text.TextOps.wsTokens(lower(col("text")))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("term")), lit(64L)).cast("int")),
+        dir, "index_balance_posts")
+      val per = posts.groupBy(col("bucket"))
+        .agg(countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_postings"))
+        .localCheckpoint(true) // ≤64 rows; the summary re-derives
+      val tot = per.agg(sum(col("n_postings")).as("np"),
+        count(lit(1)).as("nb"), max(col("n_postings")).as("mx"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_terms"), col("n_postings"),
+          round(col("mx").cast("double") * col("nb") /
+            col("np").cast("double"), 6).as("skew_ratio"))
+        .orderBy("bucket")
+    }),
+
     // STREAMED inverted-index ingest: documents arrive as a stream,
     // each micro-batch appends its posting lists + an exact-integer
     // stats increment (replay-idempotent), and the standard query set
@@ -244,6 +274,27 @@ object RetrievalQueries {
          |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
          |FROM lexrank WHERE rank <= $Bm25K
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // rollup replay over the bucketed-postings fixture (xxhash64 has no
+    // DuckDB replay; the counts and the skew summary are the checkable
+    // downstream, same seam discipline as the MinHash family)
+    "q_index_balance" -> {
+      s"""WITH p AS (SELECT * FROM read_parquet(
+         |    '${OracleFixtures.sqlPath("index_balance_posts")}')),
+         |per AS (
+         |  SELECT bucket, count(DISTINCT term) AS n_terms,
+         |         count(*) AS n_postings
+         |  FROM p GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_postings) AS BIGINT) AS np,
+         |         count(*) AS nb,
+         |         CAST(max(n_postings) AS BIGINT) AS mx
+         |  FROM per)
+         |SELECT per.bucket, per.n_terms, per.n_postings,
+         |       round(CAST(tot.mx AS DOUBLE) * tot.nb
+         |             / CAST(tot.np AS DOUBLE), 6) AS skew_ratio
+         |FROM per, tot ORDER BY 1""".stripMargin
     },
 
     // streamed index ≡ built index ≡ scan path: the same replay, the

@@ -600,6 +600,24 @@ object StatsQueries {
         .orderBy("event_type")
     }),
 
+    // Category share-over-time (the mix-shift monitor: is a priority
+    // class growing at the others' expense — the question behind every
+    // "metric moved, did the MIX move?" incident): monthly counts per
+    // priority with exact share fractions; one scan → the month×class
+    // rollup, shares via a broadcast join of monthly totals.
+    "q_category_share" -> ((s, dir) => {
+      val cells = Tables.orders(s, dir)
+        .groupBy(trunc(col("o_orderdate"), "month").as("month"),
+          col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // month×5 rows; totals re-derive
+      val tot = cells.groupBy(col("month")).agg(sum(col("n")).as("nm"))
+      cells.join(broadcast(tot), Seq("month"))
+        .select(col("month"), col("priority"), col("n"),
+          round(col("n").cast("double") / col("nm"), 6).as("share"))
+        .orderBy("month", "priority")
+    }),
+
     // Cohort LTV curves (q_cohort_retention's revenue sibling — the
     // "how much has the day-X cohort spent by day-offset Y" product
     // table): cohort = first active day per user (one user-keyed
@@ -2326,6 +2344,19 @@ object StatsQueries {
         |       round(CAST(sum(mv) AS DOUBLE) / count(*) / 1e6, 6) AS raw_mean,
         |       round(CAST(sum(cv) AS DOUBLE) / count(*) / 1e6, 6) AS wins_mean
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // month×class rollup + monthly totals, exact share divisions
+    "q_category_share" ->
+      """WITH cells AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         o_orderpriority AS priority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT month, CAST(sum(n) AS BIGINT) AS nm FROM cells GROUP BY 1)
+        |SELECT c.month, c.priority, c.n,
+        |       round(CAST(c.n AS DOUBLE) / t.nm, 6) AS share
+        |FROM cells c JOIN tot t ON c.month = t.month
+        |ORDER BY 1, 2""".stripMargin,
 
     // first-active-day cohorts, micro-exact purchase sums, calendar-
     // bounded cumulative window
