@@ -71,13 +71,23 @@ object JoinOps {
     * Matches are `startCol <= ptCol < endCol` (start-incl, end-excl). */
   def binnedIntervalJoin(intervals: DataFrame, startCol: String,
       endCol: String, points: DataFrame, ptCol: String): DataFrame = {
-    val binned = intervals.withColumn("__bin",
-      explode(sequence(date_trunc("DAY", col(startCol)).cast("date"),
-        col(endCol).cast("date"), expr("INTERVAL 1 DAY"))))
-    val pts = points.withColumn("__bin", to_date(col(ptCol)))
-    binned.join(pts, Seq("__bin"))
+    // a fresh bin name: `sequence` throws at runtime on a backwards
+    // interval (end < start — such intervals match nothing under
+    // start <= pt < end, so drop them up front instead of crashing),
+    // and a hardcoded "__bin" would silently collide with an input
+    // column of that name
+    val bin = Iterator.from(0).map(i => s"__bin$i")
+      .find(n => !intervals.columns.contains(n) && !points.columns.contains(n))
+      .get
+    val binned = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn(bin,
+        explode(sequence(date_trunc("DAY", col(startCol)).cast("date"),
+          col(endCol).cast("date"), expr("INTERVAL 1 DAY"))))
+    val pts = points.withColumn(bin, to_date(col(ptCol)))
+    binned.join(pts, Seq(bin))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
-      .drop("__bin")
+      .drop(bin)
   }
 
   /** Point-in-time (SCD2) dimension lookup: for every fact row, the ONE
@@ -120,15 +130,16 @@ object JoinOps {
   /** As-of join: for every probe row, the latest event row with
     * `event.ts <= probe.ts` within the same key — THE timeseries join Spark
     * lacks natively (SURVEY §7.6 names it the canonical custom-operator
-    * candidate).
-    *
-    * Implemented by composition, not a custom SparkPlan: union the two
-    * sides tagged, sort within key, and carry the last non-null event
-    * payload forward with an `ignoreNulls` running `last` — one shuffle on
-    * the key + one sort, identical asymptotics to a purpose-built
-    * sort-merge as-of. Ties (event.ts == probe.ts) match, like DuckDB's
+    * candidate). Ties (event.ts == probe.ts) match, like DuckDB's
     * `ASOF JOIN ... >=`; among events sharing one timestamp the
-    * highest-`tieBreak` row wins deterministically.
+    * highest-`tieBreak` row wins deterministically; NULL-key probes emit
+    * NULL payload (SQL equi-join semantics on both paths).
+    *
+    * Dispatches to the custom single-pass merge operator
+    * ([[asofJoinMerge]] → [[graft.plans.AsOfJoinExec]], measured 2× the
+    * composition) whenever the column types fit its envelope, and to the
+    * window composition ([[asofJoinComposed]]) otherwise — so callers
+    * always get the best eligible physical plan with a total API.
     *
     * @param probes   (key, ts, …probe cols)
     * @param events   (key, ts, payload cols)
@@ -139,7 +150,22 @@ object JoinOps {
     * @param tieBreak extra event ordering column for same-timestamp events
     */
   def asofJoin(probes: DataFrame, events: DataFrame, key: String, tsCol: String,
-      payload: Seq[String], tieBreak: String): DataFrame = {
+      payload: Seq[String], tieBreak: String): DataFrame =
+    asofJoinMerge(probes, events, key, tsCol, payload, tieBreak)
+
+  /** The as-of join by COMPOSITION of built-in operators: union the two
+    * sides tagged, sort within key, and carry the last non-null event
+    * payload forward with an `ignoreNulls` running `last` — one shuffle on
+    * the key + one sort, identical asymptotics to a purpose-built
+    * sort-merge as-of (but it materializes both sides into one window
+    * buffer; [[asofJoinMerge]] is ~2× on eligible types). Kept public as
+    * the fallback path and the differential-testing twin for
+    * [[graft.plans.AsOfJoinExec]] (AsOfJoinSpec compares them row-exact).
+    * NULL-key events are dropped up front so NULL-key probes emit NULL
+    * payload — the same SQL equi-join semantics as the merge operator. */
+  def asofJoinComposed(probes: DataFrame, events0: DataFrame, key: String,
+      tsCol: String, payload: Seq[String], tieBreak: String): DataFrame = {
+    val events = events0.filter(col(key).isNotNull)
     import org.apache.spark.sql.expressions.Window
     val probeCols = probes.columns
     val payloadStruct = struct(payload.map(col): _*)
@@ -176,36 +202,67 @@ object JoinOps {
     * by AsOfJoinSpec + the shared contract oracle); NULL-key probes
     * emit NULL payload (SQL equi-join semantics).
     *
-    * The physical merge reads the key/tie as longs and the event time
-    * as a long-backed type (timestamp/long) — the shapes this engine's
-    * tables carry. Anything else falls back to the composition, so the
-    * API is total. The strategy self-registers on the session
-    * (idempotent) so callers need no SparkSessionExtensions setup. */
+    * Type envelope (outside it the call falls back to the composition,
+    * so the API is total):
+    *  - event time: IDENTICAL long-backed type on both sides (timestamp
+    *    or long). Identity matters, not just long-backed-ness — a
+    *    LongType probe ts against a TimestampType event ts would compare
+    *    arbitrary longs to epoch-micros and silently mis-match;
+    *  - key: both sides integral (byte/short/int/long — normalized to
+    *    long through a temp column, exact), both timestamp, or both
+    *    string (the merge compares UTF8Strings directly — binary order,
+    *    which only key EQUALITY depends on, so any collation-consistent
+    *    sort works);
+    *  - tieBreak: any atomic (orderable) type — the merge never reads
+    *    the tie; the required child SORT enforces it.
+    * The strategy self-registers on the session (idempotent) so callers
+    * need no SparkSessionExtensions setup. */
   def asofJoinMerge(probes: DataFrame, events: DataFrame, key: String,
       tsCol: String, payload: Seq[String], tieBreak: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    def longBacked(t: org.apache.spark.sql.types.DataType) =
-      t == LongType || t == TimestampType
-    val typed = probes.schema(key).dataType == LongType &&
-      events.schema(key).dataType == LongType &&
-      events.schema(tieBreak).dataType == LongType &&
-      longBacked(probes.schema(tsCol).dataType) &&
-      longBacked(events.schema(tsCol).dataType)
-    if (!typed) return asofJoin(probes, events, key, tsCol, payload, tieBreak)
-    val spark = probes.sparkSession
+    import org.apache.spark.sql.types._
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    val pk = probes.schema(key).dataType
+    val ek = events.schema(key).dataType
+    val pts = probes.schema(tsCol).dataType
+    val ets = events.schema(tsCol).dataType
+    val tsOk = pts == ets && (pts == LongType || pts == TimestampType)
+    val keyOk = (integral(pk) && integral(ek)) ||
+      (pk == TimestampType && ek == TimestampType) ||
+      (pk == StringType && ek == StringType)
+    // the merge never reads the tie — it only has to be sortable (the
+    // required child ordering enforces the tie-break); struct/array ties
+    // are technically orderable too but stay on the composed path
+    val tieOk = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(events.schema(tieBreak).dataType) &&
+      !events.schema(tieBreak).dataType.isInstanceOf[StructType] &&
+      !events.schema(tieBreak).dataType.isInstanceOf[ArrayType]
+    if (!tsOk || !keyOk || !tieOk)
+      return asofJoinComposed(probes, events, key, tsCol, payload, tieBreak)
+    // integral keys narrower than long are widened through a temp column
+    // (the exec reads the key with getLong); long/timestamp/string keys
+    // merge on the original column
+    val needWiden = integral(pk) && (pk != LongType || ek != LongType)
+    val kCol = if (!needWiden) key
+      else Iterator.from(0).map(i => s"__asof_k$i")
+        .find(n => !probes.columns.contains(n) && !events.columns.contains(n))
+        .get
+    val p = if (needWiden) probes.withColumn(kCol, col(key).cast("long")) else probes
+    val e = if (needWiden) events.withColumn(kCol, col(key).cast("long")) else events
+    val spark = p.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
-    val lp = probes.queryExecution.analyzed
-    val rp = events.queryExecution.analyzed
+    val lp = p.queryExecution.analyzed
+    val rp = e.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
+    val out = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark,
       graft.plans.AsOfJoinPlan(lp, rp,
-        attr(lp, key), attr(rp, key), attr(lp, tsCol), attr(rp, tsCol),
+        attr(lp, kCol), attr(rp, kCol), attr(lp, tsCol), attr(rp, tsCol),
         attr(rp, tieBreak), payload.map(attr(rp, _))))
+    if (needWiden) out.drop(kCol) else out
   }
 
   /** Bloom-prefiltered semi-join: EXACT `fact ⋉ dim` result, with a bloom

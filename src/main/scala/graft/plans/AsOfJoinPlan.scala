@@ -33,8 +33,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * nulls), pinned by AsOfJoinSpec.
   *
   * Type envelope (checked by [[graft.ops.JoinOps.asofJoinMerge]], which
-  * falls back to the composition outside it): long-backed key and tie,
-  * timestamp- or long-backed event time. Payload columns are arbitrary.
+  * falls back to the composition outside it): long-backed OR string key
+  * (string keys merge on UTF8String comparison — only key EQUALITY
+  * matters semantically, ordering just has to agree with the child
+  * sort, and both use binary order), any atomic tie (never read by the
+  * merge — the required child sort enforces it), identical long-backed
+  * event-time type on BOTH sides. Payload columns are arbitrary.
   */
 case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
@@ -106,6 +110,8 @@ case class AsOfJoinExec(
     val rightOut = right.output
     val leftOut = left.output
     val outAttrs = output
+    val stringKey =
+      leftKey.dataType == org.apache.spark.sql.types.StringType
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
       // bind the payload side NULLABLE: the no-match row is all nulls,
@@ -115,44 +121,88 @@ case class AsOfJoinExec(
         leftOut ++ payloadAttrs.map(_.withNullability(true)))
       val nullPayload = new GenericInternalRow(payloadAttrs.length)
       val joined = new JoinedRow
-      // cursor state: the next unconsumed event (key, ts) + whether one
-      // exists, and the latest matching payload for `heldKey`
-      var rValid = false
-      var rKey = 0L; var rTs = 0L
-      var rRow: InternalRow = null // copied — sorter reuses buffers
-      var heldKey = 0L
-      var heldValid = false
-      var held: InternalRow = null
-      def advanceR(): Unit = {
-        rValid = false
-        while (!rValid && rIt.hasNext) {
-          val r = rIt.next()
-          // NULL key or NULL time: unmatchable under equi/as-of
-          // semantics — skip (the probe side emits NULL payload)
-          if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
-            rKey = r.getLong(rKeyIdx); rTs = r.getLong(rTimeIdx)
-            rRow = r; rValid = true
+      if (stringKey) {
+        // UTF8String-keyed merge — same cursor discipline as the long
+        // path; held/cursor keys are COPIED because they point into
+        // reused sorter buffers
+        import org.apache.spark.unsafe.types.UTF8String
+        var rValid = false
+        var rKey: UTF8String = null; var rTs = 0L
+        var rRow: InternalRow = null
+        var heldKey: UTF8String = null
+        var held: InternalRow = null
+        def advanceR(): Unit = {
+          rValid = false
+          while (!rValid && rIt.hasNext) {
+            val r = rIt.next()
+            if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+              rKey = r.getUTF8String(rKeyIdx).copy()
+              rTs = r.getLong(rTimeIdx)
+              rRow = r; rValid = true
+            }
           }
         }
-      }
-      advanceR()
-      lIt.map { l =>
-        if (l.isNullAt(lKeyIdx) || l.isNullAt(lTimeIdx)) {
-          resultProj(joined(l, nullPayload))
-        } else {
-          val lKey = l.getLong(lKeyIdx); val lTs = l.getLong(lTimeIdx)
-          // consume every event at-or-before this probe; the LAST one
-          // consumed for this key is the as-of match (ties: the sort
-          // put the highest tieBreak last)
-          while (rValid && (rKey < lKey || (rKey == lKey && rTs <= lTs))) {
-            if (rKey == lKey) {
-              heldKey = lKey; heldValid = true
-              held = payloadProj(rRow).copy()
+        advanceR()
+        lIt.map { l =>
+          if (l.isNullAt(lKeyIdx) || l.isNullAt(lTimeIdx)) {
+            resultProj(joined(l, nullPayload))
+          } else {
+            val lKey = l.getUTF8String(lKeyIdx); val lTs = l.getLong(lTimeIdx)
+            while (rValid && {
+              val c = rKey.compareTo(lKey)
+              c < 0 || (c == 0 && rTs <= lTs)
+            }) {
+              if (rKey.equals(lKey)) {
+                heldKey = rKey // already a copy
+                held = payloadProj(rRow).copy()
+              }
+              advanceR()
             }
-            advanceR()
+            if (heldKey != null && heldKey.equals(lKey))
+              resultProj(joined(l, held))
+            else resultProj(joined(l, nullPayload))
           }
-          if (heldValid && heldKey == lKey) resultProj(joined(l, held))
-          else resultProj(joined(l, nullPayload))
+        }
+      } else {
+        // cursor state: the next unconsumed event (key, ts) + whether one
+        // exists, and the latest matching payload for `heldKey`
+        var rValid = false
+        var rKey = 0L; var rTs = 0L
+        var rRow: InternalRow = null // copied — sorter reuses buffers
+        var heldKey = 0L
+        var heldValid = false
+        var held: InternalRow = null
+        def advanceR(): Unit = {
+          rValid = false
+          while (!rValid && rIt.hasNext) {
+            val r = rIt.next()
+            // NULL key or NULL time: unmatchable under equi/as-of
+            // semantics — skip (the probe side emits NULL payload)
+            if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+              rKey = r.getLong(rKeyIdx); rTs = r.getLong(rTimeIdx)
+              rRow = r; rValid = true
+            }
+          }
+        }
+        advanceR()
+        lIt.map { l =>
+          if (l.isNullAt(lKeyIdx) || l.isNullAt(lTimeIdx)) {
+            resultProj(joined(l, nullPayload))
+          } else {
+            val lKey = l.getLong(lKeyIdx); val lTs = l.getLong(lTimeIdx)
+            // consume every event at-or-before this probe; the LAST one
+            // consumed for this key is the as-of match (ties: the sort
+            // put the highest tieBreak last)
+            while (rValid && (rKey < lKey || (rKey == lKey && rTs <= lTs))) {
+              if (rKey == lKey) {
+                heldKey = lKey; heldValid = true
+                held = payloadProj(rRow).copy()
+              }
+              advanceR()
+            }
+            if (heldValid && heldKey == lKey) resultProj(joined(l, held))
+            else resultProj(joined(l, nullPayload))
+          }
         }
       }
     }

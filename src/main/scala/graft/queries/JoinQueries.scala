@@ -98,8 +98,11 @@ object JoinQueries {
     }),
 
     // As-of join: latest event at-or-before each probe time per user —
-    // composed from union + running last (JoinOps.asofJoin), checked
-    // against DuckDB's native ASOF JOIN.
+    // the PRIMARY entry point (JoinOps.asofJoin), which now dispatches
+    // to the custom AsOfJoinExec merge whenever types are eligible
+    // (they are here: long key/tie, timestamp ts both sides) — checked
+    // against DuckDB's native ASOF JOIN. PlanSpec pins the AsOfJoinExec
+    // node in this query's physical plan.
     "q_asof_join" -> ((s, dir) => {
       val probes = Tables.orders(s, dir).select(
         col("o_orderkey"),

@@ -23,6 +23,7 @@ object ServeMain {
     val port = args.lift(1).map(_.toInt).getOrElse(8000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", cpus)

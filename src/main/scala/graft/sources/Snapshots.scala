@@ -41,16 +41,24 @@ object Snapshots {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Highest committed version, or -1 for an empty/absent table. */
-  def currentVersion(spark: SparkSession, dir: String): Int = {
+  /** The versions whose manifests actually exist in `_log/`, ascending.
+    * After a [[vacuum]] this is a suffix of 0..current — [[history]] and
+    * [[eraseAcrossHistory]] iterate THIS, never an assumed 0..cur range
+    * (a vacuumed table would otherwise throw FileNotFoundException on
+    * the dropped manifests, making post-vacuum erasure impossible). */
+  def liveVersions(spark: SparkSession, dir: String): Seq[Int] = {
     val f = fs(spark, dir)
-    if (!f.exists(logDir(dir))) -1
+    if (!f.exists(logDir(dir))) Nil
     else f.listStatus(logDir(dir)).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
-      .sorted.lastOption.getOrElse(-1)
+      .sorted
   }
+
+  /** Highest committed version, or -1 for an empty/absent table. */
+  def currentVersion(spark: SparkSession, dir: String): Int =
+    liveVersions(spark, dir).lastOption.getOrElse(-1)
 
   /** The data files constituting snapshot `version`. */
   def manifest(spark: SparkSession, dir: String, version: Int): Seq[String] = {
@@ -157,14 +165,20 @@ object Snapshots {
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
-    val cur = currentVersion(spark, dir)
-    require(cur >= 0, s"$dir has no commits")
-    val vf = (0 to cur).flatMap(v =>
+    val versions = liveVersions(spark, dir)
+    require(versions.nonEmpty, s"$dir has no commits")
+    val vf = versions.flatMap(v =>
       manifest(spark, dir, v).map(f => (v, f)))
     val perFile = spark.createDataset(vf).toDF("version", "file")
+    // ship the SESSION's Hadoop conf (spark.hadoop.* — s3a/abfs creds
+    // etc.) to the executors; a bare `new Configuration()` only works
+    // on local FS
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val counts = spark.createDataset(vf.map(_._2).distinct)
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         it.map { f =>
           val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
             conf, new Path(f),
@@ -207,9 +221,9 @@ object Snapshots {
   def eraseAcrossHistory(spark: SparkSession, dir: String, keyCol: String,
       doomed: Seq[String]): Int = {
     import spark.implicits._
-    val cur = currentVersion(spark, dir)
-    require(cur >= 0, s"$dir has no commits")
-    val manifests = (0 to cur).map(v => v -> manifest(spark, dir, v)).toMap
+    val versions = liveVersions(spark, dir)
+    require(versions.nonEmpty, s"$dir has no commits")
+    val manifests = versions.map(v => v -> manifest(spark, dir, v)).toMap
     val allFiles = manifests.values.flatten.toSeq.distinct
     val doomedDf = doomed.toDF("__doomed_k")
     val hit = spark.read.parquet(allFiles: _*)
@@ -224,8 +238,13 @@ object Snapshots {
     val remap = allFiles.filter(p => hitSet(norm(p))).map { old =>
       val stamp = graft.text.TextOps.md5Hex(old).take(12)
       val sub = new Path(s"$dir/purge-$stamp")
+      // null-safe keep predicate: `!k.isInCollection(doomed)` is NULL
+      // (not true) for NULL keys, which would silently DROP every
+      // null-key row in a rewritten file — the opposite of SQL
+      // `DELETE WHERE key IN (...)`, which keeps them
       spark.read.parquet(old)
-        .filter(!col(keyCol).cast("string").isInCollection(doomed))
+        .filter(col(keyCol).isNull ||
+          !col(keyCol).cast("string").isInCollection(doomed))
         .coalesce(1)
         .write.mode(SaveMode.Overwrite).parquet(sub.toString)
       old -> dataFiles(spark, sub)
@@ -250,16 +269,19 @@ object Snapshots {
   def vacuum(spark: SparkSession, dir: String, retainLast: Int = 1)
       : Seq[String] = {
     require(retainLast >= 1, "must retain at least the current version")
-    val cur = currentVersion(spark, dir)
-    require(cur >= 0, s"$dir has no commits to vacuum")
-    val keepFrom = math.max(0, cur - retainLast + 1)
-    val keep = (keepFrom to cur).flatMap(manifest(spark, dir, _)).toSet
-    val doomed = (0 until keepFrom)
+    val versions = liveVersions(spark, dir)
+    require(versions.nonEmpty, s"$dir has no commits to vacuum")
+    // only versions whose manifests still exist — a second vacuum must
+    // not assume the 0..cur range the first one already pruned
+    val (dropVs, keepVs) =
+      versions.splitAt(math.max(0, versions.size - retainLast))
+    val keep = keepVs.flatMap(manifest(spark, dir, _)).toSet
+    val doomed = dropVs
       .flatMap(manifest(spark, dir, _)).toSet
       .diff(keep).toSeq.sorted
     val f = fs(spark, dir)
     doomed.foreach(p => f.delete(new Path(p), false))
-    (0 until keepFrom).foreach { v =>
+    dropVs.foreach { v =>
       f.delete(new Path(logDir(dir), f"v$v%05d.txt"), false): Unit
     }
     // deleted paths can linger in Spark's FileStatusCache (the

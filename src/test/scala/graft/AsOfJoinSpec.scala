@@ -53,7 +53,7 @@ class AsOfJoinSpec extends AnyFunSuite {
         Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
     val merge = rows(JoinOps.asofJoinMerge(p, ev, "user_id", "ts",
       Seq("value", "event_id"), "event_id"))
-    val comp = rows(JoinOps.asofJoin(p, ev, "user_id", "ts",
+    val comp = rows(JoinOps.asofJoinComposed(p, ev, "user_id", "ts",
       Seq("value", "event_id"), "event_id"))
     assert(merge == comp)
     assert(merge.nonEmpty && merge.exists(_._4.isDefined) &&
@@ -72,15 +72,65 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(2L).isEmpty, "null key must not match")
   }
 
-  test("type envelope: a string key falls back to the composition " +
-      "(no AsOfJoin node), result still correct") {
-    val p = probes.withColumn("user_id", concat(lit("u"), col("user_id")))
+  test("widened envelope: STRING keys run the merge operator " +
+      "(UTF8String comparison path), result correct incl. null keys") {
+    val p = probes.withColumn("user_id",
+      when(col("o") === 13L, lit(null).cast("string"))
+        .otherwise(concat(lit("u"), col("user_id"))))
     val e = events.withColumn("user_id", concat(lit("u"), col("user_id")))
     val df = JoinOps.asofJoinMerge(p, e, "user_id", "ts",
       Seq("value"), "event_id")
-    assert(!df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
     val got = df.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(10L) == Some(3.0)) // latest-at-or-before, tie to 300
+    assert(got(11L) == Some(3.0)) // ties match
+    assert(got(12L).isEmpty)      // pre-history
+    assert(got(13L).isEmpty)      // NULL string key never matches
+  }
+
+  test("widened envelope: INT keys are widened to long through a temp " +
+      "column — merge node planned, output schema keeps the int key") {
+    val p = probes.withColumn("user_id", col("user_id").cast("int"))
+    val e = events.withColumn("user_id", col("user_id").cast("int"))
+    val df = JoinOps.asofJoinMerge(p, e, "user_id", "ts",
+      Seq("value"), "event_id")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.schema("user_id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    assert(df.columns.toSeq == Seq("o", "user_id", "ts", "value"))
+    val got = df.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(10L) == Some(3.0) && got(12L).isEmpty && got(13L).isEmpty)
+  }
+
+  test("type envelope: MISMATCHED time types (long probe ts vs timestamp " +
+      "event ts) never reach the merge — raw longs must not be compared " +
+      "to epoch-micros; the fallback fails LOUDLY at the union type check") {
+    val p = probes.withColumn("ts", col("ts").cast("long"))
+    // before the envelope fix this planned AsOfJoinExec and silently
+    // produced wrong matches; now it routes to the composition, whose
+    // union rejects the incompatible column — an error, never bad rows
+    intercept[org.apache.spark.sql.AnalysisException] {
+      JoinOps.asofJoinMerge(p, events, "user_id", "ts",
+        Seq("value"), "event_id").collect()
+    }
+    // both sides carrying the SAME long encoding is eligible and correct
+    val e2 = events.withColumn("ts", col("ts").cast("long"))
+    val df2 = JoinOps.asofJoinMerge(p, e2, "user_id", "ts",
+      Seq("value"), "event_id")
+    assert(df2.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val got = df2.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
     assert(got(10L) == Some(3.0) && got(12L).isEmpty)
+  }
+
+  test("primary asofJoin entry point DELEGATES to the merge operator on " +
+      "eligible types (plan shows AsOfJoin, no Window/Union)") {
+    val df = JoinOps.asofJoin(probes, events, "user_id", "ts",
+      Seq("value", "event_id"), "event_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(2000))
+    assert(!plan.contains("Window") && !plan.contains("Union"), plan.take(2000))
+    val got = df.collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(got(10L) == Some(3.0) && got(13L).isEmpty)
   }
 
   test("randomized agreement: merge ≡ composition over seeded adversarial " +
@@ -105,7 +155,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .sortBy(_._1).toSeq
     val merge = rows(JoinOps.asofJoinMerge(pr, ev, "user_id", "ts",
       Seq("value", "event_id"), "event_id"))
-    val comp = rows(JoinOps.asofJoin(pr, ev, "user_id", "ts",
+    val comp = rows(JoinOps.asofJoinComposed(pr, ev, "user_id", "ts",
       Seq("value", "event_id"), "event_id"))
     assert(merge.size == 300)
     val diffs = merge.zip(comp).filter { case (a, b) => a != b }

@@ -65,6 +65,39 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(tkp == Seq((90L, 9L, 900L), (70L, 2L, 200L)))
   }
 
+  test("a FRESH session built with GraftExtensions plans AsOfJoinPlan → " +
+      "AsOfJoinExec with no manual strategy injection") {
+    // newSession() clones session state from the extensions-built parent
+    // but shares nothing mutable — in particular it does NOT inherit any
+    // experimental.extraStrategies a prior JoinOps call self-registered,
+    // so a strategy resolved here can only have come from the
+    // SparkSessionExtensions wiring
+    val fresh = TestSpark.spark.newSession()
+    assert(fresh.experimental.extraStrategies.isEmpty,
+      "precondition: no self-registered strategies on the fresh session")
+    import fresh.implicits._
+    val probes = Seq((1L, 5L, "p")).toDF("user_id", "ts", "tag")
+    val events = Seq((1L, 3L, 9.0, 1L)).toDF("user_id", "ts", "value", "event_id")
+    def attr(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.queryExecution.analyzed.output.find(_.name == n).get
+    val df = org.apache.spark.sql.graftbridge.PlanBridge.ofRows(fresh,
+      graft.plans.AsOfJoinPlan(
+        probes.queryExecution.analyzed, events.queryExecution.analyzed,
+        attr(probes, "user_id"), attr(events, "user_id"),
+        attr(probes, "ts"), attr(events, "ts"),
+        attr(events, "event_id"), Seq(attr(events, "value"))))
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    assert(df.collect().map(_.getDouble(3)).toSeq == Seq(9.0))
+  }
+
+  test("nanos-pushdown optimizer rule is active on the extensions-built " +
+      "session (injectOptimizerRule wiring)") {
+    val fresh = TestSpark.spark.newSession()
+    val batches = fresh.sessionState.optimizer.batches.flatMap(_.rules)
+    assert(batches.exists(_ eq graft.plans.NanosPredicatePushdown),
+      "NanosPredicatePushdown must be injected by GraftExtensions")
+  }
+
   test("gram_micro aggregate from SQL") {
     val g = spark.sql(
       """SELECT gram_micro(v, 2) AS g FROM VALUES

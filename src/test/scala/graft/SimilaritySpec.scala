@@ -134,6 +134,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("binnedIntervalJoin: backwards intervals are dropped (no sequence " +
+      "crash) and a pre-existing __bin column does not collide") {
+    import graft.ops.JoinOps
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // one valid interval, one BACKWARDS interval (end < start — would
+    // crash `sequence` without the guard), plus an input column named
+    // __bin0 on the points side that the temp name must dodge
+    val intervals = Seq(
+      ("ok", ts("2024-01-02 00:00:00"), ts("2024-01-05 00:00:00")),
+      ("bad", ts("2024-01-09 00:00:00"), ts("2024-01-07 00:00:00"))
+    ).toDF("iv", "start", "end")
+    val points = Seq(
+      (1L, ts("2024-01-03 06:00:00"), "x"),
+      (2L, ts("2024-01-08 06:00:00"), "y") // only inside the backwards one
+    ).toDF("id", "pt", "__bin0")
+    val got = JoinOps.binnedIntervalJoin(intervals, "start", "end",
+      points, "pt")
+    assert(got.columns.contains("__bin0"), "caller's column must survive")
+    val rows = got.select("iv", "id").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set(("ok", 1L)),
+      s"only the valid interval may match, got $rows")
+  }
+
   test("trained k-means IVF: quantizer shape, exact in-cell ranking") {
     val emb = graft.tables.Tables.embeddings(spark, TestSpark.Sf0001)
     val cent = SimilarityOps.kmeansCentroids(emb, "vec_id", "embedding",

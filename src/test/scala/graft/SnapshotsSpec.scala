@@ -116,6 +116,56 @@ class SnapshotsSpec extends AnyFunSuite {
       .intersect(cleanFile.toSet) == cleanFile.toSet)
   }
 
+  test("eraseAcrossHistory keeps NULL-key rows in rewritten files — " +
+      "`!k IN (doomed)` is NULL, not true, for NULL keys, and a non-" +
+      "null-safe keep predicate would silently destroy them") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_erase_null").toString + "/t"
+    // one file holding a doomed key AND a null-key row: the rewrite
+    // must drop only the doomed row
+    Snapshots.commitAppend(spark, root,
+      Seq((Option(7L), "a"), (Option.empty[Long], "n"), (Option(1L), "b"))
+        .toDF("k", "p").coalesce(1))
+    val rewritten = Snapshots.eraseAcrossHistory(spark, root, "k", Seq("7"))
+    assert(rewritten == 1)
+    val rows = Snapshots.readSnapshot(spark, root, 0)
+      .collect().map(r => (Option(r.get(0)), r.getString(1))).toSet
+    assert(rows == Set((Some(1L), "b"), (None, "n")),
+      s"null-key row must survive the rewrite, got $rows")
+  }
+
+  test("history and eraseAcrossHistory work AFTER a vacuum (live-version " +
+      "enumeration, not an assumed 0..cur range), and vacuum is " +
+      "re-runnable") {
+    import spark.implicits._
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_vac2").toString + "/t"
+    Snapshots.commitAppend(spark, root,
+      Seq((7L, "a"), (1L, "b")).toDF("k", "p").coalesce(1))      // v0
+    Snapshots.commitAppend(spark, root,
+      Seq((7L, "c"), (2L, "d")).toDF("k", "p").coalesce(1))      // v1
+    Snapshots.commitAppend(spark, root,
+      Seq((3L, "e")).toDF("k", "p").coalesce(1))                 // v2
+    Snapshots.vacuum(spark, root, retainLast = 2)                // drops v0
+    assert(Snapshots.liveVersions(spark, root) == Seq(1, 2))
+    // history: only live versions, no FileNotFoundException
+    val hist = Snapshots.history(spark, root)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(hist.keySet == Set(1, 2) && hist(2) == 5L)
+    // erasure (right-to-be-forgotten) must still be possible post-vacuum
+    val rewritten = Snapshots.eraseAcrossHistory(spark, root, "k", Seq("7"))
+    assert(rewritten >= 1)
+    (1 to 2).foreach { v =>
+      val ks = Snapshots.readSnapshot(spark, root, v)
+        .collect().map(_.getLong(0)).toSet
+      assert(!ks.contains(7L), s"v$v still holds the doomed key")
+    }
+    // a second vacuum over the already-pruned log must not assume v0 exists
+    Snapshots.vacuum(spark, root, retainLast = 1)
+    assert(Snapshots.liveVersions(spark, root) == Seq(2))
+  }
+
   test("vacuum: deletes only files outside the retention horizon, " +
       "keeps shared files, current stays exact") {
     import spark.implicits._
