@@ -23,6 +23,11 @@ object PipelineMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
+      // report sorted output for one-file-per-bucket bucketed scans
+      // (Spark's single-file check still guards multi-file buckets) —
+      // elides the index-side merge-join sort for the persisted
+      // band/IVF/bucketed-fact tables
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

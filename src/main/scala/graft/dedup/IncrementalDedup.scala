@@ -62,10 +62,75 @@ object IncrementalDedup {
   }
 
   /** Append a (screened) batch's signatures to the index; `insertInto`
-    * honors the table's bucket spec, so the index stays join-ready. */
+    * honors the table's bucket spec, so the index stays join-ready —
+    * BUT each append adds a file per touched bucket, and once a bucket
+    * holds multiple files Spark can no longer elide the screening
+    * join's sort on the index side (measured 6× superlinear at 10×
+    * history without the one-file invariant). So the append path now
+    * POLICES the invariant itself: when the fullest bucket exceeds
+    * `rebuildThreshold` files, the index is compacted back to one
+    * sorted file per bucket in place — a long-running ingest never
+    * silently decays into the re-sort regime. Pass
+    * `rebuildThreshold = Int.MaxValue` to manage compaction manually. */
   def appendBatch(spark: SparkSession, sigs: DataFrame, k: Int,
-                  bands: Int, table: String): Unit =
+                  bands: Int, table: String,
+                  rebuildThreshold: Int = 4): Unit = {
     bandKeyed(sigs, k, bands).write.insertInto(table)
+    if (maxFilesPerBucket(spark, table) > rebuildThreshold)
+      rebuildIndex(spark, table)
+  }
+
+  private def tableMeta(spark: SparkSession, table: String) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+
+  /** Largest file count over the index's buckets — the decay metric the
+    * append path polices (1 = the fast path: per-bucket sort elided at
+    * every screen). Metadata-scale: one directory listing, the same
+    * budget as Spark's own FileIndex. Bucket ids come from the writer's
+    * `part-…_NNNNN.c000…` naming; a file without the marker counts as
+    * its own bucket (conservative — forces a rebuild sooner). */
+  def maxFilesPerBucket(spark: SparkSession, table: String): Int = {
+    val loc = new org.apache.hadoop.fs.Path(tableMeta(spark, table).location)
+    val fs = loc.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bucketId = "_(\\d{5})\\.".r
+    val files = fs.listStatus(loc).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith("."))
+    if (files.isEmpty) 0
+    else files.groupBy(n =>
+        bucketId.findFirstMatchIn(n).map(_.group(1)).getOrElse(n))
+      .values.map(_.size).max
+  }
+
+  /** Compact the index back to ONE sorted file per bucket in place
+    * (same table name, same external location): stage the rows out as
+    * plain parquet, drop + re-create the bucketed table from the stage,
+    * delete the stage. Rows are already `(bkey, doc_id, sig)`, so no
+    * re-signaturing and no re-banding — the rebuild moves data exactly
+    * once, the archive-compaction budget. */
+  def rebuildIndex(spark: SparkSession, table: String): Unit = {
+    val meta = tableMeta(spark, table)
+    val numBuckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$table has no bucket spec"))
+    val loc = meta.location.toString
+    val stage = loc.stripSuffix("/") + "__stage"
+    spark.table(table).write.mode("overwrite").parquet(stage)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.read.parquet(stage)
+      .repartition(numBuckets, col("bkey"))
+      .write.bucketBy(numBuckets, "bkey").sortBy("bkey")
+      .option("path", loc).format("parquet").mode("overwrite")
+      .saveAsTable(table)
+    val sp = new org.apache.hadoop.fs.Path(stage)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+    // the rewrite replaced every file under `loc` — purge stale
+    // FileStatusCache entries (the fs-mutation gotcha)
+    spark.catalog.refreshByPath(loc)
+  }
 
   /** `(bkey, doc_id, sig)` rows — bands × docs, map-only (the signature
     * rides the explode inline; joining it back on would cost two

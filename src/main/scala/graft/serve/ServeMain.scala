@@ -24,6 +24,11 @@ object ServeMain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
+      // report sorted output for one-file-per-bucket bucketed scans
+      // (Spark's single-file check still guards multi-file buckets) —
+      // elides the index-side merge-join sort for the persisted
+      // band/IVF/bucketed-fact tables
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", cpus)

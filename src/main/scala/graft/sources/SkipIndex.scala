@@ -96,8 +96,13 @@ object SkipIndex {
     val files = spark.read.parquet(dataDir).inputFiles.toIndexedSeq
     import spark.implicits._
     val ds: Dataset[String] = spark.createDataset(files)(Encoders.STRING)
+    // ship the session's Hadoop conf (spark.hadoop.* — object-store
+    // creds) to the executors; a bare Configuration() is local-FS-only
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     localize(spark, ds.mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = confBc.value.value
       it.map { f => footerStats(conf, f, statCol) }
     }.toDF("file", "n_rows", "bytes", "min_us", "max_us", "n_nulls"))
   }
@@ -272,9 +277,12 @@ object SkipIndex {
     // contract exists to prevent
     if (newFiles.isEmpty) localize(spark, kept)
     else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
       val fresh = spark.createDataset(newFiles)(Encoders.STRING)
         .mapPartitions { it =>
-          val conf = new org.apache.hadoop.conf.Configuration()
+          val conf = confBc.value.value
           it.map { f => footerStats(conf, f, statCol) }
         }.toDF("file", "n_rows", "bytes", "min_us", "max_us", "n_nulls")
       localize(spark, kept.unionByName(fresh))
@@ -402,17 +410,65 @@ object SkipIndex {
     * exactly like the footer index — producing a metadata-scale
     * `(file, bloom)` table. Blobs come from Spark's own
     * `BloomFilterAggregate` over `xxhash64(key)` (the runtime-filter
-    * pair), so probe hashing provably matches the build side. */
+    * pair), so probe hashing provably matches the build side.
+    *
+    * SIZING defaults to the fpp ≲ 1/n_files rule (PERF.md's own
+    * derivation): the expected false-positive ROUTE per probe key grows
+    * as n_files × fpp, so a constant bits-per-row blob stops being flat
+    * as the archive grows — a naive caller at 10⁴ files would silently
+    * regress toward a scan. With the defaults (`0` = derive), the build
+    * reads the footers (metadata-scale, the same budget as the footer
+    * index) for the file count and the LARGEST per-file row count, sets
+    * `fpp = min(1%, 1/(2·n_files))`, and sizes bits with the standard
+    * optimal formula — routed files stay ~true+O(1) at any archive
+    * span. Both knobs remain overridable for callers that know their
+    * keys-per-file better (e.g. a deduped key column far sparser than
+    * rows). */
   def buildBloomIndex(spark: SparkSession, dataDir: String, keyCol: String,
-      expectedItemsPerFile: Long, numBits: Long): DataFrame = {
+      expectedItemsPerFile: Long = 0L, numBits: Long = 0L): DataFrame = {
     spark.catalog.refreshByPath(dataDir) // same stale-listing guard as footer index
+    val (items, bits) =
+      if (expectedItemsPerFile > 0 && numBits > 0) (expectedItemsPerFile, numBits)
+      else {
+        val files = spark.read.parquet(dataDir).inputFiles.toIndexedSeq
+        val nFiles = math.max(1, files.length)
+        import spark.implicits._
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
+        val maxRows = spark.createDataset(files)(Encoders.STRING)
+          .mapPartitions { it =>
+            val conf = confBc.value.value
+            it.map { f =>
+              org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                  conf, new org.apache.hadoop.fs.Path(f),
+                  org.apache.parquet.format.converter
+                    .ParquetMetadataConverter.NO_FILTER)
+                .getBlocks.asScala.map(_.getRowCount.toLong).sum
+            }
+          }.reduce(math.max _)
+        val i = if (expectedItemsPerFile > 0) expectedItemsPerFile
+          else math.max(1L, maxRows)
+        val fpp = math.min(0.01, 1.0 / (2.0 * nFiles))
+        val b = if (numBits > 0) numBits
+          else math.max(64L,
+            org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(i, fpp))
+        (i, b)
+      }
+    // honor the derived sizing past BloomFilterAggregate's silent
+    // runtime-filter clamps (same monotone raise as bloomSemiJoin)
+    def raiseTo(key: String, atLeast: Long): Unit =
+      if (spark.conf.get(key).toLong < atLeast)
+        spark.conf.set(key, atLeast.toString)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", items)
+    raiseTo("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     // keyCol is any SQL expression (a plain column name, or e.g.
     // `CAST(user_id AS STRING)` — probe-side pruneCollectedByKeys hashes
     // STRING keys, so non-string key columns are indexed via a cast)
     spark.read.parquet(dataDir)
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(graft.functions.BloomFunctions.bloom_agg(
-        expr(keyCol), expectedItemsPerFile, numBits).as("bloom"))
+        expr(keyCol), items, bits).as("bloom"))
   }
 
   /** Files whose Bloom blob might contain ANY of `keys` (string keys,

@@ -74,6 +74,54 @@ class IncDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("append path auto-compacts: repeated appends trip the files-per-" +
+      "bucket threshold, the rebuild restores ONE sorted file per bucket, " +
+      "screening keeps its sort-elided plan, and no pair is lost") {
+    val (hist, inc) = parts
+    val table = "inc_dedup_spec_auto"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    IncrementalDedup.buildBandIndex(spark, hist, K, Bands, table)
+    assert(IncrementalDedup.maxFilesPerBucket(spark, table) == 1)
+    try {
+      // drive enough appends that a manual-rebuild index would decay:
+      // threshold 2 → the third file in any bucket triggers compaction
+      val slices = inc.orderBy("doc_id").limit(12).cache()
+      (0 until 4).foreach { i =>
+        val batch = slices.select(
+          (col("doc_id") + lit((i + 1) * 1000000L)).as("doc_id"), col("sig"))
+        IncrementalDedup.appendBatch(spark, batch, K, Bands, table,
+          rebuildThreshold = 2)
+      }
+      // invariant held automatically — no manual rebuild step
+      assert(IncrementalDedup.maxFilesPerBucket(spark, table) <= 2,
+        s"buckets splintered to ${IncrementalDedup.maxFilesPerBucket(spark, table)} files")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val screened = IncrementalDedup.screenBatch(
+          spark, table, slices, K, Bands, minAgree = 0.99)
+        val plan = screened.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"), plan.take(3000))
+        // the compacted index side must NOT re-sort: exactly one Sort
+        // (the incoming side's) feeds the merge join
+        val sorts = plan.linesIterator.count(l =>
+          l.trim.matches(".*\\bSort \\[bkey.*"))
+        assert(sorts <= 1, s"$sorts sorts — index-side sort not elided:\n" +
+          plan.take(3000))
+        // every appended replica of every slice doc is found at agree=1
+        val got = screened.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        val ids = slices.collect().map(_.getLong(0)).toSet
+        ids.foreach { id =>
+          (1 to 4).foreach { i =>
+            assert(got.contains((id, id + i * 1000000L, 1.0)),
+              s"doc $id lost its appended replica from batch $i")
+          }
+        }
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
   test("appendBatch keeps the index join-ready: a replayed doc matches itself at agree=1") {
     val (hist, inc) = parts
     spark.sql("DROP TABLE IF EXISTS inc_dedup_spec_idx2")

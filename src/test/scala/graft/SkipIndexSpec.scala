@@ -189,6 +189,54 @@ class SkipIndexSpec extends AnyFunSuite {
       s"$zonesPrunable files were range-prunable — trace_id zones unexpectedly tight")
   }
 
+  test("bloom DEFAULT sizing follows the fpp ≲ 1/n_files rule: at a 50×-" +
+      "style file count the routed set stays ~true+O(1), and the derived " +
+      "blob outsizes a constant-bits build on the same archive") {
+    // many small files — the regime where a constant-numBits caller
+    // silently decays: n_files × fpp false positives per probe key
+    val dir = new java.io.File("target/fixtures/events_bloom_auto").getAbsolutePath
+    val base = Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("trace_id", md5(col("event_id").cast("string")))
+      .select("event_id", "ts", "trace_id", "value")
+    SkipIndex.withMicrosTimestamps(base) {
+      base.repartition(96, col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    val nFiles = spark.read.parquet(dir).inputFiles.length
+    assert(nFiles >= 90, s"fixture wants ~96 files, got $nFiles")
+
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def trace(id: Long) =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val traces = Seq(17L, 211L, 404L, 650L, 888L).map(trace)
+
+    // DEFAULT sizing (derive items from footers, bits from the 1/n rule)
+    val auto = SkipIndex.buildBloomIndex(spark, dir, "trace_id")
+    val picked = SkipIndex.pruneFilesByKeys(auto, traces)
+      .collect().map(_.getString(0)).toSet
+    // 5 unique keys → ≤5 true files; the rule bounds expected fps per key
+    // at 1/2, so true+O(1) — allow a small constant margin
+    assert(picked.size <= 5 + 3,
+      s"default sizing routed ${picked.size} of $nFiles files")
+    // no false negatives (the safety property, independent of sizing)
+    val trueFiles = spark.read.parquet(dir)
+      .filter(col("trace_id").isin(traces: _*))
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/").as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(trueFiles.subsetOf(picked.map(_.replaceAll("^file:/+", "/"))))
+
+    // the derived sizing must be STRICTER than a constant-bits toy blob
+    // (64 bits/file): the toy routes a large fraction of the archive,
+    // which is exactly the decay the default exists to prevent
+    val toy = SkipIndex.buildBloomIndex(spark, dir, "trace_id",
+      expectedItemsPerFile = 4096, numBits = 64)
+    val toyPicked = SkipIndex.pruneFilesByKeys(toy, traces)
+      .collect().map(_.getString(0)).toSet
+    assert(toyPicked.size > picked.size,
+      s"toy=${toyPicked.size} vs auto=${picked.size} — expected the " +
+        "undersized blob to route far more files")
+  }
+
   test("assignBins: monotone bins, ≤ ceil(total/target) of them, none oversized") {
     val target = 200L
     val plan = SkipIndex.assignBins(

@@ -7,6 +7,11 @@ object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
+      // report sorted output for one-file-per-bucket bucketed scans
+      // (Spark's single-file check still guards multi-file buckets) —
+      // elides the index-side merge-join sort for the persisted
+      // band/IVF/bucketed-fact tables
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
