@@ -135,6 +135,16 @@ object JoinQueries {
         .orderBy("o_orderkey")
     }),
 
+    // STREAMING as-of twin: orders (probes) + events unioned tagged
+    // through flatMapGroupsWithState, state = the merge exec's per-key
+    // carry (latest event) in the state store. One-shot replay = one
+    // micro-batch = the batch as-of exactly, so the same DuckDB ASOF
+    // oracle applies; cross-batch last-tick semantics pinned in
+    // StreamingSpec.
+    "q_stream_asof" -> ((s, dir) =>
+      graft.streaming.StreamingOps.runStreamAsofOnce(s, dir)
+        .orderBy("o_orderkey")),
+
     // Gap filling: full hourly grid over a week for one sparse series,
     // forward-filling missing buckets (serving-side interpolation). The
     // single un-partitioned window is ONLY safe because the grid is bounded
@@ -689,6 +699,20 @@ object JoinQueries {
         | AND w_start <= cov_end
         | AND w_start + INTERVAL 3 DAY >= cov_start
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the streamed ingest-time route must equal the batch as-of on the
+    // one-shot replay (single micro-batch ⇒ merge over the full corpus)
+    "q_stream_asof" ->
+      """WITH probe AS (
+        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
+        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        |              || ' 00:00:00' AS TIMESTAMP) AS ts
+        |  FROM orders),
+        |ev AS (SELECT user_id, ts, value, event_id FROM events)
+        |SELECT p.o_orderkey, p.user_id, p.ts, e.value, e.event_id
+        |FROM probe p ASOF LEFT JOIN ev e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.o_orderkey""".stripMargin,
 
     // the custom-operator route must be invisible in the result
     "q_asof_join_merge" ->

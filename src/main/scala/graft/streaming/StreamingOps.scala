@@ -1276,6 +1276,99 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Tagged as-of input row (`side` 0 = event, 1 = probe; events carry
+    * `(tie, value)`, probes carry `okey`). */
+  final case class AsofIn(user_id: Long, us: Long, side: Int,
+    tie: Long, value: Double, okey: Long)
+
+  /** Per-key as-of carry: the latest `(ts, tie)` event's payload — the
+    * EXACT state the batch merge operator ([[graft.plans.AsOfJoinExec]])
+    * holds per key while it streams a partition, lifted into the state
+    * store. 24 bytes per key. */
+  final case class AsofCarry(us: Long, tie: Long, value: Double)
+
+  /** One probe's as-of answer (payload None when no event qualifies). */
+  final case class AsofHit(o_orderkey: Long, user_id: Long, us: Long,
+    value: Option[Double], event_id: Option[Long])
+
+  /** Per-key batch step of the streaming as-of: order the batch's rows
+    * by `(ts, side, tie)` — events before probes at equal ts, so ties
+    * match, highest tie wins — then run the single-pass merge with the
+    * carry seeded from state. INGEST-TIME semantics across batches: a
+    * probe matches the latest event SEEN SO FAR (the carry), so an
+    * event arriving in a later micro-batch never retro-matches an
+    * already-answered probe, and a probe older than the carry answers
+    * NULL rather than resurrecting history the state no longer holds —
+    * the last-tick contract of market-data stream joins. Within one
+    * batch (the one-shot replay) this reduces exactly to the batch
+    * as-of, which is what the shared DuckDB ASOF oracle checks. */
+  private[graft] def asofEmit(rows: Iterator[AsofIn],
+      state: org.apache.spark.sql.streaming.GroupState[AsofCarry])
+      : Iterator[AsofHit] = {
+    val sorted = rows.toArray.sortBy(r => (r.us, r.side, r.tie))
+    var carry = state.getOption
+    val out = Vector.newBuilder[AsofHit]
+    sorted.foreach { r =>
+      if (r.side == 0) {
+        if (carry.forall(c =>
+            c.us < r.us || (c.us == r.us && c.tie <= r.tie)))
+          carry = Some(AsofCarry(r.us, r.tie, r.value))
+      } else {
+        val m = carry.filter(_.us <= r.us)
+        out += AsofHit(r.okey, r.user_id, r.us, m.map(_.value), m.map(_.tie))
+      }
+    }
+    carry.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** STREAMING as-of join — the ingest twin of [[graft.plans
+    * .AsOfJoinExec]], completing the batch/stream twin pattern for the
+    * one operator family that lacked it: probes (orders) and events
+    * arrive as TWO streaming sources unioned tagged, group by key, and
+    * a `flatMapGroupsWithState` carries the latest event per key (the
+    * merge exec's cursor state, persisted in the state store). State is
+    * O(keys), never O(events) — the 100 TB shape: a day's trillion
+    * ticks flow through; only the last tick per instrument stays.
+    * One-shot replay lands everything in one micro-batch, so the result
+    * equals the batch as-of and q_asof_join's DuckDB ASOF oracle
+    * applies verbatim; the cross-batch carry/late-event semantics are
+    * pinned separately in StreamingSpec. */
+  def runStreamAsofOnce(spark: SparkSession, dir: String): DataFrame = {
+    val ses = stateSizedSession(spark)
+    import ses.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val name = s"graft_stream_asof_${runId.incrementAndGet()}"
+    val ev = eventsStream(ses, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"),
+      lit(0).as("side"), col("event_id").as("tie"), col("value"),
+      lit(0L).as("okey")).as[AsofIn]
+    // same probe derivation as q_asof_join (orders → synthetic Jan-2024
+    // probe times), streamed from the orders parquet
+    val probes = footerSchemaStream(ses, dir, "orders.parquet").select(
+      (col("o_custkey") % 150).as("user_id"),
+      unix_micros(to_timestamp(concat(lit("2024-01-"),
+        lpad((col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+        lit(" 00:00:00")))).as("us"),
+      lit(1).as("side"), lit(0L).as("tie"), lit(0.0).as("value"),
+      col("o_orderkey").as("okey")).as[AsofIn]
+    val hits = ev.unionByName(probes).groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofCarry, AsofHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[AsofIn], state: GroupState[AsofCarry]) =>
+          asofEmit(rows, state)
+      }
+    val q = hits.toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    awaitOneShot(q)
+    drainTable(ses, name).select(
+      col("o_orderkey"), col("user_id"),
+      timestamp_micros(col("us")).as("ts"),
+      col("value"), col("event_id"))
+  }
+
   /** STREAMING first-touch funnel: a per-user 3-stage state machine via
     * `flatMapGroupsWithState` — the online twin of
     * [[graft.ops.BehaviorOps.funnel3]]. Each user's state is just the

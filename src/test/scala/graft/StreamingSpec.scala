@@ -376,6 +376,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(s4.get == 4L)
   }
 
+  test("streaming as-of (one-shot) equals the batch as-of merge exactly") {
+    val dir = TestSpark.Sf0001
+    import org.apache.spark.sql.functions._
+    val got = StreamingOps.runStreamAsofOnce(spark, dir)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+    val probes = graft.tables.Tables.orders(spark, dir).select(
+      col("o_orderkey"), (col("o_custkey") % 150).as("user_id"),
+      to_timestamp(concat(lit("2024-01-"),
+        lpad((col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+        lit(" 00:00:00"))).as("ts"))
+    val ev = graft.tables.Tables.events(spark, dir)
+      .select("user_id", "ts", "value", "event_id")
+    val want = graft.ops.JoinOps.asofJoin(probes, ev, "user_id", "ts",
+        Seq("value", "event_id"), "event_id")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(3)), Option(r.get(4)))).sortBy(_._1).toSeq
+    assert(got.size == want.size)
+    val diffs = got.zip(want).filter { case (a, b) => a != b }
+    assert(diffs.isEmpty, s"${diffs.size} diverge, first: ${diffs.headOption}")
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+  }
+
+  test("as-of carry state across micro-batches: last-tick semantics — " +
+      "later events never retro-match, probes older than the carry get NULL") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    import StreamingOps.{AsofIn, AsofCarry, AsofHit}
+    def st(v: Option[AsofCarry]) = TestGroupState.create[AsofCarry](
+      v.fold(Optional.empty[AsofCarry]())(Optional.of),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Object]().asInstanceOf[Optional[Long]], false)
+    def ev(us: Long, tie: Long, v: Double) = AsofIn(1L, us, 0, tie, v, 0L)
+    def pr(us: Long, okey: Long) = AsofIn(1L, us, 1, 0L, 0.0, okey)
+
+    // batch 1: event@10, probe@15 → matches; carry = event@10
+    val s1 = st(None)
+    val o1 = StreamingOps.asofEmit(Iterator(pr(15, 100), ev(10, 1, 1.0)), s1).toSeq
+    assert(o1 == Seq(AsofHit(100, 1, 15, Some(1.0), Some(1L))))
+    assert(s1.get == AsofCarry(10, 1, 1.0))
+
+    // batch 2: a LATE event@5 must not displace the held event@10
+    // (latest-(ts,tie) wins), and a probe@7 older than the carry answers
+    // NULL — the stream no longer holds the history that batch would match
+    val s2 = st(Some(AsofCarry(10, 1, 1.0)))
+    val o2 = StreamingOps.asofEmit(Iterator(ev(5, 2, 9.9), pr(7, 101)), s2).toSeq
+    assert(o2 == Seq(AsofHit(101, 1, 7, None, None)), o2)
+    assert(s2.get == AsofCarry(10, 1, 1.0))
+
+    // batch 3: same-ts higher tie supersedes the carry; equal-ts probe
+    // sees the superseding event (>= semantics, tie to highest)
+    val s3 = st(Some(AsofCarry(10, 1, 1.0)))
+    val o3 = StreamingOps.asofEmit(Iterator(ev(10, 7, 3.0), pr(10, 102)), s3).toSeq
+    assert(o3 == Seq(AsofHit(102, 1, 10, Some(3.0), Some(7L))))
+    assert(s3.get == AsofCarry(10, 7, 3.0))
+
+    // within one batch, a probe between two events matches the earlier
+    // one (sorting, not arrival order, decides)
+    val s4 = st(None)
+    val o4 = StreamingOps.asofEmit(
+      Iterator(ev(20, 9, 5.0), pr(15, 103), ev(10, 8, 4.0)), s4).toSeq
+    assert(o4 == Seq(AsofHit(103, 1, 15, Some(4.0), Some(8L))))
+    assert(s4.get == AsofCarry(20, 9, 5.0))
+  }
+
   test("stream-static PIT enrichment equals the batch formulation") {
     val dir = TestSpark.Sf0001
     val streamed = StreamingOps.runStreamPitOnce(spark, dir)
