@@ -96,6 +96,47 @@ object Bench {
         (w.cpu >= 0 && coldBest.cpu >= 0 &&
           (w.cpu < 2 * coldBest.cpu || w.cpu > 3 * coldBest.cpu)))
 
+  /** SELF-HISTORY corroboration — the round-11 blind spot: q_salted_join
+    * shipped a 20.3 s cold reading (prior quiet rounds: ~2 s) with
+    * starvation-shaped CPU (21 cpu-s ≈ 1× wall on a 32-thread plan)
+    * while loadavg looked calm — exactly how this box's memory-bandwidth
+    * co-tenant hides from the same-run gates, which compare only the two
+    * passes of ONE run and can both be degraded together. A cell ≥3× its
+    * own recorded QUIET baseline (the committed `BENCH_BASELINE.json`,
+    * refreshed each round from the clean closing run) whose CPU shows
+    * wall-without-work (< 2× wall on a many-core plan) flags regardless
+    * of loadavg. Genuine regressions survive the repair untouched: a
+    * plan that truly got 3× slower re-runs 3× slower and keeps its
+    * reading (min of two equal readings) — only the flag ships, which is
+    * the correct outcome for a real regression that big anyway. */
+  private[graft] def selfHistoryContended(t: Timing,
+      quietBaseline: Double): Boolean =
+    t.wall > 1.0 && quietBaseline > 0 && t.wall > 3 * quietBaseline &&
+      t.cpu >= 0 && t.cpu < 2 * t.wall
+
+  /** Extract a `"field":{"name":num,…}` map from a bench detail line —
+    * the committed quiet baseline is itself a detail line, so the gate
+    * needs no second format. Zero-dependency by the same argument as the
+    * emit side (hand-built JSON): names are query identifiers, values
+    * plain numbers. */
+  private[graft] def parseQueryMap(json: String, field: String)
+      : Map[String, Double] = {
+    val start = json.indexOf("\"" + field + "\":{")
+    if (start < 0) return Map.empty
+    val open = json.indexOf('{', start)
+    val close = json.indexOf('}', open)
+    val body = json.substring(open + 1, close)
+    if (body.trim.isEmpty) Map.empty
+    else body.split(",").iterator.flatMap { kv =>
+      val i = kv.lastIndexOf(':')
+      if (i < 0) None
+      else {
+        val k = kv.substring(0, i).trim.stripPrefix("\"").stripSuffix("\"")
+        scala.util.Try(kv.substring(i + 1).trim.toDouble).toOption.map(k -> _)
+      }
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -256,9 +297,25 @@ object Bench {
     // scaladoc for why cold is load-gated only while warm also uses the
     // starvation/thrash cpu signatures.
     val loadThreshold = math.max(4.0, cpus.toDouble / 4)
+    // per-query QUIET baselines from the committed prior-round clean run
+    // (self-history corroboration; see selfHistoryContended). Only used
+    // when the baseline was recorded at the SAME sf as this run.
+    val (baseCold, baseWarm) = {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+      if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], Map.empty[String, Double])
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) (Map.empty[String, Double], Map.empty[String, Double])
+        else (parseQueryMap(s, "queries"), parseQueryMap(s, "queries_warm"))
+      }
+    }
     val contendedCold = coldRaw.collect {
       case (n, c) if warmByName.get(n).exists(w =>
-        coldContended(c, w.wall, loadThreshold)) => n
+          coldContended(c, w.wall, loadThreshold)) ||
+        selfHistoryContended(c, baseCold.getOrElse(n, -1.0)) => n
     }
     val rerunCold = rerun(contendedCold)
     val cold = coldRaw.map { case (n, c) =>
@@ -272,7 +329,8 @@ object Bench {
     }.toMap
     val contendedWarm = warmAll.collect {
       case (n, w) if coldByName.get(n).zip(coldBestTiming.get(n)).exists {
-        case (cw, cb) => warmContended(w, cw, cb, loadThreshold) } => n
+          case (cw, cb) => warmContended(w, cw, cb, loadThreshold) } ||
+        selfHistoryContended(w, baseWarm.getOrElse(n, -1.0)) => n
     }
     val rerunWarm = rerun(contendedWarm)
     val warm = warmRaw.map { case (n, w) =>

@@ -1,7 +1,8 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.Bench.{coldContended, warmContended, Timing}
+import graft.Bench.{coldContended, warmContended, selfHistoryContended,
+  parseQueryMap, Timing}
 
 /** Pins the contended-repair decision logic against the measured
   * scenarios from rounds 6-10 (PERF.md round 10 "warm-pass inversion
@@ -98,6 +99,61 @@ class BenchGateSpec extends AnyFunSuite {
       "raw cold timing lets the regression masquerade as contended")
     assert(!warmContended(warmReg, 4.2, repairedCold, Thresh),
       "repaired cold timing correctly declines to repair a real regression")
+  }
+
+  // ---- self-history corroboration (r11 blind spot) -------------------
+
+  test("r11 scenario: q_salted_join 20.3 s cold with ~1x-wall CPU and calm " +
+      "loadavg — same-run gates miss it, the quiet baseline flags it") {
+    // driver artifact: cold 20.3 s / 21 cpu-s / loadavg under threshold,
+    // warm 7+ s (both passes degraded together, so neither 3x-other-pass
+    // gate fires); prior quiet rounds recorded ~2 s
+    val c = Timing(20.3, 21.0, 6.0)
+    assert(!coldContended(c, warmWall = 7.0, Thresh),
+      "precondition: the same-run cold gate is blind to this shape")
+    assert(selfHistoryContended(c, quietBaseline = 2.1))
+  }
+
+  test("self-history needs starvation-shaped CPU: a real 3x regression " +
+      "doing proportional parallel work must NOT flag") {
+    // wall 3.5x the quiet baseline but cpu 40 s ≈ 6x wall on 32 threads:
+    // the run genuinely did that much work (plan change) — ship it
+    assert(!selfHistoryContended(Timing(7.0, 40.0, 2.0), quietBaseline = 2.0))
+  }
+
+  test("self-history needs the 3x-baseline ratio, the 1 s floor, a " +
+      "recorded baseline, and a usable cpu reading") {
+    assert(!selfHistoryContended(Timing(5.5, 5.0, 2.0), quietBaseline = 2.0))
+    assert(!selfHistoryContended(Timing(0.9, 0.5, 2.0), quietBaseline = 0.1))
+    assert(!selfHistoryContended(Timing(20.3, 21.0, 6.0), quietBaseline = -1.0))
+    assert(!selfHistoryContended(Timing(20.3, -1.0, 6.0), quietBaseline = 2.0))
+  }
+
+  test("baseline parsing: detail-line format round-trips the query maps, " +
+      "missing fields and empty maps degrade to empty") {
+    val line = """{"metric":"detail","value":42.0,"unit":"sec",""" +
+      """"queries":{"q_a":1.25,"q_b":20.5},""" +
+      """"queries_warm":{"q_a":0.75,"q_b":7.2},""" +
+      """"contended":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(parseQueryMap(line, "queries") ==
+      Map("q_a" -> 1.25, "q_b" -> 20.5))
+    assert(parseQueryMap(line, "queries_warm") ==
+      Map("q_a" -> 0.75, "q_b" -> 7.2))
+    assert(parseQueryMap(line, "nope").isEmpty)
+    assert(parseQueryMap("""{"queries":{}}""", "queries").isEmpty)
+  }
+
+  test("committed BENCH_BASELINE.json is a quiet artifact the gate can " +
+      "trust: parseable, 0 contended, warm <= cold per the r11 close") {
+    val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+    assume(java.nio.file.Files.exists(p))
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val cold = parseQueryMap(s, "queries")
+    val warm = parseQueryMap(s, "queries_warm")
+    assert(cold.size >= 200 && warm.size == cold.size)
+    assert(s.contains("\"contended\":[]"),
+      "the baseline of record must itself be uncontended")
+    assert(cold.values.forall(_ > 0) && warm.values.forall(_ > 0))
   }
 
   test("failed readings (-1 wall/cpu) never flag") {
