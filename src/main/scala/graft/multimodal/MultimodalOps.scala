@@ -334,6 +334,175 @@ object MultimodalOps {
       .toDF(idCol, "frame_idx", "width", "height", "mean_luma", "ok")
   }
 
+  /** ==== MJPEG-in-AVI: a SECOND real multi-frame container ====
+    * The JDK has no AVI demuxer, so the container is parsed BY HAND —
+    * the [[graft.audio.WavCodec]] discipline applied to video: RIFF is
+    * the same chunk grammar WAV uses (public spec: the Microsoft
+    * RIFF/AVI documentation), an MJPEG stream is just one standalone
+    * JPEG per `00dc` chunk, and the per-frame decode is the JDK's real
+    * JPEG codec. The write side emits a minimal spec-conformant AVI
+    * (`hdrl` with avih/strh/strf, `movi` with one `00dc` per frame) so
+    * the round-trip runs with zero external dependencies. JPEG is LOSSY
+    * — unlike the GIF path, decoded luma is near-exact, not bit-exact,
+    * so the contract query's oracle checks the STRUCTURAL facts (frame
+    * count, stride selection, dimensions, decodability) in closed form
+    * while MultimodalSpec pins luma within codec tolerance. */
+
+  private def le(n: Int): java.nio.ByteBuffer =
+    java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = data.length & 1
+    val b = le(8 + data.length + pad)
+    b.put(id.getBytes("US-ASCII")).putInt(data.length).put(data)
+    b.array()
+  }
+
+  private def riffList(typ: String, payload: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ payload)
+
+  /** Encode frames as MJPEG-in-AVI (one JPEG per `00dc` chunk). */
+  def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
+      fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && fps >= 1)
+    val jpegs = frames.map { f =>
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", b)
+      b.toByteArray
+    }
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    val maxJpeg = jpegs.map(_.length).max
+    val avih = le(56)
+      .putInt(1000000 / fps).putInt(maxJpeg * fps).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(1).putInt(maxJpeg)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strh = le(56)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps) // dwScale / dwRate
+      .putInt(0).putInt(frames.size).putInt(maxJpeg)
+      .putInt(-1).putInt(0) // quality, sampleSize
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val strf = le(40)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      jpegs.flatMap(j => riffChunk("00dc", j)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = le(8 + body.length)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Demux an AVI's video-frame chunks (`##dc`/`##db`) in stream order.
+    * None for anything that isn't a RIFF/AVI container; a truncated
+    * chunk ends the walk (frames before the corruption still return —
+    * the partial-read contract a crash-torn archive file needs). */
+  private[multimodal] def demuxAviFrames(bytes: Array[Byte])
+      : Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 12) return None
+    def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val out = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(off); val size = u32(off + 4)
+        if (size < 0) ok = false
+        else if (id == "LIST" && size >= 4 && off + 12 <= end) {
+          // a torn file's trailing LIST claims more than remains: descend
+          // into the valid PREFIX (frames before the tear still return)
+          val typ = fourcc(off + 8)
+          walk(off + 12, math.min(off + 8 + size, end), inMovi || typ == "movi")
+          off += 8 + size + (size & 1)
+        } else if (off + 8 + size > end) ok = false
+        else {
+          if (inMovi && (id.endsWith("dc") || id.endsWith("db")))
+            out += bytes.slice(off + 8, off + 8 + size)
+          off += 8 + size + (size & 1)
+        }
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + u32(4)), inMovi = false)
+    Some(out.result())
+  }
+
+  /** Decode every `stride`-th MJPEG frame: `(frame_idx, width, height,
+    * mean_luma)` per kept frame; None for a non-AVI payload or an
+    * undecodable frame (quarantine contract, same as the GIF path). */
+  def decodeAviKeyframes(bytes: Array[Byte], stride: Int)
+      : Option[Seq[(Int, Int, Int, Double)]] = {
+    require(stride >= 1, s"stride=$stride")
+    demuxAviFrames(bytes).flatMap { jpegs =>
+      try Some((0 until jpegs.size by stride).map { i =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpegs(i)))
+        if (img == null) throw new java.io.IOException(s"frame $i undecodable")
+        (i, img.getWidth, img.getHeight, meanLuma(img))
+      })
+      catch { case _: Exception => None }
+    }
+  }
+
+  /** Deterministic synthetic MJPEG-AVI payloads: same frame plan as
+    * [[synthesizeGifs]] (`4 + id % 3` solid 16×16 frames, channels from
+    * (id, f)) so the structural oracle is the same closed form; the
+    * frames go through a REAL JPEG encode, so luma is codec-approximate
+    * by design. */
+  def synthesizeAvis(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (4 + id % 3).toInt
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val r = ((id * 13 + f * 29) % 256).toInt
+          val g = ((id * 7 + f * 31) % 256).toInt
+          val b = ((id * 3 + f * 37) % 256).toInt
+          val gfx = img.createGraphics()
+          try {
+            gfx.setColor(new java.awt.Color(r, g, b))
+            gfx.fillRect(0, 0, 16, 16)
+          } finally gfx.dispose()
+          img
+        }
+        (id, encodeMjpegAvi(frames))
+      })
+      .toDF(idCol, "payload")
+  }
+
+  /** Keyframe sampling over MJPEG-AVI payloads — one row per kept frame;
+    * undecodable payloads yield a single ok=false row. */
+  def sampleAviKeyframes(payloads: DataFrame, idCol: String,
+      stride: Int): DataFrame = {
+    require(stride >= 1, s"stride=$stride")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeAviKeyframes(bytes, stride) match {
+          case Some(frames) => frames.iterator.map { case (f, w, h, luma) =>
+            (id, f, w, h, luma, true)
+          }
+          case None => Iterator.single((id, -1, -1, -1, 0.0, false))
+        }
+      })
+      .toDF(idCol, "frame_idx", "width", "height", "mean_luma", "ok")
+  }
+
   /** Frame sampling: cut the payload into fixed-size "frames" and keep every
     * `stride`-th — pure expressions (no decode), so pruning/pushdown and
     * codegen all apply. Output one row per kept frame. */

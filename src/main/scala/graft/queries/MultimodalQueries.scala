@@ -60,6 +60,21 @@ object MultimodalQueries {
         .withColumn("mean_luma", round(col("mean_luma"), 6))
         .orderBy("doc_id", "frame_idx")),
 
+    // MJPEG-in-AVI keyframes: a SECOND real multi-frame codec — the AVI
+    // container demuxed by hand (RIFF walk, the WavCodec discipline) and
+    // each kept frame decoded by the JDK's real JPEG codec. JPEG is
+    // lossy, so the oracle checks the STRUCTURAL closed form (frame
+    // plan, stride, dimensions, all-decodable); luma accuracy is pinned
+    // in MultimodalSpec within codec tolerance.
+    "q_video_avi_keyframes" -> ((s, dir) =>
+      MultimodalOps.sampleAviKeyframes(
+          MultimodalOps.synthesizeAvis(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "doc_id", stride = 2)
+        .filter(col("ok"))
+        .select("doc_id", "frame_idx", "width", "height")
+        .orderBy("doc_id", "frame_idx")),
+
     // Structured Streaming A1: same windows, same oracle as the batch path.
     "q_stream_resample" -> ((s, dir) => {
       val r = StreamingOps.runResampleOnce(s, dir, "1 hour")
@@ -203,6 +218,17 @@ object MultimodalQueries {
         |             + (doc_id * 7 + frame_idx * 31) % 256
         |             + (doc_id * 3 + frame_idx * 37) % 256) / 3.0, 6)
         |         AS mean_luma
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // structural closed form: every synthetic AVI must decode (ok filter
+    // drops nothing), keep frames 0,2,4 of the 4 + id%3 plan, at 16×16
+    "q_video_avi_keyframes" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, 4 + CAST(doc_id % 3 AS INT), 2)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       16 AS width, 16 AS height
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_stream_resample" ->

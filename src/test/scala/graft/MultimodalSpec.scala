@@ -151,6 +151,54 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("REAL multi-frame codec (MJPEG-in-AVI): hand demux + JDK JPEG " +
+       "decode, luma within codec tolerance, stride sampling, quarantine") {
+    import graft.multimodal.MultimodalOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 11L).toDF("doc_id")
+    val avis = MultimodalOps.synthesizeAvis(ids, "doc_id")
+    val all = MultimodalOps.sampleAviKeyframes(avis, "doc_id", 1)
+      .orderBy("doc_id", "frame_idx").collect()
+    Seq(0L, 5L, 11L).foreach { id =>
+      val frames = all.filter(_.getLong(0) == id)
+      assert(frames.length == (4 + id % 3).toInt, s"doc $id frame count")
+      frames.foreach { r =>
+        val f = r.getInt(1)
+        assert(r.getInt(2) == 16 && r.getInt(3) == 16 && r.getBoolean(5))
+        // JPEG is lossy: a solid 16×16 frame round-trips its mean luma
+        // to within a few gray levels (DC quantization + YCbCr
+        // rounding) — pin the tolerance, not bit-equality
+        val expected = (((id * 13 + f * 29) % 256) +
+          ((id * 7 + f * 31) % 256) + ((id * 3 + f * 37) % 256)) / 3.0
+        assert(math.abs(r.getDouble(4) - expected) <= 4.0,
+          s"doc $id frame $f luma ${r.getDouble(4)} vs $expected")
+      }
+    }
+    val strided = MultimodalOps.sampleAviKeyframes(avis, "doc_id", 2)
+      .filter(col("doc_id") === 5L).select("frame_idx").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(strided == Seq(0, 2, 4))
+    // a WAV-shaped RIFF (right grammar, wrong form type) and plain
+    // garbage both quarantine cleanly
+    val bad = Seq(
+      (8L, "RIFF   WAVE".getBytes("US-ASCII")),
+      (9L, "not an avi".getBytes)).toDF("doc_id", "payload")
+    val q = MultimodalOps.sampleAviKeyframes(bad, "doc_id", 1).collect()
+    assert(q.length == 2 && q.forall(r => !r.getBoolean(5) && r.getInt(1) == -1))
+    assertThrows[IllegalArgumentException] {
+      MultimodalOps.sampleAviKeyframes(avis, "doc_id", 0)
+    }
+    // a TRUNCATED container (crash-torn file) yields the frames before
+    // the tear, never a task failure
+    val full = avis.filter(col("doc_id") === 5L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val torn = Seq((5L, full.take(full.length - 7))).toDF("doc_id", "payload")
+    val tq = MultimodalOps.sampleAviKeyframes(torn, "doc_id", 1).collect()
+    assert(tq.forall(_.getBoolean(5)) && tq.length < 6 && tq.nonEmpty,
+      s"torn AVI should decode a PREFIX of the 6 frames, got ${tq.length}")
+  }
+
   test("extraction is distributed: no single-partition collapse") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
     val feats = MultimodalOps.extractFeatures(
