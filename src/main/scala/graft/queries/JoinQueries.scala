@@ -135,6 +135,25 @@ object JoinQueries {
         .orderBy("o_orderkey")
     }),
 
+    // STRING-KEYED as-of through the widened merge envelope: same probe
+    // derivation but keyed by a hydrophone-style name ("u<id>"), so the
+    // custom exec's UTF8String comparison path carries the contract
+    // (AsOfJoinSpec pins that this plans AsOfJoinExec, not the fallback).
+    "q_asof_join_str" -> ((s, dir) => {
+      val probes = Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        concat(lit("u"), (col("o_custkey") % 150).cast("string")).as("user_key"),
+        to_timestamp(concat(lit("2024-01-"),
+          lpad((col("o_orderkey") % 28 + 1).cast("string"), 2, "0"),
+          lit(" 00:00:00"))).as("ts"))
+      val ev = Tables.events(s, dir).select(
+        concat(lit("u"), col("user_id").cast("string")).as("user_key"),
+        col("ts"), col("value"), col("event_id"))
+      graft.ops.JoinOps.asofJoinMerge(probes, ev, "user_key", "ts",
+          payload = Seq("value", "event_id"), tieBreak = "event_id")
+        .orderBy("o_orderkey")
+    }),
+
     // STREAMING as-of twin: orders (probes) + events unioned tagged
     // through flatMapGroupsWithState, state = the merge exec's per-key
     // carry (latest event) in the state store. One-shot replay = one
@@ -699,6 +718,20 @@ object JoinQueries {
         | AND w_start <= cov_end
         | AND w_start + INTERVAL 3 DAY >= cov_start
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the widened string-key merge route must match native ASOF too
+    "q_asof_join_str" ->
+      """WITH probe AS (
+        |  SELECT o_orderkey, 'u' || CAST(o_custkey % 150 AS VARCHAR) AS user_key,
+        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+        |              || ' 00:00:00' AS TIMESTAMP) AS ts
+        |  FROM orders),
+        |ev AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_key,
+        |              ts, value, event_id FROM events)
+        |SELECT p.o_orderkey, p.user_key, p.ts, e.value, e.event_id
+        |FROM probe p ASOF LEFT JOIN ev e
+        |  ON p.user_key = e.user_key AND p.ts >= e.ts
+        |ORDER BY p.o_orderkey""".stripMargin,
 
     // the streamed ingest-time route must equal the batch as-of on the
     // one-shot replay (single micro-batch ⇒ merge over the full corpus)
