@@ -13,6 +13,17 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, TestSpark.Sf0001)
       .queryExecution.executedPlan.toString
 
+  test("q_asof_join (the PRIMARY as-of entry point) plans the custom " +
+      "AsOfJoinExec merge — no Window, no Union (the composition's " +
+      "machinery); the string-keyed twin takes the same operator") {
+    Seq("q_asof_join", "q_asof_join_str").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("AsOfJoin"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("Window") && !p.contains("Union"),
+        s"$q fell back to the composition:\n${p.take(2000)}")
+    }
+  }
+
   test("time-window predicate reaches the events parquet scan (P1 pushdown)") {
     // native-micros layout (current testdata): the window bounds on `ts`
     // must land in PushedFilters — parquet row-group min/max skipping —
