@@ -563,23 +563,60 @@ object DedupOps {
     * shared by millions of records would otherwise be one quadratic
     * reducer) — the same hot-key guard as the MinHash bucket cap, and
     * the dropped blocks are countable by the caller from the same
-    * aggregate. One shuffle on the block key; the DP verify runs
-    * map-side on the joined pairs. */
+    * aggregate. One shuffle on the block key.
+    *
+    * The per-pair verify is the other quadratic axis (found by the sf1
+    * sweep: a duplicate-heavy corpus fills every block to the cap, and
+    * unbounded Wagner–Fischer on full documents made the DP term
+    * dominate — 938 s at sf1, 715× the sf0.1 reading). Three guards cut
+    * it to O(maxDist·len) per survivor:
+    *  - a length prefilter — |len_a − len_b| > maxDist can never verify
+    *    (each unit of length difference costs ≥1 edit), and the lengths
+    *    are computed once per SIDE, pre-join, not per pair;
+    *  - an equality fast path — exact duplicates (the common case in a
+    *    dup-heavy corpus) short-circuit at the first differing byte via
+    *    UTF8String equals, no DP at all;
+    *  - the remaining pairs run the THRESHOLD form of Levenshtein
+    *    (Ukkonen's band: only the 2·maxDist+1 diagonal strip is
+    *    evaluated, early-exit when the band minimum exceeds the bound —
+    *    Spark's 3-arg `levenshtein` since 3.5, returns -1 above the
+    *    threshold).
+    *
+    * Verify-stage PARALLELISM is pinned by an explicit hash
+    * repartition on the block key before the self-join: a small corpus
+    * arrives as one parquet file → a 1-partition scan, the broadcast
+    * join inherits that layout, and the whole DP stage runs on ONE
+    * thread (measured: 25.5 s single-threaded at sf1). Repartitioning
+    * AFTER the join cannot fix it — Catalyst pushes the verify filter
+    * back through a user exchange (`PushPredicateThroughNonJoin`), so
+    * the DP still evaluates upstream of the spread (measured: the
+    * post-join repartition changed nothing). The pre-join exchange
+    * moves only the capped block members (corpus-sized, one cheap
+    * shuffle) and the join + DP then run in `shuffle.partitions`
+    * tasks; the explicit partition count keeps AQE from coalescing
+    * the small exchange back into one task. */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
       blockChars: Int, maxDist: Int, blockCap: Int = 50): DataFrame = {
     val blocked = df.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"),
-      substring(col(textCol), 1, blockChars).as("blk"))
+      substring(col(textCol), 1, blockChars).as("blk"),
+      length(col(textCol)).as("len"))
     val keep = blocked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= blockCap).select("blk")
+    val shufflePartitions =
+      df.sparkSession.sessionState.conf.numShufflePartitions
     val b = blocked.join(keep, "blk")
+      .repartition(shufflePartitions, col("blk"))
     val l = b.select(col("blk"), col("doc_id").as("id_a"),
-      col("text").as("text_a"))
+      col("text").as("text_a"), col("len").as("len_a"))
     val r = b.select(col("blk"), col("doc_id").as("id_b"),
-      col("text").as("text_b"))
-    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("edit_dist") <= maxDist)
+      col("text").as("text_b"), col("len").as("len_b"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= lit(maxDist))
+      .withColumn("edit_dist",
+        when(col("text_a") === col("text_b"), lit(0))
+          .otherwise(levenshtein(col("text_a"), col("text_b"), maxDist)))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 }
