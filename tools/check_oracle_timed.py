@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Dev-only: check_oracle.py with a per-oracle time budget, for large SFs.
+
+Same compare as tools/check_oracle.py (the driver-gate mirror), plus:
+  - prints each query's oracle wall time as it completes (progress is
+    visible while a big sweep runs);
+  - any ORACLE whose DuckDB evaluation exceeds --budget seconds is
+    interrupted and recorded as SKIPPED_SLOW rows=<spark rows> — at sf1
+    a handful of oracles are pairwise/quadratic CTE replays that are
+    fine at the sf0.01 gate but uneconomical at 10x. A skip is NOT a
+    pass: the full-oracle gate remains the sf0.01 run; this script's
+    job at sf1 is row counts + every oracle that fits the budget.
+
+Usage: check_oracle_timed.py <sf_dir> <out_dir> [budget_sec]
+"""
+import json, sys, os, threading, time
+import duckdb
+
+sf_dir = sys.argv[1]
+out_dir = sys.argv[2]
+budget = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+results = {}
+names = [n for n in sorted(os.listdir(out_dir))
+         if os.path.isdir(os.path.join(out_dir, n))]
+for name in names:
+    path = os.path.join(out_dir, name)
+    got = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchdf()
+    if name not in oracle:
+        results[name] = f"ROWS_ONLY rows={len(got)}"
+        continue
+    box = {"exp": None, "err": None}
+    def run():
+        try:
+            box["exp"] = con.execute(oracle[name]).fetchdf()
+        except Exception as e:  # includes the InterruptException on timeout
+            box["err"] = e
+    t0 = time.time()
+    th = threading.Thread(target=run)
+    th.start()
+    th.join(budget)
+    if th.is_alive():
+        con.interrupt()
+        th.join()
+        results[name] = f"SKIPPED_SLOW rows={len(got)} (oracle >{budget:.0f}s)"
+        print(f". {name} SKIPPED_SLOW after {time.time()-t0:.0f}s", flush=True)
+        continue
+    dt = time.time() - t0
+    exp = box["exp"]
+    if exp is None:
+        results[name] = f"ORACLE_SQL_ERROR {box['err']}"
+        print(f"! {name} ORACLE_SQL_ERROR {box['err']}", flush=True)
+        continue
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False))
+    g, e = canon(got), canon(exp)
+    if list(got.columns.sort_values()) != list(exp.columns.sort_values()):
+        results[name] = f"SCHEMA_MISMATCH got={sorted(got.columns)} exp={sorted(exp.columns)}"
+    elif len(g) != len(e):
+        results[name] = f"ROWCOUNT_MISMATCH got={len(g)} exp={len(e)}"
+    elif g != e:
+        bad = next(i for i, (a, b) in enumerate(zip(g, e)) if a != b)
+        results[name] = f"VALUE_MISMATCH first at sorted-row {bad}: got={g[bad]} exp={e[bad]}"
+    else:
+        results[name] = f"OK rows={len(g)}"
+    flag = " " if results[name].startswith("OK") else "!"
+    print(f"{flag} {name} {results[name].split(' ')[0]} {dt:.1f}s", flush=True)
+
+width = max(len(k) for k in results)
+fails = skips = 0
+print()
+for k, v in sorted(results.items()):
+    if v.startswith("SKIPPED_SLOW"):
+        skips += 1
+        flag = "~"
+    elif v.startswith(("OK", "ROWS_ONLY")):
+        flag = " "
+    else:
+        fails += 1
+        flag = "!"
+    print(f"{flag} {k:<{width}} {v}")
+print(f"\n{len(results)} queries, {fails} failing, {skips} skipped-slow")
+sys.exit(1 if fails else 0)
