@@ -1833,6 +1833,23 @@ object Profile {
             f" snapshots $snap%6.2f s  (edges=$nEdges)")
         }
 
+      case "cells" =>
+        // re-measure a comma-separated list of contract queries, each
+        // cold+warm under Bench's isolation (clearCache + unpersist-all
+        // between passes), all in ONE JVM — for patching bench-detail
+        // cells that landed in a co-tenant contention window without
+        // paying a full-suite re-run. Prints machine-greppable lines.
+        args(2).split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+          val run = () => {
+            val dt = elapsed(force(graft.SparkEntry.queries(q)(spark, sfDir)))
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+            dt
+          }
+          val cold = run(); val warm = run()
+          println(f"[cells] $q cold=$cold%.3f warm=$warm%.3f")
+        }
+
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation
         // (clearCache + unpersist-all after each pass) and print each
