@@ -55,6 +55,46 @@ object ResampleOps {
            count(nanToNull(col(valueCol))).as("point_count"))
       .filter(col("point_count") > 0) // P5: drop all-null buckets (ref `:98,:255`)
 
+  /** Exact micro-unit half-up rounding of the rational `sMilli·1000 / n`
+    * (i.e. round-6 of the mean `sMilli/(1000·n)`), entirely in integer
+    * space. Needed because Spark's `round(double, 6)` rounds the double's
+    * SHORTEST DECIMAL STRING (BigDecimal.valueOf) while DuckDB rounds the
+    * binary value — on exactly-halfway rationals (a mean of 3-decimal
+    * values over a 2^a·5^b-sized bucket lands on .xxxxx5 routinely once
+    * the data replicates 10×) the two disagree by one final ulp; the sf1
+    * sweep surfaced exactly this on 2/720 resample buckets. The integer
+    * form — HALF_UP via `(2000·|s| + n) div (2·n)`, sign reapplied — is
+    * engine-independent at any scale (DuckDB mirror: the same formula
+    * with `//`). The caller divides the returned micro long by 1e6, a
+    * single deterministic IEEE op on identical inputs. DECIMAL(38,0)
+    * intermediates so 2000·Σmilli can never overflow a long at archive
+    * scale; `div` (IntegralDivide) is exact on decimals and returns long. */
+  def microMeanHalfUp(sMilli: Column, n: Column): Column = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = call_function("div",
+      dec(abs(sMilli)) * lit(2000L) + dec(n), dec(n) * lit(2L))
+    (when(sMilli < 0, -q).otherwise(q)).cast("long")
+  }
+
+  /** [[resampleMean]] in determinism-grade form for archives whose value
+    * column carries fixed ≤3-decimal precision (the synthetic events
+    * table; hydrophone PSD archives quantized at write): the per-bucket
+    * sum accumulates as exact milli-unit longs and the round-6 mean is
+    * [[microMeanHalfUp]] — bit-identical across engines and aggregation
+    * orders, where a double `avg` drifts by a final ulp once bucket
+    * populations grow. Same single hash-aggregate shape as
+    * [[resampleMean]] (one extra integer agg column, still map-side
+    * combined); the general-precision service path keeps [[resampleMean]]. */
+  def resampleMeanMilli(df: DataFrame, tsCol: String, valueCol: String, interval: String): DataFrame =
+    df.groupBy(bucket(col(tsCol), interval).as("bucket_start"))
+      .agg(sum(round(nanToNull(col(valueCol)) * 1000, 0).cast("long")).as("s_milli"),
+           count(nanToNull(col(valueCol))).as("point_count"))
+      .filter(col("point_count") > 0)
+      .select(col("bucket_start"),
+        (microMeanHalfUp(col("s_milli"), col("point_count")).cast("double") / 1e6)
+          .as("mean_value"),
+        col("point_count"))
+
   /** A2 — PSD resample over the long form `(ts, band, value)`: bucketed mean
     * per (bucket, band). Band-set agnostic (SURVEY §1.2); pivot to the wide
     * matrix only at the serving edge. */

@@ -75,12 +75,14 @@ object MultimodalQueries {
         .select("doc_id", "frame_idx", "width", "height")
         .orderBy("doc_id", "frame_idx")),
 
-    // Structured Streaming A1: same windows, same oracle as the batch path.
-    "q_stream_resample" -> ((s, dir) => {
-      val r = StreamingOps.runResampleOnce(s, dir, "1 hour")
-      r.withColumn("mean_value", round(col("mean_value"), 6))
-        .orderBy("bucket_start")
-    }),
+    // Structured Streaming A1: same windows, same oracle as the batch
+    // path — which is now the exact-milli form (ResampleOps
+    // .resampleMeanMilli): the state carries (Σmilli, count) longs, so
+    // the emitted mean is bit-identical to batch/oracle regardless of
+    // micro-batch arrival order (no post-hoc round needed or wanted).
+    "q_stream_resample" -> ((s, dir) =>
+      StreamingOps.runResampleOnce(s, dir, "1 hour")
+        .orderBy("bucket_start")),
 
     // Stateful streaming dedup (dropDuplicates state store): emitted hash
     // set == batch DISTINCT, arrival-order independent.
@@ -231,10 +233,21 @@ object MultimodalQueries {
         |       16 AS width, 16 AS height
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // exact-milli mirror (same SQL as q_resample_broadband's oracle): the
+    // streamed state sums milli longs, so batch, stream and oracle agree
+    // bit-for-bit at any scale / arrival order
     "q_stream_resample" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |       round(avg(value), 6) AS mean_value, count(value) AS point_count
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH m AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS HUGEINT) AS s,
+        |         count(value) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT bucket_start,
+        |       CAST(CASE WHEN s < 0 THEN -((abs(s) * 2000 + n) // (2 * n))
+        |                 ELSE (s * 2000 + n) // (2 * n) END AS DOUBLE) / 1e6
+        |         AS mean_value,
+        |       n AS point_count
+        |FROM m WHERE n > 0 ORDER BY 1""".stripMargin,
 
     "q_stream_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash

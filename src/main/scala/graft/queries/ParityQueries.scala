@@ -33,9 +33,14 @@ object ParityQueries {
         .orderBy("event_id")),
 
     // A1 — broadband resample to 1h buckets (epoch == day aligned).
+    // Determinism-grade milli form: the sf1 sweep caught the double-avg
+    // round(,6) flipping on exactly-halfway bucket means (2/720 buckets
+    // once 10× replication made populations 2^a·5^b-sized) — Spark
+    // rounds the shortest decimal string, DuckDB the binary value. The
+    // milli sum + integer HALF_UP mean is identical in both engines at
+    // any scale (ResampleOps.microMeanHalfUp; oracle mirrors with `//`).
     "q_resample_broadband" -> ((s, dir) =>
-      ResampleOps.resampleMean(events(s, dir), "ts", "value", "1h")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+      ResampleOps.resampleMeanMilli(events(s, dir), "ts", "value", "1h")
         .orderBy("bucket_start")),
 
     // A2 — per-band resample (long PSD form; event_type as band) on a 3-day window.
@@ -190,10 +195,21 @@ object ParityQueries {
         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-12 00:00:00'
         |ORDER BY event_id""".stripMargin,
 
+    // exact-milli mirror of ResampleOps.resampleMeanMilli: HALF_UP micro
+    // mean in integer space, then one deterministic /1e6 — immune to the
+    // engines' different round(double, 6) realizations on halfway means
     "q_resample_broadband" ->
-      """SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |       round(avg(value), 6) AS mean_value, count(value) AS point_count
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH m AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+        |         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) AS HUGEINT) AS s,
+        |         count(value) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT bucket_start,
+        |       CAST(CASE WHEN s < 0 THEN -((abs(s) * 2000 + n) // (2 * n))
+        |                 ELSE (s * 2000 + n) // (2 * n) END AS DOUBLE) / 1e6
+        |         AS mean_value,
+        |       n AS point_count
+        |FROM m WHERE n > 0 ORDER BY 1""".stripMargin,
 
     "q_resample_bands" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,

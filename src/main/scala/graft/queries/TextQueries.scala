@@ -1185,13 +1185,20 @@ object TextQueries {
          |           % $QClfDim AS bucket
          |  FROM toks),
          |agg AS (
-         |  SELECT f.doc_id, count(*) AS n_tokens, sum(w.w_milli) AS s_milli
-         |  FROM feat f JOIN w ON f.bucket = w.bucket GROUP BY 1)
+         |  SELECT f.doc_id, count(*) AS n_tokens,
+         |         CAST(sum(w.w_milli) AS HUGEINT) AS s_milli
+         |  FROM feat f JOIN w ON f.bucket = w.bucket GROUP BY 1),
+         |mic AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN s_milli < 0
+         |              THEN -((abs(s_milli) * 2000 + n_tokens) // (2 * n_tokens))
+         |              ELSE (s_milli * 2000 + n_tokens) // (2 * n_tokens) END
+         |           AS score_micro
+         |  FROM agg)
          |SELECT doc_id, n_tokens,
-         |       round((CAST(s_milli AS DOUBLE) / 1000.0) / n_tokens, 6) AS score,
-         |       CAST(round((CAST(s_milli AS DOUBLE) / 1000.0) / n_tokens, 6) >= 0
-         |            AS INT) AS keep
-         |FROM agg ORDER BY doc_id""".stripMargin,
+         |       CAST(score_micro AS DOUBLE) / 1e6 AS score,
+         |       CAST(score_micro >= 0 AS INT) AS keep
+         |FROM mic ORDER BY doc_id""".stripMargin,
 
     // classifier replay + row_number over the heap's exact (om DESC,
     // doc_id ASC) total order; score re-derived from the SAME micro-unit
@@ -1211,12 +1218,18 @@ object TextQueries {
          |           % $QClfDim AS bucket
          |  FROM toks),
          |agg AS (
-         |  SELECT f.doc_id, count(*) AS n_tokens, sum(w.w_milli) AS s_milli
+         |  SELECT f.doc_id, count(*) AS n_tokens,
+         |         CAST(sum(w.w_milli) AS HUGEINT) AS s_milli
          |  FROM feat f JOIN w ON f.bucket = w.bucket GROUP BY 1),
          |om AS (
+         |  -- exact-integer micro score, the same HALF_UP formula the
+         |  -- engine ranks on (ResampleOps.microMeanHalfUp)
          |  SELECT a.doc_id, d.source,
-         |         CAST(round(round((CAST(a.s_milli AS DOUBLE) / 1000.0)
-         |                          / a.n_tokens, 6) * 1000000.0) AS BIGINT) AS om
+         |         CAST(CASE WHEN a.s_milli < 0
+         |              THEN -((abs(a.s_milli) * 2000 + a.n_tokens)
+         |                     // (2 * a.n_tokens))
+         |              ELSE (a.s_milli * 2000 + a.n_tokens)
+         |                   // (2 * a.n_tokens) END AS BIGINT) AS om
          |  FROM agg a JOIN documents d USING (doc_id)),
          |rk AS (
          |  SELECT source, doc_id, om,

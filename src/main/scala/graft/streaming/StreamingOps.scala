@@ -100,6 +100,26 @@ object StreamingOps {
       .select(col("w.start").as("bucket_start"), col("mean_value"), col("point_count"))
   }
 
+  /** [[windowedMean]] in the determinism-grade milli form of
+    * `ResampleOps.resampleMeanMilli`: the streaming state carries exact
+    * (Σmilli, count) longs — sum/count are order-insensitive, so the
+    * emitted mean is bit-identical to the batch milli path no matter how
+    * micro-batches split the archive, where a streamed double `avg`
+    * accumulates in arrival order and can land one ulp across a round-6
+    * boundary from the batch/oracle reading (seen at sf1). */
+  def windowedMeanMilli(stream: DataFrame, duration: String,
+      watermark: Option[String] = None): DataFrame = {
+    val wm = watermark.fold(stream)(stream.withWatermark("ts", _))
+    val v = graft.ops.ResampleOps.nanToNull(col("value"))
+    wm.groupBy(window(col("ts"), duration).as("w"))
+      .agg(sum(round(v * 1000, 0).cast("long")).as("s_milli"),
+           count(v).as("point_count"))
+      .select(col("w.start").as("bucket_start"),
+        (graft.ops.ResampleOps.microMeanHalfUp(col("s_milli"), col("point_count"))
+          .cast("double") / 1e6).as("mean_value"),
+        col("point_count"))
+  }
+
   /** Stateful-operator partition count for the one-shot drivers. A
     * streaming query pins `spark.sql.shuffle.partitions` into its
     * checkpoint at START and instantiates one state store per partition
@@ -132,7 +152,7 @@ object StreamingOps {
   def runResampleOnce(spark: SparkSession, dir: String, duration: String): DataFrame = {
     val name = s"graft_stream_resample_${runId.incrementAndGet()}"
     val ses = stateSizedSession(spark)
-    val q = windowedMean(eventsStream(ses, dir), duration)
+    val q = windowedMeanMilli(eventsStream(ses, dir), duration)
       .writeStream.outputMode("complete")
       .format("memory").queryName(name)
       .start()

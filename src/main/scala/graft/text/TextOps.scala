@@ -617,8 +617,14 @@ object TextOps {
       .join(broadcast(weights), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w_milli").as("s_milli"))
+      // score = s_milli/(1000·n) rounded to 6 dp — in EXACT integer space
+      // (graft.ops.ResampleOps.microMeanHalfUp): the sf1 sweep caught
+      // round(double, 6) flipping on the 20/50k docs whose exact score
+      // lands on a halfway decimal (Spark rounds the shortest string,
+      // DuckDB the binary value). keep is evaluated on the same micro int.
       .select(col("doc_id"), col("n_tokens"),
-        round((col("s_milli") / 1000.0) / col("n_tokens"), 6).as("score"))
+        (graft.ops.ResampleOps.microMeanHalfUp(col("s_milli"), col("n_tokens"))
+          .cast("double") / 1e6).as("score"))
       .withColumn("keep", (col("score") >= 0.0).cast("int"))
 
   /** Deterministic hash weight table for [[linearQualityScore]]:

@@ -8,14 +8,24 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("streaming resample (complete mode) equals the batch aggregation") {
+    // bit-equality against the batch MILLI form runResampleOnce now
+    // mirrors (exact state; arrival-order independent by construction)
     val streamed = StreamingOps.runResampleOnce(spark, TestSpark.Sf0001, "1 hour")
       .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
       .sortBy(_._1.getTime).toSeq
-    val batch = graft.ops.ResampleOps.resampleMean(
+    val batch = graft.ops.ResampleOps.resampleMeanMilli(
         graft.tables.Tables.events(spark, TestSpark.Sf0001), "ts", "value", "1h")
       .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getLong(2)))
       .sortBy(_._1.getTime).toSeq
     assert(streamed == batch)
+    // and the milli form stays within a half-micro of the double avg
+    val dbl = graft.ops.ResampleOps.resampleMean(
+        graft.tables.Tables.events(spark, TestSpark.Sf0001), "ts", "value", "1h")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1)))
+      .sortBy(_._1.getTime).toSeq
+    streamed.zip(dbl).foreach { case ((t1, m, _), (t2, a)) =>
+      assert(t1 == t2 && math.abs(m - a) <= 5.01e-7, s"$t1: milli $m vs avg $a")
+    }
   }
 
   test("streaming dedup state carries across micro-batches") {
