@@ -103,4 +103,23 @@ class SchemaCanarySpec extends AnyFunSuite {
       dt => dt == TimestampType || dt == TimestampNTZType || dt == DateType,
       "timestamp or date")
   }
+
+  test("events.value is milli-exact (<= 3 decimals) — the precision " +
+      "contract ResampleOps.resampleMeanMilli quantizes at") {
+    // The determinism-grade mean paths (resampleMeanMilli,
+    // windowedMeanMilli; q_resample_broadband/q_stream_resample oracles)
+    // accumulate round(value*1000) longs — EXACT only while the
+    // generator writes <= 3-decimal values. If this canary fires after
+    // a testdata regeneration, the milli quantization has become lossy
+    // (mean-of-rounded != rounded-mean): raise the unit scale there and
+    // in the mirrored oracle SQL together.
+    import org.apache.spark.sql.functions._
+    val offGrid = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+      .filter(abs(col("value") * 1000 - round(col("value") * 1000, 0)) > 1e-9)
+      .count()
+    assert(offGrid == 0L,
+      s"PRECISION DRIFT: $offGrid events.value rows are not milli-exact — " +
+        "resampleMeanMilli's 1000 unit scale (and its oracle mirrors) " +
+        "now round real precision away")
+  }
 }
