@@ -27,9 +27,11 @@ object BandOps {
     * `mean(axis=1, skipna=True)`, ref `:67`). In long form this is a
     * grouped mean over `ts` — NaNs normalized to NULL first so skipna
     * semantics hold (SURVEY §7.5.2). */
-  def rowMeanAcrossBands(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+  def rowMeanAcrossBands(df: DataFrame, tsCol: String, valueCol: String,
+      exactMilli: Boolean = false): DataFrame =
     df.groupBy(col(tsCol))
-      .agg(avg(ResampleOps.nanToNull(col(valueCol))).as("mean_value"))
+      .agg(ResampleOps.meanOf(ResampleOps.nanToNull(col(valueCol)), exactMilli)
+        .as("mean_value"))
       .filter(col("mean_value").isNotNull)
 
   /** Serving-edge pivot long → wide matrix. Band cardinality is small and

@@ -17,10 +17,12 @@ object DailySummaryOps {
   /** A4 — group N days of PSD rows by time-of-day and band; four stats in
     * one pass. `tod` is the `HH:mm:ss` label the reference serves
     * (ref `app/services/get_aggregations.py:99`). */
-  def timeOfDaySummary(df: DataFrame, tsCol: String, bandCol: String, valueCol: String): DataFrame = {
+  def timeOfDaySummary(df: DataFrame, tsCol: String, bandCol: String,
+      valueCol: String, exactMilli: Boolean = false): DataFrame = {
     val v = ResampleOps.nanToNull(col(valueCol))
     df.groupBy(date_format(col(tsCol), "HH:mm:ss").as("tod"), col(bandCol).as("band"))
-      .agg(avg(v).as("mean_value"), min(v).as("min_value"),
+      .agg(ResampleOps.meanOf(v, exactMilli).as("mean_value"),
+           min(v).as("min_value"),
            max(v).as("max_value"), count(v).as("point_count"))
   }
 
@@ -29,11 +31,13 @@ object DailySummaryOps {
     * 2000-01-01, resamples, and strftime's back —
     * `_aggregate_daily_summary_series`, `:88-100`). Buckets are
     * midnight-anchored by construction, matching `origin='start_day'`. */
-  def todBucketMean(df: DataFrame, tsCol: String, valueCol: String, bucketSeconds: Long): DataFrame = {
+  def todBucketMean(df: DataFrame, tsCol: String, valueCol: String,
+      bucketSeconds: Long, exactMilli: Boolean = false): DataFrame = {
     val sod = hour(col(tsCol)) * 3600L + minute(col(tsCol)) * 60L + second(col(tsCol))
     val bucketSod = (floor(sod / bucketSeconds) * bucketSeconds).cast("long")
     df.groupBy(todLabel(bucketSod).as("tod_bucket"))
-      .agg(avg(ResampleOps.nanToNull(col(valueCol))).as("mean_value"))
+      .agg(ResampleOps.meanOf(ResampleOps.nanToNull(col(valueCol)), exactMilli)
+        .as("mean_value"))
       .filter(col("mean_value").isNotNull)
   }
 
@@ -48,9 +52,11 @@ object DailySummaryOps {
 
   /** A6 — one broadband mean per calendar day (upstream
     * `create_broadband_daily_noise`, ref `README.md:156-160`). */
-  def dailyMean(df: DataFrame, tsCol: String, valueCol: String): DataFrame =
+  def dailyMean(df: DataFrame, tsCol: String, valueCol: String,
+      exactMilli: Boolean = false): DataFrame =
     df.groupBy(to_date(col(tsCol)).as("day"))
-      .agg(avg(ResampleOps.nanToNull(col(valueCol))).as("mean_value"),
+      .agg(ResampleOps.meanOf(ResampleOps.nanToNull(col(valueCol)), exactMilli)
+        .as("mean_value"),
            count(ResampleOps.nanToNull(col(valueCol))).as("point_count"))
       .filter(col("point_count") > 0)
 }

@@ -73,8 +73,20 @@ object ResampleOps {
     val dec = (c: Column) => c.cast("decimal(38,0)")
     val q = call_function("div",
       dec(abs(sMilli)) * lit(2000L) + dec(n), dec(n) * lit(2L))
-    (when(sMilli < 0, -q).otherwise(q)).cast("long")
+    // n = 0 guard (all-null group): NULL like avg, not an ANSI div-by-zero
+    when(n > 0, when(sMilli < 0, -q).otherwise(q)).cast("long")
   }
+
+  /** Mean as a single aggregate expression — plain `avg` or the
+    * determinism-grade exact-milli form ([[microMeanHalfUp]] over
+    * `(Σ round(v·1000) longs, count)`), selected by flag so an operator
+    * can expose both without duplicating its grouping logic. The milli
+    * form assumes ≤3-decimal values (SchemaCanarySpec pins the events
+    * table's precision contract) and emits the round-6 mean exactly. */
+  def meanOf(v: Column, exactMilli: Boolean): Column =
+    if (!exactMilli) avg(v)
+    else microMeanHalfUp(sum(round(v * 1000, 0).cast("long")), count(v))
+      .cast("double") / 1e6
 
   /** [[resampleMean]] in determinism-grade form for archives whose value
     * column carries fixed ≤3-decimal precision (the synthetic events
@@ -99,9 +111,9 @@ object ResampleOps {
     * per (bucket, band). Band-set agnostic (SURVEY §1.2); pivot to the wide
     * matrix only at the serving edge. */
   def resampleBandsMean(df: DataFrame, tsCol: String, bandCol: String, valueCol: String,
-                        interval: String): DataFrame =
+                        interval: String, exactMilli: Boolean = false): DataFrame =
     df.groupBy(bucket(col(tsCol), interval).as("bucket_start"), col(bandCol).as("band"))
-      .agg(avg(nanToNull(col(valueCol))).as("mean_value"),
+      .agg(meanOf(nanToNull(col(valueCol)), exactMilli).as("mean_value"),
            count(nanToNull(col(valueCol))).as("point_count"))
       .filter(col("point_count") > 0)
 }

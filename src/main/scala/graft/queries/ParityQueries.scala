@@ -43,40 +43,43 @@ object ParityQueries {
       ResampleOps.resampleMeanMilli(events(s, dir), "ts", "value", "1h")
         .orderBy("bucket_start")),
 
-    // A2 — per-band resample (long PSD form; event_type as band) on a 3-day window.
+    // A2 — per-band resample (long PSD form; event_type as band) on a 3-day
+    // window. exactMilli: the whole parity mean family rides the exact
+    // integer round-6 form after the sf1 sweep's rounding-divergence find
+    // (see q_resample_broadband / PERF r12) — same plan, exact compare.
     "q_resample_bands" -> ((s, dir) =>
       ResampleOps.resampleBandsMean(
           TimeseriesOps.windowFilter(events(s, dir), "ts", WStart,
             Instant.parse("2024-01-08T00:00:00Z")),
-          "ts", "event_type", "value", "5m")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+          "ts", "event_type", "value", "5m", exactMilli = true)
         .orderBy("bucket_start", "band")),
 
     // P2/A3 — band-range filter (user_id as numeric band label) + per-ts mean.
     "q_band_range_mean" -> ((s, dir) =>
       BandOps.rowMeanAcrossBands(
-          BandOps.bandRange(events(s, dir), "user_id", 30, 90), "ts", "value")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+          BandOps.bandRange(events(s, dir), "user_id", 30, 90), "ts", "value",
+          exactMilli = true)
         .orderBy("ts")),
 
-    // A4 — time-of-day summary: four stats per (HH:mm:ss, band) in one pass.
+    // A4 — time-of-day summary: four stats per (HH:mm:ss, band) in one pass
+    // (mean exact-milli; min/max of ≤3-decimal values can't sit on a 6-dp
+    // half-boundary, so plain rounds stay).
     "q_daily_summary" -> ((s, dir) =>
-      DailySummaryOps.timeOfDaySummary(events(s, dir), "ts", "event_type", "value")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+      DailySummaryOps.timeOfDaySummary(events(s, dir), "ts", "event_type",
+          "value", exactMilli = true)
         .withColumn("min_value", round(col("min_value"), 6))
         .withColumn("max_value", round(col("max_value"), 6))
         .orderBy("tod", "band")),
 
     // A5 — re-anchored typical-day bucketing (15m buckets of second-of-day).
     "q_tod_bucket_mean" -> ((s, dir) =>
-      DailySummaryOps.todBucketMean(events(s, dir), "ts", "value", 900)
-        .withColumn("mean_value", round(col("mean_value"), 6))
+      DailySummaryOps.todBucketMean(events(s, dir), "ts", "value", 900,
+          exactMilli = true)
         .orderBy("tod_bucket")),
 
     // A6 — daily broadband mean.
     "q_daily_broadband" -> ((s, dir) =>
-      DailySummaryOps.dailyMean(events(s, dir), "ts", "value")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+      DailySummaryOps.dailyMean(events(s, dir), "ts", "value", exactMilli = true)
         .orderBy("day")),
 
     // A7 — inventory/coverage catalog (user_id×event_type as the product key).
@@ -92,11 +95,18 @@ object ParityQueries {
 
     // A2+pivot — the serving-edge wide matrix (`/aggregations/psd` shape):
     // long per-band means pivoted to one column per band label.
+    // exact-milli: per-(bucket, band) milli means in long form first, then
+    // the serving-edge pivot carries the finished mean (first-and-only per
+    // cell) — pivot aggs can't wrap the two-aggregate milli expression.
     "q_psd_matrix" -> ((s, dir) =>
       events(s, dir)
-        .groupBy(ResampleOps.bucket(col("ts"), "1d").as("bucket_start"))
+        .groupBy(ResampleOps.bucket(col("ts"), "1d").as("bucket_start"),
+          col("event_type"))
+        .agg(ResampleOps.meanOf(ResampleOps.nanToNull(col("value")), exactMilli = true)
+          .as("m"))
+        .groupBy("bucket_start")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(round(avg(ResampleOps.nanToNull(col("value"))), 6))
+        .agg(first(col("m")))
         .orderBy("bucket_start")),
 
     // P4 — non-finite drop: synthesize NaN/Inf, then keep only finite values.
@@ -107,7 +117,8 @@ object ParityQueries {
           .otherwise(col("value")))
       TimeseriesOps.finiteOnly(withBad, "v")
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n_kept"), round(avg(col("v")), 6).as("mean_value"))
+        .agg(count(lit(1)).as("n_kept"),
+          ResampleOps.meanOf(col("v"), exactMilli = true).as("mean_value"))
         .orderBy("event_type")
     }),
 
@@ -178,15 +189,26 @@ object ParityQueries {
     "q_merge_lastwins" -> ((s, dir) => {
       val ev = events(s, dir)
       val c1 = DailySummaryOps.dailyMean(
-          ev.filter(col("ts") < lit("2024-01-16 00:00:00")), "ts", "value")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+          ev.filter(col("ts") < lit("2024-01-16 00:00:00")), "ts", "value",
+          exactMilli = true)
       val c2 = DailySummaryOps.dailyMean(
           ev.filter(col("ts") >= lit("2024-01-10 00:00:00") && col("value") < 400),
-          "ts", "value")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+          "ts", "value", exactMilli = true)
       MergeOps.lastWinsMerge(Seq(c1, c2), Seq("day")).orderBy("day")
     }),
   )
+
+  /** DuckDB fragment mirroring `ResampleOps.microMeanHalfUp(s, n)/1e6`:
+    * exact HALF_UP round-6 mean of a milli-unit sum `s` over count `n`
+    * (`// 0` yields NULL in DuckDB exactly like the Spark n=0 guard). */
+  private def milliMeanSql(s: String, n: String): String =
+    s"CAST(CASE WHEN $s < 0 THEN -((abs($s) * 2000 + $n) // (2 * $n)) " +
+      s"ELSE ($s * 2000 + $n) // (2 * $n) END AS DOUBLE) / 1e6"
+
+  /** Aggregate fragment: the exact milli-unit sum of `v` (HUGEINT so the
+    * doubled numerator can't overflow at any group size). */
+  private def sMilliSql(v: String): String =
+    s"CAST(sum(CAST(round($v * 1000, 0) AS BIGINT)) AS HUGEINT)"
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_points" ->
@@ -212,40 +234,56 @@ object ParityQueries {
         |FROM m WHERE n > 0 ORDER BY 1""".stripMargin,
 
     "q_resample_bands" ->
-      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
-        |       event_type AS band,
-        |       round(avg(value), 6) AS mean_value, count(value) AS point_count
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start,
+         |         event_type AS band,
+         |         ${sMilliSql("value")} AS s, count(value) AS n
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+         |  GROUP BY 1, 2)
+         |SELECT bucket_start, band, ${milliMeanSql("s", "n")} AS mean_value,
+         |       n AS point_count
+         |FROM m WHERE n > 0 ORDER BY 1, 2""".stripMargin,
 
     "q_band_range_mean" ->
-      """SELECT ts, round(avg(value), 6) AS mean_value
-        |FROM events
-        |WHERE CAST(user_id AS DOUBLE) >= 30 AND CAST(user_id AS DOUBLE) <= 90
-        |GROUP BY ts ORDER BY ts""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT ts, ${sMilliSql("value")} AS s, count(value) AS n
+         |  FROM events
+         |  WHERE CAST(user_id AS DOUBLE) >= 30 AND CAST(user_id AS DOUBLE) <= 90
+         |  GROUP BY ts)
+         |SELECT ts, ${milliMeanSql("s", "n")} AS mean_value
+         |FROM m WHERE n > 0 ORDER BY ts""".stripMargin,
 
     "q_daily_summary" ->
-      """SELECT strftime(ts, '%H:%M:%S') AS tod, event_type AS band,
-        |       round(avg(value), 6) AS mean_value,
-        |       round(min(value), 6) AS min_value,
-        |       round(max(value), 6) AS max_value,
-        |       count(value) AS point_count
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT strftime(ts, '%H:%M:%S') AS tod, event_type AS band,
+         |         ${sMilliSql("value")} AS s, count(value) AS n,
+         |         min(value) AS mn, max(value) AS mx
+         |  FROM events GROUP BY 1, 2)
+         |SELECT tod, band, ${milliMeanSql("s", "n")} AS mean_value,
+         |       round(mn, 6) AS min_value, round(mx, 6) AS max_value,
+         |       n AS point_count
+         |FROM m ORDER BY 1, 2""".stripMargin,
 
     "q_tod_bucket_mean" ->
-      """SELECT printf('%02d:%02d:%02d', CAST(b // 3600 AS INT),
-        |              CAST((b % 3600) // 60 AS INT), CAST(b % 60 AS INT)) AS tod_bucket,
-        |       round(avg(value), 6) AS mean_value
-        |FROM (SELECT ((hour(ts) * 3600 + minute(ts) * 60 + second(ts)) // 900) * 900 AS b,
-        |             value
-        |      FROM events)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT printf('%02d:%02d:%02d', CAST(b // 3600 AS INT),
+         |                CAST((b % 3600) // 60 AS INT), CAST(b % 60 AS INT)) AS tod_bucket,
+         |         ${sMilliSql("value")} AS s, count(value) AS n
+         |  FROM (SELECT ((hour(ts) * 3600 + minute(ts) * 60 + second(ts)) // 900) * 900 AS b,
+         |               value
+         |        FROM events)
+         |  GROUP BY 1)
+         |SELECT tod_bucket, ${milliMeanSql("s", "n")} AS mean_value
+         |FROM m WHERE n > 0 ORDER BY 1""".stripMargin,
 
     "q_daily_broadband" ->
-      """SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS mean_value,
-        |       count(value) AS point_count
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |         ${sMilliSql("value")} AS s, count(value) AS n
+         |  FROM events GROUP BY 1)
+         |SELECT day, ${milliMeanSql("s", "n")} AS mean_value, n AS point_count
+         |FROM m WHERE n > 0 ORDER BY 1""".stripMargin,
 
     "q_catalog_inventory" ->
       """SELECT user_id, event_type, min(ts) AS first_start, max(ts) AS last_end,
@@ -256,24 +294,34 @@ object ParityQueries {
       "SELECT DISTINCT event_type FROM events ORDER BY event_type",
 
     "q_psd_matrix" ->
-      """SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
-        |       round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS click,
-        |       round(avg(value) FILTER (WHERE event_type = 'error'), 6) AS error,
-        |       round(avg(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase,
-        |       round(avg(value) FILTER (WHERE event_type = 'signup'), 6) AS signup,
-        |       round(avg(value) FILTER (WHERE event_type = 'view'), 6) AS view
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT time_bucket(INTERVAL '1 day', ts) AS bucket_start,
+         |         event_type AS band,
+         |         ${sMilliSql("value")} AS s, count(value) AS n
+         |  FROM events GROUP BY 1, 2),
+         |x AS (SELECT bucket_start, band, ${milliMeanSql("s", "n")} AS m FROM m)
+         |SELECT bucket_start,
+         |       max(m) FILTER (WHERE band = 'click') AS click,
+         |       max(m) FILTER (WHERE band = 'error') AS error,
+         |       max(m) FILTER (WHERE band = 'purchase') AS purchase,
+         |       max(m) FILTER (WHERE band = 'signup') AS signup,
+         |       max(m) FILTER (WHERE band = 'view') AS view
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_finite_filter" ->
-      """WITH bad AS (
-        |  SELECT event_type,
-        |         CASE WHEN user_id % 11 = 0 THEN CAST('NaN' AS DOUBLE)
-        |              WHEN user_id % 13 = 0 THEN CAST('Infinity' AS DOUBLE)
-        |              ELSE value END AS v
-        |  FROM events)
-        |SELECT event_type, count(*) AS n_kept, round(avg(v), 6) AS mean_value
-        |FROM bad WHERE isfinite(v)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH bad AS (
+         |  SELECT event_type,
+         |         CASE WHEN user_id % 11 = 0 THEN CAST('NaN' AS DOUBLE)
+         |              WHEN user_id % 13 = 0 THEN CAST('Infinity' AS DOUBLE)
+         |              ELSE value END AS v
+         |  FROM events),
+         |m AS (
+         |  SELECT event_type, count(*) AS n_kept,
+         |         ${sMilliSql("v")} AS s, count(v) AS n
+         |  FROM bad WHERE isfinite(v)
+         |  GROUP BY 1)
+         |SELECT event_type, n_kept, ${milliMeanSql("s", "n")} AS mean_value
+         |FROM m ORDER BY 1""".stripMargin,
 
     "q_file_match_count" ->
       """SELECT event_type AS hydrophone,
@@ -300,15 +348,19 @@ object ParityQueries {
         |  AND ts < TIMESTAMP '2023-06-02 00:00:00'""".stripMargin,
 
     "q_merge_lastwins" ->
-      """WITH c1 AS (
-        |  SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS mean_value,
-        |         count(value) AS point_count
-        |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
-        |c2 AS (
-        |  SELECT CAST(ts AS DATE) AS day, round(avg(value), 6) AS mean_value,
-        |         count(value) AS point_count
-        |  FROM events
-        |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND value < 400 GROUP BY 1),
+      s"""WITH m1 AS (
+         |  SELECT CAST(ts AS DATE) AS day, ${sMilliSql("value")} AS s,
+         |         count(value) AS n
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+         |c1 AS (SELECT day, ${milliMeanSql("s", "n")} AS mean_value,
+         |              n AS point_count FROM m1 WHERE n > 0),
+         |m2 AS (
+         |  SELECT CAST(ts AS DATE) AS day, ${sMilliSql("value")} AS s,
+         |         count(value) AS n
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND value < 400 GROUP BY 1),
+         |c2 AS (SELECT day, ${milliMeanSql("s", "n")} AS mean_value,
+         |              n AS point_count FROM m2 WHERE n > 0),
         |u AS (SELECT *, 0 AS chunk FROM c1 UNION ALL SELECT *, 1 AS chunk FROM c2),
         |r AS (SELECT *, row_number() OVER (PARTITION BY day ORDER BY chunk DESC) AS rn FROM u)
         |SELECT day, mean_value, point_count FROM r WHERE rn = 1 ORDER BY day""".stripMargin,
