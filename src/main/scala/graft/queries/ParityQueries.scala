@@ -95,19 +95,22 @@ object ParityQueries {
 
     // A2+pivot — the serving-edge wide matrix (`/aggregations/psd` shape):
     // long per-band means pivoted to one column per band label.
-    // exact-milli: per-(bucket, band) milli means in long form first, then
-    // the serving-edge pivot carries the finished mean (first-and-only per
-    // cell) — pivot aggs can't wrap the two-aggregate milli expression.
-    "q_psd_matrix" -> ((s, dir) =>
+    // exact-milli, single shuffle kept: pivot cells carry the exact
+    // (Σmilli, count) pair (pivot aggs can't wrap the compound milli
+    // expression, but they CAN carry its two ingredients), and the
+    // post-select computes each cell's micro mean from them.
+    "q_psd_matrix" -> ((s, dir) => {
+      val v = ResampleOps.nanToNull(col("value"))
+      val bands = Seq("click", "error", "purchase", "signup", "view")
       events(s, dir)
-        .groupBy(ResampleOps.bucket(col("ts"), "1d").as("bucket_start"),
-          col("event_type"))
-        .agg(ResampleOps.meanOf(ResampleOps.nanToNull(col("value")), exactMilli = true)
-          .as("m"))
-        .groupBy("bucket_start")
-        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(first(col("m")))
-        .orderBy("bucket_start")),
+        .groupBy(ResampleOps.bucket(col("ts"), "1d").as("bucket_start"))
+        .pivot("event_type", bands)
+        .agg(sum(round(v * 1000, 0).cast("long")).as("s"), count(v).as("n"))
+        .select(col("bucket_start") +: bands.map(b =>
+          (ResampleOps.microMeanHalfUp(col(s"${b}_s"), col(s"${b}_n"))
+            .cast("double") / 1e6).as(b)): _*)
+        .orderBy("bucket_start")
+    }),
 
     // P4 — non-finite drop: synthesize NaN/Inf, then keep only finite values.
     "q_finite_filter" -> ((s, dir) => {
