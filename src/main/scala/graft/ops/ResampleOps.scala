@@ -77,6 +77,18 @@ object ResampleOps {
     when(n > 0, when(sMilli < 0, -q).otherwise(q)).cast("long")
   }
 
+  /** Exact HALF_UP rounding of the integer ratio `num/den` (`den > 0`;
+    * NULL otherwise, mirroring `// 0 → NULL`), DECIMAL(38,0) exact —
+    * the generic form behind [[microMeanHalfUp]], for integer-space
+    * interpolation/proration chains (e.g. q_interp_linear's
+    * `Δmicro·Δt/Δspan`). */
+  def ratioHalfUp(num: Column, den: Column): Column = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val q = call_function("div",
+      dec(abs(num)) * lit(2L) + dec(den), dec(den) * lit(2L))
+    when(den > 0, when(num < 0, -q).otherwise(q)).cast("long")
+  }
+
   /** Mean as a single aggregate expression — plain `avg` or the
     * determinism-grade exact-milli form ([[microMeanHalfUp]] over
     * `(Σ round(v·1000) longs, count)`), selected by flag so an operator

@@ -33,8 +33,12 @@ object JoinQueries {
             .as("sum_base_price"),
           (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
             .cast("long")) / 100.0).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          // exact-milli round-6 means (quantity integer, discount 2-dp:
+          // both milli-exact) — same rationale as the cent-exact sums
+          graft.ops.ResampleOps.meanOf(col("l_quantity"), exactMilli = true)
+            .as("avg_qty"),
+          graft.ops.ResampleOps.meanOf(col("l_discount"), exactMilli = true)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -179,9 +183,9 @@ object JoinQueries {
           lit("2024-01-05 00:00:00").cast("timestamp"),
           lit("2024-01-12 00:00:00").cast("timestamp"),
           expr("INTERVAL 1 HOUR"))).as("bucket_start"))
-      val agg = graft.ops.ResampleOps.resampleMean(
+      val agg = graft.ops.ResampleOps.resampleMeanMilli(
           Tables.events(s, dir).filter(col("user_id") === 7), "ts", "value", "1h")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+        .select("bucket_start", "mean_value") // exact-milli round-6 mean
       val w = org.apache.spark.sql.expressions.Window
         .orderBy("bucket_start")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -210,14 +214,23 @@ object JoinQueries {
           lit("2024-01-05 00:00:00").cast("timestamp"),
           lit("2024-01-12 00:00:00").cast("timestamp"),
           expr("INTERVAL 1 HOUR"))).as("bucket_start"))
-      val agg = graft.ops.ResampleOps.resampleMean(
+      val agg = graft.ops.ResampleOps.resampleMeanMilli(
           Tables.events(s, dir).filter(col("user_id") === 7), "ts", "value", "1h")
-        .withColumn("mean_value", round(col("mean_value"), 6))
+        .select("bucket_start", "mean_value") // exact-milli round-6 mean
       val wp = org.apache.spark.sql.expressions.Window.orderBy("bucket_start")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val wn = org.apache.spark.sql.expressions.Window.orderBy("bucket_start")
         .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
       val known = when(col("mean_value").isNotNull, col("bucket_start"))
+      // the interpolation itself runs in exact micro ints: pv/nv are
+      // micro-exact, so pm/nm recover losslessly, and the round-6
+      // estimate is ratioHalfUp(Δmicro·Δt, Δspan) — a midpoint between
+      // two odd micros lands EXACTLY on the halfway boundary, where the
+      // engines' round(double, 6) realizations disagree (PERF r12)
+      val pm = round(col("pv") * 1e6).cast("long")
+      val nm = round(col("nv") * 1e6).cast("long")
+      val dt = unix_timestamp(col("bucket_start")) - unix_timestamp(col("pb"))
+      val span = unix_timestamp(col("nb")) - unix_timestamp(col("pb"))
       grid.join(agg, Seq("bucket_start"), "left")
         .withColumn("pv", last(col("mean_value"), ignoreNulls = true).over(wp))
         .withColumn("pb", last(known, ignoreNulls = true).over(wp))
@@ -227,11 +240,8 @@ object JoinQueries {
           when(col("pv").isNull, col("nv"))
             .when(col("nv").isNull, col("pv"))
             .when(col("pb") === col("nb"), col("pv")) // observed bucket
-            .otherwise(round(col("pv") + (col("nv") - col("pv")) *
-              ((unix_timestamp(col("bucket_start")) - unix_timestamp(col("pb")))
-                .cast("double") /
-               (unix_timestamp(col("nb")) - unix_timestamp(col("pb")))
-                .cast("double")), 6)))
+            .otherwise((pm + graft.ops.ResampleOps.ratioHalfUp(
+              (nm - pm) * dt, span)).cast("double") / 1e6))
         .select("bucket_start", "mean_value", "interp_value")
         .orderBy("bucket_start")
     }),
@@ -667,16 +677,22 @@ object JoinQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
-        |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
-        |       round(avg(l_quantity), 6) AS avg_qty,
-        |       round(avg(l_discount), 6) AS avg_disc,
-        |       count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         sum(l_quantity) AS sum_qty,
+         |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+         |         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+         |         ${OracleSql.sMilliSql("l_quantity")} AS sq,
+         |         ${OracleSql.sMilliSql("l_discount")} AS sd,
+         |         count(*) AS n
+         |  FROM lineitem
+         |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |  GROUP BY 1, 2)
+         |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+         |       ${OracleSql.milliMeanSql("sq", "n")} AS avg_qty,
+         |       ${OracleSql.milliMeanSql("sd", "n")} AS avg_disc,
+         |       n AS count_order
+         |FROM m ORDER BY 1, 2""".stripMargin,
 
     "q_revenue_by_nation" ->
       """SELECT n_name,
@@ -773,57 +789,71 @@ object JoinQueries {
         |ORDER BY p.o_orderkey""".stripMargin,
 
     "q_gap_fill" ->
-      """WITH grid AS (
-        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
-        |                TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR))
-        |    AS bucket_start),
-        |agg AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |         round(avg(value), 6) AS mean_value
-        |  FROM events WHERE user_id = 7 GROUP BY 1)
-        |SELECT g.bucket_start, a.mean_value,
-        |       last_value(a.mean_value IGNORE NULLS)
-        |         OVER (ORDER BY g.bucket_start ROWS UNBOUNDED PRECEDING)
-        |         AS filled_value
-        |FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start
-        |ORDER BY g.bucket_start""".stripMargin,
+      s"""WITH grid AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+         |                TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR))
+         |    AS bucket_start),
+         |m AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         |         ${OracleSql.sMilliSql("value")} AS s, count(value) AS n
+         |  FROM events WHERE user_id = 7 GROUP BY 1),
+         |agg AS (
+         |  SELECT bucket_start, ${OracleSql.milliMeanSql("s", "n")} AS mean_value
+         |  FROM m WHERE n > 0)
+         |SELECT g.bucket_start, a.mean_value,
+         |       last_value(a.mean_value IGNORE NULLS)
+         |         OVER (ORDER BY g.bucket_start ROWS UNBOUNDED PRECEDING)
+         |         AS filled_value
+         |FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start
+         |ORDER BY g.bucket_start""".stripMargin,
 
     "q_interp_linear" ->
-      """WITH grid AS (
-        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
-        |                TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR))
-        |    AS bucket_start),
-        |agg AS (
-        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-        |         round(avg(value), 6) AS mean_value
-        |  FROM events WHERE user_id = 7 GROUP BY 1),
-        |j AS (
-        |  SELECT g.bucket_start, a.mean_value
-        |  FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start),
-        |w AS (
-        |  SELECT bucket_start, mean_value,
-        |    last_value(mean_value IGNORE NULLS)
-        |      OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS pv,
-        |    last_value(CASE WHEN mean_value IS NOT NULL THEN bucket_start END
-        |        IGNORE NULLS)
-        |      OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS pb,
-        |    first_value(mean_value IGNORE NULLS)
-        |      OVER (ORDER BY bucket_start
-        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
-        |    first_value(CASE WHEN mean_value IS NOT NULL THEN bucket_start END
-        |        IGNORE NULLS)
-        |      OVER (ORDER BY bucket_start
-        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
-        |  FROM j)
-        |SELECT bucket_start, mean_value,
-        |  CASE WHEN pv IS NULL THEN nv
-        |       WHEN nv IS NULL THEN pv
-        |       WHEN pb = nb THEN pv
-        |       ELSE round(pv + (nv - pv)
-        |              * (CAST(epoch(bucket_start) - epoch(pb) AS DOUBLE)
-        |                 / CAST(epoch(nb) - epoch(pb) AS DOUBLE)), 6)
-        |  END AS interp_value
-        |FROM w ORDER BY bucket_start""".stripMargin,
+      s"""WITH grid AS (
+         |  SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+         |                TIMESTAMP '2024-01-12 00:00:00', INTERVAL 1 HOUR))
+         |    AS bucket_start),
+         |mm AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+         |         ${OracleSql.sMilliSql("value")} AS s, count(value) AS n
+         |  FROM events WHERE user_id = 7 GROUP BY 1),
+         |agg AS (
+         |  SELECT bucket_start, ${OracleSql.milliMeanSql("s", "n")} AS mean_value
+         |  FROM mm WHERE n > 0),
+         |j AS (
+         |  SELECT g.bucket_start, a.mean_value
+         |  FROM grid g LEFT JOIN agg a ON g.bucket_start = a.bucket_start),
+         |w AS (
+         |  SELECT bucket_start, mean_value,
+         |    last_value(mean_value IGNORE NULLS)
+         |      OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS pv,
+         |    last_value(CASE WHEN mean_value IS NOT NULL THEN bucket_start END
+         |        IGNORE NULLS)
+         |      OVER (ORDER BY bucket_start ROWS UNBOUNDED PRECEDING) AS pb,
+         |    first_value(mean_value IGNORE NULLS)
+         |      OVER (ORDER BY bucket_start
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN mean_value IS NOT NULL THEN bucket_start END
+         |        IGNORE NULLS)
+         |      OVER (ORDER BY bucket_start
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM j),
+         |mic AS (
+         |  -- exact micro-int interpolation, mirroring the engine:
+         |  -- pm + halfUp((nm-pm)*dt / span); pv/nv are micro-exact means
+         |  SELECT bucket_start, mean_value, pv, nv, pb, nb,
+         |         CAST(round(pv * 1e6) AS HUGEINT) AS pm,
+         |         CAST(round(nv * 1e6) AS HUGEINT) AS nm,
+         |         CAST(epoch(bucket_start) - epoch(pb) AS HUGEINT) AS dt,
+         |         CAST(epoch(nb) - epoch(pb) AS HUGEINT) AS span
+         |  FROM w)
+         |SELECT bucket_start, mean_value,
+         |  CASE WHEN pv IS NULL THEN nv
+         |       WHEN nv IS NULL THEN pv
+         |       WHEN pb = nb THEN pv
+         |       ELSE CAST(pm + ${OracleSql.ratioHalfUpSql("(nm - pm) * dt", "span")}
+         |                 AS DOUBLE) / 1e6
+         |  END AS interp_value
+         |FROM mic ORDER BY bucket_start""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

@@ -57,7 +57,8 @@ object LayoutQueries {
                 col("ts") <  lit(java.sql.Timestamp.from(hi)))
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"),
-             round(avg(col("value")), 6).as("avg_value"))
+             graft.ops.ResampleOps.meanOf(col("value"), exactMilli = true)
+               .as("avg_value"))
         .orderBy("day")
     }),
 
@@ -528,12 +529,15 @@ object LayoutQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_skip_scan" ->
-      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
-        |       round(avg(value), 6) AS avg_value
-        |FROM events
-        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
-        |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+         |         ${OracleSql.sMilliSql("value")} AS s, count(value) AS nv
+         |  FROM events
+         |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |    AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+         |  GROUP BY 1)
+         |SELECT day, n, ${OracleSql.milliMeanSql("s", "nv")} AS avg_value
+         |FROM m ORDER BY 1""".stripMargin,
 
     // the corrupted day is simply absent — the read survives, the loss
     // is visible (n_days = 29, not 30)

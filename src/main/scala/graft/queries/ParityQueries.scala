@@ -201,17 +201,7 @@ object ParityQueries {
     }),
   )
 
-  /** DuckDB fragment mirroring `ResampleOps.microMeanHalfUp(s, n)/1e6`:
-    * exact HALF_UP round-6 mean of a milli-unit sum `s` over count `n`
-    * (`// 0` yields NULL in DuckDB exactly like the Spark n=0 guard). */
-  private def milliMeanSql(s: String, n: String): String =
-    s"CAST(CASE WHEN $s < 0 THEN -((abs($s) * 2000 + $n) // (2 * $n)) " +
-      s"ELSE ($s * 2000 + $n) // (2 * $n) END AS DOUBLE) / 1e6"
-
-  /** Aggregate fragment: the exact milli-unit sum of `v` (HUGEINT so the
-    * doubled numerator can't overflow at any group size). */
-  private def sMilliSql(v: String): String =
-    s"CAST(sum(CAST(round($v * 1000, 0) AS BIGINT)) AS HUGEINT)"
+  import OracleSql.{milliMeanSql, sMilliSql}
 
   val oracleSql: Map[String, String] = Map(
     "q_ts_points" ->

@@ -113,7 +113,8 @@ object StatsQueries {
         count(lit(1)).as("n_rows"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        graft.ops.ResampleOps.meanOf(col("l_quantity"), exactMilli = true)
+          .as("avg_qty"),
         countDistinct(col("l_orderkey")).as("ndv_orderkey"),
         countDistinct(col("l_partkey")).as("ndv_partkey"),
         sum(col("l_tax").isNull.cast("long")).as("nulls_tax"),
@@ -156,7 +157,9 @@ object StatsQueries {
       Tables.events(s, dir)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
         .groupBy((col("k") % 10).as("k_bucket"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean_value"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.ResampleOps.meanOf(col("value"), exactMilli = true)
+            .as("mean_value"))
         .orderBy("k_bucket")),
 
     // Declarative data-quality audit (the dbt-tests / Deequ shape): a
@@ -240,9 +243,14 @@ object StatsQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
         .rangeBetween(-6L * 3600 * 1000000, 0)
+      // exact-milli over the RANGE frame too: the windowed sum carries
+      // milli longs and the round-6 mean is the shared integer HALF_UP
+      val sM = sum(round(col("value") * 1000, 0).cast("long")).over(w)
+      val cN = count(col("value")).over(w)
       Tables.events(s, dir)
-        .withColumn("trailing_6h_avg", round(avg(col("value")).over(w), 6))
-        .withColumn("trailing_6h_n", count(col("value")).over(w))
+        .withColumn("trailing_6h_avg",
+          graft.ops.ResampleOps.microMeanHalfUp(sM, cN).cast("double") / 1e6)
+        .withColumn("trailing_6h_n", cN)
         .select("event_id", "user_id", "ts", "trailing_6h_avg", "trailing_6h_n")
         .orderBy("event_id")
     }),
@@ -251,7 +259,9 @@ object StatsQueries {
     "q_histogram" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(floor(col("value") / 25).cast("long").as("bin"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("bin_mean"))
+        .agg(count(lit(1)).as("n"),
+          graft.ops.ResampleOps.meanOf(col("value"), exactMilli = true)
+            .as("bin_mean"))
         .orderBy("bin")),
 
     // Native session windows (batch mode): same 30-min-gap semantics as
@@ -1789,14 +1799,19 @@ object StatsQueries {
         |GROUP BY 1 ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
 
     "q_table_stats" ->
-      """SELECT count(*) AS n_rows,
-        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |       round(avg(l_quantity), 6) AS avg_qty,
-        |       count(DISTINCT l_orderkey) AS ndv_orderkey,
-        |       count(DISTINCT l_partkey) AS ndv_partkey,
-        |       CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_tax,
-        |       min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate
-        |FROM lineitem""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT count(*) AS n_rows,
+         |         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         |         ${OracleSql.sMilliSql("l_quantity")} AS s, count(l_quantity) AS n,
+         |         count(DISTINCT l_orderkey) AS ndv_orderkey,
+         |         count(DISTINCT l_partkey) AS ndv_partkey,
+         |         CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_tax,
+         |         min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate
+         |  FROM lineitem)
+         |SELECT n_rows, min_qty, max_qty,
+         |       ${OracleSql.milliMeanSql("s", "n")} AS avg_qty,
+         |       ndv_orderkey, ndv_partkey, nulls_tax, min_shipdate, max_shipdate
+         |FROM m""".stripMargin,
 
     "q_fk_integrity" ->
       """SELECT 'lineitems_without_order' AS check, CAST(count(*) AS BIGINT) AS violations
@@ -1815,9 +1830,13 @@ object StatsQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_json_props" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-        |       count(*) AS n, round(avg(value), 6) AS mean_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT CAST(json_extract_string(props, '$$.k') AS INT) % 10 AS k_bucket,
+         |         count(*) AS n, ${OracleSql.sMilliSql("value")} AS s,
+         |         count(value) AS nv
+         |  FROM events GROUP BY 1)
+         |SELECT k_bucket, n, ${OracleSql.milliMeanSql("s", "nv")} AS mean_value
+         |FROM m ORDER BY 1""".stripMargin,
 
     // one UNION of conditional aggregates — the same single-pass shape
     "q_dq_audit" ->
@@ -1874,19 +1893,28 @@ object StatsQueries {
         |ORDER BY user_id, gap_start""".stripMargin,
 
     "q_moving_avg" ->
-      """SELECT event_id, user_id, ts,
-        |       round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW), 6)
-        |         AS trailing_6h_avg,
-        |       count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
-        |         AS trailing_6h_n
-        |FROM events ORDER BY event_id""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT event_id, user_id, ts,
+         |         CAST(sum(CAST(round(value * 1000, 0) AS BIGINT))
+         |              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |                    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+         |              AS HUGEINT) AS s,
+         |         count(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         |               RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+         |           AS trailing_6h_n
+         |  FROM events)
+         |SELECT event_id, user_id, ts,
+         |       ${OracleSql.milliMeanSql("s", "trailing_6h_n")} AS trailing_6h_avg,
+         |       trailing_6h_n
+         |FROM m ORDER BY event_id""".stripMargin,
 
     "q_histogram" ->
-      """SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
-        |       round(avg(value), 6) AS bin_mean
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n,
+         |         ${OracleSql.sMilliSql("value")} AS s, count(value) AS nv
+         |  FROM events GROUP BY 1)
+         |SELECT bin, n, ${OracleSql.milliMeanSql("s", "nv")} AS bin_mean
+         |FROM m ORDER BY 1""".stripMargin,
 
     "q_session_window" ->
       """WITH m AS (

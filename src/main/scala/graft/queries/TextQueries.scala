@@ -751,8 +751,12 @@ object TextQueries {
         .groupBy("source")
         .agg(sum("n").as("n_tokens"),
           sum(when(col("in_vocab").isNull, col("n")).otherwise(0L)).as("n_oov"))
+        // exact integer round-6 of the rate: n_oov/n_tokens is a finite
+        // rational that can land on a halfway decimal (PERF r12)
         .withColumn("oov_rate",
-          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          graft.ops.ResampleOps.ratioHalfUp(
+            col("n_oov").cast("decimal(38,0)") * 1000000L,
+            col("n_tokens")).cast("double") / 1e6)
         .orderBy("source")
     }),
 
@@ -1953,14 +1957,18 @@ object TextQueries {
          |  SELECT source, unnest(${toks("lower(text)")}) AS term FROM documents),
          |vocab AS (
          |  SELECT term FROM tokens GROUP BY term
-         |  ORDER BY count(*) DESC, term LIMIT 200)
-         |SELECT source, count(*) AS n_tokens,
-         |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_oov,
-         |       round(avg(CASE WHEN v.term IS NULL THEN 1.0 ELSE 0.0 END), 6)
-         |         AS oov_rate
-         |FROM tokens t LEFT JOIN vocab v ON t.term = v.term
-         |GROUP BY source ORDER BY source""".stripMargin,
+         |  ORDER BY count(*) DESC, term LIMIT 200),
+         |m AS (
+         |  SELECT source, count(*) AS n_tokens,
+         |         CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_oov
+         |  FROM tokens t LEFT JOIN vocab v ON t.term = v.term
+         |  GROUP BY source)
+         |SELECT source, n_tokens, n_oov,
+         |       CAST(${OracleSql.ratioHalfUpSql(
+                  "CAST(n_oov AS HUGEINT) * 1000000", "n_tokens")}
+         |         AS DOUBLE) / 1e6 AS oov_rate
+         |FROM m ORDER BY source""".stripMargin,
 
     // identical key/shard/rank arithmetic to the Spark side: md5 of the
     // same UTF-8 bytes, first 15 hex digits as BIGINT, % 8 shard, rank
