@@ -114,6 +114,20 @@ object Bench {
     t.wall > 1.0 && quietBaseline > 0 && t.wall > 3 * quietBaseline &&
       t.cpu >= 0 && t.cpu < 2 * t.wall
 
+  /** WITHIN-RUN warm>cold inversion (r12 verdict "What's wrong" #2): the
+    * warm pass re-executes the identical plan with codegen, plan and page
+    * caches hot, so it should only be FASTER than its own cold pass — a
+    * warm wall > 1.5× the repaired cold wall (and > 1 s absolute) is a
+    * contention signature that needs NO baseline, load, or cpu
+    * corroboration. The r12 driver artifact shipped q_video_keyframes at
+    * 9.02 s warm vs 5.42 s cold under exactly this shape, inside the 3×
+    * thresholds of every other gate. Repair stays rerun-and-keep-min, so
+    * genuine warm-side work growth (r10's state-accumulation class)
+    * re-runs slow and ships its reading unchanged — only the flag ships,
+    * pointing at the workload. */
+  private[graft] def warmInversion(w: Timing, coldRepairedWall: Double): Boolean =
+    w.wall > 1.0 && coldRepairedWall > 0 && w.wall > 1.5 * coldRepairedWall
+
   /** Extract a `"field":{"name":num,…}` map from a bench detail line —
     * the committed quiet baseline is itself a detail line, so the gate
     * needs no second format. Zero-dependency by the same argument as the
@@ -327,10 +341,16 @@ object Bench {
       n -> rerunCold.get(n).filter(r => r.wall > 0 && r.wall < c.wall)
         .getOrElse(c)
     }.toMap
+    // within-run warm>cold inversion — flagged separately in the detail
+    // line so a reader can see the signature even after repair
+    val warmInversions = warmAll.collect {
+      case (n, w) if coldByName.get(n).exists(cw => warmInversion(w, cw)) => n
+    }
     val contendedWarm = warmAll.collect {
       case (n, w) if coldByName.get(n).zip(coldBestTiming.get(n)).exists {
           case (cw, cb) => warmContended(w, cw, cb, loadThreshold) } ||
-        selfHistoryContended(w, baseWarm.getOrElse(n, -1.0)) => n
+        selfHistoryContended(w, baseWarm.getOrElse(n, -1.0)) ||
+        coldByName.get(n).exists(cw => warmInversion(w, cw)) => n
     }
     val rerunWarm = rerun(contendedWarm)
     val warm = warmRaw.map { case (n, w) =>
@@ -374,6 +394,8 @@ object Bench {
       s""""cpu":${jsonMap(cpuCold, rp(_, 2))},""" +
       s""""cpu_warm":${jsonMap(cpuWarm, rp(_, 2))},""" +
       s""""contended":$contJson,""" +
+      s""""warm_inversions":${warmInversions.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
       s""""repaired_cold":${jsonMap(repairedCold, _.toString)},""" +
       s""""repaired_warm":${jsonMap(repairedWarm, _.toString)},""" +
       s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}"""

@@ -240,8 +240,13 @@ object JoinQueries {
           when(col("pv").isNull, col("nv"))
             .when(col("nv").isNull, col("pv"))
             .when(col("pb") === col("nb"), col("pv")) // observed bucket
+            // Δmicro·Δt in DECIMAL(38,0), matching ratioHalfUp's internal
+            // cast discipline (and the oracle's HUGEINT product) — a long
+            // product would overflow silently (non-ANSI) at extreme value
+            // magnitudes × long spans and diverge from the oracle.
             .otherwise((pm + graft.ops.ResampleOps.ratioHalfUp(
-              (nm - pm) * dt, span)).cast("double") / 1e6))
+              (nm.cast("decimal(38,0)") - pm.cast("decimal(38,0)"))
+                * dt.cast("decimal(38,0)"), span)).cast("double") / 1e6))
         .select("bucket_start", "mean_value", "interp_value")
         .orderBy("bucket_start")
     }),

@@ -2,7 +2,16 @@ package graft.serve
 
 /** Response shapes mirroring the reference's Pydantic models
   * (`app/models/responses.py:1-129`). Collected driver-side at the serving
-  * edge only — everything upstream of these is a DataFrame. */
+  * edge only — everything upstream of these is a DataFrame.
+  *
+  * PRECISION NOTE: served aggregation values are GENERAL-PRECISION double
+  * means (pandas `.resample().mean()` parity — the reference serves raw
+  * floats, unrounded), while the contract/oracle queries compute round-6
+  * means in exact integer space (`ResampleOps.microMeanHalfUp`) for
+  * cross-engine bit-identity. On a bucket whose mean is an exactly-halfway
+  * 7-decimal rational the two paths differ by up to one unit of the 6th
+  * decimal — by design, pinned with a live fixture in HttpApiSpec
+  * ("exact-halfway bucket"). */
 object Responses {
 
   /** One (iso-timestamp, value) point (`responses.py:32-36`). */

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.Bench.{coldContended, warmContended, selfHistoryContended,
-  parseQueryMap, Timing}
+  warmInversion, parseQueryMap, Timing}
 
 /** Pins the contended-repair decision logic against the measured
   * scenarios from rounds 6-10 (PERF.md round 10 "warm-pass inversion
@@ -101,6 +101,28 @@ class BenchGateSpec extends AnyFunSuite {
       "repaired cold timing correctly declines to repair a real regression")
   }
 
+  // ---- within-run warm>cold inversion (r12 verdict "What's wrong" #2) --
+
+  test("r12 scenario: q_video_keyframes 9.02 s warm vs 5.42 s cold in the " +
+      "driver artifact — under every 3x gate, caught by the inversion flag") {
+    val w = Timing(9.02, 18.0, 3.0)
+    assert(!warmContended(w, coldRepairedWall = 5.42,
+      coldBest = Timing(5.42, 12.0, 2.5), Thresh),
+      "precondition: the 3x warm gate is blind to this shape")
+    assert(warmInversion(w, coldRepairedWall = 5.42))
+  }
+
+  test("warm inversion needs the 1.5x ratio, the 1 s floor, and a live cold") {
+    // normal warm speedup, and mild jitter inside 1.5x: never flag
+    assert(!warmInversion(Timing(3.0, 6.0, 2.0), coldRepairedWall = 5.0))
+    assert(!warmInversion(Timing(7.0, 14.0, 2.0), coldRepairedWall = 5.0))
+    // sub-second noise stays exempt even at large ratios
+    assert(!warmInversion(Timing(0.9, 1.0, 2.0), coldRepairedWall = 0.3))
+    // failed passes never flag
+    assert(!warmInversion(Timing(-1.0, -1.0, 2.0), coldRepairedWall = 5.0))
+    assert(!warmInversion(Timing(9.0, 18.0, 2.0), coldRepairedWall = -1.0))
+  }
+
   // ---- self-history corroboration (r11 blind spot) -------------------
 
   test("r11 scenario: q_salted_join 20.3 s cold with ~1x-wall CPU and calm " +
@@ -172,6 +194,30 @@ class BenchGateSpec extends AnyFunSuite {
         repW.get(q).exists(orig => warm.get(q).exists(_ < orig))
       assert(repaired, s"contended cell $q shipped without a repair " +
         "(no pre-repair reading above the committed one)")
+    }
+    // ...and bound every repaired reading against SELF-HISTORY (the
+    // prior round's committed quiet baseline, BENCH_BASELINE_PREV.json —
+    // refreshed together with BENCH_BASELINE.json each round): a repair
+    // only has to improve on the transient, so without this bound a
+    // still-inflated cell could ship in the baseline of record. The
+    // committed reading must sit at or below the 3x self-history flag
+    // threshold of its prior quiet value (cells new this round have no
+    // prior and are exempt).
+    val prevP = java.nio.file.Paths.get("BENCH_BASELINE_PREV.json")
+    if (java.nio.file.Files.exists(prevP)) {
+      val ps = new String(java.nio.file.Files.readAllBytes(prevP), "UTF-8")
+      val prevCold = parseQueryMap(ps, "queries")
+      val prevWarm = parseQueryMap(ps, "queries_warm")
+      contended.foreach { q =>
+        prevCold.get(q).foreach { p => cold.get(q).foreach { c =>
+          assert(c <= 3 * p, s"contended cell $q ships cold=$c, still above " +
+            s"3x its prior quiet baseline $p — the repair did not reach " +
+            "quiet-class values") } }
+        prevWarm.get(q).foreach { p => warm.get(q).foreach { w =>
+          assert(w <= 3 * p, s"contended cell $q ships warm=$w, still above " +
+            s"3x its prior quiet baseline $p — the repair did not reach " +
+            "quiet-class values") } }
+      }
     }
   }
 

@@ -308,6 +308,61 @@ class HttpApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docs.body().contains("/openapi.json"))
   }
 
+  test("serving path vs contract path on an exact-halfway bucket: the " +
+      "documented 1-ulp-of-round-6 divergence, pinned (PERF r12)") {
+    // The contract queries compute round-6 means in exact integer space
+    // (ResampleOps.microMeanHalfUp) for cross-engine bit-identity; the
+    // serving path deliberately keeps general-precision avg with NO
+    // rounding, mirroring the reference's pandas .resample().mean()
+    // (get_aggregations.py serves raw float means). On a bucket whose
+    // mean is an EXACTLY-halfway 7-decimal rational the two therefore
+    // differ by up to one unit of the 6th decimal. This fixture makes
+    // that bucket real and asserts both sides of the divergence.
+    //
+    // 1600 points in one 1h bucket: 1100 × 49.882 + 500 × 49.881 →
+    // mean = 79810.7/1600 = 49.8816875 exactly (halfway at round-6).
+    val vals = Seq.fill(1100)(49.882) ++ Seq.fill(500)(49.881)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("ORCASOUND_LAB", 1, ts("2024-03-01 00:00:00").toLocalDateTime
+        .plusSeconds(2L * i), v)
+    }
+    val bb = rows.map { case (h, dt, t, v) => (h, dt, Timestamp.valueOf(t), v) }
+      .toDF("hydrophone", "delta_t", "ts", "value")
+    val psd1 = Seq(("ORCASOUND_LAB", "octave_bands", 3, 1,
+        ts("2024-03-01 00:00:00"), 63.0, 1.0))
+      .toDF("hydrophone", "freq_type", "delta_f", "delta_t", "ts", "band", "value")
+    val svc = AmbientService.fromFrames(bb, psd1)
+    val api2 = new HttpApi(svc,
+      java.nio.file.Files.createTempDirectory("graft-http-halfway"))
+    val srv2 = api2.start(0)
+    try {
+      val r = client.send(HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:${srv2.getAddress.getPort}/aggregations/broadband" +
+          "?hydrophone=orcasound_lab&start=2024-03-01T00:00:00" +
+          "&end=2024-03-01T01:00:00&interval=1h")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val served = """"value":([-0-9.eE]+)""".r
+        .findFirstMatchIn(r.body()).get.group(1).toDouble
+      // serving edge preserves the general-precision avg bit-for-bit
+      val plainAvg = bb.agg(org.apache.spark.sql.functions.avg("value"))
+        .head().getDouble(0)
+      assert(served == plainAvg,
+        s"service no longer serves the unrounded avg: $served vs $plainAvg")
+      // the contract path rounds the same bucket HALF_UP in integer space
+      val contract = graft.ops.ResampleOps
+        .resampleMeanMilli(bb, "ts", "value", "1h")
+        .head().getDouble(1)
+      assert(contract == 49.881688,
+        s"exact-milli round-6 of the halfway mean drifted: $contract")
+      // ...and the divergence is exactly the documented class: real,
+      // bounded by one unit of the 6th decimal, nothing more
+      assert(served != contract, "fixture no longer exercises the halfway case")
+      assert(math.abs(served - contract) <= 5.1e-7,
+        s"divergence exceeds 1 ulp-of-round-6: $served vs $contract")
+    } finally { srv2.stop(0); api2.close() }
+  }
+
   test("point-cap violation surfaces as 400, not truncation") {
     val r = get("/aggregations/broadband?hydrophone=orcasound_lab" +
       "&start=2024-01-01T00:00:00&end=2024-01-01T02:00:00&interval=10s")

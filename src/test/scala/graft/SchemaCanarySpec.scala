@@ -104,22 +104,46 @@ class SchemaCanarySpec extends AnyFunSuite {
       "timestamp or date")
   }
 
-  test("events.value is milli-exact (<= 3 decimals) — the precision " +
-      "contract ResampleOps.resampleMeanMilli quantizes at") {
-    // The determinism-grade mean paths (resampleMeanMilli,
-    // windowedMeanMilli; q_resample_broadband/q_stream_resample oracles)
+  test("every exactMilli-consumed column is milli-exact (<= 3 decimals) " +
+      "at every scale dir present — the precision contract the " +
+      "determinism-grade mean paths quantize at") {
+    // The determinism-grade mean paths (ResampleOps.meanOf(exactMilli),
+    // resampleMeanMilli, windowedMeanMilli and their oracle mirrors)
     // accumulate round(value*1000) longs — EXACT only while the
-    // generator writes <= 3-decimal values. If this canary fires after
-    // a testdata regeneration, the milli quantization has become lossy
-    // (mean-of-rounded != rounded-mean): raise the unit scale there and
-    // in the mirrored oracle SQL together.
+    // generator writes <= 3-decimal values. The canary must cover the
+    // FULL surface the flag is applied to (events.value AND the lineitem
+    // measures; q1_agg/q_table_stats/q_histogram run exactMilli over
+    // l_quantity/l_discount) and every generated scale dir, not just the
+    // sf0.001 fixture — a finer-precision regeneration of sf0.1 alone
+    // would otherwise produce wrong means with no failing test.
+    //
+    // Exactness test: DECIMAL(38,3) round-trip, NOT double arithmetic —
+    // |v*1000 - round(v*1000)| > 1e-9 false-positives above |v| ~ 1e4
+    // where the representation error of a genuinely milli-exact double
+    // exceeds the absolute tolerance. Cast-to-decimal goes through the
+    // shortest-decimal-string (BigDecimal.valueOf) semantics, so a value
+    // written as a <= 3-decimal literal round-trips bit-identically at
+    // any magnitude, while real extra precision is rounded and detected.
     import org.apache.spark.sql.functions._
-    val offGrid = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
-      .filter(abs(col("value") * 1000 - round(col("value") * 1000, 0)) > 1e-9)
-      .count()
-    assert(offGrid == 0L,
-      s"PRECISION DRIFT: $offGrid events.value rows are not milli-exact — " +
-        "resampleMeanMilli's 1000 unit scale (and its oracle mirrors) " +
-        "now round real precision away")
+    val surface = Seq( // (table, column) consumed under exactMilli = true
+      "events" -> "value",
+      "lineitem" -> "l_quantity",
+      "lineitem" -> "l_discount")
+    val scaleDirs = new java.io.File("/root/testdata").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sf"))
+      .map(_.getAbsolutePath).sorted
+    assert(scaleDirs.nonEmpty, "no scale dirs under /root/testdata")
+    for (dir <- scaleDirs; (table, column) <- surface) {
+      val offGrid = spark.read.parquet(s"$dir/$table.parquet")
+        .filter(!isnan(col(column)) && col(column).isNotNull &&
+          abs(col(column)) < lit(Double.PositiveInfinity))
+        .filter(col(column).cast("decimal(38,3)").cast("double") =!= col(column))
+        .count()
+      assert(offGrid == 0L,
+        s"PRECISION DRIFT: $offGrid $table.$column rows at $dir are not " +
+          "milli-exact — the exactMilli unit scale (and its oracle " +
+          "mirrors) now round real precision away; raise the unit scale " +
+          "in ResampleOps.meanOf and the mirrored oracle SQL together")
+    }
   }
 }
