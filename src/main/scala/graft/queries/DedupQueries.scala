@@ -169,48 +169,45 @@ object DedupQueries {
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // class-based expansion (OracleSql.dupPairPreludeSql): identical pair
+    // set to the naive doc-pairwise replay — intra-class pairs are exact
+    // dups (shared = |shingle set|, jaccard 1.0), cross-class pairs carry
+    // the class-level shared count (same texts → same intersection)
     "q_dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, shared,
-        |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
-        |FROM pairs
-        |JOIN cnt ca ON id_a = ca.doc_id
-        |JOIN cnt cb ON id_b = cb.doc_id
-        |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${OracleSql.dupPairPreludeSql()},
+         |${OracleSql.doc2repSql},
+         |intra AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, c.n AS shared,
+         |         round(1.0, 6) AS jaccard
+         |  FROM rcnt c
+         |  JOIN doc2rep a ON a.rep = c.rep
+         |  JOIN doc2rep b ON b.rep = c.rep AND a.doc_id < b.doc_id),
+         |crossp AS (
+         |  SELECT least(da.doc_id, db.doc_id) AS id_a,
+         |         greatest(da.doc_id, db.doc_id) AS id_b, p.shared,
+         |         round(CAST(p.shared AS DOUBLE) / (ca.n + cb.n - p.shared), 6)
+         |           AS jaccard
+         |  FROM rpairs p
+         |  JOIN rcnt ca ON p.ra = ca.rep JOIN rcnt cb ON p.rb = cb.rep
+         |  JOIN doc2rep da ON da.rep = p.ra JOIN doc2rep db ON db.rep = p.rb
+         |  WHERE round(CAST(p.shared AS DOUBLE) / (ca.n + cb.n - p.shared), 6)
+         |          >= 0.8)
+         |SELECT id_a, id_b, shared, jaccard
+         |FROM (SELECT * FROM intra UNION ALL SELECT * FROM crossp)
+         |ORDER BY id_a, id_b""".stripMargin,
 
-    // truth = the q_dedup_ngram naive replay verbatim; prediction = the
-    // q_dedup_minhash band-collision replay over the sig fixture; the
-    // three counts and their divisions follow
+    // truth = the exact 3-gram-Jaccard≥0.8 pair set, computed over the
+    // class-based prelude (OracleSql.dupClusterPreludeSql — identical
+    // semantics to the naive doc-pairwise replay, budget-fitting at sf1):
+    // |truth| = Σ intra-class C(sz,2) over shingled dup classes
+    //         + Σ szA·szB over class-level edges, and membership of a
+    // candidate pair is same-shingled-class OR its class pair ∈ redges.
+    // Prediction = the q_dedup_minhash band-collision replay over the
+    // sig fixture; the three counts and their divisions follow.
     "q_dedup_eval" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-         |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |  FROM toks WHERE len(t) >= 3),
-         |exg AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-         |tp0 AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-         |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |tset AS (
-         |  SELECT id_a, id_b FROM tp0
-         |  JOIN cnt ca ON id_a = ca.doc_id
-         |  JOIN cnt cb ON id_b = cb.doc_id
-         |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
+      s"""WITH RECURSIVE ${OracleSql.dupClusterPreludeSql()},
+         |doc2rep AS MATERIALIZED (SELECT unnest(ids) AS doc_id, rep FROM cls),
+         |shingled AS MATERIALIZED (SELECT rep FROM rsh),
          |sigs AS (SELECT * FROM read_parquet('${sqlPath("minhash_sigs")}')),
          |banded AS (
          |  SELECT doc_id, unnest(range(0, $Bands)) AS band, sig FROM sigs),
@@ -219,15 +216,29 @@ object DedupQueries {
          |         array_to_string(list_slice(sig, CAST(band AS INT) * 4 + 1,
          |                                    CAST(band AS INT) * 4 + 4), ',') AS bucket
          |  FROM banded),
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bb a JOIN bb b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          |m AS (
-         |  SELECT (SELECT count(*) FROM tset) AS n_truth,
+         |  SELECT (SELECT COALESCE(sum(c.sz * (c.sz - 1) // 2), 0)
+         |            FROM cls c
+         |            WHERE c.sz >= 2 AND c.rep IN (SELECT rep FROM shingled))
+         |       + (SELECT COALESCE(sum(ca.sz * cb.sz), 0)
+         |            FROM redges e
+         |            JOIN cls ca ON e.ra = ca.rep
+         |            JOIN cls cb ON e.rb = cb.rep) AS n_truth,
          |         (SELECT count(*) FROM cand) AS n_pred,
-         |         (SELECT count(*) FROM cand c JOIN tset t
-         |            ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_tp)
+         |         (SELECT count(*)
+         |            FROM cand c
+         |            JOIN doc2rep da ON c.id_a = da.doc_id
+         |            JOIN doc2rep db ON c.id_b = db.doc_id
+         |            LEFT JOIN redges e
+         |              ON e.ra = least(da.rep, db.rep)
+         |             AND e.rb = greatest(da.rep, db.rep)
+         |            WHERE (da.rep = db.rep
+         |                   AND da.rep IN (SELECT rep FROM shingled))
+         |               OR e.ra IS NOT NULL) AS n_tp)
          |SELECT CAST(n_truth AS BIGINT) AS n_truth,
          |       CAST(n_pred AS BIGINT) AS n_pred,
          |       CAST(n_tp AS BIGINT) AS n_tp,
@@ -363,17 +374,43 @@ object DedupQueries {
          |SELECT inc_id, hist_id, agree FROM ag
          |WHERE agree >= 0.5 ORDER BY inc_id, hist_id""".stripMargin,
 
+    // class-based expansion: edit distance is a function of the two
+    // texts, so the Levenshtein DP runs once per distinct-text pair
+    // (class reps) and expands over class members; intra-class pairs are
+    // distance 0. The ≤50 block cap counts DOCS (Σ class sizes per
+    // block), exactly like the naive form — same text ⇒ same 24-char
+    // block, so classes never straddle blocks.
     "q_fuzzy_pairs" ->
-      """WITH blocked AS (
-        |  SELECT doc_id, text, substr(text, 1, 24) AS blk FROM documents),
-        |keep AS (
-        |  SELECT blk FROM blocked GROUP BY blk HAVING count(*) <= 50)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |       levenshtein(a.text, b.text) AS edit_dist
-        |FROM blocked a
-        |JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |JOIN keep k ON a.blk = k.blk
-        |WHERE levenshtein(a.text, b.text) <= 10
+      """WITH cls AS MATERIALIZED (
+        |  SELECT min(doc_id) AS rep, list_sort(list(doc_id)) AS ids,
+        |         count(*) AS sz, text, substr(text, 1, 24) AS blk
+        |  FROM documents GROUP BY text),
+        |doc2rep AS MATERIALIZED (SELECT unnest(ids) AS doc_id, rep FROM cls),
+        |bcount AS (SELECT blk, CAST(sum(sz) AS BIGINT) AS n FROM cls GROUP BY 1),
+        |keep AS (SELECT blk FROM bcount WHERE n <= 50),
+        |rpair AS MATERIALIZED (
+        |  SELECT a.rep AS ra, b.rep AS rb,
+        |         levenshtein(a.text, b.text) AS edit_dist
+        |  FROM cls a
+        |  JOIN cls b ON a.blk = b.blk AND a.rep < b.rep
+        |  JOIN keep k ON a.blk = k.blk
+        |  WHERE levenshtein(a.text, b.text) <= 10),
+        |intra AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(0 AS BIGINT) AS edit_dist
+        |  FROM cls c
+        |  JOIN keep k ON c.blk = k.blk
+        |  JOIN doc2rep a ON a.rep = c.rep
+        |  JOIN doc2rep b ON b.rep = c.rep AND a.doc_id < b.doc_id),
+        |crossp AS (
+        |  SELECT least(da.doc_id, db.doc_id) AS id_a,
+        |         greatest(da.doc_id, db.doc_id) AS id_b,
+        |         CAST(p.edit_dist AS BIGINT) AS edit_dist
+        |  FROM rpair p
+        |  JOIN doc2rep da ON da.rep = p.ra
+        |  JOIN doc2rep db ON db.rep = p.rb)
+        |SELECT id_a, id_b, edit_dist
+        |FROM (SELECT * FROM intra UNION ALL SELECT * FROM crossp)
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

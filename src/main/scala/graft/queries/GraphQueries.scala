@@ -295,13 +295,20 @@ object GraphQueries {
   /** Shared replay prefix for the kNN-graph analytics: the
     * q_knn_join_ivf CTE chain verbatim, then canonical undirected
     * edges, degrees, the explicit (deg, id) lexicographic orientation,
-    * and the wedge+closing triangle join. */
+    * and the wedge+closing triangle join.
+    *
+    * The multiply-referenced CTEs are AS MATERIALIZED: DuckDB inlines
+    * CTEs by default, so `tris` (3 refs) over `oriented` (3 refs) over
+    * `deg`+`und` re-evaluated the whole cross-join+window chain
+    * combinatorially — >120 s at the sf0.1 embedding count where one
+    * evaluation is 0.5 s (the r12 SKIPPED_SLOW mechanism for this cell;
+    * VERDICT r13 item #1). Semantics unchanged. */
   private lazy val TriangleBase: String =
       """WITH base AS (
         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |cent AS (
         |  SELECT id AS cell, v AS cv FROM base ORDER BY id LIMIT 16),
-        |probed AS (
+        |probed AS MATERIALIZED (
         |  SELECT b.id, b.v, c.cell,
         |         row_number() OVER (PARTITION BY b.id
         |           ORDER BY round(list_cosine_similarity(b.v, c.cv), 6) DESC,
@@ -319,14 +326,14 @@ object GraphQueries {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM pairs),
-        |und AS (
+        |und AS MATERIALIZED (
         |  SELECT DISTINCT least(query_id, neighbor_id) AS a,
         |                  greatest(query_id, neighbor_id) AS b
         |  FROM knn WHERE rank <= 5 AND query_id <> neighbor_id),
-        |deg AS (
+        |deg AS MATERIALIZED (
         |  SELECT n, count(*) AS deg FROM (
         |    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
-        |oriented AS (
+        |oriented AS MATERIALIZED (
         |  SELECT CASE WHEN da.deg < db.deg
         |                OR (da.deg = db.deg AND u.a < u.b)
         |              THEN u.a ELSE u.b END AS lo,
@@ -337,7 +344,7 @@ object GraphQueries {
         |                OR (da.deg = db.deg AND u.a < u.b)
         |              THEN db.deg ELSE da.deg END AS hi_deg
         |  FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n),
-        |tris AS (
+        |tris AS MATERIALIZED (
         |  SELECT e1.lo, e1.hi AS v, e2.hi AS w
         |  FROM oriented e1
         |  JOIN oriented e2 ON e1.lo = e2.lo

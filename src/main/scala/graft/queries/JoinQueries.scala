@@ -742,56 +742,28 @@ object JoinQueries {
 
     // the widened string-key merge route must match native ASOF too
     "q_asof_join_str" ->
-      """WITH probe AS (
-        |  SELECT o_orderkey, 'u' || CAST(o_custkey % 150 AS VARCHAR) AS user_key,
-        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
-        |              || ' 00:00:00' AS TIMESTAMP) AS ts
-        |  FROM orders),
-        |ev AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS user_key,
-        |              ts, value, event_id FROM events)
-        |SELECT p.o_orderkey, p.user_key, p.ts, e.value, e.event_id
-        |FROM probe p ASOF LEFT JOIN ev e
-        |  ON p.user_key = e.user_key AND p.ts >= e.ts
-        |ORDER BY p.o_orderkey""".stripMargin,
+      s"""${asofCarrySql("'u' || CAST(o_custkey % 150 AS VARCHAR)",
+                         "'u' || CAST(user_id AS VARCHAR)")}
+         |SELECT o_orderkey, k AS user_key, ts, value, event_id
+         |FROM aj ORDER BY o_orderkey""".stripMargin,
 
     // the streamed ingest-time route must equal the batch as-of on the
     // one-shot replay (single micro-batch ⇒ merge over the full corpus)
     "q_stream_asof" ->
-      """WITH probe AS (
-        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
-        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
-        |              || ' 00:00:00' AS TIMESTAMP) AS ts
-        |  FROM orders),
-        |ev AS (SELECT user_id, ts, value, event_id FROM events)
-        |SELECT p.o_orderkey, p.user_id, p.ts, e.value, e.event_id
-        |FROM probe p ASOF LEFT JOIN ev e
-        |  ON p.user_id = e.user_id AND p.ts >= e.ts
-        |ORDER BY p.o_orderkey""".stripMargin,
+      s"""${asofCarrySql("o_custkey % 150", "user_id")}
+         |SELECT o_orderkey, k AS user_id, ts, value, event_id
+         |FROM aj ORDER BY o_orderkey""".stripMargin,
 
     // the custom-operator route must be invisible in the result
     "q_asof_join_merge" ->
-      """WITH probe AS (
-        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
-        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
-        |              || ' 00:00:00' AS TIMESTAMP) AS ts
-        |  FROM orders),
-        |ev AS (SELECT user_id, ts, value, event_id FROM events)
-        |SELECT p.o_orderkey, p.user_id, p.ts, e.value, e.event_id
-        |FROM probe p ASOF LEFT JOIN ev e
-        |  ON p.user_id = e.user_id AND p.ts >= e.ts
-        |ORDER BY p.o_orderkey""".stripMargin,
+      s"""${asofCarrySql("o_custkey % 150", "user_id")}
+         |SELECT o_orderkey, k AS user_id, ts, value, event_id
+         |FROM aj ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
-      """WITH probe AS (
-        |  SELECT o_orderkey, o_custkey % 150 AS user_id,
-        |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0')
-        |              || ' 00:00:00' AS TIMESTAMP) AS ts
-        |  FROM orders),
-        |ev AS (SELECT user_id, ts, value, event_id FROM events)
-        |SELECT p.o_orderkey, p.user_id, p.ts, e.value, e.event_id
-        |FROM probe p ASOF LEFT JOIN ev e
-        |  ON p.user_id = e.user_id AND p.ts >= e.ts
-        |ORDER BY p.o_orderkey""".stripMargin,
+      s"""${asofCarrySql("o_custkey % 150", "user_id")}
+         |SELECT o_orderkey, k AS user_id, ts, value, event_id
+         |FROM aj ORDER BY o_orderkey""".stripMargin,
 
     "q_gap_fill" ->
       s"""WITH grid AS (
@@ -950,24 +922,14 @@ object JoinQueries {
         |       CAST(vt IS NULL AS INT) AS is_current
         |FROM v ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
+    // sort-merge carry formulation (OracleSql.pitCarrySql) — identical
+    // semantics to the interval join, budget-fitting at sf1
     "q_pit_join" ->
-      """WITH v AS (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         o_orderdate AS vf,
-        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |                                 ORDER BY o_orderdate, o_orderkey) AS vt
-        |  FROM orders),
-        |probe AS (
-        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-        |SELECT p.l_orderkey, p.l_linenumber, p.o_custkey,
-        |       strftime(p.l_shipdate, '%Y-%m-%d') AS ship_day,
-        |       v.o_orderkey AS version_key, v.o_totalprice AS version_price
-        |FROM probe p LEFT JOIN v
-        |  ON p.o_custkey = v.o_custkey
-        | AND v.vf <= p.l_shipdate
-        | AND (v.vt IS NULL OR p.l_shipdate < v.vt)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+      s"""WITH ${OracleSql.pitCarrySql}
+         |SELECT l_orderkey, l_linenumber, o_custkey,
+         |       strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+         |       version_key, version_price
+         |FROM pit ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // the oracle states the CDC end state directly
     "q_cdc_apply" -> CdcEndStateSql,
@@ -975,29 +937,16 @@ object JoinQueries {
     // the versioned apply is arrival-order-independent → same end state
     "q_stream_cdc" -> CdcEndStateSql,
 
-    // streamed ≡ batch: static dim per micro-batch + exact aggregate
+    // streamed ≡ batch: static dim per micro-batch + exact aggregate;
+    // same sort-merge carry as q_pit_join
     "q_stream_pit" ->
-      """WITH v AS (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |         o_orderdate AS vf,
-        |         lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |                                 ORDER BY o_orderdate, o_orderkey) AS vt
-        |  FROM orders),
-        |probe AS (
-        |  SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
-        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-        |j AS (
-        |  SELECT p.l_shipdate, v.o_orderkey AS vk, v.o_totalprice AS vp
-        |  FROM probe p LEFT JOIN v
-        |    ON p.o_custkey = v.o_custkey
-        |   AND v.vf <= p.l_shipdate
-        |   AND (v.vt IS NULL OR p.l_shipdate < v.vt))
-        |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-        |       CAST(vk IS NOT NULL AS INT) AS matched,
-        |       count(*) AS n,
-        |       CAST(sum(CAST(round(coalesce(vp, 0) * 100, 0) AS BIGINT))
-        |            AS BIGINT) AS price_cents
-        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${OracleSql.pitCarrySql}
+         |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |       CAST(version_key IS NOT NULL AS INT) AS matched,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(round(coalesce(version_price, 0) * 100, 0)
+         |                     AS BIGINT)) AS BIGINT) AS price_cents
+         |FROM pit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the salt is pure execution strategy — the oracle is the plain join
     "q_salted_join" ->
@@ -1124,6 +1073,48 @@ object JoinQueries {
       feed(idc % 100 === 50, "U", 2L, idc, col("value") + 1000),
       feed(idc % 97 === 0, "D", 3L, idc, col("value")))
   }
+
+  /** Deterministic as-of oracle via sort-merge carry (the same technique
+    * as [[OracleSql.pitCarrySql]]): union events (kind 0) and probes
+    * (kind 1) per key, order by (t, kind, event_id) — events sort before
+    * probes at equal t (the inclusive `p.ts >= e.ts`), tied events
+    * ascending so the carried row is the MAX event_id — and carry the
+    * last event's (value, event_id) forward. Replaces DuckDB's native
+    * `ASOF LEFT JOIN`, whose tie pick among duplicate (key, ts) events
+    * is UNSPECIFIED: on the 10×-replicated sf1 sweep data every probe
+    * has 10 identical candidates and native ASOF returns an arbitrary
+    * replica (PERF r12 "as-of family, proven equal modulo DuckDB's
+    * unspecified tie"). The carry states the engine's contract —
+    * latest ts, then max event_id — so the family is oracle-green at
+    * any scale, and it is also sort-linear where the r12 form relied on
+    * DuckDB's ASOF operator. `keyProbe`/`keyEv` widen the key (e.g.
+    * 'u' || id for the string-key route). */
+  private def asofCarrySql(keyProbe: String, keyEv: String): String =
+    s"""WITH av AS (
+       |  SELECT $keyEv AS k, ts AS t, 0 AS kind, event_id, value,
+       |         CAST(NULL AS BIGINT) AS o_orderkey,
+       |         CAST(NULL AS TIMESTAMP) AS pts
+       |  FROM events
+       |  UNION ALL
+       |  SELECT $keyProbe,
+       |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0') ||
+       |              ' 00:00:00' AS TIMESTAMP),
+       |         1, NULL, NULL, o_orderkey,
+       |         CAST('2024-01-' || lpad(CAST(o_orderkey % 28 + 1 AS VARCHAR), 2, '0') ||
+       |              ' 00:00:00' AS TIMESTAMP)
+       |  FROM orders),
+       |aj AS (
+       |  SELECT o_orderkey, k, pts AS ts, cval AS value, cid AS event_id
+       |  FROM (
+       |    SELECT *,
+       |      last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS)
+       |        OVER w AS cval,
+       |      last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+       |        OVER w AS cid
+       |    FROM av
+       |    WINDOW w AS (PARTITION BY k ORDER BY t, kind, event_id
+       |                 ROWS UNBOUNDED PRECEDING))
+       |  WHERE kind = 1)""".stripMargin
 
   private lazy val CdcEndStateSql =
     """WITH survivors AS (

@@ -1640,141 +1640,39 @@ object StatsQueries {
         |       count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // class-based CC prelude (OracleSql.dupClusterPreludeSql): identical
+    // output to the naive doc-pairwise replay, budget-fitting at sf1
     "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
-        |bidir AS (
-        |  SELECT id_a AS src, id_b AS dst FROM edges
-        |  UNION ALL SELECT id_b, id_a FROM edges),
-        |reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |  WHERE r.src <> b.dst),
-        |members AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src)
-        |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${OracleSql.dupClusterPreludeSql()}
+         |SELECT doc_id, cluster_id FROM members ORDER BY doc_id""".stripMargin,
 
     // keeper = longest text per family (tie → min id), same CC chain
     "q_dedup_keep_best" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
-        |bidir AS (
-        |  SELECT id_a AS src, id_b AS dst FROM edges
-        |  UNION ALL SELECT id_b, id_a FROM edges),
-        |reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |  WHERE r.src <> b.dst),
-        |members AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |keyed AS (
-        |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id,
-        |         length(d.text) AS text_len
-        |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
-        |ranked AS (
-        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-        |             ORDER BY text_len DESC, doc_id ASC) AS rn
-        |  FROM keyed)
-        |SELECT doc_id, cluster_id, text_len
-        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${OracleSql.dupClusterPreludeSql()},
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS cluster_id,
+         |         length(d.text) AS text_len
+         |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY text_len DESC, doc_id ASC) AS rn
+         |  FROM keyed)
+         |SELECT doc_id, cluster_id, text_len
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // same CC chain; fold key = cluster id (own id for singletons)
     "q_group_split" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
-        |bidir AS (
-        |  SELECT id_a AS src, id_b AS dst FROM edges
-        |  UNION ALL SELECT id_b, id_a FROM edges),
-        |reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |  WHERE r.src <> b.dst),
-        |members AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |keyed AS (
-        |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS gkey
-        |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id)
-        |SELECT doc_id, gkey,
-        |       CASE WHEN substr(md5(CAST(gkey AS VARCHAR)), 1, 1) = 'f'
-        |            THEN 'val' ELSE 'train' END AS split
-        |FROM keyed ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE ${OracleSql.dupClusterPreludeSql()},
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(m.cluster_id, d.doc_id) AS gkey
+         |  FROM documents d LEFT JOIN members m ON d.doc_id = m.doc_id)
+         |SELECT doc_id, gkey,
+         |       CASE WHEN substr(md5(CAST(gkey AS VARCHAR)), 1, 1) = 'f'
+         |            THEN 'val' ELSE 'train' END AS split
+         |FROM keyed ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cluster_sizes" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks WHERE len(t) >= 3),
-        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
-        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
-        |bidir AS (
-        |  SELECT id_a AS src, id_b AS dst FROM edges
-        |  UNION ALL SELECT id_b, id_a FROM edges),
-        |reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |  WHERE r.src <> b.dst),
-        |members AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
+      s"""WITH RECURSIVE ${OracleSql.dupClusterPreludeSql()},
         |multi AS (
         |  SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
         |  FROM (SELECT cluster_id, count(*) AS sz FROM members GROUP BY 1)

@@ -1294,45 +1294,17 @@ object TextQueries {
          |ORDER BY 1, 2""".stripMargin,
 
     // the corpus-clean dedup machinery replayed per source: exact-keep
-    // via md5 groups, near-dup losers via the pair CTE + transitive
-    // closure, exact-integer survival rates
+    // via text groups, near-dup losers via the class-based CC prelude,
+    // exact-integer survival rates. The exact-dedup keepers ARE the
+    // prelude's class reps (min doc_id per distinct text), so the
+    // class-level edge set/components equal the keeper-level near-dup
+    // graph of the naive replay verbatim — no doc-level expansion needed.
     "q_dedup_rate" ->
-      """WITH RECURSIVE toksd AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toksd WHERE len(t) >= 3),
-        |exg AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cnt AS (SELECT doc_id, len(s) AS n FROM sh),
-        |exact_keep AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      s"""WITH RECURSIVE ${OracleSql.dupClusterPreludeSql()},
+        |losers AS (SELECT rep AS doc_id FROM ccomp WHERE rep <> comp),
         |ek AS (
-        |  SELECT d.doc_id, d.source FROM documents d
-        |  WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)),
-        |tp0 AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM exg a JOIN exg b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  WHERE a.doc_id IN (SELECT doc_id FROM ek)
-        |    AND b.doc_id IN (SELECT doc_id FROM ek)
-        |  GROUP BY 1, 2),
-        |edges AS (
-        |  SELECT id_a, id_b FROM tp0
-        |  JOIN cnt ca ON id_a = ca.doc_id
-        |  JOIN cnt cb ON id_b = cb.doc_id
-        |  WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8),
-        |bidir AS (
-        |  SELECT id_a AS src, id_b AS dst FROM edges
-        |  UNION ALL SELECT id_b, id_a FROM edges),
-        |reach AS (
-        |  SELECT src, dst FROM bidir
-        |  UNION
-        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
-        |  WHERE r.src <> b.dst),
-        |members AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |  FROM reach GROUP BY src),
-        |losers AS (SELECT doc_id FROM members WHERE doc_id <> cluster_id),
+        |  SELECT c.rep AS doc_id, d.source
+        |  FROM cls c JOIN documents d ON d.doc_id = c.rep),
         |nk AS (SELECT doc_id, source FROM ek
         |       WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
         |bys AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),

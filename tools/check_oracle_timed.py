@@ -11,6 +11,14 @@ Same compare as tools/check_oracle.py (the driver-gate mirror), plus:
     pass: the full-oracle gate remains the sf0.01 run; this script's
     job at sf1 is row counts + every oracle that fits the budget.
 
+Fixture-seam oracles (SQL reading /tmp/graft_fixtures/sf0.01/ — the
+OracleFixtures.VerifySf pin) are not oracle-comparable at any other SF
+BY DESIGN: the Spark side passes the seam through and runs live hashes
+while the oracle replays the sf0.01 fixture bytes. At a non-sf0.01
+sf_dir they are classified FIXTURE_SEAM with the Spark row count, not
+run — r12 classified these 34 cells by hand; the sweep now states its
+own evidence classes.
+
 Usage: check_oracle_timed.py <sf_dir> <out_dir> [budget_sec]
 """
 import json, sys, os, threading, time
@@ -19,6 +27,9 @@ import duckdb
 sf_dir = sys.argv[1]
 out_dir = sys.argv[2]
 budget = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+VERIFY_SF = "sf0.01"  # OracleFixtures.VerifySf
+FIXTURE_PIN = f"/tmp/graft_fixtures/{VERIFY_SF}/"
+at_verify_sf = os.path.basename(sf_dir.rstrip("/")) == VERIFY_SF
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -34,6 +45,9 @@ for name in names:
     got = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchdf()
     if name not in oracle:
         results[name] = f"ROWS_ONLY rows={len(got)}"
+        continue
+    if not at_verify_sf and FIXTURE_PIN in oracle[name]:
+        results[name] = f"FIXTURE_SEAM rows={len(got)} (oracle pinned to {VERIFY_SF})"
         continue
     box = {"exp": None, "err": None}
     def run():
@@ -74,11 +88,14 @@ for name in names:
     print(f"{flag} {name} {results[name].split(' ')[0]} {dt:.1f}s", flush=True)
 
 width = max(len(k) for k in results)
-fails = skips = 0
+fails = skips = seams = 0
 print()
 for k, v in sorted(results.items()):
     if v.startswith("SKIPPED_SLOW"):
         skips += 1
+        flag = "~"
+    elif v.startswith("FIXTURE_SEAM"):
+        seams += 1
         flag = "~"
     elif v.startswith(("OK", "ROWS_ONLY")):
         flag = " "
@@ -86,5 +103,6 @@ for k, v in sorted(results.items()):
         fails += 1
         flag = "!"
     print(f"{flag} {k:<{width}} {v}")
-print(f"\n{len(results)} queries, {fails} failing, {skips} skipped-slow")
+print(f"\n{len(results)} queries, {fails} failing, {skips} skipped-slow, "
+      f"{seams} fixture-seam")
 sys.exit(1 if fails else 0)
