@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""ANN recall-vs-exact gate (VERDICT r12 item #8): convert the fixture-seam
+ANN cells from rows-only sf1 evidence to a measured, thresholded claim.
+
+For each q_ann_*/q_knn_join_ivf dump in <out_dir>, computes EXACT
+ground-truth top-k over the raw embedding vectors (cosine for the
+IVF/LSH family, squared L2 for the PQ family) for a deterministic
+sample of that dump's query set, then recall@k = mean over sampled
+queries of |returned ∩ exact top-k| / k. Exact truth is time-budgeted
+by construction: the query sample is capped at --sample (default 256,
+hash-picked by query_id so the same queries are scored every run), so
+the ground-truth cost is sample × corpus regardless of how many
+queries the engine answered.
+
+Thresholds are PINNED per family from the measured sf1 values (see
+PERF.md r13) minus a small margin; a breach exits non-zero. The
+brute-force q_knn_join dump is scored as a control and must be 1.0.
+
+Usage: check_ann_recall.py <sf_dir> <out_dir> [--sample N]
+"""
+import json, os, sys
+import duckdb
+
+sf_dir = sys.argv[1]
+out_dir = sys.argv[2]
+sample = 256
+if "--sample" in sys.argv:
+    sample = int(sys.argv[sys.argv.index("--sample") + 1])
+
+K = 5
+# family -> (metric, pinned minimum mean recall@5). The pins are the
+# r13 sf1 measurements minus a small margin (PERF.md r13 has the
+# measured values): ABSOLUTE levels reflect the contract's deliberately
+# toy parameters on synthetic near-random embeddings — nProbe 2 of 16
+# cells bounds IVF recall near probe coverage, and m=4/ksub=16 PQ over
+# 64 random dims is heavily lossy (yet every family sits 10-100x above
+# the k/N random-chance floor, printed per row). The gate's job is a
+# regression FLOOR plus scale-portable quality evidence, not a quality
+# target; production parameters (more probes, trained books, OPQ)
+# raise recall, and the oracle cells already pin the algorithms
+# bit-exactly vs the DuckDB replay.
+FAMILIES = {
+    "q_knn_join":        ("cos", 1.00),  # exact brute force: the control
+    "q_knn_join_ivf":    ("cos", 0.29),  # measured 0.331
+    "q_ann_ivf":         ("cos", 0.25),  # measured 0.297
+    "q_ann_ivf_index":   ("cos", 0.25),  # measured 0.297 (same answer set)
+    "q_ann_ivf_stream":  ("cos", 0.25),  # measured 0.297
+    "q_ann_ivf_trained": ("cos", 0.32),  # measured 0.366 (k-means cells)
+    "q_ann_lsh":         ("cos", 0.24),  # measured 0.277
+    "q_ann_pq":          ("l2", 0.025),  # measured 0.034
+    "q_ann_pq_trained":  ("l2", 0.045),  # measured 0.058 (trained books)
+    "q_ann_ivfpq":       ("l2", 0.025),  # measured 0.036
+    "q_ann_ivfpq_res":   ("l2", 0.010),  # measured 0.014
+    "q_ann_ivfpq_tc":    ("l2", 0.050),  # measured 0.064
+    "q_ann_ivfpq_index": ("l2", 0.025),  # measured 0.036
+}
+
+con = duckdb.connect()
+con.execute("SET threads = 8")
+con.execute(f"CREATE VIEW emb AS SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            f"FROM read_parquet('{sf_dir}/embeddings.parquet')")
+
+failures = []
+for name in sorted(FAMILIES):
+    metric, threshold = FAMILIES[name]
+    path = os.path.join(out_dir, name)
+    if not os.path.isdir(path):
+        print(f"- {name:<20} MISSING (no dump)")
+        failures.append(name)
+        continue
+    con.execute(f"CREATE OR REPLACE VIEW dump AS "
+                f"SELECT * FROM read_parquet('{path}/*.parquet')")
+    # deterministic hash-pick of the dump's own query set
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE qs AS
+        SELECT query_id FROM (SELECT DISTINCT query_id FROM dump)
+        ORDER BY hash(query_id), query_id LIMIT {sample}""")
+    nq = con.execute("SELECT count(*) FROM qs").fetchone()[0]
+    if metric == "cos":
+        order = "round(list_cosine_similarity(q.v, c.v), 6) DESC"
+    else:
+        order = "round(list_distance(q.v, c.v), 9) ASC"
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE truth AS
+        SELECT qid, nid FROM (
+          SELECT q.vec_id AS qid, c.vec_id AS nid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {order}, c.vec_id) AS r
+          FROM (SELECT e.* FROM emb e JOIN qs ON e.vec_id = qs.query_id) q
+          JOIN emb c ON q.vec_id <> c.vec_id)
+        WHERE r <= {K}""")
+    recall = con.execute(f"""
+        SELECT CAST(count(*) AS DOUBLE) / ({K} * {nq})
+        FROM dump d
+        JOIN qs ON d.query_id = qs.query_id
+        JOIN truth t ON t.qid = d.query_id AND t.nid = d.neighbor_id""")\
+        .fetchone()[0]
+    n_corpus = con.execute("SELECT count(*) FROM emb").fetchone()[0]
+    chance = K / max(n_corpus - 1, 1)
+    ok = recall >= threshold
+    if not ok:
+        failures.append(name)
+    print(f"{' ' if ok else '!'} {name:<20} recall@{K}={recall:.4f} "
+          f"(>= {threshold:.3f}; {recall/chance:.0f}x chance; "
+          f"{nq} queries, metric={metric})")
+
+print(f"\n{len(FAMILIES)} families, {len(failures)} below threshold"
+      + (f": {failures}" if failures else ""))
+sys.exit(1 if failures else 0)
