@@ -503,6 +503,205 @@ object MultimodalOps {
       .toDF(idCol, "frame_idx", "width", "height", "mean_luma", "ok")
   }
 
+  /** ==== Interleaved audio+video AVI (r12 verdict stretch #9) ====
+    * The MJPEG AVI grown to TWO streams — `vids`/MJPG (stream 00) plus
+    * `auds`/PCM16 (stream 01, WAVEFORMATEX strf) — with one `01wb` PCM
+    * slice interleaved after each `00dc` frame, exactly the layout a
+    * real capture tool writes (public Microsoft RIFF/AVI + WAVEFORMATEX
+    * specs). This reuses BOTH existing codec seams: the video side is
+    * the JDK JPEG decode (lossy, structural facts oracled), the audio
+    * side is raw PCM16 little-endian — the [[graft.audio.WavCodec]]
+    * sample discipline — which is byte-EXACT end to end, so the demuxed
+    * samples support closed-form integer oracles (Σ/min/max of the
+    * synthesis plan) with no codec tolerance at all. */
+
+  final case class AvDemux(jpegs: Seq[Array[Byte]], pcm: Array[Byte],
+      sampleRate: Int)
+
+  /** Encode frames + mono PCM16 samples as a two-stream interleaved AVI.
+    * `pcm.length` must equal `frames.size * (sampleRate / fps)` — the
+    * per-frame slice length in samples; each movi entry is one `00dc`
+    * JPEG followed by its `01wb` audio slice. */
+  def encodeAviAv(frames: Seq[java.awt.image.BufferedImage],
+      pcm: Array[Short], sampleRate: Int, fps: Int = 10): Array[Byte] = {
+    require(frames.nonEmpty && fps >= 1 && sampleRate % fps == 0)
+    val spf = sampleRate / fps // samples per frame
+    require(pcm.length == frames.size * spf,
+      s"pcm=${pcm.length} != ${frames.size} frames * $spf")
+    val jpegs = frames.map { f =>
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(f, "jpg", b)
+      b.toByteArray
+    }
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    val maxJpeg = jpegs.map(_.length).max
+    val avih = le(56)
+      .putInt(1000000 / fps).putInt((maxJpeg + spf * 2) * fps).putInt(0).putInt(0)
+      .putInt(frames.size).putInt(0).putInt(2).putInt(maxJpeg)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strhV = le(56)
+      .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(fps)
+      .putInt(0).putInt(frames.size).putInt(maxJpeg)
+      .putInt(-1).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      .array()
+    val strfV = le(40)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .put("MJPG".getBytes("US-ASCII")).putInt(w * h * 3)
+      .putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strhA = le(56)
+      .put("auds".getBytes("US-ASCII")).putInt(0) // fccHandler 0 for PCM
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(sampleRate) // dwScale/dwRate: samples per second
+      .putInt(0).putInt(pcm.length).putInt(spf * 2)
+      .putInt(-1).putInt(2) // quality, sampleSize = block align
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .array()
+    val strfA = le(16) // WAVEFORMATEX minus cbSize: PCM needs no extra
+      .putShort(1).putShort(1) // wFormatTag=PCM, nChannels=1
+      .putInt(sampleRate).putInt(sampleRate * 2) // nAvgBytesPerSec
+      .putShort(2).putShort(16) // nBlockAlign, wBitsPerSample
+      .array()
+    val hdrl = riffList("hdrl",
+      riffChunk("avih", avih) ++
+        riffList("strl", riffChunk("strh", strhV) ++ riffChunk("strf", strfV)) ++
+        riffList("strl", riffChunk("strh", strhA) ++ riffChunk("strf", strfA)))
+    val movi = riffList("movi",
+      jpegs.zipWithIndex.flatMap { case (j, i) =>
+        val slice = le(spf * 2)
+        (i * spf until (i + 1) * spf).foreach(k => slice.putShort(pcm(k)))
+        riffChunk("00dc", j) ++ riffChunk("01wb", slice.array())
+      }.toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = le(8 + body.length)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Demux a two-stream AVI: video `##dc`/`##db` chunks in stream order,
+    * audio `##wb` chunks concatenated in stream order, and the audio
+    * sample rate from the `auds` stream's strh (dwRate/dwScale). Same
+    * torn-file prefix contract as [[demuxAviFrames]]; None for non-AVI
+    * bytes or a container with no auds stream. */
+  private[graft] def demuxAviAv(bytes: Array[Byte]): Option[AvDemux] = {
+    if (bytes.length < 12) return None
+    def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    def u32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    val jpegs = Seq.newBuilder[Array[Byte]]
+    val audio = new java.io.ByteArrayOutputStream()
+    var sampleRate = -1
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      var ok = true
+      while (ok && off + 8 <= end) {
+        val id = fourcc(off); val size = u32(off + 4)
+        if (size < 0) ok = false
+        else if (id == "LIST" && size >= 4 && off + 12 <= end) {
+          val typ = fourcc(off + 8)
+          walk(off + 12, math.min(off + 8 + size, end), inMovi || typ == "movi")
+          off += 8 + size + (size & 1)
+        } else if (off + 8 + size > end) ok = false
+        else {
+          if (id == "strh" && size >= 32 && fourcc(off + 8) == "auds") {
+            val scale = u32(off + 8 + 20); val rate = u32(off + 8 + 24)
+            if (scale > 0) sampleRate = rate / scale
+          }
+          if (inMovi) {
+            if (id.endsWith("dc") || id.endsWith("db"))
+              jpegs += bytes.slice(off + 8, off + 8 + size)
+            else if (id.endsWith("wb"))
+              audio.write(bytes, off + 8, size)
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + u32(4)), inMovi = false)
+    if (sampleRate <= 0) None
+    else Some(AvDemux(jpegs.result(), audio.toByteArray, sampleRate))
+  }
+
+  /** Deterministic synthetic interleaved-AVI payloads: the
+    * [[synthesizeAvis]] frame plan (`4 + id % 3` solid 16×16 frames)
+    * plus a mono PCM16 tone plan `s(id, k) = ((id*31 + k*7) % 2001) -
+    * 1000` at 1 600 Hz / 10 fps (160 samples per frame) — integer
+    * samples that round-trip the PCM16 byte lane EXACTLY, so every
+    * audio fact is closed-form in the oracle. */
+  def synthesizeAvAvis(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (4 + id % 3).toInt
+        val frames = (0 until n).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val r = ((id * 13 + f * 29) % 256).toInt
+          val g = ((id * 7 + f * 31) % 256).toInt
+          val b = ((id * 3 + f * 37) % 256).toInt
+          val gfx = img.createGraphics()
+          try {
+            gfx.setColor(new java.awt.Color(r, g, b))
+            gfx.fillRect(0, 0, 16, 16)
+          } finally gfx.dispose()
+          img
+        }
+        val pcm = Array.tabulate(n * 160) { k =>
+          (((id * 31 + k * 7) % 2001) - 1000).toShort
+        }
+        (id, encodeAviAv(frames, pcm, sampleRate = 1600, fps = 10))
+      })
+      .toDF(idCol, "payload")
+  }
+
+  /** Demux + per-payload A/V stats: video structural facts (frame count,
+    * first-frame dimensions, all-decodable) and EXACT integer audio
+    * facts (sample count, Σ/min/max of the int16 samples — the PCM lane
+    * is lossless, so these admit closed-form oracles). ok=false row for
+    * undecodable payloads (quarantine contract). */
+  def demuxAvStats(payloads: DataFrame, idCol: String): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        demuxAviAv(bytes) match {
+          case Some(av) if av.pcm.length % 2 == 0 =>
+            try {
+              val imgs = av.jpegs.map { j =>
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(j))
+                if (img == null) throw new java.io.IOException("undecodable")
+                img
+              }
+              val ns = av.pcm.length / 2
+              var sum = 0L
+              var mn = Int.MaxValue; var mx = Int.MinValue
+              var k = 0
+              while (k < ns) {
+                val s = ((av.pcm(2 * k) & 0xFF) |
+                  (av.pcm(2 * k + 1) << 8)).toShort.toInt
+                sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+                k += 1
+              }
+              (id, imgs.size, imgs.head.getWidth, imgs.head.getHeight,
+                av.sampleRate, ns.toLong, sum, mn, mx, true)
+            } catch { case _: Exception =>
+              (id, -1, -1, -1, -1, -1L, 0L, 0, 0, false)
+            }
+          case _ => (id, -1, -1, -1, -1, -1L, 0L, 0, 0, false)
+        }
+      })
+      .toDF(idCol, "n_frames", "width", "height", "sample_rate",
+        "n_samples", "sum_samples", "min_sample", "max_sample", "ok")
+  }
+
   /** Frame sampling: cut the payload into fixed-size "frames" and keep every
     * `stride`-th — pure expressions (no decode), so pruning/pushdown and
     * codegen all apply. Output one row per kept frame. */

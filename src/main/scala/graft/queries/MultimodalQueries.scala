@@ -75,6 +75,23 @@ object MultimodalQueries {
         .select("doc_id", "frame_idx", "width", "height")
         .orderBy("doc_id", "frame_idx")),
 
+    // Interleaved audio+video AVI (r12 stretch #9): mux the MJPEG frame
+    // plan with a mono PCM16 tone plan into a two-stream container,
+    // demux both streams back. Video facts are structural (JPEG is
+    // lossy); the PCM lane is byte-exact, so sample count, Σ, min and
+    // max are EXACT integers the oracle states in closed form from the
+    // synthesis plan. All per-item work is mapPartitions — 100 TB-
+    // parallel by construction like the rest of the codec family.
+    "q_av_mux" -> ((s, dir) =>
+      MultimodalOps.demuxAvStats(
+          MultimodalOps.synthesizeAvAvis(
+            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+          "doc_id")
+        .filter(col("ok"))
+        .select("doc_id", "n_frames", "width", "height", "sample_rate",
+          "n_samples", "sum_samples", "min_sample", "max_sample")
+        .orderBy("doc_id")),
+
     // Structured Streaming A1: same windows, same oracle as the batch
     // path — which is now the exact-milli form (ResampleOps
     // .resampleMeanMilli): the state carries (Σmilli, count) longs, so
@@ -232,6 +249,26 @@ object MultimodalQueries {
         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
         |       16 AS width, 16 AS height
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the synthesis plan stated in closed form: frame plan 4 + id % 3,
+    // tone plan s(id,k) = ((id*31 + k*7) % 2001) - 1000 over 160
+    // samples/frame at 1600 Hz — PCM16 round-trips exactly, so the
+    // audio aggregates are exact integers, no codec tolerance
+    "q_av_mux" ->
+      """WITH f AS (
+        |  SELECT doc_id, 4 + CAST(doc_id % 3 AS BIGINT) AS n FROM documents),
+        |s AS (
+        |  SELECT doc_id, n, unnest(range(0, 160 * n)) AS k FROM f),
+        |v AS (
+        |  SELECT doc_id, n, ((doc_id * 31 + k * 7) % 2001) - 1000 AS smp
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS INT) AS n_frames, 16 AS width,
+        |       16 AS height, 1600 AS sample_rate,
+        |       CAST(160 * n AS BIGINT) AS n_samples,
+        |       CAST(sum(smp) AS BIGINT) AS sum_samples,
+        |       CAST(min(smp) AS INT) AS min_sample,
+        |       CAST(max(smp) AS INT) AS max_sample
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // exact-milli mirror (same SQL as q_resample_broadband's oracle): the
     // streamed state sums milli longs, so batch, stream and oracle agree

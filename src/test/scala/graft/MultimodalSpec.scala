@@ -199,6 +199,46 @@ class MultimodalSpec extends AnyFunSuite {
       s"torn AVI should decode a PREFIX of the 6 frames, got ${tq.length}")
   }
 
+  test("REAL two-stream container (interleaved MJPEG + PCM16 AVI): both " +
+       "streams demux, audio lane byte-exact, torn-file prefix, quarantine") {
+    import graft.multimodal.MultimodalOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = Seq(0L, 5L, 11L).toDF("doc_id")
+    val avs = MultimodalOps.synthesizeAvAvis(ids, "doc_id")
+    val stats = MultimodalOps.demuxAvStats(avs, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(stats.length == 3 && stats.forall(_.getBoolean(9)))
+    Seq(0L, 5L, 11L).foreach { id =>
+      val r = stats.find(_.getLong(0) == id).get
+      val n = (4 + id % 3).toInt
+      assert(r.getInt(1) == n, s"doc $id n_frames")
+      assert(r.getInt(2) == 16 && r.getInt(3) == 16)
+      assert(r.getInt(4) == 1600, s"doc $id sample_rate")
+      assert(r.getLong(5) == 160L * n, s"doc $id n_samples")
+      // the PCM lane is LOSSLESS: exact integer aggregates of the plan
+      val plan = (0 until 160 * n).map(k => ((id * 31 + k * 7) % 2001) - 1000)
+      assert(r.getLong(6) == plan.sum, s"doc $id sum_samples")
+      assert(r.getInt(7) == plan.min && r.getInt(8) == plan.max)
+    }
+    // a video-only AVI (no auds stream) and garbage both quarantine
+    val videoOnly = MultimodalOps.synthesizeAvis(Seq(3L).toDF("doc_id"), "doc_id")
+      .select(col("doc_id"), col("payload"))
+    val q = MultimodalOps.demuxAvStats(
+      videoOnly.unionByName(Seq((9L, "junk".getBytes)).toDF("doc_id", "payload")),
+      "doc_id").collect()
+    assert(q.length == 2 && q.forall(r => !r.getBoolean(9)))
+    // a crash-torn payload still demuxes the interleaved PREFIX: fewer
+    // frames, proportionally less audio, never a task failure
+    val full = avs.filter(col("doc_id") === 5L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val torn = MultimodalOps.demuxAviAv(full.take(full.length / 2))
+    assert(torn.isDefined, "torn two-stream AVI must still demux the prefix")
+    assert(torn.get.jpegs.nonEmpty && torn.get.jpegs.size < 6)
+    assert(torn.get.pcm.nonEmpty && torn.get.pcm.length < 160 * 6 * 2)
+    assert(torn.get.sampleRate == 1600)
+  }
+
   test("extraction is distributed: no single-partition collapse") {
     val docs = graft.tables.Tables.documents(spark, TestSpark.Sf0001)
     val feats = MultimodalOps.extractFeatures(
