@@ -168,15 +168,37 @@ object MultimodalOps {
     sum / 3.0 / (img.getWidth.toLong * img.getHeight)
   }
 
+  /** Format-sniffed still decode over a MEMORY-cache stream — same
+    * result as `ImageIO.read` (SPI probe picks the reader) minus the
+    * disk-backed `FileCacheImageInputStream` the convenience entry point
+    * creates per call (useCache defaults to true: a temp file written
+    * and deleted per payload). None on unrecognized OR undecodable
+    * bytes — the quarantine contract. */
+  private def readImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try { r.setInput(iis, true, true); Option(r.read(0)) }
+        finally r.dispose()
+      }
+    } catch { case _: Exception => None }
+    finally iis.close()
+  }
+
   /** JDK-native image codec (`javax.imageio`): real PNG/JPEG decode with
     * zero extra dependencies. Mean luma = [[meanLuma]]. */
   object ImageIoCodec extends ImageCodec {
     override def decode(bytes: Array[Byte]): Option[(Int, Int, Double)] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      readImage(bytes)
         .map(img => (img.getWidth, img.getHeight, meanLuma(img)))
 
     override def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Int, Int, Double)] =
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      readImage(bytes)
         .map { src =>
           val dst = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -236,7 +258,10 @@ object MultimodalOps {
   /** Encode frames as an animated GIF via the JDK's sequence writer. */
   def encodeGif(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // memory-cache stream: the ImageIO.createImageOutputStream default
+    // (useCache=true) backs every payload with a created-then-deleted
+    // temp FILE — pure syscall overhead for an in-memory round-trip
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     try {
       w.setOutput(ios)
@@ -264,7 +289,9 @@ object MultimodalOps {
       // too, and leaking the memory-cache stream per bad payload would
       // accumulate across an archive (the quarantine row must mean the
       // input was handled CLEANLY)
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // memory-cache stream for the same reason as [[encodeGif]]: the
+      // default createImageInputStream backs each payload with a temp file
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -348,6 +375,60 @@ object MultimodalOps {
     * count, stride selection, dimensions, decodability) in closed form
     * while MultimodalSpec pins luma within codec tolerance. */
 
+  /** Hot-path JPEG codec: thread-local reader/writer over in-memory
+    * streams. The convenience `ImageIO.read`/`write` entry points pay,
+    * PER CALL, an SPI-registry scan, a fresh reader/writer allocation,
+    * and — with the default `useCache=true` — a disk-backed
+    * `FileCacheImage{Input,Output}Stream` (a temp file created and
+    * deleted per frame). The MJPEG cells decode/encode one 16×16 JPEG
+    * per frame, so that fixed overhead IS the cost: at sf3 the AVI cell
+    * touches ~800 k frames per pass. One reader + one writer per
+    * executor thread (bounded, JVM-lifetime — executor pools reuse
+    * threads) and `MemoryCacheImage*Stream` remove all three costs
+    * without changing a byte of output (the writer uses the same
+    * default write param as `ImageIO.write`). */
+  private object Jpeg {
+    private val reader = new ThreadLocal[javax.imageio.ImageReader] {
+      override def initialValue(): javax.imageio.ImageReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    }
+    private val writer = new ThreadLocal[javax.imageio.ImageWriter] {
+      override def initialValue(): javax.imageio.ImageWriter =
+        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    }
+
+    /** Decode one JPEG; throws on undecodable bytes (callers translate
+      * to the quarantine contract exactly as they did for the null/
+      * IOException of `ImageIO.read`). */
+    def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val r = reader.get()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        r.setInput(iis, true, true)
+        r.read(0)
+      } finally {
+        r.setInput(null) // drop the stream ref before closing it
+        iis.close()
+      }
+    }
+
+    def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val w = writer.get()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(img)
+        ios.flush()
+      } finally {
+        w.setOutput(null)
+        ios.close()
+      }
+      bos.toByteArray
+    }
+  }
+
   private def le(n: Int): java.nio.ByteBuffer =
     java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
@@ -365,11 +446,7 @@ object MultimodalOps {
   def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
       fps: Int = 10): Array[Byte] = {
     require(frames.nonEmpty && fps >= 1)
-    val jpegs = frames.map { f =>
-      val b = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(f, "jpg", b)
-      b.toByteArray
-    }
+    val jpegs = frames.map(Jpeg.encode)
     val w = frames.head.getWidth; val h = frames.head.getHeight
     val maxJpeg = jpegs.map(_.length).max
     val avih = le(56)
@@ -443,10 +520,10 @@ object MultimodalOps {
       : Option[Seq[(Int, Int, Int, Double)]] = {
     require(stride >= 1, s"stride=$stride")
     demuxAviFrames(bytes).flatMap { jpegs =>
+      // Jpeg.decode throws on an undecodable frame — same quarantine
+      // translation as the old null-check on ImageIO.read
       try Some((0 until jpegs.size by stride).map { i =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(jpegs(i)))
-        if (img == null) throw new java.io.IOException(s"frame $i undecodable")
+        val img = Jpeg.decode(jpegs(i))
         (i, img.getWidth, img.getHeight, meanLuma(img))
       })
       catch { case _: Exception => None }
@@ -528,11 +605,7 @@ object MultimodalOps {
     val spf = sampleRate / fps // samples per frame
     require(pcm.length == frames.size * spf,
       s"pcm=${pcm.length} != ${frames.size} frames * $spf")
-    val jpegs = frames.map { f =>
-      val b = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(f, "jpg", b)
-      b.toByteArray
-    }
+    val jpegs = frames.map(Jpeg.encode)
     val w = frames.head.getWidth; val h = frames.head.getHeight
     val maxJpeg = jpegs.map(_.length).max
     val avih = le(56)
@@ -674,12 +747,7 @@ object MultimodalOps {
         demuxAviAv(bytes) match {
           case Some(av) if av.pcm.length % 2 == 0 =>
             try {
-              val imgs = av.jpegs.map { j =>
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(j))
-                if (img == null) throw new java.io.IOException("undecodable")
-                img
-              }
+              val imgs = av.jpegs.map(Jpeg.decode)
               val ns = av.pcm.length / 2
               var sum = 0L
               var mn = Int.MaxValue; var mx = Int.MinValue
