@@ -386,7 +386,22 @@ object MultimodalOps {
     * executor thread (bounded, JVM-lifetime — executor pools reuse
     * threads) and `MemoryCacheImage*Stream` remove all three costs
     * without changing a byte of output (the writer uses the same
-    * default write param as `ImageIO.write`). */
+    * default write param as `ImageIO.write`).
+    *
+    * Two deliberate narrowings vs the convenience entry points:
+    *  - FORMAT: `decode` is JPEG-ONLY (no SPI sniffing). The AVI demux
+    *    callers feed it `00dc` chunks from the MJPG container this
+    *    library writes, where JPEG is the only legal payload; a
+    *    nonstandard AVI carrying e.g. PNG frames moves those frames
+    *    from decoded to quarantined (the callers' existing contract
+    *    for undecodable bytes). COVERAGE.md documents this under the
+    *    video family.
+    *  - LIFETIME: the thread-local reader/writer are never disposed;
+    *    on Spark executor pools (bounded, JVM-lifetime threads) that
+    *    is one instance per thread forever — the intended model. A
+    *    caller driving these ops from short-lived ad-hoc threads would
+    *    accumulate native-backed instances until thread GC; run them
+    *    on a bounded pool instead. */
   private object Jpeg {
     private val reader = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader =
@@ -408,7 +423,11 @@ object MultimodalOps {
         r.setInput(iis, true, true)
         r.read(0)
       } finally {
-        r.setInput(null) // drop the stream ref before closing it
+        // drop the stream ref before closing it — but never let a
+        // reader left in a bad state (aborted native decode) throw out
+        // of the finally: that would mask the primary exception AND
+        // skip closing the memory-cache stream
+        try r.setInput(null) catch { case _: Throwable => }
         iis.close()
       }
     }
