@@ -128,6 +128,72 @@ object Bench {
   private[graft] def warmInversion(w: Timing, coldRepairedWall: Double): Boolean =
     w.wall > 1.0 && coldRepairedWall > 0 && w.wall > 1.5 * coldRepairedWall
 
+  /** HOST-HEALTH PREGATE (r13 verdict #1). The r13 bench of record
+    * breached the 2× gate (785.3 s vs 359.7) purely because the suite
+    * ran inside an hours-long degraded-host window — judge-adjudicated
+    * environmental (the worst cell measured 62 s in the artifact and
+    * 0.73 s on the same host later). The repair gates are PER-CELL and
+    * can only re-run inside the same window; what was missing is a
+    * WHOLE-RUN precondition. Before the cold pass, three dedicated
+    * calibration plans (below) are timed and compared to their quiet
+    * priors from the committed baseline's `pregate_cells` map; while
+    * the median ratio exceeds the threshold (default 1.3×), the suite
+    * WAITS (bounded retries with sleeps) instead of measuring garbage.
+    * After the retry budget the suite proceeds anyway — an artifact
+    * flagged `"pregate_ok":false` beats no artifact — and every
+    * calibration reading ships in the artifact so the reader can see
+    * exactly what the host looked like when measurement began.
+    *
+    * The calibration cells are NOT contract queries: running a contract
+    * query before its own cold pass would warm its plan/codegen and
+    * silently shrink its cold reading, breaking round-over-round
+    * comparability. These three exercise the subsystems the co-tenant
+    * degrades — parquet scan + hash aggregate (memory bandwidth),
+    * shuffle join (exchange + sort), pure arithmetic (cpu/LLC) — and
+    * their readings are min-of-two so one-time codegen doesn't count
+    * against the host. */
+  private[graft] val calibrationQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      "cal_scan_agg" -> ((s: SparkSession, dir: String) =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
+            avg(col("l_discount")), count(lit(1)))),
+      "cal_shuffle_join" -> ((s: SparkSession, dir: String) =>
+        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_totalprice")
+          .join(s.read.parquet(s"$dir/lineitem.parquet")
+            .select("l_orderkey", "l_quantity"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey") % 97)
+          .agg(sum(col("l_quantity")), sum(col("o_totalprice")))),
+      "cal_cpu" -> ((s: SparkSession, _: String) =>
+        s.range(0L, 40000000L, 1L, 32)
+          .selectExpr("sum(id * 2654435761 % 1000003) AS h",
+            "avg(sin(id % 1000)) AS a")),
+    )
+  }
+
+  /** Median of reading/prior over the calibration cells both maps know;
+    * -1 when no cell has a usable prior (first round at an sf, baseline
+    * missing or sf-mismatched) — the caller treats -1 as "no evidence,
+    * proceed", never as degraded. Median, not mean: one cell tripping
+    * on its own (a page-cache miss on the scan cell) must not stall the
+    * suite; the r13 signature was a UNIFORM ~1.55× headwind across 240
+    * cells, which the median sees immediately. */
+  private[graft] def pregateRatio(readings: Map[String, Double],
+      priors: Map[String, Double]): Double = {
+    val ratios = readings.toSeq.flatMap { case (n, w) =>
+      priors.get(n).filter(_ > 0).collect { case p if w > 0 => w / p }
+    }.sorted
+    if (ratios.isEmpty) -1.0 else ratios((ratios.size - 1) / 2)
+  }
+
+  /** The pregate pass/fail decision: -1 (no priors) passes; otherwise
+    * the median ratio must sit at or below the threshold. */
+  private[graft] def pregateOk(ratio: Double, maxRatio: Double): Boolean =
+    ratio < 0 || ratio <= maxRatio
+
   /** Extract a `"field":{"name":num,…}` map from a bench detail line —
     * the committed quiet baseline is itself a detail line, so the gate
     * needs no second format. Zero-dependency by the same argument as the
@@ -252,6 +318,65 @@ object Bench {
       }
     }
 
+    // per-query QUIET baselines from the committed prior-round clean run
+    // (self-history corroboration, see selfHistoryContended; calibration
+    // priors for the host-health pregate). Only used when the baseline
+    // was recorded at the SAME sf as this run.
+    val (baseCold, baseWarm, basePregate) = {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
+      if (!java.nio.file.Files.exists(p))
+        (Map.empty[String, Double], Map.empty[String, Double], Map.empty[String, Double])
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk)
+          (Map.empty[String, Double], Map.empty[String, Double], Map.empty[String, Double])
+        else (parseQueryMap(s, "queries"), parseQueryMap(s, "queries_warm"),
+          parseQueryMap(s, "pregate_cells"))
+      }
+    }
+
+    // ---- host-health pregate (r13 verdict #1; scaladoc at
+    // calibrationQueries) -----------------------------------------------
+    // min-of-two first (strip one-time codegen), single runs on retries
+    // (the plans are hot by then — a retry measures the HOST, nothing
+    // else). Sleeps between retries let a co-tenant window end before
+    // the suite commits 400+ s of measurement to it.
+    val pregateMax = sys.env.getOrElse("SPARK_GRAFT_PREGATE_MAX", "1.3").toDouble
+    val pregateRetries = sys.env.getOrElse("SPARK_GRAFT_PREGATE_RETRIES", "6").toInt
+    val pregateSleepMs = sys.env.getOrElse("SPARK_GRAFT_PREGATE_SLEEP_MS", "45000").toLong
+    def calPass(minOfTwo: Boolean): Map[String, Double] =
+      calibrationQueries.map { case (n, fn) =>
+        val a = run(n, fn).wall
+        val best =
+          if (!minOfTwo) a
+          else {
+            val b = run(n, fn).wall
+            Seq(a, b).filter(_ > 0) match {
+              case Nil => -1.0; case xs => xs.min
+            }
+          }
+        n -> best
+      }.toMap
+    var calReadings = calPass(minOfTwo = true)
+    var calHistory = List(pregateRatio(calReadings, basePregate))
+    while (!pregateOk(calHistory.head, pregateMax) &&
+        calHistory.size <= pregateRetries) {
+      System.err.println(f"[bench] pregate: host degraded (median ratio " +
+        f"${calHistory.head}%.2f > $pregateMax%.2f vs quiet priors) — " +
+        f"waiting ${pregateSleepMs / 1000}s, attempt ${calHistory.size}/$pregateRetries")
+      Thread.sleep(pregateSleepMs)
+      calReadings = calPass(minOfTwo = false)
+      calHistory = pregateRatio(calReadings, basePregate) :: calHistory
+    }
+    val pregatePass = pregateOk(calHistory.head, pregateMax)
+    if (!pregatePass)
+      System.err.println(f"[bench] pregate: still degraded after " +
+        f"${calHistory.size} attempts (ratio ${calHistory.head}%.2f) — " +
+        "proceeding, artifact flagged pregate_ok:false")
+
     // dev-only: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset while
     // iterating; the driver never sets it, so contract runs time everything
     /** Drop state a full pass accumulates, so the next pass starts from
@@ -311,21 +436,6 @@ object Bench {
     // scaladoc for why cold is load-gated only while warm also uses the
     // starvation/thrash cpu signatures.
     val loadThreshold = math.max(4.0, cpus.toDouble / 4)
-    // per-query QUIET baselines from the committed prior-round clean run
-    // (self-history corroboration; see selfHistoryContended). Only used
-    // when the baseline was recorded at the SAME sf as this run.
-    val (baseCold, baseWarm) = {
-      val p = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json"))
-      if (!java.nio.file.Files.exists(p)) (Map.empty[String, Double], Map.empty[String, Double])
-      else {
-        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val sfOk = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(s)
-          .exists(_.group(1) == sfDir)
-        if (!sfOk) (Map.empty[String, Double], Map.empty[String, Double])
-        else (parseQueryMap(s, "queries"), parseQueryMap(s, "queries_warm"))
-      }
-    }
     val contendedCold = coldRaw.collect {
       case (n, c) if warmByName.get(n).exists(w =>
           coldContended(c, w.wall, loadThreshold)) ||
@@ -398,6 +508,10 @@ object Bench {
         .mkString("[", ",", "]")},""" +
       s""""repaired_cold":${jsonMap(repairedCold, _.toString)},""" +
       s""""repaired_warm":${jsonMap(repairedWarm, _.toString)},""" +
+      s""""pregate_cells":${jsonMap(calReadings.toSeq.sortBy(_._1), _.toString)},""" +
+      s""""pregate_ratio":${rp(calHistory.head, 3)},""" +
+      s""""pregate_ok":$pregatePass,"pregate_max":$pregateMax,""" +
+      s""""pregate_history":${calHistory.reverse.map(rp(_, 3)).mkString("[", ",", "]")},""" +
       s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}"""
     // full precision first (scrolls out of the collector's tail window) —
     // and as a file, so full per-query numbers survive regardless of the
@@ -414,9 +528,12 @@ object Bench {
     // drop 2 → 1 → 0 until the line fits a 1990-char budget (totals keep
     // 2 decimals). At 89 queries 2-decimal values measured 2077 chars —
     // a torn, unparseable line; 1-decimal is 1985.
+    val pregateCompact = s""""pregate":${rp(calHistory.head, 2)},""" +
+      s""""pregate_ok":$pregatePass,"""
     val compact = (2 to 0 by -1).iterator.map { p =>
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
         s""""queries":${jsonMap(cold, rp(_, p))},"total_warm":${r2(totalWarm)},""" +
+        pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     }.find(_.length <= 1990).getOrElse {
       // even 0 decimals never fit (112+ queries): ship the SLOWEST-first
@@ -425,7 +542,7 @@ object Bench {
       // driver artifact with no auditable per-query figures at all); the
       // complete map is always in BENCH_DETAIL.json
       val base = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-        s""""queries":{},"total_warm":${r2(totalWarm)},""" +
+        s""""queries":{},"total_warm":${r2(totalWarm)},""" + pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
       val budget = 1990 - base.length
       val ordered = cold.filter(_._2 < 0) ++ cold.filter(_._2 >= 0).sortBy(-_._2)

@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import graft.Bench.{coldContended, warmContended, selfHistoryContended,
-  warmInversion, parseQueryMap, Timing}
+  warmInversion, parseQueryMap, pregateRatio, pregateOk, calibrationQueries,
+  Timing}
 
 /** Pins the contended-repair decision logic against the measured
   * scenarios from rounds 6-10 (PERF.md round 10 "warm-pass inversion
@@ -203,6 +204,16 @@ class BenchGateSpec extends AnyFunSuite {
     // committed reading must sit at or below the 3x self-history flag
     // threshold of its prior quiet value (cells new this round have no
     // prior and are exempt).
+    // ...the calibration priors for the host-health pregate, once the
+    // baseline carries them (r14+), must be complete and positive —
+    // a zero/negative prior silently disables its cell's ratio
+    val pg = parseQueryMap(s, "pregate_cells")
+    if (pg.nonEmpty) {
+      assert(pg.keySet == calibrationQueries.map(_._1).toSet,
+        s"pregate_cells in the baseline (${pg.keySet}) must cover exactly " +
+          "the calibration plans")
+      assert(pg.values.forall(_ > 0))
+    }
     val prevP = java.nio.file.Paths.get("BENCH_BASELINE_PREV.json")
     if (java.nio.file.Files.exists(prevP)) {
       val ps = new String(java.nio.file.Files.readAllBytes(prevP), "UTF-8")
@@ -219,6 +230,59 @@ class BenchGateSpec extends AnyFunSuite {
             "quiet-class values") } }
       }
     }
+  }
+
+  // ---- host-health pregate (r13 verdict #1) ---------------------------
+
+  test("r13 scenario: the uniform ~1.55x degraded-host headwind trips the " +
+      "pregate before a single contract cell is measured") {
+    // the r13 bench of record shipped 785.3 s (2.18x the gate) from an
+    // hours-long co-tenant window that inflated 240 unrelated cells by a
+    // median 1.55x — per-cell repair gates can only re-run INSIDE the
+    // same window; the pregate is the whole-run precondition
+    val priors = Map("cal_scan_agg" -> 0.8, "cal_shuffle_join" -> 1.2,
+      "cal_cpu" -> 0.5)
+    val degraded = priors.view.mapValues(_ * 1.55).toMap
+    val r = pregateRatio(degraded, priors)
+    assert(math.abs(r - 1.55) < 1e-9)
+    assert(!pregateOk(r, maxRatio = 1.3))
+  }
+
+  test("healthy host (readings at/near priors) passes the pregate") {
+    val priors = Map("cal_scan_agg" -> 0.8, "cal_shuffle_join" -> 1.2,
+      "cal_cpu" -> 0.5)
+    val healthy = Map("cal_scan_agg" -> 0.85, "cal_shuffle_join" -> 1.1,
+      "cal_cpu" -> 0.55)
+    assert(pregateOk(pregateRatio(healthy, priors), maxRatio = 1.3))
+  }
+
+  test("pregate ratio is the MEDIAN: one cell tripping alone (page-cache " +
+      "miss on the scan cell) must not stall the suite") {
+    val priors = Map("cal_scan_agg" -> 0.8, "cal_shuffle_join" -> 1.2,
+      "cal_cpu" -> 0.5)
+    val oneBad = Map("cal_scan_agg" -> 4.0, // 5x on its own
+      "cal_shuffle_join" -> 1.25, "cal_cpu" -> 0.5)
+    val r = pregateRatio(oneBad, priors)
+    assert(r < 1.3, s"median should ignore the lone outlier, got $r")
+    assert(pregateOk(r, maxRatio = 1.3))
+  }
+
+  test("pregate with no usable priors returns -1 and PASSES (first round " +
+      "at an sf, missing or sf-mismatched baseline): no evidence is not " +
+      "degraded") {
+    assert(pregateRatio(Map("cal_cpu" -> 0.5), Map.empty) == -1.0)
+    assert(pregateRatio(Map.empty, Map("cal_cpu" -> 0.5)) == -1.0)
+    // failed readings (-1 wall) and zero/negative priors contribute nothing
+    assert(pregateRatio(Map("cal_cpu" -> -1.0), Map("cal_cpu" -> 0.5)) == -1.0)
+    assert(pregateRatio(Map("cal_cpu" -> 0.5), Map("cal_cpu" -> 0.0)) == -1.0)
+    assert(pregateOk(-1.0, maxRatio = 1.3))
+  }
+
+  test("calibration cells are dedicated plans, never contract queries — " +
+      "running a contract query pre-suite would warm its own cold reading") {
+    val cal = calibrationQueries.map(_._1).toSet
+    assert(cal == Set("cal_scan_agg", "cal_shuffle_join", "cal_cpu"))
+    assert(cal.intersect(SparkEntry.queries.keySet).isEmpty)
   }
 
   test("failed readings (-1 wall/cpu) never flag") {
