@@ -220,6 +220,30 @@ object SimQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PRODUCTION-parameter IVF (r13 verdict #5): the same trained
+    // quantizer and search plan as q_ann_ivf_trained but at a SERVABLE
+    // operating point — nProbe 10 of 16 cells. The contract's toy cells
+    // (nProbe 2) prove the algorithms bit-exactly at 6-146x above
+    // chance; this cell proves the engine can be CONFIGURED to a recall
+    // target: tools/check_ann_recall.py pins measured recall@5 >= 0.80
+    // vs the exact top-k (measured 0.88 at nProbe 10 on the synthetic
+    // corpus — near-random embeddings are the worst case for IVF, where
+    // recall is bounded by probe coverage; clustered production corpora
+    // reach the same recall at far lower nProbe). Search cost scales
+    // with coverage (10/16 of the corpus per query), the price of a
+    // recall floor on unclusterable data — the SAME index serves any
+    // per-query nProbe, so the operating point is a knob, not a build.
+    // Shares the ivf_centroids fixture (identical trainer), so the
+    // oracle replays assignment -> 10-cell probe -> exact rank from it.
+    "q_ann_ivf_prod" -> ((s, dir) => {
+      val cent = seam(SimilarityOps.kmeansCentroidsSampled(
+        emb(s, dir), "vec_id", "embedding", k = 16, iters = 3),
+        dir, "ivf_centroids")
+      SimilarityOps.ivfTopKFrom(emb(s, dir), "vec_id", "embedding", cent,
+          querySelector = 10, k = 5, nProbe = 10)
+        .orderBy("query_id", "rank")
+    }),
+
     // Embedding-cosine near-dup DEDUP: the full keep/drop resolution over
     // the vector near-dup graph (the pair scan's downstream stage, mirroring
     // what q_dedup_clusters is to q_dedup_ngram). Exact block-pair scan →
@@ -462,6 +486,39 @@ object SimQueries {
       |SELECT query_id, rank, neighbor_id, cos, cell
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** Trained-quantizer IVF replay from the `ivf_centroids` fixture,
+    * parameterized by probe depth — shared by q_ann_ivf_trained
+    * (nProbe 2, the toy contract point) and q_ann_ivf_prod (nProbe 10,
+    * the recall>=0.8 production point): identical assignment, probe and
+    * exact-rank semantics by construction. */
+  private def annIvfTrainedOracle(nProbe: Int): String =
+    s"""WITH base AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv
+       |  FROM read_parquet('${sqlPath("ivf_centroids")}')),
+       |asg AS (
+       |  SELECT b.id, b.v, c.cell,
+       |         row_number() OVER (PARTITION BY b.id
+       |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
+       |  FROM base b CROSS JOIN cent c),
+       |corpus AS (SELECT id AS neighbor_id, v, cell FROM asg WHERE r = 1),
+       |qs AS (SELECT id AS query_id, v AS qv, cell FROM asg
+       |       WHERE r <= $nProbe AND id % 10 = 0),
+       |pairs AS (
+       |  SELECT q.query_id, c.neighbor_id,
+       |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
+       |  FROM qs q JOIN corpus c
+       |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos, cell,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pairs)
+       |SELECT query_id, rank, neighbor_id, cos, cell
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
 
   /** IVF-PQ with both deterministic quantizers, replayed directly in
     * SQL — shared by q_ann_ivfpq (recompute-per-search) and
@@ -737,33 +794,11 @@ object SimQueries {
          |SELECT query_id, rank, neighbor_id, cos, bucket
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
-    "q_ann_ivf_trained" ->
-      s"""WITH base AS (
-         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (
-         |  SELECT cell, CAST(cv AS DOUBLE[]) AS cv
-         |  FROM read_parquet('${sqlPath("ivf_centroids")}')),
-         |asg AS (
-         |  SELECT b.id, b.v, c.cell,
-         |         row_number() OVER (PARTITION BY b.id
-         |           ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cell) AS r
-         |  FROM base b CROSS JOIN cent c),
-         |corpus AS (SELECT id AS neighbor_id, v, cell FROM asg WHERE r = 1),
-         |qs AS (SELECT id AS query_id, v AS qv, cell FROM asg
-         |       WHERE r <= 2 AND id % 10 = 0),
-         |pairs AS (
-         |  SELECT q.query_id, c.neighbor_id,
-         |         round(list_cosine_similarity(q.qv, c.v), 6) AS cos, c.cell
-         |  FROM qs q JOIN corpus c
-         |    ON q.cell = c.cell AND q.query_id <> c.neighbor_id),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos, cell,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM pairs)
-         |SELECT query_id, rank, neighbor_id, cos, cell
-         |FROM ranked WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf_trained" -> annIvfTrainedOracle(nProbe = 2),
+
+    // identical replay at the production operating point — only the
+    // probe depth differs (r13 verdict #5)
+    "q_ann_ivf_prod" -> annIvfTrainedOracle(nProbe = 10),
 
     "q_ann_ivf" -> AnnIvfOracle,
 

@@ -46,6 +46,11 @@ FAMILIES = {
     "q_ann_ivf_index":   ("cos", 0.25),  # measured 0.297 (same answer set)
     "q_ann_ivf_stream":  ("cos", 0.25),  # measured 0.297
     "q_ann_ivf_trained": ("cos", 0.32),  # measured 0.366 (k-means cells)
+    # PRODUCTION operating point (r13 verdict #5): trained quantizer at
+    # nProbe 10/16 — this pin is a QUALITY TARGET, not just a regression
+    # floor: a servable configuration must clear 0.80 on the worst-case
+    # (near-random) corpus, where recall is probe-coverage-bounded.
+    "q_ann_ivf_prod":    ("cos", 0.80),  # measured 0.88 at sizing time
     "q_ann_lsh":         ("cos", 0.24),  # measured 0.277
     "q_ann_pq":          ("l2", 0.025),  # measured 0.034
     "q_ann_pq_trained":  ("l2", 0.045),  # measured 0.058 (trained books)
