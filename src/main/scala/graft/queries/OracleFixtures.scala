@@ -31,17 +31,27 @@ object OracleFixtures {
   /** Write `df` as the fixture `name` for this SF and read it back, so the
     * Spark downstream stage consumes exactly the bytes DuckDB will.
     *
-    * Only the verification scale pays the write: at any other SF (bench at
-    * sf0.1, ad-hoc runs) no oracle will ever read the fixture, so the frame
-    * passes through untouched — bench numbers measure the pipeline, not a
-    * coalesce(1) disk round-trip. */
-  def seam(df: DataFrame, sfDir: String, name: String): DataFrame =
-    if (sfName(sfDir) != VerifySf) df
+    * Only the verification scale pays the write by default: at any other
+    * SF (bench at sf0.1, ad-hoc runs) no oracle will ever read the
+    * fixture, so the frame passes through untouched — bench numbers
+    * measure the pipeline, not a coalesce(1) disk round-trip.
+    *
+    * SCALE-HONEST SWEEPS (r13 verdict #7): setting `SPARK_GRAFT_SEAM_WRITE`
+    * makes every SF pay the write, under its own `$Root/<sfName>/` prefix
+    * — `tools/check_oracle_timed.py` then rewrites the pinned sf0.01
+    * fixture paths to the sweep's SF and replays the full downstream
+    * oracle there, so cells like q_dedup_eval carry a MEASURED
+    * precision/recall claim at the scale being swept instead of
+    * degrading to FIXTURE_SEAM. Bench never sets the variable. */
+  def seam(df: DataFrame, sfDir: String, name: String): DataFrame = {
+    val sf = sfName(sfDir)
+    if (sf != VerifySf && !sys.env.contains("SPARK_GRAFT_SEAM_WRITE")) df
     else {
-      val path = s"$Root/$VerifySf/$name"
+      val path = s"$Root/$sf/$name"
       df.coalesce(1).write.mode("overwrite").parquet(path)
       df.sparkSession.read.parquet(path)
     }
+  }
 
   /** The `read_parquet` glob for fixture `name` in oracle SQL. */
   def sqlPath(name: String): String = s"$Root/$VerifySf/$name/*.parquet"

@@ -46,13 +46,28 @@ for name in names:
     if name not in oracle:
         results[name] = f"ROWS_ONLY rows={len(got)}"
         continue
-    if not at_verify_sf and FIXTURE_PIN in oracle[name]:
-        results[name] = f"FIXTURE_SEAM rows={len(got)} (oracle pinned to {VERIFY_SF})"
-        continue
+    sql = oracle[name]
+    if not at_verify_sf and FIXTURE_PIN in sql:
+        # scale-honest mode (r13 verdict #7): when the dump was produced
+        # with SPARK_GRAFT_SEAM_WRITE, the fixtures exist under THIS sf's
+        # prefix — rewrite the pin and replay the full downstream oracle
+        # at the sweep's scale. Only if every referenced fixture dir is
+        # present; otherwise classify FIXTURE_SEAM as before.
+        sf_name = os.path.basename(sf_dir.rstrip("/"))
+        local_pin = f"/tmp/graft_fixtures/{sf_name}/"
+        candidate = sql.replace(FIXTURE_PIN, local_pin)
+        import re as _re
+        fixture_dirs = set(_re.findall(_re.escape(local_pin) + r"([\w.-]+)/",
+                                       candidate))
+        if fixture_dirs and all(os.path.isdir(local_pin + f) for f in fixture_dirs):
+            sql = candidate  # fall through to the normal timed compare
+        else:
+            results[name] = f"FIXTURE_SEAM rows={len(got)} (oracle pinned to {VERIFY_SF})"
+            continue
     box = {"exp": None, "err": None}
     def run():
         try:
-            box["exp"] = con.execute(oracle[name]).fetchdf()
+            box["exp"] = con.execute(sql).fetchdf()
         except Exception as e:  # includes the InterruptException on timeout
             box["err"] = e
     t0 = time.time()
