@@ -461,6 +461,17 @@ object JoinQueries {
     // orderdate, and those must see "no features yet", never a later
     // version. Fact cardinality is preserved exactly (60k in, 60k out
     // at sf0.01) — pinned by the oracle rowcount.
+    //
+    // SCALING GUARD (r13 sf3 sweep): the per-fact version lookup is
+    // n·log n PER KEY (sorted-interval probe within a customer's
+    // version list). Under KEY-PINNED synthetic replication — the sf1/
+    // sf3 corpora hold custkeys 1× while versions×probes grow 10-30× —
+    // that per-key log factor is the one accelerating segment in the
+    // whole contract (e2 1.20 at sf3). Real corpora grow KEYS with
+    // facts (versions/key stays ~constant), where this plan is linear;
+    // if a production archive ever does concentrate versions per key,
+    // bound the version list (SCD2 snapshot compaction) before this
+    // join, not inside it.
     "q_pit_join" -> ((s, dir) => {
       val dim = graft.ops.MergeOps.scd2Intervals(
           Tables.orders(s, dir).select(
