@@ -675,6 +675,17 @@ object JoinQueries {
     // (not 168 h) window keeps the interval NOT day-aligned, so the
     // residual predicate does real work on the boundary bins. Quantity
     // sums in exact centi-units.
+    //
+    // SCALING GUARD (r14 sf3 sweep): matched-pair cardinality is
+    // QUADRATIC in time-pinned replication (both sides of every 170 h
+    // window multiply: 3.5 M pairs at sf0.1 → 351 M at sf1 → 3.16 B at
+    // sf3) — the fits' one e2 > 1.3 survivor, and it is output-bound,
+    // not plan-bound (time e2 1.76 < output exponent 2.0; 83 M matched
+    // pairs/s at sf3). Real corpora spread events over time, growing
+    // window populations ~linearly. If a production window×density ever
+    // explodes the pair set, cap it upstream (tighter windows, key
+    // predicates, or pre-aggregate the probe side to the bin grain) —
+    // the binned decomposition itself stays an equi-join at any scale.
     "q_range_join_binned" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= lit("1995-06-01 00:00:00").cast("timestamp") &&
