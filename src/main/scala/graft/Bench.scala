@@ -401,8 +401,18 @@ object Bench {
     // sentinel parquet under target/, leftover temp views) so the warm
     // pass measures the PLAN warm, not the driver progressively laden
     // (round 9 shipped warm>cold inversions on several queries)
+    // ADVISORY host-health probes at the pass boundary and after the
+    // warm pass (single runs — the plans are hot): the START pregate
+    // cannot see a window that arrives mid-run (every r14 run caught a
+    // contended alphabetical tail), so the artifact carries a 3-point
+    // host-health TIMELINE (start/mid/end ratios) that lets a reader
+    // attribute tail flags to a measured arrival, not conjecture. No
+    // retries here — the per-cell gates own in-run repair; these only
+    // record.
+    val pregateMid = pregateRatio(calPass(minOfTwo = false), basePregate)
     interPassCleanup(spark)
     val warmAll = named.map { case (n, fn) => n -> run(n, fn) }
+    val pregateEnd = pregateRatio(calPass(minOfTwo = false), basePregate)
     val warmRaw = warmAll.map { case (n, t) => n -> t.wall }
     val warmByName = warmAll.toMap
     // contended repair, both directions: a reading >3x its counterpart
@@ -511,6 +521,7 @@ object Bench {
       s""""pregate_cells":${jsonMap(calReadings.toSeq.sortBy(_._1), _.toString)},""" +
       s""""pregate_ratio":${rp(calHistory.head, 3)},""" +
       s""""pregate_ok":$pregatePass,"pregate_max":$pregateMax,""" +
+      s""""pregate_mid":${rp(pregateMid, 3)},"pregate_end":${rp(pregateEnd, 3)},""" +
       s""""pregate_history":${calHistory.reverse.map(rp(_, 3)).mkString("[", ",", "]")},""" +
       s""""total_warm":$totalWarm,"errors":$errJson,"sf":"$sfDir"}"""
     // full precision first (scrolls out of the collector's tail window) —
