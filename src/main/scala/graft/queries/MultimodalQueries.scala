@@ -60,6 +60,41 @@ object MultimodalQueries {
         .withColumn("mean_luma", round(col("mean_luma"), 6))
         .orderBy("doc_id", "frame_idx")),
 
+    // SHOT-BOUNDARY (scene-cut) detection — the video-dataset curation
+    // step that segments footage before frame sampling/captioning: every
+    // CONSECUTIVE frame pair's |Δ mean-luma| per video, flagged as a cut
+    // above a luma-delta threshold (40 on the 0-255 scale — above the
+    // synthetic plan's steady +97/3 inter-frame drift, so only the
+    // mod-256 channel wraps read as cuts and the flag discriminates).
+    // Stride 1 (cuts need consecutive frames) over the exact-decode GIF
+    // containers on the doc_id%4 slice — full fidelity on a bounded
+    // corpus share keeps the suite lean while the operator itself is
+    // corpus-scale (per-video windows, 4-6 frames each, never global;
+    // at 100 TB the lag window partitions by video id exactly as here).
+    // Solid frames survive palettization exactly, so luma deltas are a
+    // CLOSED FORM over documents: both engines lag/subtract identical
+    // round-6 doubles (k/3 values never land on a rounding halfway) —
+    // the whole decode→delta→threshold pipeline is hash-checked, no
+    // fixture.
+    "q_video_scene_cuts" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      val delta = round(abs(col("luma") - col("prev")), 6)
+      MultimodalOps.sampleKeyframes(
+          MultimodalOps.synthesizeGifs(
+            Tables.documents(s, dir).select("doc_id")
+              .filter(col("doc_id") % 4 === 0), "doc_id"),
+          "doc_id", stride = 1)
+        .filter(col("ok"))
+        .withColumn("luma", round(col("mean_luma"), 6))
+        .withColumn("prev", lag(col("luma"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("frame_idx"),
+          delta.as("luma_delta"),
+          (delta > 40.0).cast("int").as("is_cut"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // MJPEG-in-AVI keyframes: a SECOND real multi-frame codec — the AVI
     // container demuxed by hand (RIFF walk, the WavCodec discipline) and
     // each kept frame decoded by the JDK's real JPEG codec. JPEG is
@@ -238,6 +273,29 @@ object MultimodalQueries {
         |             + (doc_id * 3 + frame_idx * 37) % 256) / 3.0, 6)
         |         AS mean_luma
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // the same solid-frame closed form, lagged: luma deltas of
+    // consecutive frames, cut iff round-6 delta > 40
+    "q_video_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         unnest(range(0, 4 + CAST(doc_id % 3 AS INT))) AS frame_idx
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |l AS (
+        |  SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |         round(((doc_id * 13 + frame_idx * 29) % 256
+        |              + (doc_id * 7 + frame_idx * 31) % 256
+        |              + (doc_id * 3 + frame_idx * 37) % 256) / 3.0, 6) AS luma
+        |  FROM f),
+        |d AS (
+        |  SELECT doc_id, frame_idx, luma,
+        |         lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+        |  FROM l)
+        |SELECT doc_id, frame_idx,
+        |       round(abs(luma - prev), 6) AS luma_delta,
+        |       CAST(round(abs(luma - prev), 6) > 40.0 AS INT) AS is_cut
+        |FROM d WHERE prev IS NOT NULL
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // structural closed form: every synthetic AVI must decode (ok filter
     // drops nothing), keep frames 0,2,4 of the 4 + id%3 plan, at 16×16

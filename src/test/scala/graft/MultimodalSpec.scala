@@ -151,6 +151,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("scene cuts: hand-computed luma deltas, threshold discrimination, " +
+       "per-video lag (first frame never a cut row)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 0: lumas 0, 97/3, 194/3, 97 — steady +97/3 drift (32.33),
+    // below the 40 threshold: three delta rows, zero cuts
+    val res = graft.queries.MultimodalQueries.queries("q_video_scene_cuts")(
+      spark, TestSpark.Sf0001).collect()
+    val d0 = res.filter(_.getLong(0) == 0L)
+    assert(d0.map(_.getInt(1)).toSeq == Seq(1, 2, 3), "frames 1..3 only")
+    d0.foreach { r =>
+      assert(math.abs(r.getDouble(2) - 97.0 / 3) < 1e-4, "steady drift")
+      assert(r.getInt(3) == 0, "below threshold: not a cut")
+    }
+    // a doc whose channels wrap mod 256 inside the frame plan reads as a
+    // cut: delta |97-256k|/3 >= 53 for k >= 1. Find one in the output and
+    // pin that BOTH classes occur (the threshold discriminates).
+    val deltas = res.map(_.getDouble(2))
+    assert(deltas.exists(_ < 40.0) && deltas.exists(_ > 40.0),
+      "both cut and non-cut deltas must occur")
+    res.filter(_.getDouble(2) > 40.0).foreach { r =>
+      assert(r.getInt(3) == 1)
+      // wrapped deltas are exactly |97 - 256k|/3 for k in 1..3
+      val k = Seq(1, 2, 3).map(k => math.abs(97.0 - 256.0 * k) / 3)
+      assert(k.exists(v => math.abs(v - r.getDouble(2)) < 1e-4),
+        s"delta ${r.getDouble(2)} must be a wrap value")
+    }
+    // only the doc_id % 4 slice is scanned
+    assert(res.forall(_.getLong(0) % 4 == 0))
+  }
+
   test("REAL multi-frame codec (MJPEG-in-AVI): hand demux + JDK JPEG " +
        "decode, luma within codec tolerance, stride sampling, quarantine") {
     import graft.multimodal.MultimodalOps
