@@ -361,6 +361,35 @@ object MultimodalOps {
       .toDF(idCol, "frame_idx", "width", "height", "mean_luma", "ok")
   }
 
+  /** Consecutive-frame luma pairs per container, emitted INSIDE the
+    * decode (shot-boundary detection's data layout win): a video's
+    * frames live in ONE payload row, so the lag that a window
+    * formulation would shuffle for (hash-exchange on the video id,
+    * then per-video sort) is a `sliding(2)` over the decoded sequence
+    * — zero exchanges below the serving-edge sort, embarrassingly
+    * parallel at any corpus size. Quarantine contract matches
+    * [[sampleKeyframes]]: undecodable payloads emit one visible
+    * ok=false row. Containers with < 2 frames emit no pair rows (a
+    * one-frame video has no boundary), still ok=true semantics via
+    * absence — the callers' frame-plan oracles make short plans
+    * impossible in the synthetic corpus. */
+  def framePairs(payloads: DataFrame, idCol: String): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col(idCol).cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeKeyframes(bytes, 1) match {
+          case Some(frames) =>
+            frames.sliding(2).collect {
+              case Seq((_, _, _, l0), (f1, _, _, l1)) => (id, f1, l0, l1, true)
+            }
+          case None => Iterator.single((id, -1, 0.0, 0.0, false))
+        }
+      })
+      .toDF(idCol, "frame_idx", "prev_luma", "luma", "ok")
+  }
+
   /** ==== MJPEG-in-AVI: a SECOND real multi-frame container ====
     * The JDK has no AVI demuxer, so the container is parsed BY HAND —
     * the [[graft.audio.WavCodec]] discipline applied to video: RIFF is

@@ -69,26 +69,26 @@ object MultimodalQueries {
     // Stride 1 (cuts need consecutive frames) over the exact-decode GIF
     // containers on the doc_id%4 slice — full fidelity on a bounded
     // corpus share keeps the suite lean while the operator itself is
-    // corpus-scale (per-video windows, 4-6 frames each, never global;
-    // at 100 TB the lag window partitions by video id exactly as here).
+    // corpus-scale. DATA-LAYOUT WIN: a video's frames live in one
+    // payload row, so the consecutive-frame pairing happens INSIDE the
+    // decode (MultimodalOps.framePairs, a sliding(2) over the decoded
+    // sequence) — a lag-window formulation would hash-shuffle the whole
+    // frame table on video id first; this plan has ZERO exchanges below
+    // the serving-edge sort and is embarrassingly parallel at 100 TB
+    // (MultimodalSpec pins the no-Window/no-pre-sort-Exchange shape).
     // Solid frames survive palettization exactly, so luma deltas are a
-    // CLOSED FORM over documents: both engines lag/subtract identical
+    // CLOSED FORM over documents: both engines subtract identical
     // round-6 doubles (k/3 values never land on a rounding halfway) —
     // the whole decode→delta→threshold pipeline is hash-checked, no
     // fixture.
     "q_video_scene_cuts" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("frame_idx")
-      val delta = round(abs(col("luma") - col("prev")), 6)
-      MultimodalOps.sampleKeyframes(
+      val delta = round(abs(round(col("luma"), 6) - round(col("prev_luma"), 6)), 6)
+      MultimodalOps.framePairs(
           MultimodalOps.synthesizeGifs(
             Tables.documents(s, dir).select("doc_id")
               .filter(col("doc_id") % 4 === 0), "doc_id"),
-          "doc_id", stride = 1)
+          "doc_id")
         .filter(col("ok"))
-        .withColumn("luma", round(col("mean_luma"), 6))
-        .withColumn("prev", lag(col("luma"), 1).over(w))
-        .filter(col("prev").isNotNull)
         .select(col("doc_id"), col("frame_idx"),
           delta.as("luma_delta"),
           (delta > 40.0).cast("int").as("is_cut"))

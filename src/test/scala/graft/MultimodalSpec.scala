@@ -180,6 +180,15 @@ class MultimodalSpec extends AnyFunSuite {
     }
     // only the doc_id % 4 slice is scanned
     assert(res.forall(_.getLong(0) % 4 == 0))
+    // PLAN SHAPE: pairing happens INSIDE the decode (framePairs), so the
+    // plan has no Window node and no exchange except the serving-edge
+    // sort — the lag-window formulation would shuffle the whole frame
+    // table on video id before lagging
+    val plan = graft.queries.MultimodalQueries.queries("q_video_scene_cuts")(
+      spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no lag window in the plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"only the serving-edge sort may exchange, saw:\n$plan")
   }
 
   test("REAL multi-frame codec (MJPEG-in-AVI): hand demux + JDK JPEG " +
