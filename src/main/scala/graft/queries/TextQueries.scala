@@ -23,7 +23,38 @@ object TextQueries {
   /** Per-source doc cap for q_source_quota. */
   private val QuotaK = 10
 
+  /** Chunking window/step, shared with the oracle by interpolation:
+    * 200-char windows every 150 chars = 50-char overlap (the RAG /
+    * embedding-prep default shape). chunk_idx = chunk_start/step stays
+    * exact integer arithmetic in both engines. */
+  private val ChunkSize = 200
+  private val ChunkStep = 150
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RAG-style OVERLAPPING CHUNKING — the embedding-prep step that
+    // splits every document into fixed windows with overlap before
+    // vectorization: one explode of an arithmetic start sequence per
+    // doc (map-only, no shuffle below the serving sort; at 100 TB the
+    // chunk table is written shard-parallel exactly like this). Chunk
+    // CONTENT is pinned by md5 over the UTF-8 bytes (row size stays
+    // bounded in the dump while the hash check still covers every
+    // byte); empty docs produce one empty chunk, short docs one short
+    // chunk — boundary semantics both engines state identically.
+    "q_chunk_overlap" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            greatest(lit(0), length(col("text")) - 1),
+            lit(ChunkStep))).as("chunk_start"))
+        .select(col("doc_id"),
+          (col("chunk_start") / ChunkStep).cast("int").as("chunk_idx"),
+          col("chunk_start"),
+          length(expr(s"substring(text, chunk_start + 1, $ChunkSize)"))
+            .as("chunk_len"),
+          md5(expr(s"substring(text, chunk_start + 1, $ChunkSize)")
+            .cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_start")),
+
     // Token counting: whitespace tokens + BPE-ish pre-tokenization.
     "q_token_stats" -> ((s, dir) =>
       docs(s, dir).select(
@@ -1110,6 +1141,22 @@ object TextQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> bpeMergesSql(BpeSteps),
+
+    // identical start grid: multiples of step below length (empty docs
+    // → the single start 0), substr 1-based in both engines, md5 over
+    // the chunk's UTF-8 bytes
+    "q_chunk_overlap" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, greatest(1, length(text)), $ChunkStep)) AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |       CAST(s / $ChunkStep AS INT) AS chunk_idx,
+         |       CAST(s AS INT) AS chunk_start,
+         |       CAST(length(substr(text, CAST(s AS INT) + 1, $ChunkSize)) AS INT)
+         |         AS chunk_len,
+         |       md5(substr(text, CAST(s AS INT) + 1, $ChunkSize)) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_start""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id, length(text) AS n_chars,

@@ -29,6 +29,43 @@ class PipelineQueriesSpec extends AnyFunSuite {
       (16L, 60, 1L, 72L, 2L)))   // starts at 200 = seq1+72, ends at 259 → seq 2
   }
 
+  test("chunk overlap: count/length invariants against n_chars, md5 pins " +
+      "content, consecutive chunks overlap by size-step chars") {
+    val res = graft.SparkEntry.queries("q_chunk_overlap")(
+      spark, TestSpark.Sf0001).collect()
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val bySrc = res.groupBy(_.getLong(0))
+    assert(bySrc.keySet == docs.keySet, "every doc chunks")
+    bySrc.foreach { case (id, rows) =>
+      val n = docs(id).length
+      // starts: multiples of 150 below max(1, n) — ceil division count
+      assert(rows.length == math.max(1, (math.max(1, n) + 149) / 150),
+        s"doc $id chunk count for n_chars=$n")
+      rows.foreach { r =>
+        val start = r.getInt(2)
+        assert(start % 150 == 0 && r.getInt(1) == start / 150)
+        assert(r.getInt(3) == math.min(200, n - start),
+          s"doc $id chunk at $start length")
+      }
+    }
+    // content pin: recompute md5 for one multi-chunk doc and check the
+    // definitional size-step overlap between consecutive chunks
+    val id = bySrc.collect { case (k, v) if v.length >= 3 => k }.min
+    val text = docs(id)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    bySrc(id).foreach { r =>
+      val chunk = text.substring(r.getInt(2),
+        math.min(text.length, r.getInt(2) + 200))
+      assert(r.getString(4) == md5hex(chunk), s"doc $id md5 at ${r.getInt(2)}")
+    }
+    val c0 = text.substring(0, 200)
+    val c1 = text.substring(150, math.min(text.length, 350))
+    assert(c0.substring(150) == c1.substring(0, 50), "50-char overlap")
+  }
+
   test("mix weights: √-temperature flattens toward the pivot, epochs bracket 1") {
     val r = graft.SparkEntry.queries("q_mix_weights")(spark, TestSpark.Sf0001)
       .collect().map(x => (x.getString(0), x.getLong(2), x.getDouble(3),
