@@ -55,6 +55,14 @@ import org.apache.spark.sql.SparkSession
   *                   `repaired_warm` (detail line) so the original totals
   *                   can always be reconstructed.
   *
+  *  - `quiet_cold`/`quiet_warm`/`prequiet_*`/`quiet_admitted`/
+  *                   `quiet_probe_*`  the end-of-run quiet re-measure of
+  *                   the flagged cells (r14 verdict #1): readings taken
+  *                   after the suite when the host probes green again,
+  *                   folded into the totals only under the strict
+  *                   admission rule at `quietRemeasureAdmitted`, with
+  *                   the displaced readings shipped alongside.
+  *
   * TWO lines are printed: a full-precision `"metric":"detail"` line first
   * (cold + warm maps), then a compact `"metric":"total"` line LAST. The
   * harness that collects this output keeps only the final ~2 KB of the run
@@ -152,21 +160,45 @@ object Bench {
     * shuffle join (exchange + sort), pure arithmetic (cpu/LLC) — and
     * their readings are min-of-two so one-time codegen doesn't count
     * against the host. */
+  /** Dedicated calibration parquet under target/ — NEVER contract inputs
+    * (r14 ADVICE): the r14 calibration plans scanned lineitem/orders
+    * before the contract cold pass, warming the OS page cache and
+    * Spark's file-listing/footer caches for the two largest contract
+    * tables, so scan-heavy cells' "cold" readings were systematically
+    * warmer than pre-pregate rounds. The fix is structural: calibration
+    * (and the JVM warmup) touch only this synthetic dataset, generated
+    * deterministically once per checkout (survives under target/ across
+    * runs; regenerated after a clean). Sized to match the r14 cells'
+    * ~0.5-1 s class so the pregate still sees the same subsystems:
+    * a 24 M-row fact (scan + hash aggregate: memory bandwidth) and a
+    * 2.4 M-row dim (shuffle join: exchange + sort). */
+  private[graft] val calDataDir = "target/bench_cal"
+  private[graft] def ensureCalData(spark: SparkSession): Unit = {
+    val done = new java.io.File(s"$calDataDir/fact.parquet/_SUCCESS")
+    if (done.exists()) return
+    spark.range(0L, 12000000L, 1L, 32)
+      .selectExpr("id % 1000003 AS k", "cast(id % 97 AS int) AS cat",
+        "cast(id * 2654435761 % 9973 AS double) / 9973 AS v1",
+        "sin(id % 1000) AS v2")
+      .write.mode("overwrite").parquet(s"$calDataDir/fact.parquet")
+    spark.range(0L, 1200000L, 1L, 32)
+      .selectExpr("id % 1000003 AS k",
+        "cast(id * 40503 % 7919 AS double) / 7919 AS w")
+      .write.mode("overwrite").parquet(s"$calDataDir/dim.parquet")
+  }
+
   private[graft] val calibrationQueries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
     import org.apache.spark.sql.functions._
     Seq(
-      "cal_scan_agg" -> ((s: SparkSession, dir: String) =>
-        s.read.parquet(s"$dir/lineitem.parquet")
-          .groupBy(col("l_returnflag"))
-          .agg(sum(col("l_quantity")), sum(col("l_extendedprice")),
-            avg(col("l_discount")), count(lit(1)))),
-      "cal_shuffle_join" -> ((s: SparkSession, dir: String) =>
-        s.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_totalprice")
-          .join(s.read.parquet(s"$dir/lineitem.parquet")
-            .select("l_orderkey", "l_quantity"),
-            col("o_orderkey") === col("l_orderkey"))
-          .groupBy(col("o_orderkey") % 97)
-          .agg(sum(col("l_quantity")), sum(col("o_totalprice")))),
+      "cal_scan_agg" -> ((s: SparkSession, _: String) =>
+        s.read.parquet(s"$calDataDir/fact.parquet")
+          .groupBy(col("cat"))
+          .agg(sum(col("v1")), sum(col("v2")), avg(col("v1")), count(lit(1)))),
+      "cal_shuffle_join" -> ((s: SparkSession, _: String) =>
+        s.read.parquet(s"$calDataDir/fact.parquet").select("k", "v1")
+          .join(s.read.parquet(s"$calDataDir/dim.parquet"), Seq("k"))
+          .groupBy(col("k") % 97)
+          .agg(sum(col("v1")), sum(col("w")))),
       "cal_cpu" -> ((s: SparkSession, _: String) =>
         s.range(0L, 40000000L, 1L, 32)
           .selectExpr("sum(id * 2654435761 % 1000003) AS h",
@@ -186,13 +218,50 @@ object Bench {
     val ratios = readings.toSeq.flatMap { case (n, w) =>
       priors.get(n).filter(_ > 0).collect { case p if w > 0 => w / p }
     }.sorted
-    if (ratios.isEmpty) -1.0 else ratios((ratios.size - 1) / 2)
+    // UPPER median for an even count (r14 ADVICE): with one prior
+    // missing only two ratios remain, and the lower median let a host
+    // showing 1.2x/2.5x pass the 1.3x gate on the lenient reading.
+    // Odd counts keep the true median (one cell tripping alone — a
+    // page-cache miss — must still not stall the suite).
+    if (ratios.isEmpty) -1.0
+    else if (ratios.size % 2 == 0) ratios(ratios.size / 2)
+    else ratios((ratios.size - 1) / 2)
   }
 
   /** The pregate pass/fail decision: -1 (no priors) passes; otherwise
     * the median ratio must sit at or below the threshold. */
   private[graft] def pregateOk(ratio: Double, maxRatio: Double): Boolean =
     ratio < 0 || ratio <= maxRatio
+
+  /** END-OF-RUN QUIET RE-MEASURE admission (r14 verdict #1). The start
+    * pregate guards where the run BEGINS; r14's warm total was inflated
+    * by a mid-run contention burst (35 flagged cells, bursts between the
+    * start/mid/end probes) that the per-cell repairs could only re-run
+    * INSIDE. When the host is measurably quiet again at the end of the
+    * suite, the flagged cells are re-run once more and the minimum is
+    * kept. Admission is STRICT — both the probe before the re-measure
+    * block and the probe after it must be green readings against real
+    * priors (a -1 "no evidence" probe does NOT admit: an unverifiable
+    * re-measure could silently replace a conservative reading). The
+    * original flagged readings always ship alongside (prequiet_cold /
+    * prequiet_warm), so both readings are in the artifact and a baseline
+    * splice can keep the conservative one. */
+  private[graft] def quietRemeasureAdmitted(probeBefore: Double,
+      probeAfter: Double, maxRatio: Double): Boolean =
+    probeBefore > 0 && probeBefore <= maxRatio &&
+      probeAfter > 0 && probeAfter <= maxRatio
+
+  /** Detail-artifact destination (r14 verdict #2): Bench used to write
+    * `BENCH_DETAIL.json` unconditionally, so a SUBSET run (dev iteration,
+    * judge spot-checks) overwrote the driver's uncommitted full-contract
+    * run of record — this bit two judge sessions in a row. Full-contract
+    * runs keep the canonical name; subset runs get a pid-suffixed file;
+    * `SPARK_GRAFT_DETAIL_OUT` overrides both. */
+  private[graft] def detailOutPath(envOverride: Option[String],
+      fullContract: Boolean, pid: Long): String =
+    envOverride.getOrElse(
+      if (fullContract) "BENCH_DETAIL.json"
+      else s"bench_detail_subset_$pid.json")
 
   /** Extract a `"field":{"name":num,…}` map from a bench detail line —
     * the committed quiet baseline is itself a detail line, so the gate
@@ -247,8 +316,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warmup: JVM + codegen + parquet reader paths (not timed).
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warmup: JVM + codegen + parquet reader paths (not timed) — against
+    // the DEDICATED calibration data, never contract inputs (see
+    // ensureCalData: touching contract parquet here would warm its page
+    // cache and bias the cold pass).
+    ensureCalData(spark)
+    spark.read.parquet(s"$calDataDir/fact.parquet").count()
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     // ---- co-load instrumentation -------------------------------------
@@ -347,8 +420,17 @@ object Bench {
     val pregateMax = sys.env.getOrElse("SPARK_GRAFT_PREGATE_MAX", "1.3").toDouble
     val pregateRetries = sys.env.getOrElse("SPARK_GRAFT_PREGATE_RETRIES", "6").toInt
     val pregateSleepMs = sys.env.getOrElse("SPARK_GRAFT_PREGATE_SLEEP_MS", "45000").toLong
-    def calPass(minOfTwo: Boolean): Map[String, Double] =
-      calibrationQueries.map { case (n, fn) =>
+    // per-cell HEALTHIEST reading across every calibration execution of
+    // the run (r14 ADVICE): the artifact's pregate_cells used to carry
+    // the LAST attempt's readings — on a pregate_ok:false run those are
+    // single-run readings from a degraded host, and if such an artifact
+    // is later spliced as the baseline, the inflated priors loosen every
+    // future pregate. The min across all attempts/probes is both the
+    // healthiest observation and the conservative prior (smaller prior =
+    // stricter future gate).
+    val calBest = scala.collection.mutable.Map.empty[String, Double]
+    def calPass(minOfTwo: Boolean): Map[String, Double] = {
+      val m = calibrationQueries.map { case (n, fn) =>
         val a = run(n, fn).wall
         val best =
           if (!minOfTwo) a
@@ -360,6 +442,10 @@ object Bench {
           }
         n -> best
       }.toMap
+      m.foreach { case (n, v) =>
+        if (v > 0 && calBest.get(n).forall(v < _)) calBest(n) = v }
+      m
+    }
     var calReadings = calPass(minOfTwo = true)
     var calHistory = List(pregateRatio(calReadings, basePregate))
     while (!pregateOk(calHistory.head, pregateMax) &&
@@ -477,12 +563,58 @@ object Bench {
       n -> rerunWarm.get(n).map(_.wall).filter(r => r > 0 && r < w).getOrElse(w)
     }
     val contended = (contendedCold ++ contendedWarm).distinct
+
+    // ---- end-of-run quiet re-measure (r14 verdict #1; admission rule
+    // at quietRemeasureAdmitted) ----------------------------------------
+    // The per-cell repairs above can only re-run inside the same
+    // (possibly still degraded) window. When the host probes quiet again
+    // after the suite, re-run EXACTLY the flagged cells once more and
+    // keep the minimum — but only admit the new readings when the probes
+    // BOTH before and after the re-measure block are green against real
+    // priors. Flags stay; both readings ship (quiet_* = the re-measure,
+    // prequiet_* = the displaced reading) so a baseline splice can keep
+    // the conservative one.
+    val quietProbeBefore =
+      if (contended.nonEmpty) pregateRatio(calPass(minOfTwo = false), basePregate)
+      else -1.0
+    val runQuiet = contended.nonEmpty &&
+      quietProbeBefore > 0 && quietProbeBefore <= pregateMax
+    if (contended.nonEmpty && !runQuiet)
+      System.err.println(f"[bench] quiet re-measure skipped: end probe " +
+        f"$quietProbeBefore%.2f not a green reading (max $pregateMax%.2f)")
+    val quietReadings: Map[String, Timing] =
+      if (runQuiet) rerun(contended.sorted) else Map.empty
+    val quietProbeAfter =
+      if (runQuiet) pregateRatio(calPass(minOfTwo = false), basePregate)
+      else -1.0
+    val quietAdmitted =
+      quietRemeasureAdmitted(quietProbeBefore, quietProbeAfter, pregateMax)
+    if (runQuiet)
+      System.err.println(f"[bench] quiet re-measure of ${contended.size} " +
+        f"flagged cells: probes $quietProbeBefore%.2f/$quietProbeAfter%.2f, " +
+        s"admitted=$quietAdmitted")
+    def quietFold(vals: Seq[(String, Double)], flagged: Seq[String])
+        : Seq[(String, Double)] =
+      vals.map { case (n, v) =>
+        n -> (if (quietAdmitted && flagged.contains(n))
+          quietReadings.get(n).map(_.wall).filter(q => q > 0 && q < v)
+            .getOrElse(v)
+        else v)
+      }
+    val coldFinal = quietFold(cold, contendedCold)
+    val warmFinal = quietFold(warm, contendedWarm)
+    // the displaced (pre-quiet, post-repair) readings, for reconstruction
+    val prequietCold = cold.filter { case (n, v) =>
+      coldFinal.toMap.get(n).exists(_ < v) }
+    val prequietWarm = warm.filter { case (n, v) =>
+      warmFinal.toMap.get(n).exists(_ < v) }
+
     // pre-repair readings for every repaired cell, so consumers can
     // reconstruct the original cold/warm totals (detail line only)
     val repairedCold = coldRaw.collect {
-      case (n, c) if coldByName.get(n).exists(_ < c.wall) => n -> c.wall }
+      case (n, c) if coldFinal.toMap.get(n).exists(_ < c.wall) => n -> c.wall }
     val repairedWarm = warmRaw.collect {
-      case (n, w) if warm.toMap.get(n).exists(_ < w) => n -> w }
+      case (n, w) if warmFinal.toMap.get(n).exists(_ < w) => n -> w }
     val loadCold = coldRaw.map { case (n, t) => n -> t.load }
     val loadWarm = warmAll.map { case (n, t) => n -> t.load }
     val cpuCold = coldRaw.map { case (n, t) => n -> t.cpu }
@@ -501,14 +633,14 @@ object Bench {
     def r2(v: Double): String = rp(v, 2)
     def jsonMap(m: Seq[(String, Double)], fmt: Double => String) =
       m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val errors = (cold ++ warm).collect { case (n, v) if v < 0 => n }.distinct.sorted
+    val errors = (coldFinal ++ warmFinal).collect { case (n, v) if v < 0 => n }.distinct.sorted
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = cold.map(_._2).filter(_ >= 0).sum
-    val totalWarm = warm.map(_._2).filter(_ >= 0).sum
+    val total = coldFinal.map(_._2).filter(_ >= 0).sum
+    val totalWarm = warmFinal.map(_._2).filter(_ >= 0).sum
     val contJson = contended.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = s"""{"metric":"detail","value":$total,"unit":"sec",""" +
-      s""""queries":${jsonMap(cold, _.toString)},""" +
-      s""""queries_warm":${jsonMap(warm, _.toString)},""" +
+      s""""queries":${jsonMap(coldFinal, _.toString)},""" +
+      s""""queries_warm":${jsonMap(warmFinal, _.toString)},""" +
       s""""load":${jsonMap(loadCold, rp(_, 2))},""" +
       s""""load_warm":${jsonMap(loadWarm, rp(_, 2))},""" +
       s""""cpu":${jsonMap(cpuCold, rp(_, 2))},""" +
@@ -518,7 +650,17 @@ object Bench {
         .mkString("[", ",", "]")},""" +
       s""""repaired_cold":${jsonMap(repairedCold, _.toString)},""" +
       s""""repaired_warm":${jsonMap(repairedWarm, _.toString)},""" +
-      s""""pregate_cells":${jsonMap(calReadings.toSeq.sortBy(_._1), _.toString)},""" +
+      s""""quiet_cold":${jsonMap(quietReadings.toSeq.sortBy(_._1)
+        .filter(t => contendedCold.contains(t._1)).map(t => t._1 -> t._2.wall), _.toString)},""" +
+      s""""quiet_warm":${jsonMap(quietReadings.toSeq.sortBy(_._1)
+        .filter(t => contendedWarm.contains(t._1)).map(t => t._1 -> t._2.wall), _.toString)},""" +
+      s""""prequiet_cold":${jsonMap(prequietCold, _.toString)},""" +
+      s""""prequiet_warm":${jsonMap(prequietWarm, _.toString)},""" +
+      s""""quiet_admitted":$quietAdmitted,""" +
+      s""""quiet_probe_before":${rp(quietProbeBefore, 3)},""" +
+      s""""quiet_probe_after":${rp(quietProbeAfter, 3)},""" +
+      s""""pregate_cells":${jsonMap(calibrationQueries.map { case (n, _) =>
+        n -> calBest.getOrElse(n, -1.0) }, _.toString)},""" +
       s""""pregate_ratio":${rp(calHistory.head, 3)},""" +
       s""""pregate_ok":$pregatePass,"pregate_max":$pregateMax,""" +
       s""""pregate_mid":${rp(pregateMid, 3)},"pregate_end":${rp(pregateEnd, 3)},""" +
@@ -528,7 +670,11 @@ object Bench {
     // and as a file, so full per-query numbers survive regardless of the
     // collector's window (the driver commits leftover work each round)
     println(detail)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+    // subset runs must not clobber the full-contract run of record (r14
+    // verdict #2) — see detailOutPath
+    val detailPath = detailOutPath(sys.env.get("SPARK_GRAFT_DETAIL_OUT"),
+      fullContract = only.isEmpty, ProcessHandle.current().pid())
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
       System.err.println(s"[bench] detail file write failed: ${e.getMessage}") }
@@ -543,7 +689,7 @@ object Bench {
       s""""pregate_ok":$pregatePass,"""
     val compact = (2 to 0 by -1).iterator.map { p =>
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-        s""""queries":${jsonMap(cold, rp(_, p))},"total_warm":${r2(totalWarm)},""" +
+        s""""queries":${jsonMap(coldFinal, rp(_, p))},"total_warm":${r2(totalWarm)},""" +
         pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     }.find(_.length <= 1990).getOrElse {
@@ -556,7 +702,7 @@ object Bench {
         s""""queries":{},"total_warm":${r2(totalWarm)},""" + pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
       val budget = 1990 - base.length
-      val ordered = cold.filter(_._2 < 0) ++ cold.filter(_._2 >= 0).sortBy(-_._2)
+      val ordered = coldFinal.filter(_._2 < 0) ++ coldFinal.filter(_._2 >= 0).sortBy(-_._2)
       val picked = scala.collection.mutable.ListBuffer.empty[(String, Double)]
       var used = 0
       ordered.foreach { case (n, v) =>

@@ -48,6 +48,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Scale-honest sweep run stamp (r14 ADVICE): fixture dirs left under
+    // /tmp/graft_fixtures/<sf>/ by a PREVIOUS sweep must not be silently
+    // replayed against a dump produced WITHOUT SPARK_GRAFT_SEAM_WRITE —
+    // the checker admits the fixture-pin rewrite only when this stamp
+    // exists and is at least as new as the dump's oracle_sql.json
+    // (written just above, so a same-run stamp always qualifies).
+    if (sys.env.contains("SPARK_GRAFT_SEAM_WRITE")) {
+      val sfName = new java.io.File(sfDir.replaceAll("/+$", "")).getName
+      val stampDir = Paths.get(s"${graft.queries.OracleFixtures.Root}/$sfName")
+      Files.createDirectories(stampDir)
+      Files.writeString(stampDir.resolve("RUN_STAMP"),
+        new java.io.File(outDir).getAbsolutePath + "\n")
+    }
     spark.stop()
   }
 }

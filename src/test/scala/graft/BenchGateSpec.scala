@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.Bench.{coldContended, warmContended, selfHistoryContended,
   warmInversion, parseQueryMap, pregateRatio, pregateOk, calibrationQueries,
-  Timing}
+  quietRemeasureAdmitted, detailOutPath, Timing}
 
 /** Pins the contended-repair decision logic against the measured
   * scenarios from rounds 6-10 (PERF.md round 10 "warm-pass inversion
@@ -213,6 +213,12 @@ class BenchGateSpec extends AnyFunSuite {
         s"pregate_cells in the baseline (${pg.keySet}) must cover exactly " +
           "the calibration plans")
       assert(pg.values.forall(_ > 0))
+      // ...and the priors must come from a pregate-clean source run (r14
+      // ADVICE): a pregate_ok:false artifact spliced as baseline would
+      // carry degraded-host priors that loosen every future pregate
+      assert(s.contains("\"pregate_ok\":true"),
+        "a baseline carrying pregate_cells must itself be pregate-clean " +
+          "(pregate_ok:true) — degraded priors loosen every future gate")
     }
     val prevP = java.nio.file.Paths.get("BENCH_BASELINE_PREV.json")
     if (java.nio.file.Files.exists(prevP)) {
@@ -283,6 +289,62 @@ class BenchGateSpec extends AnyFunSuite {
     val cal = calibrationQueries.map(_._1).toSet
     assert(cal == Set("cal_scan_agg", "cal_shuffle_join", "cal_cpu"))
     assert(cal.intersect(SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("pregate ratio takes the UPPER median on an even count (r15): with " +
+      "one prior missing, a host showing 1.2x/2.5x must NOT pass on the " +
+      "lenient lower reading") {
+    val priors = Map("cal_scan_agg" -> 1.0, "cal_shuffle_join" -> 1.0)
+    val readings = Map("cal_scan_agg" -> 1.2, "cal_shuffle_join" -> 2.5)
+    val r = pregateRatio(readings, priors)
+    assert(math.abs(r - 2.5) < 1e-9, s"expected the upper median, got $r")
+    assert(!pregateOk(r, maxRatio = 1.3))
+    // odd counts keep the true median (lone page-cache outlier tolerated)
+    assert(math.abs(pregateRatio(
+      readings + ("cal_cpu" -> 1.1), priors + ("cal_cpu" -> 1.0)) - 1.2) < 1e-9)
+  }
+
+  // ---- end-of-run quiet re-measure (r14 verdict #1) -------------------
+
+  test("quiet re-measure admission is STRICT: both probes must be green " +
+      "readings against real priors") {
+    // the happy path: host measurably quiet before and after the block
+    assert(quietRemeasureAdmitted(0.95, 1.05, maxRatio = 1.3))
+    // degraded on either side → the re-measure readings must not replace
+    // the conservative flagged ones
+    assert(!quietRemeasureAdmitted(1.6, 0.9, maxRatio = 1.3))
+    assert(!quietRemeasureAdmitted(0.9, 1.6, maxRatio = 1.3))
+    // -1 "no usable priors" PASSES the start pregate (no evidence is not
+    // degraded) but must NOT admit a re-measure: an unverifiable quiet
+    // window could silently lower a conservative reading
+    assert(pregateOk(-1.0, maxRatio = 1.3), "precondition: -1 passes the pregate")
+    assert(!quietRemeasureAdmitted(-1.0, 0.9, maxRatio = 1.3))
+    assert(!quietRemeasureAdmitted(0.9, -1.0, maxRatio = 1.3))
+  }
+
+  // ---- detail-artifact destination (r14 verdict #2) --------------------
+
+  test("subset runs never clobber BENCH_DETAIL.json: full-contract runs " +
+      "keep the canonical name, subset runs get a pid-suffixed file, the " +
+      "env override wins over both") {
+    assert(detailOutPath(None, fullContract = true, pid = 42L) ==
+      "BENCH_DETAIL.json")
+    assert(detailOutPath(None, fullContract = false, pid = 42L) ==
+      "bench_detail_subset_42.json")
+    assert(detailOutPath(Some("/tmp/x.json"), fullContract = true, pid = 42L) ==
+      "/tmp/x.json")
+    assert(detailOutPath(Some("/tmp/x.json"), fullContract = false, pid = 42L) ==
+      "/tmp/x.json")
+  }
+
+  test("calibration plans read only the dedicated target/ dataset, never " +
+      "contract inputs (r14 ADVICE: scanning lineitem/orders pre-suite " +
+      "warmed the page cache for the contract cold pass)") {
+    // the two scan-bearing plans ignore the sf dir entirely: resolving
+    // them against a sentinel dir must reference only target/bench_cal
+    // paths — pin by construction: the lambdas close over calDataDir
+    assert(graft.Bench.calDataDir.startsWith("target/"),
+      "calibration data must live under target/, outside every sf dir")
   }
 
   test("failed readings (-1 wall/cpu) never flag") {

@@ -59,10 +59,22 @@ for name in names:
         import re as _re
         fixture_dirs = set(_re.findall(_re.escape(local_pin) + r"([\w.-]+)/",
                                        candidate))
-        if fixture_dirs and all(os.path.isdir(local_pin + f) for f in fixture_dirs):
+        # Freshness gate (r15, from r14 ADVICE): fixtures left by a
+        # PREVIOUS sweep must not be replayed against a dump produced
+        # without SPARK_GRAFT_SEAM_WRITE. Verify stamps RUN_STAMP after
+        # writing oracle_sql.json on seam-write runs, so a same-run stamp
+        # is always >= the dump (2 s slack for fs mtime granularity).
+        stamp = local_pin + "RUN_STAMP"
+        dump_json = os.path.join(out_dir, "oracle_sql.json")
+        fresh = (os.path.isfile(stamp) and
+                 os.path.getmtime(stamp) >= os.path.getmtime(dump_json) - 2.0)
+        if (fresh and fixture_dirs and
+                all(os.path.isdir(local_pin + f) for f in fixture_dirs)):
             sql = candidate  # fall through to the normal timed compare
         else:
-            results[name] = f"FIXTURE_SEAM rows={len(got)} (oracle pinned to {VERIFY_SF})"
+            stale = "" if fresh else " (no fresh seam-write stamp)"
+            results[name] = (f"FIXTURE_SEAM rows={len(got)} "
+                             f"(oracle pinned to {VERIFY_SF}){stale}")
             continue
     box = {"exp": None, "err": None}
     def run():
