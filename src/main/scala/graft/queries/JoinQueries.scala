@@ -700,6 +700,40 @@ object JoinQueries {
              sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_centi"))
         .orderBy("o_orderkey")
     }),
+
+    // SCALE-SAFE TWIN of q_range_join_binned (r14 verdict #5 — promoting
+    // the scaling-guard comment above to measured code). The binned cell
+    // materializes every (window, lineitem) matched pair, which is
+    // provably QUADRATIC under time-pinned replication (3.5 M pairs at
+    // sf0.1 → 3.16 B at sf3, output exponent 2.0; the one super-linear
+    // fit of the r14 sweep, time e2 1.76). This twin collapses the pair
+    // set by PRE-AGGREGATING the probe side to HOUR grain BELOW the
+    // interval join: both window boundaries are hour-aligned
+    // (o_orderdate is midnight-aligned; +170 h preserves hour
+    // alignment), so an hour bucket [h, h+1 h) lies entirely inside or
+    // outside every window and the residual trim on the bucket
+    // timestamp stays EXACT — no pair is gained or lost. Join output
+    // drops from |matched pairs| (quadratic) to |windows| × ≤8 occupied
+    // day-bins (linear in orders at any replication): the aggregation
+    // state, not the pair set, absorbs the density. The oracle states
+    // the SAME plain theta-join aggregate as the binned cell, so the
+    // decomposition must be invisible row-for-row.
+    "q_range_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-06-01 00:00:00").cast("timestamp") &&
+                col("o_orderdate") <  lit("1995-07-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 170 HOURS")).as("o_end"))
+      val hourly = Tables.lineitem(s, dir)
+        .groupBy(date_trunc("hour", col("l_shipdate")).as("l_hour"))
+        .agg(count(lit(1)).as("hn"),
+             sum(round(col("l_quantity") * 100, 0).cast("long")).as("hq"))
+      graft.ops.JoinOps.binnedIntervalJoin(o, "o_orderdate", "o_end", hourly, "l_hour")
+        .groupBy("o_orderkey")
+        .agg(sum(col("hn")).as("n_shipped"),
+             sum(col("hq")).as("qty_centi"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1058,6 +1092,23 @@ object JoinQueries {
     // the oracle states the PLAIN theta join — the binned decomposition
     // must be invisible in the result
     "q_range_join_binned" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         o_orderdate + INTERVAL 170 HOUR AS o_end
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00')
+        |SELECT o.o_orderkey, count(*) AS n_shipped,
+        |       CAST(sum(CAST(round(l.l_quantity * 100, 0) AS BIGINT))
+        |            AS BIGINT) AS qty_centi
+        |FROM o JOIN lineitem l
+        |  ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.o_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deliberately the SAME theta-join aggregate as q_range_join_binned:
+    // the hour-grain pre-aggregation is a plan decomposition, and the
+    // oracle proves it invisible in the result
+    "q_range_join_agg" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_orderdate,
         |         o_orderdate + INTERVAL 170 HOUR AS o_end

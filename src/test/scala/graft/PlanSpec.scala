@@ -493,6 +493,25 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.take(30).mkString("\n"))
   }
 
+  test("scale-safe range-join twin PRE-AGGREGATES the probe side below " +
+      "the interval join (q_range_join_agg, r14 verdict #5): the hour-" +
+      "grain aggregate must sit under the bin join so the quadratic " +
+      "pair set is never materialized") {
+    val p = plan("q_range_join_agg")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join") && p.contains("__bin"))
+    // plan reads bottom-up in the string: the probe-side hour aggregate
+    // (keyed by l_hour) must appear BELOW (after, in toString order) the
+    // bin join it feeds — i.e. the join consumes aggregated rows, not
+    // raw lineitems
+    val joinAt = p.indexOf("Join")
+    val hourAggAt = p.indexOf("l_hour")
+    assert(hourAggAt > joinAt,
+      "expected the l_hour pre-aggregate beneath the bin join:\n" +
+        p.linesIterator.take(40).mkString("\n"))
+  }
+
   test("attribution windows partition by user, never globally; no " +
       "cartesian (q_attribution)") {
     val p = plan("q_attribution")
