@@ -417,20 +417,21 @@ object MultimodalOps {
     * without changing a byte of output (the writer uses the same
     * default write param as `ImageIO.write`).
     *
-    * Two deliberate narrowings vs the convenience entry points:
-    *  - FORMAT: `decode` is JPEG-ONLY (no SPI sniffing). The AVI demux
-    *    callers feed it `00dc` chunks from the MJPG container this
-    *    library writes, where JPEG is the only legal payload; a
-    *    nonstandard AVI carrying e.g. PNG frames moves those frames
-    *    from decoded to quarantined (the callers' existing contract
-    *    for undecodable bytes). COVERAGE.md documents this under the
-    *    video family.
-    *  - LIFETIME: the thread-local reader/writer are never disposed;
-    *    on Spark executor pools (bounded, JVM-lifetime threads) that
-    *    is one instance per thread forever — the intended model. A
-    *    caller driving these ops from short-lived ad-hoc threads would
-    *    accumulate native-backed instances until thread GC; run them
-    *    on a bounded pool instead. */
+    * The r14-documented narrowings vs the convenience entry points,
+    * both closed in r15 (r14 verdict #8):
+    *  - FORMAT: the fast path is still JPEG-only (the MJPG containers
+    *    this library writes carry nothing else, so the hot loop never
+    *    pays an SPI-registry scan) — but when the JPEG reader REJECTS a
+    *    `00dc` payload, `decode` now falls back to SPI sniffing
+    *    ([[readImage]]) before quarantining, so a nonstandard AVI
+    *    carrying e.g. PNG frames decodes instead of quarantining
+    *    (MultimodalSpec pins that case). Genuinely undecodable bytes
+    *    still throw — the callers' quarantine contract is unchanged.
+    *  - LIFETIME: executor pools (bounded, JVM-lifetime threads) keep
+    *    one reader+writer per thread forever — the intended model. A
+    *    caller driving these ops from short-lived ad-hoc threads can
+    *    now release the native-backed instances eagerly via
+    *    [[disposeCodecThreadState]] (called from the dying thread). */
   private object Jpeg {
     private val reader = new ThreadLocal[javax.imageio.ImageReader] {
       override def initialValue(): javax.imageio.ImageReader =
@@ -441,24 +442,45 @@ object MultimodalOps {
         javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     }
 
-    /** Decode one JPEG; throws on undecodable bytes (callers translate
-      * to the quarantine contract exactly as they did for the null/
-      * IOException of `ImageIO.read`). */
+    /** Decode one frame payload; throws on undecodable bytes (callers
+      * translate to the quarantine contract exactly as they did for the
+      * null/IOException of `ImageIO.read`). JPEG fast path first; when
+      * the JPEG reader rejects the bytes, ONE SPI-sniffed retry over a
+      * fresh stream ([[readImage]]) so nonstandard containers carrying
+      * PNG/GIF/BMP frames decode instead of quarantining — the registry
+      * scan is paid only on the already-exceptional reject path. */
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val r = reader.get()
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try {
-        r.setInput(iis, true, true)
-        r.read(0)
-      } finally {
-        // drop the stream ref before closing it — but never let a
-        // reader left in a bad state (aborted native decode) throw out
-        // of the finally: that would mask the primary exception AND
-        // skip closing the memory-cache stream
-        try r.setInput(null) catch { case _: Throwable => }
-        iis.close()
+      val fast =
+        try Right(
+          try {
+            r.setInput(iis, true, true)
+            r.read(0)
+          } finally {
+            // drop the stream ref before closing it — but never let a
+            // reader left in a bad state (aborted native decode) throw
+            // out of the finally: that would mask the primary exception
+            // AND skip closing the memory-cache stream
+            try r.setInput(null) catch { case _: Throwable => }
+            iis.close()
+          })
+        catch { case e: Exception => Left(e) }
+      fast match {
+        case Right(img) => img
+        case Left(primary) =>
+          readImage(bytes).getOrElse(throw primary)
       }
+    }
+
+    /** Release this THREAD's native-backed reader/writer (the lifetime
+      * hook, r14 verdict #8). Safe to call any number of times; the
+      * next decode/encode on the thread lazily re-initializes. */
+    def dispose(): Unit = {
+      try reader.get().dispose() catch { case _: Throwable => }
+      try writer.get().dispose() catch { case _: Throwable => }
+      reader.remove(); writer.remove()
     }
 
     def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -477,6 +499,14 @@ object MultimodalOps {
     }
   }
 
+  /** Release the CURRENT thread's cached codec state (the thread-local
+    * JPEG reader/writer behind the MJPEG hot path). Executor pools never
+    * need this — their threads live for the JVM and one instance per
+    * thread is the intended model — but short-lived ad-hoc threads
+    * driving these ops directly can call it before dying instead of
+    * waiting for thread GC to release the native-backed instances. */
+  def disposeCodecThreadState(): Unit = Jpeg.dispose()
+
   private def le(n: Int): java.nio.ByteBuffer =
     java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
 
@@ -494,18 +524,27 @@ object MultimodalOps {
   def encodeMjpegAvi(frames: Seq[java.awt.image.BufferedImage],
       fps: Int = 10): Array[Byte] = {
     require(frames.nonEmpty && fps >= 1)
-    val jpegs = frames.map(Jpeg.encode)
-    val w = frames.head.getWidth; val h = frames.head.getHeight
+    encodeAviContainer(frames.map(Jpeg.encode),
+      frames.head.getWidth, frames.head.getHeight, fps)
+  }
+
+  /** The raw container assembly behind [[encodeMjpegAvi]]: one chunk per
+    * pre-encoded payload. Package-visible so MultimodalSpec can author a
+    * NONSTANDARD AVI (e.g. PNG-bearing `00dc` chunks) and pin the decode
+    * fallback path without a second hand-rolled RIFF writer. */
+  private[graft] def encodeAviContainer(jpegs: Seq[Array[Byte]], w: Int,
+      h: Int, fps: Int): Array[Byte] = {
+    require(jpegs.nonEmpty && fps >= 1)
     val maxJpeg = jpegs.map(_.length).max
     val avih = le(56)
       .putInt(1000000 / fps).putInt(maxJpeg * fps).putInt(0).putInt(0)
-      .putInt(frames.size).putInt(0).putInt(1).putInt(maxJpeg)
+      .putInt(jpegs.size).putInt(0).putInt(1).putInt(maxJpeg)
       .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0).array()
     val strh = le(56)
       .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
       .putInt(0).putInt(0).putInt(0)
       .putInt(1).putInt(fps) // dwScale / dwRate
-      .putInt(0).putInt(frames.size).putInt(maxJpeg)
+      .putInt(0).putInt(jpegs.size).putInt(maxJpeg)
       .putInt(-1).putInt(0) // quality, sampleSize
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
       .array()
@@ -664,7 +703,7 @@ object MultimodalOps {
       .put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
       .putInt(0).putInt(0).putInt(0)
       .putInt(1).putInt(fps)
-      .putInt(0).putInt(frames.size).putInt(maxJpeg)
+      .putInt(0).putInt(jpegs.size).putInt(maxJpeg)
       .putInt(-1).putInt(0)
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
       .array()

@@ -239,6 +239,37 @@ class MultimodalSpec extends AnyFunSuite {
       s"torn AVI should decode a PREFIX of the 6 frames, got ${tq.length}")
   }
 
+  test("NONSTANDARD PNG-bearing AVI decodes via the SPI-sniff fallback " +
+       "instead of quarantining (r14 verdict #8); garbage frames still " +
+       "quarantine") {
+    import graft.multimodal.MultimodalOps
+    // author 00dc chunks carrying PNGs — a container this library never
+    // writes but a permissive producer might; the JPEG fast path rejects
+    // the bytes and the decode must fall back to format sniffing
+    def pngOf(gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(gray, gray, gray))
+            g.fillRect(0, 0, 16, 16) } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val avi = MultimodalOps.encodeAviContainer(
+      Seq(pngOf(40), pngOf(200)), 16, 16, 10)
+    val decoded = MultimodalOps.decodeAviKeyframes(avi, 1)
+    assert(decoded.isDefined, "PNG frames must decode via the fallback")
+    val frames = decoded.get
+    assert(frames.map(t => (t._1, t._2, t._3)) == Seq((0, 16, 16), (1, 16, 16)))
+    // PNG is LOSSLESS — unlike the JPEG tests, luma pins exactly
+    assert(frames.map(_._4) == Seq(40.0, 200.0), frames.toString)
+    // bytes NO reader recognizes still take the quarantine path
+    val junk = MultimodalOps.encodeAviContainer(
+      Seq(Array.fill[Byte](64)(0x5A)), 16, 16, 10)
+    assert(MultimodalOps.decodeAviKeyframes(junk, 1).isEmpty)
+  }
+
   test("REAL two-stream container (interleaved MJPEG + PCM16 AVI): both " +
        "streams demux, audio lane byte-exact, torn-file prefix, quarantine") {
     import graft.multimodal.MultimodalOps
