@@ -725,6 +725,41 @@ object Profile {
             f"full-rebuild $tFull%5.1f s")
         }
 
+      case "serve_h2h" =>
+        // r14 verdict #4: the flagship serving head-to-head against the
+        // reference's PUBLISHED endpoint wall-clocks (BASELINE.md), on a
+        // reference-shaped archive — 22 months @ delta_t=1 (57.7 M
+        // broadband rows, ~1.27 B PSD long rows ≈ the reference's 2.6 M
+        // rows/month at 1 s resolution). See graft.serve.HeadToHead for
+        // the claim and the caveat. Archive persists across invocations;
+        // delete the root to force a rebuild.
+        //   SPARK_GRAFT_H2H_ROOT   archive dir (default /tmp/graft_h2h)
+        //   SPARK_GRAFT_H2H_MONTHS months (default 22)
+        import graft.serve.HeadToHead
+        val root = sys.env.getOrElse("SPARK_GRAFT_H2H_ROOT", "/tmp/graft_h2h")
+        val months = sys.env.getOrElse("SPARK_GRAFT_H2H_MONTHS", "22").toInt
+        val startDate = java.time.LocalDate.of(2020, 1, 1)
+        val rateSec = 1
+        val marker = new java.io.File(s"$root/psd/_SUCCESS")
+        if (!marker.exists()) {
+          println(s"[profile] building $months-month archive under $root ...")
+          val b0 = System.nanoTime()
+          HeadToHead.buildArchive(spark, root, startDate, months, rateSec)
+          val bSec = (System.nanoTime() - b0) / 1e9
+          val sz = graft.util.LocalFs.sizeOf(new java.io.File(root))
+          println(f"[profile] archive built in $bSec%.1f s " +
+            f"(${sz / 1e9}%.2f GB on disk)")
+        }
+        val (bootstrap, cells) = HeadToHead.run(
+          spark, root, startDate, months, rateSec)
+        println(f"[profile] catalog bootstrap (fromFrames full-archive " +
+          f"inventory scan): $bootstrap%.2f s")
+        println("[profile] request                REF s     cold s    warm s   count  status")
+        cells.foreach { c =>
+          println(f"[profile] ${c.label}%-22s ${c.refSec}%7.2f  ${c.coldSec}%8.3f  " +
+            f"${c.warmSec}%8.3f  ${c.count}%6d  ${c.status}%3d")
+        }
+
       case "http_bench" =>
         // Serving-layer throughput: a real HttpApi over a sf0.1-scale
         // archive (events as broadband points), mixed request workload

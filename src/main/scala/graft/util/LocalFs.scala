@@ -15,4 +15,13 @@ object LocalFs {
     }
     f.delete(): Unit
   }
+
+  /** Recursive on-disk byte count of `f` (0 for a missing path); same
+    * vanished-entry tolerance as [[deleteRecursively]]. */
+  def sizeOf(f: java.io.File): Long =
+    if (!f.exists()) 0L
+    else if (f.isDirectory) {
+      val kids = f.listFiles()
+      if (kids == null) 0L else kids.map(sizeOf).sum
+    } else f.length()
 }
