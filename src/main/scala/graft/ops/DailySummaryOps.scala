@@ -16,14 +16,30 @@ object DailySummaryOps {
 
   /** A4 — group N days of PSD rows by time-of-day and band; four stats in
     * one pass. `tod` is the `HH:mm:ss` label the reference serves
-    * (ref `app/services/get_aggregations.py:99`). */
+    * (ref `app/services/get_aggregations.py:99`).
+    *
+    * The GROUPING key is the integer second-of-day, not the label: the
+    * r15 head-to-head measured the label-keyed formulation at 81 s for a
+    * 30 d × 22-band window (57 M rows → 1.9 M groups) where the
+    * equivalent heatmap scan ran 8 s — a per-row `date_format`
+    * (DateTimeFormatter) plus variable-width string keys in every
+    * per-task partial aggregation map. Epoch-second arithmetic keys the
+    * same groups fixed-width and codegen-cheap; the label renders AFTER
+    * aggregation over the bounded (≤86 400 × bands) result. `ts % 86400`
+    * is the UTC second-of-day — identical to the session-timezone label
+    * because the engine pins sessions to UTC (F3, `Tables.scala`), which
+    * is also what [[todLabel]]'s arithmetic already assumes. */
   def timeOfDaySummary(df: DataFrame, tsCol: String, bandCol: String,
       valueCol: String, exactMilli: Boolean = false): DataFrame = {
     val v = ResampleOps.nanToNull(col(valueCol))
-    df.groupBy(date_format(col(tsCol), "HH:mm:ss").as("tod"), col(bandCol).as("band"))
+    df.groupBy(pmod(col(tsCol).cast("long"), lit(86400L)).as("__sod"),
+        col(bandCol).as("band"))
       .agg(ResampleOps.meanOf(v, exactMilli).as("mean_value"),
            min(v).as("min_value"),
            max(v).as("max_value"), count(v).as("point_count"))
+      .select(todLabel(col("__sod")).as("tod"), col("band"),
+        col("mean_value"), col("min_value"), col("max_value"),
+        col("point_count"))
   }
 
   /** A5 — re-anchored resample of a typical-day series: bucket the
