@@ -1410,6 +1410,32 @@ object StreamingOps {
     * production deployment gets the same guarantee from a watermark +
     * per-trigger sort or an upstream log ordered per key (e.g. a
     * keyed Kafka partition). */
+  /** Land a ts-contiguous slice into a watched source dir ATOMICALLY.
+    *
+    * r15 sf3 finding: `df.write.parquet(s"$src/sN")` directly into the
+    * watched glob while the query is running is a RACE — the always-on
+    * trigger can list the directory mid-write and split one slice's
+    * part files across two micro-batches in TASK-COMPLETION order (not
+    * event-time order), breaking the ordered drivers' "batch order =
+    * event-time order by construction" contract. At sf0.01 the write
+    * window is milliseconds and the race never fired in 14 rounds of
+    * gates; the 30× sf3 sweep caught q_stream_attribution crediting
+    * purchases to FUTURE touches (a later-time touch from the torn
+    * slice's second half was processed first and set state; the
+    * earlier-time purchase then read it — `us - tus` goes negative and
+    * passes any lookback window). Staging the slice OUTSIDE the glob
+    * and renaming it in is one atomic directory move on a local fs (and
+    * HDFS): the file source sees all of the slice or none of it, so a
+    * trigger can never tear a slice. */
+  private def landSlice(df: DataFrame, src: String, name: String): Unit = {
+    val stage = java.nio.file.Paths.get(s"$src.stage", name)
+    df.write.parquet(stage.toString)
+    val dst = java.nio.file.Paths.get(src, name)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(stage, dst,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def runStreamFunnelOnce(spark: SparkSession, dir: String,
       stage1: String, stage2: String, stage3: String): DataFrame = {
     val ses = stateSizedSession(spark)
@@ -1428,7 +1454,7 @@ object StreamingOps {
     val step = (hi - lo) / 6 + 1
     def slice(i: Int) = ev.filter(
       col("us") >= lit(lo + i * step) && col("us") < lit(lo + (i + 1) * step))
-    slice(0).write.parquet(s"$src/s0")
+    landSlice(slice(0), src, "s0")
     val stream = ses.readStream
       .schema(ses.read.parquet(s"$src/s0").schema)
       .parquet(s"$src/*")
@@ -1458,7 +1484,7 @@ object StreamingOps {
     try {
       q.processAllAvailable()
       (1 to 5).foreach { i =>
-        slice(i).write.parquet(s"$src/s$i")
+        landSlice(slice(i), src, s"s$i")
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -1529,7 +1555,7 @@ object StreamingOps {
     val step = (hi - lo) / 6 + 1
     def slice(i: Int) = ev.filter(
       col("us") >= lit(lo + i * step) && col("us") < lit(lo + (i + 1) * step))
-    slice(0).write.parquet(s"$src/s0")
+    landSlice(slice(0), src, "s0")
     val stream = ses.readStream
       .schema(ses.read.parquet(s"$src/s0").schema)
       .parquet(s"$src/*")
@@ -1562,7 +1588,7 @@ object StreamingOps {
     try {
       q.processAllAvailable()
       (1 to 5).foreach { i =>
-        slice(i).write.parquet(s"$src/s$i")
+        landSlice(slice(i), src, s"s$i")
         q.processAllAvailable()
       }
     } finally q.stop()
