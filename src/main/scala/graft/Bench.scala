@@ -174,8 +174,13 @@ object Bench {
     * 2.4 M-row dim (shuffle join: exchange + sort). */
   private[graft] val calDataDir = "target/bench_cal"
   private[graft] def ensureCalData(spark: SparkSession): Unit = {
-    val done = new java.io.File(s"$calDataDir/fact.parquet/_SUCCESS")
-    if (done.exists()) return
+    // Gate on BOTH markers: fact is written before dim, so a crash
+    // between the two writes would otherwise leave a half-built dataset
+    // that never self-repairs (fact/_SUCCESS exists, dim missing, and
+    // cal_shuffle_join fails every run until a manual clean).
+    val factDone = new java.io.File(s"$calDataDir/fact.parquet/_SUCCESS")
+    val dimDone = new java.io.File(s"$calDataDir/dim.parquet/_SUCCESS")
+    if (factDone.exists() && dimDone.exists()) return
     spark.range(0L, 12000000L, 1L, 32)
       .selectExpr("id % 1000003 AS k", "cast(id % 97 AS int) AS cat",
         "cast(id * 2654435761 % 9973 AS double) / 9973 AS v1",
@@ -255,13 +260,15 @@ object Bench {
     * `BENCH_DETAIL.json` unconditionally, so a SUBSET run (dev iteration,
     * judge spot-checks) overwrote the driver's uncommitted full-contract
     * run of record — this bit two judge sessions in a row. Full-contract
-    * runs keep the canonical name; subset runs get a pid-suffixed file;
+    * runs keep the canonical name; subset runs get a pid-suffixed file
+    * under target/ (gitignored — pid-suffixed litter in the repo root
+    * accumulated and risked being auto-committed, r15 ADVICE);
     * `SPARK_GRAFT_DETAIL_OUT` overrides both. */
   private[graft] def detailOutPath(envOverride: Option[String],
       fullContract: Boolean, pid: Long): String =
     envOverride.getOrElse(
       if (fullContract) "BENCH_DETAIL.json"
-      else s"bench_detail_subset_$pid.json")
+      else s"target/bench_detail_subset_$pid.json")
 
   /** Extract a `"field":{"name":num,…}` map from a bench detail line —
     * the committed quiet baseline is itself a detail line, so the gate
@@ -637,6 +644,16 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = coldFinal.map(_._2).filter(_ >= 0).sum
     val totalWarm = warmFinal.map(_._2).filter(_ >= 0).sum
+    // r16 (r15 ADVICE): a quiet-folded COLD reading ran with the page
+    // cache fully warm (suite end), so it is not a cold-cache number and
+    // can only lower the headline. The fold stays (it is the designed
+    // contention repair), but the conservative total — folded cold cells
+    // restored to their displaced pre-quiet readings — ships alongside
+    // so baseline splices can default to it. prequiet_cold names exactly
+    // the folded cold cells.
+    val totalColdConservative =
+      total + prequietCold.map { case (n, v) =>
+        v - coldFinal.toMap.getOrElse(n, v) }.sum
     val contJson = contended.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val detail = s"""{"metric":"detail","value":$total,"unit":"sec",""" +
       s""""queries":${jsonMap(coldFinal, _.toString)},""" +
@@ -657,6 +674,7 @@ object Bench {
       s""""prequiet_cold":${jsonMap(prequietCold, _.toString)},""" +
       s""""prequiet_warm":${jsonMap(prequietWarm, _.toString)},""" +
       s""""quiet_admitted":$quietAdmitted,""" +
+      s""""total_cold_conservative":${rp(totalColdConservative, 3)},""" +
       s""""quiet_probe_before":${rp(quietProbeBefore, 3)},""" +
       s""""quiet_probe_after":${rp(quietProbeAfter, 3)},""" +
       s""""pregate_cells":${jsonMap(calibrationQueries.map { case (n, _) =>

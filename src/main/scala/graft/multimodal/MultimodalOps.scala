@@ -433,13 +433,27 @@ object MultimodalOps {
     *    now release the native-backed instances eagerly via
     *    [[disposeCodecThreadState]] (called from the dying thread). */
   private object Jpeg {
-    private val reader = new ThreadLocal[javax.imageio.ImageReader] {
-      override def initialValue(): javax.imageio.ImageReader =
-        javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+    // No initialValue (r15 ADVICE): dispose() must only touch instances
+    // the thread actually created — a self-initializing ThreadLocal made
+    // the cleanup hook itself allocate native codec state on every dying
+    // thread just to free it. get() returns null until first use.
+    private val reader = new ThreadLocal[javax.imageio.ImageReader]
+    private val writer = new ThreadLocal[javax.imageio.ImageWriter]
+    private def readerFor(): javax.imageio.ImageReader = {
+      var r = reader.get()
+      if (r == null) {
+        r = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+        reader.set(r)
+      }
+      r
     }
-    private val writer = new ThreadLocal[javax.imageio.ImageWriter] {
-      override def initialValue(): javax.imageio.ImageWriter =
-        javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    private def writerFor(): javax.imageio.ImageWriter = {
+      var w = writer.get()
+      if (w == null) {
+        w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+        writer.set(w)
+      }
+      w
     }
 
     /** Decode one frame payload; throws on undecodable bytes (callers
@@ -450,7 +464,7 @@ object MultimodalOps {
       * PNG/GIF/BMP frames decode instead of quarantining — the registry
       * scan is paid only on the already-exceptional reject path. */
     def decode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
-      val r = reader.get()
+      val r = readerFor()
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val fast =
@@ -478,13 +492,14 @@ object MultimodalOps {
       * hook, r14 verdict #8). Safe to call any number of times; the
       * next decode/encode on the thread lazily re-initializes. */
     def dispose(): Unit = {
-      try reader.get().dispose() catch { case _: Throwable => }
-      try writer.get().dispose() catch { case _: Throwable => }
+      val r = reader.get(); val w = writer.get()
+      if (r != null) { try r.dispose() catch { case _: Throwable => } }
+      if (w != null) { try w.dispose() catch { case _: Throwable => } }
       reader.remove(); writer.remove()
     }
 
     def encode(img: java.awt.image.BufferedImage): Array[Byte] = {
-      val w = writer.get()
+      val w = writerFor()
       val bos = new java.io.ByteArrayOutputStream()
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
       try {

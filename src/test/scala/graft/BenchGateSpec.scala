@@ -329,8 +329,10 @@ class BenchGateSpec extends AnyFunSuite {
       "env override wins over both") {
     assert(detailOutPath(None, fullContract = true, pid = 42L) ==
       "BENCH_DETAIL.json")
+    // under target/ (gitignored) since r16 — pid-suffixed litter in the
+    // repo root accumulated and risked auto-commit (r15 ADVICE)
     assert(detailOutPath(None, fullContract = false, pid = 42L) ==
-      "bench_detail_subset_42.json")
+      "target/bench_detail_subset_42.json")
     assert(detailOutPath(Some("/tmp/x.json"), fullContract = true, pid = 42L) ==
       "/tmp/x.json")
     assert(detailOutPath(Some("/tmp/x.json"), fullContract = false, pid = 42L) ==

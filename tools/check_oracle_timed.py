@@ -68,6 +68,15 @@ for name in names:
         dump_json = os.path.join(out_dir, "oracle_sql.json")
         fresh = (os.path.isfile(stamp) and
                  os.path.getmtime(stamp) >= os.path.getmtime(dump_json) - 2.0)
+        # r16 (r15 ADVICE): mtime alone can admit a stamp written by a
+        # LATER seam-write run of a *different* dump. The stamp records
+        # the producing run's outDir (absolute) — require it to be this
+        # dump's out_dir so fixtures are only replayed against the dump
+        # that wrote them.
+        if fresh:
+            with open(stamp) as fh:
+                stamped_out = fh.read().strip()
+            fresh = stamped_out == os.path.abspath(out_dir)
         if (fresh and fixture_dirs and
                 all(os.path.isdir(local_pin + f) for f in fixture_dirs)):
             sql = candidate  # fall through to the normal timed compare
