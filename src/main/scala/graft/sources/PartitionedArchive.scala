@@ -204,11 +204,31 @@ object PartitionedArchive {
     landed.toSeq
   }
 
+  /** The fixed archive schemas, spelled out so readers skip parquet
+    * schema inference (a footer read per resolution) — the writers above
+    * pin these exactly: data columns in file order, then the partition
+    * columns in directory order (what inference would produce). */
+  val BroadbandSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("ts", TimestampType), StructField("value", DoubleType),
+      StructField("hydrophone", StringType), StructField("delta_t", IntegerType)))
+  }
+
+  val PsdSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("ts", TimestampType), StructField("band", DoubleType),
+      StructField("value", DoubleType), StructField("hydrophone", StringType),
+      StructField("freq_type", StringType), StructField("delta_f", IntegerType),
+      StructField("delta_t", IntegerType)))
+  }
+
   def readBroadband(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/broadband")
+    spark.read.schema(BroadbandSchema).parquet(s"$root/broadband")
 
   def readPsd(spark: SparkSession, root: String): DataFrame =
-    spark.read.parquet(s"$root/psd")
+    spark.read.schema(PsdSchema).parquet(s"$root/psd")
 
   /** S1 — real filesystem listing → `(hydrophone, path)` DataFrame for
     * [[graft.catalog.ArchiveCatalog]]. Driver-side Hadoop FS walk: listing

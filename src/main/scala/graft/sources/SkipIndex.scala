@@ -130,7 +130,7 @@ object SkipIndex {
     * lacks a null count — consumers that need exact row accounting
     * (metaWindowStats' interior path) treat unknown as "must scan";
     * range PRUNING never needs it (a null matches no range). */
-  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+  private[graft] def footerStats(conf: org.apache.hadoop.conf.Configuration,
                           file: String, statCol: String)
       : (String, Long, Long, Long, Long, Long) = {
     val md = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
