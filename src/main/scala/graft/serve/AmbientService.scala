@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.catalog.ArchiveCatalog
 import graft.catalog.ArchiveCatalog.CatalogEntry
+import graft.sources.PartitionedArchive
 import graft.ops._
 import graft.planner.{Errors, RequestPlanner}
 import Responses._
@@ -24,8 +25,8 @@ import Responses._
   * endpoint memoizes responses by request key (C2/C3, reference lru_cache).
   */
 class AmbientService(
-    val broadband: DataFrame,
-    val psd: DataFrame,
+    broadbandIn: => DataFrame,
+    psdIn: => DataFrame,
     catalogEntries: Seq[CatalogEntry],
     /** S5 — metadata-only matching-file probe for the integrity check (ref
       * `_matching_file_count`, get_timeseries.py:71-81): returns how many
@@ -33,9 +34,24 @@ class AmbientService(
       * reference 502s only when files matched but no rows were read; with
       * no probe (data-derived catalogs) empty windows are plain success. */
     integrityFileCount: (String, Int, Instant, Instant) => Long =
-      (_, _, _, _) => 0L) {
+      (_, _, _, _) => 0L,
+    /** Maintained (tod × band) stats for a daily-summary window
+      * ([[DailySummaryStore.statsFor]]); None → raw-scan path. The hook
+      * returns the EXACT A4 aggregate the raw path computes, so serving
+      * from it is invisible except in latency (DailySummaryStoreSpec). */
+    dailySummaryStats: (String, String, Int, Int, Instant, Instant) => Option[DataFrame] =
+      (_, _, _, _, _, _) => None) {
 
   import AmbientService._
+
+  /** The archive frames, resolved LAZILY: datasource resolution lists the
+    * archive tree and (without an explicit schema) reads a footer — work a
+    * sidecar-bootstrapped process must not pay before its first data
+    * request. By-name construction keeps `fromArchive` pure-metadata;
+    * `fromFrames` callers pass already-resolved frames, so nothing
+    * changes for them. */
+  lazy val broadband: DataFrame = broadbandIn
+  lazy val psd: DataFrame = psdIn
 
   // ---- request caches (C1-C3; ref lru_cache(16/64/128)) -----------------
   private val tsCache = new LruCache[Any, Any](128)
@@ -181,24 +197,38 @@ class AmbientService(
       RequestPlanner.enforcePointCap(86400L / bucketSecs)
       // A4: (tod, band) stats in one pass; P2: band range; A3: mean across
       // bands per tod; A5: re-anchored bucketing of the typical day itself.
-      val stats = DailySummaryOps.timeOfDaySummary(
-        BandOps.bandRange(loadPsd(h, freqType, deltaF, deltaT, start, end),
-          "band", bandLow, bandHigh), "ts", "band", "value")
+      // The stats come from the maintained rollup when one covers this
+      // exact window and is fresh (band filtering on top — band is a
+      // grouping key, so filtering stats == filtering rows); otherwise
+      // the raw-scan aggregate, unchanged.
+      val stats = dailySummaryStats(h, freqType, deltaF, deltaT, start, end)
+        .map(s => BandOps.bandRange(s, "band", bandLow, bandHigh))
+        .getOrElse(DailySummaryOps.timeOfDaySummary(
+          BandOps.bandRange(loadPsd(h, freqType, deltaF, deltaT, start, end),
+            "band", bandLow, bandHigh), "ts", "band", "value"))
       // second-of-day from the label by arithmetic (a to_timestamp/
-      // date_format round-trip would shift on non-UTC sessions)
-      val parts = split(col("tod"), ":")
-      val sod = parts.getItem(0).cast("long") * 3600L +
-        parts.getItem(1).cast("long") * 60L + parts.getItem(2).cast("long")
+      // date_format round-trip would shift on non-UTC sessions); the
+      // maintained rollup carries it precomputed
+      val sod = if (stats.columns.contains("sod")) col("sod") else {
+        val parts = split(col("tod"), ":")
+        parts.getItem(0).cast("long") * 3600L +
+          parts.getItem(1).cast("long") * 60L + parts.getItem(2).cast("long")
+      }
+      // group by the INTEGER bucket and render the label on the ≤2000
+      // result rows after — formatting + hash-shuffling a string key per
+      // fact row is the same trap the A4 kernel fixed in r15 (17× on the
+      // head-to-head archive). The orderBy moves to the driver for the
+      // same reason: a whole sort stage for ≤2000 rows (zero-padded
+      // labels sort lexicographically == chronologically).
       val bucketed = stats
-        .withColumn("tod_bucket", DailySummaryOps.todLabel(
-          (floor(sod / bucketSecs) * bucketSecs).cast("long")))
-        .groupBy("tod_bucket")
+        .groupBy(((floor(sod / bucketSecs) * bucketSecs).cast("long")).as("sod_bucket"))
         .agg(avg("mean_value").as("mean"), avg("min_value").as("min"),
              avg("max_value").as("max"),
              // §7.5.5: the served `count` is the MEAN of per-band counts
              avg(col("point_count").cast("double")).as("count"))
-        .orderBy("tod_bucket")
-      val rows = bucketed.collect()
+        .withColumn("tod_bucket", DailySummaryOps.todLabel(col("sod_bucket")))
+        .select("tod_bucket", "mean", "min", "max", "count")
+      val rows = bucketed.collect().sortBy(_.getString(0))
       DailySummaryResponse(h, iv, bandLow, bandHigh, DailySummarySeries(
         rows.map(_.getString(0)).toIndexedSeq,
         rows.map(_.getDouble(1)).toIndexedSeq,
@@ -252,7 +282,15 @@ object AmbientService {
     * data itself (min/max ts per product — the Spark replacement for the
     * reference's filename-derived coverage, which upstream data violates;
     * `docs/upstream-notes.md:27-41`). One small aggregate, computed once. */
-  def fromFrames(broadband: DataFrame, psd: DataFrame): AmbientService = {
+  def fromFrames(broadband: DataFrame, psd: DataFrame): AmbientService =
+    new AmbientService(broadband, psd,
+      ArchiveCatalog.collectEntries(derivedCatalog(broadband, psd)))
+
+  /** The data-derived A7 inventory `fromFrames` bootstraps from — a full
+    * pass over both frames (min/max/count per product key). Exposed so
+    * the persisted sidecar ([[graft.catalog.CatalogSidecar]]) can be
+    * pinned value-identical to this recompute (CatalogSidecarSpec). */
+  def derivedCatalog(broadband: DataFrame, psd: DataFrame): DataFrame = {
     val bbCat = broadband.groupBy("hydrophone", "delta_t")
       .agg(min("ts").as("first_start"), max("ts").as("last_end"),
         count(lit(1)).as("file_count"))
@@ -261,10 +299,42 @@ object AmbientService {
     val psdCat = psd.groupBy("hydrophone", "freq_type", "delta_f", "delta_t")
       .agg(min("ts").as("first_start"), max("ts").as("last_end"),
         count(lit(1)).as("file_count"))
-    val cat = bbCat.select("hydrophone", "freq_type", "delta_f", "delta_t",
+    bbCat.select("hydrophone", "freq_type", "delta_f", "delta_t",
         "first_start", "last_end", "file_count")
       .unionByName(psdCat.select("hydrophone", "freq_type", "delta_f", "delta_t",
         "first_start", "last_end", "file_count"))
-    new AmbientService(broadband, psd, ArchiveCatalog.collectEntries(cat))
+  }
+
+  /** Build a service over an archive ROOT, bootstrapping the catalog from
+    * the persisted [[graft.catalog.CatalogSidecar]] instead of a
+    * full-archive aggregate — the r15 head-to-head's remaining structural
+    * cost (9–29 s `fromFrames` groupBy over 1.27 B rows at every process
+    * start; with an up-to-date sidecar this is one listing + one tiny
+    * parquet read). The sidecar self-heals against appends, deletes and
+    * compaction via the listing diff, so entries here are always the same
+    * values `fromFrames` would recompute (CatalogSidecarSpec pins that,
+    * including after mutations). The root form also gains the S5
+    * integrity probe for free: the footer index knows exactly which
+    * broadband FILES overlap a window — the reference's
+    * `_matching_file_count` (get_timeseries.py:71-81), answered from
+    * driver-held metadata. */
+  def fromArchive(spark: org.apache.spark.sql.SparkSession, root: String)
+      : AmbientService = {
+    // load each product index ONCE; entries + zones are driver folds of
+    // the same values — an up-to-date bootstrap runs zero Spark jobs
+    val bbIdx = graft.catalog.CatalogSidecar.load(spark, s"$root/broadband")
+    val psdIdx = graft.catalog.CatalogSidecar.load(spark, s"$root/psd")
+    val entries = graft.catalog.CatalogSidecar.entriesFrom(spark, root, bbIdx, psdIdx)
+    val zones = graft.catalog.CatalogSidecar.zonesFrom(bbIdx)
+    val store = new DailySummaryStore(spark, root)
+    new AmbientService(
+      PartitionedArchive.readBroadband(spark, root),
+      PartitionedArchive.readPsd(spark, root),
+      entries,
+      integrityFileCount = (h, deltaT, start, end) =>
+        zones.overlapping(h, deltaT,
+          start.getEpochSecond * 1000000L + start.getNano / 1000L,
+          end.getEpochSecond * 1000000L + end.getNano / 1000L),
+      dailySummaryStats = store.statsFor)
   }
 }
