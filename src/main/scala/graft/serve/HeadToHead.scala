@@ -135,16 +135,29 @@ object HeadToHead {
   /** Serve the archive and fire the request set over real HTTP — each
     * request once cold (computes + memoizes) and once warm (LRU-served,
     * the reference's `lru_cache` comparison rows). Returns
-    * (catalog-bootstrap seconds, cells). */
+    * (catalog-bootstrap seconds, rollup-maintenance seconds, cells). */
   def run(spark: SparkSession, root: String, startDate: LocalDate,
-      months: Int, rateSec: Int): (Double, Seq[Cell]) = {
+      months: Int, rateSec: Int): (Double, Double, Seq[Cell]) = {
     val t0 = System.nanoTime()
-    val service = AmbientService.fromFrames(
-      PartitionedArchive.readBroadband(spark, root),
-      PartitionedArchive.readPsd(spark, root))
+    // r16: sidecar bootstrap (one listing + tiny parquet read once the
+    // persisted catalog exists) replaces the fromFrames full-archive
+    // min/max/count — the 9-29 s restart cost the r15 head-to-head
+    // measured. First run on a sidecar-less archive builds it (footer
+    // reads, O(files)); every later process start is sub-second.
+    val service = AmbientService.fromArchive(spark, root)
     val bootstrap = (System.nanoTime() - t0) / 1e9
+    // r16: maintain the trailing daily-summary rollups (1/7/30 d — the
+    // dashboard windows this request set fires). Reported as its own
+    // cost: this is the offline once-per-landed-day maintenance job, not
+    // request latency; daily cells then serve from ~1.9 M pre-aggregated
+    // rows instead of a 57 M-row raw window scan.
+    val m0 = System.nanoTime()
+    new DailySummaryStore(spark, root)
+      .maintainTrailing(Hydrophone, "octave_bands", 3, rateSec, Seq(1, 7, 30))
+    val rollupMaint = (System.nanoTime() - m0) / 1e9
     val api = new HttpApi(service,
-      java.nio.file.Files.createTempDirectory("graft-h2h"))
+      java.nio.file.Files.createTempDirectory("graft-h2h"),
+      scheduler = Some(spark))
     val server = api.start(0)
     try {
       val base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -175,7 +188,118 @@ object HeadToHead {
           val (warm, _, _) = hit(path)
           Cell(label, path, ref, cold, warm, code, count)
       }
-      (bootstrap, cells)
+      (bootstrap, rollupMaint, cells)
+    } finally { server.stop(0); api.close() }
+  }
+
+  // ---- concurrent serving (r15 verdict #5) -------------------------------
+
+  /** Per-class latency quantiles at one concurrency level. */
+  final case class ConcStats(cls: String, count: Int, errors: Int,
+      p50: Double, p99: Double, max: Double)
+
+  private def quantiles(cls: String, xs: Seq[(Double, Int)]): ConcStats = {
+    val ok = xs.collect { case (s, 200) => s }.sorted
+    def q(p: Double) =
+      if (ok.isEmpty) -1.0
+      else ok(math.min(ok.size - 1, math.ceil(p * ok.size).toInt - 1).max(0))
+    ConcStats(cls, xs.size, xs.count(_._2 != 200), q(0.5), q(0.99),
+      if (ok.isEmpty) -1.0 else ok.last)
+  }
+
+  /** Drive N concurrent mixed clients (heatmaps + daily summaries + raw
+    * timeseries) against the served archive — the serving failure mode
+    * that matters at scale is STARVATION: one 30 d heatmap monopolizing
+    * the shared session while dashboard polls queue behind it. The FAIR
+    * pools per request class ([[HttpApi.poolFor]]) are the guard; this
+    * measures them: per-class p50/p99 at each concurrency, cold
+    * (every request a distinct variant → every request computes) then
+    * warm (same requests again → LRU-served, the steady dashboard
+    * state). The no-starvation criterion (PERF.md): each class's
+    * concurrent p99 stays within ~2× its solo cold latency from
+    * [[run]]'s table times the work dilution N·perClass/cores.
+    *
+    * Returns (concurrency → cold stats, concurrency → warm stats). */
+  def runConcurrent(spark: SparkSession, root: String, startDate: LocalDate,
+      months: Int, rateSec: Int, clientCounts: Seq[Int] = Seq(8, 32),
+      perClassOverride: Int = 0): Seq[(Int, Seq[ConcStats], Seq[ConcStats])] = {
+    val service = AmbientService.fromArchive(spark, root)
+    new DailySummaryStore(spark, root)
+      .maintainTrailing(Hydrophone, "octave_bands", 3, rateSec, Seq(1, 7, 30))
+    val api = new HttpApi(service,
+      java.nio.file.Files.createTempDirectory("graft-conc"),
+      scheduler = Some(spark))
+    val server = api.start(0, threads = 64)
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val end = startDate.plusMonths(months.toLong).atStartOfDay()
+      val h = s"hydrophone=${Hydrophone.toLowerCase}"
+      // variant generators: k makes every cold request a DISTINCT cache
+      // key with the same work shape (shifted window / widened band cap)
+      def heatmap(k: Int) =
+        s"/aggregations/psd?$h&start=${isoDT(end.minusHours(24L + k))}" +
+          s"&end=${isoDT(end.minusHours(k.toLong))}&interval=auto" +
+          s"&delta_f=3oct&delta_t=$rateSec"
+      def daily(k: Int) =
+        s"/aggregations/daily-summary?$h" +
+          s"&start_date=${end.minusDays(30).toLocalDate}&num_days=30" +
+          s"&band_high=${8000 + k}" // ≥ 8000 keeps the full band set
+      def raw(k: Int) =
+        s"/timeseries/broadband?$h" +
+          s"&start=${isoDT(end.minusMinutes(30L * (k + 1)))}" +
+          s"&end=${isoDT(end.minusMinutes(30L * k))}&delta_t=$rateSec"
+      var k = 0
+      def fire(path: String): (Double, Int) = {
+        val t0 = System.nanoTime()
+        val c = new java.net.URI(base + path).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setReadTimeout(30 * 60 * 1000)
+        val code = c.getResponseCode
+        (if (code == 200) c.getInputStream
+         else Option(c.getErrorStream).getOrElse(c.getInputStream))
+          .readAllBytes()
+        ((System.nanoTime() - t0) / 1e9, code)
+      }
+      def drive(lists: Seq[Seq[(String, String)]]): Seq[(String, Double, Int)] = {
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Int)]
+        val go = new java.util.concurrent.CountDownLatch(1)
+        val threads = lists.map { list =>
+          val t = new Thread(() => {
+            go.await()
+            list.foreach { case (cls, path) =>
+              val (sec, code) = fire(path)
+              out.add((cls, sec, code))
+            }
+          })
+          t.setDaemon(true); t.start(); t
+        }
+        go.countDown()
+        threads.foreach(_.join())
+        import scala.jdk.CollectionConverters._
+        out.asScala.toIndexedSeq
+      }
+      def statsOf(rs: Seq[(String, Double, Int)]): Seq[ConcStats] =
+        rs.groupBy(_._1).toSeq.sortBy(_._1).map { case (cls, xs) =>
+          quantiles(cls, xs.map(r => (r._2, r._3))) }
+      clientCounts.map { n =>
+        // rounds per client sized so one level's heatmap+daily keys fit
+        // the service's 64-entry agg LRU exactly — otherwise the cold
+        // pass would evict its own entries and the "warm" pass would
+        // silently re-compute (n·perClass ≤ 32 → 2·32 agg keys ≤ 64)
+        val perClass =
+          if (perClassOverride > 0) perClassOverride else math.max(1, 32 / n)
+        val lists = (0 until n).map { _ =>
+          (0 until perClass).flatMap { _ =>
+            val reqs = Seq(("heatmap", heatmap(k)), ("daily", daily(k)),
+              ("raw", raw(k)))
+            k += 1
+            reqs
+          }
+        }
+        val cold = statsOf(drive(lists))
+        val warm = statsOf(drive(lists)) // same keys → LRU-served
+        (n, cold, warm)
+      }
     } finally { server.stop(0); api.close() }
   }
 }

@@ -74,13 +74,26 @@ object HttpApi {
   *   `logging.FileHandler`, `app/main.py:40-45`); created on first start. */
 final class HttpApi(
     service: AmbientService,
-    logDir: java.nio.file.Path = java.nio.file.Paths.get("logs")) {
+    logDir: java.nio.file.Path = java.nio.file.Paths.get("logs"),
+    /** When set, each request's Spark jobs run in a FAIR scheduler pool
+      * named for its request CLASS (`heatmap`/`daily`/`raw`/`meta`) — the
+      * concurrent-serving guard: one 30 d heatmap monopolizing the
+      * cluster would otherwise starve the dashboard's raw-timeseries
+      * polls behind it in the FIFO queue. Pools share the executors
+      * fairly (equal weights; no allocation file needed), so a heavy
+      * request slows its OWN class, not everyone. Requires the session
+      * to be built with `spark.scheduler.mode=FAIR` (ServeMain and
+      * Profile's serving modes do) — in FIFO mode the property is
+      * ignored, so passing the session is always safe. */
+    scheduler: Option[org.apache.spark.sql.SparkSession] = None) {
 
   // ---- lifecycle ---------------------------------------------------------
 
   /** Start on `port` (0 → ephemeral). Returns the live server; callers stop
-    * it with `.stop(0)`. */
-  def start(port: Int): HttpServer = {
+    * it with `.stop(0)`. `threads` sizes the handler pool — raise it for
+    * concurrent-serving experiments; excess connections queue in the
+    * accept backlog either way. */
+  def start(port: Int, threads: Int = 8): HttpServer = {
     // the reference opens logs/api-timing.log at init (mkdir + FileHandler,
     // app/main.py:40-45) — mirror that so tailers see the file pre-traffic
     logLock.synchronized { openTimingLog() }
@@ -166,7 +179,27 @@ final class HttpApi(
 
   // ---- dispatch ----------------------------------------------------------
 
+  /** Request class → FAIR pool name. Daily endpoints are split from the
+    * other aggregations because their cost profile differs (maintained
+    * rollup vs raw window scan) — each class competes only with itself. */
+  private[serve] def poolFor(path: String): String =
+    if (path.startsWith("/aggregations/daily")) "daily"
+    else if (path.startsWith("/aggregations/")) "heatmap"
+    else if (path.startsWith("/timeseries/")) "raw"
+    else "meta"
+
   private def handler(ex: HttpExchange): Unit = {
+    // spark.scheduler.pool is a thread-LOCAL property and handler threads
+    // are pooled: set it for this request, clear after so a later request
+    // of another class never inherits it
+    scheduler.foreach(_.sparkContext.setLocalProperty(
+      "spark.scheduler.pool", poolFor(ex.getRequestURI.getPath)))
+    try handleRequest(ex)
+    finally scheduler.foreach(
+      _.sparkContext.setLocalProperty("spark.scheduler.pool", null))
+  }
+
+  private def handleRequest(ex: HttpExchange): Unit = {
     val t0 = System.nanoTime()
     val path = ex.getRequestURI.getPath.stripSuffix("/") match {
       case "" => "/"

@@ -33,11 +33,22 @@ object ServeMain {
       .appName("graft-serve")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR pools per request class (HttpApi.poolFor): a heavy heatmap
+      // shares the executors with concurrent raw/daily requests instead
+      // of queueing them behind it FIFO
+      .config("spark.scheduler.mode", "FAIR")
+      // serving-latency file splits: request windows touch few small
+      // files (pruned heatmap windows, 50 MB maintained rollups); 16 MB
+      // splits fan those scans across cores instead of packing them onto
+      // 1-2 tasks (PERF.md r16)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "4m")
       .getOrCreate()
-    val service = AmbientService.fromFrames(
-      PartitionedArchive.readBroadband(spark, root),
-      PartitionedArchive.readPsd(spark, root))
-    val server = new HttpApi(service).start(port)
+    // sidecar bootstrap: catalog + integrity zones + daily rollups from
+    // persisted metadata — sub-second restart at any archive size (r16;
+    // the fromFrames full-archive recompute was 9-29 s at 1.27 B rows)
+    val service = AmbientService.fromArchive(spark, root)
+    val server = new HttpApi(service, scheduler = Some(spark)).start(port)
     System.err.println(s"[serve] listening on :${server.getAddress.getPort} over $root")
     Thread.currentThread().join()
   }

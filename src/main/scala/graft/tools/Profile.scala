@@ -34,6 +34,10 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR so the serving modes can isolate request classes in pools
+      // (HttpApi.poolFor); serial profile modes run in one pool, where
+      // FAIR degenerates to FIFO — no effect on their measurements
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -736,6 +740,13 @@ object Profile {
         //   SPARK_GRAFT_H2H_ROOT   archive dir (default /tmp/graft_h2h)
         //   SPARK_GRAFT_H2H_MONTHS months (default 22)
         import graft.serve.HeadToHead
+        // serving-latency file-split tuning: request windows touch few,
+        // small-ish files (a pruned heatmap window, a 50 MB maintained
+        // rollup); the default 128 MB split packs them onto 1-2 tasks and
+        // serializes the scan. 16 MB splits fan those scans across the
+        // cores — worth ~3x on the daily-summary read path (PERF.md r16).
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "4m")
         val root = sys.env.getOrElse("SPARK_GRAFT_H2H_ROOT", "/tmp/graft_h2h")
         val months = sys.env.getOrElse("SPARK_GRAFT_H2H_MONTHS", "22").toInt
         val startDate = java.time.LocalDate.of(2020, 1, 1)
@@ -750,14 +761,45 @@ object Profile {
           println(f"[profile] archive built in $bSec%.1f s " +
             f"(${sz / 1e9}%.2f GB on disk)")
         }
-        val (bootstrap, cells) = HeadToHead.run(
+        val (bootstrap, rollupMaint, cells) = HeadToHead.run(
           spark, root, startDate, months, rateSec)
-        println(f"[profile] catalog bootstrap (fromFrames full-archive " +
-          f"inventory scan): $bootstrap%.2f s")
+        println(f"[profile] catalog bootstrap (persisted sidecar; first " +
+          f"run builds it from footers): $bootstrap%.2f s")
+        println(f"[profile] daily-summary rollup maintenance (offline, " +
+          f"once per landed day; 1/7/30 d windows): $rollupMaint%.2f s")
         println("[profile] request                REF s     cold s    warm s   count  status")
         cells.foreach { c =>
           println(f"[profile] ${c.label}%-22s ${c.refSec}%7.2f  ${c.coldSec}%8.3f  " +
             f"${c.warmSec}%8.3f  ${c.count}%6d  ${c.status}%3d")
+        }
+
+      case "serve_conc" =>
+        // r15 verdict #5: concurrent-serving head-to-head — N mixed
+        // clients (heatmap/daily/raw) against the h2h archive with FAIR
+        // pools per request class. The reference is a single uvicorn
+        // process; the interesting failure at scale is one heavy heatmap
+        // starving the dashboard. Requires the serve_h2h archive
+        // (build it first if absent).
+        import graft.serve.HeadToHead
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "4m")
+        val root = sys.env.getOrElse("SPARK_GRAFT_H2H_ROOT", "/tmp/graft_h2h")
+        val months = sys.env.getOrElse("SPARK_GRAFT_H2H_MONTHS", "22").toInt
+        val startDate = java.time.LocalDate.of(2020, 1, 1)
+        require(new java.io.File(s"$root/psd/_SUCCESS").exists(),
+          s"serve_conc needs the serve_h2h archive at $root — run serve_h2h first")
+        val levels = HeadToHead.runConcurrent(spark, root, startDate, months,
+          rateSec = 1)
+        println("[profile] pass    N  class      count  err     p50 s     p99 s     max s")
+        levels.foreach { case (n, cold, warm) =>
+          cold.foreach { s =>
+            println(f"[profile] cold ${n}%4d  ${s.cls}%-9s ${s.count}%6d  ${s.errors}%3d  " +
+              f"${s.p50}%8.3f  ${s.p99}%8.3f  ${s.max}%8.3f")
+          }
+          warm.foreach { s =>
+            println(f"[profile] warm ${n}%4d  ${s.cls}%-9s ${s.count}%6d  ${s.errors}%3d  " +
+              f"${s.p50}%8.3f  ${s.p99}%8.3f  ${s.max}%8.3f")
+          }
         }
 
       case "http_bench" =>

@@ -28,9 +28,9 @@ class HeadToHeadSpec extends AnyFunSuite {
     // the layout is the real one: directory partitions + parquet files
     assert(new java.io.File(s"$root/psd/hydrophone=ORCASOUND_LAB/" +
       "freq_type=octave_bands/delta_f=3/delta_t=1").isDirectory)
-    val (bootstrap, cells) = HeadToHead.run(spark, root, start,
+    val (bootstrap, rollupMaint, cells) = HeadToHead.run(spark, root, start,
       months = 1, rateSec = 1)
-    assert(bootstrap > 0)
+    assert(bootstrap > 0 && rollupMaint > 0)
     val byLabel = cells.map(c => c.label -> c).toMap
     assert(cells.size == 10 && cells.forall(_.status == 200),
       cells.filter(_.status != 200).toString)
@@ -50,5 +50,58 @@ class HeadToHeadSpec extends AnyFunSuite {
     // absolute terms even on a loaded CI box
     cells.foreach(c => assert(c.warmSec < 2.0,
       s"${c.label} warm ${c.warmSec}s — memoization not serving?"))
+  }
+
+  test("concurrent serving (FAIR pools per request class): interleaved " +
+      "mixed clients get exactly the sequential answers, no errors") {
+    val root = new java.io.File("target/h2h_spec").getAbsolutePath
+    val start = java.time.LocalDate.of(2020, 1, 1)
+    if (!new java.io.File(s"$root/psd/_SUCCESS").exists())
+      HeadToHead.buildArchive(spark, root, start, months = 1, rateSec = 1,
+        bands = Seq(63.0, 8000.0), slicesPerMonth = 8)
+    // correctness under interleaving: drive 4 concurrent mixed clients
+    // through runConcurrent (real HTTP, pools set per class), then
+    // verify a heatmap and a daily request give byte-identical bodies
+    // whether computed under concurrency (LRU now holds them) or by a
+    // FRESH sequential service over the same archive
+    val levels = HeadToHead.runConcurrent(spark, root, start, months = 1,
+      rateSec = 1, clientCounts = Seq(4), perClassOverride = 2)
+    assert(levels.size == 1)
+    val (n, cold, warm) = levels.head
+    assert(n == 4)
+    assert(cold.map(_.cls).sorted == Seq("daily", "heatmap", "raw"))
+    assert(cold.forall(_.errors == 0), cold.toString)
+    assert(warm.forall(_.errors == 0), warm.toString)
+    // every class completed all its requests at this level
+    assert(cold.forall(_.count == 8), cold.toString) // 4 clients × 2 rounds
+    // warm (LRU) pass must be fast in absolute terms — no recompute
+    assert(warm.forall(_.p99 < 2.0), warm.toString)
+
+    // exactness under interleaving: two threads hammer one shared
+    // service with DIFFERENT request classes simultaneously; results
+    // must equal a fresh service's sequential answers (the shared
+    // SparkSession + FAIR pools must not leak state across requests)
+    val svc = graft.serve.AmbientService.fromArchive(spark, root)
+    val end = start.plusMonths(1).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    import java.util.concurrent.Executors
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val fHeat = pool.submit(() => (0 until 3).map(i =>
+        svc.getPsdAggregation("orcasound_lab", end.minusSeconds((i + 1) * 3600L),
+          end.minusSeconds(i * 3600L), "auto", "3oct", 1)))
+      val fDaily = pool.submit(() => (0 until 3).map(i =>
+        svc.getDailySummary("orcasound_lab",
+          start.plusDays(i.toLong), 2, 63.0, 8000.0, "auto")))
+      val heats = fHeat.get(); val dailies = fDaily.get()
+      val seq = graft.serve.AmbientService.fromArchive(spark, root)
+      (0 until 3).foreach { i =>
+        assert(heats(i) == seq.getPsdAggregation("orcasound_lab",
+          end.minusSeconds((i + 1) * 3600L), end.minusSeconds(i * 3600L),
+          "auto", "3oct", 1), s"heatmap $i diverged under concurrency")
+        assert(dailies(i) == seq.getDailySummary("orcasound_lab",
+          start.plusDays(i.toLong), 2, 63.0, 8000.0, "auto"),
+          s"daily $i diverged under concurrency")
+      }
+    } finally pool.shutdown()
   }
 }
