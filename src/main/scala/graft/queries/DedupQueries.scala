@@ -250,6 +250,12 @@ object DedupQueries {
     // Downstream-stage replay over the Spark-written fixtures. Band-bucket
     // equality here compares the BAND CONTENT (the 4-signature slice) —
     // equivalent to the engine's xxhash64 bucket modulo hash collisions.
+    // The verify stage intersects per-doc shingle LISTS instead of a
+    // double shingle-join + group (exact: (doc_id, gh) is distinct, so
+    // len(list_intersect) == the join count, and a 0-intersection pair
+    // fails ≥0.8 just as the inner join dropped it) — the join spelling
+    // blew the sf3 sweep budget on 2.4 M candidates × 7.8 M shingle rows
+    // (r15 SKIPPED_SLOW); this form replays in ~1/3 the time.
     "q_dedup_minhash" ->
       s"""WITH sigs AS (SELECT * FROM read_parquet('${sqlPath("minhash_sigs")}')),
          |ex AS (SELECT * FROM read_parquet('${sqlPath("minhash_shingles")}')),
@@ -264,19 +270,17 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM bb a JOIN bb b
          |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |lists AS (SELECT doc_id, list(gh) AS ghs, count(*) AS n FROM ex GROUP BY 1),
          |shared AS (
-         |  SELECT id_a, id_b, count(*) AS shared
+         |  SELECT id_a, id_b, len(list_intersect(la.ghs, lb.ghs)) AS shared,
+         |         la.n AS na, lb.n AS nb
          |  FROM cand
-         |  JOIN ex ea ON ea.doc_id = id_a
-         |  JOIN ex eb ON eb.doc_id = id_b AND ea.gh = eb.gh
-         |  GROUP BY 1, 2)
+         |  JOIN lists la ON id_a = la.doc_id
+         |  JOIN lists lb ON id_b = lb.doc_id)
          |SELECT id_a, id_b,
-         |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+         |       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
          |FROM shared
-         |JOIN cnt ca ON id_a = ca.doc_id
-         |JOIN cnt cb ON id_b = cb.doc_id
-         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
+         |WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     // q_dedup_minhash's replay with the bucket-size split: under-cap
@@ -306,42 +310,58 @@ object DedupQueries {
          |    SELECT s.hub AS id_a, m.doc_id AS id_b
          |    FROM bb m JOIN bsz s ON s.band = m.band AND s.bucket = m.bucket
          |    WHERE s.bn > $CapBucket AND m.doc_id <> s.hub)),
-         |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |lists AS (SELECT doc_id, list(gh) AS ghs, count(*) AS n FROM ex GROUP BY 1),
          |shared AS (
-         |  SELECT id_a, id_b, count(*) AS shared
+         |  SELECT id_a, id_b, len(list_intersect(la.ghs, lb.ghs)) AS shared,
+         |         la.n AS na, lb.n AS nb
          |  FROM cand
-         |  JOIN ex ea ON ea.doc_id = id_a
-         |  JOIN ex eb ON eb.doc_id = id_b AND ea.gh = eb.gh
-         |  GROUP BY 1, 2)
+         |  JOIN lists la ON id_a = la.doc_id
+         |  JOIN lists lb ON id_b = lb.doc_id)
          |SELECT id_a, id_b,
-         |       round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+         |       round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) AS jaccard
          |FROM shared
-         |JOIN cnt ca ON id_a = ca.doc_id
-         |JOIN cnt cb ON id_b = cb.doc_id
-         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.8
+         |WHERE round(CAST(shared AS DOUBLE) / (na + nb - shared), 6) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Hamming pigeonhole over the fingerprint fixture: 4 × 16-bit blocks;
     // arithmetic >> plus the & 65535 mask equals a logical shift's low 16
     // bits for every block, so negative fingerprints are handled exactly.
+    // Budget-fitting shape (r15 verdict #4): the replay pigeonholes
+    // UNIQUE fingerprints (dup-heavy sweeps collapse 150 k docs to ~5 k
+    // fps at sf3) and expands doc pairs only for fp pairs that PASS the
+    // Hamming test — the doc-level block join materialized 211 M
+    // candidate rows through a DISTINCT (306 s at sf3; this form: 0.7 s,
+    // identical 2 647 500 rows). Exact by the same pigeonhole: hamming
+    // ≤ 3 < 4 blocks forces a shared block, equal-fp doc pairs share
+    // every block (the intra branch, hamming 0).
     "q_dedup_simhash" ->
       s"""WITH fps AS (SELECT * FROM read_parquet('${sqlPath("simhash_fps")}')),
+         |fu AS (SELECT simhash, list(doc_id) AS docs FROM fps GROUP BY 1),
          |blk AS (
-         |  SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS block_idx FROM fps),
+         |  SELECT simhash, unnest([0, 1, 2, 3]) AS block_idx FROM fu),
          |b2 AS (
-         |  SELECT doc_id, simhash, block_idx,
+         |  SELECT simhash, block_idx,
          |         (simhash >> (block_idx * 16)) & 65535 AS block_val
          |  FROM blk),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         a.simhash AS sa, b.simhash AS sb
+         |fpairs AS (
+         |  SELECT DISTINCT a.simhash AS sa, b.simhash AS sb
          |  FROM b2 a JOIN b2 b
          |    ON a.block_idx = b.block_idx AND a.block_val = b.block_val
-         |       AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b,
-         |       CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-         |FROM cand
-         |WHERE bit_count(xor(sa, sb)) <= 3
+         |       AND a.simhash < b.simhash
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |crossp AS (
+         |  SELECT least(u1.x, u2.y) AS id_a, greatest(u1.x, u2.y) AS id_b,
+         |         CAST(bit_count(xor(p.sa, p.sb)) AS INT) AS hamming
+         |  FROM fpairs p
+         |  JOIN fu fa ON fa.simhash = p.sa
+         |  JOIN fu fb ON fb.simhash = p.sb,
+         |  unnest(fa.docs) AS u1(x), unnest(fb.docs) AS u2(y)),
+         |intra AS (
+         |  SELECT u1.x AS id_a, u2.y AS id_b, 0 AS hamming
+         |  FROM fu, unnest(docs) AS u1(x), unnest(docs) AS u2(y)
+         |  WHERE u1.x < u2.y)
+         |SELECT id_a, id_b, hamming
+         |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)
          |ORDER BY id_a, id_b""".stripMargin,
 
     // Band join restricted hist(sn<10) × incoming(sn≥10), then the

@@ -19,7 +19,10 @@ sf_dir they are classified FIXTURE_SEAM with the Spark row count, not
 run — r12 classified these 34 cells by hand; the sweep now states its
 own evidence classes.
 
-Usage: check_oracle_timed.py <sf_dir> <out_dir> [budget_sec]
+Usage: check_oracle_timed.py <sf_dir> <out_dir> [budget_sec] [q1,q2,...]
+  The optional 4th arg restricts the sweep to the named queries —
+  targeted re-replays (e.g. the post-fix streaming family) run against
+  the ORIGINAL dump dir, so the seam-stamp gate stays honest.
 """
 import json, sys, os, threading, time
 import duckdb
@@ -27,6 +30,7 @@ import duckdb
 sf_dir = sys.argv[1]
 out_dir = sys.argv[2]
 budget = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 VERIFY_SF = "sf0.01"  # OracleFixtures.VerifySf
 FIXTURE_PIN = f"/tmp/graft_fixtures/{VERIFY_SF}/"
 at_verify_sf = os.path.basename(sf_dir.rstrip("/")) == VERIFY_SF
@@ -39,7 +43,8 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 results = {}
 names = [n for n in sorted(os.listdir(out_dir))
-         if os.path.isdir(os.path.join(out_dir, n))]
+         if os.path.isdir(os.path.join(out_dir, n))
+         and (only is None or n in only)]
 for name in names:
     path = os.path.join(out_dir, name)
     got = con.execute(f"SELECT * FROM read_parquet('{path}/*.parquet')").fetchdf()
