@@ -788,8 +788,12 @@ object Profile {
         val startDate = java.time.LocalDate.of(2020, 1, 1)
         require(new java.io.File(s"$root/psd/_SUCCESS").exists(),
           s"serve_conc needs the serve_h2h archive at $root — run serve_h2h first")
+        // SPARK_GRAFT_CONC_POOLS=off runs the FIFO counterfactual (no
+        // pool assignment — the starvation the pools prevent)
+        val pools = !sys.env.get("SPARK_GRAFT_CONC_POOLS").contains("off")
+        println(s"[profile] scheduler pools: ${if (pools) "FAIR per class" else "OFF (FIFO counterfactual)"}")
         val levels = HeadToHead.runConcurrent(spark, root, startDate, months,
-          rateSec = 1)
+          rateSec = 1, pools = pools)
         println("[profile] pass    N  class      count  err     p50 s     p99 s     max s")
         levels.foreach { case (n, cold, warm) =>
           cold.foreach { s =>
