@@ -148,12 +148,26 @@ object CatalogSidecar {
     StructField("bytes", LongType), StructField("min_us", LongType),
     StructField("max_us", LongType), StructField("n_nulls", LongType)))
 
+  /** Per-product persist lock: concurrent serving requests each refresh
+    * the index ([[DailySummaryStore]] fingerprints run `load` per
+    * request), and two threads that both see the same new files must not
+    * overwrite `_skipindex` simultaneously — mode=overwrite deletes
+    * before writing, so an interleaved pair can leave a torn index
+    * directory. JVM-level is enough: one serving process owns an archive
+    * (the deployment shape); cross-process writers go through the ingest
+    * paths, which rebuild via the same listing diff on next load. */
+  private val persistLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   private def persist(spark: SparkSession, productDir: String,
       rows: IndexedSeq[FileStat]): Unit = {
-    val rs = new java.util.ArrayList[Row](rows.size)
-    rows.foreach(r => rs.add(Row(r.file, r.nRows, r.bytes, r.minUs, r.maxUs, r.nNulls)))
-    SkipIndex.persistIndex(spark,
-      spark.createDataFrame(rs, IndexSchema), productDir)
+    val lock = persistLocks.computeIfAbsent(productDir, _ => new Object)
+    lock.synchronized {
+      val rs = new java.util.ArrayList[Row](rows.size)
+      rows.foreach(r => rs.add(Row(r.file, r.nRows, r.bytes, r.minUs, r.maxUs, r.nNulls)))
+      SkipIndex.persistIndex(spark,
+        spark.createDataFrame(rs, IndexSchema), productDir)
+    }
   }
 
   /** Bring the product's footer index up to date with the live listing,

@@ -226,25 +226,30 @@ object GraphQueries {
 
     // the same three frontier rounds, unrolled: each fI is the distinct
     // out-neighborhood of f(I−1) minus everything already settled —
-    // min-hop by construction, so the replay is exact set equality
+    // min-hop by construction, so the replay is exact set equality.
+    // MATERIALIZED: each frontier feeds the next round AND the exclusion
+    // lists AND the final union — inlined (DuckDB's default for simple
+    // CTEs) the edge expansion re-evaluates per reference, compounding
+    // round over round (blew the sf3 sweep budget at 226 s; materialized
+    // each frontier computes once).
     "q_bfs_hops" ->
-      """WITH pairs AS (
+      """WITH pairs AS MATERIALIZED (
         |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        |e AS (
+        |e AS MATERIALIZED (
         |  SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM pairs
         |  UNION ALL
         |  SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst FROM pairs),
-        |f0 AS (
+        |f0 AS MATERIALIZED (
         |  SELECT DISTINCT 's' || s_suppkey AS node FROM supplier
         |  WHERE s_suppkey % 20 = 0),
-        |f1 AS (
+        |f1 AS MATERIALIZED (
         |  SELECT DISTINCT e.dst AS node FROM e JOIN f0 ON e.src = f0.node
         |  WHERE e.dst NOT IN (SELECT node FROM f0)),
-        |f2 AS (
+        |f2 AS MATERIALIZED (
         |  SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
         |  WHERE e.dst NOT IN (SELECT node FROM f0
         |                      UNION ALL SELECT node FROM f1)),
-        |f3 AS (
+        |f3 AS MATERIALIZED (
         |  SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
         |  WHERE e.dst NOT IN (SELECT node FROM f0
         |                      UNION ALL SELECT node FROM f1
