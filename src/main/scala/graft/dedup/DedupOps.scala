@@ -60,7 +60,13 @@ object DedupOps {
     * the prefix below the theorem's bound and silently drop pairs. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double): DataFrame = {
-    val ex = shingleHashes(df, idCol, textCol, n)
+    // materialized once: rarityPostings reads the shingle frame twice
+    // (df-count aggregate + the postings join) — unmaterialized, the
+    // shingle kernel re-runs over the full text per reference, and the
+    // dfreq/join exchange-reuse that sometimes hides it is plan-shape-
+    // fragile (the `ghs` checkpoint below makes the SAME argument for
+    // the next stage)
+    val ex = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
     // one aggregation builds the per-doc rarity-ordered posting list, then
     // BOTH stages read it: the prefix index is a slice of it, and
     // verification intersects candidate pairs' lists directly
@@ -257,7 +263,15 @@ object DedupOps {
     * (`q_dedup_minhash`'s exact pair list) must keep the default. */
   def lshCandidates(signatures: DataFrame, k: Int, bands: Int,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = bandBuckets(signatures, k, bands)
+    // Materialize the banded projection ONCE (eager localCheckpoint):
+    // the bucket self-join below references it on both sides (and the
+    // capped branch three times), so an unmaterialized input would
+    // re-run the full signature kernel per reference — measured ~2 extra
+    // corpus passes per run on q_dedup_minhash (guide §1.2 step 1). The
+    // frame is 3 narrow columns × bands·n rows — the same banded index
+    // [[graft.dedup.IncrementalDedup]] persists to parquet; batch-only
+    // (the streaming near-dup path builds on [[bandBuckets]] directly).
+    val banded = bandBuckets(signatures, k, bands).localCheckpoint(true)
     val pairs = if (maxBucket == Int.MaxValue) {
       val a = banded.as("a"); val b = banded.as("b")
       a.join(b, col("a.band") === col("b.band") &&
@@ -315,10 +329,17 @@ object DedupOps {
     * Output `(id_a, id_b, shared, jaccard)` filtered at `threshold`. */
   def verifyJaccardPairs(cands: DataFrame, ex: DataFrame,
                          threshold: Double): DataFrame = {
-    val counts = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // The shingle-hash frame is referenced THREE times below (both join
+    // sides + the per-doc counts); materialize it once instead of
+    // re-running the shingle kernel per reference (guide §1.2 step 1).
+    // This is the exact frame the oracle fixture seam persists to
+    // parquet — at corpus scale it is the dedup pipeline's standard
+    // tokenize-once intermediate, disk-backed via MEMORY_AND_DISK.
+    val exm = ex.localCheckpoint(true)
+    val counts = exm.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val shared = cands
-      .join(ex.as("ea"), col("id_a") === col("ea.doc_id"))
-      .join(ex.as("eb"), col("id_b") === col("eb.doc_id") &&
+      .join(exm.as("ea"), col("id_a") === col("ea.doc_id"))
+      .join(exm.as("eb"), col("id_b") === col("eb.doc_id") &&
         col("ea.gh") === col("eb.gh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
     shared
@@ -535,10 +556,14 @@ object DedupOps {
     * distance 3 must agree on ≥1 block, so the block-equality join finds all
     * of them without an all-pairs scan. Verified with `bit_count(xor)`. */
   def simhashPairs(fps: DataFrame, maxDist: Int): DataFrame = {
+    // materialized once: the block-equality self-join references this
+    // frame on both sides — unmaterialized, the simhash kernel re-runs
+    // over the full text per side (4 narrow rows per doc)
     val blocks = fps.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
+      .localCheckpoint(true)
     val a = blocks.as("a"); val b = blocks.as("b")
     a.join(b, col("a.block_idx") === col("b.block_idx") &&
         col("a.block_val") === col("b.block_val") && col("a.doc_id") < col("b.doc_id"))

@@ -116,11 +116,16 @@ object GraphOps {
     * Input may contain duplicates and both directions; self-loops are
     * dropped. Returns `(node, n_tri)` for nodes in ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // canonical undirected edge set
+    // canonical undirected edge set, materialized once: the degree
+    // aggregate reads it twice (both endpoint projections) and the
+    // orientation join once more — unmaterialized, an expensive edge
+    // construction (e.g. the kNN pipeline feeding q_triangle_count)
+    // re-runs per reference
     val und = edges.select(
         least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("n"))
       .unionByName(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))

@@ -141,7 +141,11 @@ object DedupQueries {
         regexp_extract(col("source"), "\\d+", 0).cast("int"))
       val sigs = seam(DedupOps.minhashSignatures(d, "doc_id", "text", n = 3, k = K),
         dir, "minhash_sigs")
+      // materialized once: hist (index build) and inc (screen) both
+      // filter this frame — unmaterialized, the signature kernel runs
+      // twice over the full corpus
       val withSn = sigs.join(d.select("doc_id", "sn"), "doc_id")
+        .localCheckpoint(true)
       val hist = withSn.filter(col("sn") < 10).select("doc_id", "sig")
       val inc = withSn.filter(col("sn") >= 10).select("doc_id", "sig")
       val table = "graft_inc_dedup_" +

@@ -614,7 +614,10 @@ object JoinQueries {
         .agg(count(lit(1)).as("bn"))
         .filter(col("bn").between(2, cap))
         .select("ok")
-      val kept = items.join(okSized, "ok")
+      // materialized once: the pair self-join references kept on both
+      // sides — unmaterialized, the distinct + size-filter chain would
+      // recompute per side (q_assoc_rules already does this)
+      val kept = items.join(okSized, "ok").localCheckpoint(true)
       kept.as("x").join(kept.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))

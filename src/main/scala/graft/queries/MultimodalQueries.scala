@@ -54,7 +54,7 @@ object MultimodalQueries {
     "q_video_keyframes" -> ((s, dir) =>
       MultimodalOps.sampleKeyframes(
           MultimodalOps.synthesizeGifs(
-            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+            graft.util.Par.spread(Tables.documents(s, dir).select("doc_id")), "doc_id"),
           "doc_id", stride = 2)
         .filter(col("ok")).drop("ok")
         .withColumn("mean_luma", round(col("mean_luma"), 6))
@@ -73,9 +73,11 @@ object MultimodalQueries {
     // payload row, so the consecutive-frame pairing happens INSIDE the
     // decode (MultimodalOps.framePairs, a sliding(2) over the decoded
     // sequence) — a lag-window formulation would hash-shuffle the whole
-    // frame table on video id first; this plan has ZERO exchanges below
-    // the serving-edge sort and is embarrassingly parallel at 100 TB
-    // (MultimodalSpec pins the no-Window/no-pre-sort-Exchange shape).
+    // frame table on video id first; this plan never shuffles the FRAME
+    // table (the only exchanges are the serving-edge sort and the
+    // Par.spread round-robin of the bare doc_id spine) and is
+    // embarrassingly parallel at 100 TB (MultimodalSpec pins the
+    // no-Window/no-frame-shuffle shape).
     // Solid frames survive palettization exactly, so luma deltas are a
     // CLOSED FORM over documents: both engines subtract identical
     // round-6 doubles (k/3 values never land on a rounding halfway) —
@@ -85,7 +87,7 @@ object MultimodalQueries {
       val delta = round(abs(round(col("luma"), 6) - round(col("prev_luma"), 6)), 6)
       MultimodalOps.framePairs(
           MultimodalOps.synthesizeGifs(
-            Tables.documents(s, dir).select("doc_id")
+            graft.util.Par.spread(Tables.documents(s, dir).select("doc_id"))
               .filter(col("doc_id") % 4 === 0), "doc_id"),
           "doc_id")
         .filter(col("ok"))
@@ -104,7 +106,7 @@ object MultimodalQueries {
     "q_video_avi_keyframes" -> ((s, dir) =>
       MultimodalOps.sampleAviKeyframes(
           MultimodalOps.synthesizeAvis(
-            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+            graft.util.Par.spread(Tables.documents(s, dir).select("doc_id")), "doc_id"),
           "doc_id", stride = 2)
         .filter(col("ok"))
         .select("doc_id", "frame_idx", "width", "height")
@@ -120,7 +122,7 @@ object MultimodalQueries {
     "q_av_mux" -> ((s, dir) =>
       MultimodalOps.demuxAvStats(
           MultimodalOps.synthesizeAvAvis(
-            Tables.documents(s, dir).select("doc_id"), "doc_id"),
+            graft.util.Par.spread(Tables.documents(s, dir).select("doc_id")), "doc_id"),
           "doc_id")
         .filter(col("ok"))
         .select("doc_id", "n_frames", "width", "height", "sample_rate",

@@ -129,15 +129,18 @@ object RetrievalQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // RM3 second pass: weighted BM25 over the expanded query terms.
+    // RM3 second pass: weighted BM25 over the expanded query terms. The
+    // corpus is tokenized ONCE (RetrievalOps.tokenize) and the
+    // materialized frame feeds expansion (first pass + feedback) and the
+    // weighted second pass — formerly five tokenizer passes per run.
     "q_rm3_topk" -> ((s, dir) => {
       import s.implicits._
-      val d = docs(s, dir)
+      val tok = RetrievalOps.tokenize(docs(s, dir), "doc_id", "text")
       val q = Bm25Queries.toDF("query_id", "term")
-      val exp = RetrievalOps.rm3ExpandTerms(d, "doc_id", "text", q,
+      val exp = RetrievalOps.rm3ExpandTermsTok(tok, q,
           m = Rm3M, e = Rm3E, lambda = Rm3Lambda)
         .select("query_id", "term", "w")
-      RetrievalOps.bm25TopK(d, "doc_id", "text", exp, Bm25K)
+      RetrievalOps.bm25TopKTok(tok, exp, Bm25K)
         .orderBy("query_id", "rank")
     }),
 

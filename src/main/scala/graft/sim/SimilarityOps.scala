@@ -182,8 +182,11 @@ object SimilarityOps {
     * sub-quadratic approximation at corpus scale see [[knnJoinIvf]]. */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nBlocks: Int = 16): DataFrame = {
+    // materialized once: the symmetrization below references the pair
+    // frame in BOTH union branches — unmaterialized, the Ω(n²) block-pair
+    // score join (the single most expensive stage) would run twice
     val pairs = cosinePairsBlocked(emb, idCol, vecCol,
-      threshold = -1.0, nBlocks = nBlocks)
+      threshold = -1.0, nBlocks = nBlocks).localCheckpoint(true)
     val sym = pairs.select(col("id_a").as("query_id"),
         col("id_b").as("neighbor_id"), col("cos"))
       .unionByName(pairs.select(col("id_b").as("query_id"),
@@ -210,7 +213,10 @@ object SimilarityOps {
     // cell (the corpus role) and SEARCHES its top-nProbe cells (the
     // query role) — same rounded ordering, so the two roles can never
     // disagree on ties and the oracle replays a single ranking.
+    // Materialized once: both roles reference this frame, and without
+    // the checkpoint the centroid cross-join + heap aggregate runs twice.
     val probes = corpusProbes(emb, idCol, vecCol, centroidFrame, nProbe)
+      .localCheckpoint(true)
     val corpus = probes.filter(col("probe_rank") === 1)
       .select(col("id").as("neighbor_id"), col("v"), col("nv"), col("cell"))
     val qside = probes.select(col("id").as("query_id"), col("v").as("qv"),
@@ -444,9 +450,13 @@ object SimilarityOps {
     * (verification is exact, so NO false positives — only possible misses,
     * bounded by the (rows, bands) formula above). */
   def cosinePairsLsh(sig: DataFrame, threshold: Double): DataFrame = {
-    val cands = lshPairCandidates(sig)
-    val va = sig.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
-    val vb = sig.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
+    // materialized once: the candidate stage self-joins the banded frame
+    // and the verify stage reads it twice more (va/vb) — unmaterialized,
+    // the hyperplane-band signature kernel re-runs per reference
+    val s = sig.localCheckpoint(true)
+    val cands = lshPairCandidates(s)
+    val va = s.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na"))
+    val vb = s.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb"))
     cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= threshold)

@@ -968,6 +968,41 @@ object StreamingOps {
     * order uncontrolled) and return the final snapshot version. The
     * versioned apply makes the result arrival-order-independent, so the
     * batch end-state oracle applies unchanged. */
+  /** Stage `frames` as tranche dirs `f0..fN` under `src` in ONE write
+    * job (tag + union + one shuffle on the tag, vs one filtered source
+    * scan + write job PER tranche — guide §1.2 step 1 applied to the
+    * tranche-feed drivers). `repartition(n, tag)` keeps each tranche in
+    * one task → one file, preserving the one-file-per-tranche contract
+    * `maxFilesPerTrigger=1` turns into one micro-batch per tranche.
+    * Part-file mtimes are set STRICTLY INCREASING in tranche order: the
+    * file source orders its initial listing by timestamp, and the
+    * former sequential writes encoded tranche order in mtimes
+    * implicitly — one job writes all files in the same millisecond, so
+    * the order is restored explicitly (drivers whose apply is
+    * arrival-order-independent don't need it; q_stream_snapshots'
+    * version contents do). */
+  private def stageTranches(frames: Seq[DataFrame], src: String): Unit = {
+    val stage = s"$src.stage"
+    frames.zipWithIndex
+      .map { case (f, i) => f.withColumn("__g", lit(i)) }
+      .reduce(_ unionByName _)
+      .repartition(frames.size, col("__g"))
+      .write.partitionBy("__g").parquet(stage)
+    val base = System.currentTimeMillis() - 60000L
+    frames.indices.foreach { i =>
+      val from = java.nio.file.Paths.get(stage, s"__g=$i")
+      val dst = java.nio.file.Paths.get(src, s"f$i")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      if (java.nio.file.Files.exists(from)) {
+        java.nio.file.Files.move(from, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)
+        java.nio.file.Files.list(dst).forEach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, t))
+      } else java.nio.file.Files.createDirectories(dst)
+    }
+  }
+
   def runStreamCdcOnce(spark: SparkSession, dir: String,
       feedOf: DataFrame => Seq[DataFrame]): DataFrame = {
     val ses = stateSizedSession(spark)
@@ -980,10 +1015,7 @@ object StreamingOps {
     // the change feed comes from the CALLER's builder — the same one the
     // batch q_cdc_apply runs, so the two paths cannot drift apart from
     // each other (or from the shared end-state oracle) silently
-    val groups = feedOf(snap)
-    groups.zipWithIndex.foreach { case (g, i) =>
-      g.coalesce(1).write.parquet(s"$src/f$i")
-    }
+    stageTranches(feedOf(snap), src)
     val stream = ses.readStream.schema(ses.read.parquet(s"$src/f0").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
     val sid = streamScope(ckpt)
@@ -1023,13 +1055,11 @@ object StreamingOps {
       round(col("value") * 1e6, 0).cast("long").as("vm"))
     val d11 = lit("2024-01-11").cast("date")
     val d21 = lit("2024-01-21").cast("date")
-    Seq(ev.filter(col("day") < d11),
-        ev.filter(col("day") >= d11 && col("day") < d21),
-        ev.filter(col("day") >= d21))
-      .zipWithIndex.foreach { case (t, i) =>
-        t.select("event_type", "vm").coalesce(1)
-          .write.parquet(s"$src/f$i")
-      }
+    stageTranches(
+      Seq(ev.filter(col("day") < d11),
+          ev.filter(col("day") >= d11 && col("day") < d21),
+          ev.filter(col("day") >= d21))
+        .map(_.select("event_type", "vm")), src)
     val stream = spark.readStream
       .schema(spark.read.parquet(s"$src/f0").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
@@ -1410,30 +1440,46 @@ object StreamingOps {
     * production deployment gets the same guarantee from a watermark +
     * per-trigger sort or an upstream log ordered per key (e.g. a
     * keyed Kafka partition). */
-  /** Land a ts-contiguous slice into a watched source dir ATOMICALLY.
+  /** Stage ALL ts-contiguous slices of `ev` in ONE write job
+    * (partitionBy on the slice ordinal), and return a landing function
+    * that ATOMICALLY moves slice i into the watched dir.
     *
-    * r15 sf3 finding: `df.write.parquet(s"$src/sN")` directly into the
-    * watched glob while the query is running is a RACE — the always-on
-    * trigger can list the directory mid-write and split one slice's
-    * part files across two micro-batches in TASK-COMPLETION order (not
-    * event-time order), breaking the ordered drivers' "batch order =
-    * event-time order by construction" contract. At sf0.01 the write
-    * window is milliseconds and the race never fired in 14 rounds of
-    * gates; the 30× sf3 sweep caught q_stream_attribution crediting
-    * purchases to FUTURE touches (a later-time touch from the torn
-    * slice's second half was processed first and set state; the
-    * earlier-time purchase then read it — `us - tus` goes negative and
-    * passes any lookback window). Staging the slice OUTSIDE the glob
-    * and renaming it in is one atomic directory move on a local fs (and
-    * HDFS): the file source sees all of the slice or none of it, so a
-    * trigger can never tear a slice. */
-  private def landSlice(df: DataFrame, src: String, name: String): Unit = {
-    val stage = java.nio.file.Paths.get(s"$src.stage", name)
-    df.write.parquet(stage.toString)
-    val dst = java.nio.file.Paths.get(src, name)
-    java.nio.file.Files.createDirectories(dst.getParent)
-    java.nio.file.Files.move(stage, dst,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    * Atomicity (r15 sf3 finding): writing directly into the watched
+    * glob while the query runs is a RACE — the always-on trigger can
+    * list the directory mid-write and split one slice's part files
+    * across two micro-batches in TASK-COMPLETION order (not event-time
+    * order), breaking the ordered drivers' "batch order = event-time
+    * order by construction" contract (the 30× sf3 sweep caught
+    * q_stream_attribution crediting purchases to FUTURE touches this
+    * way). Staging OUTSIDE the glob and renaming in is one atomic
+    * directory move on a local fs (and HDFS): the file source sees all
+    * of a slice or none of it. That contract lives in the RENAME, not
+    * the write — so computing all slices in one partitioned write job
+    * changes nothing about what a trigger can observe. Before this, the
+    * ordered drivers paid one full source scan PER SLICE (6
+    * filter+write jobs) on top of the min/max job — guide §1.2 step 1
+    * (don't re-read what one pass can produce) applied to the driver
+    * harness; the per-slice rows are bit-identical
+    * (`(us − lo) div step = i  ⇔  lo + i·step ≤ us < lo + (i+1)·step`
+    * for us ≥ lo, the exact ranges the per-slice filters stated).
+    *
+    * An empty slice (possible only on degenerate fixtures) stages no
+    * directory; landing it creates an empty dir — the file source sees
+    * no new files, exactly as the former empty parquet write behaved. */
+  private def stageSlices(ev: DataFrame, src: String,
+      lo: Long, step: Long): Int => Unit = {
+    val stage = s"$src.stage"
+    ev.withColumn("__slice", expr(s"(us - ${lo}L) div ${step}L"))
+      .write.partitionBy("__slice").parquet(stage)
+    (i: Int) => {
+      val from = java.nio.file.Paths.get(stage, s"__slice=$i")
+      val dst = java.nio.file.Paths.get(src, s"s$i")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      if (java.nio.file.Files.exists(from))
+        java.nio.file.Files.move(from, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else java.nio.file.Files.createDirectories(dst)
+    }
   }
 
   def runStreamFunnelOnce(spark: SparkSession, dir: String,
@@ -1447,14 +1493,14 @@ object StreamingOps {
     val ev = graft.tables.Tables.events(ses, dir)
       .select(unix_micros(col("ts")).as("us"), col("user_id"),
         col("event_type"))
-    // 6 equal TIME slices of [min, max]; slice i lands only after the
-    // engine drained slice i-1
+    // 6 equal TIME slices of [min, max], all staged in ONE write job;
+    // slice i still LANDS (atomic rename) only after the engine drained
+    // slice i-1 — see stageSlices
     val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val step = (hi - lo) / 6 + 1
-    def slice(i: Int) = ev.filter(
-      col("us") >= lit(lo + i * step) && col("us") < lit(lo + (i + 1) * step))
-    landSlice(slice(0), src, "s0")
+    val land = stageSlices(ev, src, lo, step)
+    land(0)
     val stream = ses.readStream
       .schema(ses.read.parquet(s"$src/s0").schema)
       .parquet(s"$src/*")
@@ -1484,7 +1530,7 @@ object StreamingOps {
     try {
       q.processAllAvailable()
       (1 to 5).foreach { i =>
-        landSlice(slice(i), src, s"s$i")
+        land(i)
         q.processAllAvailable()
       }
     } finally q.stop()
@@ -1553,9 +1599,9 @@ object StreamingOps {
     val Array(lo, hi) = ev.agg(min(col("us")), max(col("us")))
       .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
     val step = (hi - lo) / 6 + 1
-    def slice(i: Int) = ev.filter(
-      col("us") >= lit(lo + i * step) && col("us") < lit(lo + (i + 1) * step))
-    landSlice(slice(0), src, "s0")
+    // all 6 slices staged in one write job; ordered atomic landings below
+    val land = stageSlices(ev, src, lo, step)
+    land(0)
     val stream = ses.readStream
       .schema(ses.read.parquet(s"$src/s0").schema)
       .parquet(s"$src/*")
@@ -1588,7 +1634,7 @@ object StreamingOps {
     try {
       q.processAllAvailable()
       (1 to 5).foreach { i =>
-        landSlice(slice(i), src, s"s$i")
+        land(i)
         q.processAllAvailable()
       }
     } finally q.stop()

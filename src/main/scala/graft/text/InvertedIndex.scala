@@ -38,19 +38,23 @@ object InvertedIndex {
     * and the 1-row collection-stats increment. */
   private def indexFrames(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): (DataFrame, DataFrame) = {
-    val toks = docs
+    // tokenize ONCE (eager materialization): postings explode it and the
+    // collection stats aggregate it — formerly two tokenizer passes over
+    // the full text per build/append (the RetrievalOps.tokenize seam)
+    val tok = docs
       .select(col(idCol).as("doc_id"),
         TextOps.wsTokens(lower(col(textCol))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
-        explode(col("ts")).as("term"))
+        col("ts"))
+      .localCheckpoint(true)
+    val toks = tok.select(col("doc_id"), col("dl"),
+      explode(col("ts")).as("term"))
     val postings = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
-    val stats = docs
-      .select(size(TextOps.wsTokens(lower(col(textCol))))
-        .cast("double").as("dl0"))
+    val stats = tok
       .agg(count(lit(1)).cast("double").as("n_docs"),
-        sum(col("dl0")).as("dl_sum"))
+        sum(col("dl")).as("dl_sum"))
     (postings, stats)
   }
 
@@ -59,7 +63,11 @@ object InvertedIndex {
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
             nBuckets: Int = 64): Unit = {
     val (postings, stats) = indexFrames(docs, idCol, textCol, nBuckets)
-    postings.write.partitionBy("bucket").mode("overwrite")
+    // cluster by bucket before the partitioned write: one file per
+    // bucket instead of (tasks × buckets) small files (guide §6 output
+    // sizing — probe-side reads open 64× fewer files)
+    postings.repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite")
       .parquet(s"$dir/postings")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/collstats")
   }

@@ -58,21 +58,41 @@ object RetrievalOps {
     *   pairs sharing at least one term appear; score is the round-6
     *   decode of the exact nano-unit contribution sum.
     */
-  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
-                 queryTerms: DataFrame,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // map-only: tokenize once, carry the doc length with each token
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
+  /** Tokenized corpus `(doc_id, dl, ts)` MATERIALIZED once (eager
+    * localCheckpoint): every retrieval stage that needs the token stream
+    * (postings, collection stats, RM3 feedback, a second weighted pass)
+    * re-reads this frame instead of re-running the tokenizer kernel over
+    * the full text. Before this seam, q_rm3_topk tokenized the corpus
+    * FIVE times (first-pass postings + stats, feedback, second-pass
+    * postings + stats) — guide §1.2 step 1: don't compute things twice.
+    * At archive scale this is the tokenize-once materialization every
+    * production retrieval pipeline performs before building an index
+    * (disk-backed via MEMORY_AND_DISK, bounded by the tokenized corpus —
+    * the same frame [[graft.text.InvertedIndex.build]] persists). */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         TextOps.wsTokens(lower(col(textCol))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
-        explode(col("ts")).as("term"))
-    // corpus stats: a second column-pruned scan producing ONE row — at
-    // archive scale this is the cacheable "collection statistics" frame
-    val stats = docs
-      .select(size(TextOps.wsTokens(lower(col(textCol))))
-        .cast("double").as("dl0"))
-      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl0").as("avgdl"))
+        col("ts"))
+      .localCheckpoint(true)
+
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: DataFrame,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresTok(tokenize(docs, idCol, textCol), queryTerms, k1, b)
+
+  /** [[bm25Scores]] over a pre-tokenized (usually [[tokenize]]d) corpus
+    * frame `(doc_id, dl, ts)` — same result, no tokenizer pass. */
+  def bm25ScoresTok(tok: DataFrame, queryTerms: DataFrame,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // postings from the materialized token arrays — explode is the only
+    // per-token work left on this path
+    val toks = tok.select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+    // corpus stats: ONE row off the same materialized frame (empty docs
+    // kept — explode drops them from postings but they still count here,
+    // exactly as the former second corpus scan did)
+    val stats = tok
+      .agg(count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
 
     val weighted = queryTerms.columns.contains("w")
     val terms = (if (weighted)
@@ -114,8 +134,15 @@ object RetrievalOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               excludeSelf: Boolean = false): DataFrame = {
-    val scored = bm25Scores(docs, idCol, textCol, queryTerms, k1, b)
+               excludeSelf: Boolean = false): DataFrame =
+    bm25TopKTok(tokenize(docs, idCol, textCol), queryTerms, k, k1, b,
+      excludeSelf)
+
+  /** [[bm25TopK]] over a pre-tokenized corpus frame (see [[tokenize]]). */
+  def bm25TopKTok(tok: DataFrame, queryTerms: DataFrame, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  excludeSelf: Boolean = false): DataFrame = {
+    val scored = bm25ScoresTok(tok, queryTerms, k1, b)
     val candidates =
       if (excludeSelf) scored.filter(col("query_id") =!= col("doc_id"))
       else scored
@@ -149,8 +176,20 @@ object RetrievalOps {
   def rm3ExpandTerms(docs: DataFrame, idCol: String, textCol: String,
                      queryTerms: DataFrame, m: Int = 10, e: Int = 8,
                      lambda: Double = 0.5,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    rm3ExpandTermsTok(tokenize(docs, idCol, textCol), queryTerms,
+      m, e, lambda, k1, b)
+
+  /** [[rm3ExpandTerms]] over a pre-tokenized corpus frame (see
+    * [[tokenize]]): the first BM25 pass and the feedback stage read the
+    * same materialized token arrays — one tokenizer pass total, and a
+    * caller running the expanded second pass ([[bm25TopKTok]]) reuses
+    * the frame once more. */
+  def rm3ExpandTermsTok(tok: DataFrame,
+                     queryTerms: DataFrame, m: Int = 10, e: Int = 8,
+                     lambda: Double = 0.5,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val firstPass = bm25TopK(docs, idCol, textCol, queryTerms, m, k1, b)
+    val firstPass = bm25TopKTok(tok, queryTerms, m, k1, b)
     // normalized doc weights from exact micro-unit integer sums. The
     // sm > 0 guard is a 100 TB edge: a query of pure stopwords (df ≈ N)
     // can round every first-pass score to 0 micro-units — without the
@@ -165,11 +204,9 @@ object RetrievalOps {
       .select(col("query_id"), col("doc_id"),
         (col("sm").cast("double") / col("tot").cast("double")).as("sprime"))
     // corpus tokens × broadcast feedback docs → per-(query, doc, term) tf
-    val toks = docs
-      .select(col(idCol).as("doc_id"),
-        TextOps.wsTokens(lower(col(textCol))).as("ts"))
-      .select(col("doc_id"), size(col("ts")).cast("double").as("dl"),
-        explode(col("ts")).as("term"))
+    // (same materialized token arrays as the first pass — no re-tokenize)
+    val toks = tok.select(col("doc_id"), col("dl"),
+      explode(col("ts")).as("term"))
     val rm = toks.join(broadcast(fbw), Seq("doc_id"))
       .groupBy("query_id", "doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"),

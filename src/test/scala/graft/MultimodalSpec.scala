@@ -187,8 +187,14 @@ class MultimodalSpec extends AnyFunSuite {
     val plan = graft.queries.MultimodalQueries.queries("q_video_scene_cuts")(
       spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "no lag window in the plan")
+    // the serving-edge sort plus (r16) the Par.spread round-robin of the
+    // doc_id SPINE before the codec kernel — the structural claim stays
+    // "no shuffle of the decoded FRAME table": the only hash exchange is
+    // the sort's range partitioning; the spread moves bare ids
     val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 1, s"only the serving-edge sort may exchange, saw:\n$plan")
+    assert(exchanges <= 2, s"only the serving-edge sort and the id-spine spread may exchange, saw:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(doc_id"),
+      s"the frame table must never hash-shuffle on video id:\n$plan")
   }
 
   test("REAL multi-frame codec (MJPEG-in-AVI): hand demux + JDK JPEG " +
