@@ -98,14 +98,19 @@ object MergeOps {
     * fail fast rather than silently picking one. */
   def applyCdc(snapshot: DataFrame, cdc: DataFrame, keyCol: String,
       opCol: String, seqCol: String): DataFrame = {
-    val dupSeq = cdc.groupBy(col(keyCol), col(seqCol))
+    // materialized once: the duplicate-seq guard, the winners projection
+    // and the anti-join each evaluate the feed — unmaterialized, a
+    // derived change feed (q_cdc_apply unions four filtered source
+    // scans) re-ran per reference
+    val c = cdc.localCheckpoint(true)
+    val dupSeq = c.groupBy(col(keyCol), col(seqCol))
       .count().filter(col("count") > 1).limit(1).collect()
     if (dupSeq.nonEmpty)
       throw new IllegalArgumentException(
         s"applyCdc: duplicate $seqCol for key ${dupSeq.head.get(0)} — " +
           "the winning operation would be nondeterministic")
     val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
-    val latest = cdc.withColumn("__rn", row_number().over(w))
+    val latest = c.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val winners = latest.filter(col(opCol) =!= "D")
       .select(snapshot.columns.map(col).toIndexedSeq: _*)

@@ -646,11 +646,15 @@ object JoinQueries {
       val kept = items.join(okSized, "ok").localCheckpoint(true)
       val itemCnt = kept.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
       val nb = kept.agg(countDistinct(col("ok")).as("nb"))
+      // materialized once: the directed union below references the pair
+      // frame on both branches — unmaterialized, the quadratic
+      // within-basket self-join re-ran per branch
       val pairs = kept.as("x").join(kept.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("part_a"), col("y.pk").as("part_b"))
         .agg(count(lit(1)).as("n_pair"))
         .filter(col("n_pair") >= 2)
+        .localCheckpoint(true)
       val directed = pairs
         .select(col("part_a").as("antecedent"),
           col("part_b").as("consequent"), col("n_pair"))
