@@ -113,10 +113,13 @@ object InvertedIndex {
       .collect().map(_.getInt(0)) // bounded: ≤ |query terms|
     // pruned postings restricted to the query terms — identical rows to
     // bm25Scores' filtered tf aggregate
+    // materialized once (tiny: matched postings only) — df(term) and the
+    // contribution join both read it; see RetrievalOps.bm25ScoresTok
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isInCollection(buckets.toIndexedSeq))
       .join(broadcast(termSet), Seq("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .localCheckpoint(true)
     // a term's postings are bucket-local, so this pruned count IS the
     // corpus df for these terms
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))

@@ -104,10 +104,14 @@ object RetrievalOps {
     val termSet = terms.select("term").distinct()
 
     // broadcast-filter the exploded tokens, THEN aggregate: the shuffle
-    // carries only matching tokens
+    // carries only matching tokens. Materialized once — df(term) and the
+    // contribution join both read it, and each unmaterialized reference
+    // re-explodes the whole token stream; the frame is bounded by
+    // (matching docs × query terms), i.e. tiny at any corpus scale.
     val tf = toks.join(broadcast(termSet), Seq("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(true)
     // per-term document frequency over the filtered postings — equal to
     // the corpus df for these terms, and only |query terms| rows out
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
