@@ -113,13 +113,15 @@ object InvertedIndex {
       .collect().map(_.getInt(0)) // bounded: ≤ |query terms|
     // pruned postings restricted to the query terms — identical rows to
     // bm25Scores' filtered tf aggregate
-    // materialized once (tiny: matched postings only) — df(term) and the
-    // contribution join both read it; see RetrievalOps.bm25ScoresTok
+    // NOT checkpointed (unlike RetrievalOps.bm25ScoresTok's tf): both
+    // references re-read the postings, but those are PARTITION-PRUNED
+    // scans (the point of the index — RetrievalSpec pins the
+    // PartitionFilters in this very plan), so the recompute is two
+    // bounded pruned reads, not a corpus pass
     val tf = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isInCollection(buckets.toIndexedSeq))
       .join(broadcast(termSet), Seq("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .localCheckpoint(true)
     // a term's postings are bucket-local, so this pruned count IS the
     // corpus df for these terms
     val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
