@@ -60,13 +60,15 @@ object DedupOps {
     * the prefix below the theorem's bound and silently drop pairs. */
   def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                               n: Int, threshold: Double): DataFrame = {
-    // materialized once: rarityPostings reads the shingle frame twice
-    // (df-count aggregate + the postings join) — unmaterialized, the
-    // shingle kernel re-runs over the full text per reference, and the
-    // dfreq/join exchange-reuse that sometimes hides it is plan-shape-
-    // fragile (the `ghs` checkpoint below makes the SAME argument for
-    // the next stage)
-    val ex = shingleHashes(df, idCol, textCol, n).localCheckpoint(true)
+    // NOT checkpointed: rarityPostings' two references (df-count
+    // aggregate + postings join) shuffle the identical subtree on the
+    // same `gh` key, so ReusedExchange computes the shingle kernel once
+    // at execution — an eager materialization of the exploded hash frame
+    // was measured +1.7 s warm on q_corpus_clean (r16) for zero saved
+    // recompute. The `ghs` checkpoint below stays: its three consumers
+    // hash on DIFFERENT keys (prefix explode; id_a / id_b verify sides),
+    // where exchange reuse cannot fire.
+    val ex = shingleHashes(df, idCol, textCol, n)
     // one aggregation builds the per-doc rarity-ordered posting list, then
     // BOTH stages read it: the prefix index is a slice of it, and
     // verification intersects candidate pairs' lists directly

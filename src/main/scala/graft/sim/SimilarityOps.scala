@@ -183,8 +183,10 @@ object SimilarityOps {
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nBlocks: Int = 16): DataFrame = {
     // materialized once: the symmetrization below references the pair
-    // frame in BOTH union branches — unmaterialized, the Ω(n²) block-pair
-    // score join (the single most expensive stage) would run twice
+    // frame in BOTH union branches, and the bench's process-CPU column
+    // proves AQE does NOT reuse the stage (no-checkpoint warm ≈ 12.3
+    // CPU-s, checkpointed ≈ 9 CPU-s) — without this the Ω(n²) block-pair
+    // score join runs twice
     val pairs = cosinePairsBlocked(emb, idCol, vecCol,
       threshold = -1.0, nBlocks = nBlocks).localCheckpoint(true)
     val sym = pairs.select(col("id_a").as("query_id"),
