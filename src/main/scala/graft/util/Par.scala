@@ -21,7 +21,7 @@ import org.apache.spark.sql.DataFrame
   * CPU-ms/row) was measured a net LOSS: the exchange + 32-task overhead
   * exceeds the serial kernel cost, and under this host's co-tenant
   * memory-bandwidth thrash the parallel stage bills 4-8× the CPU for
-  * equal-or-worse wall (A/B artifacts target/ab_spread_{on,off}.json,
+  * equal-or-worse wall (A/B artifacts ab_spread_{on,off}_r16.json,
   * OPTIMIZATION_r16.md).
   *
   * No-op when the source already scans wide (the guard, NOT a local[32]
