@@ -705,9 +705,18 @@ object Bench {
     // a torn, unparseable line; 1-decimal is 1985.
     val pregateCompact = s""""pregate":${rp(calHistory.head, 2)},""" +
       s""""pregate_ok":$pregatePass,"""
+    // n_queries/omitted (r16 verdict #2): at 254 queries the line-budget
+    // fallback below ships only the slowest cells that fit, and the
+    // driver's round-over-round compare mislabeled the truncated FAST
+    // cells as dropped_from_bench (17 genuine improvements read as drops
+    // in PERF_r16). The counts make truncation self-describing: a cell
+    // absent from `queries` with omitted > 0 ran fine and lives in
+    // BENCH_DETAIL.json; a genuinely dropped query would lower n_queries.
+    val nq = coldFinal.size
     val compact = (2 to 0 by -1).iterator.map { p =>
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-        s""""queries":${jsonMap(coldFinal, rp(_, p))},"total_warm":${r2(totalWarm)},""" +
+        s""""queries":${jsonMap(coldFinal, rp(_, p))},""" +
+        s""""n_queries":$nq,"omitted":0,"total_warm":${r2(totalWarm)},""" +
         pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     }.find(_.length <= 1990).getOrElse {
@@ -716,8 +725,10 @@ object Bench {
       // a partial map beats the round-9 outcome (queries:{} left the
       // driver artifact with no auditable per-query figures at all); the
       // complete map is always in BENCH_DETAIL.json
+      // (base reserves worst-case digits for omitted: omitted <= nq)
       val base = s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-        s""""queries":{},"total_warm":${r2(totalWarm)},""" + pregateCompact +
+        s""""queries":{},"n_queries":$nq,"omitted":$nq,""" +
+        s""""total_warm":${r2(totalWarm)},""" + pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
       val budget = 1990 - base.length
       val ordered = coldFinal.filter(_._2 < 0) ++ coldFinal.filter(_._2 >= 0).sortBy(-_._2)
@@ -728,7 +739,9 @@ object Bench {
         if (used + len <= budget) { picked += ((n, v)); used += len }
       }
       s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-        s""""queries":${jsonMap(picked.toSeq, rp(_, 0))},"total_warm":${r2(totalWarm)},""" +
+        s""""queries":${jsonMap(picked.toSeq, rp(_, 0))},""" +
+        s""""n_queries":$nq,"omitted":${nq - picked.size},""" +
+        s""""total_warm":${r2(totalWarm)},""" + pregateCompact +
         s""""errors":$errJson,"sf":"$sfDir"}"""
     }
     println(compact)

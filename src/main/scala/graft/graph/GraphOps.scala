@@ -75,11 +75,19 @@ object GraphOps {
     * global); `localCheckpoint(true)` truncates lineage per round like
     * [[pageRank]]. Callers pass a symmetric edge list for undirected
     * semantics. Returns `(node, community)`. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  /** @param initLabel renders a node id into its INITIAL label value
+    *   (default: the node itself). Lets callers iterate on compact
+    *   integer node keys while keeping the label domain — and therefore
+    *   the (count DESC, label) tie-break ORDER — in the original string
+    *   space: label VALUES, not node key width, are what the oracle's
+    *   deterministic mode-adoption rule observes. */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      initLabel: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
     val ed = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = ed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("label"))
+    var labels = nodes.select(col("node"), initLabel(col("node")).as("label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {

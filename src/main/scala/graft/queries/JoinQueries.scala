@@ -382,12 +382,26 @@ object JoinQueries {
         s.sql(s"DROP TABLE IF EXISTS `$oT`")
         // external locations: pre-existing dirs from a previous JVM are
         // legal and overwritten (the IncrementalDedup lesson, e83c447)
-        Tables.lineitem(s, dir)
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$root/$liT").mode("overwrite").saveAsTable(liT)
-        Tables.orders(s, dir)
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$root/$oT").mode("overwrite").saveAsTable(oT)
+        // The two ingests are INDEPENDENT jobs — submit them from two
+        // threads so the second back-fills executors the first's write
+        // tail leaves idle (guide §2.6 "overlap independent jobs"); each
+        // job is 8 bucket tasks on a 32-core context, so serial ingest
+        // left 3/4 of the machine idle. Catalog ops on two DIFFERENT
+        // table names are safe concurrently.
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          Seq(
+            () => Tables.lineitem(s, dir)
+              .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+              .option("path", s"$root/$liT").mode("overwrite").saveAsTable(liT),
+            () => Tables.orders(s, dir)
+              .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+              .option("path", s"$root/$oT").mode("overwrite").saveAsTable(oT))
+            .map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = w()
+            }))
+            .foreach(_.get())
+        } finally pool.shutdown()
       }
       val li = s.table(liT)
       val o = s.table(oT)

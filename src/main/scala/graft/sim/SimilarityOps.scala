@@ -179,7 +179,15 @@ object SimilarityOps {
     * bounded-heap [[rankTopK]] stage, so the n·(n−1) score rows collapse
     * to ≤ k per (vector, partition) before any exchange. Exact kNN is
     * inherently Ω(n²) compare work — this spreads it evenly; for the
-    * sub-quadratic approximation at corpus scale see [[knnJoinIvf]]. */
+    * sub-quadratic approximation at corpus scale see [[knnJoinIvf]].
+    *
+    * SCALE CAVEAT: the eager localCheckpoint below materializes the
+    * UNthresholded pair frame into executor-local storage — its
+    * footprint grows quadratically with corpus size. That is fine on
+    * this exact-baseline path (already Ω(n²) by contract, bounded
+    * corpora only); do NOT copy the checkpoint-the-pairs pattern into
+    * scalable paths — large-scale callers belong on [[knnJoinIvf]],
+    * whose materialized probe frame is O(n·nProbe). */
   def knnJoin(emb: DataFrame, idCol: String, vecCol: String,
               k: Int, nBlocks: Int = 16): DataFrame = {
     // materialized once: the symmetrization below references the pair
@@ -293,8 +301,21 @@ object SimilarityOps {
     * prunes most comparisons before they happen. */
   def cosinePairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, nBlocks: Int = 16): DataFrame = {
-    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-        l2norm(col(vecCol)).as("nv"))
+    // Par.spread on the projected source (guide §2.5): the block-pair
+    // join plans as BroadcastHashJoin (136 block-key rows estimate
+    // small), so the PROBE side keeps the source's partitioning — and a
+    // single-file test archive scans as ONE split, serializing the
+    // entire Ω(n²) dot-product stage on one core (r17 measured
+    // q_cosine_pairs at wall 3.8 s ≈ cpu 4.5 s on 32 cores; the
+    // committed q_cosine_pairs_before.txt shows the BHJ over the
+    // 1-split scan). The spread round-robins the ~(id, vec, norm) rows
+    // BEFORE the explode so the compare stage uses the machine; the
+    // guard no-ops when the scan is already wide (real archives), and
+    // the projection keeps the exchange at the three needed columns
+    // (§2.3 project before the exchange).
+    val base = graft.util.Par.spread(
+        emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+          l2norm(col(vecCol)).as("nv")))
       .withColumn("blk", pmod(col("id"), lit(nBlocks)).cast("int"))
     val a = base
       .withColumn("bb", explode(filter(sequence(lit(0), lit(nBlocks - 1)),

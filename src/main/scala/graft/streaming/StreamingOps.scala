@@ -980,7 +980,15 @@ object StreamingOps {
     * implicitly — one job writes all files in the same millisecond, so
     * the order is restored explicitly (drivers whose apply is
     * arrival-order-independent don't need it; q_stream_snapshots'
-    * version contents do). */
+    * version contents do).
+    *
+    * EMPTY-TRANCHE CAVEAT (same as [[stageSlices]]): an empty frame
+    * yields a dir with no parquet file → no micro-batch, where the old
+    * per-tranche `coalesce(1).write` always produced a file — and the
+    * callers infer the stream schema from `f0`. The contract feeds are
+    * all non-empty by construction; the require below turns a future
+    * violation into a named error instead of a silent batch-count (and
+    * q_stream_snapshots version-numbering) drift. */
   private def stageTranches(frames: Seq[DataFrame], src: String): Unit = {
     val stage = s"$src.stage"
     frames.zipWithIndex
@@ -993,13 +1001,17 @@ object StreamingOps {
       val from = java.nio.file.Paths.get(stage, s"__g=$i")
       val dst = java.nio.file.Paths.get(src, s"f$i")
       java.nio.file.Files.createDirectories(dst.getParent)
-      if (java.nio.file.Files.exists(from)) {
-        java.nio.file.Files.move(from, dst,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)
-        java.nio.file.Files.list(dst).forEach(p =>
-          java.nio.file.Files.setLastModifiedTime(p, t))
-      } else java.nio.file.Files.createDirectories(dst)
+      require(java.nio.file.Files.exists(from),
+        s"stageTranches: tranche $i is empty — the staged feed would " +
+          "lose a micro-batch (see the empty-tranche caveat above)")
+      java.nio.file.Files.move(from, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val t = java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L)
+      // Files.list must be closed (it holds a directory handle)
+      val listing = java.nio.file.Files.list(dst)
+      try listing.forEach(p =>
+        java.nio.file.Files.setLastModifiedTime(p, t))
+      finally listing.close()
     }
   }
 

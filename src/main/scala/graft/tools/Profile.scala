@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
 
 /** Dev profiling entry: time named pipeline stages at a given sf dir.
   * `runMain graft.tools.Profile <sfDir> <what>` */
@@ -1930,6 +1931,66 @@ object Profile {
           val cold = run(); val warm = run()
           println(f"[cells] $q cold=$cold%.3f warm=$warm%.3f")
         }
+
+      case "jobs" =>
+        // per-JOB timeline of one contract query (r17: split the
+        // per-cell floor — planning + serialized job boundaries — from
+        // task work): a listener records each Spark job's submit/finish
+        // and task-time sum; the gaps between jobs (and before the
+        // first) are driver-side planning/boundary cost no task ever
+        // bills. Two passes: cold (codegen) then warm.
+        val q = args(2)
+        final case class J(id: Int, desc: String, sub: Long, fin: Long,
+          tasks: Int, taskMs: Long)
+        val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          private val subs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+          private val task = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+          private val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            subs.put(e.jobId, (e.time,
+              Option(e.properties)
+                .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .getOrElse("")))
+            e.stageIds.foreach(sid => stageJob.put(sid, e.jobId))
+          }
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val jid = stageJob.getOrDefault(e.stageId, -1)
+            if (jid >= 0 && e.taskMetrics != null) {
+              task.merge(jid, (1, e.taskMetrics.executorRunTime),
+                (a, b) => (a._1 + b._1, a._2 + b._2))
+            }
+          }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, d) = subs.getOrDefault(e.jobId, (e.time, "?"))
+            val (nt, tm) = task.getOrDefault(e.jobId, (0, 0L))
+            jobs.put(e.jobId, J(e.jobId, d, t0, e.time, nt, tm))
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        (1 to 2).foreach { pass =>
+          jobs.clear()
+          val t0 = System.currentTimeMillis()
+          val dt = elapsed(force(graft.SparkEntry.queries(q)(spark, sfDir)))
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          Thread.sleep(300) // listener drain
+          val js = jobs.values.asScala.toSeq.sortBy(_.sub)
+          var cursor = t0
+          var gapTotal = 0L; var jobTotal = 0L
+          println(f"[jobs] $q pass $pass: wall $dt%.2f s, ${js.size} jobs")
+          js.foreach { j =>
+            val gap = j.sub - cursor
+            gapTotal += math.max(0L, gap); jobTotal += (j.fin - j.sub)
+            cursor = math.max(cursor, j.fin)
+            println(f"[jobs]   +${j.sub - t0}%6d ms gap=${gap}%5d ms " +
+              f"run=${j.fin - j.sub}%5d ms tasks=${j.tasks}%3d " +
+              f"taskSum=${j.taskMs}%6d ms  ${j.desc.take(60)}")
+          }
+          println(f"[jobs]   TOTAL job=${jobTotal}%d ms gap=${gapTotal}%d ms " +
+            f"(wall ${(dt * 1000).toLong}%d ms)")
+        }
+        spark.sparkContext.removeSparkListener(listener)
 
       case "repeat" =>
         // run one contract query N times under Bench's exact isolation

@@ -29,6 +29,12 @@ import org.apache.spark.sql.DataFrame
   * the scan has its own parallelism, and repartitioning again would be a
   * pure pessimization) and on streaming frames (micro-batch sources size
   * their own batches).
+  *
+  * APPLY TO BARE SCANS (or cheap scan+project spines) ONLY: the guard
+  * probes `df.rdd.getNumPartitions`, which forces physical planning and
+  * RDD instantiation for `df` (no job runs, but planning isn't free and
+  * the probe bypasses AQE) — harmless on a bare table scan, wasteful on
+  * a frame with a big plan under it.
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
