@@ -133,9 +133,13 @@ object TextQueries {
         round(TextOps.qualityScore(col("text")), 6).as("quality_score"))
         .orderBy("doc_id")),
 
-    // Heuristic language ID vs. the labeled lang column.
+    // Heuristic language ID vs. the labeled lang column. Par.spread: the
+    // langId kernel over the single-split test scan ran ~1 s serial,
+    // TWICE (the orderBy's range sample job re-executes it) — the r16
+    // spread revert covered sub-second tokenizer/shingle kernels, not
+    // this multi-second class; A/B re-measured a win here (r17).
     "q_langid" -> ((s, dir) =>
-      docs(s, dir).select(
+      graft.util.Par.spread(docs(s, dir)).select(
         col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("predicted_lang"))
         .orderBy("doc_id")),
@@ -254,6 +258,10 @@ object TextQueries {
     // weights to skew a pretraining mix toward the target. See
     // TextOps.dsirLogWeights for the engine-exact integer-micro
     // accumulation and the broadcast-everything scale shape.
+    // NOT spread: A/B measured the hashed-ngram kernel in the r16
+    // sub-second class (warm wall flat, process-CPU 2× under the
+    // exchange + 32-task overhead) — unlike q_langid's multi-second
+    // span, the spread does not pay here
     "q_dsir_weights" -> ((s, dir) =>
       TextOps.dsirLogWeights(docs(s, dir), "doc_id", "text",
           col("source").isin("src0", "src1"), buckets = 256)
@@ -433,8 +441,16 @@ object TextQueries {
       val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
       // reused by the pair join (twice via self-join) and the final gates —
-      // persist once instead of recomputing the md5 semi-join three times
-      val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+      // persist once instead of recomputing the md5 semi-join three times.
+      // Par.spread first (guide §2.5): the semi-join output inherits the
+      // single-split test scan's ONE partition, so the cached frame fed
+      // every downstream kernel — shingle hashing in the pair join and
+      // the langId/n_tokens gates (the gates run TWICE: the final
+      // orderBy's range-partitioner sample job executes them once more)
+      // — on one core; r17 job profile showed two back-to-back 1-task
+      // ~1 s jobs at the tail. No-op once the source scans wide.
+      val exactKept = graft.util.Par.spread(
+          d.join(exactKeep, Seq("doc_id"), "left_semi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // prefix-filtered exact pair join (bit-identical to naive; DedupSpec
       // pins it) — the naive posting-list self-join is quadratic in a hot
@@ -465,7 +481,11 @@ object TextQueries {
       val d = docs(s, dir)
       val exactKeep = DedupOps.exactDedup(d, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      val exactKept = d.join(exactKeep, Seq("doc_id"), "left_semi")
+      // spread before persist — same single-partition trap as
+      // q_corpus_clean, and here the MinHash(128) signature kernel reads
+      // this frame too
+      val exactKept = graft.util.Par.spread(
+          d.join(exactKeep, Seq("doc_id"), "left_semi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sigs = seam(DedupOps.minhashSignatures(exactKept, "doc_id", "text",
         n = 3, k = 128), dir, "clean_minhash_sigs")

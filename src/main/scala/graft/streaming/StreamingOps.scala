@@ -843,7 +843,23 @@ object StreamingOps {
       if (landedNulls) changedDays :+ (null: Any) else changedDays
     if (changed.nonEmpty) {
       val picks = SkipIndex.picksForChangedDays(idx, changedDays, landedNulls)
-      val data = SkipIndex.readFiles(s, picks)
+      // The landed files' rows ARE this batch's rows: the appender wrote
+      // exactly the batch (and a marker-short-circuited replay returns
+      // the files that hold the same batch's content) — so the recompute
+      // serves them from the IN-MEMORY batch frame and reads only the
+      // OTHER picked files (boundary days straddling an earlier file),
+      // saving a per-batch datasource resolution + re-scan of parquet
+      // written milliseconds ago (r16 verdict item 5; guide §6). Every
+      // landed file is always picked — its footer zone is a subset of
+      // the changed-day set by construction — which the require pins.
+      val pickPaths = picks.select("file").collect().map(_.getString(0))
+      val pickSet = pickPaths.map(canonF).toSet
+      require(landedSet.subsetOf(pickSet),
+        s"maintainRollupBatch: landed files missing from picks: " +
+          s"${landedSet.diff(pickSet)}")
+      val otherPaths = pickPaths.filterNot(p => landedSet.contains(canonF(p)))
+      val data = (if (otherPaths.isEmpty) batch
+        else batch.unionByName(s.read.parquet(otherPaths.toIndexedSeq: _*)))
         .withColumn("day", to_date(col(tsCol)))
       // prev = latest version STRICTLY BEFORE this batch id: on
       // redelivery a half-written own version must not become input —
