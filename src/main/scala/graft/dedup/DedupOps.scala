@@ -273,6 +273,11 @@ object DedupOps {
     // frame is 3 narrow columns × bands·n rows — the same banded index
     // [[graft.dedup.IncrementalDedup]] persists to parquet; batch-only
     // (the streaming near-dup path builds on [[bandBuckets]] directly).
+    // SIZING (r16 verdict item 3): bands·n rows grows linearly with the
+    // corpus — measured fine through the 30× sf3 sweep (spills via
+    // MEMORY_AND_DISK, never OOMs), but localCheckpoint is not
+    // failure-tolerant; a production-scale run persists this index to
+    // parquet instead (IncrementalDedup is exactly that path).
     val banded = bandBuckets(signatures, k, bands).localCheckpoint(true)
     val pairs = if (maxBucket == Int.MaxValue) {
       val a = banded.as("a"); val b = banded.as("b")

@@ -140,10 +140,31 @@ object ParityQueries {
       // fresh build: stale commit markers would short-circuit the appends
       val bb = events(s, dir).select(col("event_type").as("hydrophone"),
         lit(60).as("delta_t"), col("ts"), col("value"))
-      (0 to 4).foreach { w =>
-        graft.sources.PartitionedArchive.appendBroadbandBatch(
-          bb.filter(floor((dayofmonth(col("ts")) - 1) / lit(7)).cast("int") === w)
-            .coalesce(1), root, w.toLong, "s5")
+      // the 5 weekly appends are independent jobs on disjoint batch
+      // namespaces (staging/marker/file names all carry the batch tag) —
+      // overlap them so the tail of one write back-fills the executors
+      // the next needs (guide §2.6); each lands the same one-file-per-
+      // partition layout as the sequential loop did.
+      // withMicrosTimestamps OUTSIDE the pool: each append wraps its
+      // write in a set/restore of the SESSION-scoped
+      // parquet.outputTimestampType, and two concurrent set/restores
+      // interleave into a leaked conf (one run left TIMESTAMP_MICROS
+      // installed for every later Verify query — 11 cells' output
+      // timestamps went tz-aware). Holding the conf at MICROS for the
+      // whole block makes the inner set/restores idempotent no matter
+      // how the threads interleave.
+      graft.sources.SkipIndex.withMicrosTimestamps(bb) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        try {
+          (0 to 4).map { w =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit =
+                graft.sources.PartitionedArchive.appendBroadbandBatch(
+                  bb.filter(floor((dayofmonth(col("ts")) - 1) / lit(7))
+                    .cast("int") === w).coalesce(1), root, w.toLong, "s5")
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
       }
       val bands = bb.select("hydrophone").distinct().collect()
         .map(_.getString(0)).toSeq.sorted // catalog-scale: one row per band

@@ -68,7 +68,18 @@ object RetrievalOps {
     * At archive scale this is the tokenize-once materialization every
     * production retrieval pipeline performs before building an index
     * (disk-backed via MEMORY_AND_DISK, bounded by the tokenized corpus —
-    * the same frame [[graft.text.InvertedIndex.build]] persists). */
+    * the same frame [[graft.text.InvertedIndex.build]] persists).
+    *
+    * SIZING (r16 verdict item 3): this frame is CORPUS-SIZED — the one
+    * unbounded localCheckpoint on the retrieval path. localCheckpoint
+    * stores into executor block storage at MEMORY_AND_DISK, so it spills
+    * rather than OOMs, but it is NOT failure-tolerant: an executor loss
+    * makes the frame unrecoverable and fails the job. Measured fine
+    * through the 30× sf3 sweep (zero errors, rm3/bm25 walls improved);
+    * a production 100 TB run should swap this seam for a reliable
+    * checkpoint (or persisted parquet, which is what InvertedIndex.build
+    * materializes anyway) — the call-site seam makes that a one-line
+    * substitution. */
   def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         TextOps.wsTokens(lower(col(textCol))).as("ts"))
